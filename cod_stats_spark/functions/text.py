@@ -1,0 +1,146 @@
+"""Text-analysis column expressions for document pipelines.
+
+All pure Column compositions (codegen'd JVM-side — the hot path for a
+100 TB document table stays out of Python entirely):
+
+- tokenization / token counting (whitespace + regex word tokens)
+- quality scoring (length, word stats, punctuation/stopword ratios)
+- language ID (stopword-marker heuristic over a small built-in lexicon)
+- document fingerprinting (normalization + hash)
+- shingling (word n-grams) for MinHash / Jaccard dedup
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny built-in marker lexicons: a deterministic, dependency-free
+# heuristic (real pipelines plug a model here; the *operator shape* —
+# per-doc scores from token membership — is identical).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "with"],
+    "de": ["der", "die", "das", "und", "nicht", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "pas"],
+    "es": ["el", "los", "las", "es", "y", "por"],
+    "zh": ["de5", "shi4", "bu4", "le5", "wo3", "ni3"],
+}
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens with empties removed."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != F.lit(""))
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """Sub-word-ish token count: words + digit runs + punctuation marks,
+    approximating a BPE tokenizer's granularity with a pure regex count."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation (0 for empty docs)."""
+    n = F.length(text)
+    p = n - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of whitespace tokens that are stopwords (lowercased)."""
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    toks = words(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = words(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    n = F.size(toks)
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards mid-length docs with a
+    sane word-length distribution, penalizes punctuation/stopword extremes.
+
+    Deliberately simple and fully deterministic — the point is the
+    operator (a codegen'd per-doc score at 100 TB), not the model.
+    """
+    n_words = token_count_ws(text).cast("double")
+    len_score = F.least(n_words / F.lit(100.0), F.lit(1.0))
+    mwl = mean_word_length(text)
+    wl_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    p_score = F.lit(1.0) - F.least(punct_ratio(text) * 4.0, F.lit(1.0))
+    s_ratio = stopword_ratio(text)
+    s_score = F.when((s_ratio >= 0.05) & (s_ratio <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_score + wl_score + p_score + s_score) / F.lit(4.0), 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over lowercased whitespace tokens."""
+    toks = words(F.lower(text))
+    out: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by marker hits; 'und' (undetermined) when no hits.
+
+    Ties break by language code ascending — deterministic.
+    """
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[F.struct(scores[lang].alias("hits"), F.lit(lang).alias("lang")) for lang in sorted(scores)]
+    )
+    # Fold with an explicit comparator: strict > keeps the first
+    # (ascending) language code on ties.
+    folded = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("lang")),
+        lambda acc, p: F.when(p["hits"] > acc["hits"], p).otherwise(acc),
+    )
+    return F.when(folded["hits"] > 0, folded["lang"]).otherwise(F.lit("und"))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit hex fingerprint of the normalized text."""
+    return F.md5(normalize_text(text))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct), over normalized text.
+
+    Implemented with sequence+transform (JVM-side); empty/short docs get
+    their whole text as the single shingle.
+    """
+    toks = words(normalize_text(text))
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(F.when(k > 0, grams).otherwise(F.array(F.lit(""))))

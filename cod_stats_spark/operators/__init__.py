@@ -1,0 +1,23 @@
+"""Generic, reusable operators.
+
+Each module implements one operator family from SURVEY.md §2 as a pure
+DataFrame -> DataFrame transformation built from Catalyst-optimizable
+primitives (no Python UDFs unless noted in the module docstring).
+"""
+
+from cod_stats_spark.operators.sessionize import sessionize, session_rollup
+from cod_stats_spark.operators.rolling import rolling_frames, cumulative_frames
+from cod_stats_spark.operators.topk import top_k, top_k_per_group
+from cod_stats_spark.operators.streaks import run_lengths
+from cod_stats_spark.operators.interval_join import interval_join
+
+__all__ = [
+    "sessionize",
+    "session_rollup",
+    "rolling_frames",
+    "cumulative_frames",
+    "top_k",
+    "top_k_per_group",
+    "run_lengths",
+    "interval_join",
+]

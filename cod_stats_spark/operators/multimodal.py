@@ -1,0 +1,153 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design: media payloads are opaque ``binary`` columns carried next to a
+typed metadata struct. Decode / feature-extract / resize / frame-sample
+run as Arrow-batched functions over ``mapInPandas`` — per-partition
+batch iterators, the right shape for a 100 TB media table (no per-row
+Python, no driver collect, batches stream through each task).
+
+The actual codec step is STUBBED (no PIL/ffmpeg in this environment):
+``decode_image_meta`` parses a deterministic fake header we also use in
+tests, and ``RealDecodeUnavailable`` marks where a real codec plugs in.
+Everything around the stub — schemas, batching, partitioning, UDF
+signatures — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Typed metadata schema carried alongside every media payload.
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("format", StringType()),      # fake | png | wav | ...
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256", StringType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        *MEDIA_META_SCHEMA.fields,
+    ]
+)
+
+
+class RealDecodeUnavailable(NotImplementedError):
+    """Raised where a real codec (PIL / soundfile / pyav) would be called."""
+
+
+def make_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministically synthesize a binary media payload per row.
+
+    Header layout (ASCII): ``FAKE|<w>|<h>|<frames>|<rate>|`` followed by
+    the UTF-8 payload bytes. Used by tests and the bench harness so the
+    decode path has real bytes to chew on without bundled media files.
+    """
+    w = (F.crc32(F.col(text_col).cast("binary")) % 1920 + 1).cast("int")
+    h = (F.crc32(F.reverse(F.col(text_col)).cast("binary")) % 1080 + 1).cast("int")
+    frames = (F.crc32(F.concat(F.col(text_col), F.lit("f")).cast("binary")) % 300 + 1).cast("int")
+    rate = F.lit(16000)
+    header = F.concat_ws(
+        "|", F.lit("FAKE"), w.cast("string"), h.cast("string"),
+        frames.cast("string"), rate.cast("string"), F.lit(""),
+    )
+    payload = F.concat(header, F.col(text_col)).cast("binary")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("media_bytes"),
+        F.lit("image").alias("media_type"),
+    )
+
+
+def _decode_one(media_id: int, raw: bytes, media_type: str) -> dict:
+    import hashlib
+
+    meta = {
+        "media_id": media_id,
+        "media_type": media_type,
+        "format": None,
+        "width": None,
+        "height": None,
+        "n_frames": None,
+        "sample_rate": None,
+        "n_bytes": len(raw) if raw is not None else 0,
+        "sha256": hashlib.sha256(raw).hexdigest() if raw is not None else None,
+    }
+    if raw is not None and raw.startswith(b"FAKE|"):
+        parts = raw.split(b"|", 5)
+        meta.update(
+            format="fake",
+            width=int(parts[1]),
+            height=int(parts[2]),
+            n_frames=int(parts[3]),
+            sample_rate=int(parts[4]),
+        )
+        return meta
+    # Real codecs (PIL.Image.open / soundfile.read / av.open) plug in here.
+    raise RealDecodeUnavailable(
+        f"no codec available for media_id={media_id}; only the FAKE test format "
+        "is decodable in this environment"
+    )
+
+
+def decode_media_meta(df: DataFrame) -> DataFrame:
+    """binary payload → typed metadata rows, via mapInPandas.
+
+    Arrow-batched: each pandas batch is decoded in one Python call per
+    partition-batch; partitioning of the input is preserved (no shuffle).
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _decode_one(mid, raw, mtype)
+                for mid, raw, mtype in zip(
+                    pdf["media_id"], pdf["media_bytes"], pdf["media_type"]
+                )
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return df.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Sample frame indices from decoded video metadata (codegen-side)."""
+    return df.withColumn(
+        "sampled_frames",
+        F.when(
+            F.col("n_frames").isNotNull(),
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)),
+        ),
+    )
+
+
+def resize_plan(df: DataFrame, max_side: int = 512) -> DataFrame:
+    """Compute target dimensions preserving aspect ratio (metadata-only;
+    the pixel op itself would live in the decode mapInPandas stage)."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_side)) / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return df.withColumn("target_width", F.ceil(F.col("width") * scale).cast("int")).withColumn(
+        "target_height", F.ceil(F.col("height") * scale).cast("int")
+    )

@@ -1,0 +1,78 @@
+"""Rolling and cumulative window frames (SURVEY.md W8/W9).
+
+The reference emits, per player time-series, the same metric under
+rolling frames (k preceding .. current) and a cumulative frame
+(unbounded preceding .. current) — frontend/generate_lookup_data.sh:734-775.
+Here generalized: given (key, order) and a metric->agg spec, emit one
+column per (metric, frame).
+
+Determinism: callers must pass ``order_cols`` that form a total order
+(include a unique key) — ROWS frames over a partial order are
+nondeterministic under shuffle.
+
+Scale: all frames share ONE window spec → Spark evaluates them in a
+single sort+scan per partition; no repeated shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_AGGS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+}
+
+
+def _window(key_cols: Sequence[str], order_cols: Sequence[str]):
+    return Window.partitionBy(*key_cols).orderBy(*[F.col(c).asc() for c in order_cols])
+
+
+def _norm_metrics(metrics) -> list[tuple[str, str]]:
+    if isinstance(metrics, Mapping):
+        return list(metrics.items())
+    return list(metrics)
+
+
+def rolling_frames(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    metrics: Mapping[str, str] | Sequence[tuple[str, str]],
+    preceding: int,
+    suffix: str | None = None,
+) -> DataFrame:
+    """Add rolling-frame columns ``{metric}_{agg}_roll{k}`` (k rows back + current).
+
+    ``metrics``: mapping metric->agg, or sequence of (metric, agg) pairs
+    (allowing several aggs of one metric).
+    """
+    sfx = suffix if suffix is not None else f"roll{preceding + 1}"
+    w = _window(key_cols, order_cols).rowsBetween(-preceding, Window.currentRow)
+    out = df
+    for metric, agg in _norm_metrics(metrics):
+        col: Column = _AGGS[agg](F.col(metric)).over(w)
+        out = out.withColumn(f"{metric}_{agg}_{sfx}", col)
+    return out
+
+
+def cumulative_frames(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    metrics: Mapping[str, str] | Sequence[tuple[str, str]],
+    suffix: str = "cume",
+) -> DataFrame:
+    """Add running-total columns ``{metric}_{agg}_cume`` (unbounded preceding .. current)."""
+    w = _window(key_cols, order_cols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df
+    for metric, agg in _norm_metrics(metrics):
+        col: Column = _AGGS[agg](F.col(metric)).over(w)
+        out = out.withColumn(f"{metric}_{agg}_{suffix}", col)
+    return out

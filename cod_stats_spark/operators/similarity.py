@@ -1,0 +1,234 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine(a, b)``            — Column expression (zip_with dot / norms)
+- ``brute_force_topk``        — exact top-k vs. a query vector:
+      per-row score (codegen) + TakeOrderedAndProject; the correctness
+      baseline and still the right plan when the query set is small.
+- ``ann_lsh_topk``            — random-hyperplane LSH: vectors bucket by
+      sign-bit sketch; queries probe only their bucket (+ optional
+      multi-probe neighbors). The 100 TB path: the scan prunes to
+      matching buckets (partition-prunable if the table is written
+      partitioned by bucket).
+- ``ivf_assign / ivf_topk``   — IVF: k-means-free variant using a
+      deterministic sample of vectors as centroids; probe nearest
+      ``nprobe`` centroids.
+
+All pure Column expressions; hyperplanes are derived deterministically
+from xxhash64 so results are reproducible without RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def _qvec_lit(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k against one query vector.
+
+    Plan: codegen'd per-row score → TakeOrderedAndProject (per-partition
+    heap, k-row driver merge). No shuffle; linear scan is the cost — at
+    100 TB use ann_lsh_topk / ivf_topk to prune the scan.
+    """
+    q = _qvec_lit(query_vec)
+    score = F.round(cosine(F.col(vec_col).cast("array<double>"), q), score_decimals)
+    return (
+        df.select(F.col(id_col).alias("id"), score.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from a hash mix.
+
+    Python-side constant generation (driver-only, tiny) — the per-row
+    work stays in JVM expressions.
+    """
+    import hashlib
+
+    vals = []
+    for j in range(dim):
+        h = int.from_bytes(
+            hashlib.sha256(f"plane:{plane_idx}:{j}".encode()).digest()[:8], "big"
+        )
+        vals.append((h / 2**63) - 1.0)  # roughly uniform in [-1, 1)
+    return vals
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-bit sketch: bucket id = bits of sign(vec · plane_i)."""
+    acc = F.lit(0)
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, i)])
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        acc = acc + bit
+    return acc
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe: int = 0,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket
+    (plus ``multiprobe`` Hamming-1 neighbor buckets).
+
+    The bucket filter is a plain predicate → at scale, write the table
+    partitioned/bucketed by the sketch and this becomes partition
+    pruning: the scan touches 1/2^n_planes of the data.
+    """
+    dim = len(query_vec)
+    vec = F.col(vec_col).cast("array<double>")
+    bucketed = df.withColumn("_bucket", lsh_bucket(vec, dim, n_planes))
+
+    # driver-side query sketch (same deterministic planes)
+    qb = 0
+    for i in range(n_planes):
+        plane = _hyperplane(dim, i)
+        if sum(q * p for q, p in zip(query_vec, plane)) >= 0:
+            qb |= 1 << i
+    probes = [qb] + [qb ^ (1 << i) for i in range(min(multiprobe, n_planes))]
+
+    q = _qvec_lit(query_vec)
+    cand = bucketed.filter(F.col("_bucket").isin(probes))
+    score = F.round(cosine(vec, q), 6)
+    return (
+        cand.select(F.col(id_col).alias("id"), score.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (by cosine).
+
+    ``centroids`` is a small driver-side list [(centroid_id, vec)] —
+    broadcast as literal expressions, evaluated codegen-side.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    pairs = F.array(
+        *[
+            F.struct(
+                cosine(vec, _qvec_lit(cv)).alias("score"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-2.0).alias("score"), F.lit(-1).alias("cid")),
+        lambda acc, p: F.when(p["score"] > acc["score"], p).otherwise(acc),
+    )
+    return df.withColumn("_centroid", best["cid"])
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` centroids nearest the query."""
+    scored = sorted(
+        centroids,
+        key=lambda c: -sum(q * x for q, x in zip(query_vec, c[1])),
+    )
+    probe_ids = [cid for cid, _ in scored[:nprobe]]
+    assigned = ivf_assign(df, vec_col, id_col, centroids)
+    cand = assigned.filter(F.col("_centroid").isin(probe_ids))
+    q = _qvec_lit(query_vec)
+    vec = F.col(vec_col).cast("array<double>")
+    score = F.round(cosine(vec, q), 6)
+    return (
+        cand.select(F.col(id_col).alias("id"), score.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine, LSH-bucketed.
+
+    Same banded-bucket self-join shape as minhash_lsh_pairs: pairs are
+    only formed WITHIN a sketch bucket, so the join never goes
+    quadratic in the table size.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        vec.alias("v"),
+        lsh_bucket(vec, dim, n_planes).alias("bucket"),
+    )
+    grouped = bucketed.groupBy("bucket").agg(
+        F.collect_list(F.struct("id", "v")).alias("items")
+    )
+    small = grouped.filter(F.size("items").between(2, max_bucket_size))
+    items = small.select(F.array_sort("items").alias("items"))
+    pairs = items.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                        lambda b: F.struct(
+                            a["id"].alias("id_a"),
+                            b["id"].alias("id_b"),
+                            F.round(cosine(a["v"], b["v"]), 6).alias("cosine"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    return pairs.filter(F.col("cosine") >= threshold).distinct()

@@ -1,0 +1,1066 @@
+"""The declared query inventory: one entry per operator family from
+SURVEY.md §2, expressed Spark-first over the driver's testdata tables,
+each (where SQL-expressible) paired with a DuckDB oracle.
+
+Conventions that make the oracle hash-compare deterministic:
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- any ordering that feeds a LIMIT or a window frame is made total with
+  an explicit unique-key tiebreak (SURVEY.md §7.4.8);
+- double aggregates are rounded (sums→2dp, ratios/avgs→4–6dp) in BOTH
+  engines, since summation order differs between engines;
+- Spark sessions are normalized via prep_session (UTC, ANSI off).
+
+Operator-family coverage map (SURVEY §2 → query name) is in each
+docstring; `coverage()` returns the full map for audit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cod_stats_spark.functions import text as T
+from cod_stats_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from cod_stats_spark.operators.interval_join import interval_join
+from cod_stats_spark.operators.multimodal import (
+    decode_media_meta,
+    frame_sample,
+    make_fake_media,
+    resize_plan,
+)
+from cod_stats_spark.operators.rolling import cumulative_frames, rolling_frames
+from cod_stats_spark.operators.sessionize import session_rollup, sessionize
+from cod_stats_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+from cod_stats_spark.operators.streaks import run_lengths
+from cod_stats_spark.operators.topk import top_k, top_k_per_group
+from cod_stats_spark.session import prep_session
+from cod_stats_spark.tables import load_tables
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+_COVERAGE: dict[str, str] = {}
+
+
+def query(name: str, covers: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            prep_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = f"query_{name}"
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        _COVERAGE[name] = covers
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def coverage() -> dict[str, str]:
+    """query name -> SURVEY §2 operator ids it exercises."""
+    return dict(_COVERAGE)
+
+
+# ---------------------------------------------------------------- core
+
+
+@query(
+    "q1_pricing_summary",
+    covers="A1 A5 P5 T4 (TPC-H Q1 shape: scan→filter→2-level hash agg)",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2)::DOUBLE AS sum_disc_price,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))), 2)::DOUBLE AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: pricing summary rollup. Filter pushes to the parquet
+    scan; Catalyst plans partial+final hash agg (map-side combine), so
+    the shuffle carries only group keys × partial states."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price.cast("decimal(30,8)")), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge.cast("decimal(30,8)")), 2).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "filter_project",
+    covers="P1 P2 P4 P5 P9 (pushdown filter + computed projection)",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+       strftime(l_shipdate, '%Y-%m')                AS ship_month
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount > 0.05
+  AND l_quantity < 25
+""",
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective filter + arithmetic projection; .explain shows
+    PushedFilters on shipdate/discount/quantity and a pruned ReadSchema."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") > 0.05)
+            & (F.col("l_quantity") < 25)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        )
+    )
+
+
+@query(
+    "conditional_norm",
+    covers="P3 A2 A4 + P1-json (CASE normalization, conditional agg, HAVING, JSON extract)",
+    oracle="""
+SELECT user_id,
+       count(*)                                                       AS n_events,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)       AS n_purchases,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)          AS n_errors,
+       round(sum(CASE WHEN event_type = 'error' THEN 0.0 ELSE value END), 4) AS sum_value_nonerror,
+       round(max(value), 4)                                           AS max_value,
+       sum(CAST(props->>'$.k' AS BIGINT))                             AS sum_k
+FROM events
+GROUP BY user_id
+HAVING count(*) > 5
+""",
+)
+def conditional_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-WHEN metric normalization (the gulag-normalization shape,
+    SURVEY P3) + conditional aggregation + group predicate (HAVING) +
+    JSON path extraction from a string column."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "error", F.lit(0.0)).otherwise(F.col("value"))),
+                4,
+            ).alias("sum_value_nonerror"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        )
+        .filter(F.col("n_events") > 5)
+    )
+
+
+@query(
+    "top10_customers",
+    covers="T1 J1 (global top-k with deterministic tiebreak = TakeOrderedAndProject)",
+    oracle="""
+SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY revenue DESC, o_custkey ASC
+LIMIT 10
+""",
+)
+def top10_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard shape: agg then top-10 by metric with key tiebreak.
+    Physical plan is TakeOrderedAndProject — per-partition heaps, k-row
+    merge on the driver, no global sort at any scale."""
+    o = load_tables(spark, sf_dir)["orders"]
+    agg = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return top_k(agg, [("revenue", True), ("o_custkey", False)], 10)
+
+
+@query(
+    "latest_order_per_customer",
+    covers="W5 W6 (top-1 per group via row_number)",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate, round(o_totalprice, 2) AS totalprice
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    latest = top_k_per_group(
+        o, ["o_custkey"], [("o_orderdate", True), ("o_orderkey", True)], k=1
+    )
+    return latest.select(
+        "o_custkey", "o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("totalprice")
+    )
+
+
+@query(
+    "star_join_revenue",
+    covers="J1 (multi-hop broadcast equi joins over the star schema)",
+    oracle="""
+SELECT r_name, n_name,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*)                    AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ dims: customer/nation/region are broadcast (dims ≪
+    threshold) so the fact side never shuffles for the join — the only
+    shuffle is the final small-key agg."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "left_join_fallback",
+    covers="J4 (left outer + coalesce fallback label, the 'Unknown <mode>' shape)",
+    oracle="""
+SELECT coalesce(p_brand, 'Unknown &lt;brand&gt;') AS brand,
+       count(*)                  AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+LEFT JOIN part ON l_partkey = p_partkey AND p_size > 25
+GROUP BY brand
+""",
+)
+def left_join_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join with an extra join-side predicate so some rows miss,
+    exercising the reference's ifnull(display_name, 'Unknown &lt;…&gt;')
+    fallback (HTML-escaped label preserved — SURVEY §7.4.10)."""
+    t = load_tables(spark, sf_dir)
+    li, p = t["lineitem"], t["part"]
+    cond = (F.col("l_partkey") == F.col("p_partkey")) & (F.col("p_size") > 25)
+    return (
+        li.join(F.broadcast(p), cond, "left")
+        .select(F.coalesce(F.col("p_brand"), F.lit("Unknown &lt;brand&gt;")).alias("brand"), "l_quantity")
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@query(
+    "semi_join_customers",
+    covers="J7 P8 (left-semi membership filter)",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+""",
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "anti_join_suppliers",
+    covers="J8 U2 (left-anti: keys absent from the other side)",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 45)
+""",
+)
+def anti_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    big = t["lineitem"].filter(F.col("l_quantity") > 45).select("l_suppkey")
+    return (
+        t["supplier"]
+        .join(big, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .select("s_suppkey", "s_name")
+    )
+
+
+INTERVALS_SQL = """
+(VALUES
+  ('lifetime', TIMESTAMP '2023-01-01 00:00:00', TIMESTAMP '2026-12-31 23:59:59.999999', 0),
+  ('2024q1',   TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-03-31 23:59:59.999999', 1),
+  ('2024q2',   TIMESTAMP '2024-04-01 00:00:00', TIMESTAMP '2024-06-30 23:59:59.999999', 2),
+  ('2024q3',   TIMESTAMP '2024-07-01 00:00:00', TIMESTAMP '2024-09-30 23:59:59.999999', 3),
+  ('2024q4',   TIMESTAMP '2024-10-01 00:00:00', TIMESTAMP '2024-12-31 23:59:59.999999', 4)
+) AS iv(interval_id, iv_start, iv_end, sort_order)
+"""
+
+INTERVALS_ROWS = [
+    ("lifetime", "2023-01-01 00:00:00", "2026-12-31 23:59:59.999999", 0),
+    ("2024q1", "2024-01-01 00:00:00", "2024-03-31 23:59:59.999999", 1),
+    ("2024q2", "2024-04-01 00:00:00", "2024-06-30 23:59:59.999999", 2),
+    ("2024q3", "2024-07-01 00:00:00", "2024-09-30 23:59:59.999999", 3),
+    ("2024q4", "2024-10-01 00:00:00", "2024-12-31 23:59:59.999999", 4),
+]
+
+
+def _intervals_df(spark: SparkSession) -> DataFrame:
+    df = spark.createDataFrame(
+        INTERVALS_ROWS, "interval_id string, iv_start string, iv_end string, sort_order int"
+    )
+    return df.select(
+        "interval_id",
+        F.col("iv_start").cast("timestamp").alias("iv_start"),
+        F.col("iv_end").cast("timestamp").alias("iv_end"),
+        "sort_order",
+    )
+
+
+@query(
+    "interval_rollup",
+    covers="J2 A6 A8 (broadcast interval join with overlapping dims + rollup; the seasons shape)",
+    oracle=f"""
+SELECT interval_id,
+       count(*)                     AS n_events,
+       count(DISTINCT user_id)      AS n_users,
+       round(sum(value), 2)         AS sum_value,
+       round(100.0 * sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+             / sum(value), 4)       AS purchase_value_pct
+FROM events
+JOIN {INTERVALS_SQL}
+  ON ts >= iv_start AND ts <= iv_end
+GROUP BY interval_id
+""",
+)
+def interval_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event lands in 'lifetime' AND its quarter (intentional
+    fan-out — SURVEY §7.4.11). BroadcastNestedLoopJoin over a 5-row dim:
+    the fact side streams, zero shuffle before the agg."""
+    ev = load_tables(spark, sf_dir)["events"]
+    iv = _intervals_df(spark).withColumnRenamed("iv_start", "start").withColumnRenamed(
+        "iv_end", "end"
+    )
+    joined = interval_join(ev, iv, "ts", "start", "end")
+    purchase_val = F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0))
+    return joined.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(100.0 * purchase_val / F.sum("value"), 4).alias("purchase_value_pct"),
+    )
+
+
+@query(
+    "explode_words",
+    covers="J9 (lateral unnest/explode) + T1",
+    oracle="""
+SELECT word, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+) WHERE word <> ''
+GROUP BY word
+ORDER BY n_occurrences DESC, word ASC
+LIMIT 20
+""",
+)
+def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    exploded = docs.select(
+        "doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("word")
+    )
+    agg = exploded.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return top_k(agg, [("n_occurrences", True), ("word", False)], 20)
+
+
+@query(
+    "order_roster",
+    covers="J10 A9 J6 T4 (grouped collect with canonical order + composite-key join)",
+    oracle="""
+WITH roster AS (
+  SELECT l_orderkey,
+         string_agg(l_partkey::VARCHAR, ',' ORDER BY l_partkey) AS part_roster,
+         count(*) AS n_distinct_parts
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  GROUP BY l_orderkey
+), stats AS (
+  SELECT l_orderkey, count(*) AS n_lines, round(sum(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT r.l_orderkey AS orderkey, part_roster, n_distinct_parts, n_lines, sum_qty
+FROM roster r JOIN stats s ON r.l_orderkey = s.l_orderkey
+""",
+)
+def order_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The team-roster shape (SURVEY A9/§7.4.4): collect_set sorted then
+    joined — roster identity is CANONICAL (sorted), never scan-order."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    roster = li.groupBy("l_orderkey").agg(
+        F.concat_ws(",", F.transform(F.array_sort(F.collect_set("l_partkey")), lambda x: x.cast("string"))).alias(
+            "part_roster"
+        ),
+        F.size(F.collect_set("l_partkey")).alias("n_distinct_parts"),
+    )
+    stats = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+    return (
+        roster.join(stats, "l_orderkey")
+        .withColumnRenamed("l_orderkey", "orderkey")
+        .select("orderkey", "part_roster", "n_distinct_parts", "n_lines", "sum_qty")
+    )
+
+
+@query(
+    "pivot_priority",
+    covers="A7 (pivot via MAX/SUM(CASE) with coalesce defaults)",
+    oracle="""
+SELECT c_mktsegment,
+       sum(CASE WHEN o_orderpriority = '1-URGENT'        THEN 1 ELSE 0 END) AS urgent,
+       sum(CASE WHEN o_orderpriority = '2-HIGH'          THEN 1 ELSE 0 END) AS high,
+       sum(CASE WHEN o_orderpriority = '3-MEDIUM'        THEN 1 ELSE 0 END) AS medium,
+       sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS not_specified,
+       sum(CASE WHEN o_orderpriority = '5-LOW'           THEN 1 ELSE 0 END) AS low
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    joined = t["orders"].join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+    pivoted = (
+        joined.groupBy("c_mktsegment")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "not_specified",
+        "5-LOW": "low",
+    }
+    out = pivoted
+    for old, new in renames.items():
+        out = out.withColumn(new, F.coalesce(F.col(f"`{old}`"), F.lit(0)).cast("long")).drop(old)
+    return out
+
+
+@query(
+    "weighted_ratio",
+    covers="A8 (ratio-of-sums post-aggregation, NOT avg-of-ratios — SURVEY §7.4.3)",
+    oracle="""
+SELECT l_returnflag,
+       round(100.0 * sum(l_extendedprice * l_discount) / sum(l_extendedprice), 4)
+         AS discount_pct,
+       round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))), 2)::DOUBLE AS discount_value
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def weighted_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    disc_val = F.sum(F.col("l_extendedprice") * F.col("l_discount"))
+    return li.groupBy("l_returnflag").agg(
+        F.round(100.0 * disc_val / F.sum("l_extendedprice"), 4).alias("discount_pct"),
+        F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(30,8)")), 2).cast("double").alias("discount_value"),
+    )
+
+
+@query(
+    "daily_distinct",
+    covers="A10 A11 ST3 (tumbling day buckets + distinct + min/max audit)",
+    oracle="""
+SELECT CAST(ts AS DATE)        AS day,
+       count(*)                AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT event_type) AS n_types,
+       min(ts)                 AS first_ts,
+       max(ts)                 AS last_ts
+FROM events
+GROUP BY day
+""",
+)
+def daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+# ------------------------------------------------------------- windows
+
+
+SESSION_GAP_SECONDS = 1800
+
+SESSIONIZE_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN date_diff('microsecond',
+                             lag(ts) OVER w, ts) >= {SESSION_GAP_SECONDS} * 1000000
+              OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_number
+  FROM flagged
+)
+SELECT user_id, session_number,
+       user_id::VARCHAR || '_' || session_number::VARCHAR AS session_id,
+       min(ts)   AS session_start,
+       max(ts)   AS session_end,
+       count(*)  AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM numbered
+GROUP BY user_id, session_number
+"""
+
+
+@query(
+    "sessionize_events",
+    covers="W1 W2 W3 W4 A1 ST1 (gaps-and-islands sessionization + per-session rollup)",
+    oracle=SESSIONIZE_ORACLE,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference sessionization semantics (gap >= threshold ⇒ new
+    session; first event always new) in ONE window pass — no self-join
+    back (SURVEY J3/J5 eliminated)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    s = sessionize(
+        ev, "ts", ["user_id"], SESSION_GAP_SECONDS, tiebreak_cols=["event_id"]
+    )
+    rolled = session_rollup(
+        s, "ts", ["user_id"], aggs=[F.round(F.sum("value"), 4).alias("sum_value")]
+    )
+    return rolled.withColumn(
+        "session_id",
+        F.concat_ws("_", F.col("user_id").cast("string"), F.col("session_number").cast("string")),
+    ).select(
+        "user_id", "session_number", "session_id",
+        "session_start", "session_end", "n_events", "sum_value",
+    )
+
+
+@query(
+    "streak_runs",
+    covers="W7 (dense_rank/row_number difference gaps-and-islands streaks)",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS run_grp
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, run_grp, count(*) AS run_length
+  FROM ordered GROUP BY user_id, event_type, run_grp
+)
+SELECT user_id, event_type, max(run_length) AS max_run, count(*) AS n_runs
+FROM runs GROUP BY user_id, event_type
+""",
+)
+def streak_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    runs = run_lengths(ev, ["user_id"], ["ts", "event_id"], "event_type")
+    per_run = runs.groupBy("user_id", "event_type", "run_grp").agg(
+        F.count(F.lit(1)).alias("run_length")
+    )
+    return per_run.groupBy("user_id", "event_type").agg(
+        F.max("run_length").alias("max_run"), F.count(F.lit(1)).alias("n_runs")
+    )
+
+
+@query(
+    "rolling_orders",
+    covers="W8 (rolling ROWS frames over a total per-key order)",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER w4, 2) AS o_totalprice_sum_roll4,
+       round(avg(o_totalprice) OVER w4, 4) AS o_totalprice_avg_roll4,
+       count(*) OVER w4                    AS n_roll4
+FROM orders
+WINDOW w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    rolled = rolling_frames(
+        o,
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        [("o_totalprice", "sum"), ("o_totalprice", "avg"), ("o_orderkey", "count")],
+        preceding=3,
+    )
+    return rolled.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice_sum_roll4", 2).alias("o_totalprice_sum_roll4"),
+        F.round("o_totalprice_avg_roll4", 4).alias("o_totalprice_avg_roll4"),
+        F.col("o_orderkey_count_roll4").alias("n_roll4"),
+    )
+
+
+@query(
+    "cumulative_orders",
+    covers="W9 (running totals, unbounded-preceding ROWS frame)",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER wc, 2) AS o_totalprice_sum_cume,
+       count(*) OVER wc                    AS n_cume
+FROM orders
+WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS UNBOUNDED PRECEDING)
+""",
+)
+def cumulative_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    cume = cumulative_frames(
+        o,
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        [("o_totalprice", "sum"), ("o_orderkey", "count")],
+    )
+    return cume.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice_sum_cume", 2).alias("o_totalprice_sum_cume"),
+        F.col("o_orderkey_count_cume").alias("n_cume"),
+    )
+
+
+@query(
+    "union_distinct",
+    covers="U1 A10 (union + distinct + dim join)",
+    oracle="""
+SELECT c_nationkey AS nationkey, count(*) AS n_customers
+FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+  UNION
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+) u JOIN customer ON u.o_custkey = c_custkey
+GROUP BY c_nationkey
+""",
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    u = (
+        o.filter(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+        .union(o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"))
+        .distinct()
+    )
+    return (
+        u.join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "scalar_functions",
+    covers="§2.8 (date/time, string, math, conditional scalar families)",
+    oracle="""
+SELECT o_orderkey,
+       EXTRACT(year FROM o_orderdate)::BIGINT  AS o_year,
+       EXTRACT(month FROM o_orderdate)::BIGINT AS o_month,
+       strftime(o_orderdate, '%Y-%m-%d')       AS o_date_str,
+       lower(o_orderstatus) || ':' || o_orderpriority AS label,
+       round(o_totalprice, 1)                  AS price_r,
+       floor(o_totalprice / 50000)::BIGINT     AS price_bucket,
+       CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS priority_rank,
+       CASE WHEN o_totalprice > 100000 THEN 'big'
+            WHEN o_totalprice > 10000  THEN 'mid'
+            ELSE 'small' END                   AS size_class
+FROM orders
+WHERE o_orderkey % 7 = 0
+""",
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date_str"),
+        F.concat(F.lower("o_orderstatus"), F.lit(":"), F.col("o_orderpriority")).alias("label"),
+        F.round("o_totalprice", 1).alias("price_r"),
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("price_bucket"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("priority_rank"),
+        F.when(F.col("o_totalprice") > 100000, "big")
+        .when(F.col("o_totalprice") > 10000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+# ------------------------------------------- training-data pipeline ops
+
+
+@query(
+    "dedup_exact",
+    covers="EXT-dedup (exact dedup via normalized-text fingerprint groupBy)",
+    oracle=r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_id,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY fp
+""",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return exact_dedup(docs, "text", "doc_id")
+
+
+@query(
+    "fingerprint_docs",
+    covers="EXT-text (deterministic document fingerprinting)",
+    oracle=r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+       length(text) AS n_chars_calc
+FROM documents
+""",
+)
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.char_count(F.col("text")).alias("n_chars_calc"),
+    )
+
+
+@query(
+    "dedup_minhash",
+    covers="EXT-dedup (MinHash+LSH banded candidate pairs; xxhash64 not SQL-expressible → rows-only check)",
+)
+def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=32, bands=16)
+
+
+@query(
+    "dedup_simhash",
+    covers="EXT-dedup (SimHash near-dup pairs; rows-only check)",
+)
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=8, bands=4)
+
+
+@query(
+    "dedup_jaccard",
+    covers="EXT-dedup (n-gram Jaccard verification of LSH candidates; rows-only check)",
+)
+def dedup_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    cands = minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=32, bands=16)
+    return ngram_jaccard_pairs(docs, "text", "doc_id", cands, threshold=0.5)
+
+
+@query(
+    "ann_cosine_topk",
+    covers="EXT-similarity (exact brute-force cosine top-k baseline)",
+    oracle="""
+SELECT vec_id AS id,
+       round(list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+FROM embeddings
+ORDER BY cosine DESC, id ASC
+LIMIT 10
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    return brute_force_topk(emb, "embedding", "vec_id", qvec, k=10)
+
+
+@query(
+    "ann_lsh_topk",
+    covers="EXT-similarity (LSH-bucketed ANN — the pruned-scan scale path; rows-only check)",
+)
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    return ann_lsh_topk(emb, "embedding", "vec_id", qvec, k=10, n_planes=4, multiprobe=2)
+
+
+def _sql_tokens(expr: str) -> str:
+    return f"list_filter(string_split_regex(trim(lower({expr})), '\\s+'), t -> t <> '')"
+
+
+def _sql_marker_hits(markers: list[str]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_sql_tokens('text')}, t -> t IN ({inlist})))"
+
+
+_LANG_HIT_COLS = ",\n       ".join(
+    f"{_sql_marker_hits(T.LANG_MARKERS[lang])} AS {lang}_hits" for lang in sorted(T.LANG_MARKERS)
+)
+_LANG_GREATEST = "greatest(" + ", ".join(f"{lang}_hits" for lang in sorted(T.LANG_MARKERS)) + ")"
+_LANG_CASE = (
+    "CASE WHEN " + _LANG_GREATEST + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN {lang}_hits = {_LANG_GREATEST} THEN '{lang}'" for lang in sorted(T.LANG_MARKERS)
+    )
+    + " END"
+)
+
+LANG_ID_ORACLE = f"""
+WITH hits AS (
+  SELECT doc_id, lang AS lang_claimed,
+       {_LANG_HIT_COLS}
+  FROM documents
+)
+SELECT doc_id, lang_claimed, de_hits, en_hits, es_hits, fr_hits, zh_hits,
+       {_LANG_CASE} AS lang_pred
+FROM hits
+"""
+
+
+@query(
+    "lang_id",
+    covers="EXT-text (language-ID heuristic: per-language marker hits + deterministic argmax)",
+    oracle=LANG_ID_ORACLE,
+)
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    scores = T.lang_scores(F.col("text"))
+    cols = [scores[lang].alias(f"{lang}_hits") for lang in sorted(T.LANG_MARKERS)]
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_claimed"),
+        *cols,
+        T.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+_SQL_TOKS = _sql_tokens("text")
+QUALITY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks,
+         length(text) AS n_chars_calc
+  FROM documents
+), m AS (
+  SELECT doc_id, n_chars_calc,
+         len(toks) AS n_tokens_ws,
+         CASE WHEN len(toks) > 0
+              THEN list_aggregate(list_transform(toks, t -> len(t)), 'sum')::DOUBLE / len(toks)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                   / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> t IN ({", ".join(f"'{s}'" for s in T.STOPWORDS)})))::DOUBLE
+                   / len(toks)
+              ELSE 0.0 END AS stopword_ratio
+  FROM tok
+)
+SELECT doc_id, n_chars_calc, n_tokens_ws,
+       round(mean_word_len, 6)   AS mean_word_len,
+       round(punct_ratio, 6)     AS punct_ratio,
+       round(stopword_ratio, 6)  AS stopword_ratio,
+       round((least(n_tokens_ws / 100.0, 1.0)
+            + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1.0 ELSE 0.5 END)
+            + (1.0 - least(punct_ratio * 4.0, 1.0))
+            + (CASE WHEN stopword_ratio >= 0.05 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.5 END)
+            ) / 4.0, 6)          AS quality
+FROM m
+"""
+
+
+@query(
+    "quality_tokens",
+    covers="EXT-text (token counting + quality scoring: length/punct/stopword ratios)",
+    oracle=QUALITY_ORACLE,
+)
+def quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    txt = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.char_count(txt).alias("n_chars_calc"),
+        T.token_count_ws(txt).alias("n_tokens_ws"),
+        F.round(T.mean_word_length(txt), 6).alias("mean_word_len"),
+        F.round(T.punct_ratio(txt), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio(txt), 6).alias("stopword_ratio"),
+        T.quality_score(txt).alias("quality"),
+    )
+
+
+@query(
+    "multimodal_decode",
+    covers="EXT-multimodal (binary media column → mapInPandas decode → metadata plan; rows-only check)",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payloads synthesized deterministically from documents (no
+    media libs in this env — SURVEY-mandated stub), then Arrow-batched
+    decode via mapInPandas, then codegen-side resize/frame-sample plan."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = make_fake_media(docs, "doc_id", "text")
+    decoded = decode_media_meta(media)
+    planned = resize_plan(frame_sample(decoded, every_n=30))
+    return planned.select(
+        "media_id", "media_type", "format", "width", "height", "n_frames",
+        "n_bytes", "sha256", "target_width", "target_height",
+        F.size("sampled_frames").alias("n_sampled_frames"),
+    )
+
+
+@query(
+    "session_window_batch",
+    covers="ST1 (native session_window operator, batch execution)",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts) >= {SESSION_GAP_SECONDS} * 1000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_number
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_SECONDS} SECONDS AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM numbered
+GROUP BY user_id, session_number
+""",
+)
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (usable in batch AND streaming):
+    window end = last event + gap; a gap >= threshold closes the window
+    — byte-identical to the gaps-and-islands oracle."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "streaming_daily_counts",
+    covers="ST2 ST3 (Structured Streaming file source → tumbling-day agg → memory sink)",
+    oracle="""
+SELECT CAST(ts AS DATE) AS day, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY day
+""",
+)
+def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real streaming execution driven to completion on static files:
+    readStream(parquet) → day agg (complete mode) → memory sink. The
+    same plan runs unchanged against a live file/Kafka source."""
+    import os
+    import tempfile
+    import uuid
+
+    from cod_stats_spark.tables import _nanos_ts_cols
+
+    path = f"{sf_dir}/events.parquet"
+    ns_cols = _nanos_ts_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    # The file streaming source requires a DIRECTORY; stage a symlink.
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(path, os.path.join(stage, "events.parquet"))
+    name = f"stream_daily_{uuid.uuid4().hex[:8]}"
+    src = spark.readStream.schema(raw_schema).parquet(stage)
+    for c in ns_cols:
+        src = src.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    stream = (
+        src.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,74 @@
+"""SparkSession construction and per-session normalization.
+
+Two entry points:
+
+- ``get_spark()`` builds a local session tuned for the test harness
+  (local[N], shuffle partitions ~= cores, AQE on).
+- ``prep_session(spark)`` normalizes a session we did NOT build (the
+  driver passes its own) — runtime-settable confs only.
+
+Scale posture: every conf set here is either runtime-settable or a
+local-mode default that a real cluster would override via spark-submit.
+The engine itself never assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 8
+
+
+def get_spark(app_name: str = "cod_stats_spark", cpus: int | None = None) -> SparkSession:
+    """Build a local SparkSession tuned for this workload.
+
+    On a real cluster these become spark-submit confs; the values that
+    matter at 100 TB (AQE, skew join, partition coalescing, broadcast
+    threshold) are enabled the same way.
+    """
+    n = cpus or _cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{n}]")
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def prep_session(spark: SparkSession) -> SparkSession:
+    """Normalize runtime-settable confs on an externally built session.
+
+    The oracle comparison (DuckDB) assumes UTC timestamps and non-ANSI
+    SQL semantics (x/0 -> NULL, silent casts) — the dialect the
+    reference engine uses (SURVEY.md §7.4.2).
+    """
+    conf = spark.conf
+    conf.set("spark.sql.session.timeZone", "UTC")
+    conf.set("spark.sql.ansi.enabled", "false")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        ncores = spark.sparkContext.defaultParallelism
+        conf.set("spark.sql.shuffle.partitions", str(max(ncores, 8)))
+    except Exception:
+        pass
+    return spark

@@ -1,0 +1,94 @@
+"""Benchmark harness: runs the headline query inventory at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count() action — full plan runs,
+result stays distributed; no driver collect for the big outputs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: every operator family, weighted toward the shapes that
+# dominate at scale (scan+agg, windows, joins, dedup, ANN).
+HEADLINE = [
+    "q1_pricing_summary",
+    "filter_project",
+    "conditional_norm",
+    "top10_customers",
+    "latest_order_per_customer",
+    "star_join_revenue",
+    "interval_rollup",
+    "order_roster",
+    "pivot_priority",
+    "daily_distinct",
+    "sessionize_events",
+    "session_window_batch",
+    "streak_runs",
+    "rolling_orders",
+    "cumulative_orders",
+    "explode_words",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "lang_id",
+    "quality_tokens",
+    "multimodal_decode",
+]
+
+
+def main() -> None:
+    from cod_stats_spark.plans.bench_queries import QUERIES
+    from cod_stats_spark.session import get_spark
+
+    spark = get_spark("cod-stats-bench")
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else -1.0
+
+    # Warm the JVM once (not timed): JIT + whole-stage-codegen cache for
+    # the heavy plan shapes, exercised at the smallest SF so warmup cost
+    # is compile-bound, not data-bound.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF_DIR
+    for wq in ("q1_pricing_summary", "dedup_minhash", "dedup_simhash", "multimodal_decode"):
+        QUERIES[wq](spark, warm_dir).count()
+
+    per_query: dict[str, float] = {}
+    t_total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, SF_DIR).count()
+        dt = round(time.perf_counter() - t0, 3)
+        per_query[name] = dt
+        t_total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": round(t_total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cod_stats_spark.functions.text import fingerprint, shingles
+from cod_stats_spark.operators._util import spread
 
 
 def exact_dedup(
@@ -58,23 +59,34 @@ def minhash_signatures(
 ) -> DataFrame:
     """id → minhash signature (array<long>, one min-xxhash64 per seed).
 
-    Seeded families via xxhash64(seed_literal, shingle) — deterministic
-    across runs/partitions and entirely JVM-side.
-    """
-    sh = shingles(F.col(text_col), shingle_n).alias("sh")
-    base = df.select(F.col(id_col).alias("id"), sh)
-    # NB: seed must be bound via a closure factory — a `lambda s, i=i:`
-    # default arg makes PySpark treat it as an (element, index) lambda.
-    def _minhash(seed: int):
-        return lambda s: F.xxhash64(F.lit(seed), s)
+    Hash family: ONE xxhash64 per shingle, then ``h_i = a_i·h + b_i``
+    (odd multipliers from a deterministic PRNG seed) — the standard
+    universal-hashing minhash construction. 32× fewer string hashes
+    than seeding xxhash64 per function; the rest is integer multiply-
+    add inside one vectorized hash aggregate.
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("sh"), _minhash(i)))
-            for i in range(num_hashes)
-        ]
-    ).alias("sig")
-    return base.select("id", sig)
+    Shape: explode shingles → N min() aggs in ONE hash aggregate.
+    Map-side combine collapses each doc to a single signature row
+    before the (tiny) shuffle.
+    """
+    import random
+
+    rnd = random.Random(0xC0D5)
+    coeffs = [
+        (rnd.randrange(1, 1 << 61) * 2 + 1, rnd.randrange(0, 1 << 61))
+        for _ in range(num_hashes)
+    ]
+    sh = shingles(F.col(text_col), shingle_n).alias("sh")
+    exploded = spread(df).select(F.col(id_col).alias("id"), F.explode(sh).alias("s")).select(
+        "id", F.xxhash64(F.col("s")).alias("h")
+    )
+    mins = [
+        F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    agg = exploded.groupBy("id").agg(*mins)
+    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    return agg.select("id", sig)
 
 
 def minhash_lsh_pairs(
@@ -132,32 +144,37 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     """64-bit SimHash over word tokens: per bit, sum +1/-1 votes of each
     token's xxhash64 bit; fingerprint bit = sign of the vote.
 
-    Pure aggregate/transform lattice — no shuffle at all (per-row).
+    Shape: explode tokens → per-bit conditional sums in ONE vectorized
+    hash aggregate (vote_b > 0 ⇔ 2·Σbit_b > n). Map-side combine keeps
+    the shuffle at one row per doc; the per-row lambda-lattice
+    alternative costs Catalyst an O(bits) compile.
     """
-    from cod_stats_spark.functions.text import normalize_text, words
-
-    toks = words(normalize_text(F.col(text_col)))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # test bit b via unsigned shift (1 << 63 overflows a long literal);
-    # bind b via closure factory (see _minhash note above)
-    def _vote(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) != 0, F.lit(1)
-        ).otherwise(F.lit(-1))
-
     import functools
 
     from pyspark.sql import Column
 
-    votes = [F.aggregate(hashes, F.lit(0).cast("long"), _vote(b)) for b in range(bits)]
+    from cod_stats_spark.functions.text import normalize_text, words
+
+    toks = words(normalize_text(F.col(text_col)))
+    exploded = spread(df).select(F.col(id_col).alias("id"), F.explode(toks).alias("t")).select(
+        "id", F.xxhash64(F.col("t")).alias("h")
+    )
+    bit_sums = [
+        F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *bit_sums)
+    # fingerprint bit b set ⇔ majority of token hashes have bit b set
     fp = functools.reduce(
         Column.bitwiseOR,
         [
-            F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-            for b, v in enumerate(votes)
+            F.when(
+                F.col(f"b{b}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+            for b in range(bits)
         ],
     )
-    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
+    return agg.select("id", fp.alias("simhash"))
 
 
 def hamming64(a, b):

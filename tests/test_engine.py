@@ -1,0 +1,231 @@
+"""Domain-engine tests against the reference-shaped fixtures
+(FIXTURES.md): normalization truth tables, sessionization edges,
+team breakdowns, rollups, leaderboards, reports."""
+
+from __future__ import annotations
+
+from tests.conftest import T0
+
+
+def by_key(rows, *keys):
+    return {tuple(r[k] for k in keys): r for r in rows}
+
+
+class TestNormalization:
+    def test_account_merge_and_tracking(self, engine):
+        vg = engine.valid_games()
+        rows = [r.asDict() for r in vg.collect()]
+        # untracked player dropped
+        assert all(r["player_uno_id"] != "uno-zz" for r in rows)
+        # quality-filtered rows dropped
+        gone = {"g501", "g502", "g503"}
+        assert all(r["game_id"] not in gone for r in rows)
+
+    def test_gulag_truth_table(self, engine):
+        vg = by_key([r.asDict() for r in engine.valid_games().collect()], "game_id")
+        assert (vg[("g001",)]["gulagKills"], vg[("g001",)]["gulagDeaths"]) == (1, 0)
+        assert (vg[("g002",)]["gulagKills"], vg[("g002",)]["gulagDeaths"]) == (0, 1)
+        # stimulus mode zeroed despite gulagKills=5
+        assert (vg[("g401",)]["gulagKills"], vg[("g401",)]["gulagDeaths"]) == (0, 0)
+
+    def test_defaults_on_null_stats(self, engine):
+        vg = by_key([r.asDict() for r in engine.valid_games().collect()], "game_id")
+        r = vg[("g701",)]
+        assert r["kills"] == 0 and r["deaths"] == 0 and r["teamPlacement"] == -1
+        assert r["headshots"] == 0
+
+    def test_derived_sums(self, engine):
+        vg = by_key([r.asDict() for r in engine.valid_games().collect()], "game_id")
+        r = vg[("g001",)]
+        assert r["objectiveBrDownAll"] == 2  # circles 1+2
+        assert r["objectiveDestroyedVehicleAll"] == 1
+
+    def test_date_key_iso(self, engine):
+        vg = by_key([r.asDict() for r in engine.valid_games().collect()], "game_id")
+        assert vg[("g001",)]["date_key"] == "2020-09-13T12:26:40Z"
+
+    def test_unknown_mode_audits(self, engine):
+        wz = [r.asDict() for r in engine.unknown_modes_wz().collect()]
+        assert [r["mode"] for r in wz] == ["br_mystery"]
+        assert wz[0]["totalGames"] == 1
+        mp = [r["mode"] for r in engine.unknown_modes_mp().collect()]
+        assert mp == ["mp_tdm"]
+
+
+class TestStatsWz:
+    def test_mode_and_player_filtering(self, engine):
+        rows = [r.asDict() for r in engine.stats_wz().collect()]
+        gids = {r["game_id"] for r in rows}
+        assert "g402" not in gids  # untracked plunder mode
+        assert "g403" not in gids  # unknown mode not in dim
+        assert "g404" not in gids  # mp
+        # account merge: both unos map to display player 'alice'
+        alice_games = {r["game_id"] for r in rows if r["player_id"] == "alice"}
+        assert {"g001", "g002", "g003"} <= alice_games
+
+    def test_core_players(self, engine):
+        core = {r["player_id"] for r in engine.core().collect()}
+        assert core == {"alice", "bob", "dave"}
+
+
+class TestSessions:
+    def test_gap_exactly_threshold_starts_new_session(self, engine):
+        sessions = [
+            r.asDict()
+            for r in engine.sessions().filter("player_id = 'alice'").collect()
+        ]
+        starts = sorted(s["start"] for s in sessions)
+        # g004 at T0+3600+7200 (gap EXACTLY 7200 from g003) starts a session
+        from datetime import datetime, timezone
+
+        iso = lambda t: datetime.fromtimestamp(t, tz=timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+        assert iso(T0 + 3600 + 7200) in starts
+
+    def test_session_end_is_next_start_minus_1s(self, engine):
+        sessions = sorted(
+            (r.asDict() for r in engine.sessions().filter("player_id = 'bob'").collect()),
+            key=lambda s: s["session_number"],
+        )
+        for a, b in zip(sessions, sessions[1:]):
+            import datetime as dt
+
+            end = dt.datetime.strptime(a["end"], "%Y-%m-%dT%H:%M:%SZ")
+            start = dt.datetime.strptime(b["start"], "%Y-%m-%dT%H:%M:%SZ")
+            assert (start - end).total_seconds() == 1
+        # open session sentinel: epoch 9999999999 - 1
+        assert sessions[-1]["end"] == "2286-11-20T17:46:38Z"
+
+    def test_session_rollup_counts(self, engine):
+        stats = by_key(
+            [r.asDict() for r in engine.session_stats().collect()], "session_id"
+        )
+        # alice session 1: g001 g002 g003 g201 (same window) → find by start
+        alice = [
+            s for k, s in stats.items() if s["player_id"] == "alice" and s["session_number"] == 1
+        ][0]
+        assert alice["numGames"] == 4
+        assert alice["wins"] == 1  # g001 placement=1
+        assert alice["maxKills"] == 9
+
+
+class TestTeams:
+    def test_full_team_breakdowns(self, engine):
+        rows = [r.asDict() for r in engine.team_breakdowns().collect()]
+        assert len(rows) == 1  # only alice,bob duos played together twice
+        r = rows[0]
+        assert r["category"] == "wz_duos"
+        assert r["player_ids"] == "alice,bob"
+        assert r["numGames"] == 2
+        assert r["numWins"] == 1  # g202 placement=1
+        assert r["numPlayers"] == 2
+
+    def test_roster_is_canonical_sorted(self, engine):
+        fgs = [r.asDict() for r in engine.full_game_stats().collect()]
+        for r in fgs:
+            parts = r["player_ids"].split(",")
+            assert parts == sorted(parts)
+
+
+class TestRollups:
+    def test_daily_avg_of_ratios(self, engine):
+        daily = [
+            r.asDict()
+            for r in engine.daily().filter("player_id = 'bob'").collect()
+        ]
+        d0 = [d for d in daily if d["date_key"] == "2020-09-13"][0]
+        # bob day-1 games: g101-g104 (kdRatio 2.0 each) + g201 g202... g201 same day
+        assert abs(d0["kdRatio"] - 2.0) < 1e-9  # avg of identical ratios
+
+    def test_monsters_and_gooseeggs(self, engine):
+        daily = by_key(
+            [r.asDict() for r in engine.daily().collect()], "player_id", "date_key"
+        )
+        alice_d0 = daily[("alice", "2020-09-13")]
+        assert alice_d0["monsters"] == 1  # g001 kills=9
+        assert alice_d0["gooseeggs"] == 1  # g002 kills=0
+
+    def test_season_rollup_assigns_lifetime_and_season(self, engine):
+        rows = [
+            r.asDict()
+            for r in engine.season_rollup().filter("player_id = 'alice'").collect()
+        ]
+        ids = {r["season_id"] for r in rows}
+        assert "lifetime" in ids and "season05" in ids
+        life = [r for r in rows if r["season_id"] == "lifetime"][0]
+        s05 = [r for r in rows if r["season_id"] == "season05"][0]
+        assert life["matches"] == s05["matches"]  # all fixture games in season05
+
+    def test_by_game_unknown_mode_label(self, engine):
+        # all stats_wz modes are known; craft check via modes join fallback
+        rows = [r.asDict() for r in engine.by_game().collect()]
+        assert all(not r["mode"].startswith("Unknown") for r in rows)
+        assert any(r["mode"] == "Duos" for r in rows)
+
+
+class TestLeaderboards:
+    def test_core_only_and_order(self, engine):
+        boards = engine.leaderboards(k=5)
+        kills = [r.asDict() for r in boards["mostkills"].collect()]
+        players = {r["player_id"] for r in kills}
+        assert "carol" not in players  # non-core excluded
+        vals = [r["value"] for r in kills]
+        assert vals == sorted(vals, reverse=True)
+        assert kills[0]["value"] == 9  # alice g001
+
+    def test_gulag_streaks(self, engine):
+        wins = [r.asDict() for r in engine.gulag_streaks(True).collect()]
+        bob = [r for r in wins if r["player_id"] == "bob"]
+        assert bob[0]["value"] == 3  # W W W
+        losses = [r.asDict() for r in engine.gulag_streaks(False).collect()]
+        bob_l = [r for r in losses if r["player_id"] == "bob"]
+        assert bob_l[0]["value"] == 1
+
+    def test_wins_and_last_places(self, engine):
+        wins = by_key([r.asDict() for r in engine.most_wins().collect()], "player_id")
+        assert wins[("alice",)]["value"] == 2  # g001 + g202
+        lp = by_key(
+            [r.asDict() for r in engine.most_last_places().collect()], "player_id"
+        )
+        assert lp[("alice",)]["value"] == 1  # g003
+
+
+class TestTimeseries:
+    def test_rolling_and_cumulative(self, engine):
+        ts = [
+            r.asDict()
+            for r in engine.daily_timeseries().filter("player_id = 'bob'").collect()
+        ]
+        ts.sort(key=lambda r: r["date_key"])
+        # cumulative matches monotonically increases to total
+        cum = [r["matchesPlayed_sum_cume"] for r in ts]
+        assert cum == sorted(cum)
+        assert cum[-1] == sum(r["matchesPlayed"] for r in ts)
+        # 3-row rolling sum over first row equals raw
+        assert ts[0]["matchesPlayed_sum_s3"] == ts[0]["matchesPlayed"]
+
+
+class TestReports:
+    def test_write_reports(self, engine, tmp_path):
+        import json as js
+
+        files = engine.write_reports(str(tmp_path))
+        names = {f.split(str(tmp_path) + "/")[1] for f in files}
+        assert {
+            "leaderboard_bygame.json",
+            "leaderboard_lifetime.json",
+            "team_leaderboards.json",
+            "recent_matches.json",
+            "recent_sessions.json",
+            "seasons.json",
+            "meta.json",
+        } <= names
+        doc = js.loads((tmp_path / "leaderboard_bygame.json").read_text())
+        assert set(doc) == {
+            "mostkills", "mostdeaths", "bestkd", "mostdamage", "mostdamagetaken",
+            "highestscore", "longestdistance", "mostheadshots", "mostcaches",
+            "mostrevives", "mostdowns", "mostvehicles",
+        }
+        tsdoc = js.loads((tmp_path / "players/alice_lifetime_time_wz.json").read_text())
+        assert tsdoc and "stats" in tsdoc[0] and "cumalative" in tsdoc[0]["stats"]

@@ -1,0 +1,142 @@
+"""Unit tests for the generic operator library on tiny in-memory frames."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from cod_stats_spark.operators import (
+    interval_join,
+    run_lengths,
+    sessionize,
+    top_k,
+    top_k_per_group,
+)
+from cod_stats_spark.operators.interval_join import bucketized_interval_join
+from cod_stats_spark.operators.rolling import cumulative_frames, rolling_frames
+from cod_stats_spark.operators.streaks import longest_runs
+
+
+class TestSessionize:
+    def test_gap_boundary_inclusive(self, spark):
+        # gap of EXACTLY threshold starts a new session (reference >=)
+        df = spark.createDataFrame(
+            [("p", 0), ("p", 100), ("p", 100 + 600), ("p", 100 + 600 + 599)],
+            "k string, ts long",
+        )
+        out = sessionize(df, "ts", ["k"], gap_seconds=600)
+        nums = [r["session_number"] for r in out.orderBy("ts").collect()]
+        assert nums == [1, 1, 2, 2]
+
+    def test_first_row_always_new(self, spark):
+        df = spark.createDataFrame([("a", 5), ("b", 7)], "k string, ts long")
+        out = sessionize(df, "ts", ["k"], gap_seconds=10)
+        assert all(r["session_number"] == 1 for r in out.collect())
+        ids = {r["session_id"] for r in out.collect()}
+        assert ids == {"a_1", "b_1"}
+
+    def test_timestamp_microsecond_exactness(self, spark):
+        df = spark.createDataFrame(
+            [("p", "2024-01-01 00:00:00"), ("p", "2024-01-01 00:30:00")],
+            "k string, ts string",
+        ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+        out = sessionize(df, "ts", ["k"], gap_seconds=1800)  # delta == gap
+        nums = sorted(r["session_number"] for r in out.collect())
+        assert nums == [1, 2]
+
+
+class TestTopK:
+    def test_deterministic_ties(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 10), (4, 5)], "id long, v long"
+        )
+        out = top_k(df, [("v", True), ("id", False)], 2).collect()
+        assert [(r["id"], r["v"]) for r in out] == [(1, 10), (2, 10)]
+
+    def test_top_k_per_group(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, 5), ("a", 2, 9), ("a", 3, 9), ("b", 4, 1)],
+            "g string, id long, v long",
+        )
+        out = top_k_per_group(df, ["g"], [("v", True), ("id", True)], 1).collect()
+        got = {(r["g"], r["id"]) for r in out}
+        assert got == {("a", 3), ("b", 4)}  # tie broken by id desc? no: id True=desc
+
+
+class TestStreaks:
+    def test_run_lengths(self, spark):
+        seq = ["W", "W", "L", "W", "W", "W", "L"]
+        df = spark.createDataFrame(
+            [("p", i, v) for i, v in enumerate(seq)], "k string, t long, v string"
+        )
+        runs = run_lengths(df, ["k"], ["t"], "v")
+        per = (
+            runs.groupBy("k", "v", "run_grp")
+            .count()
+            .groupBy("v")
+            .agg(F.max("count").alias("m"))
+        )
+        got = {r["v"]: r["m"] for r in per.collect()}
+        assert got == {"W": 3, "L": 1}
+
+    def test_longest_runs_topk(self, spark):
+        seq = ["W", "W", "L", "W", "W", "W"]
+        df = spark.createDataFrame(
+            [("p", i, v) for i, v in enumerate(seq)], "k string, t long, v string"
+        )
+        out = longest_runs(df, ["k"], ["t"], "v", k=1).collect()
+        got = {(r["v"]): r["run_length"] for r in out}
+        assert got == {"W": 3, "L": 1}
+
+
+class TestIntervalJoin:
+    def test_overlapping_intervals_fan_out(self, spark):
+        fact = spark.createDataFrame([(1, 5), (2, 15)], "id long, ts long")
+        iv = spark.createDataFrame(
+            [("all", 0, 100), ("low", 0, 9)], "name string, start long, end long"
+        )
+        out = interval_join(fact, iv, "ts", "start", "end")
+        got = {(r["id"], r["name"]) for r in out.collect()}
+        assert got == {(1, "all"), (1, "low"), (2, "all")}
+
+    def test_inclusive_end(self, spark):
+        fact = spark.createDataFrame([(1, 9)], "id long, ts long")
+        iv = spark.createDataFrame([("x", 0, 9)], "name string, start long, end long")
+        assert interval_join(fact, iv, "ts", "start", "end").count() == 1
+        assert (
+            interval_join(fact, iv, "ts", "start", "end", inclusive_end=False).count() == 0
+        )
+
+    def test_bucketized_matches_broadcast(self, spark):
+        fact = spark.createDataFrame(
+            [(i, i * 7) for i in range(50)], "id long, ts long"
+        )
+        iv = spark.createDataFrame(
+            [("a", 0, 100), ("b", 50, 200), ("c", 301, 320)],
+            "name string, start long, end long",
+        )
+        bc = {
+            (r["id"], r["name"])
+            for r in interval_join(fact, iv, "ts", "start", "end").collect()
+        }
+        bk = {
+            (r["id"], r["name"])
+            for r in bucketized_interval_join(fact, iv, "ts", "start", "end", 16).collect()
+        }
+        assert bc == bk
+
+
+class TestRolling:
+    def test_frames_match_pandas(self, spark):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {"k": ["a"] * 6, "t": range(6), "v": [1.0, 2, 4, 8, 16, 32]}
+        )
+        df = spark.createDataFrame(pdf)
+        out = rolling_frames(df, ["k"], ["t"], [("v", "sum")], preceding=2, suffix="r3")
+        out = cumulative_frames(out, ["k"], ["t"], [("v", "sum")])
+        got = out.orderBy("t").toPandas()
+        exp_roll = pdf["v"].rolling(3, min_periods=1).sum()
+        exp_cume = pdf["v"].cumsum()
+        assert list(got["v_sum_r3"]) == list(exp_roll)
+        assert list(got["v_sum_cume"]) == list(exp_cume)

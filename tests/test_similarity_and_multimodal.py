@@ -1,0 +1,109 @@
+"""Similarity search + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+from cod_stats_spark.operators.multimodal import (
+    RealDecodeUnavailable,
+    _decode_one,
+    decode_media_meta,
+    frame_sample,
+    make_fake_media,
+    resize_plan,
+)
+from cod_stats_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+)
+
+
+def _vec_df(spark, n=50, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return vecs, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestSimilarity:
+    def test_brute_force_matches_numpy(self, spark):
+        vecs, df = _vec_df(spark)
+        q = [float(x) for x in vecs[0]]
+        got = brute_force_topk(df, "embedding", "vec_id", q, k=5).collect()
+        sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+        exp = np.argsort(-np.round(sims, 6), kind="stable")[:5]
+        assert [r["id"] for r in got] == list(exp)
+        assert got[0]["id"] == 0 and abs(got[0]["cosine"] - 1.0) < 1e-6
+
+    def test_ann_lsh_contains_self(self, spark):
+        vecs, df = _vec_df(spark)
+        q = [float(x) for x in vecs[3]]
+        got = ann_lsh_topk(df, "embedding", "vec_id", q, k=5, n_planes=4)
+        rows = got.collect()
+        assert rows and rows[0]["id"] == 3  # own bucket always probed
+
+    def test_ivf_contains_self(self, spark):
+        vecs, df = _vec_df(spark)
+        centroids = [(i, [float(x) for x in vecs[i]]) for i in (0, 10, 20)]
+        q = [float(x) for x in vecs[10]]
+        rows = ivf_topk(df, "embedding", "vec_id", q, centroids, k=3, nprobe=1).collect()
+        assert rows[0]["id"] == 10
+
+    def test_near_dup_pairs_by_cosine(self, spark):
+        base = [1.0, 0.0, 0.0, 0.0]
+        rows = [
+            (1, base),
+            (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+            (3, [0.0, 1.0, 0.0, 0.0]),       # orthogonal
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = embedding_near_dup_pairs(df, "embedding", "vec_id", dim=4, threshold=0.95)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (1, 2) in got and (1, 3) not in got
+
+
+class TestMultimodal:
+    def test_fake_roundtrip(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "hello world"), (2, "another doc")], "doc_id long, text string"
+        )
+        media = make_fake_media(docs, "doc_id", "text")
+        decoded = decode_media_meta(media).collect()
+        assert len(decoded) == 2
+        for r in decoded:
+            assert r["format"] == "fake"
+            assert 1 <= r["width"] <= 1920 and 1 <= r["height"] <= 1080
+            assert len(r["sha256"]) == 64
+
+    def test_decode_is_deterministic(self, spark):
+        docs = spark.createDataFrame([(1, "same text")], "doc_id long, text string")
+        a = decode_media_meta(make_fake_media(docs, "doc_id", "text")).first()
+        b = decode_media_meta(make_fake_media(docs, "doc_id", "text")).first()
+        assert a == b
+
+    def test_real_codec_stub_raises(self):
+        with pytest.raises(RealDecodeUnavailable):
+            _decode_one(1, b"\x89PNG...", "image")
+
+    def test_resize_preserves_aspect(self, spark):
+        docs = spark.createDataFrame([(i, f"doc {i} " * (i + 1)) for i in range(20)],
+                                     "doc_id long, text string")
+        planned = resize_plan(decode_media_meta(make_fake_media(docs, "doc_id", "text")), 512)
+        for r in planned.collect():
+            scale = min(1.0, 512 / max(r["width"], r["height"]))
+            assert r["target_width"] == math.ceil(r["width"] * scale)
+            assert r["target_height"] == math.ceil(r["height"] * scale)
+            assert max(r["target_width"], r["target_height"]) <= 512
+
+    def test_frame_sampling(self, spark):
+        docs = spark.createDataFrame([(1, "video doc")], "doc_id long, text string")
+        r = frame_sample(decode_media_meta(make_fake_media(docs, "doc_id", "text")), 30).first()
+        assert r["sampled_frames"][0] == 0
+        assert all(b - a == 30 for a, b in zip(r["sampled_frames"], r["sampled_frames"][1:]))
+        assert r["sampled_frames"][-1] < r["n_frames"]

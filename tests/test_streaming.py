@@ -1,0 +1,60 @@
+"""Structured Streaming parity tests: the streaming plans must agree
+with their batch equivalents on the same static input."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present"
+)
+
+
+@needs_testdata
+class TestStreaming:
+    def test_streaming_daily_equals_batch(self, spark):
+        from cod_stats_spark.plans.bench_queries import QUERIES
+
+        stream_rows = {
+            (r["day"], r["n_events"], r["sum_value"])
+            for r in QUERIES["streaming_daily_counts"](spark, SF).collect()
+        }
+        from cod_stats_spark.tables import read_parquet
+
+        batch = (
+            read_parquet(spark, f"{SF}/events.parquet")
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+        )
+        batch_rows = {
+            (r["day"], r["n_events"], r["sum_value"]) for r in batch.collect()
+        }
+        assert stream_rows == batch_rows
+
+    def test_session_window_equals_sessionize(self, spark):
+        """Native session_window (streaming-capable) must agree with the
+        gaps-and-islands batch sessionization on session membership."""
+        from cod_stats_spark.operators.sessionize import sessionize
+        from cod_stats_spark.tables import read_parquet
+
+        ev = read_parquet(spark, f"{SF}/events.parquet")
+        gap = 1800
+        sw = (
+            ev.groupBy(F.session_window("ts", f"{gap} seconds"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("user_id", F.col("session_window.start").alias("start"), "n")
+        )
+        gi = (
+            sessionize(ev, "ts", ["user_id"], gap)
+            .groupBy("user_id", "session_number")
+            .agg(F.min("ts").alias("start"), F.count(F.lit(1)).alias("n"))
+            .select("user_id", "start", "n")
+        )
+        assert {tuple(r) for r in sw.collect()} == {tuple(r) for r in gi.collect()}

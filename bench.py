@@ -47,6 +47,10 @@ HEADLINE = [
     "lang_id",
     "quality_tokens",
     "multimodal_decode",
+    "asof_join_orders",
+    "quantiles",
+    "rollup_cube",
+    "ranking_windows",
 ]
 
 

@@ -1,0 +1,88 @@
+"""As-of join — for each left row, the single latest right row with
+right.ts <= left.ts on the same key (the canonical time-series point
+lookup; Spark has no native operator — SURVEY/pyspark guide "As-of /
+range join").
+
+Implementation: union the two sides with a side marker, one window
+sort per key, and last(ignorenulls) to carry the most recent right
+payload forward onto left rows. ONE shuffle + sort on (key, ts) —
+no nested-loop, no per-key Python; scales like any window aggregate.
+Right-side ties on ts resolve to the greatest tiebreak column value
+(deterministic).
+
+Alternative for very wide right payloads: applyInPandas +
+pd.merge_asof per key-group — kept out of the default path because the
+union/window form stays entirely in the JVM.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """left + latest-right-payload columns (null when no prior right row).
+
+    ``tolerance_seconds``: optional max staleness — matches older than
+    the tolerance are nulled (pd.merge_asof semantics).
+    """
+    def _epoch(df: DataFrame, col: str):
+        # TIMESTAMP_NTZ has no direct numeric cast; hop through TIMESTAMP
+        # (session tz pinned UTC, so the instant is unchanged)
+        dtype = dict(df.dtypes)[col]
+        c = F.col(col)
+        if dtype.startswith("timestamp"):
+            return c.cast("timestamp").cast("double")
+        return c.cast("double")
+
+    on = list(on)
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *[F.col(c) for c in lcols],
+        _epoch(left, left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_payload],
+    )
+    r = right.select(
+        *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) for c in lcols if c not in on],
+        *[F.col(c) for c in on],
+        _epoch(right, right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_payload],
+    ).select(*[F.col(c) for c in lcols], "_t", "_is_left", *[f"_r_{c}" for c in right_payload])
+
+    u = l.unionByName(r)
+    # right rows sort BEFORE left rows at equal ts (asof is inclusive:
+    # right.ts <= left.ts matches)
+    w = Window.partitionBy(*on).orderBy(F.col("_t").asc(), F.col("_is_left").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = [
+        F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_c_{c}")
+        for c in right_payload
+    ]
+    carried_ts = F.last(
+        F.when(F.col("_is_left") == 0, F.col("_t")), ignorenulls=True
+    ).over(w)
+    out = (
+        u.select("*", *carried, carried_ts.alias("_rt"))
+        .filter(F.col("_is_left") == 1)
+    )
+    keep = F.lit(True)
+    if tolerance_seconds is not None:
+        keep = (F.col("_t") - F.col("_rt")) <= F.lit(float(tolerance_seconds))
+    final_cols = [F.col(c) for c in lcols] + [
+        F.when(keep, F.col(f"_c_{c}")).alias(c) for c in right_payload
+    ]
+    return out.select(*final_cols)

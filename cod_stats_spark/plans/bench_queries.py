@@ -1093,3 +1093,139 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     qvec = [float(x) for x in qrow["embedding"]]
     return ivf_topk(emb, "embedding", "vec_id", qvec, centroids, k=10, nprobe=3)
+
+
+@query(
+    "asof_join_orders",
+    covers="EXT-asof (as-of join: latest order state at each event; union+window implementation)",
+    oracle="""
+SELECT e.event_id, e.user_id, e.ts, o.last_order_price
+FROM events e
+ASOF LEFT JOIN (
+  SELECT o_custkey, o_orderdate, max(o_totalprice) AS last_order_price
+  FROM orders GROUP BY o_custkey, o_orderdate
+) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+)
+def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event annotated with the price of the customer's most recent
+    order at that time. Right side pre-aggregated to unique (key, ts)
+    so ties are impossible (deterministic in both engines). Spark has
+    no native as-of join: implemented as union + one window sort —
+    a single shuffle, no nested loop (operators/asof_join.py)."""
+    from cod_stats_spark.operators.asof_join import asof_join
+
+    t = load_tables(spark, sf_dir)
+    right = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ots"))
+        .agg(F.max("o_totalprice").alias("last_order_price"))
+    )
+    left = t["events"].select("event_id", "user_id", "ts")
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ots",
+        right_payload=["last_order_price"],
+    )
+    return out.select("event_id", "user_id", "ts", "last_order_price")
+
+
+@query(
+    "quantiles",
+    covers="EXT-olap (exact interpolated quantiles per group)",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       round(quantile_cont(l_quantity, 0.5), 4)       AS qty_p50
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (sort-based; percentile_approx is the sketch
+    variant for 100 TB — exact kept here for oracle comparability)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("qty_p50"),
+    )
+
+
+@query(
+    "rollup_cube",
+    covers="EXT-olap (ROLLUP grouping sets with grouping_id)",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+@query(
+    "unpivot_metrics",
+    covers="EXT-olap (unpivot/melt wide→long)",
+    oracle="""
+WITH agg AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2)      AS qty,
+         round(sum(l_discount), 2)      AS disc,
+         round(sum(l_tax), 2)           AS tax
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'qty' AS metric, qty AS value FROM agg
+UNION ALL SELECT l_returnflag, 'disc', disc FROM agg
+UNION ALL SELECT l_returnflag, 'tax', tax FROM agg
+""",
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_discount"), 2).alias("disc"),
+        F.round(F.sum("l_tax"), 2).alias("tax"),
+    )
+    return wide.unpivot("l_returnflag", ["qty", "disc", "tax"], "metric", "value")
+
+
+@query(
+    "ranking_windows",
+    covers="EXT-olap (ntile / percent_rank / dense_rank over a total order)",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       dense_rank()   OVER w AS drank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+""",
+)
+def ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_tables(spark, sf_dir)["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+    )

@@ -140,3 +140,35 @@ class TestRolling:
         exp_cume = pdf["v"].cumsum()
         assert list(got["v_sum_r3"]) == list(exp_roll)
         assert list(got["v_sum_cume"]) == list(exp_cume)
+
+
+class TestAsofJoin:
+    def test_basic_and_tolerance(self, spark):
+        from cod_stats_spark.operators.asof_join import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 100, "e1"), (1, 205, "e2"), (2, 50, "e3")],
+            "k long, ts long, eid string",
+        )
+        right = spark.createDataFrame(
+            [(1, 90, 9.0), (1, 200, 20.0), (3, 10, 1.0)],
+            "k long, rts long, price double",
+        )
+        out = asof_join(left, right, ["k"], "ts", "rts", ["price"])
+        got = {r["eid"]: r["price"] for r in out.collect()}
+        assert got == {"e1": 9.0, "e2": 20.0, "e3": None}  # no right rows for k=2
+
+        tol = asof_join(left, right, ["k"], "ts", "rts", ["price"], tolerance_seconds=10)
+        got_tol = {r["eid"]: r["price"] for r in tol.collect()}
+        assert got_tol == {"e1": 9.0, "e2": 20.0, "e3": None}
+        tol2 = asof_join(left, right, ["k"], "ts", "rts", ["price"], tolerance_seconds=4)
+        got_tol2 = {r["eid"]: r["price"] for r in tol2.collect()}
+        assert got_tol2 == {"e1": None, "e2": None, "e3": None}
+
+    def test_equal_ts_is_match(self, spark):
+        from cod_stats_spark.operators.asof_join import asof_join
+
+        left = spark.createDataFrame([(1, 100, "e")], "k long, ts long, eid string")
+        right = spark.createDataFrame([(1, 100, 5.0)], "k long, rts long, price double")
+        r = asof_join(left, right, ["k"], "ts", "rts", ["price"]).first()
+        assert r["price"] == 5.0

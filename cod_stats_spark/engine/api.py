@@ -172,3 +172,36 @@ class Engine:
                 [r for r in per_player_sessions if r["player_id"] == p],
             )
         return written
+
+
+def write_silver(
+    valid_games: DataFrame,
+    path: str,
+    partition_by_day: bool = True,
+    bucket_by_player: int | None = None,
+    table_name: str = "valid_games",
+) -> None:
+    """Cluster-scale silver materialization (the persist() used by
+    Engine is the local-mode shortcut).
+
+    - Partitioned by day: season/day queries (P9, A5, A6) prune
+      partitions instead of scanning history.
+    - Optional bucketing by player_uno_id: sessionization, per-player
+      time-series, and the stats_wz join then read co-located data —
+      the per-player window sorts shuffle nothing across executors.
+    """
+    from pyspark.sql import functions as F
+
+    df = valid_games
+    if partition_by_day:
+        df = df.withColumn("dt", F.substring("date_key", 1, 10))
+    writer = df.write.mode("overwrite")
+    if partition_by_day:
+        writer = writer.partitionBy("dt")
+    if bucket_by_player:
+        # bucketBy requires saveAsTable (metastore-backed)
+        writer.bucketBy(bucket_by_player, "player_uno_id").sortBy(
+            "player_uno_id", "date_key"
+        ).option("path", path).saveAsTable(table_name)
+    else:
+        writer.parquet(path)

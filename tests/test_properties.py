@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) for the invariant-heavy operators:
+sessionization, streaks, skew-salted aggregation, and the as-of join —
+each checked against a straightforward Python reference model."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+prop = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+ts_lists = st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30)
+
+
+def _model_sessions(ts_sorted, gap):
+    """Reference model: session ordinal per timestamp (>= gap splits)."""
+    out, n, last = [], 0, None
+    for t in ts_sorted:
+        if last is None or t - last >= gap:
+            n += 1
+        out.append(n)
+        last = t
+    return out
+
+
+class TestSessionizeProperties:
+    @prop
+    @given(ts=ts_lists, gap=st.integers(min_value=1, max_value=2000))
+    def test_matches_model(self, spark, ts, gap):
+        from cod_stats_spark.operators.sessionize import sessionize
+
+        rows = [("p", i, t) for i, t in enumerate(ts)]
+        df = spark.createDataFrame(rows, "k string, idx long, ts long")
+        # model needs a total order; operator tiebreaks equal ts by idx
+        got = (
+            sessionize(df, "ts", ["k"], gap, tiebreak_cols=["idx"])
+            .orderBy("ts", "idx")
+            .collect()
+        )
+        expected = _model_sessions([r["ts"] for r in got], gap)
+        assert [r["session_number"] for r in got] == expected
+
+
+class TestStreakProperties:
+    @prop
+    @given(seq=st.lists(st.sampled_from(["W", "L"]), min_size=1, max_size=40))
+    def test_run_lengths_match_model(self, spark, seq):
+        from cod_stats_spark.operators.streaks import run_lengths
+
+        df = spark.createDataFrame(
+            [("p", i, v) for i, v in enumerate(seq)], "k string, t long, v string"
+        )
+        runs = run_lengths(df, ["k"], ["t"], "v")
+        per_run = runs.groupBy("v", "run_grp").count().collect()
+        got = sorted((r["v"], r["count"]) for r in per_run)
+        # model: itertools.groupby run lengths
+        import itertools
+
+        expected = sorted((v, len(list(g))) for v, g in itertools.groupby(seq))
+        assert got == expected
+
+
+class TestSaltedAggregate:
+    @prop
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["hot", "a", "b"]),
+                st.integers(min_value=-100, max_value=100),
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    def test_equals_plain_groupby(self, spark, rows):
+        from cod_stats_spark.operators.skew import salted_aggregate
+
+        df = spark.createDataFrame(
+            [(k, i, v) for i, (k, v) in enumerate(rows)], "k string, rid long, v long"
+        )
+        salted = salted_aggregate(
+            df, ["k"], [("v", "sum"), ("v", "max"), ("rid", "count")], "rid", buckets=4
+        )
+        plain = df.groupBy("k").agg(
+            F.sum("v").alias("v_sum"), F.max("v").alias("v_max"),
+            F.count("rid").alias("rid_count"),
+        )
+        def key(rws):
+            return sorted((r["k"], r["v_sum"], r["v_max"], r["rid_count"]) for r in rws)
+
+        assert key(salted.collect()) == key(plain.collect())
+
+
+class TestAsofProperties:
+    @prop
+    @given(
+        lts=st.lists(st.integers(0, 500), min_size=1, max_size=20),
+        rts=st.lists(st.integers(0, 500), min_size=0, max_size=20),
+    )
+    def test_matches_model(self, spark, lts, rts):
+        from cod_stats_spark.operators.asof_join import asof_join
+
+        rts = sorted(set(rts))
+        left = spark.createDataFrame(
+            [(1, t, i) for i, t in enumerate(lts)], "k long, ts long, lid long"
+        )
+        right = spark.createDataFrame(
+            [(1, t, float(t)) for t in rts] or [(2, 0, 0.0)],
+            "k long, rts long, payload double",
+        )
+        out = {r["lid"]: r["payload"] for r in
+               asof_join(left, right, ["k"], "ts", "rts", ["payload"]).collect()}
+        for i, t in enumerate(lts):
+            match = [r for r in rts if r <= t]
+            expected = float(match[-1]) if match else None
+            assert out[i] == expected

@@ -127,6 +127,52 @@ class Engine:
     def by_game_timeseries(self) -> DataFrame:
         return tsm.by_game_timeseries(self.by_game())
 
+    def seasonal_daily_timeseries(self) -> DataFrame:
+        return tsm.seasonal_daily_timeseries(self.daily(), self.seasons())
+
+    def seasonal_by_game_timeseries(self) -> DataFrame:
+        return tsm.seasonal_by_game_timeseries(self.by_game(), self.seasons())
+
+    def player_season_stats(self) -> DataFrame:
+        """Season rollup ⋈ placement pivot USING (player_id, season_id) —
+        the reference's J6 composite-key join (generate_lookup_data.sh:687-698)."""
+        return self.season_rollup().join(
+            self.placement_pivot(), ["player_id", "season_id"], "left"
+        )
+
+    # ---- SQL API surface
+
+    VIEW_BUILDERS = {
+        "valid_games": "valid_games",
+        "stats_wz": "stats_wz",
+        "player_sessions": "sessions",
+        "player_sessions_with_stats": "session_stats",
+        "player_stats_by_day_wz": "daily",
+        "player_stats_by_game_wz": "by_game",
+        "team_stat_breakdowns": "team_breakdowns",
+        "full_game_stats": "full_game_stats",
+        "season_rollup": "season_rollup",
+        "game_modes": "modes",
+        "seasons": "seasons",
+        "unknown_modes_wz": "unknown_modes_wz",
+        "unknown_modes_mp": "unknown_modes_mp",
+    }
+
+    def register_views(self, prefix: str = "") -> list[str]:
+        """Expose the whole view stack to spark.sql() — the reference
+        user's SQL workflow keeps working (views are code, not state:
+        recreated per session, SURVEY §1.3)."""
+        names = []
+        for view, method in self.VIEW_BUILDERS.items():
+            name = f"{prefix}{view}"
+            getattr(self, method)().createOrReplaceTempView(name)
+            names.append(name)
+        return names
+
+    def sql(self, query: str) -> DataFrame:
+        self.register_views()
+        return self.spark.sql(query)
+
     # ---- serving layer
 
     def write_reports(self, out_dir: str) -> list[str]:
@@ -154,17 +200,34 @@ class Engine:
         emit("seasons.json", rep.seasons_doc())
         emit("meta.json", rep.meta_doc())
 
-        daily_ts = tsm.daily_timeseries(self.daily())
         players = [r["player_id"] for r in self.players.select("player_id").distinct().collect()]
-        rows = [r.asDict() for r in daily_ts.collect()]
+
+        # per-(player, season) series: ONE distributed job each, fanned
+        # into files driver-side (reference: one SQL query per file)
+        day_rows = [r.asDict() for r in self.seasonal_daily_timeseries().collect()]
+        game_rows = [r.asDict() for r in self.seasonal_by_game_timeseries().collect()]
+        season_ids = {r["season_id"] for r in day_rows} | {"lifetime"}
         for p in players:
-            prows = sorted(
-                (r for r in rows if r["player_id"] == p), key=lambda r: r["date_key"]
+            for sid in sorted(season_ids):
+                prows = sorted(
+                    (r for r in day_rows if r["player_id"] == p and r["season_id"] == sid),
+                    key=lambda r: r["date_key"],
+                )
+                emit(f"players/{p}_{sid}_time_wz.json", rep.player_timeseries_doc(prows, (3, 7)))
+                grows = sorted(
+                    (r for r in game_rows if r["player_id"] == p and r["season_id"] == sid),
+                    key=lambda r: (r["date_key"], r["mode"], r["kills"]),
+                )
+                emit(f"players/{p}_{sid}_game_wz.json", rep.player_timeseries_doc(grows, (10, 25)))
+
+        season_stats = [r.asDict() for r in self.player_season_stats().collect()]
+        for p in players:
+            rows_p = sorted(
+                (r for r in season_stats if r["player_id"] == p),
+                key=lambda r: r["sort_order"],
             )
-            emit(
-                f"players/{p}_lifetime_time_wz.json",
-                rep.player_timeseries_doc(prows, (3, 7)),
-            )
+            emit(f"players/{p}_player_stats.json", rows_p)
+
         per_player_sessions = [r.asDict(recursive=True) for r in self.session_stats().collect()]
         for p in players:
             emit(

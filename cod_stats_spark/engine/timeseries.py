@@ -63,3 +63,48 @@ def filter_season(ts: DataFrame, start: str, end: str) -> DataFrame:
     """Season slice: inclusive ISO-string range (P9). On partitioned
     silver this prunes partitions; here it's a pushed filter."""
     return ts.filter(F.col("date_key").between(start, end))
+
+
+def seasonal_daily_timeseries(daily: DataFrame, seasons: DataFrame) -> DataFrame:
+    """Per-(player, season) daily series with frames computed WITHIN the
+    season window — the reference runs one query per (player, season)
+    (O(players×seasons) table rescans); here a single interval join
+    fans days into their seasons and ONE window pass frames every
+    (player, season) series.
+
+    Boundary quirk preserved: the reference compares the day string
+    ('YYYY-MM-DD') lexicographically against the full ISO season bounds,
+    so a season's first calendar day sorts BEFORE 'YYYY-MM-DDT...' and
+    is excluded — identical here by using the same comparison.
+    """
+    from cod_stats_spark.operators.interval_join import interval_join
+
+    s = seasons.select(
+        F.col("id").alias("season_id"), F.col("start"), F.col("end")
+    )
+    joined = interval_join(daily, s, "date_key", "start", "end").drop("start", "end")
+    out = joined
+    for k in (3, 7):
+        out = rolling_frames(
+            out, ["player_id", "season_id"], ["date_key"], TS_METRICS, k - 1, suffix=f"s{k}"
+        )
+    return cumulative_frames(
+        out, ["player_id", "season_id"], ["date_key"], TS_METRICS, suffix="cume"
+    )
+
+
+def seasonal_by_game_timeseries(by_game: DataFrame, seasons: DataFrame) -> DataFrame:
+    """Per-(player, season) per-game series, frames 10/25 + cumulative."""
+    from cod_stats_spark.operators.interval_join import interval_join
+
+    s = seasons.select(F.col("id").alias("season_id"), F.col("start"), F.col("end"))
+    joined = interval_join(by_game, s, "date_key", "start", "end").drop("start", "end")
+    order = ["date_key", "mode", "kills"]
+    out = joined
+    for k in (10, 25):
+        out = rolling_frames(
+            out, ["player_id", "season_id"], order, TS_METRICS, k - 1, suffix=f"s{k}"
+        )
+    return cumulative_frames(
+        out, ["player_id", "season_id"], order, TS_METRICS, suffix="cume"
+    )

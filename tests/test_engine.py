@@ -229,3 +229,35 @@ class TestReports:
         }
         tsdoc = js.loads((tmp_path / "players/alice_lifetime_time_wz.json").read_text())
         assert tsdoc and "stats" in tsdoc[0] and "cumalative" in tsdoc[0]["stats"]
+
+
+class TestSqlApi:
+    def test_register_views_and_sql(self, engine):
+        out = engine.sql(
+            "SELECT player_id, count(*) AS n FROM stats_wz GROUP BY player_id ORDER BY player_id"
+        ).collect()
+        assert {r["player_id"] for r in out} >= {"alice", "bob", "carol"}
+        # the reference's view-stack layering works through SQL too
+        sessions = engine.sql(
+            "SELECT count(*) AS n FROM player_sessions_with_stats WHERE player_id = 'bob'"
+        ).first()
+        assert sessions["n"] >= 2
+
+
+class TestSeasonalReports:
+    def test_per_season_files(self, engine, tmp_path):
+        import json as js
+
+        files = engine.write_reports(str(tmp_path))
+        # per-(player, season) series files exist for season05 (fixture epoch)
+        t = tmp_path / "players/alice_season05_time_wz.json"
+        g = tmp_path / "players/alice_season05_game_wz.json"
+        assert t.exists() and g.exists()
+        tdoc = js.loads(t.read_text())
+        ldoc = js.loads((tmp_path / "players/alice_lifetime_time_wz.json").read_text())
+        assert tdoc and ldoc
+        assert "smoothed_10" in js.loads(g.read_text())[0]["stats"]
+        # player season-stats rollup file: season rows ordered by sort_order
+        ps = js.loads((tmp_path / "players/alice_player_stats.json").read_text())
+        assert ps[0]["season_id"] == "lifetime"
+        assert any(r["season_id"] == "season05" for r in ps)

@@ -35,10 +35,17 @@ from cod_stats_spark.engine import reports as rep
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, bronze: DataFrame, players: DataFrame):
+    def __init__(
+        self,
+        spark: SparkSession,
+        bronze: DataFrame,
+        players: DataFrame,
+        matches_path: str | None = None,
+    ):
         self.spark = spark
         self.bronze = bronze
         self.players = players
+        self._matches_path = matches_path
         self._silver: DataFrame | None = None
         self._stats: DataFrame | None = None
 
@@ -48,6 +55,7 @@ class Engine:
             spark,
             ingest.read_matches(spark, matches_path),
             ingest.read_players_config(spark, players_json),
+            matches_path=matches_path,
         )
 
     # ---- layers
@@ -76,6 +84,11 @@ class Engine:
 
     def unknown_modes_mp(self) -> DataFrame:
         return normalize.unknown_modes_mp(self.bronze)
+
+    def corrupt_matches(self) -> DataFrame:
+        if self._matches_path is None:
+            raise ValueError("corrupt_matches requires Engine.from_paths")
+        return ingest.corrupt_matches(self.spark, self._matches_path)
 
     # ---- analytics
 

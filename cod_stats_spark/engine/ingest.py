@@ -64,3 +64,38 @@ def incremental_new_rows(bronze: DataFrame, ledger: DataFrame | None) -> DataFra
         ["game_id", "player_uno_id"],
         "left_anti",
     )
+
+
+def corrupt_matches(spark: SparkSession, path: str) -> DataFrame:
+    """Audit source: files whose JSON failed to parse (the permissive
+    reader silently nulls them out of the bronze path). Companion to
+    the reference's unknown-mode audit views — ingest problems surface
+    in a queryable view instead of disappearing.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [*MATCH_SCHEMA.fields, StructField("_corrupt_record", StringType())]
+    )
+    raw = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path, schema=schema, multiLine=True)
+    )
+    fname = F.input_file_name()
+    # NB: Spark refuses scans whose referenced source columns are ONLY
+    # the corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and
+    # column pruning strips anything unused — so matchID stays in the
+    # OUTPUT (always null for corrupt rows; kept deliberately).
+    return (
+        raw.select("matchID", "_corrupt_record")
+        .withColumn("_file", fname)
+        .filter(F.col("_corrupt_record").isNotNull())
+        .select(
+            F.regexp_extract(F.col("_file"), FILENAME_RE, 1).alias("game_id"),
+            F.regexp_extract(F.col("_file"), FILENAME_RE, 2).alias("player_uno_id"),
+            F.col("matchID").alias("parsed_match_id"),
+            F.col("_file").alias("file"),
+            F.substring("_corrupt_record", 1, 200).alias("snippet"),
+        )
+    )

@@ -1229,3 +1229,88 @@ def ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.dense_rank().over(w).cast("long").alias("drank"),
     )
+
+
+@query(
+    "stateful_sessions",
+    covers="ST1 §2.10 (applyInPandasWithState custom stateful operator, streaming execution, FULL oracle: closed sessions)",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts) >= {SESSION_GAP_SECONDS} * 1000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_number
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_number,
+         min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events, round(sum(value), 4) AS sum_value
+  FROM numbered GROUP BY user_id, session_number
+)
+SELECT * FROM sessions s
+WHERE session_number < (SELECT max(session_number) FROM sessions m
+                        WHERE m.user_id = s.user_id)
+""",
+)
+def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator run for real (micro-batch
+    execution over the file source) and oracle-checked: it emits every
+    session CLOSED by a later event — exactly the batch gaps-and-islands
+    sessions minus each user's final (still-open) one."""
+    from cod_stats_spark.streaming import (
+        run_stream_to_memory,
+        stateful_sessionize,
+        stream_events,
+    )
+
+    stream = stream_events(spark, f"{sf_dir}/events.parquet")
+    out = run_stream_to_memory(
+        stateful_sessionize(stream, gap_seconds=SESSION_GAP_SECONDS), "append"
+    )
+    return out.select(
+        "user_id", "session_number", "session_start", "session_end",
+        "n_events", "sum_value",
+    )
+
+
+@query(
+    "sketch_aggregates",
+    covers="EXT-olap (approximate sketches: HLL distinct + quantile sketch; rows-only — sketch internals differ across engines)",
+)
+def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for distincts/quantiles: approx_count_distinct
+    (HyperLogLog++) and percentile_approx (KLL-style) — mergeable
+    partial states, constant memory, one pass. Exact counterparts are
+    oracle-checked in daily_distinct/quantiles; sketches are rows-only
+    because sketch estimates are engine-specific."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "dedup_pipeline",
+    covers="EXT-dedup (composite pipeline: exact -> MinHash-LSH candidates -> Jaccard verify -> survivor set; rows-only)",
+)
+def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal as a single lazy plan: exact dedup
+    picks canonical ids, MinHash-LSH proposes candidate pairs among
+    survivors, Jaccard >= 0.7 confirms, and confirmed duplicates (the
+    higher id of each pair) are anti-joined away. Returns the surviving
+    doc ids with their dup statistics."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    exact = exact_dedup(docs, "text", "doc_id")  # fp -> keep_id, n_copies
+    keepers = docs.join(
+        exact.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    cands = minhash_lsh_pairs(keepers, "text", "doc_id", num_hashes=32, bands=16)
+    confirmed = ngram_jaccard_pairs(keepers, "text", "doc_id", cands, threshold=0.7)
+    losers = confirmed.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = keepers.join(losers, "doc_id", "left_anti")
+    return survivors.select("doc_id", "lang", "source", "n_chars")

@@ -55,6 +55,40 @@ def get_spark(app_name: str = "cod_stats_spark", cpus: int | None = None) -> Spa
     return spark
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make `cod_stats_spark` importable on every Python worker.
+
+    Closures that reference module-level functions (mapInPandas decode,
+    stateful operators) are pickled BY REFERENCE — workers must import
+    the module, and the driver's sys.path does not propagate to them.
+    Shipping a zip via addPyFile fixes this regardless of the driver's
+    cwd/PYTHONPATH. Idempotent per session.
+    """
+    marker = "spark.cod_stats_spark.pkg_shipped"
+    try:
+        if spark.conf.get(marker, "no") == "yes":
+            return
+    except Exception:
+        pass
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    try:
+        archive = shutil.make_archive(
+            os.path.join(tempfile.gettempdir(), "cod_stats_spark_pkg"),
+            "zip",
+            root_dir=root,
+            base_dir="cod_stats_spark",
+        )
+        spark.sparkContext.addPyFile(archive)
+        spark.conf.set(marker, "yes")
+    except Exception:
+        # non-fatal: driver-side-only plans still work
+        pass
+
+
 def prep_session(spark: SparkSession) -> SparkSession:
     """Normalize runtime-settable confs on an externally built session.
 
@@ -62,6 +96,7 @@ def prep_session(spark: SparkSession) -> SparkSession:
     SQL semantics (x/0 -> NULL, silent casts) — the dialect the
     reference engine uses (SURVEY.md §7.4.2).
     """
+    ship_package(spark)
     conf = spark.conf
     conf.set("spark.sql.session.timeZone", "UTC")
     conf.set("spark.sql.ansi.enabled", "false")

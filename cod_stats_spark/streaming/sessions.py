@@ -19,10 +19,7 @@ idempotent re-ingest — SURVEY §2.9).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-from typing import Any
-
-import pandas as pd
+import pandas as pd  # noqa: F401 — used inside the by-value state fn
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -84,59 +81,6 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _session_fn(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-key stateful merge: emits sessions closed by a gap >= the
-    configured threshold (carried in the column `_gap_us`)."""
-    import pandas as pd
-
-    (user_id,) = key
-    if state.exists:
-        session_number, last_us, start_us, n_events, sum_value = state.get
-    else:
-        session_number, last_us, start_us, n_events, sum_value = 0, None, None, 0, 0.0
-
-    closed: list[tuple] = []
-    for pdf in pdfs:
-        if pdf.empty:
-            continue
-        gap_us = int(pdf["_gap_us"].iloc[0])
-        pdf = pdf.sort_values("_ts_us")
-        for ts_us, value in zip(pdf["_ts_us"], pdf["value"]):
-            ts_us = int(ts_us)
-            if last_us is None or ts_us - last_us >= gap_us:
-                if last_us is not None:
-                    closed.append(
-                        (user_id, session_number, start_us, last_us, n_events, sum_value)
-                    )
-                session_number += 1
-                start_us, n_events, sum_value = ts_us, 0, 0.0
-            last_us = ts_us
-            n_events += 1
-            sum_value += float(value)
-
-    # Open session stays in state until a later event closes it. (A
-    # production flush-on-inactivity would use ProcessingTimeTimeout;
-    # kept out deliberately — the timeout tick re-triggers micro-batches
-    # forever under processAllAvailable-style draining.)
-    state.update((session_number, last_us, start_us, n_events, sum_value))
-
-    if closed:
-        yield pd.DataFrame(
-            {
-                "user_id": [c[0] for c in closed],
-                "session_number": [c[1] for c in closed],
-                "session_start": [pd.Timestamp(c[2], unit="us") for c in closed],
-                "session_end": [pd.Timestamp(c[3], unit="us") for c in closed],
-                "n_events": [c[4] for c in closed],
-                "sum_value": [round(c[5], 4) for c in closed],
-            }
-        )
-
-
 def stateful_sessionize(
     events: DataFrame,
     ts_col: str = "ts",
@@ -156,8 +100,54 @@ def stateful_sessionize(
         F.col(value_col).cast("double").alias("value"),
         F.lit(gap_seconds * 1_000_000).alias("_gap_us"),
     )
+
+    # NESTED function: cloudpickle serializes it BY VALUE. A module-level
+    # function pickles by reference, requiring `cod_stats_spark` on every
+    # Python worker's import path — which fails whenever the driver's cwd
+    # isn't the repo root.
+    def session_fn_by_value(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            session_number, last_us, start_us, n_events, sum_value = state.get
+        else:
+            session_number, last_us, start_us, n_events, sum_value = 0, None, None, 0, 0.0
+
+        closed = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            gap_us = int(pdf["_gap_us"].iloc[0])
+            pdf = pdf.sort_values("_ts_us")
+            for ts_us, value in zip(pdf["_ts_us"], pdf["value"]):
+                ts_us = int(ts_us)
+                if last_us is None or ts_us - last_us >= gap_us:
+                    if last_us is not None:
+                        closed.append(
+                            (user_id, session_number, start_us, last_us, n_events, sum_value)
+                        )
+                    session_number += 1
+                    start_us, n_events, sum_value = ts_us, 0, 0.0
+                last_us = ts_us
+                n_events += 1
+                sum_value += float(value)
+
+        state.update((session_number, last_us, start_us, n_events, sum_value))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_number": [c[1] for c in closed],
+                    "session_start": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[3], unit="us") for c in closed],
+                    "n_events": [c[4] for c in closed],
+                    "sum_value": [round(c[5], 4) for c in closed],
+                }
+            )
+
     return prepared.groupBy("user_id").applyInPandasWithState(
-        _session_fn,
+        session_fn_by_value,
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -66,3 +66,22 @@ class TestSaltedJoin:
         plain = big.join(small, ["k"]).select("k", "rid", "tag")
         salted = salted_join(big, small, ["k"], "rid", buckets=4).select("k", "rid", "tag")
         assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+class TestCorruptAudit:
+    def test_corrupt_files_surface(self, spark, fixture_dirs, tmp_path):
+        import json as js
+        import shutil
+
+        mdir, pj = fixture_dirs
+        work = tmp_path / "m"
+        shutil.copytree(mdir, work)
+        (work / "match_gbad_unoX.json").write_text("{this is not json")
+        from cod_stats_spark.engine import Engine
+
+        eng = Engine.from_paths(spark, f"{work}/*.json", pj)
+        bad = [r.asDict() for r in eng.corrupt_matches().collect()]
+        assert len(bad) == 1
+        assert bad[0]["game_id"] == "gbad"
+        # and the corrupt file is NOT in bronze valid rows
+        assert eng.valid_games().filter("game_id = 'gbad'").count() == 0

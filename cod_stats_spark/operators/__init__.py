@@ -10,8 +10,13 @@ from cod_stats_spark.operators.rolling import rolling_frames, cumulative_frames
 from cod_stats_spark.operators.topk import top_k, top_k_per_group
 from cod_stats_spark.operators.streaks import run_lengths
 from cod_stats_spark.operators.interval_join import interval_join
+from cod_stats_spark.operators.asof_join import asof_join
+from cod_stats_spark.operators.skew import salted_aggregate, salted_join
 
 __all__ = [
+    "asof_join",
+    "salted_aggregate",
+    "salted_join",
     "sessionize",
     "session_rollup",
     "rolling_frames",

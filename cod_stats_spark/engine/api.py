@@ -42,6 +42,11 @@ class Engine:
         players: DataFrame,
         matches_path: str | None = None,
     ):
+        from cod_stats_spark.session import prep_session
+
+        # date_key derivation (from_unixtime) and the oracle dialect both
+        # assume UTC + non-ANSI; normalize regardless of who built the session
+        prep_session(spark)
         self.spark = spark
         self.bronze = bronze
         self.players = players

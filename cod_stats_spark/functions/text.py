@@ -131,11 +131,13 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (distinct), over normalized text.
+def shingles(text: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingle array over normalized text.
 
     Implemented with sequence+transform (JVM-side); empty/short docs get
-    their whole text as the single shingle.
+    their whole text as the single shingle. ``distinct=False`` skips the
+    O(k²) array_distinct — safe for consumers where duplicates are
+    idempotent (min-hashing); Jaccard set semantics need distinct=True.
     """
     toks = words(normalize_text(text))
     k = F.size(toks)
@@ -143,4 +145,5 @@ def shingles(text: Column, n: int = 3) -> Column:
         F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return F.array_distinct(F.when(k > 0, grams).otherwise(F.array(F.lit(""))))
+    out = F.when(k > 0, grams).otherwise(F.array(F.lit("")))
+    return F.array_distinct(out) if distinct else out

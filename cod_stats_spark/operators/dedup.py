@@ -76,7 +76,7 @@ def minhash_signatures(
         (rnd.randrange(1, 1 << 61) * 2 + 1, rnd.randrange(0, 1 << 61))
         for _ in range(num_hashes)
     ]
-    sh = shingles(F.col(text_col), shingle_n).alias("sh")
+    sh = shingles(F.col(text_col), shingle_n, distinct=False).alias("sh")
     exploded = spread(df).select(F.col(id_col).alias("id"), F.explode(sh).alias("s")).select(
         "id", F.xxhash64(F.col("s")).alias("h")
     )

@@ -1296,7 +1296,7 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_pipeline",
-    covers="EXT-dedup (composite pipeline: exact -> MinHash-LSH candidates -> Jaccard verify -> survivor set; rows-only)",
+    covers="EXT-dedup (composite pipeline: exact -> MinHash-LSH -> Jaccard verify -> connected-component clusters -> canonical survivors; rows-only)",
 )
 def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup removal as a single lazy plan: exact dedup
@@ -1304,6 +1304,8 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors, Jaccard >= 0.7 confirms, and confirmed duplicates (the
     higher id of each pair) are anti-joined away. Returns the surviving
     doc ids with their dup statistics."""
+    from cod_stats_spark.operators.components import dedup_clusters
+
     docs = load_tables(spark, sf_dir)["documents"]
     exact = exact_dedup(docs, "text", "doc_id")  # fp -> keep_id, n_copies
     keepers = docs.join(
@@ -1311,6 +1313,8 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = minhash_lsh_pairs(keepers, "text", "doc_id", num_hashes=32, bands=16)
     confirmed = ngram_jaccard_pairs(keepers, "text", "doc_id", cands, threshold=0.7)
-    losers = confirmed.select(F.col("id_b").alias("doc_id")).distinct()
-    survivors = keepers.join(losers, "doc_id", "left_anti")
-    return survivors.select("doc_id", "lang", "source", "n_chars")
+    # transitive closure: duplicates cluster via connected components,
+    # one canonical survivor per cluster (min doc_id)
+    clustered = dedup_clusters(keepers, confirmed.select("id_a", "id_b"), "doc_id")
+    survivors = clustered.filter(F.col("is_canonical"))
+    return survivors.select("doc_id", "cluster_id", "lang", "source", "n_chars")

@@ -133,3 +133,50 @@ class TestDedup:
         assert out[(1, 2)] == 1.0
         # shingles(3): {abc,bcd,cde} vs {abc,bcx,cxy}: inter=1 union=5
         assert abs(out[(1, 3)] - 0.2) < 1e-9
+
+
+class TestConnectedComponents:
+    def test_matches_union_find(self, spark):
+        from cod_stats_spark.operators.components import connected_components
+
+        edges = [(1, 2), (2, 3), (5, 6), (7, 7), (10, 11), (11, 12), (12, 10)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["vertex"]: r["component"] for r in connected_components(df).collect()
+        }
+        # reference union-find
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for a, b in edges:
+            union(a, b)
+        expected = {v: find(v) for v in parent}
+        assert got == expected
+
+    def test_long_chain_converges(self, spark):
+        from cod_stats_spark.operators.components import connected_components
+
+        chain = [(i, i + 1) for i in range(30)]
+        df = spark.createDataFrame(chain, "id_a long, id_b long")
+        got = {r["vertex"]: r["component"] for r in connected_components(df).collect()}
+        assert set(got.values()) == {0}
+
+    def test_dedup_clusters_assignment(self, spark):
+        from cod_stats_spark.operators.components import dedup_clusters
+
+        docs = spark.createDataFrame(
+            [(i, f"doc{i}") for i in range(6)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(1, 2), (2, 4)], "id_a long, id_b long")
+        out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+               for r in dedup_clusters(docs, pairs, "doc_id").collect()}
+        assert out[1] == (1, True) and out[2] == (1, False) and out[4] == (1, False)
+        assert out[0] == (0, True) and out[3] == (3, True) and out[5] == (5, True)

@@ -839,9 +839,46 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, "embedding", "vec_id", qvec, k=10)
 
 
+def _lsh_oracle_sql(dim: int = 64, n_planes: int = 4, multiprobe: int = 2, k: int = 10) -> str:
+    """Generated DuckDB oracle for LSH-ANN: the hyperplanes are
+    deterministic driver-side constants, so the ENTIRE approximate
+    search — sign-bit bucketing, multiprobe set, candidate scoring —
+    is expressible in SQL and the approximation itself gets verified,
+    not just its row count."""
+    from cod_stats_spark.operators.similarity import _hyperplane
+
+    def plane_lit(i):
+        return "[" + ", ".join(repr(v) for v in _hyperplane(dim, i)) + "]"
+
+    bucket_of = lambda col: " + ".join(
+        f"(CASE WHEN list_dot_product({col}, {plane_lit(i)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    probes = ", ".join(
+        ["(SELECT qb FROM qbucket)"]
+        + [f"xor((SELECT qb FROM qbucket), {1 << i})" for i in range(multiprobe)]
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qbucket AS (SELECT {bucket_of('qv')} AS qb FROM q),
+bucketed AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {bucket_of('embedding::DOUBLE[]')} AS bucket
+  FROM embeddings
+)
+SELECT vec_id AS id,
+       round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cosine
+FROM bucketed
+WHERE bucket IN ({probes})
+ORDER BY cosine DESC, id ASC
+LIMIT {k}
+"""
+
+
 @query(
     "ann_lsh_topk",
-    covers="EXT-similarity (LSH-bucketed ANN — the pruned-scan scale path; rows-only check)",
+    covers="EXT-similarity (LSH-bucketed ANN — the pruned-scan scale path; FULL oracle incl. bucketing)",
+    oracle=_lsh_oracle_sql(),
 )
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
@@ -1318,3 +1355,54 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered = dedup_clusters(keepers, confirmed.select("id_a", "id_b"), "doc_id")
     survivors = clustered.filter(F.col("is_canonical"))
     return survivors.select("doc_id", "cluster_id", "lang", "source", "n_chars")
+
+
+@query(
+    "json_documents",
+    covers="S9 A9 (nested JSON document building — the report-sink shape: struct + ordered collect + to_json)",
+    oracle="""
+SELECT o_custkey,
+       to_json(struct_pack(
+         custkey := o_custkey,
+         n_orders := count(*),
+         total := round(sum(o_totalprice), 2),
+         orders := list(struct_pack(orderkey := o_orderkey,
+                                    price := round(o_totalprice, 2))
+                        ORDER BY o_orderkey)
+       )) AS doc
+FROM orders
+WHERE o_custkey % 10 = 0
+GROUP BY o_custkey
+""",
+)
+def json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's json_object/json_group_array document building
+    (parse_matches.sh:250-269, generate_lookup_data.sh heredocs) as
+    struct + sorted collect_list + to_json — byte-compatible with the
+    DuckDB rendering, proving the serving-layer documents are portable."""
+    o = load_tables(spark, sf_dir)["orders"]
+    per = (
+        o.filter(F.col("o_custkey") % 10 == 0)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("o_orderkey").alias("orderkey"),
+                        F.round("o_totalprice", 2).alias("price"),
+                    )
+                )
+            ).alias("orders"),
+        )
+    )
+    doc = F.to_json(
+        F.struct(
+            F.col("o_custkey").alias("custkey"),
+            F.col("n_orders").alias("n_orders"),
+            F.col("total").alias("total"),
+            F.col("orders").alias("orders"),
+        )
+    )
+    return per.select("o_custkey", doc.alias("doc"))

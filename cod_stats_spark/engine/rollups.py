@@ -74,9 +74,53 @@ def by_game_stats(stats: DataFrame, modes: DataFrame,
 
 
 def season_assign(stats: DataFrame) -> DataFrame:
-    """Interval-join each game into its seasons (fan-out: every game is
-    in 'lifetime' AND its season — SURVEY.md §7.4.11). Broadcast
-    nested-loop over an 18-row dim: zero shuffle."""
+    """Assign each game its seasons (fan-out: every game is in
+    'lifetime' AND its season — SURVEY.md §7.4.11).
+
+    Fast path exploiting the dim's structure: the non-lifetime seasons
+    PARTITION the timeline, so membership is a sorted CASE chain over
+    start bounds (pure codegen projection, no join at all); the
+    overlapping 'lifetime' row is a second projection unioned on. The
+    general overlapping-interval case stays in
+    operators/interval_join.py. Rows with no season (outside all
+    bounds) get only the lifetime row — identical to the interval join.
+    """
+    from cod_stats_spark.engine.dims import SEASONS
+
+    non_lifetime = sorted(
+        (s for s in SEASONS if s[0] != "lifetime"), key=lambda s: s[2]
+    )
+    lifetime = next(s for s in SEASONS if s[0] == "lifetime")
+
+    # CASE over start bounds descending: first start <= date_key wins;
+    # the end bound still applies (gaps between seasons exist in theory)
+    expr = F.lit(None).cast("string")
+    descr_expr = F.lit(None).cast("string")
+    sort_expr = F.lit(None).cast("int")
+    for sid, descr, start, end, sort_order in non_lifetime:
+        cond = (F.col("date_key") >= start) & (F.col("date_key") <= end)
+        expr = F.when(cond, F.lit(sid)).otherwise(expr)
+        descr_expr = F.when(cond, F.lit(descr)).otherwise(descr_expr)
+        sort_expr = F.when(cond, F.lit(sort_order)).otherwise(sort_expr)
+
+    in_season = stats.withColumns(
+        {"season_id": expr, "descr": descr_expr, "sort_order": sort_expr}
+    ).filter(F.col("season_id").isNotNull())
+    in_lifetime = stats.filter(
+        (F.col("date_key") >= lifetime[2]) & (F.col("date_key") <= lifetime[3])
+    ).withColumns(
+        {
+            "season_id": F.lit(lifetime[0]),
+            "descr": F.lit(lifetime[1]),
+            "sort_order": F.lit(lifetime[4]),
+        }
+    )
+    return in_season.unionByName(in_lifetime)
+
+
+def season_assign_general(stats: DataFrame) -> DataFrame:
+    """Reference implementation via the generic interval join (used to
+    cross-check the fast path in tests)."""
     seasons = seasons_df(stats.sparkSession).withColumnRenamed("id", "season_id")
     return interval_join(stats, seasons, "date_key", "start", "end")
 

@@ -261,3 +261,18 @@ class TestSeasonalReports:
         ps = js.loads((tmp_path / "players/alice_player_stats.json").read_text())
         assert ps[0]["season_id"] == "lifetime"
         assert any(r["season_id"] == "season05" for r in ps)
+
+
+class TestSeasonAssignFastPath:
+    def test_matches_general_interval_join(self, engine):
+        from cod_stats_spark.engine import rollups
+
+        fast = {
+            (r["game_id"], r["player_id"], r["season_id"])
+            for r in rollups.season_assign(engine.stats_wz()).collect()
+        }
+        general = {
+            (r["game_id"], r["player_id"], r["season_id"])
+            for r in rollups.season_assign_general(engine.stats_wz()).collect()
+        }
+        assert fast == general and len(fast) > 0

@@ -1,0 +1,77 @@
+"""MERGE emulation: insert-only, upsert, SCD2 history."""
+
+from __future__ import annotations
+
+
+def rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+class TestInsertOnly:
+    def test_ignores_existing_keys(self, spark):
+        from cod_stats_spark.operators.merge import insert_only
+
+        target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        source = spark.createDataFrame([(2, "B"), (3, "c"), (3, "c2")], "k long, v string")
+        out = insert_only(target, source, ["k"])
+        got = {r["k"]: r["v"] for r in out.collect()}
+        assert got[1] == "a" and got[2] == "b"  # existing untouched
+        assert got[3] in ("c", "c2") and out.count() == 3
+
+
+class TestUpsert:
+    def test_update_and_insert(self, spark):
+        from cod_stats_spark.operators.merge import upsert
+
+        target = spark.createDataFrame([(1, "a", 0), (2, "b", 0)], "k long, v string, ts long")
+        source = spark.createDataFrame(
+            [(2, "B1", 5), (2, "B2", 9), (3, "c", 1)], "k long, v string, ts long"
+        )
+        out = upsert(target, source, ["k"], "ts")
+        got = {r["k"]: r["v"] for r in out.collect()}
+        assert got == {1: "a", 2: "B2", 3: "c"}  # latest source version wins
+
+
+class TestScd2:
+    def _target(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "addr-old", "2020-01-01", "2021-01-01", False),
+                (1, "addr-v2", "2021-01-01", "9999-12-31T23:59:59Z", True),
+                (2, "addr-x", "2020-06-01", "9999-12-31T23:59:59Z", True),
+            ],
+            "k long, addr string, valid_from string, valid_to string, is_current boolean",
+        )
+
+    def test_changed_key_closes_and_appends(self, spark):
+        from cod_stats_spark.operators.merge import scd2_apply
+
+        src = spark.createDataFrame([(1, "addr-v3", "2022-05-01")], "k long, addr string, valid_from string")
+        out = scd2_apply(
+            self._target(spark), src, ["k"], ["addr"], "valid_from"
+        )
+        k1 = sorted(
+            ((r["addr"], r["valid_to"], r["is_current"]) for r in out.filter("k=1").collect())
+        )
+        assert ("addr-v2", "2022-05-01", False) in k1     # closed at new effective
+        assert ("addr-v3", "9999-12-31T23:59:59Z", True) in k1
+        assert ("addr-old", "2021-01-01", False) in k1    # history untouched
+        # unchanged key passes through
+        k2 = [(r["addr"], r["is_current"]) for r in out.filter("k=2").collect()]
+        assert k2 == [("addr-x", True)]
+
+    def test_same_value_is_noop(self, spark):
+        from cod_stats_spark.operators.merge import scd2_apply
+
+        src = spark.createDataFrame([(2, "addr-x", "2023-01-01")], "k long, addr string, valid_from string")
+        out = scd2_apply(self._target(spark), src, ["k"], ["addr"], "valid_from")
+        assert out.count() == self._target(spark).count()
+        assert out.filter("k=2 AND is_current").count() == 1
+
+    def test_new_key_inserts_current(self, spark):
+        from cod_stats_spark.operators.merge import scd2_apply
+
+        src = spark.createDataFrame([(9, "addr-new", "2024-01-01")], "k long, addr string, valid_from string")
+        out = scd2_apply(self._target(spark), src, ["k"], ["addr"], "valid_from")
+        r = out.filter("k=9").collect()
+        assert len(r) == 1 and r[0]["is_current"] and r[0]["valid_from"] == "2024-01-01"

@@ -1406,3 +1406,51 @@ def json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per.select("o_custkey", doc.alias("doc"))
+
+
+@query(
+    "stat_aggregates",
+    covers="EXT-olap (statistical aggregates: stddev/variance/corr/covar + bucketed histogram)",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4)            AS price_stddev,
+       round(var_samp(l_quantity), 4)                    AS qty_var,
+       round(corr(l_extendedprice, l_quantity), 6)       AS price_qty_corr,
+       round(covar_samp(l_extendedprice, l_discount), 4) AS price_disc_covar,
+       count(*)                                          AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("price_disc_covar"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "histogram",
+    covers="EXT-olap (fixed-width histogram via bucket arithmetic — width_bucket emulation)",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+       count(*)                                    AS n,
+       round(min(o_totalprice), 2)                 AS lo,
+       round(max(o_totalprice), 2)                 AS hi
+FROM orders
+GROUP BY bucket
+""",
+)
+def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

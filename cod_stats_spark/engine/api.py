@@ -286,3 +286,22 @@ def write_silver(
         ).option("path", path).saveAsTable(table_name)
     else:
         writer.parquet(path)
+
+
+def search_players(players: DataFrame, query: str, k: int = 10) -> DataFrame:
+    """Fuzzy player lookup (the reference's query_player.ts utility,
+    SURVEY S12): rank by exact-prefix, substring, then edit distance."""
+    from pyspark.sql import functions as F
+
+    q = query.lower()
+    scored = players.select(
+        "player_id",
+        "player_uno_id",
+        "is_core",
+        F.when(F.col("player_id").startswith(q), 0)
+        .when(F.col("player_id").contains(q), 1)
+        .otherwise(2)
+        .alias("tier"),
+        F.levenshtein(F.col("player_id"), F.lit(q)).alias("distance"),
+    )
+    return scored.orderBy("tier", "distance", "player_id").limit(k)

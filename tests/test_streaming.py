@@ -118,3 +118,59 @@ class TestStatefulSessionize:
             streaming_session_rollup(stream, gap_seconds=1800), output_mode="complete"
         )
         assert out.count() > 0
+
+
+class TestMatchIngestStream:
+    def test_stream_to_silver_idempotent(self, spark, fixture_dirs, tmp_path):
+        import json as js
+        import shutil
+        import time
+
+        from cod_stats_spark.engine.ingest import read_players_config
+        from cod_stats_spark.streaming.match_ingest import stream_matches_to_silver
+
+        mdir, pj = fixture_dirs
+        src = tmp_path / "incoming"
+        shutil.copytree(mdir, src)
+        players = read_players_config(spark, pj)
+        silver = str(tmp_path / "silver")
+        ckpt = str(tmp_path / "ckpt")
+
+        q = stream_matches_to_silver(spark, str(src), players, silver, ckpt)
+        try:
+            q.processAllAvailable()
+            n1 = spark.read.parquet(silver).count()
+            assert n1 > 0
+            # a file with an UNTRACKED uno id — must be dropped by the
+            # players semi join, not ingested
+            payload = (src / "match_g001_uno-a1.json").read_text()
+            (src / "match_g001b_unoZZZ.json").write_text(payload)
+            # and a genuinely new match
+            doc = js.loads(payload)
+            doc["utcEndSeconds"] += 777
+            (src / "match_g999_uno-b1.json").write_text(js.dumps(doc))
+            q.processAllAvailable()
+            out = spark.read.parquet(silver)
+            n2 = out.count()
+            assert out.filter("game_id = 'g999'").count() == 1
+            # untracked-player file ignored; re-processing never
+            # duplicated existing keys
+            assert out.filter("game_id = 'g001b'").count() == 0
+            keys = out.select("game_id", "player_uno_id").collect()
+            assert len(keys) == len({tuple(r) for r in keys})
+            assert n2 == n1 + 1  # only g999
+        finally:
+            q.stop()
+
+
+class TestPlayerSearch:
+    def test_fuzzy_rank(self, spark, fixture_dirs):
+        from cod_stats_spark.engine.api import search_players
+        from cod_stats_spark.engine.ingest import read_players_config
+
+        _, pj = fixture_dirs
+        players = read_players_config(spark, pj)
+        top = [r["player_id"] for r in search_players(players, "ali").collect()]
+        assert top[0] == "alice"
+        top2 = [r["player_id"] for r in search_players(players, "bob").collect()]
+        assert top2[0] == "bob"

@@ -84,12 +84,14 @@ def corrupt_matches(spark: SparkSession, path: str) -> DataFrame:
     )
     fname = F.input_file_name()
     # NB: Spark refuses scans whose referenced source columns are ONLY
-    # the corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and
-    # column pruning strips anything unused — so matchID stays in the
-    # OUTPUT (always null for corrupt rows; kept deliberately).
+    # the corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+    # Downstream pruning (e.g. .count()) can strip every other column,
+    # so the minimal projection is localCheckpoint'ed — the plan then
+    # roots at a materialized RDD and pruning cannot reach the scan.
     return (
         raw.select("matchID", "_corrupt_record")
         .withColumn("_file", fname)
+        .localCheckpoint(eager=False)
         .filter(F.col("_corrupt_record").isNotNull())
         .select(
             F.regexp_extract(F.col("_file"), FILENAME_RE, 1).alias("game_id"),

@@ -85,3 +85,38 @@ class TestCorruptAudit:
         assert bad[0]["game_id"] == "gbad"
         # and the corrupt file is NOT in bronze valid rows
         assert eng.valid_games().filter("game_id = 'gbad'").count() == 0
+
+
+class TestBucketedSilver:
+    def test_bucketing_eliminates_window_shuffle(self, spark, engine, tmp_path):
+        """Per-player windows (sessionization, time-series) read a
+        player-bucketed silver table WITHOUT an Exchange — the
+        co-location claim in write_silver's docstring, verified."""
+        import os
+        import uuid
+
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        from cod_stats_spark.engine.api import write_silver
+
+        name = f"vg_bucketed_{uuid.uuid4().hex[:6]}"
+        path = str(tmp_path / "bucketed")
+        write_silver(
+            engine.valid_games(), path, partition_by_day=False,
+            bucket_by_player=4, table_name=name,
+        )
+        tbl = spark.table(name)
+        w = Window.partitionBy("player_uno_id").orderBy("date_key")
+        plan = (
+            tbl.withColumn("rn", F.row_number().over(w))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        # same window over the un-bucketed frame DOES shuffle
+        plain_plan = (
+            engine.valid_games().withColumn("rn", F.row_number().over(w))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" in plain_plan
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -1454,3 +1454,30 @@ def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "stratified_sample",
+    covers="EXT-sampling (deterministic md5-threshold stratified sampling — the exact sample reproduces in any engine)",
+    oracle=f"""
+SELECT event_id, event_type
+FROM events
+WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 5))::BIGINT <
+      CASE event_type
+        WHEN 'view' THEN {int(0.1 * (1 << 20))}
+        WHEN 'click' THEN {int(0.25 * (1 << 20))}
+        ELSE {1 << 20}
+      END
+""",
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample high-volume event types (view→10%, click→25%), keep
+    the rest whole — reproducibly: the sample is a pure function of the
+    key hash, so the oracle engine draws the IDENTICAL sample."""
+    from cod_stats_spark.operators.sampling import stratified_sample
+
+    ev = load_tables(spark, sf_dir)["events"]
+    out = stratified_sample(
+        ev, "event_id", "event_type", {"view": 0.1, "click": 0.25}
+    )
+    return out.select("event_id", "event_type")

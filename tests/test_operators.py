@@ -172,3 +172,33 @@ class TestAsofJoin:
         right = spark.createDataFrame([(1, 100, 5.0)], "k long, rts long, price double")
         r = asof_join(left, right, ["k"], "ts", "rts", ["price"]).first()
         assert r["price"] == 5.0
+
+
+class TestDeterministicSampling:
+    def test_stable_under_repartition(self, spark):
+        from cod_stats_spark.operators.sampling import deterministic_sample
+
+        df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+        a = {r["id"] for r in deterministic_sample(df, "id", 0.3).collect()}
+        b = {r["id"] for r in deterministic_sample(df.repartition(13), "id", 0.3).collect()}
+        assert a == b
+        assert 0.25 < len(a) / 2000 < 0.35
+
+    def test_salt_draws_independent_sample(self, spark):
+        from cod_stats_spark.operators.sampling import deterministic_sample
+
+        df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+        a = {r["id"] for r in deterministic_sample(df, "id", 0.3).collect()}
+        c = {r["id"] for r in deterministic_sample(df, "id", 0.3, salt="x").collect()}
+        assert a != c
+
+    def test_stratified_rates(self, spark):
+        from cod_stats_spark.operators.sampling import stratified_sample
+
+        rows = [(i, "big" if i % 2 else "small") for i in range(4000)]
+        df = spark.createDataFrame(rows, "id long, grp string")
+        out = stratified_sample(df, "id", "grp", {"big": 0.1}, default_fraction=1.0)
+        got = out.groupBy("grp").count().collect()
+        by = {r["grp"]: r["count"] for r in got}
+        assert by["small"] == 2000          # default 1.0 keeps everything
+        assert 120 < by["big"] < 280        # ~10% of 2000

@@ -63,9 +63,45 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+class _LazyTables(dict):
+    """dict-compatible catalog that defers each table's reader creation
+    (parquet footer read + schema resolution) until first access."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        self._spark = spark
+        self._dir = sf_dir
+
+    def __missing__(self, name: str) -> DataFrame:
+        if name not in TABLE_NAMES:
+            raise KeyError(name)
+        df = read_parquet(self._spark, f"{self._dir}/{name}.parquet")
+        self[name] = df
+        return df
+
+    def keys(self):  # keep dict-like iteration over the full catalog
+        return list(TABLE_NAMES)
+
+    def items(self):
+        return [(n, self[n]) for n in TABLE_NAMES]
+
+
+# (session id, sf_dir) -> catalog; DataFrames are plans, safe to reuse
+# across queries within one session
+_CATALOG_CACHE: dict[tuple[int, str], _LazyTables] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    """Catalog of the testdata tables. Lazy per table and cached per
+    (session, dir): a query touching 2 tables pays 2 footer reads, not
+    10, and repeat queries pay none."""
     d = sf_dir or DEFAULT_SF_DIR
-    return {name: read_parquet(spark, f"{d}/{name}.parquet") for name in TABLE_NAMES}
+    key = (id(spark), d)
+    cat = _CATALOG_CACHE.get(key)
+    if cat is None:
+        cat = _LazyTables(spark, d)
+        _CATALOG_CACHE[key] = cat
+    return cat
 
 
 def register_views(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

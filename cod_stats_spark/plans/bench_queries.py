@@ -1481,3 +1481,23 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_id", "event_type", {"view": 0.1, "click": 0.25}
     )
     return out.select("event_id", "event_type")
+
+
+@query(
+    "set_ops_extended",
+    covers="U1+ (INTERSECT / EXCEPT — set ops beyond the reference's UNION/NOT IN)",
+    oracle="""
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+     b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT 'f_only' AS tag, o_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+""",
+)
+def set_ops_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    both = a.intersect(b).select(F.lit("both").alias("tag"), "o_custkey")
+    only = a.exceptAll(b).select(F.lit("f_only").alias("tag"), "o_custkey")
+    return both.unionByName(only)

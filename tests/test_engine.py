@@ -276,3 +276,46 @@ class TestSeasonAssignFastPath:
             for r in rollups.season_assign_general(engine.stats_wz()).collect()
         }
         assert fast == general and len(fast) > 0
+
+
+class TestMetrics:
+    def test_division_guard_conventions(self, spark):
+        import pyspark.sql.functions as F
+
+        from cod_stats_spark.engine import metrics as M
+
+        df = spark.createDataFrame(
+            [(10, 0, 2000, 0, 3, 1), (10, 5, 2000, 10, 0, 0)],
+            "kills long, deaths long, damage long, games long, gw long, gl long",
+        )
+        out = df.select(
+            M.kd_sql(F.col("kills"), F.col("deaths")).alias("kd_sql"),
+            M.kd_client(F.col("kills"), F.col("deaths")).alias("kd_client"),
+            M.per_game(F.col("damage"), F.col("games")).alias("dpg"),
+            M.damage_per_kill_int(F.col("damage"), F.col("kills")).alias("dpk"),
+            M.gulag_win_pct_int(F.col("gw"), F.col("gl")).alias("gpct"),
+        ).collect()
+        r0, r1 = out
+        assert r0["kd_sql"] is None            # SQL: /0 -> NULL
+        assert r0["kd_client"] == 10.0         # client: deaths=0 treated as 1
+        assert r1["kd_sql"] == 2.0 and r1["kd_client"] == 2.0
+        assert r0["dpg"] is None and r1["dpg"] == 200.0
+        assert r0["dpk"] == 200 and r1["dpk"] == 200   # integer division
+        assert r0["gpct"] == 75 and r1["gpct"] is None
+
+
+class TestTestdataViews:
+    def test_register_views_sql(self, spark):
+        import os
+
+        import pytest
+
+        if not os.path.isdir("/root/testdata/sf0.001"):
+            pytest.skip("driver testdata not present")
+        from cod_stats_spark.tables import register_views
+
+        register_views(spark, "/root/testdata/sf0.001")
+        n = spark.sql(
+            "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        ).first()["n"]
+        assert n > 0

@@ -108,3 +108,36 @@ def seasonal_by_game_timeseries(by_game: DataFrame, seasons: DataFrame) -> DataF
     return cumulative_frames(
         out, ["player_id", "season_id"], order, TS_METRICS, suffix="cume"
     )
+
+
+def with_ratio_series(ts: DataFrame, suffixes: tuple[str, ...] = ("s3", "s7", "cume")) -> DataFrame:
+    """Derived ratio series per frame — the browser statResolver math
+    (reference frontend/resources/scripts/index.js:19-135) computed
+    engine-side so the serving layer stays dumb (SURVEY §3 entry 3).
+
+    Client division rule: deaths=0 treated as 1 (index.js:27-28);
+    zero-game windows yield NULL.
+    """
+    from cod_stats_spark.engine import metrics as M
+
+    out = ts
+    for sfx in suffixes:
+        kills = F.col(f"kills_sum_{sfx}")
+        deaths = F.col(f"deaths_sum_{sfx}")
+        games = F.col(f"matchesPlayed_sum_{sfx}")
+        dmg = F.col(f"damageDone_sum_{sfx}")
+        gw = F.col(f"gulagKills_sum_{sfx}")
+        gl = F.col(f"gulagDeaths_sum_{sfx}")
+        out = (
+            out.withColumn(f"kdRatio_calc_{sfx}", M.kd_client(kills, deaths))
+            .withColumn(f"killsPerGame_{sfx}", M.per_game(kills, games))
+            .withColumn(f"damagePerGame_{sfx}", M.per_game(dmg, games))
+            .withColumn(f"gulagWinPct_{sfx}", M.rate_pct(gw, gw + gl))
+            .withColumn(
+                f"monsterPct_{sfx}", M.rate_pct(F.col(f"monsters_sum_{sfx}"), games)
+            )
+            .withColumn(
+                f"gooseeggPct_{sfx}", M.rate_pct(F.col(f"gooseeggs_sum_{sfx}"), games)
+            )
+        )
+    return out

@@ -319,3 +319,24 @@ class TestTestdataViews:
             "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
         ).first()["n"]
         assert n > 0
+
+
+class TestRatioSeries:
+    def test_client_resolver_math(self, engine):
+        from cod_stats_spark.engine.timeseries import with_ratio_series
+
+        ts = with_ratio_series(engine.daily_timeseries(), suffixes=("cume",))
+        rows = sorted(
+            (r.asDict() for r in ts.filter("player_id = 'alice'").collect()),
+            key=lambda r: r["date_key"],
+        )
+        last = rows[-1]
+        # ratio-of-sums over the cumulative frame, client deaths-guard
+        exp_kd = last["kills_sum_cume"] / max(last["deaths_sum_cume"], 1)
+        assert abs(last["kdRatio_calc_cume"] - exp_kd) < 1e-9
+        assert abs(
+            last["killsPerGame_cume"]
+            - last["kills_sum_cume"] / last["matchesPlayed_sum_cume"]
+        ) < 1e-9
+        gw, gl = last["gulagKills_sum_cume"], last["gulagDeaths_sum_cume"]
+        assert abs(last["gulagWinPct_cume"] - 100.0 * gw / (gw + gl)) < 1e-9

@@ -62,10 +62,21 @@ def make_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Header layout (ASCII): ``FAKE|<w>|<h>|<frames>|<rate>|`` followed by
     the UTF-8 payload bytes. Used by tests and the bench harness so the
     decode path has real bytes to chew on without bundled media files.
+
+    Dimensions derive from md5 prefixes (not xxhash/crc32) so an
+    independent engine can recompute the expected metadata — the
+    correctness gate rebuilds this header in DuckDB and cross-checks
+    the decoded output.
     """
-    w = (F.crc32(F.col(text_col).cast("binary")) % 1920 + 1).cast("int")
-    h = (F.crc32(F.reverse(F.col(text_col)).cast("binary")) % 1080 + 1).cast("int")
-    frames = (F.crc32(F.concat(F.col(text_col), F.lit("f")).cast("binary")) % 300 + 1).cast("int")
+
+    def _md5_dim(col, modulus):
+        return (
+            F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long") % modulus + 1
+        ).cast("int")
+
+    w = _md5_dim(F.col(text_col), 1920)
+    h = _md5_dim(F.reverse(F.col(text_col)), 1080)
+    frames = _md5_dim(F.concat(F.col(text_col), F.lit("f")), 300)
     rate = F.lit(16000)
     header = F.concat_ws(
         "|", F.lit("FAKE"), w.cast("string"), h.cast("string"),

@@ -991,9 +991,34 @@ def quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MULTIMODAL_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, text,
+    (('0x' || substr(md5(text), 1, 6))::BIGINT % 1920 + 1)::INT                    AS width,
+    (('0x' || substr(md5(reverse(text)), 1, 6))::BIGINT % 1080 + 1)::INT           AS height,
+    (('0x' || substr(md5(text || 'f'), 1, 6))::BIGINT % 300 + 1)::INT              AS n_frames
+  FROM documents
+), built AS (
+  SELECT doc_id AS media_id, 'image' AS media_type, 'fake' AS format,
+         width, height, n_frames,
+         16000 AS sample_rate,
+         'FAKE|' || width || '|' || height || '|' || n_frames || '|16000|' || text AS payload
+  FROM dims
+)
+SELECT media_id, media_type, format, width, height, n_frames,
+       octet_length(encode(payload))::BIGINT AS n_bytes,
+       sha256(payload) AS sha256,
+       ceil(width  * least(1.0, 512.0 / greatest(width, height)))::INT AS target_width,
+       ceil(height * least(1.0, 512.0 / greatest(width, height)))::INT AS target_height,
+       (floor((n_frames - 1) / 30) + 1)::INT AS n_sampled_frames
+FROM built
+"""
+
+
 @query(
     "multimodal_decode",
-    covers="EXT-multimodal (binary media column → mapInPandas decode → metadata plan; rows-only check)",
+    covers="EXT-multimodal (binary media column → mapInPandas decode → metadata plan; FULL oracle: header rebuilt + sha256 cross-checked)",
+    oracle=MULTIMODAL_ORACLE,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payloads synthesized deterministically from documents (no

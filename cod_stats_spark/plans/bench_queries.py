@@ -1128,17 +1128,48 @@ def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _near_dup_oracle_sql(dim: int = 64, n_planes: int = 4, threshold: float = 0.3,
+                         max_bucket: int = 2000) -> str:
+    """Generated oracle for LSH-bucketed near-dup pairs: same
+    deterministic hyperplanes, bucket self-join, cosine threshold."""
+    from cod_stats_spark.operators.similarity import _hyperplane
+
+    def plane_lit(i):
+        return "[" + ", ".join(repr(v) for v in _hyperplane(dim, i)) + "]"
+
+    bucket_of = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane_lit(i)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {bucket_of} AS bucket FROM embeddings
+), sized AS (
+  SELECT bucket FROM b GROUP BY bucket HAVING count(*) BETWEEN 2 AND {max_bucket}
+)
+SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
+       round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+JOIN sized s ON s.bucket = x.bucket
+WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {threshold}
+"""
+
+
 @query(
     "embedding_near_dup",
-    covers="EXT-dedup EXT-similarity (embedding-cosine near-dup pairs, LSH-bucketed; rows-only check)",
+    covers="EXT-dedup EXT-similarity (embedding-cosine near-dup pairs, LSH-bucketed; FULL oracle)",
+    oracle=_near_dup_oracle_sql(),
 )
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cod_stats_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     dim = len(emb.select("embedding").first()["embedding"])
+    # threshold 0.3: random embeddings have no true near-dups, so a
+    # production-strength 0.9 passes vacuously (0 rows both sides);
+    # 0.3 makes the oracle compare a real pair set (~130 pairs)
     return embedding_near_dup_pairs(
-        emb, "embedding", "vec_id", dim=dim, threshold=0.9, n_planes=4
+        emb, "embedding", "vec_id", dim=dim, threshold=0.3, n_planes=4
     )
 
 

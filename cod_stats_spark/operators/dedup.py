@@ -248,13 +248,17 @@ def ngram_jaccard_pairs(
     union via array ops. Run AFTER LSH — never on all pairs.
     """
     sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
-    )
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
     joined = candidate_pairs.join(a, "id_a").join(b, "id_b")
+    # |A∪B| = |A| + |B| − |A∩B| (shingle arrays are distinct) — one
+    # array_intersect per pair instead of intersect + union, with sizes
+    # precomputed on the build sides before the join
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    union = F.col("sz_a") + F.col("sz_b") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
         joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))

@@ -154,11 +154,11 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        count(*)                                                       AS n_events,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)       AS n_purchases,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)          AS n_errors,
-       round(sum(CASE WHEN event_type = 'error' THEN 0.0 ELSE value END), 4) AS sum_value_nonerror,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)    AS n_errors,
+       round(sum(CAST(CASE WHEN event_type = 'error' THEN 0.0 ELSE value END AS DECIMAL(30,8))), 4)::DOUBLE AS sum_value_nonerror,
        round(max(value), 4)                                           AS max_value,
-       sum(CAST(props->>'$.k' AS BIGINT))                             AS sum_k
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)             AS sum_k
 FROM events
 GROUP BY user_id
 HAVING count(*) > 5
@@ -176,9 +176,15 @@ def conditional_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
             F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
             F.round(
-                F.sum(F.when(F.col("event_type") == "error", F.lit(0.0)).otherwise(F.col("value"))),
+                F.sum(
+                    F.when(F.col("event_type") == "error", F.lit(0.0))
+                    .otherwise(F.col("value"))
+                    .cast("decimal(30,8)")
+                ),
                 4,
-            ).alias("sum_value_nonerror"),
+            )
+            .cast("double")
+            .alias("sum_value_nonerror"),
             F.round(F.max("value"), 4).alias("max_value"),
             F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
         )
@@ -467,11 +473,11 @@ def order_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers="A7 (pivot via MAX/SUM(CASE) with coalesce defaults)",
     oracle="""
 SELECT c_mktsegment,
-       sum(CASE WHEN o_orderpriority = '1-URGENT'        THEN 1 ELSE 0 END) AS urgent,
-       sum(CASE WHEN o_orderpriority = '2-HIGH'          THEN 1 ELSE 0 END) AS high,
-       sum(CASE WHEN o_orderpriority = '3-MEDIUM'        THEN 1 ELSE 0 END) AS medium,
-       sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS not_specified,
-       sum(CASE WHEN o_orderpriority = '5-LOW'           THEN 1 ELSE 0 END) AS low
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS urgent,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS high,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS medium,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS low
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """,
@@ -561,8 +567,8 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_number
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_number
   FROM flagged
 )
 SELECT user_id, session_number,
@@ -570,7 +576,7 @@ SELECT user_id, session_number,
        min(ts)   AS session_start,
        max(ts)   AS session_end,
        count(*)  AS n_events,
-       round(sum(value), 4) AS sum_value
+       round(sum(CAST(value AS DECIMAL(30,8))), 4)::DOUBLE AS sum_value
 FROM numbered
 GROUP BY user_id, session_number
 """
@@ -590,7 +596,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "ts", ["user_id"], SESSION_GAP_SECONDS, tiebreak_cols=["event_id"]
     )
     rolled = session_rollup(
-        s, "ts", ["user_id"], aggs=[F.round(F.sum("value"), 4).alias("sum_value")]
+        s,
+        "ts",
+        ["user_id"],
+        aggs=[
+            F.round(F.sum(F.col("value").cast("decimal(30,8)")), 4)
+            .cast("double")
+            .alias("sum_value")
+        ],
     )
     return rolled.withColumn(
         "session_id",
@@ -1334,13 +1347,14 @@ WITH flagged AS (
               OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), numbered AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS UNBOUNDED PRECEDING) AS session_number
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_number
   FROM flagged
 ), sessions AS (
   SELECT user_id, session_number,
          min(ts) AS session_start, max(ts) AS session_end,
-         count(*) AS n_events, round(sum(value), 4) AS sum_value
+         count(*) AS n_events,
+         round(sum(CAST(value AS DECIMAL(30,8))), 4)::DOUBLE AS sum_value
   FROM numbered GROUP BY user_id, session_number
 )
 SELECT * FROM sessions s

@@ -110,10 +110,14 @@ def stateful_sessionize(
 
         (user_id,) = key
         if state.exists:
-            session_number, last_us, start_us, n_events, sum_value = state.get
+            session_number, last_us, start_us, n_events, sum_units = state.get
         else:
-            session_number, last_us, start_us, n_events, sum_value = 0, None, None, 0, 0.0
+            session_number, last_us, start_us, n_events, sum_units = 0, None, None, 0, 0.0
 
+        # sum_units accumulates value quantized to 1e-4 units (exact
+        # integers in a double up to 2^53), so the emitted per-session sum
+        # is order-independent and bit-identical to an exact DECIMAL sum —
+        # float accumulation would drift from the batch/DuckDB result.
         closed = []
         for pdf in pdfs:
             if pdf.empty:
@@ -125,15 +129,15 @@ def stateful_sessionize(
                 if last_us is None or ts_us - last_us >= gap_us:
                     if last_us is not None:
                         closed.append(
-                            (user_id, session_number, start_us, last_us, n_events, sum_value)
+                            (user_id, session_number, start_us, last_us, n_events, sum_units)
                         )
                     session_number += 1
-                    start_us, n_events, sum_value = ts_us, 0, 0.0
+                    start_us, n_events, sum_units = ts_us, 0, 0.0
                 last_us = ts_us
                 n_events += 1
-                sum_value += float(value)
+                sum_units += float(round(float(value) * 10000.0))
 
-        state.update((session_number, last_us, start_us, n_events, sum_value))
+        state.update((session_number, last_us, start_us, n_events, sum_units))
         if closed:
             yield pd.DataFrame(
                 {
@@ -142,7 +146,7 @@ def stateful_sessionize(
                     "session_start": [pd.Timestamp(c[2], unit="us") for c in closed],
                     "session_end": [pd.Timestamp(c[3], unit="us") for c in closed],
                     "n_events": [c[4] for c in closed],
-                    "sum_value": [round(c[5], 4) for c in closed],
+                    "sum_value": [c[5] / 10000.0 for c in closed],
                 }
             )
 

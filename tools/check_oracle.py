@@ -27,6 +27,8 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")
+        if math.isinf(v):
+            return ("f", "inf" if v > 0 else "-inf")
         # floats are pre-rounded in the queries; normalize -0.0 and int-like
         if v == int(v) and abs(v) < 1e15:
             return ("f", float(v))
@@ -40,6 +42,61 @@ def canon(v):
     if isinstance(v, (list, tuple)):
         return ("arr", tuple(canon(x) for x in v))
     return ("s", str(v))
+
+
+def _spark_type_class(dt) -> str:
+    name = dt.typeName()
+    return {
+        "byte": "int", "short": "int", "integer": "int", "long": "int",
+        "float": "float", "double": "float",
+        "decimal": "decimal",
+        "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
+        "string": "str", "boolean": "bool", "binary": "binary",
+        "array": "list",
+    }.get(name, name)
+
+
+def _arrow_type_class(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    return str(t)
+
+
+def type_audit(sdf, con, sql) -> list[str]:
+    """The driver compares Arrow/pandas-converted values, so a DuckDB
+    HUGEINT (sum of ints -> decimal128, pandas float64) hash-mismatches a
+    Spark bigint even when fetchall() values compare equal. Flag any
+    column whose Arrow type class differs from Spark's."""
+    arrow_schema = con.execute(sql).arrow().schema
+    spark_types = {f.name: _spark_type_class(f.dataType) for f in sdf.schema.fields}
+    problems = []
+    for field in arrow_schema:
+        oc = _arrow_type_class(field.type)
+        sc = spark_types.get(field.name)
+        if sc is not None and oc != sc:
+            problems.append(
+                f"type class differs on '{field.name}': spark={sc} oracle={oc} "
+                f"(arrow {field.type}) — driver hash will mismatch; cast the oracle"
+            )
+    return problems
 
 
 def df_multiset(cols, rows):
@@ -100,6 +157,10 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        try:
+            problems += type_audit(sdf, con, oracles[name])
+        except Exception as e:
+            problems.append(f"type audit error: {e}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns differ: spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):

@@ -823,9 +823,57 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(docs, "text", "doc_id", max_hamming=8, bands=4)
 
 
+# Shingle construction mirrored in DuckDB SQL: normalize (lower,
+# collapse whitespace, trim) → whitespace tokens → distinct word
+# 3-grams; empty docs get the single empty-string shingle — exactly
+# functions/text.py::shingles.
+_SHINGLES_SQL = r"""
+  SELECT doc_id,
+         CASE WHEN len(tk) = 0 THEN ['']
+              ELSE list_distinct(list_transform(
+                     generate_series(0, greatest(len(tk)-3, 0)),
+                     i -> array_to_string(tk[i+1:i+3], ' ')))
+         END AS s
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                       t -> t <> '') AS tk
+    FROM {src}
+  )
+"""
+
+
+def _jaccard_pairs_sql(threshold: float, src: str = "documents") -> str:
+    """All-pairs n-gram Jaccard >= threshold in DuckDB. The Spark side
+    only verifies LSH candidates, but on this data the banded-LSH miss
+    probability at J >= {threshold} is < 1e-4 per pair (observed pairs
+    all have J >= 0.9), so candidate-verify == all-pairs-verify,
+    deterministically for fixed data — which upgrades the gate from
+    rows-only to a full value oracle that also PROVES LSH recall."""
+    sh = _SHINGLES_SQL.format(src=src)
+    return f"""
+WITH sh AS ({sh}),
+scored AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s))::DOUBLE AS i,
+         len(a.s) + len(b.s) AS ab
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id
+   -- sound prune: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs with
+   -- mismatched set sizes can't reach the threshold (1e-6 guard for
+   -- the round-to-6 boundary)
+   AND least(len(a.s), len(b.s))::DOUBLE / greatest(len(a.s), len(b.s)) >= {threshold} - 1e-6
+)
+SELECT id_a, id_b, round(i / (ab - i), 6) AS jaccard
+FROM scored
+WHERE (ab - i) > 0 AND round(i / (ab - i), 6) >= {threshold}
+"""
+
+
 @query(
     "dedup_jaccard",
-    covers="EXT-dedup (n-gram Jaccard verification of LSH candidates; rows-only check)",
+    covers="EXT-dedup (n-gram Jaccard verification of LSH candidates; FULL oracle: all-pairs Jaccard in SQL, also proves LSH recall)",
+    oracle=_jaccard_pairs_sql(0.5),
 )
 def dedup_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
@@ -1186,19 +1234,68 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_N_CENTROIDS = 24
+IVF_NPROBE = 3
+
+
+def _ivf_oracle_sql(n_centroids: int = IVF_N_CENTROIDS, nprobe: int = IVF_NPROBE, k: int = 10) -> str:
+    """Generated oracle for IVF probe search. The centroid sample is a
+    deterministic fixed-count rule (md5-hashed id order) reproduced
+    verbatim in SQL, so centroid choice, nearest-centroid assignment
+    (argmax cosine, earlier-sample-order tiebreak), probe-set selection
+    (dot product to the query), and the final pruned top-k are ALL
+    verified — the ann_lsh_topk technique applied to IVF."""
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+         row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS ord
+  FROM embeddings
+  ORDER BY md5(vec_id::VARCHAR), vec_id
+  LIMIT {n_centroids}
+), q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT cid FROM cent
+  ORDER BY list_dot_product(cv, (SELECT qv FROM q)) DESC, ord ASC
+  LIMIT {nprobe}
+), assigned AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.ord ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cent c
+)
+SELECT vec_id AS id,
+       round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cosine
+FROM assigned
+WHERE rn = 1 AND cid IN (SELECT cid FROM probes)
+ORDER BY cosine DESC, id ASC
+LIMIT {k}
+"""
+
+
 @query(
     "ann_ivf_topk",
-    covers="EXT-similarity (IVF probe search — sampled centroids, nprobe pruning; rows-only check)",
+    covers="EXT-similarity (IVF probe search — fixed-count deterministic centroid sample, nprobe pruning; FULL oracle incl. assignment + probe set)",
+    oracle=_ivf_oracle_sql(),
 )
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cod_stats_spark.operators.similarity import ivf_topk
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    sample = emb.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding").collect()
+    # Fixed-count deterministic sample (NOT id % k, whose size grows
+    # with the table): order by md5(id) and take the first N — a bounded
+    # driver collect at any scale, and reproducible in the oracle SQL.
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id"))
+        .limit(IVF_N_CENTROIDS)
+        .collect()
+    )
     centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in sample]
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     qvec = [float(x) for x in qrow["embedding"]]
-    return ivf_topk(emb, "embedding", "vec_id", qvec, centroids, k=10, nprobe=3)
+    return ivf_topk(emb, "embedding", "vec_id", qvec, centroids, k=10, nprobe=IVF_NPROBE)
 
 
 @query(
@@ -1385,25 +1482,93 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sketch_aggregates",
-    covers="EXT-olap (approximate sketches: HLL distinct + quantile sketch; rows-only — sketch internals differ across engines)",
+    covers="EXT-olap (approximate sketches: HLL distinct + quantile sketch; bounded-error oracle — estimates asserted within rated error of exact values)",
+    oracle="""
+SELECT event_type,
+       count(*)                AS n,
+       count(DISTINCT user_id) AS exact_users,
+       true                    AS hll_within_bounds,
+       true                    AS median_within_bounds
+FROM events
+GROUP BY event_type
+""",
 )
 def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path for distincts/quantiles: approx_count_distinct
     (HyperLogLog++) and percentile_approx (KLL-style) — mergeable
-    partial states, constant memory, one pass. Exact counterparts are
-    oracle-checked in daily_distinct/quantiles; sketches are rows-only
-    because sketch estimates are engine-specific."""
+    partial states, constant memory, one pass. Sketch ESTIMATES are
+    engine-specific, so the oracle checks bounded error instead of
+    values: the query emits exact counts plus booleans asserting the
+    HLL estimate lands within 5× its rated rsd and the approx median
+    inside the exact p40–p60 band; the driver's exact-hash compare then
+    verifies the bounds held."""
     ev = load_tables(spark, sf_dir)["events"]
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+    agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("_approx_median"),
+        F.percentile("value", 0.4).alias("_p40"),
+        F.percentile("value", 0.6).alias("_p60"),
     )
+    return agg.select(
+        "event_type",
+        "n",
+        "exact_users",
+        (
+            F.abs(F.col("_approx_users") - F.col("exact_users"))
+            <= F.greatest(F.col("exact_users") * 0.10, F.lit(3.0))
+        ).alias("hll_within_bounds"),
+        F.col("_approx_median").between(F.col("_p40"), F.col("_p60")).alias(
+            "median_within_bounds"
+        ),
+    )
+
+
+def _dedup_pipeline_oracle_sql(threshold: float = 0.7) -> str:
+    """Full-pipeline oracle: exact dedup, all-pairs Jaccard among the
+    keepers (== LSH-candidates∘verify, see _jaccard_pairs_sql), then
+    connected components via a recursive CTE (min-label closure), then
+    canonical survivors."""
+    sh = _SHINGLES_SQL.format(src="keepers_docs")
+    return f"""
+WITH RECURSIVE keepers AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+), keepers_docs AS (
+  SELECT d.* FROM documents d JOIN keepers k USING (doc_id)
+), sh AS ({sh}),
+scored AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s))::DOUBLE AS i,
+         len(a.s) + len(b.s) AS ab
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id
+   AND least(len(a.s), len(b.s))::DOUBLE / greatest(len(a.s), len(b.s)) >= {threshold} - 1e-6
+), confirmed AS (
+  SELECT id_a, id_b FROM scored
+  WHERE (ab - i) > 0 AND round(i / (ab - i), 6) >= {threshold}
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM confirmed
+  UNION SELECT id_b, id_a FROM confirmed
+), reach(id, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id
+), removed AS (
+  SELECT id FROM reach GROUP BY id HAVING min(lab) < id
+)
+SELECT k.doc_id, k.doc_id AS cluster_id, k.lang, k.source, k.n_chars
+FROM keepers_docs k
+WHERE k.doc_id NOT IN (SELECT id FROM removed)
+"""
 
 
 @query(
     "dedup_pipeline",
-    covers="EXT-dedup (composite pipeline: exact -> MinHash-LSH -> Jaccard verify -> connected-component clusters -> canonical survivors; rows-only)",
+    covers="EXT-dedup (composite pipeline: exact -> MinHash-LSH -> Jaccard verify -> connected-component clusters -> canonical survivors; FULL oracle via recursive-CTE components)",
+    oracle=_dedup_pipeline_oracle_sql(),
 )
 def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup removal as a single lazy plan: exact dedup

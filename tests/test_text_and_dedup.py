@@ -120,6 +120,35 @@ class TestDedup:
         pairs = simhash_near_pairs(df, "text", "doc_id", max_hamming=0).collect()
         assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
 
+    def test_hot_bucket_is_star_routed_not_dropped(self, spark):
+        # 30 identical docs land in one LSH bucket > max_bucket_size=10:
+        # members must still connect (hub-and-spoke to the min id), not
+        # silently lose every pair as a pre-round-2 cap drop did.
+        docs = [(i, "hot template text repeated verbatim in every row") for i in range(30)]
+        docs.append((99, "entirely different content about something else"))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                df, "text", "doc_id", num_hashes=32, bands=16, max_bucket_size=10
+            ).collect()
+        }
+        assert pairs == {(0, i) for i in range(1, 30)}
+        # same contract for the embedding path
+        from cod_stats_spark.operators.similarity import embedding_near_dup_pairs
+
+        emb = spark.createDataFrame(
+            [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        epairs = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                emb, "embedding", "vec_id", dim=4, threshold=0.9, max_bucket_size=5
+            ).collect()
+        }
+        assert epairs == {(0, i) for i in range(1, 20)}
+
     def test_jaccard_exact_values(self, spark):
         df = spark.createDataFrame(
             [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c x y")],

@@ -193,8 +193,17 @@ class Engine:
 
     # ---- serving layer
 
-    def write_reports(self, out_dir: str) -> list[str]:
-        """Emit the static-site JSON documents (reference stage 3)."""
+    def write_reports(self, out_dir: str, now=None) -> list[str]:
+        """Emit the static-site JSON documents (reference stage 3).
+
+        Top-k documents (boards, recents, dims) are tiny by
+        construction and collected to the driver. Per-player documents
+        are written DISTRIBUTED: each (player, season) group is folded
+        to one row executor-side and written from foreachPartition, so
+        the driver never holds the full timeseries/session row set
+        (``out_dir`` must be driver+executor-visible storage — true in
+        local mode and for shared filesystems/object stores).
+        """
         written = []
 
         def emit(rel: str, payload) -> None:
@@ -216,17 +225,168 @@ class Engine:
         emit("recent_matches.json", rep.recent_matches_doc(self.recent_matches()))
         emit("recent_sessions.json", rep.sessions_doc(self.recent_sessions()))
         emit("seasons.json", rep.seasons_doc())
-        emit("meta.json", rep.meta_doc())
+        emit("meta.json", rep.meta_doc(now))
 
-        players = [r["player_id"] for r in self.players.select("player_id").distinct().collect()]
+        written += self._write_player_docs(out_dir)
+        return written
 
-        # per-(player, season) series: ONE distributed job each, fanned
-        # into files driver-side (reference: one SQL query per file)
+    # per-player document fan-out ------------------------------------
+
+    PLAYER_DOC_SORTS = {
+        "time": ["date_key"],
+        "game": ["date_key", "mode", "kills", "game_id"],
+    }
+
+    def _player_season_combos(self) -> tuple[list[str], list[str]]:
+        players = sorted(
+            r["player_id"] for r in self.players.select("player_id").distinct().collect()
+        )
+        season_ids = sorted(
+            {
+                r["season_id"]
+                for r in self.seasonal_daily_timeseries()
+                .select("season_id")
+                .distinct()
+                .collect()
+            }
+            | {"lifetime"}
+        )
+        return players, season_ids
+
+    @staticmethod
+    def _grouped_rows(df: DataFrame, group_cols: list[str], sort_cols: list[str]) -> DataFrame:
+        """One row per group: (group_cols..., rows) with ``rows`` the
+        group's full rows sorted by ``sort_cols`` (original column
+        order preserved via the k/v struct trick — sort_array orders
+        structs field-by-field)."""
+        from pyspark.sql import functions as F
+
+        kv = F.struct(
+            F.struct(*[F.col(c) for c in sort_cols]).alias("k"),
+            F.struct(*[F.col(c) for c in df.columns]).alias("v"),
+        )
+        return df.groupBy(*group_cols).agg(
+            F.transform(F.array_sort(F.collect_list(kv)), lambda x: x["v"]).alias("rows")
+        )
+
+    @staticmethod
+    def _foreach_write(df: DataFrame, out_dir: str, rel_template: str, payload_fn) -> None:
+        """Executor-side writer: each row becomes one JSON file.
+        ``payload_fn`` must be self-contained (pickled by value) —
+        module references would require the package on worker paths."""
+
+        def write_part(it):
+            import json as _json
+            import os as _os
+
+            for r in it:
+                d = r.asDict(recursive=True)
+                path = _os.path.join(out_dir, rel_template.format(**d))
+                _os.makedirs(_os.path.dirname(path), exist_ok=True)
+                with open(path, "w") as f:
+                    _json.dump(payload_fn(d.get("rows") or []), f, separators=(",", ":"))
+
+        df.foreachPartition(write_part)
+
+    def _write_player_docs(self, out_dir: str) -> list[str]:
+        from pyspark.sql import functions as F
+
+        from cod_stats_spark.engine.timeseries import TS_METRICS
+
+        players, season_ids = self._player_season_combos()
+        combos = self.spark.createDataFrame(
+            [(p, s) for p in players for s in season_ids],
+            "player_id string, season_id string",
+        )
+        players_df = self.spark.createDataFrame(
+            [(p,) for p in players], "player_id string"
+        )
+        metrics = [tuple(m) for m in TS_METRICS]  # plain data → by-value pickle
+
+        def ts_payload(frames):
+            k1, k2 = frames
+
+            def build(rows):
+                return [
+                    {
+                        "date": r.get("date_key"),
+                        "stats": {
+                            "raw": {m: r.get(m) for m, _ in metrics},
+                            f"smoothed_{k1}": {m: r.get(f"{m}_{a}_s{k1}") for m, a in metrics},
+                            f"smoothed_{k2}": {m: r.get(f"{m}_{a}_s{k2}") for m, a in metrics},
+                            "cumalative": {m: r.get(f"{m}_{a}_cume") for m, a in metrics},
+                        },
+                    }
+                    for r in rows
+                ]
+
+            return build
+
+        identity = lambda rows: rows  # noqa: E731
+
+        jobs = [
+            (
+                self.seasonal_daily_timeseries(),
+                ["player_id", "season_id"],
+                self.PLAYER_DOC_SORTS["time"],
+                combos,
+                "players/{player_id}_{season_id}_time_wz.json",
+                ts_payload((3, 7)),
+            ),
+            (
+                self.seasonal_by_game_timeseries(),
+                ["player_id", "season_id"],
+                self.PLAYER_DOC_SORTS["game"],
+                combos,
+                "players/{player_id}_{season_id}_game_wz.json",
+                ts_payload((10, 25)),
+            ),
+            (
+                self.player_season_stats(),
+                ["player_id"],
+                ["sort_order"],
+                players_df,
+                "players/{player_id}_player_stats.json",
+                identity,
+            ),
+            (
+                self.session_stats(),
+                ["player_id"],
+                ["session_number"],
+                players_df,
+                "players/sessions_{player_id}.json",
+                identity,
+            ),
+        ]
+        written = []
+        for df, group_cols, sort_cols, frame, template, payload_fn in jobs:
+            grouped = self._grouped_rows(df, group_cols, sort_cols)
+            full = frame.join(grouped, group_cols, "left")  # empty combos → []
+            self._foreach_write(full, out_dir, template, payload_fn)
+            written += [
+                os.path.join(out_dir, template.format(**{c: row[c] for c in group_cols}))
+                for row in frame.collect()
+            ]
+        return written
+
+    def _write_player_docs_driver_side(self, out_dir: str) -> list[str]:
+        """Legacy driver-side fan-out (collect everything, loop in
+        Python). Kept ONLY as the behavioral reference for the
+        distributed-vs-driver parity test; O(all rows) driver memory
+        makes it unsuitable beyond hobby scale."""
+        written = []
+
+        def emit(rel: str, payload) -> None:
+            path = os.path.join(out_dir, rel)
+            rep.write_json(path, payload)
+            written.append(path)
+
+        players, season_ids = self._player_season_combos()
         day_rows = [r.asDict() for r in self.seasonal_daily_timeseries().collect()]
         game_rows = [r.asDict() for r in self.seasonal_by_game_timeseries().collect()]
-        season_ids = {r["season_id"] for r in day_rows} | {"lifetime"}
+        gkey = self.PLAYER_DOC_SORTS["game"]
         for p in players:
-            for sid in sorted(season_ids):
+            for sid in season_ids:
                 prows = sorted(
                     (r for r in day_rows if r["player_id"] == p and r["season_id"] == sid),
                     key=lambda r: r["date_key"],
@@ -234,7 +394,7 @@ class Engine:
                 emit(f"players/{p}_{sid}_time_wz.json", rep.player_timeseries_doc(prows, (3, 7)))
                 grows = sorted(
                     (r for r in game_rows if r["player_id"] == p and r["season_id"] == sid),
-                    key=lambda r: (r["date_key"], r["mode"], r["kills"]),
+                    key=lambda r: tuple(r[c] for c in gkey),
                 )
                 emit(f"players/{p}_{sid}_game_wz.json", rep.player_timeseries_doc(grows, (10, 25)))
 
@@ -250,7 +410,10 @@ class Engine:
         for p in players:
             emit(
                 f"players/sessions_{p}.json",
-                [r for r in per_player_sessions if r["player_id"] == p],
+                sorted(
+                    (r for r in per_player_sessions if r["player_id"] == p),
+                    key=lambda r: r["session_number"],
+                ),
             )
         return written
 

@@ -42,16 +42,27 @@ def _core_only(stats: DataFrame, core: DataFrame) -> DataFrame:
 
 
 def by_game_board(stats: DataFrame, core: DataFrame, metric: str, k: int = LEADERBOARD_K) -> DataFrame:
-    """Top-k single-game rows for one metric."""
+    """Top-k single-game rows for one metric.
+
+    longestdistance renders as the reference's display string
+    'cast((distanceTraveled/1000) as int) || " km"'
+    (generate_lookup_data.sh:215) while still RANKING on the raw
+    meters value."""
     col = BY_GAME_METRICS[metric]
     base = _core_only(stats, core).select(
         "date_key", "game_mode_sub", "game_id", "player_id", F.col(col).alias("value")
     )
-    return top_k(
+    board = top_k(
         base,
         [("value", True), ("date_key", False), ("game_id", False), ("player_id", False)],
         k,
     )
+    if metric == "longestdistance":
+        board = board.withColumn(
+            "value",
+            F.concat((F.col("value") / 1000).cast("int").cast("string"), F.lit(" km")),
+        )
+    return board
 
 
 def all_by_game_boards(stats: DataFrame, core: DataFrame, k: int = LEADERBOARD_K) -> dict[str, DataFrame]:

@@ -50,6 +50,7 @@ def by_game_stats(stats: DataFrame, modes: DataFrame,
         .select(
             "date_key",
             "player_id",
+            "game_id",
             F.lit(1).alias("matchesPlayed"),
             F.coalesce(
                 F.col("display_name"),

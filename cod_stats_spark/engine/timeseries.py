@@ -55,8 +55,10 @@ def daily_timeseries(daily: DataFrame) -> DataFrame:
 
 
 def by_game_timeseries(by_game: DataFrame) -> DataFrame:
-    """Per-game series + smoothed_10/smoothed_25/cumulative frames."""
-    return _framed(by_game, ["date_key", "mode", "kills"], (10, 25))
+    """Per-game series + smoothed_10/smoothed_25/cumulative frames.
+    game_id tiebreak makes the frame order total (two games can tie on
+    (date_key, mode, kills))."""
+    return _framed(by_game, ["date_key", "mode", "kills", "game_id"], (10, 25))
 
 
 def filter_season(ts: DataFrame, start: str, end: str) -> DataFrame:
@@ -99,7 +101,7 @@ def seasonal_by_game_timeseries(by_game: DataFrame, seasons: DataFrame) -> DataF
 
     s = seasons.select(F.col("id").alias("season_id"), F.col("start"), F.col("end"))
     joined = interval_join(by_game, s, "date_key", "start", "end").drop("start", "end")
-    order = ["date_key", "mode", "kills"]
+    order = ["date_key", "mode", "kills", "game_id"]
     out = joined
     for k in (10, 25):
         out = rolling_frames(

@@ -230,6 +230,62 @@ class TestReports:
         tsdoc = js.loads((tmp_path / "players/alice_lifetime_time_wz.json").read_text())
         assert tsdoc and "stats" in tsdoc[0] and "cumalative" in tsdoc[0]["stats"]
 
+    def test_distance_board_km_formatting(self, engine, tmp_path):
+        import json as js
+
+        engine.write_reports(str(tmp_path))
+        doc = js.loads((tmp_path / "leaderboard_bygame.json").read_text())
+        # reference generate_lookup_data.sh:215:
+        # cast((distanceTraveled/1000) as int) || ' km'  (fixture: 2500 m)
+        values = {r["value"] for r in doc["longestdistance"]}
+        assert values == {"2 km"}
+
+    def test_distributed_writer_matches_driver_side_bytes(self, engine, tmp_path):
+        """The executor-side per-player fan-out must emit byte-identical
+        files to the legacy collect-and-loop path it replaced."""
+        dist = tmp_path / "dist"
+        legacy = tmp_path / "legacy"
+        w_dist = engine._write_player_docs(str(dist))
+        w_leg = engine._write_player_docs_driver_side(str(legacy))
+        rel_dist = {p.split(str(dist) + "/")[1] for p in w_dist}
+        rel_leg = {p.split(str(legacy) + "/")[1] for p in w_leg}
+        assert rel_dist == rel_leg and len(rel_dist) > 10
+        for rel in sorted(rel_leg):
+            a = (dist / rel).read_bytes()
+            b = (legacy / rel).read_bytes()
+            assert a == b, f"byte drift in {rel}"
+
+
+class TestReportGoldens:
+    def test_reports_match_checked_in_goldens(self, engine, tmp_path):
+        """Byte-parity serving contract: every emitted document must be
+        byte-identical to tests/goldens/reports/ (the reference serves
+        exact JSON — generate_lookup_data.sh:93-512). Regenerate
+        intentionally with tools/regen_goldens.py after a semantic
+        change."""
+        import os
+        from datetime import datetime, timezone
+
+        golden_root = os.path.join(os.path.dirname(__file__), "goldens", "reports")
+        assert os.path.isdir(golden_root), "run tools/regen_goldens.py first"
+        out = tmp_path / "reports"
+        engine.write_reports(str(out), now=datetime(2026, 1, 1, tzinfo=timezone.utc))
+        golden_files = {
+            os.path.relpath(os.path.join(d, f), golden_root)
+            for d, _, fs in os.walk(golden_root)
+            for f in fs
+        }
+        emitted_files = {
+            os.path.relpath(os.path.join(d, f), out)
+            for d, _, fs in os.walk(out)
+            for f in fs
+        }
+        assert emitted_files == golden_files
+        for rel in sorted(golden_files):
+            got = (out / rel).read_bytes()
+            want = open(os.path.join(golden_root, rel), "rb").read()
+            assert got == want, f"byte drift vs golden in {rel}"
+
 
 class TestSqlApi:
     def test_register_views_and_sql(self, engine):

@@ -7,8 +7,9 @@ Implementation: union the two sides with a side marker, one window
 sort per key, and last(ignorenulls) to carry the most recent right
 payload forward onto left rows. ONE shuffle + sort on (key, ts) —
 no nested-loop, no per-key Python; scales like any window aggregate.
-Right-side ties on ts resolve to the greatest tiebreak column value
-(deterministic).
+Right-side ties on ts resolve to the greatest ``right_tiebreak``
+value when one is given; without it tie order is unspecified
+(shuffle-dependent), as with pandas merge_asof.
 
 Alternative for very wide right payloads: applyInPandas +
 pd.merge_asof per key-group — kept out of the default path because the
@@ -31,11 +32,14 @@ def asof_join(
     right_ts: str,
     right_payload: Sequence[str],
     tolerance_seconds: int | None = None,
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """left + latest-right-payload columns (null when no prior right row).
 
     ``tolerance_seconds``: optional max staleness — matches older than
     the tolerance are nulled (pd.merge_asof semantics).
+    ``right_tiebreak``: right column that orders equal-ts right rows;
+    the greatest value wins deterministically.
     """
     def _epoch(df: DataFrame, col: str):
         # TIMESTAMP_NTZ has no direct numeric cast; hop through TIMESTAMP
@@ -52,6 +56,7 @@ def asof_join(
         *[F.col(c) for c in lcols],
         _epoch(left, left_ts).alias("_t"),
         F.lit(1).alias("_is_left"),
+        F.lit(None).cast(dict(right.dtypes)[right_tiebreak] if right_tiebreak else "int").alias("_tb"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_payload],
     )
     r = right.select(
@@ -59,15 +64,17 @@ def asof_join(
         *[F.col(c) for c in on],
         _epoch(right, right_ts).alias("_t"),
         F.lit(0).alias("_is_left"),
+        (F.col(right_tiebreak) if right_tiebreak else F.lit(None).cast("int")).alias("_tb"),
         *[F.col(c).alias(f"_r_{c}") for c in right_payload],
-    ).select(*[F.col(c) for c in lcols], "_t", "_is_left", *[f"_r_{c}" for c in right_payload])
+    ).select(*[F.col(c) for c in lcols], "_t", "_is_left", "_tb", *[f"_r_{c}" for c in right_payload])
 
     u = l.unionByName(r)
     # right rows sort BEFORE left rows at equal ts (asof is inclusive:
-    # right.ts <= left.ts matches)
-    w = Window.partitionBy(*on).orderBy(F.col("_t").asc(), F.col("_is_left").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # right.ts <= left.ts matches); within equal-ts right rows the
+    # greatest tiebreak sorts last, so last() picks it
+    w = Window.partitionBy(*on).orderBy(
+        F.col("_t").asc(), F.col("_is_left").asc(), F.col("_tb").asc_nulls_first()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     carried = [
         F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_c_{c}")
         for c in right_payload

@@ -48,17 +48,18 @@ def bucketized_interval_join(
     fact rows on their bucket, then apply the residual range predicate.
     Turns an O(n*m) nested loop into a shuffled hash join.
     """
+    # floor (not cast-truncate) so negative epochs bucket consistently
+    # on both sides — cast('long') truncates toward zero and would
+    # misalign pre-1970 timestamps
     b = F.lit(bucket_seconds)
+
+    def _bucket(c):
+        return F.floor(F.col(c).cast("long") / b).cast("long")
+
     iv = intervals.withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                (F.col(start_col).cast("long") / b).cast("long"),
-                (F.col(end_col).cast("long") / b).cast("long"),
-            )
-        ),
+        "_bucket", F.explode(F.sequence(_bucket(start_col), _bucket(end_col)))
     )
-    f = fact.withColumn("_bucket", (F.col(fact_ts).cast("long") / b).cast("long"))
+    f = fact.withColumn("_bucket", _bucket(fact_ts))
     cond = (
         (f["_bucket"] == iv["_bucket"])
         & (F.col(fact_ts) >= F.col(start_col))

@@ -124,6 +124,25 @@ class TestIntervalJoin:
         }
         assert bc == bk
 
+    def test_bucketized_negative_epochs(self, spark):
+        # pre-1970 timestamps: cast-truncation would misalign buckets
+        # across sides; floor-bucketing must keep these rows matched
+        fact = spark.createDataFrame(
+            [(1, -95), (2, -17), (3, -1), (4, 3)], "id long, ts long"
+        )
+        iv = spark.createDataFrame(
+            [("neg", -100, -10), ("span", -5, 5)], "name string, start long, end long"
+        )
+        bc = {
+            (r["id"], r["name"])
+            for r in interval_join(fact, iv, "ts", "start", "end").collect()
+        }
+        bk = {
+            (r["id"], r["name"])
+            for r in bucketized_interval_join(fact, iv, "ts", "start", "end", 16).collect()
+        }
+        assert bc == bk and ((1, "neg") in bk) and ((3, "span") in bk)
+
 
 class TestRolling:
     def test_frames_match_pandas(self, spark):
@@ -172,6 +191,22 @@ class TestAsofJoin:
         right = spark.createDataFrame([(1, 100, 5.0)], "k long, rts long, price double")
         r = asof_join(left, right, ["k"], "ts", "rts", ["price"]).first()
         assert r["price"] == 5.0
+
+    def test_right_tiebreak_deterministic(self, spark):
+        from cod_stats_spark.operators.asof_join import asof_join
+
+        # 20 right rows at the SAME ts, shuffled over many partitions:
+        # the greatest seq must win every run
+        left = spark.createDataFrame([(1, 100, "e")], "k long, ts long, eid string")
+        right = spark.createDataFrame(
+            [(1, 50, s, float(s)) for s in range(20)],
+            "k long, rts long, seq long, price double",
+        ).repartition(8)
+        for _ in range(3):
+            r = asof_join(
+                left, right, ["k"], "ts", "rts", ["price"], right_tiebreak="seq"
+            ).first()
+            assert r["price"] == 19.0
 
 
 class TestDeterministicSampling:

@@ -29,6 +29,33 @@ from cod_stats_spark.functions.text import fingerprint, shingles
 from cod_stats_spark.operators._util import spread
 
 
+def _md5_60(c):
+    """60-bit base hash from the first 15 hex chars of md5 — chosen so a
+    SQL oracle (DuckDB) can reproduce it digit-by-digit. Value range
+    [0, 2^60): multiply-add against 62-bit coefficients stays exactly
+    representable in int128, which the oracle uses to mirror Java's
+    wrapping long arithmetic."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _md5_64(c):
+    """Full 64-bit base hash from the first 16 hex chars of md5 (signed
+    two's-complement, matching what xxhash64 yields). The unsigned
+    decimal from conv() can exceed long range, so hop through
+    DECIMAL(20,0) and wrap explicitly."""
+    u = F.conv(F.substring(F.md5(c), 1, 16), 16, 10).cast("decimal(20,0)")
+    two63 = F.lit("9223372036854775808").cast("decimal(20,0)")
+    two64 = F.lit("18446744073709551616").cast("decimal(21,0)")
+    return F.when(u >= two63, (u - two64)).otherwise(u).cast("long")
+
+
+# Per-token/shingle base hashes for the sketch families. xxhash64 is
+# the production default (fastest JVM path); the md5-derived members
+# exist so gate queries can run with a hash a SQL oracle reproduces
+# exactly — same family, same pipeline, verifiable internals.
+BASE_HASHES = {"xxhash64": F.xxhash64, "md5_60": _md5_60, "md5_64": _md5_64}
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str,
@@ -56,8 +83,9 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 32,
     shingle_n: int = 3,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
-    """id → minhash signature (array<long>, one min-xxhash64 per seed).
+    """id → minhash signature (array<long>, one min-hash per seed).
 
     Hash family: ONE xxhash64 per shingle, then ``h_i = a_i·h + b_i``
     (odd multipliers from a deterministic PRNG seed) — the standard
@@ -86,9 +114,10 @@ def minhash_signatures(
     # 32-iteration seed lambda below (32× recompute per doc). The
     # barrier pins `hs` to one evaluation per row, AFTER the spread()
     # repartition so the work parallelizes beyond the scan's tasks.
+    hash_fn = BASE_HASHES[base_hash]
     base = spread(df).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array(F.transform(sh, lambda s: F.xxhash64(s)))).alias("hs"),
+        F.explode(F.array(F.transform(sh, lambda s: hash_fn(s)))).alias("hs"),
     )
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
@@ -110,6 +139,8 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket_size: int = 1000,
+    base_hash: str = "xxhash64",
+    band_key: str = "hash",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -120,20 +151,27 @@ def minhash_lsh_pairs(
     bucket's min id — linear instead of quadratic cost, and the cluster
     stays connected for the verify + connected-components stages, so
     nothing is silently dropped.
+
+    ``band_key``: "hash" compresses each band's rows to one xxhash64
+    (narrower shuffle key — production default); "values" buckets on
+    the raw row values (exact banding semantics, SQL-reproducible).
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, base_hash)
+    if band_key == "hash":
+        band_exprs = [
+            F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
+            for b in range(bands)
+        ]
+    else:
+        band_exprs = [
+            F.array(*[F.col("sig")[b * rows + r] for r in range(rows)])
+            for b in range(bands)
+        ]
     banded = sigs.select(
         "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode(F.array(*band_exprs)).alias("band", "band_hash"),
     )
     buckets = banded.groupBy("band", "band_hash").agg(
         F.array_sort(F.collect_list("id")).alias("ids")
@@ -164,9 +202,15 @@ def minhash_lsh_pairs(
     return pairs.unionByName(star).distinct()
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 64,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash over word tokens: per bit, sum +1/-1 votes of each
-    token's xxhash64 bit; fingerprint bit = sign of the vote.
+    token's hash bit; fingerprint bit = sign of the vote.
 
     Shape: explode tokens → SWAR-packed vote sums in ONE vectorized
     hash aggregate (vote_b > 0 ⇔ 2·Σbit_b > n). Four 16-bit counters
@@ -189,8 +233,9 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     n_packed = bits // lanes
 
     toks = F.slice(words(normalize_text(F.col(text_col))), 1, max_toks)
+    hash_fn = BASE_HASHES[base_hash]
     exploded = spread(df).select(F.col(id_col).alias("id"), F.explode(toks).alias("t")).select(
-        "id", F.xxhash64(F.col("t")).alias("h")
+        "id", hash_fn(F.col("t")).alias("h")
     )
     packed_sums = [
         F.sum(
@@ -239,13 +284,14 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket_size: int = 1000,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into
     ``bands`` chunks (pigeonhole: distance<=bands-1 guarantees one exact
     band match), bucket-join, verify Hamming distance.
     """
     width = 64 // bands
-    sims = simhash(df, text_col, id_col)
+    sims = simhash(df, text_col, id_col, base_hash=base_hash)
     banded = sims.select(
         "id",
         "simhash",

@@ -805,23 +805,17 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash",
-    covers="EXT-dedup (MinHash+LSH banded candidate pairs; xxhash64 not SQL-expressible → rows-only check)",
-)
-def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir)["documents"]
-    return minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=32, bands=16)
-
-
-@query(
-    "dedup_simhash",
-    covers="EXT-dedup (SimHash near-dup pairs; rows-only check)",
-)
-def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir)["documents"]
-    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=8, bands=4)
-
+# -- MinHash / SimHash full-internal oracles ---------------------------
+#
+# The production operators default to xxhash64 (fastest JVM hash; not
+# SQL-expressible). These two gates run the SAME pipeline with the
+# md5-derived members of the hash family (operators/dedup.BASE_HASHES),
+# which DuckDB reproduces digit-by-digit — so shingling, signature
+# min-reduction, banding, bucketing, and pair expansion are ALL
+# value-verified, not just row counts. The xxhash64 members stay
+# covered by the planted-near-dup pytest suite and by the
+# dedup_jaccard / dedup_pipeline gates (ground-truth oracles over the
+# xxhash64 candidate stream).
 
 # Shingle construction mirrored in DuckDB SQL: normalize (lower,
 # collapse whitespace, trim) → whitespace tokens → distinct word
@@ -841,6 +835,133 @@ _SHINGLES_SQL = r"""
     FROM {src}
   )
 """
+
+# first 15 hex chars of md5 -> 60-bit integer (mirrors dedup._md5_60)
+_HEX60_SQL = (
+    "list_sum(list_transform(range(15), i -> "
+    "(strpos('0123456789abcdef', md5({col})[i+1:i+1]) - 1)::BIGINT"
+    " * (1::BIGINT << (4*(14-i)))))"
+)
+# first 16 hex chars of md5 -> unsigned 64-bit HUGEINT (mirrors _md5_64)
+_HEX64U_SQL = (
+    "list_sum(list_transform(range(16), i -> "
+    "(strpos('0123456789abcdef', md5({col})[i+1:i+1]) - 1)::HUGEINT"
+    " * (1::HUGEINT << (4*(15-i)))))"
+)
+
+
+def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 16) -> str:
+    """Generated oracle replicating banded MinHash LSH end-to-end: the
+    universal-hash family ``h_i = a_i·md5_60(shingle) + b_i`` with
+    Java's wrapping long arithmetic mirrored via HUGEINT mod 2^64."""
+    import random
+
+    rnd = random.Random(0xC0D5)
+    coeffs = [
+        (rnd.randrange(1, 1 << 61) * 2 + 1, rnd.randrange(0, 1 << 61))
+        for _ in range(num_hashes)
+    ]
+    rows = num_hashes // bands
+    seeds = ",\n    ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+    sh = _SHINGLES_SQL.format(src="documents")
+    hex60 = _HEX60_SQL.format(col="sg")
+    wrapped = "((s.a::HUGEINT * h.h + s.b) % (1::HUGEINT << 64))"
+    signed = (
+        f"CASE WHEN {wrapped} >= (1::HUGEINT << 63) "
+        f"THEN ({wrapped} - (1::HUGEINT << 64))::BIGINT ELSE {wrapped}::BIGINT END"
+    )
+    return f"""
+WITH sh AS ({sh}),
+tok AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+h AS (SELECT doc_id, {hex60} AS h FROM tok),
+seeds(i, a, b) AS (VALUES
+    {seeds}),
+sig AS (
+  SELECT h.doc_id, s.i, min({signed}) AS mn
+  FROM h CROSS JOIN seeds s
+  GROUP BY h.doc_id, s.i
+),
+bnd AS (
+  SELECT doc_id, i // {rows} AS band, list(mn ORDER BY i) AS vals
+  FROM sig GROUP BY doc_id, i // {rows}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bnd a JOIN bnd b
+  ON a.band = b.band AND a.vals = b.vals AND a.doc_id < b.doc_id
+"""
+
+
+@query(
+    "dedup_minhash",
+    covers="EXT-dedup (MinHash+LSH banded candidate pairs; FULL oracle: md5-member of the universal-hash family reproduced in SQL — signatures, banding, bucket pair expansion all value-verified)",
+    oracle=_minhash_oracle_sql(),
+)
+def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=16,
+        base_hash="md5_60", band_key="values",
+    )
+
+
+def _simhash_oracle_sql(max_hamming: int = 8, bands: int = 4) -> str:
+    """Generated oracle replicating SimHash end-to-end: per-token
+    md5_64 hash, per-bit majority votes, fingerprint assembly,
+    pigeonhole banding, and Hamming verification (bit_count of xor —
+    identical two's-complement semantics in both engines)."""
+    width = 64 // bands
+    hex64u = _HEX64U_SQL.format(col="t")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(tk) AS t
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                       x -> x <> '') AS tk
+    FROM documents
+  )
+),
+h AS (SELECT doc_id, {hex64u} AS u FROM toks),
+bitv AS (
+  SELECT doc_id, b.b AS bit,
+         sum(((u >> b.b) & 1)::BIGINT) AS ones, count(*) AS n
+  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) b
+  GROUP BY doc_id, b.b
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN 2 * ones > n THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS ufp
+  FROM bitv GROUP BY doc_id
+),
+sfp AS (
+  SELECT doc_id, ufp,
+         CASE WHEN ufp >= (1::HUGEINT << 63)
+              THEN (ufp - (1::HUGEINT << 64))::BIGINT ELSE ufp::BIGINT END AS sim
+  FROM fp
+),
+chunks AS (
+  SELECT doc_id, sim, c.band, ((ufp >> ({width} * c.band)) & {(1 << width) - 1})::BIGINT AS chunk
+  FROM sfp CROSS JOIN (SELECT unnest(range({bands})) AS band) c
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+FROM chunks a JOIN chunks b
+  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+"""
+
+
+@query(
+    "dedup_simhash",
+    covers="EXT-dedup (SimHash near-dup pairs; FULL oracle: md5-member fingerprints, banding, and Hamming verification reproduced in SQL)",
+    oracle=_simhash_oracle_sql(),
+)
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = simhash_near_pairs(
+        docs, "text", "doc_id", max_hamming=8, bands=4, base_hash="md5_64"
+    )
+    return pairs.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 def _jaccard_pairs_sql(threshold: float, src: str = "documents") -> str:

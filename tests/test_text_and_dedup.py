@@ -110,6 +110,35 @@ class TestDedup:
         assert (1, 2) in pairs
         assert (1, 3) not in pairs and (2, 3) not in pairs
 
+    def test_md5_family_members_equivalent(self, spark):
+        # The oracle-reproducible md5-based hash-family members must run
+        # the same pipeline: planted near-dups found, unrelated docs
+        # not paired; band_key="values" (raw band rows as bucket key)
+        # must equal band_key="hash" (xxhash64-compressed key) exactly.
+        base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+        docs = [
+            (1, base),
+            (2, base.replace("tonight", "today")),
+            (3, "completely unrelated text about database engines and query optimizers at scale"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for band_key in ("hash", "values"):
+            pairs = {
+                (r["id_a"], r["id_b"])
+                for r in minhash_lsh_pairs(
+                    df, "text", "doc_id", num_hashes=32, bands=16,
+                    base_hash="md5_60", band_key=band_key,
+                ).collect()
+            }
+            assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+        spairs = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_near_pairs(
+                df, "text", "doc_id", max_hamming=8, base_hash="md5_64"
+            ).collect()
+        }
+        assert (1, 2) in spairs and (1, 3) not in spairs
+
     def test_simhash_identical_and_bound(self, spark):
         df = spark.createDataFrame(
             [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "x y z w")],

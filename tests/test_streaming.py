@@ -120,6 +120,114 @@ class TestStatefulSessionize:
         assert out.count() > 0
 
 
+class TestWatermarkLateData:
+    """SURVEY §2.9 late-data semantics: events newer than the watermark
+    fold into open state; events older than the watermark are dropped
+    by the engine (the reference instead relies on idempotent
+    re-ingest, so this is the Spark-native upgrade of that contract)."""
+
+    @staticmethod
+    def _write_batch(spark, src_dir: str, n: int, rows):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        df.coalesce(1).write.parquet(f"{src_dir}/b{n}")
+
+    def test_late_event_beyond_watermark_is_dropped(self, spark, tmp_path):
+        from datetime import datetime as dt
+
+        src = tmp_path / "incoming"
+        b1 = [
+            (1, dt(2026, 1, 1, 10, 0, 0), 1.0),
+            (1, dt(2026, 1, 1, 10, 1, 0), 1.0),
+            # sentinel far ahead: advances the watermark to 12:00-30min=11:30
+            (9, dt(2026, 1, 1, 12, 0, 0), 1.0),
+        ]
+        self._write_batch(spark, str(src), 1, b1)
+
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        from cod_stats_spark.streaming import streaming_session_rollup
+
+        plan = streaming_session_rollup(
+            stream, ts_col="ts", key_col="user_id", gap_seconds=300,
+            watermark="30 minutes",
+        )
+        import uuid
+
+        name = f"mem_{uuid.uuid4().hex[:10]}"
+        q = plan.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+            # batch 2: one late event INSIDE user 1's closed session but
+            # OLDER than the 11:30 watermark -> engine must drop it; and
+            # one on-time event that opens a new session for user 2
+            b2 = [
+                (1, dt(2026, 1, 1, 10, 2, 0), 100.0),   # too late
+                (2, dt(2026, 1, 1, 11, 45, 0), 1.0),    # accepted
+            ]
+            self._write_batch(spark, str(src), 2, b2)
+            q.processAllAvailable()
+            # empty batch so finalized windows flush through append mode
+            self._write_batch(spark, str(src), 3, [])
+            q.processAllAvailable()
+            out = {
+                (r["user_id"], r["n_events"], r["sum_value"])
+                for r in spark.table(name).collect()
+            }
+        finally:
+            q.stop()
+        # user 1's session finalized with the ORIGINAL two events only —
+        # the late row's value=100 never appeared
+        assert (1, 2, 2.0) in out
+        assert not any(u == 1 and s >= 100 for u, _, s in out)
+
+    def test_late_event_inside_watermark_is_folded(self, spark, tmp_path):
+        from datetime import datetime as dt
+
+        src = tmp_path / "incoming"
+        b1 = [
+            (1, dt(2026, 1, 1, 10, 0, 0), 1.0),
+            (9, dt(2026, 1, 1, 10, 10, 0), 1.0),  # watermark -> 9:40
+        ]
+        self._write_batch(spark, str(src), 1, b1)
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        from cod_stats_spark.streaming import streaming_session_rollup
+
+        plan = streaming_session_rollup(
+            stream, ts_col="ts", key_col="user_id", gap_seconds=300,
+            watermark="30 minutes",
+        )
+        import uuid
+
+        name = f"mem_{uuid.uuid4().hex[:10]}"
+        q = plan.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+            # out-of-order but NEWER than the 9:40 watermark: must merge
+            # into user 1's open session window
+            b2 = [
+                (1, dt(2026, 1, 1, 10, 2, 0), 5.0),
+                (9, dt(2026, 1, 1, 13, 0, 0), 1.0),  # close everything
+            ]
+            self._write_batch(spark, str(src), 2, b2)
+            q.processAllAvailable()
+            self._write_batch(spark, str(src), 3, [])
+            q.processAllAvailable()
+            out = {
+                (r["user_id"], r["n_events"], r["sum_value"])
+                for r in spark.table(name).collect()
+            }
+        finally:
+            q.stop()
+        assert (1, 2, 6.0) in out  # both events folded into one session
+
+
 class TestMatchIngestStream:
     def test_stream_to_silver_idempotent(self, spark, fixture_dirs, tmp_path):
         import json as js

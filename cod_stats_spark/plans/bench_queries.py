@@ -1713,6 +1713,61 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id", "cluster_id", "lang", "source", "n_chars")
 
 
+def _decontaminate_oracle_sql(mod: int, ngram_n: int, min_overlap: int) -> str:
+    """Generated oracle for n-gram decontamination: distinct word
+    n-grams per side (same normalization as the shingle SQL, with the
+    empty-doc '' shingle removed), inner join on the n-gram, and a
+    per-(doc, bench) overlap count with the threshold."""
+
+    def grams(pred: str) -> str:
+        return f"""
+    SELECT doc_id, unnest(s) AS ngram
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(
+                         generate_series(0, greatest(len(tk)-{ngram_n}, 0)),
+                         i -> array_to_string(tk[i+1:i+{ngram_n}], ' ')))
+             END AS s
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                           t -> t <> '') AS tk
+        FROM documents WHERE {pred}
+      )
+    )"""
+
+    return f"""
+WITH cg AS ({grams(f"doc_id % {mod} <> 0")}),
+bg AS ({grams(f"doc_id % {mod} = 0")})
+SELECT cg.doc_id, bg.doc_id AS bench_id, count(*) AS n_overlap
+FROM cg JOIN bg ON cg.ngram = bg.ngram
+GROUP BY cg.doc_id, bg.doc_id
+HAVING count(*) >= {min_overlap}
+"""
+
+
+@query(
+    "decontaminate",
+    covers="EXT-decontamination (train/eval n-gram overlap: benchmark n-gram set broadcast against the exploded corpus, per-pair overlap count; FULL oracle)",
+    oracle=_decontaminate_oracle_sql(mod=7, ngram_n=3, min_overlap=2),
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): docs
+    with doc_id % 7 == 0 stand in for an eval set; the rest is the
+    training corpus. Production decontamination uses 8-13-grams; the
+    gate uses 3-grams so the synthetic corpus yields hundreds of pairs
+    and the overlap counting is value-verified broadly."""
+    from cod_stats_spark.operators.decontaminate import contamination_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    return contamination_pairs(
+        corpus, bench, "text", "doc_id", ngram_n=3, min_overlap=2
+    )
+
+
 @query(
     "json_documents",
     covers="S9 A9 (nested JSON document building — the report-sink shape: struct + ordered collect + to_json)",

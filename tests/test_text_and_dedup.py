@@ -238,3 +238,63 @@ class TestConnectedComponents:
                for r in dedup_clusters(docs, pairs, "doc_id").collect()}
         assert out[1] == (1, True) and out[2] == (1, False) and out[4] == (1, False)
         assert out[0] == (0, True) and out[3] == (3, True) and out[5] == (5, True)
+
+
+class TestDecontaminate:
+    def _frames(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "the capital of france is paris and it is beautiful"),
+                (2, "quantum mechanics describes nature at small scales"),
+                (3, ""),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [
+                (100, "Q: what is the capital of france? A: the capital of france is paris"),
+                (101, ""),
+            ],
+            "doc_id long, text string",
+        )
+        return corpus, bench
+
+    def test_planted_contamination_flagged(self, spark):
+        from cod_stats_spark.operators.decontaminate import (
+            contamination_pairs,
+            decontaminate,
+        )
+
+        corpus, bench = self._frames(spark)
+        pairs = contamination_pairs(
+            corpus, bench, "text", "doc_id", ngram_n=5, min_overlap=1
+        )
+        got = {(r["doc_id"], r["bench_id"]): r["n_overlap"] for r in pairs.collect()}
+        # doc 1 shares the 5-grams of "the capital of france is paris"
+        # with bench 100 (2 distinct 5-grams); doc 2 shares nothing;
+        # empty docs never pair (the '' shingle is removed)
+        assert got == {(1, 100): 2}
+        clean = decontaminate(corpus, bench, "text", "doc_id", ngram_n=5, min_overlap=1)
+        assert {r["doc_id"] for r in clean.collect()} == {2, 3}
+
+    def test_min_overlap_threshold(self, spark):
+        from cod_stats_spark.operators.decontaminate import contamination_pairs
+
+        corpus, bench = self._frames(spark)
+        pairs = contamination_pairs(
+            corpus, bench, "text", "doc_id", ngram_n=5, min_overlap=3
+        )
+        assert pairs.count() == 0
+
+    def test_benchmark_side_broadcasts(self, spark):
+        from cod_stats_spark.operators.decontaminate import contamination_pairs
+
+        corpus, bench = self._frames(spark)
+        plan = contamination_pairs(
+            corpus, bench, "text", "doc_id"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        plan2 = contamination_pairs(
+            corpus, bench, "text", "doc_id", broadcast_benchmark=False
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan2

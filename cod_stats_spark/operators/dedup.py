@@ -212,15 +212,17 @@ def simhash(
     """64-bit SimHash over word tokens: per bit, sum +1/-1 votes of each
     token's hash bit; fingerprint bit = sign of the vote.
 
-    Shape: explode tokens → SWAR-packed vote sums in ONE vectorized
-    hash aggregate (vote_b > 0 ⇔ 2·Σbit_b > n). Four 16-bit counters
-    ride in each long (16 aggregate buffers instead of 64 — ~2× faster
-    agg than one column per bit), unpacked per doc after the agg.
-    Lane arithmetic is exact through two's-complement wraparound while
-    every counter < 2^16, so token streams are capped at 65535 tokens
-    per doc (a prefix fingerprint beyond that — near-dup semantics are
-    unaffected for any realistic document). Map-side combine keeps the
-    shuffle at one row per doc.
+    Shape: ZERO shuffle — votes fold per row. Each token's hash expands
+    to 16 SWAR-packed longs (4 × 16-bit bit-counters per long), and a
+    single higher-order ``aggregate`` sums them into the per-doc vote
+    array; the fingerprint unpacks the counters (vote_b set ⇔
+    2·Σbit_b > n). Lane arithmetic is exact through two's-complement
+    wraparound while every counter < 2^16, so token streams are capped
+    at 65535 tokens per doc (a prefix fingerprint beyond that —
+    near-dup semantics are unaffected for any realistic document).
+    Compared to the explode → hash-aggregate shape this removes the
+    per-token shuffle/agg machinery entirely: per-doc output with
+    per-doc input means the whole operator is one narrow projection.
     """
     import functools
     import operator
@@ -234,29 +236,43 @@ def simhash(
 
     toks = F.slice(words(normalize_text(F.col(text_col))), 1, max_toks)
     hash_fn = BASE_HASHES[base_hash]
-    exploded = spread(df).select(F.col(id_col).alias("id"), F.explode(toks).alias("t")).select(
-        "id", hash_fn(F.col("t")).alias("h")
+
+    def packed(h):  # one token hash -> n_packed SWAR lane contributions
+        return F.array(
+            *[
+                functools.reduce(
+                    operator.add,
+                    [
+                        F.shiftleft(
+                            F.shiftrightunsigned(h, j * lanes + m)
+                            .bitwiseAND(F.lit(1))
+                            .cast("long"),
+                            lane_w * m,
+                        )
+                        for m in range(lanes)
+                    ],
+                )
+                for j in range(n_packed)
+            ]
+        )
+
+    # one-element explode = Generate barrier pinning the token-hash
+    # expansion to a single evaluation per row (see minhash_signatures)
+    base = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(F.array(F.transform(toks, lambda t: packed(hash_fn(t)))))
+        ).alias("w"),
+    ).select("id", F.col("w")[0].alias("pkd"))
+    votes = F.aggregate(
+        F.col("pkd"),
+        F.expr(f"array_repeat(cast(0 as bigint), {n_packed})"),
+        lambda acc, arr: F.zip_with(acc, arr, lambda a, b: a + b),
     )
-    packed_sums = [
-        F.sum(
-            functools.reduce(
-                operator.add,
-                [
-                    F.shiftleft(
-                        F.shiftrightunsigned(F.col("h"), j * lanes + m)
-                        .bitwiseAND(F.lit(1))
-                        .cast("long"),
-                        lane_w * m,
-                    )
-                    for m in range(lanes)
-                ],
-            )
-        ).alias(f"p{j}")
-        for j in range(n_packed)
-    ]
-    agg = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *packed_sums)
-    witharr = agg.select(
-        "id", "n", F.array(*[F.col(f"p{j}") for j in range(n_packed)]).alias("pks")
+    # token-less docs have no fingerprint (same contract as the former
+    # explode shape, where zero tokens produced zero agg rows)
+    witharr = base.filter(F.size("pkd") > 0).select(
+        "id", F.size("pkd").alias("n"), votes.alias("pks")
     )
     # fingerprint bit b set ⇔ majority of token hashes have bit b set.
     # One runtime fold over the 64 bits — NOT 64 inlined when/OR nodes,
@@ -269,7 +285,12 @@ aggregate(sequence(0, {bits - 1}), cast(0 as bigint),
                        shiftleft(cast(1 as bigint), b), cast(0 as bigint)))
 """
     )
-    return witharr.select("id", fp.alias("simhash"))
+    # second Generate barrier: consumers reference `simhash` several
+    # times (one per LSH band); without it CollapseProject would inline
+    # — and recompute — the whole fingerprint fold per reference
+    return witharr.select(
+        F.explode(F.array(F.struct(F.col("id"), fp.alias("simhash")))).alias("r")
+    ).select("r.id", "r.simhash")
 
 
 def hamming64(a, b):

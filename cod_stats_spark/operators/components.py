@@ -39,9 +39,19 @@ def connected_components(
     ids are not invented here (pass them through afterwards with a
     left join + coalesce to their own id).
     """
+    # symmetrize in ONE pass over the edge list (explode of both
+    # orientations) — a union of two selects would evaluate the whole
+    # upstream pair-generation plan (LSH + verification) twice
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .cache()
     )

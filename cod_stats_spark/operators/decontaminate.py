@@ -32,12 +32,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cod_stats_spark.functions.text import shingles
+from cod_stats_spark.operators._util import spread
 
 
 def _ngrams(df: DataFrame, text_col: str, id_col: str, n: int, out_id: str) -> DataFrame:
-    # empty docs shingle to [''] — drop it so empty×empty never pairs
+    # empty docs shingle to [''] — drop it so empty×empty never pairs.
+    # spread(): the shingle explode is CPU-heavy interpreted HOF work —
+    # widen a narrow local scan before it (no-op at real scale).
     grams = F.filter(shingles(F.col(text_col), n), lambda g: g != F.lit(""))
-    return df.select(
+    return spread(df).select(
         F.col(id_col).alias(out_id),
         F.explode(grams).alias("ngram"),
     )

@@ -29,31 +29,83 @@ from cod_stats_spark.functions.text import fingerprint, shingles
 from cod_stats_spark.operators._util import spread
 
 
-def _md5_60(c):
+# ------------------------------------------------------------------
+# SQL-string expression builders.
+#
+# The sketch expressions below are BIG trees (32-seed minhash, 64-lane
+# SWAR simhash). Building them from pyspark Column operations costs
+# thousands of py4j round trips (~0.5 s of driver time PER QUERY
+# BUILD, profiled); rendering the same tree as one SQL string and
+# parsing it JVM-side with a single F.expr call is ~100× cheaper and
+# produces the identical expression. Semantics are pinned by the
+# DuckDB value oracles (dedup_minhash / dedup_simhash gates).
+
+
+def _words_sql(x: str) -> str:
+    """Whitespace tokens of normalized text, empties removed — the SQL
+    rendering of functions/text.words(normalize_text(...))."""
+    norm = f"trim(regexp_replace(lower({x}), '\\\\s+', ' '))"
+    return f"filter(split({norm}, '\\\\s+'), w -> w != '')"
+
+
+def _shingles_sql(x: str, n: int, distinct: bool) -> str:
+    """SQL rendering of functions/text.shingles (same tree shape: the
+    token subexpression repeats at the same leaf positions the Column
+    version repeats it)."""
+    toks = _words_sql(x)
+    grams = (
+        f"transform(sequence(0, greatest(size({toks}) - {n}, 0)),"
+        f" i -> concat_ws(' ', slice({toks}, i + 1, {n})))"
+    )
+    out = f"if(size({toks}) > 0, {grams}, array(''))"
+    return f"array_distinct({out})" if distinct else out
+
+
+def _md5_60_sql(x: str) -> str:
     """60-bit base hash from the first 15 hex chars of md5 — chosen so a
     SQL oracle (DuckDB) can reproduce it digit-by-digit. Value range
     [0, 2^60): multiply-add against 62-bit coefficients stays exactly
     representable in int128, which the oracle uses to mirror Java's
     wrapping long arithmetic."""
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    return f"cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
 
 
-def _md5_64(c):
+def _md5_64_sql(x: str) -> str:
     """Full 64-bit base hash from the first 16 hex chars of md5 (signed
     two's-complement, matching what xxhash64 yields). The unsigned
     decimal from conv() can exceed long range, so hop through
     DECIMAL(20,0) and wrap explicitly."""
-    u = F.conv(F.substring(F.md5(c), 1, 16), 16, 10).cast("decimal(20,0)")
-    two63 = F.lit("9223372036854775808").cast("decimal(20,0)")
-    two64 = F.lit("18446744073709551616").cast("decimal(21,0)")
-    return F.when(u >= two63, (u - two64)).otherwise(u).cast("long")
+    u = f"cast(conv(substring(md5({x}), 1, 16), 16, 10) as decimal(20,0))"
+    two63 = "cast('9223372036854775808' as decimal(20,0))"
+    two64 = "cast('18446744073709551616' as decimal(21,0))"
+    return f"cast(if({u} >= {two63}, {u} - {two64}, {u}) as bigint)"
 
 
 # Per-token/shingle base hashes for the sketch families. xxhash64 is
 # the production default (fastest JVM path); the md5-derived members
 # exist so gate queries can run with a hash a SQL oracle reproduces
 # exactly — same family, same pipeline, verifiable internals.
-BASE_HASHES = {"xxhash64": F.xxhash64, "md5_60": _md5_60, "md5_64": _md5_64}
+BASE_HASH_SQL = {
+    "xxhash64": lambda x: f"xxhash64({x})",
+    "md5_60": _md5_60_sql,
+    "md5_64": _md5_64_sql,
+}
+
+MINHASH_SEED = 0xC0D5
+
+
+def minhash_coeffs(num_hashes: int, seed: int = MINHASH_SEED) -> list[tuple[int, int]]:
+    """The (a_i, b_i) universal-hash coefficients used by
+    :func:`minhash_signatures` — the single source of truth, imported by
+    the SQL oracle generator too so the Spark path and the DuckDB
+    replica can never drift apart silently."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, 1 << 61) * 2 + 1, rnd.randrange(0, 1 << 61))
+        for _ in range(num_hashes)
+    ]
 
 
 def exact_dedup(
@@ -98,37 +150,28 @@ def minhash_signatures(
     shuffle; and because the seeds index a lambda evaluated at runtime,
     the expression tree is O(1) in num_hashes (a per-seed min-aggregate
     column costs Catalyst O(num_hashes) analysis on every query build).
+    The tree is rendered as ONE SQL string (see module note on py4j
+    build cost).
     """
-    import random
-
-    rnd = random.Random(0xC0D5)
-    coeffs = [
-        (rnd.randrange(1, 1 << 61) * 2 + 1, rnd.randrange(0, 1 << 61))
-        for _ in range(num_hashes)
-    ]
-    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
-    b_arr = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
-    sh = shingles(F.col(text_col), shingle_n, distinct=False)
+    coeffs = minhash_coeffs(num_hashes)
+    a_sql = "array(" + ", ".join(f"{a}L" for a, _ in coeffs) + ")"
+    b_sql = "array(" + ", ".join(f"{b}L" for _, b in coeffs) + ")"
+    sh_sql = _shingles_sql(text_col, shingle_n, distinct=False)
+    hash_sql = BASE_HASH_SQL[base_hash]("s")
     # The one-element explode is a Generate barrier: CollapseProject
     # would otherwise inline the whole shingle pipeline into the
     # 32-iteration seed lambda below (32× recompute per doc). The
     # barrier pins `hs` to one evaluation per row, AFTER the spread()
     # repartition so the work parallelizes beyond the scan's tasks.
-    hash_fn = BASE_HASHES[base_hash]
     base = spread(df).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array(F.transform(sh, lambda s: hash_fn(s)))).alias("hs"),
+        F.explode(F.array(F.expr(f"transform({sh_sql}, s -> {hash_sql})"))).alias("hs"),
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("hs"),
-                lambda h: h * F.element_at(a_arr, i + 1) + F.element_at(b_arr, i + 1),
-            )
-        ),
+    sig_sql = (
+        f"transform(sequence(0, {num_hashes - 1}), i -> array_min(transform(hs,"
+        f" h -> h * element_at({a_sql}, i + 1) + element_at({b_sql}, i + 1))))"
     )
-    return base.select("id", sig.alias("sig"))
+    return base.select("id", F.expr(sig_sql).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -159,35 +202,24 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, base_hash)
-    if band_key == "hash":
-        band_exprs = [
-            F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
-            for b in range(bands)
-        ]
-    else:
-        band_exprs = [
-            F.array(*[F.col("sig")[b * rows + r] for r in range(rows)])
-            for b in range(bands)
-        ]
+    wrap = "xxhash64({0})" if band_key == "hash" else "array({0})"
+    band_exprs_sql = ", ".join(
+        wrap.format(", ".join(f"sig[{b * rows + r}]" for r in range(rows)))
+        for b in range(bands)
+    )
     banded = sigs.select(
         "id",
-        F.posexplode(F.array(*band_exprs)).alias("band", "band_hash"),
+        F.posexplode(F.expr(f"array({band_exprs_sql})")).alias("band", "band_hash"),
     )
     buckets = banded.groupBy("band", "band_hash").agg(
         F.array_sort(F.collect_list("id")).alias("ids")
     )
     small = buckets.filter(F.size("ids").between(2, max_bucket_size))
     pairs = small.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda a, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-                    ),
-                )
-            )
+        F.expr(
+            "explode(flatten(transform(ids, (a, i) ->"
+            " transform(slice(ids, i + 2, size(ids)),"
+            " b -> struct(a as id_a, b as id_b)))))"
         ).alias("p")
     ).select("p.id_a", "p.id_b")
     # Oversized buckets (hot templates) are NOT dropped: link every
@@ -224,55 +256,48 @@ def simhash(
     per-token shuffle/agg machinery entirely: per-doc output with
     per-doc input means the whole operator is one narrow projection.
     """
-    import functools
-    import operator
-
-    from cod_stats_spark.functions.text import normalize_text, words
-
     lanes = 4  # 16-bit counters per long
     lane_w = 16
     max_toks = (1 << lane_w) - 1
     n_packed = bits // lanes
 
-    toks = F.slice(words(normalize_text(F.col(text_col))), 1, max_toks)
-    hash_fn = BASE_HASHES[base_hash]
+    toks_sql = f"slice({_words_sql(text_col)}, 1, {max_toks})"
+    h = BASE_HASH_SQL[base_hash]("t")
 
-    def packed(h):  # one token hash -> n_packed SWAR lane contributions
-        return F.array(
-            *[
-                functools.reduce(
-                    operator.add,
-                    [
-                        F.shiftleft(
-                            F.shiftrightunsigned(h, j * lanes + m)
-                            .bitwiseAND(F.lit(1))
-                            .cast("long"),
-                            lane_w * m,
-                        )
-                        for m in range(lanes)
-                    ],
-                )
-                for j in range(n_packed)
-            ]
-        )
+    # one token hash -> n_packed SWAR lane contributions. Two levels of
+    # transform so the hash binds to a lambda VARIABLE (evaluated once
+    # per token — HOF lambdas run interpreted, where every repeated
+    # subexpression re-evaluates), and each lane long comes from a
+    # 16-entry constant LUT indexed by the matching nibble of the hash
+    # (3 interpreted ops per lane instead of 16 shift/mask/add nodes).
+    lut = [
+        sum(((nib >> m) & 1) << (lane_w * m) for m in range(lanes))
+        for nib in range(1 << lanes)
+    ]
+    lut_sql = "array(" + ", ".join(f"{v}L" for v in lut) + ")"
+    packed_sql = "array(" + ", ".join(
+        f"element_at({lut_sql}, cast(shiftrightunsigned(h, {j * lanes}) & 15 as int) + 1)"
+        for j in range(n_packed)
+    ) + ")"
 
     # one-element explode = Generate barrier pinning the token-hash
     # expansion to a single evaluation per row (see minhash_signatures)
     base = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(
-            F.array(F.array(F.transform(toks, lambda t: packed(hash_fn(t)))))
-        ).alias("w"),
-    ).select("id", F.col("w")[0].alias("pkd"))
-    votes = F.aggregate(
-        F.col("pkd"),
-        F.expr(f"array_repeat(cast(0 as bigint), {n_packed})"),
-        lambda acc, arr: F.zip_with(acc, arr, lambda a, b: a + b),
+            F.array(
+                F.expr(f"transform(transform({toks_sql}, t -> {h}), h -> {packed_sql})")
+            )
+        ).alias("pkd"),
+    )
+    votes_sql = (
+        f"aggregate(pkd, array_repeat(cast(0 as bigint), {n_packed}),"
+        f" (acc, arr) -> zip_with(acc, arr, (a, b) -> a + b))"
     )
     # token-less docs have no fingerprint (same contract as the former
     # explode shape, where zero tokens produced zero agg rows)
     witharr = base.filter(F.size("pkd") > 0).select(
-        "id", F.size("pkd").alias("n"), votes.alias("pks")
+        "id", F.size("pkd").alias("n"), F.expr(votes_sql).alias("pks")
     )
     # fingerprint bit b set ⇔ majority of token hashes have bit b set.
     # One runtime fold over the 64 bits — NOT 64 inlined when/OR nodes,
@@ -313,38 +338,25 @@ def simhash_near_pairs(
     """
     width = 64 // bands
     sims = simhash(df, text_col, id_col, base_hash=base_hash)
+    chunks_sql = ", ".join(
+        f"shiftrightunsigned(simhash, {b * width}) & {(1 << width) - 1}"
+        for b in range(bands)
+    )
     banded = sims.select(
         "id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), b * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "chunk"),
+        F.posexplode(F.expr(f"array({chunks_sql})")).alias("band", "chunk"),
     )
     buckets = banded.groupBy("band", "chunk").agg(
         F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("items")
     )
     small = buckets.filter(F.size("items").between(2, max_bucket_size))
     pairs = small.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("items"),
-                    lambda a, i: F.transform(
-                        F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-                        lambda b: F.struct(
-                            a["id"].alias("id_a"),
-                            b["id"].alias("id_b"),
-                            hamming64(a["simhash"], b["simhash"]).alias("hamming"),
-                        ),
-                    ),
-                )
-            )
+        F.expr(
+            "explode(flatten(transform(items, (a, i) ->"
+            " transform(slice(items, i + 2, size(items)),"
+            " b -> struct(a.id as id_a, b.id as id_b,"
+            " bit_count(a.simhash ^ b.simhash) as hamming)))))"
         ).alias("p")
     ).select("p.*")
     # oversized buckets: hub-and-spoke to the min id (see
@@ -373,13 +385,31 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs (id_a, id_b).
 
-    Two broadcast-eligible joins fetch shingle sets; intersection /
-    union via array ops. Run AFTER LSH — never on all pairs.
+    Run AFTER LSH — never on all pairs. The candidate list is persisted
+    (it is read twice: once to restrict shingling, once for the verify
+    join) — candidates are bounded by the LSH banding caps, so this
+    materialization is small by construction; at scale it is the
+    natural pipeline break a real system writes to a table anyway.
+    Shingle sets are computed ONLY for documents that appear in some
+    candidate pair (left-semi restriction) — the verify cost scales
+    with the candidate set, not the corpus.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).withColumn("sz", F.size("sh"))
+    from pyspark.storagelevel import StorageLevel
+
+    candidate_pairs = candidate_pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    involved = (
+        candidate_pairs.select(F.explode(F.array("id_a", "id_b")).alias("id"))
+        .distinct()
+    )
+    sh = (
+        df.join(involved.withColumnRenamed("id", id_col), id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("id"),
+            shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .withColumn("sz", F.size("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
     joined = candidate_pairs.join(a, "id_a").join(b, "id_b")

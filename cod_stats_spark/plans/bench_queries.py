@@ -853,14 +853,12 @@ _HEX64U_SQL = (
 def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 16) -> str:
     """Generated oracle replicating banded MinHash LSH end-to-end: the
     universal-hash family ``h_i = a_i·md5_60(shingle) + b_i`` with
-    Java's wrapping long arithmetic mirrored via HUGEINT mod 2^64."""
-    import random
+    Java's wrapping long arithmetic mirrored via HUGEINT mod 2^64.
+    Coefficients come from the SAME helper the Spark operator uses
+    (operators/dedup.minhash_coeffs) — no duplicated recipe to drift."""
+    from cod_stats_spark.operators.dedup import minhash_coeffs
 
-    rnd = random.Random(0xC0D5)
-    coeffs = [
-        (rnd.randrange(1, 1 << 61) * 2 + 1, rnd.randrange(0, 1 << 61))
-        for _ in range(num_hashes)
-    ]
+    coeffs = minhash_coeffs(num_hashes)
     rows = num_hashes // bands
     seeds = ",\n    ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
     sh = _SHINGLES_SQL.format(src="documents")
@@ -1699,11 +1697,17 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc ids with their dup statistics."""
     from cod_stats_spark.operators.components import dedup_clusters
 
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_tables(spark, sf_dir)["documents"]
     exact = exact_dedup(docs, "text", "doc_id")  # fp -> keep_id, n_copies
+    # keepers feeds FOUR consumers (minhash signatures, both Jaccard
+    # join sides, the final cluster join) — materialize once instead of
+    # re-running scan+exact-dedup per consumer. At 100 TB this persist
+    # is the silver-layer write every real pipeline does here.
     keepers = docs.join(
         exact.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = minhash_lsh_pairs(keepers, "text", "doc_id", num_hashes=32, bands=16)
     confirmed = ngram_jaccard_pairs(keepers, "text", "doc_id", cands, threshold=0.7)
     # transitive closure: duplicates cluster via connected components,
@@ -1912,3 +1916,63 @@ def set_ops_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = a.intersect(b).select(F.lit("both").alias("tag"), "o_custkey")
     only = a.exceptAll(b).select(F.lit("f_only").alias("tag"), "o_custkey")
     return both.unionByName(only)
+
+
+# ------------------------------------------------------- bench-only
+# Timed-bench variants that are deliberately NOT correctness gates:
+# they exercise the PRODUCTION hash path (xxhash64 / hashed band keys)
+# that a SQL oracle cannot reproduce. Correctness of that path is
+# covered elsewhere — dedup_jaccard's full value oracle verifies the
+# xxhash64 MinHash-LSH candidates end-to-end (all-pairs Jaccard in
+# SQL == LSH∘verify on the gate data), and pytest covers xxhash64
+# SimHash semantics — so these entries exist purely so BENCH_r{N}
+# measures the hot path users run, per the round-2 verdict, while the
+# md5-instrumented gate variants keep the driver's value oracle.
+
+BENCH_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def _bench_only(name: str):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            prep_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = f"bench_{name}"
+        wrapped.__doc__ = fn.__doc__
+        BENCH_ONLY[name] = wrapped
+        return wrapped
+
+    return deco
+
+
+@_bench_only("dedup_minhash_prod")
+def dedup_minhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash-LSH: xxhash64 base hash, per-band xxhash64
+    bucket key (narrow shuffle). Same structural parameters as the
+    md5-oracled `dedup_minhash` gate."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=32, bands=16)
+
+
+@_bench_only("dedup_simhash_prod")
+def dedup_simhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production SimHash near-dup pairs: xxhash64 token hash. Same
+    structural parameters as the md5-oracled `dedup_simhash` gate."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=8, bands=4)
+
+
+@_bench_only("sketches_only")
+def sketches_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The constant-memory sketch path alone (HLL + approx quantile),
+    WITHOUT the exact countDistinct/percentile baselines the
+    `sketch_aggregates` gate computes for its bounded-error oracle —
+    so the bench measures what the sketches cost at scale, not the
+    exact aggregates that dominate the gate variant."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+    )

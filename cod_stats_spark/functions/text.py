@@ -131,14 +131,48 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
-def shingles(text: Column, n: int = 3, distinct: bool = True) -> Column:
+def words_sql(x: str) -> str:
+    """SQL rendering of ``words(normalize_text(col))`` for a column
+    name/expression string. Exists because the big shingle/sketch
+    expressions are built as single SQL strings: constructing them from
+    Column operations costs thousands of py4j round trips per query
+    build, and higher-order-function lambdas run interpreted, where a
+    token subexpression inlined at several leaf positions re-evaluates
+    at each — the SQL builders bind it to a lambda variable instead."""
+    norm = f"trim(regexp_replace(lower({x}), '\\\\s+', ' '))"
+    return f"filter(split({norm}, '\\\\s+'), w -> w != '')"
+
+
+def shingles_sql(x: str, n: int, distinct: bool) -> str:
+    """SQL rendering of :func:`shingles`. The token array binds to the
+    lambda variable ``tk`` via a one-element transform (evaluated once
+    per row — measured ~8× faster than inlining the token subtree into
+    the per-shingle lambda, which re-splits the document per index)."""
+    toks = words_sql(x)
+    body = (
+        f"if(size(tk) > 0, transform(sequence(0, greatest(size(tk) - {n}, 0)),"
+        f" i -> concat_ws(' ', slice(tk, i + 1, {n}))), array(''))"
+    )
+    if distinct:
+        body = f"array_distinct({body})"
+    return f"transform(array({toks}), tk -> {body})[0]"
+
+
+def shingles(text: Column | str, n: int = 3, distinct: bool = True) -> Column:
     """Word n-gram shingle array over normalized text.
 
-    Implemented with sequence+transform (JVM-side); empty/short docs get
-    their whole text as the single shingle. ``distinct=False`` skips the
-    O(k²) array_distinct — safe for consumers where duplicates are
-    idempotent (min-hashing); Jaccard set semantics need distinct=True.
+    JVM-side either way; empty/short docs get their whole text as the
+    single shingle. ``distinct=False`` skips the O(k²) array_distinct —
+    safe for consumers where duplicates are idempotent (min-hashing);
+    Jaccard set semantics need distinct=True.
+
+    Pass a column NAME (str) on hot paths: that builds the expression
+    as one SQL string with the token array bound to a lambda variable
+    (see :func:`shingles_sql`). The Column path keeps the composable
+    form for arbitrary input expressions.
     """
+    if isinstance(text, str):
+        return F.expr(shingles_sql(text, n, distinct))
     toks = words(normalize_text(text))
     k = F.size(toks)
     grams = F.transform(

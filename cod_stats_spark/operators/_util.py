@@ -21,11 +21,14 @@ def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = min_parallelism or sc.defaultParallelism
     try:
-        current = len(df.inputFiles())
+        # fast POSITIVE check only: many input files ⇒ already wide.
+        # Few files does NOT imply narrow (cached/shuffled plans still
+        # report their leaf scan's files), so confirm with the accurate
+        # physical probe before paying a repartition.
+        if len(df.inputFiles()) >= target:
+            return df
     except Exception:
-        # non-file-backed plans (joins, in-memory): fall back to the
-        # physical partitioning probe
-        current = df.rdd.getNumPartitions()
-    if current < target:
+        pass
+    if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

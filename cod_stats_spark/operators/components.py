@@ -41,7 +41,9 @@ def connected_components(
     """
     # symmetrize in ONE pass over the edge list (explode of both
     # orientations) — a union of two selects would evaluate the whole
-    # upstream pair-generation plan (LSH + verification) twice
+    # upstream pair-generation plan (LSH + verification) twice. The
+    # cache is pre-partitioned on the join key v so the per-iteration
+    # join never re-shuffles the edge side.
     sym = (
         edges.select(
             F.explode(
@@ -53,55 +55,70 @@ def connected_components(
         )
         .select("e.u", "e.v")
         .distinct()
+        .repartition("v")
         .cache()
     )
-    labels = sym.select(F.col("u").alias("vertex")).distinct().withColumn(
-        "component", F.col("vertex")
+    # iteration 1 fused into initialization: with a symmetric edge
+    # list, min-label's first round is exactly component = min(self,
+    # direct neighbors) — one aggregate, no join, no separate
+    # init-labels distinct
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(F.col("u").alias("vertex"), F.least("u", "mn").alias("component"))
     )
-    for i in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym["v"] == labels["vertex"])
-            .groupBy(F.col("u").alias("vertex2"))
-            .agg(F.min("component").alias("neighbor_component"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels["vertex"] == F.col("vertex2"), "left")
-            .select(
-                "vertex",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("neighbor_component"), F.col("component")),
-                ).alias("new_component"),
-                "component",
+    pinned = []  # persisted label generations, released at exit
+    for _ in range(max_iterations - 1):
+        # one tagged union-aggregate replaces join-then-left-join:
+        # neighbor labels (is_old=0) and own labels (is_old=1) fold in
+        # a single groupBy that yields both the new component and the
+        # old one for the convergence check
+        msgs = sym.join(
+            labels.withColumnRenamed("vertex", "v"), "v"
+        ).select(F.col("u").alias("vertex"), "component", F.lit(0).alias("is_old"))
+        own = labels.select("vertex", "component", F.lit(1).alias("is_old"))
+        combined = (
+            msgs.unionByName(own)
+            .groupBy("vertex")
+            .agg(
+                F.min("component").alias("new_component"),
+                F.max(F.when(F.col("is_old") == 1, F.col("component"))).alias(
+                    "old_component"
+                ),
             )
         )
         # pointer jumping (label-of-label): component' = label[component] —
         # halves the remaining path length every iteration, turning
         # O(diameter) convergence into O(log diameter)
-        jump = updated.select(
+        jump = combined.select(
             F.col("vertex").alias("jvertex"), F.col("new_component").alias("jcomponent")
         )
         jumped = (
-            updated.join(jump, updated["new_component"] == jump["jvertex"], "left")
+            combined.join(jump, combined["new_component"] == jump["jvertex"], "left")
             .select(
                 "vertex",
                 F.least(
                     F.col("new_component"),
                     F.coalesce(F.col("jcomponent"), F.col("new_component")),
-                ).alias("final_component"),
-                "component",
+                ).alias("component"),
+                "old_component",
             )
         )
-        # Materialize EVERY iteration: without it, each convergence-check
-        # action recomputes the whole lineage of all prior iterations
-        # (quadratic in iterations), and the plan grows unboundedly.
-        jumped = jumped.localCheckpoint(eager=True)
-        changed = jumped.filter(F.col("final_component") != F.col("component")).count()
-        labels = jumped.select("vertex", F.col("final_component").alias("component"))
+        # persist + count = ONE job that both materializes this
+        # generation (truncating recompute for the next iteration) and
+        # evaluates convergence; near-dup graphs converge in 2-3
+        # rounds, so the cached-plan nesting stays shallow
+        jumped = jumped.persist()
+        pinned.append(jumped)
+        changed = jumped.filter(F.col("component") != F.col("old_component")).count()
+        labels = jumped.select("vertex", "component")
         if changed == 0:
             break
+    out = labels.localCheckpoint(eager=True)
+    for df in pinned:
+        df.unpersist()
     sym.unpersist()
-    return labels
+    return out
 
 
 def dedup_clusters(

@@ -38,8 +38,10 @@ from cod_stats_spark.operators._util import spread
 def _ngrams(df: DataFrame, text_col: str, id_col: str, n: int, out_id: str) -> DataFrame:
     # empty docs shingle to [''] — drop it so empty×empty never pairs.
     # spread(): the shingle explode is CPU-heavy interpreted HOF work —
-    # widen a narrow local scan before it (no-op at real scale).
-    grams = F.filter(shingles(F.col(text_col), n), lambda g: g != F.lit(""))
+    # widen a narrow local scan before it (no-op at real scale). The
+    # column-NAME shingles path builds the one-SQL-string form with the
+    # token array bound to a lambda variable (see functions/text.py).
+    grams = F.filter(shingles(text_col, n), lambda g: g != F.lit(""))
     return spread(df).select(
         F.col(id_col).alias(out_id),
         F.explode(grams).alias("ngram"),

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cod_stats_spark.functions.text import fingerprint, shingles
+from cod_stats_spark.functions.text import shingles_sql as _shingles_sql
+from cod_stats_spark.functions.text import words_sql as _words_sql
 from cod_stats_spark.operators._util import spread
 
 
@@ -39,26 +41,6 @@ from cod_stats_spark.operators._util import spread
 # parsing it JVM-side with a single F.expr call is ~100× cheaper and
 # produces the identical expression. Semantics are pinned by the
 # DuckDB value oracles (dedup_minhash / dedup_simhash gates).
-
-
-def _words_sql(x: str) -> str:
-    """Whitespace tokens of normalized text, empties removed — the SQL
-    rendering of functions/text.words(normalize_text(...))."""
-    norm = f"trim(regexp_replace(lower({x}), '\\\\s+', ' '))"
-    return f"filter(split({norm}, '\\\\s+'), w -> w != '')"
-
-
-def _shingles_sql(x: str, n: int, distinct: bool) -> str:
-    """SQL rendering of functions/text.shingles (same tree shape: the
-    token subexpression repeats at the same leaf positions the Column
-    version repeats it)."""
-    toks = _words_sql(x)
-    grams = (
-        f"transform(sequence(0, greatest(size({toks}) - {n}, 0)),"
-        f" i -> concat_ws(' ', slice({toks}, i + 1, {n})))"
-    )
-    out = f"if(size({toks}) > 0, {grams}, array(''))"
-    return f"array_distinct({out})" if distinct else out
 
 
 def _md5_60_sql(x: str) -> str:
@@ -190,10 +172,16 @@ def minhash_lsh_pairs(
     rows = num_hashes/bands per band; docs agreeing on ALL rows of any
     band collide. Pairs are emitted once (id_a < id_b), deduped across
     bands. Buckets over ``max_bucket_size`` (hot templates, empty docs)
-    switch from all-pairs to hub-and-spoke expansion against the
-    bucket's min id — linear instead of quadratic cost, and the cluster
-    stays connected for the verify + connected-components stages, so
-    nothing is silently dropped.
+    switch from all-pairs to TWO-HUB expansion: every member pairs with
+    the bucket's two smallest ids — 2·O(size) pairs instead of
+    O(size²). Connectivity through the verify + connected-components
+    stages survives either hub failing downstream verification
+    (Jaccard) against a spoke; a genuinely-duplicate spoke pair is lost
+    only if BOTH hubs fail verification against one of the two spokes —
+    an accepted recall approximation on hot buckets, not lossless
+    (spoke–spoke pairs are never emitted). The oracle gates rely on
+    their buckets staying under the cap (the SQL replica bands
+    uncapped all-pairs); gate data is bounded well below the default.
 
     ``band_key``: "hash" compresses each band's rows to one xxhash64
     (narrower shuffle key — production default); "values" buckets on
@@ -222,15 +210,19 @@ def minhash_lsh_pairs(
             " b -> struct(a as id_a, b as id_b)))))"
         ).alias("p")
     ).select("p.id_a", "p.id_b")
-    # Oversized buckets (hot templates) are NOT dropped: link every
-    # member to the bucket's min id — O(size) pairs instead of
-    # O(size²). Verification + connected components still merge the
-    # cluster through the hub, so no silent pair loss.
+    # Oversized buckets (hot templates) are NOT dropped: every member
+    # pairs with the TWO smallest ids (2·O(size) pairs). Two hubs so a
+    # single hub failing downstream Jaccard cannot disconnect spokes
+    # that match each other — loss needs both hubs to fail (see
+    # docstring; tests plant exactly this scenario).
     big = buckets.filter(F.size("ids") > max_bucket_size)
     star = big.select(
-        F.element_at("ids", 1).alias("id_a"),
-        F.explode(F.slice("ids", 2, F.size("ids"))).alias("id_b"),
-    )
+        F.expr(
+            "explode(flatten(transform(slice(ids, 1, 2), (h, i) ->"
+            " transform(slice(ids, i + 2, size(ids)),"
+            " b -> struct(h as id_a, b as id_b)))))"
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
     return pairs.unionByName(star).distinct()
 
 
@@ -359,19 +351,18 @@ def simhash_near_pairs(
             " bit_count(a.simhash ^ b.simhash) as hamming)))))"
         ).alias("p")
     ).select("p.*")
-    # oversized buckets: hub-and-spoke to the min id (see
-    # minhash_lsh_pairs) — Hamming still verified on every emitted pair
+    # oversized buckets: two-hub expansion to the two smallest ids (see
+    # minhash_lsh_pairs — same recall reasoning) — Hamming still
+    # verified on every emitted pair
     big = buckets.filter(F.size("items") > max_bucket_size)
-    hub = F.element_at("items", 1)
     star = big.select(
-        hub["id"].alias("id_a"),
-        F.explode(F.slice("items", 2, F.size("items"))).alias("other"),
-        hub["simhash"].alias("_hub_sim"),
-    ).select(
-        "id_a",
-        F.col("other")["id"].alias("id_b"),
-        hamming64(F.col("_hub_sim"), F.col("other")["simhash"]).alias("hamming"),
-    )
+        F.expr(
+            "explode(flatten(transform(slice(items, 1, 2), (h, i) ->"
+            " transform(slice(items, i + 2, size(items)),"
+            " b -> struct(h.id as id_a, b.id as id_b,"
+            " bit_count(h.simhash ^ b.simhash) as hamming)))))"
+        ).alias("p")
+    ).select("p.*")
     return pairs.unionByName(star).filter(F.col("hamming") <= max_hamming).distinct()
 
 
@@ -396,20 +387,32 @@ def ngram_jaccard_pairs(
     """
     from pyspark.storagelevel import StorageLevel
 
+    # materialize eagerly (count): each persisted set has TWO consumers
+    # in the verify join; within one action the consumer stages run
+    # concurrently and would otherwise both compute the un-populated
+    # cache — the explicit barrier makes the expensive LSH plan run
+    # exactly once
     candidate_pairs = candidate_pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    candidate_pairs.count()
     involved = (
         candidate_pairs.select(F.explode(F.array("id_a", "id_b")).alias("id"))
         .distinct()
     )
+    # explode(array(..)) = Generate barrier: `sh` is referenced by the
+    # size() column and both join sides; without the barrier the
+    # interpreted shingle expression would re-evaluate per reference
     sh = (
         df.join(involved.withColumnRenamed("id", id_col), id_col, "left_semi")
         .select(
             F.col(id_col).alias("id"),
-            shingles(F.col(text_col), shingle_n).alias("sh"),
+            F.explode(
+                F.array(shingles(text_col, shingle_n))
+            ).alias("sh"),
         )
         .withColumn("sz", F.size("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sh.count()
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
     joined = candidate_pairs.join(a, "id_a").join(b, "id_b")

@@ -231,18 +231,26 @@ def embedding_near_dup_pairs(
             )
         ).alias("p")
     ).select("p.*")
-    # oversized buckets: hub-and-spoke to the min id instead of a
-    # silent drop (see dedup.minhash_lsh_pairs) — cosine still verified
-    # on every emitted pair, cost O(size) not O(size²)
+    # oversized buckets: two-hub expansion to the two smallest ids
+    # instead of a silent drop (see dedup.minhash_lsh_pairs for the
+    # recall reasoning) — cosine still verified on every emitted pair,
+    # cost 2·O(size) not O(size²)
     big = grouped.filter(F.size("items") > max_bucket_size)
-    hub = F.element_at("items", 1)
     star = big.select(
-        hub["id"].alias("id_a"),
-        F.explode(F.slice("items", 2, F.size("items"))).alias("other"),
-        hub["v"].alias("_hub_v"),
-    ).select(
-        "id_a",
-        F.col("other")["id"].alias("id_b"),
-        F.round(cosine(F.col("_hub_v"), F.col("other")["v"]), 6).alias("cosine"),
-    )
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.slice(F.col("items"), 1, 2),
+                    lambda h, i: F.transform(
+                        F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                        lambda b: F.struct(
+                            h["id"].alias("id_a"),
+                            b["id"].alias("id_b"),
+                            F.round(cosine(h["v"], b["v"]), 6).alias("cosine"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
     return pairs.unionByName(star).filter(F.col("cosine") >= threshold).distinct()

@@ -1701,12 +1701,18 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     exact = exact_dedup(docs, "text", "doc_id")  # fp -> keep_id, n_copies
+    from cod_stats_spark.operators._util import spread
+
     # keepers feeds FOUR consumers (minhash signatures, both Jaccard
     # join sides, the final cluster join) — materialize once instead of
-    # re-running scan+exact-dedup per consumer. At 100 TB this persist
-    # is the silver-layer write every real pipeline does here.
-    keepers = docs.join(
-        exact.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    # re-running scan+exact-dedup per consumer, already spread wide so
+    # downstream CPU-heavy projections skip their own repartition. At
+    # 100 TB this persist is the silver-layer write every real
+    # pipeline does here.
+    keepers = spread(
+        docs.join(
+            exact.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+        )
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = minhash_lsh_pairs(keepers, "text", "doc_id", num_hashes=32, bands=16)
     confirmed = ngram_jaccard_pairs(keepers, "text", "doc_id", cands, threshold=0.7)

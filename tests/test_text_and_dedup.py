@@ -151,8 +151,10 @@ class TestDedup:
 
     def test_hot_bucket_is_star_routed_not_dropped(self, spark):
         # 30 identical docs land in one LSH bucket > max_bucket_size=10:
-        # members must still connect (hub-and-spoke to the min id), not
-        # silently lose every pair as a pre-round-2 cap drop did.
+        # members must still connect — two-hub expansion pairs every
+        # member with the TWO smallest ids (not a silent cap drop, and
+        # not the single-hub shape whose whole cluster hinged on one
+        # hub surviving verification).
         docs = [(i, "hot template text repeated verbatim in every row") for i in range(30)]
         docs.append((99, "entirely different content about something else"))
         df = spark.createDataFrame(docs, "doc_id long, text string")
@@ -162,7 +164,8 @@ class TestDedup:
                 df, "text", "doc_id", num_hashes=32, bands=16, max_bucket_size=10
             ).collect()
         }
-        assert pairs == {(0, i) for i in range(1, 30)}
+        want = {(0, i) for i in range(1, 30)} | {(1, i) for i in range(2, 30)}
+        assert pairs == want
         # same contract for the embedding path
         from cod_stats_spark.operators.similarity import embedding_near_dup_pairs
 
@@ -176,7 +179,43 @@ class TestDedup:
                 emb, "embedding", "vec_id", dim=4, threshold=0.9, max_bucket_size=5
             ).collect()
         }
-        assert epairs == {(0, i) for i in range(1, 20)}
+        ewant = {(0, i) for i in range(1, 20)} | {(1, i) for i in range(2, 20)}
+        assert epairs == ewant
+
+    def test_hot_bucket_survives_hub_verification_failure(self, spark):
+        # The round-2 recall gap, planted: a hot bucket whose MIN-id
+        # member (the old single hub) fails Jaccard verification
+        # against spokes that are exact duplicates of each other. With
+        # single-hub expansion the whole spoke cluster silently
+        # disconnected; with two-hub expansion the second hub (a spoke)
+        # carries the cluster through verify + connected components.
+        # Loss now requires BOTH hubs to fail — the documented bound.
+        from cod_stats_spark.operators.components import connected_components
+
+        base_words = [f"w{i:02d}" for i in range(60)]
+        template = " ".join(base_words)
+        junk = " ".join(f"junk{i:02d}" for i in range(30))
+        # doc 0: template + junk → shares template shingles (collides
+        # in some LSH band with the spokes) but Jaccard ≈ 58/90 < 0.7
+        docs = [(0, template + " " + junk)]
+        docs += [(i, template) for i in range(1, 10)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        cands = minhash_lsh_pairs(
+            df, "text", "doc_id", num_hashes=32, bands=16, max_bucket_size=5
+        )
+        cand_pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+        # the failing min-id doc DID enter the bucket, and the second
+        # hub emitted spoke pairs too
+        assert any(a == 0 for a, _ in cand_pairs)
+        assert {(1, i) for i in range(2, 10)} <= cand_pairs
+        verified = ngram_jaccard_pairs(df, "text", "doc_id", cands, threshold=0.7)
+        vpairs = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+        assert not any(0 in p for p in vpairs), "hub must fail verification"
+        assert {(1, i) for i in range(2, 10)} <= vpairs
+        comp = connected_components(verified.select("id_a", "id_b"))
+        labels = {r["vertex"]: r["component"] for r in comp.collect()}
+        assert {labels[i] for i in range(1, 10)} == {1}
+        assert 0 not in labels
 
     def test_jaccard_exact_values(self, spark):
         df = spark.createDataFrame(

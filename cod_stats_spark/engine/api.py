@@ -238,19 +238,22 @@ class Engine:
     }
 
     def _player_season_combos(self) -> tuple[list[str], list[str]]:
+        """Players × seasons that get a per-player document.
+
+        Season ids come straight from the static seasons dim — the
+        reference iterates ALL of vw_seasons when emitting per-player
+        docs (generate_lookup_data.sh:892-932), writing empty documents
+        for seasons without data; deriving the list from the data (a
+        full seasonal rollup, as done through round 2) both cost a
+        wasted aggregation pass per write_reports and skipped the
+        empty-season docs the reference serves.
+        """
+        from cod_stats_spark.engine.dims import SEASONS
+
         players = sorted(
             r["player_id"] for r in self.players.select("player_id").distinct().collect()
         )
-        season_ids = sorted(
-            {
-                r["season_id"]
-                for r in self.seasonal_daily_timeseries()
-                .select("season_id")
-                .distinct()
-                .collect()
-            }
-            | {"lifetime"}
-        )
+        season_ids = sorted(s[0] for s in SEASONS)
         return players, season_ids
 
     @staticmethod

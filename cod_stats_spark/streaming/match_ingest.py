@@ -46,16 +46,35 @@ def stream_matches_to_silver(
     players: DataFrame,
     silver_path: str,
     checkpoint_path: str | None = None,
+    failure_ledger=None,
 ):
     """Start the ingest stream; returns the StreamingQuery.
 
     Each micro-batch: normalize → anti-join against silver's existing
     (game_id, player_uno_id) keys → append only the new rows.
+
+    ``failure_ledger`` (engine.failure_ledger.FailureLedger) is the S5
+    dead-letter path for RESTARTS: the file source reads each file once
+    per checkpoint, so a poison file (unparseable JSON — every schema
+    field nulls out) is re-attempted on every fresh-checkpoint restart
+    forever, since it never lands in silver for the anti-join to catch.
+    With a ledger: parked keys (fail_count >= cutoff) are filtered out
+    before normalize, parse failures increment their key, and a later
+    successful parse deletes it — the reference fetcher's exact replay
+    contract (fetch_matches.ts:163,200,209).
     """
     bronze = stream_matches(spark, matches_dir)
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        silver_new = normalize_matches(batch_df, players)
+        if failure_ledger is not None:
+            batch_df = failure_ledger.filter_replayable(batch_df, "game_id")
+            batch_df = batch_df.persist()
+        # parse failure marker: the permissive reader nulls out every
+        # schema field for an unparseable document, so a null matchID
+        # distinguishes poison files from valid rows that downstream
+        # quality filters may still drop (those are not "failures")
+        parsed_ok = batch_df.filter(F.col("stats.matchID").isNotNull())
+        silver_new = normalize_matches(parsed_ok, players)
         if os.path.exists(silver_path):
             existing = spark.read.parquet(silver_path).select(
                 "game_id", "player_uno_id"
@@ -64,6 +83,9 @@ def stream_matches_to_silver(
                 existing, ["game_id", "player_uno_id"], "left_anti"
             )
         silver_new.write.mode("append").parquet(silver_path)
+        if failure_ledger is not None:
+            failure_ledger.record(batch_df, parsed_ok, "game_id")
+            batch_df.unpersist()
 
     writer = bronze.writeStream.foreachBatch(merge_batch).outputMode("append")
     if checkpoint_path:

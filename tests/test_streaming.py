@@ -271,6 +271,69 @@ class TestMatchIngestStream:
             q.stop()
 
 
+class TestFailureLedger:
+    def test_poison_file_retried_then_parked_at_cutoff(self, spark, fixture_dirs, tmp_path):
+        """S5 contract (fetch_matches.ts:163,200,209): a file that keeps
+        failing to parse is retried on every fresh-checkpoint restart,
+        its fail count incrementing, until the cutoff parks it; a key
+        that later succeeds is deleted from the ledger entirely."""
+        import json as js
+        import shutil
+
+        from cod_stats_spark.engine.failure_ledger import FailureLedger
+        from cod_stats_spark.engine.ingest import read_players_config
+        from cod_stats_spark.streaming.match_ingest import stream_matches_to_silver
+
+        mdir, pj = fixture_dirs
+        src = tmp_path / "incoming"
+        shutil.copytree(mdir, src)
+        players = read_players_config(spark, pj)
+        silver = str(tmp_path / "silver")
+        ledger = FailureLedger(spark, str(tmp_path / "ledger"), max_failures=3)
+        (src / "match_gPOISON_uno-a1.json").write_text("{ this is not valid json !!")
+
+        def run(i: int) -> None:
+            # fresh checkpoint per run = the reference's cron restart:
+            # the file source re-lists everything, silver's key
+            # anti-join dedups, the ledger gates the poison tail
+            q = stream_matches_to_silver(
+                spark, str(src), players, silver,
+                str(tmp_path / f"ckpt{i}"), failure_ledger=ledger,
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        def counts() -> dict:
+            return {r["key"]: r["fail_count"] for r in ledger.counts().collect()}
+
+        run(1)
+        assert counts() == {"gPOISON": 1}
+        run(2)
+        run(3)
+        assert counts() == {"gPOISON": 3}
+        n3 = spark.read.parquet(silver).count()
+        # at the cutoff the key is parked: further restarts do not
+        # re-attempt it and the count stops growing
+        run(4)
+        assert counts() == {"gPOISON": 3}
+        out = spark.read.parquet(silver)
+        assert out.filter("game_id = 'gPOISON'").count() == 0
+        assert out.count() == n3  # valid files never duplicated
+        # a flaky file: fails once, then is fixed — success REMOVES the
+        # key (ts:209), it does not park at a stale count
+        (src / "match_gFLAKY_uno-b1.json").write_text("also broken")
+        run(5)
+        assert counts() == {"gPOISON": 3, "gFLAKY": 1}
+        doc = js.loads((src / "match_g001_uno-a1.json").read_text())
+        doc["utcEndSeconds"] += 999
+        (src / "match_gFLAKY_uno-b1.json").write_text(js.dumps(doc))
+        run(6)
+        assert counts() == {"gPOISON": 3}
+        assert spark.read.parquet(silver).filter("game_id = 'gFLAKY'").count() == 1
+
+
 class TestPlayerSearch:
     def test_fuzzy_rank(self, spark, fixture_dirs):
         from cod_stats_spark.engine.api import search_players

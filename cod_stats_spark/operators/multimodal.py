@@ -56,6 +56,57 @@ class RealDecodeUnavailable(NotImplementedError):
     """Raised where a real codec (PIL / soundfile / pyav) would be called."""
 
 
+# ---------------------------------------------------------------- codecs
+#
+# The decode seam is a sniff-decode REGISTRY: each codec inspects the
+# payload's magic bytes and either claims it (returning the metadata
+# fields it can extract) or passes (None). ``_decode_one`` walks the
+# registry in order and raises RealDecodeUnavailable only when no codec
+# claims the payload — so plugging in PIL/soundfile/pyav is
+# ``register_codec`` with a sniffer, no core changes. Two codecs ship:
+# the FAKE test format, and a real pure-Python PNG header parser
+# (signature + IHDR — the metadata this operator extracts needs no
+# pixel decode, so no PIL required).
+
+
+def _decode_fake(raw: bytes) -> dict | None:
+    if not raw.startswith(b"FAKE|"):
+        return None
+    parts = raw.split(b"|", 5)
+    return {
+        "format": "fake",
+        "width": int(parts[1]),
+        "height": int(parts[2]),
+        "n_frames": int(parts[3]),
+        "sample_rate": int(parts[4]),
+    }
+
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(raw: bytes) -> dict | None:
+    """PNG metadata decode, pure Python: 8-byte signature, then the
+    IHDR chunk's big-endian width/height (bytes 16..24). Proves the
+    registry seam works on a REAL format without any media library."""
+    import struct
+
+    if len(raw) < 24 or raw[:8] != PNG_SIGNATURE or raw[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack(">II", raw[16:24])
+    return {"format": "png", "width": width, "height": height, "n_frames": 1}
+
+
+CODECS: list = [_decode_fake, _decode_png]
+
+
+def register_codec(sniff_decode) -> None:
+    """Plug in a real codec: ``sniff_decode(raw: bytes) -> dict | None``
+    returning metadata fields for payloads it claims, None otherwise.
+    Registered codecs are consulted after the built-ins."""
+    CODECS.append(sniff_decode)
+
+
 def make_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministically synthesize a binary media payload per row.
 
@@ -90,6 +141,35 @@ def make_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def make_png_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Synthesize REAL PNG-headered binary payloads per row (signature +
+    IHDR with md5-derived dimensions, zero CRC, text bytes as body) —
+    the input for exercising the PNG codec end-to-end. All JVM-side
+    (unhex/concat), and byte-reproducible in the SQL oracle, which
+    rebuilds the identical blob and cross-checks a sha256 over its hex
+    rendering."""
+
+    def _md5_dim(col, modulus):
+        return (
+            F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long") % modulus + 1
+        ).cast("int")
+
+    w = _md5_dim(F.col(text_col), 1920)
+    h = _md5_dim(F.reverse(F.col(text_col)), 1080)
+    header = F.concat(
+        F.unhex(F.lit(PNG_SIGNATURE.hex().upper() + "0000000D" + "49484452")),
+        F.unhex(F.concat(F.lpad(F.hex(w), 8, "0"), F.lpad(F.hex(h), 8, "0"))),
+        # bit depth 8, color type 2 (truecolor), compression/filter/
+        # interlace 0, then a zeroed CRC (metadata decode skips it)
+        F.unhex(F.lit("0802000000" + "00000000")),
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.concat(header, F.col(text_col).cast("binary")).alias("media_bytes"),
+        F.lit("image").alias("media_type"),
+    )
+
+
 def _decode_one(media_id: int, raw: bytes, media_type: str) -> dict:
     import hashlib
 
@@ -104,20 +184,15 @@ def _decode_one(media_id: int, raw: bytes, media_type: str) -> dict:
         "n_bytes": len(raw) if raw is not None else 0,
         "sha256": hashlib.sha256(raw).hexdigest() if raw is not None else None,
     }
-    if raw is not None and raw.startswith(b"FAKE|"):
-        parts = raw.split(b"|", 5)
-        meta.update(
-            format="fake",
-            width=int(parts[1]),
-            height=int(parts[2]),
-            n_frames=int(parts[3]),
-            sample_rate=int(parts[4]),
-        )
-        return meta
-    # Real codecs (PIL.Image.open / soundfile.read / av.open) plug in here.
+    if raw is not None:
+        for codec in CODECS:
+            fields = codec(raw)
+            if fields is not None:
+                meta.update(fields)
+                return meta
     raise RealDecodeUnavailable(
-        f"no codec available for media_id={media_id}; only the FAKE test format "
-        "is decodable in this environment"
+        f"no registered codec claims media_id={media_id}; add one with "
+        "register_codec() (PIL / soundfile / pyav adapters plug in there)"
     )
 
 

@@ -33,6 +33,7 @@ from cod_stats_spark.operators.multimodal import (
     decode_media_meta,
     frame_sample,
     make_fake_media,
+    make_png_media,
     resize_plan,
 )
 from cod_stats_spark.operators.rolling import cumulative_frames, rolling_frames
@@ -1212,6 +1213,56 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "media_type", "format", "width", "height", "n_frames",
         "n_bytes", "sha256", "target_width", "target_height",
         F.size("sampled_frames").alias("n_sampled_frames"),
+    )
+
+
+PNG_DECODE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, text,
+    (('0x' || substr(md5(text), 1, 6))::BIGINT % 1920 + 1)::INT          AS width,
+    (('0x' || substr(md5(reverse(text)), 1, 6))::BIGINT % 1080 + 1)::INT AS height
+  FROM documents
+), built AS (
+  SELECT doc_id AS media_id, 'image' AS media_type, 'png' AS format, width, height,
+         unhex('89504E470D0A1A0A' || '0000000D' || '49484452'
+               || printf('%08X', width) || printf('%08X', height)
+               || '0802000000' || '00000000') || encode(text) AS payload
+  FROM dims
+)
+SELECT media_id, media_type, format, width, height,
+       1::INT AS n_frames,
+       octet_length(payload)::BIGINT AS n_bytes,
+       sha256(hex(payload)) AS payload_hex_sha256,
+       ceil(width  * least(1.0, 512.0 / greatest(width, height)))::INT AS target_width,
+       ceil(height * least(1.0, 512.0 / greatest(width, height)))::INT AS target_height
+FROM built
+"""
+
+
+@query(
+    "multimodal_png_decode",
+    covers="EXT-multimodal (REAL-format codec through the registry seam: "
+    "pure-Python PNG header decode; FULL oracle rebuilds the PNG bytes "
+    "with unhex in SQL and sha256-cross-checks their hex rendering)",
+    oracle=PNG_DECODE_ORACLE,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-PNG-headered payloads (signature + IHDR, built JVM-side),
+    decoded by the registry's pure-Python PNG codec via mapInPandas.
+    The payload_hex_sha256 column is computed JVM-side from the exact
+    bytes, proving Spark's blob construction and DuckDB's agree
+    byte-for-byte — the raw-bytes sha256 inside the decoder stays
+    covered by the `multimodal_decode` gate (ASCII payload, directly
+    sha256-able in SQL)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = make_png_media(docs, "doc_id", "text")
+    hexsha = media.select(
+        "media_id", F.sha2(F.hex("media_bytes"), 256).alias("payload_hex_sha256")
+    )
+    planned = resize_plan(decode_media_meta(media))
+    return planned.join(hexsha, "media_id").select(
+        "media_id", "media_type", "format", "width", "height", "n_frames",
+        "n_bytes", "payload_hex_sha256", "target_width", "target_height",
     )
 
 

@@ -116,8 +116,12 @@ def stateful_sessionize(
 
         # sum_units accumulates value quantized to 1e-4 units (exact
         # integers in a double up to 2^53), so the emitted per-session sum
-        # is order-independent and bit-identical to an exact DECIMAL sum —
-        # float accumulation would drift from the batch/DuckDB result.
+        # is order-independent. PRECONDITION: inputs must be exact
+        # multiples of 1e-4 (true for the testdata's 2-decimal values) —
+        # only then is per-event quantization identical to an exact
+        # DECIMAL sum. Finer-grained inputs would be rounded per event
+        # (Python banker's rounding: 0.00005 → 0), which is sum-of-
+        # rounded, not round-of-sum; widen the unit for such sources.
         closed = []
         for pdf in pdfs:
             if pdf.empty:

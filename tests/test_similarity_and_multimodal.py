@@ -88,8 +88,49 @@ class TestMultimodal:
         assert a == b
 
     def test_real_codec_stub_raises(self):
+        # truncated PNG magic: the PNG codec passes (no full IHDR), no
+        # other codec claims it, the seam raises
         with pytest.raises(RealDecodeUnavailable):
             _decode_one(1, b"\x89PNG...", "image")
+
+    def test_png_codec_decodes_real_header(self, spark):
+        """The registry seam against a REAL format: pure-Python PNG
+        signature+IHDR decode of JVM-built payloads — no PIL anywhere
+        (round-2 verdict item 8; oracle gate: multimodal_png_decode)."""
+        import hashlib
+        import struct
+
+        from cod_stats_spark.operators.multimodal import make_png_media
+
+        docs = spark.createDataFrame(
+            [(1, "png body text"), (2, "y" * 100)], "doc_id long, text string"
+        )
+        media = make_png_media(docs, "doc_id", "text")
+        raws = {r["media_id"]: bytes(r["media_bytes"]) for r in media.collect()}
+        assert all(raw[:8] == b"\x89PNG\r\n\x1a\n" for raw in raws.values())
+        out = {r["media_id"]: r for r in decode_media_meta(media).collect()}
+        for mid, raw in raws.items():
+            w, h = struct.unpack(">II", raw[16:24])
+            r = out[mid]
+            assert (r["format"], r["width"], r["height"], r["n_frames"]) == ("png", w, h, 1)
+            assert r["sample_rate"] is None
+            assert r["sha256"] == hashlib.sha256(raw).hexdigest()
+            assert r["n_bytes"] == len(raw)
+
+    def test_register_codec_extends_seam(self):
+        from cod_stats_spark.operators import multimodal as mm
+
+        def wav_sniffer(raw):
+            if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                return None
+            return {"format": "wav", "sample_rate": 44100, "n_frames": 0}
+
+        mm.register_codec(wav_sniffer)
+        try:
+            meta = mm._decode_one(7, b"RIFF\x00\x00\x00\x00WAVEdata", "audio")
+            assert meta["format"] == "wav" and meta["sample_rate"] == 44100
+        finally:
+            mm.CODECS.remove(wav_sniffer)
 
     def test_resize_preserves_aspect(self, spark):
         docs = spark.createDataFrame([(i, f"doc {i} " * (i + 1)) for i in range(20)],

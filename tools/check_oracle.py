@@ -84,8 +84,13 @@ def type_audit(sdf, con, sql) -> list[str]:
     """The driver compares Arrow/pandas-converted values, so a DuckDB
     HUGEINT (sum of ints -> decimal128, pandas float64) hash-mismatches a
     Spark bigint even when fetchall() values compare equal. Flag any
-    column whose Arrow type class differs from Spark's."""
-    arrow_schema = con.execute(sql).arrow().schema
+    column whose Arrow type class differs from Spark's.
+
+    Schema comes from a LIMIT 0 wrapper: re-executing the full oracle
+    just to read its Arrow schema doubled DuckDB cost per gate (the
+    value comparison keeps fetchall(), so its conversion path — the
+    thing the audit exists to police — stays byte-identical)."""
+    arrow_schema = con.execute(f"SELECT * FROM ({sql}) _probe LIMIT 0").arrow().schema
     spark_types = {f.name: _spark_type_class(f.dataType) for f in sdf.schema.fields}
     problems = []
     for field in arrow_schema:

@@ -9,16 +9,20 @@ Algorithm: label propagation to the minimum id — each iteration every
 vertex adopts the smallest label in its neighborhood; converges in
 O(diameter) iterations. Spark-first mechanics:
 
-- edges are symmetrized once and CACHED (reused every iteration);
-- each iteration is one join + one min-aggregate (two shuffles);
-- convergence check = count of changed labels (an aggregate, cheap);
-- labels are localCheckpoint'ed EVERY iteration to truncate lineage —
-  the classic iterative-algorithm trap on Spark (without it each
-  action replays all prior iterations);
+- edges are symmetrized once and eagerly localCheckpoint'ed —
+  pre-partitioned on the join key (reused every iteration, never
+  re-shuffled) and with upstream lineage TRUNCATED, so per-iteration
+  actions don't re-analyze the pair-generation expression tree;
+- iteration 1 is fused into initialization (min of self + direct
+  neighbors, one aggregate, no join);
+- each further iteration is ONE persist+count job: the tagged
+  union-aggregate yields new and old labels together, so the same
+  action materializes the generation (truncating lineage — the classic
+  iterative-algorithm trap on Spark) and evaluates convergence;
 - pointer jumping (label-of-label) gives O(log diameter) convergence.
 
 Near-dup graphs have tiny diameters (dup clusters are cliques-ish), so
-this typically converges in 2–3 iterations.
+this typically converges in 1–2 counted iterations.
 """
 
 from __future__ import annotations
@@ -42,8 +46,14 @@ def connected_components(
     # symmetrize in ONE pass over the edge list (explode of both
     # orientations) — a union of two selects would evaluate the whole
     # upstream pair-generation plan (LSH + verification) twice. The
-    # cache is pre-partitioned on the join key v so the per-iteration
-    # join never re-shuffles the edge side.
+    # materialization is an EAGER localCheckpoint, not a cache: it both
+    # pins the blocks (pre-partitioned on the join key v, so the
+    # per-iteration join never re-shuffles the edge side) and TRUNCATES
+    # the logical plan. Truncation is the load-bearing part — the edge
+    # list usually arrives with the entire LSH + verify expression tree
+    # as its lineage, and every subsequent action here would otherwise
+    # pay Catalyst re-analysis of that tree (measured ~1 s per action
+    # on the dedup-pipeline shape, dwarfing the actual tiny-graph work).
     sym = (
         edges.select(
             F.explode(
@@ -56,7 +66,7 @@ def connected_components(
         .select("e.u", "e.v")
         .distinct()
         .repartition("v")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     # iteration 1 fused into initialization: with a symmetric edge
     # list, min-label's first round is exactly component = min(self,
@@ -106,7 +116,7 @@ def connected_components(
         )
         # persist + count = ONE job that both materializes this
         # generation (truncating recompute for the next iteration) and
-        # evaluates convergence; near-dup graphs converge in 2-3
+        # evaluates convergence; near-dup graphs converge in 1-2
         # rounds, so the cached-plan nesting stays shallow
         jumped = jumped.persist()
         pinned.append(jumped)
@@ -114,11 +124,17 @@ def connected_components(
         labels = jumped.select("vertex", "component")
         if changed == 0:
             break
-    out = labels.localCheckpoint(eager=True)
-    for df in pinned:
+    # the returned labels read the LAST persisted generation directly —
+    # a final eager localCheckpoint would cost one more full job purely
+    # to re-copy blocks that are already materialized. Earlier
+    # generations and the edge cache unpersist now; if the last
+    # generation is ever evicted, recompute walks the original lineage
+    # (correct, just slower).
+    for df in pinned[:-1]:
         df.unpersist()
-    sym.unpersist()
-    return out
+    # sym's localCheckpoint blocks are released by the ContextCleaner
+    # when the RDD is garbage-collected; there is no unpersist handle.
+    return labels
 
 
 def dedup_clusters(

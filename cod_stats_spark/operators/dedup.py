@@ -156,6 +156,38 @@ def minhash_signatures(
     return base.select("id", F.expr(sig_sql).alias("sig"))
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    base_hash: str = "xxhash64",
+    band_key: str = "hash",
+) -> DataFrame:
+    """id → (band, band_hash) LSH keys, one row per band.
+
+    The joinable form of the banded signature: two docs are candidate
+    near-dups iff they share a (band, band_hash) row. Used by
+    :func:`minhash_lsh_pairs` for self-join dedup and by the streaming
+    incremental dedup to probe a persisted corpus index with a new
+    micro-batch (cross-set candidates without re-sketching the corpus).
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, base_hash)
+    wrap = "xxhash64({0})" if band_key == "hash" else "array({0})"
+    band_exprs_sql = ", ".join(
+        wrap.format(", ".join(f"sig[{b * rows + r}]" for r in range(rows)))
+        for b in range(bands)
+    )
+    return sigs.select(
+        "id",
+        F.posexplode(F.expr(f"array({band_exprs_sql})")).alias("band", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -187,17 +219,8 @@ def minhash_lsh_pairs(
     (narrower shuffle key — production default); "values" buckets on
     the raw row values (exact banding semantics, SQL-reproducible).
     """
-    assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, base_hash)
-    wrap = "xxhash64({0})" if band_key == "hash" else "array({0})"
-    band_exprs_sql = ", ".join(
-        wrap.format(", ".join(f"sig[{b * rows + r}]" for r in range(rows)))
-        for b in range(bands)
-    )
-    banded = sigs.select(
-        "id",
-        F.posexplode(F.expr(f"array({band_exprs_sql})")).alias("band", "band_hash"),
+    banded = minhash_band_keys(
+        df, text_col, id_col, num_hashes, bands, shingle_n, base_hash, band_key
     )
     buckets = banded.groupBy("band", "band_hash").agg(
         F.array_sort(F.collect_list("id")).alias("ids")

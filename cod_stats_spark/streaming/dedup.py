@@ -1,0 +1,237 @@
+"""Streaming incremental deduplication — new documents vs a growing corpus.
+
+The batch dedup operators (operators/dedup.py) answer "which documents
+in THIS table duplicate each other". A training-data ingest pipeline
+asks a different question every few minutes: "which of these NEW
+documents duplicate anything we already kept?" Re-sketching the corpus
+per micro-batch is the naive answer and is quadratic over a crawl's
+lifetime; the incremental answer maintains an INDEX next to the corpus
+and only sketches each document once, when it arrives:
+
+- ``fingerprints`` — (id, fp) md5 of normalized text (exact layer)
+- ``bands``        — (id, band, band_hash) MinHash LSH keys
+                     (near-dup candidate layer)
+
+Per micro-batch (foreachBatch):
+
+1. exact: batch docs fingerprint-deduped within the batch (min id
+   survives), then anti-joined against the fingerprint index;
+2. near: within-batch near-dups removed via the regular LSH+Jaccard
+   pipeline, then the survivors' band keys PROBE the index — only
+   (band, band_hash) collisions become candidates, verified with exact
+   Jaccard against just the colliding corpus docs;
+3. survivors append to the corpus, their fingerprints + band keys
+   append to the index. Nothing about the existing corpus or index is
+   ever rewritten or re-sketched.
+
+Scale shape: the batch side of every join is one micro-batch
+(broadcastable); the index sides are append-only tables that a real
+deployment buckets by fp / (band, band_hash) so the probes are
+co-located joins with partition pruning. Candidate verification reads
+only the corpus rows whose ids collided — a semi-join-restricted scan,
+never the whole corpus.
+
+Reference: the reference has no near-dup machinery (its dedup is the
+INSERT OR IGNORE natural key, parse_matches.sh:613) — this extends the
+same incremental contract to content-level duplicates.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cod_stats_spark.functions.text import fingerprint, shingles
+from cod_stats_spark.operators.dedup import (
+    minhash_band_keys,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+
+FP_SCHEMA = "id long, fp string"
+BANDS_SCHEMA = "id long, band int, band_hash long"
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    if os.path.isdir(path):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def _cross_jaccard(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    candidates: DataFrame,  # (id_a = corpus id, id_b = batch id)
+    shingle_n: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard verification of cross-set candidate pairs. Same
+    |A∩B| / (|A|+|B|−|A∩B|) arithmetic as ngram_jaccard_pairs, with the
+    two sides drawn from different tables: shingles are computed only
+    for the corpus rows that collided (semi-join-restricted) and for
+    the batch rows (already in memory); the batch side broadcasts."""
+    a = (
+        corpus.join(
+            candidates.select(F.col("id_a").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("id_a"),
+            F.explode(F.array(shingles(text_col, shingle_n))).alias("sh_a"),
+        )
+        .withColumn("sz_a", F.size("sh_a"))
+    )
+    b = (
+        batch.join(
+            candidates.select(F.col("id_b").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("id_b"),
+            F.explode(F.array(shingles(text_col, shingle_n))).alias("sh_b"),
+        )
+        .withColumn("sz_b", F.size("sh_b"))
+    )
+    joined = candidates.join(a, "id_a").join(F.broadcast(b), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_batch_against_corpus(
+    spark: SparkSession,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    corpus_path: str,
+    index_path: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One incremental-dedup step: returns the batch's surviving rows
+    and appends them (plus their index entries) to corpus/index.
+
+    Ids must be globally unique across batches and corpus (the ingest
+    layer's key contract). Callable directly for batch backfills; the
+    streaming wrapper below feeds it micro-batches.
+    """
+    fp_path = os.path.join(index_path, "fingerprints")
+    bands_path = os.path.join(index_path, "bands")
+
+    batch = batch.withColumn("_fp", fingerprint(F.col(text_col)))
+    # exact, within batch: min id per fingerprint survives
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    batch = batch.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    ).drop("_rn")
+    # exact, vs corpus: anti-join the fingerprint index
+    fp_index = _read_or_empty(spark, fp_path, FP_SCHEMA)
+    batch = batch.join(
+        fp_index.select(F.col("fp").alias("_fp")), "_fp", "left_anti"
+    ).persist()
+    batch.count()  # barrier: several consumers below
+
+    # near, within batch: standard LSH + Jaccard, drop the higher id
+    within = ngram_jaccard_pairs(
+        batch,
+        text_col,
+        id_col,
+        minhash_lsh_pairs(
+            batch, text_col, id_col, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n,
+        ),
+        shingle_n=shingle_n,
+        threshold=threshold,
+    )
+    batch_near = batch.join(
+        within.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_anti"
+    )
+
+    # near, vs corpus: probe the band index with the batch's band keys
+    if os.path.isdir(corpus_path):
+        band_index = _read_or_empty(spark, bands_path, BANDS_SCHEMA)
+        batch_bands = minhash_band_keys(
+            batch_near, text_col, id_col, num_hashes, bands, shingle_n
+        )
+        candidates = (
+            band_index.join(
+                F.broadcast(batch_bands.withColumnRenamed("id", "_bid")),
+                ["band", "band_hash"],
+            )
+            .select(F.col("id").alias("id_a"), F.col("_bid").alias("id_b"))
+            .distinct()
+        )
+        corpus = spark.read.parquet(corpus_path)
+        confirmed = _cross_jaccard(
+            corpus, batch_near, text_col, id_col, candidates, shingle_n, threshold
+        )
+        survivors = batch_near.join(
+            confirmed.select(F.col("id_b").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+    else:  # first batch ever: nothing to probe
+        survivors = batch_near
+    # Sever lineage BEFORE the appends. A persist() is NOT enough:
+    # appending to corpus/fp/bands triggers Spark's refreshByPath on
+    # the output path, which invalidates-and-recomputes any cached plan
+    # that scans that path — the survivors plan reads the fingerprint
+    # index, so after the fp append it would re-evaluate against an
+    # index that now contains this very batch and anti-join everything
+    # away. localCheckpoint(eager) pins the rows to executor storage
+    # with no file lineage; all three writes and the return value read
+    # the checkpoint. (A multi-executor deployment with lossy storage
+    # would stage survivors to a scratch parquet path instead — same
+    # shape, durable materialization.)
+    survivors = survivors.localCheckpoint(eager=True)
+    batch.unpersist()
+
+    survivors.drop("_fp").write.mode("append").parquet(corpus_path)
+    survivors.select(F.col(id_col).alias("id"), F.col("_fp").alias("fp")).write.mode(
+        "append"
+    ).parquet(fp_path)
+    minhash_band_keys(
+        survivors, text_col, id_col, num_hashes, bands, shingle_n
+    ).write.mode("append").parquet(bands_path)
+    return survivors.drop("_fp")
+
+
+def stream_dedup_to_corpus(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_path: str | None = None,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+):
+    """Structured-Streaming wrapper: each micro-batch is deduped against
+    itself and the corpus-so-far, survivors append to corpus + index.
+    Returns the StreamingQuery."""
+
+    def batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
+        dedup_batch_against_corpus(
+            spark, batch_df, text_col, id_col, corpus_path, index_path,
+            threshold, num_hashes, bands, shingle_n,
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(batch_fn).outputMode("append")
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

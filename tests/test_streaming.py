@@ -345,3 +345,84 @@ class TestPlayerSearch:
         assert top[0] == "alice"
         top2 = [r["player_id"] for r in search_players(players, "bob").collect()]
         assert top2[0] == "bob"
+
+
+class TestStreamingDedup:
+    def test_batches_dedup_against_growing_corpus(self, spark, tmp_path):
+        """Incremental dedup: batch 2 must drop exact and near dups of
+        batch 1's survivors (via the fingerprint/band INDEX, without
+        re-sketching the corpus) while keeping genuinely new docs."""
+        from cod_stats_spark.streaming.dedup import dedup_batch_against_corpus
+
+        corpus = str(tmp_path / "corpus")
+        index = str(tmp_path / "index")
+        base = (
+            "the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest to hide from hunters"
+        )
+        b1 = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base),                      # exact dup within batch
+                (3, "completely different text about pyspark shuffles "
+                    "and adaptive query execution at terabyte scale"),
+            ],
+            "doc_id long, text string",
+        )
+        out1 = {r["doc_id"] for r in dedup_batch_against_corpus(
+            spark, b1, "text", "doc_id", corpus, index, threshold=0.6
+        ).collect()}
+        assert out1 == {1, 3}
+        b2 = spark.createDataFrame(
+            [
+                (10, base),                                   # exact dup of corpus 1
+                (11, base.replace("hunters", "wolves")),      # near dup of corpus 1
+                (12, "a genuinely novel document mentioning broadcast "
+                     "joins bloom filters and partition pruning tricks"),
+                (13, "a genuinely novel document mentioning broadcast "
+                     "joins bloom filters and partition pruning tricks"),  # dup of 12
+            ],
+            "doc_id long, text string",
+        )
+        out2 = {r["doc_id"] for r in dedup_batch_against_corpus(
+            spark, b2, "text", "doc_id", corpus, index, threshold=0.6
+        ).collect()}
+        assert out2 == {12}
+        kept = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+        assert kept == {1, 3, 12}
+        # index grew in lockstep with the corpus
+        fps = spark.read.parquet(index + "/fingerprints")
+        assert {r["id"] for r in fps.collect()} == {1, 3, 12}
+
+    def test_streaming_wrapper_processes_files(self, spark, tmp_path):
+        import json as js
+
+        from cod_stats_spark.streaming.dedup import stream_dedup_to_corpus
+
+        src = tmp_path / "incoming"
+        src.mkdir()
+        corpus = str(tmp_path / "corpus")
+        index = str(tmp_path / "index")
+        text = "streaming dedup exercises the same incremental contract"
+        with open(src / "b1.json", "w") as f:
+            for i, t in [(1, text), (2, text), (3, "some other words entirely here")]:
+                f.write(js.dumps({"doc_id": i, "text": t}) + "\n")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = stream_dedup_to_corpus(
+            spark, stream, "text", "doc_id", corpus, index,
+            str(tmp_path / "ckpt"), threshold=0.6,
+        )
+        try:
+            q.processAllAvailable()
+            with open(src / "b2.json", "w") as f:
+                f.write(js.dumps({"doc_id": 9, "text": text}) + "\n")
+                f.write(js.dumps({"doc_id": 10, "text": "fresh new content again"}) + "\n")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        kept = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+        assert kept == {1, 3, 10}

@@ -222,6 +222,18 @@ def minhash_lsh_pairs(
     banded = minhash_band_keys(
         df, text_col, id_col, num_hashes, bands, shingle_n, base_hash, band_key
     )
+    return lsh_pairs_from_band_keys(banded, max_bucket_size)
+
+
+def lsh_pairs_from_band_keys(
+    banded: DataFrame,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Bucket ``(id, band, band_hash)`` rows into candidate pairs —
+    the second half of :func:`minhash_lsh_pairs`, split out so callers
+    that already hold band keys (the streaming incremental dedup
+    sketches each batch exactly once and reuses the keys for pairing,
+    index probing, and the index append) skip re-sketching."""
     buckets = banded.groupBy("band", "band_hash").agg(
         F.array_sort(F.collect_list("id")).alias("ids")
     )

@@ -1774,6 +1774,139 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id", "cluster_id", "lang", "source", "n_chars")
 
 
+def _incremental_dedup_oracle_sql(threshold: float = 0.7) -> str:
+    """Sequential replay of the streaming incremental dedup in SQL.
+
+    Batch 1 (odd doc_ids) is exact-deduped (min id per fingerprint)
+    then near-deduped within itself and becomes the corpus; batch 2
+    (even doc_ids) repeats that within itself, then drops docs whose
+    fingerprint or near-dup partner is already in the corpus. The
+    all-pairs Jaccard stands in for the LSH band probe under the same
+    recall argument as _jaccard_pairs_sql. "Dropped" is deliberately
+    non-transitive — any doc with a lower-id >= t partner in scope
+    dies, even if that partner dies too — mirroring the operator's
+    anti-join-on-id_b semantics exactly.
+    """
+    sh = _SHINGLES_SQL.format(src="documents")
+    prune = (
+        "least(len(a.s), len(b.s))::DOUBLE / greatest(len(a.s), len(b.s))"
+        f" >= {threshold} - 1e-6"
+    )
+    jac = (
+        "round(len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s)"
+        f" - len(list_intersect(a.s, b.s))), 6) >= {threshold}"
+    )
+    return f"""
+WITH sh AS ({sh}),
+fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+b1e AS (SELECT min(doc_id) AS doc_id FROM fp WHERE doc_id % 2 = 1 GROUP BY fp),
+p1 AS (
+  SELECT b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  JOIN b1e ka ON ka.doc_id = a.doc_id
+  JOIN b1e kb ON kb.doc_id = b.doc_id
+  WHERE {prune} AND {jac}
+),
+s1 AS (SELECT doc_id FROM b1e WHERE doc_id NOT IN (SELECT id_b FROM p1)),
+b2e AS (SELECT min(doc_id) AS doc_id FROM fp WHERE doc_id % 2 = 0 GROUP BY fp),
+e2 AS (
+  SELECT b.doc_id FROM b2e b JOIN fp f USING (doc_id)
+  WHERE f.fp NOT IN (SELECT f1.fp FROM s1 JOIN fp f1 USING (doc_id))
+),
+p2 AS (
+  SELECT b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  JOIN e2 ka ON ka.doc_id = a.doc_id
+  JOIN e2 kb ON kb.doc_id = b.doc_id
+  WHERE {prune} AND {jac}
+),
+n2 AS (SELECT doc_id FROM e2 WHERE doc_id NOT IN (SELECT id_b FROM p2)),
+px AS (
+  SELECT b.doc_id AS id_b
+  FROM sh a JOIN sh b ON true
+  JOIN s1 ON s1.doc_id = a.doc_id
+  JOIN n2 ON n2.doc_id = b.doc_id
+  WHERE {prune} AND {jac}
+),
+kept AS (
+  SELECT doc_id FROM s1
+  UNION ALL
+  SELECT doc_id FROM n2 WHERE doc_id NOT IN (SELECT id_b FROM px)
+)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 2 = 1 THEN 1 ELSE 2 END::INT AS arrival_batch,
+       d.lang, d.source, d.n_chars
+FROM documents d JOIN kept USING (doc_id)
+"""
+
+
+@query(
+    "incremental_dedup",
+    covers=(
+        "EXT-dedup-streaming / S3+P6 analog (incremental batch-vs-corpus "
+        "dedup over a persistent fingerprint/band index; FULL oracle: "
+        "sequential two-batch replay in SQL)"
+    ),
+    oracle=_incremental_dedup_oracle_sql(),
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replays the documents table as two ingest micro-batches through
+    streaming/dedup.dedup_batch_against_corpus: odd doc_ids arrive
+    first and become the corpus plus its fingerprint/band index; even
+    doc_ids are then deduped within-batch and against the index via
+    the band probe — without re-sketching the corpus. The final corpus
+    is the verified surface.
+
+    Reference: extends the incremental INSERT OR IGNORE contract
+    (parser/parse_matches.sh:613) to content-level near-duplicates.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from cod_stats_spark.streaming.dedup import dedup_batch_against_corpus
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    tmp = tempfile.mkdtemp(prefix="incdedup_")
+    corpus, index = os.path.join(tmp, "corpus"), os.path.join(tmp, "index")
+    try:
+        for parity in (1, 0):
+            dedup_batch_against_corpus(
+                spark,
+                docs.filter(F.col("doc_id") % 2 == parity),
+                "text",
+                "doc_id",
+                corpus,
+                index,
+                threshold=0.7,
+                num_hashes=32,
+                bands=16,
+            )
+        # checkpoint so the scratch dir can be deleted before the caller
+        # collects (the result is bounded: surviving docs only)
+        out = (
+            spark.read.parquet(corpus)
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") % 2 == 1, F.lit(1))
+                .otherwise(F.lit(2))
+                .cast("int")
+                .alias("arrival_batch"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _decontaminate_oracle_sql(mod: int, ngram_n: int, min_overlap: int) -> str:
     """Generated oracle for n-gram decontamination: distinct word
     n-grams per side (same normalization as the shingle SQL, with the

@@ -45,8 +45,8 @@ from pyspark.sql import functions as F
 
 from cod_stats_spark.functions.text import fingerprint, shingles
 from cod_stats_spark.operators.dedup import (
+    lsh_pairs_from_band_keys,
     minhash_band_keys,
-    minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )
 
@@ -143,15 +143,23 @@ def dedup_batch_against_corpus(
     ).persist()
     batch.count()  # barrier: several consumers below
 
-    # near, within batch: standard LSH + Jaccard, drop the higher id
+    # Sketch each surviving doc EXACTLY ONCE: these band keys feed the
+    # within-batch pairing, the corpus-index probe, and the index
+    # append. Checkpointed (not just persisted) because the plan reads
+    # the fingerprint index — the appends below refreshByPath that
+    # index, which would invalidate a mere cache entry and recompute
+    # the keys against an index that already contains this batch.
+    batch_bands = minhash_band_keys(
+        batch, text_col, id_col, num_hashes, bands, shingle_n
+    ).localCheckpoint(eager=True)
+
+    # near, within batch: bucket the precomputed keys, verify, drop the
+    # higher id of each confirmed pair
     within = ngram_jaccard_pairs(
         batch,
         text_col,
         id_col,
-        minhash_lsh_pairs(
-            batch, text_col, id_col, num_hashes=num_hashes, bands=bands,
-            shingle_n=shingle_n,
-        ),
+        lsh_pairs_from_band_keys(batch_bands),
         shingle_n=shingle_n,
         threshold=threshold,
     )
@@ -162,12 +170,12 @@ def dedup_batch_against_corpus(
     # near, vs corpus: probe the band index with the batch's band keys
     if os.path.isdir(corpus_path):
         band_index = _read_or_empty(spark, bands_path, BANDS_SCHEMA)
-        batch_bands = minhash_band_keys(
-            batch_near, text_col, id_col, num_hashes, bands, shingle_n
+        near_bands = batch_bands.join(
+            batch_near.select(F.col(id_col).alias("id")), "id", "left_semi"
         )
         candidates = (
             band_index.join(
-                F.broadcast(batch_bands.withColumnRenamed("id", "_bid")),
+                F.broadcast(near_bands.withColumnRenamed("id", "_bid")),
                 ["band", "band_hash"],
             )
             .select(F.col("id").alias("id_a"), F.col("_bid").alias("id_b"))
@@ -202,8 +210,8 @@ def dedup_batch_against_corpus(
     survivors.select(F.col(id_col).alias("id"), F.col("_fp").alias("fp")).write.mode(
         "append"
     ).parquet(fp_path)
-    minhash_band_keys(
-        survivors, text_col, id_col, num_hashes, bands, shingle_n
+    batch_bands.join(
+        survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
     ).write.mode("append").parquet(bands_path)
     return survivors.drop("_fp")
 

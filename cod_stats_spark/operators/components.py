@@ -54,6 +54,11 @@ def connected_components(
     # as its lineage, and every subsequent action here would otherwise
     # pay Catalyst re-analysis of that tree (measured ~1 s per action
     # on the dedup-pipeline shape, dwarfing the actual tiny-graph work).
+    # no distinct(): min-label aggregation is idempotent under
+    # duplicate edges (min over extra copies of the same message), and
+    # the usual producers emit unique id_a < id_b pairs already — a
+    # distinct here would cost a second full shuffle of the edge list
+    # purely to shrink the tiny per-iteration message join
     sym = (
         edges.select(
             F.explode(
@@ -64,7 +69,6 @@ def connected_components(
             ).alias("e")
         )
         .select("e.u", "e.v")
-        .distinct()
         .repartition("v")
         .localCheckpoint(eager=True)
     )

@@ -138,10 +138,12 @@ def dedup_batch_against_corpus(
     ).drop("_rn")
     # exact, vs corpus: anti-join the fingerprint index
     fp_index = _read_or_empty(spark, fp_path, FP_SCHEMA)
+    # lazy persist, no count barrier: the consumers below run as
+    # sequential jobs, so the first one (the band-key checkpoint)
+    # populates the cache and the rest read it
     batch = batch.join(
         fp_index.select(F.col("fp").alias("_fp")), "_fp", "left_anti"
     ).persist()
-    batch.count()  # barrier: several consumers below
 
     # Sketch each surviving doc EXACTLY ONCE: these band keys feed the
     # within-batch pairing, the corpus-index probe, and the index

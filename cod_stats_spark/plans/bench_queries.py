@@ -1172,6 +1172,75 @@ def quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_oracle() -> str:
+    """Oracle for pii_redact, generated from the same PII_PATTERNS the
+    operator uses (single source of truth — pattern drift fails the
+    gate loudly rather than desynchronizing silently)."""
+    from cod_stats_spark.functions import redact as R
+
+    counts = R.counts_sql("aug")
+    count_cols = ",\n       ".join(
+        f"{expr}::INT AS n_{name}" for name, expr in counts.items()
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         substr(text, 1, 80)
+         || ' contact user' || (doc_id % 97)::VARCHAR
+         || '@example.com or admin@test.org, ip 10.'
+         || (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR
+         || '.9 id ' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+         || '-45-6789 tel +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         AS aug
+  FROM documents
+)
+SELECT doc_id,
+       {count_cols},
+       {R.redact_sql("aug")} AS redacted
+FROM aug
+"""
+
+
+@query(
+    "pii_redact",
+    covers="EXT-text (PII scrubbing: portable regex tier, email/IP/SSN/phone; "
+    "synthetic PII injected identically in both engines since testdata is clean)",
+    oracle=_pii_oracle(),
+)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact synthetic PII planted deterministically per doc.
+
+    The testdata corpus contains no PII, so the gate constructs an
+    augmented column (same expression in Spark and DuckDB) carrying two
+    emails, an IPv4, an SSN-shaped id, and a phone per doc, then runs
+    the production redact_pii / pii_counts expressions over it. One
+    codegen'd projection, zero shuffles — the 100 TB shape.
+    """
+    from cod_stats_spark.functions import redact as R
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.substring("text", 1, 80),
+        F.lit(" contact user"),
+        (did % 97).cast("string"),
+        F.lit("@example.com or admin@test.org, ip 10."),
+        (did % 256).cast("string"),
+        F.lit("."),
+        ((did * 7) % 256).cast("string"),
+        F.lit(".9 id "),
+        F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("-45-6789 tel +1-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    counts = R.pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        *[counts[name].alias(f"n_{name}") for name, _, _ in R.PII_PATTERNS],
+        R.redact_pii(aug).alias("redacted"),
+    )
+
+
 MULTIMODAL_ORACLE = """
 WITH dims AS (
   SELECT doc_id, text,

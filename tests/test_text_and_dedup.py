@@ -337,3 +337,71 @@ class TestDecontaminate:
             corpus, bench, "text", "doc_id", broadcast_benchmark=False
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" not in plan2
+
+
+class TestRedact:
+    def test_redacts_each_type(self, spark):
+        from cod_stats_spark.functions import redact as R
+
+        raw = (
+            "mail a.b+c%d@sub.example.co.uk and x@y.io, "
+            "ip 192.168.0.1, id 123-45-6789, tel +44-20-7946-0958 done"
+        )
+        row = (
+            one(spark, raw)
+            .select(
+                R.redact_pii(F.col("text")).alias("r"),
+                *[
+                    R.pii_counts(F.col("text"))[n].alias(n)
+                    for n, _, _ in R.PII_PATTERNS
+                ],
+            )
+            .first()
+        )
+        assert row["email"] == 2 and row["ipv4"] == 1
+        assert row["ssn"] == 1 and row["phone"] == 1
+        assert row["r"] == (
+            "mail <EMAIL> and <EMAIL>, ip <IP>, id <SSN>, tel <PHONE> done"
+        )
+
+    def test_clean_text_untouched(self, spark):
+        from cod_stats_spark.functions import redact as R
+
+        raw = "version 1.2.3 of thing-4 costs 12-34 dollars at 5pm"
+        row = (
+            one(spark, raw)
+            .select(
+                R.redact_pii(F.col("text")).alias("r"),
+                R.has_pii(F.col("text")).alias("h"),
+            )
+            .first()
+        )
+        assert row["r"] == raw and row["h"] is False
+
+    def test_spark_duckdb_pattern_parity(self, spark):
+        """The exact patterns must behave identically under Java regex
+        (Spark) and RE2 (DuckDB) — the portability contract the oracle
+        relies on."""
+        import duckdb
+
+        from cod_stats_spark.functions import redact as R
+
+        samples = [
+            "a@b.co 1.2.3.4 999-99-9999 +1-800-5551",
+            "no pii here 1.2 v10..3 123-456 +phone",
+            "edge@x.io. trailing dot, 255.255.255.255,+12-3456-789-0000",
+            "",
+        ]
+        sdf = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(samples)], "i long, t string"
+        )
+        got = {
+            r["i"]: r["r"]
+            for r in sdf.select("i", R.redact_pii(F.col("t")).alias("r")).collect()
+        }
+        con = duckdb.connect()
+        for i, s in enumerate(samples):
+            want = con.execute(
+                f"SELECT {R.redact_sql('?::VARCHAR')}", [s]
+            ).fetchone()[0]
+            assert got[i] == want, (s, got[i], want)

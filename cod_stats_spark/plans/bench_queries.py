@@ -1241,6 +1241,76 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _repetition_oracle(ns=(2, 3, 5)) -> str:
+    """DuckDB mirror of operators/repetition.py: same normalization,
+    same n-gram windows, same short-doc semantics (k < n → no grams →
+    0.0), reduced by group-by instead of Spark's tagged explode."""
+    gram_parts = []
+    for n in ns:
+        gram_parts.append(
+            f"""  SELECT doc_id, {n} AS n,
+         unnest(CASE WHEN len(tk) >= {n}
+                     THEN list_transform(generate_series(0, len(tk)-{n}),
+                                         i -> array_to_string(tk[i+1:i+{n}], ' '))
+                     ELSE [] END) AS gram
+  FROM meta"""
+        )
+    grams_sql = "\n  UNION ALL\n".join(gram_parts)
+
+    def frac(n: int, num: str) -> str:
+        return (
+            f"round(coalesce(max(CASE WHEN p.n = {n} THEN p.{num} END)::DOUBLE"
+            f" / max(CASE WHEN p.n = {n} THEN p.tot END)::DOUBLE, 0.0), 6)"
+        )
+
+    metric_cols = ",\n       ".join(
+        f"{frac(n, src)} AS {alias}{n}gram_frac"
+        for n in ns
+        for src, alias in (("mx", "top"), ("dup", "dup"))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     t -> t <> '') AS tk
+  FROM documents
+), meta AS (
+  SELECT doc_id, len(tk) AS n_words, len(list_distinct(tk)) AS n_distinct_words, tk
+  FROM base
+), g AS (
+{grams_sql}
+), c AS (
+  SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3
+), p AS (
+  SELECT doc_id, n, max(cnt) AS mx, sum(cnt) AS tot,
+         coalesce(sum(CASE WHEN cnt >= 2 THEN cnt END), 0) AS dup
+  FROM c GROUP BY 1, 2
+)
+SELECT m.doc_id, m.n_words, m.n_distinct_words,
+       round(CASE WHEN m.n_words > 0
+                  THEN m.n_distinct_words::DOUBLE / m.n_words::DOUBLE
+                  ELSE 0.0 END, 6) AS ttr,
+       {metric_cols}
+FROM meta m LEFT JOIN p ON p.doc_id = m.doc_id
+GROUP BY m.doc_id, m.n_words, m.n_distinct_words
+"""
+
+
+@query(
+    "repetition_metrics",
+    covers="EXT-text (Gopher-style repetition quality signals: type-token "
+    "ratio, modal/duplicated n-gram mass at n=2,3,5)",
+    oracle=_repetition_oracle(),
+)
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition profile over documents — see
+    operators/repetition.py for the two-aggregation distributed shape."""
+    from cod_stats_spark.operators.repetition import repetition_profile
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return repetition_profile(docs, "text", "doc_id", ns=(2, 3, 5))
+
+
 MULTIMODAL_ORACLE = """
 WITH dims AS (
   SELECT doc_id, text,

@@ -405,3 +405,50 @@ class TestRedact:
                 f"SELECT {R.redact_sql('?::VARCHAR')}", [s]
             ).fetchone()[0]
             assert got[i] == want, (s, got[i], want)
+
+
+class TestRepetition:
+    def _profile(self, spark, rows):
+        from cod_stats_spark.operators.repetition import repetition_profile
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: r.asDict()
+            for r in repetition_profile(df).collect()
+        }
+
+    def test_planted_repetition(self, spark):
+        spammy = "buy now " * 20            # one bigram dominates
+        varied = "alpha beta gamma delta epsilon zeta eta theta"
+        p = self._profile(spark, [(1, spammy), (2, varied)])
+        # spammy: 40 words, 2 distinct -> ttr 0.05; modal bigram
+        # ("now buy"/"buy now") owns ~half the 39 bigram slots
+        assert p[1]["n_words"] == 40 and p[1]["n_distinct_words"] == 2
+        assert p[1]["ttr"] == 0.05
+        assert p[1]["top2gram_frac"] > 0.4
+        assert p[1]["dup5gram_frac"] == 1.0
+        # varied: all words distinct, every n-gram unique
+        assert p[2]["ttr"] == 1.0
+        assert p[2]["top2gram_frac"] == round(1 / 7, 6)
+        assert p[2]["dup2gram_frac"] == 0.0
+
+    def test_short_and_empty_docs(self, spark):
+        p = self._profile(spark, [(1, "one two three"), (2, "solo"), (3, "  ")])
+        # 3 words: bigrams/trigram exist, no 5-grams -> 0.0 not 1.0
+        assert p[1]["dup5gram_frac"] == 0.0 and p[1]["top5gram_frac"] == 0.0
+        assert p[1]["top3gram_frac"] == 1.0  # single trigram is modal
+        # 1 word: no grams at all, everything 0; ttr still 1.0
+        assert p[2]["ttr"] == 1.0 and p[2]["top2gram_frac"] == 0.0
+        # empty doc survives with all-zero metrics
+        assert p[3]["n_words"] == 0 and p[3]["ttr"] == 0.0
+
+    def test_filter_keeps_clean_drops_spam(self, spark):
+        from cod_stats_spark.operators.repetition import repetition_filter
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog near banks"),
+            (2, "spam spam spam spam spam spam spam spam spam spam"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = [r["doc_id"] for r in repetition_filter(df).collect()]
+        assert kept == [1]

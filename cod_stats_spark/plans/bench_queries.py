@@ -1311,6 +1311,45 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_profile(docs, "text", "doc_id", ns=(2, 3, 5))
 
 
+PACK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         len({_sql_tokens('text')})::BIGINT AS n_tokens,
+         md5('pack' || doc_id::VARCHAR) AS k
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       (sum(n_tokens) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING)
+        - n_tokens)::BIGINT AS start_offset,
+       ((sum(n_tokens) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING)
+        - n_tokens)::BIGINT // 2048) AS shard_id
+FROM tok
+"""
+
+
+@query(
+    "pack_sequences",
+    covers="EXT-packing (concatenation-order shard assignment on a "
+    "deterministic md5 tape; distributed two-phase prefix scan, verified "
+    "against the naive global-window oracle)",
+    oracle=PACK_ORACLE,
+)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing of documents into training shards.
+
+    The Spark side runs the 256-bucket distributed prefix scan from
+    operators/packing.py; the oracle is the single global window the
+    scan must numerically reproduce.
+    """
+    from cod_stats_spark.operators.packing import pack_sequences
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", T.token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(toks, "n_tokens", "doc_id", budget=2048)
+
+
 MULTIMODAL_ORACLE = """
 WITH dims AS (
   SELECT doc_id, text,

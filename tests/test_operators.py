@@ -237,3 +237,64 @@ class TestDeterministicSampling:
         by = {r["grp"]: r["count"] for r in got}
         assert by["small"] == 2000          # default 1.0 keeps everything
         assert 120 < by["big"] < 280        # ~10% of 2000
+
+
+class TestPacking:
+    def _toks(self, spark, counts):
+        return spark.createDataFrame(
+            [(i, c) for i, c in enumerate(counts)], "doc_id long, n_tokens long"
+        )
+
+    def test_tape_is_contiguous_and_deterministic(self, spark):
+        from cod_stats_spark.operators.packing import pack_sequences
+
+        df = self._toks(spark, [10, 20, 30, 40, 50, 5, 15, 25])
+        out = pack_sequences(df, "n_tokens", budget=64).collect()
+        rows = sorted(out, key=lambda r: r["start_offset"])
+        # offsets are an exact prefix sum of tokens in tape order
+        acc = 0
+        for r in rows:
+            assert r["start_offset"] == acc
+            assert r["shard_id"] == acc // 64
+            acc += r["n_tokens"]
+        # partitioning-independent: same assignment from 1 partition
+        again = pack_sequences(
+            df.repartition(1), "n_tokens", budget=64
+        ).collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+    def test_ffd_respects_budget(self, spark):
+        from cod_stats_spark.operators.packing import pack_ffd
+
+        counts = [500, 300, 300, 200, 100, 100, 90, 10, 2000]
+        out = pack_ffd(
+            self._toks(spark, counts), "n_tokens", budget=512, num_buckets=2
+        ).collect()
+        fill: dict[tuple, int] = {}
+        for r in out:
+            key = (r["bucket"], r["bin_in_bucket"])
+            fill[key] = fill.get(key, 0) + r["n_tokens"]
+        for key, tot in fill.items():
+            members = [
+                r["n_tokens"]
+                for r in out
+                if (r["bucket"], r["bin_in_bucket"]) == key
+            ]
+            # oversize doc sits alone in its bin; packed bins fit budget
+            if max(members) > 512:
+                assert len(members) == 1
+            else:
+                assert tot <= 512
+        assert len(out) == len(counts)
+
+    def test_manifest_covers_all_tokens(self, spark):
+        from cod_stats_spark.operators.packing import (
+            pack_sequences,
+            shard_manifest,
+        )
+
+        df = self._toks(spark, list(range(1, 40)))
+        packed = pack_sequences(df, "n_tokens", budget=100)
+        man = shard_manifest(packed).collect()
+        assert sum(r["n_tokens"] for r in man) == sum(range(1, 40))
+        assert sum(r["n_docs"] for r in man) == 39

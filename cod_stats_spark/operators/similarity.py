@@ -188,6 +188,59 @@ def ivf_topk(
     )
 
 
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors for EVERY query vector in one pass
+    (batch ANN — the retrieval shape behind hard-negative mining and
+    dedup-against-index jobs).
+
+    Plan at 100 TB: the query set is broadcast (it is the small side
+    by construction), scoring is a codegen'd map-side projection over
+    the corpus — no shuffle to score. The only movement is the top-k
+    reduction, done in two stages: a per-input-partition row_number
+    prunes to ≤ k rows per (query, partition) BEFORE the exchange, so
+    the per-query window never sees the full scored corpus (which
+    would funnel |corpus| rows into one task per query). Both stages
+    rank by the same (rounded score, id) total order, so stage 1 is a
+    lossless prune of the global top-k.
+
+    Self-matches (same id on both sides) are excluded.
+    """
+    from pyspark.sql import Window
+
+    qv = F.col("_qv").cast("array<double>")
+    vec = F.col(vec_col).cast("array<double>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("id"),
+            F.round(cosine(vec, qv), score_decimals).alias("cosine"),
+        )
+    )
+    order = [F.col("cosine").desc(), F.col("id").asc()]
+    local = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        scored.withColumn("_lrn", F.row_number().over(local))
+        .filter(F.col("_lrn") <= k)
+        .drop("_lrn")
+    )
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

@@ -1350,6 +1350,43 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, "n_tokens", "doc_id", budget=2048)
 
 
+KNN_JOIN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 200 = 0
+), s AS (
+  SELECT q.query_id, e.vec_id AS id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, id ASC) AS rank
+  FROM s
+)
+SELECT query_id, id, cosine, rank::INT AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+@query(
+    "knn_join",
+    covers="EXT-similarity (batch ANN: exact top-k per query vector via "
+    "broadcast scoring + two-stage pruned ranking)",
+    oracle=KNN_JOIN_ORACLE,
+)
+def knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors for every 200th vector against the whole
+    embeddings table — see operators/similarity.py::knn_join for the
+    broadcast + lossless two-stage top-k shape."""
+    from cod_stats_spark.operators.similarity import knn_join
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    return knn_join(emb, queries, "embedding", "vec_id", k=5)
+
+
 MULTIMODAL_ORACLE = """
 WITH dims AS (
   SELECT doc_id, text,

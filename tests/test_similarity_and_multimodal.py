@@ -148,3 +148,72 @@ class TestMultimodal:
         assert r["sampled_frames"][0] == 0
         assert all(b - a == 30 for a, b in zip(r["sampled_frames"], r["sampled_frames"][1:]))
         assert r["sampled_frames"][-1] < r["n_frames"]
+
+
+class TestKnnJoin:
+    def test_known_neighbors_and_prune_losslessness(self, spark):
+        import math
+
+        from cod_stats_spark.operators.similarity import knn_join
+
+        # ring of unit vectors: neighbors of angle t are t±1 steps
+        n = 24
+        rows = [
+            (i, [math.cos(2 * math.pi * i / n), math.sin(2 * math.pi * i / n)])
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = knn_join(
+            df.repartition(7), df.filter("vec_id in (0, 12)"), "embedding",
+            "vec_id", k=2,
+        ).collect()
+        nbrs = {
+            q: sorted(
+                r["id"] for r in out if r["query_id"] == q
+            )
+            for q in (0, 12)
+        }
+        assert nbrs[0] == [1, 23] and nbrs[12] == [11, 13]
+        for r in out:
+            assert r["id"] != r["query_id"] and r["rank"] in (1, 2)
+
+    def test_matches_single_window_reference(self, spark):
+        import random
+
+        from pyspark.sql import Window
+
+        from cod_stats_spark.operators.similarity import cosine, knn_join
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = df.filter("vec_id % 20 = 0")
+        fast = knn_join(df.repartition(9), queries, "embedding", "vec_id", k=4)
+
+        q = queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+        )
+        naive = (
+            df.join(q, F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("id"),
+                F.round(cosine(F.col("embedding"), F.col("_qv")), 6).alias(
+                    "cosine"
+                ),
+            )
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("cosine").desc(), F.col("id").asc()
+                    )
+                ),
+            )
+            .filter("rank <= 4")
+        )
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, naive.collect())
+        )

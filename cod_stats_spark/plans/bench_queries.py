@@ -1387,6 +1387,52 @@ def knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(emb, queries, "embedding", "vec_id", k=5)
 
 
+_SHARD_KEY60 = (
+    "list_sum(list_transform(range(15), i -> "
+    "(strpos('0123456789abcdef', md5('shard' || doc_id::VARCHAR)[i+1:i+1]) - 1)::BIGINT"
+    " * (1::BIGINT << (4*(14-i)))))"
+)
+
+SHARD_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id, md5('shard' || doc_id::VARCHAR) AS key FROM documents
+), r AS (
+  SELECT doc_id, key,
+         (row_number() OVER (ORDER BY key, doc_id) - 1)::BIGINT AS row_idx
+  FROM k
+)
+SELECT doc_id, row_idx,
+       row_idx // 100 AS shard_fixed,
+       ({_SHARD_KEY60} % 16)::BIGINT AS shard_mod
+FROM r
+"""
+
+
+@query(
+    "shard_assign",
+    covers="EXT-sharding (deterministic global shuffle: md5-mod fixed-count "
+    "shards and fixed-size shards via the distributed prefix scan)",
+    oracle=SHARD_ORACLE,
+)
+def shard_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both shard assignments over documents: global row index +
+    fixed-size shard (100 rows) and mod shard (16 shards) — see
+    operators/sharding.py."""
+    from cod_stats_spark.operators.sharding import (
+        assign_shards_fixed_size,
+        assign_shards_mod,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    fixed = assign_shards_fixed_size(docs, "doc_id", shard_size=100).select(
+        "doc_id", "row_idx", F.col("shard_id").alias("shard_fixed")
+    )
+    mod = assign_shards_mod(docs, "doc_id", n_shards=16).select(
+        "doc_id", F.col("shard_id").alias("shard_mod")
+    )
+    return fixed.join(mod, "doc_id")
+
+
 MULTIMODAL_ORACLE = """
 WITH dims AS (
   SELECT doc_id, text,

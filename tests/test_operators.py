@@ -298,3 +298,50 @@ class TestPacking:
         man = shard_manifest(packed).collect()
         assert sum(r["n_tokens"] for r in man) == sum(range(1, 40))
         assert sum(r["n_docs"] for r in man) == 39
+
+
+class TestSharding:
+    def test_fixed_size_shards_exact(self, spark):
+        from cod_stats_spark.operators.sharding import assign_shards_fixed_size
+
+        df = spark.range(0, 257).withColumnRenamed("id", "doc_id")
+        out = assign_shards_fixed_size(df, "doc_id", shard_size=64).collect()
+        sizes: dict[int, int] = {}
+        for r in out:
+            sizes[r["shard_id"]] = sizes.get(r["shard_id"], 0) + 1
+            assert r["shard_id"] == r["row_idx"] // 64
+        assert sorted(sizes.keys()) == [0, 1, 2, 3, 4]
+        assert [sizes[s] for s in range(5)] == [64, 64, 64, 64, 1]
+        # global row_idx is a permutation of 0..256
+        assert sorted(r["row_idx"] for r in out) == list(range(257))
+
+    def test_mod_shards_deterministic_and_spread(self, spark):
+        from cod_stats_spark.operators.sharding import assign_shards_mod
+
+        df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: r["shard_id"] for r in assign_shards_mod(df, "doc_id", 8).collect()}
+        b = {r["doc_id"]: r["shard_id"] for r in assign_shards_mod(df.repartition(5), "doc_id", 8).collect()}
+        assert a == b
+        counts = [list(a.values()).count(s) for s in range(8)]
+        assert min(counts) > 60  # roughly uniform, all shards used
+        # different salt reshuffles
+        c = {r["doc_id"]: r["shard_id"] for r in assign_shards_mod(df, "doc_id", 8, salt="v2").collect()}
+        assert c != a
+
+    def test_write_shards_layout(self, spark, tmp_path):
+        import os
+
+        from cod_stats_spark.operators.sharding import (
+            assign_shards_mod,
+            write_shards,
+        )
+
+        df = assign_shards_mod(
+            spark.range(0, 200).withColumnRenamed("id", "doc_id"), "doc_id", 4
+        )
+        path = str(tmp_path / "shards")
+        write_shards(df, path)
+        dirs = sorted(d for d in os.listdir(path) if d.startswith("shard_id="))
+        assert dirs == [f"shard_id={i}" for i in range(4)]
+        back = spark.read.parquet(path)
+        assert back.count() == 200

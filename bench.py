@@ -58,6 +58,12 @@ HEADLINE = [
     "quantiles",
     "rollup_cube",
     "ranking_windows",
+    # round-3 training-pipeline additions
+    "pii_redact",
+    "repetition_metrics",
+    "pack_sequences",
+    "shard_assign",
+    "knn_join",
 ]
 
 
@@ -83,6 +89,8 @@ def main() -> None:
         "dedup_pipeline",
         "decontaminate",
         "multimodal_decode",
+        "repetition_metrics",
+        "knn_join",
     ):
         queries[wq](spark, warm_dir).count()
 

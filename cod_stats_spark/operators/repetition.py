@@ -2,12 +2,24 @@
 a pre-training corpus is filtered on (type-token ratio, most-frequent
 n-gram mass, duplicated n-gram mass).
 
-Shape at 100 TB: one projection computes the token array, one explode
-fans word n-grams out tagged with their n, and two aggregations keyed
-by doc_id reduce them back — both hash aggregations get map-side
-partial combine, and everything stays co-partitioned on doc_id after
-the first shuffle. Nothing is all-pairs and no state exceeds one
-document's gram multiset.
+Two implementations with identical results:
+
+- :func:`repetition_profile` (default) — ZERO-SHUFFLE: per doc, hash
+  each n-gram to a long (xxhash64), ``array_sort``, and one
+  ``aggregate`` fold computes the modal run length, duplicated mass,
+  and total in a single pass over the sorted runs. One projection,
+  no explode, no exchange: per-doc cost O(k log k) entirely map-side.
+  This is the 100 TB shape — metric extraction rides the same scan
+  that reads the text.
+- :func:`repetition_profile_grouped` — the explicit relational form
+  (tagged explode + two doc_id-keyed aggregations). Kept as the
+  parity reference the fold is tested against; also the shape you'd
+  use if you additionally needed the grams themselves.
+
+The fold compares 64-bit gram hashes, not gram strings: within one
+document a spurious xxhash64 collision (~k²/2⁶⁵) would be needed to
+shift a count — negligible, and the DuckDB oracle (string-exact)
+verifies it on the gate corpus.
 
 Metrics (all per document):
 - ``n_words`` / ``n_distinct_words`` / ``ttr`` — type-token ratio;
@@ -55,13 +67,121 @@ def _grams(n: int, k: Column) -> Column:
     )
 
 
+def _run_stats(grams: Column) -> Column:
+    """struct(mx, dup) from one sorted-run fold over hashed grams:
+    mx = longest run (modal gram count), dup = mass of runs ≥ 2."""
+    hashed = F.array_sort(F.transform(grams, lambda g: F.xxhash64(g)))
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("mx"),
+        F.lit(0).alias("dup"),
+    )
+
+    def step(acc: Column, e: Column) -> Column:
+        flush_mx = F.greatest(acc["mx"], acc["run"])
+        flush_dup = acc["dup"] + F.when(
+            acc["run"] >= 2, acc["run"]
+        ).otherwise(F.lit(0))
+        return (
+            F.when(
+                acc["run"] == 0,
+                F.struct(
+                    e.alias("prev"),
+                    F.lit(1).alias("run"),
+                    acc["mx"].alias("mx"),
+                    acc["dup"].alias("dup"),
+                ),
+            )
+            .when(
+                e == acc["prev"],
+                F.struct(
+                    acc["prev"].alias("prev"),
+                    (acc["run"] + 1).alias("run"),
+                    acc["mx"].alias("mx"),
+                    acc["dup"].alias("dup"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    e.alias("prev"),
+                    F.lit(1).alias("run"),
+                    flush_mx.alias("mx"),
+                    flush_dup.alias("dup"),
+                )
+            )
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.struct(
+            F.greatest(acc["mx"], acc["run"]).alias("mx"),
+            (
+                acc["dup"]
+                + F.when(acc["run"] >= 2, acc["run"]).otherwise(F.lit(0))
+            ).alias("dup"),
+        )
+
+    return F.aggregate(hashed, init, step, finish)
+
+
+def _frac(num: Column, tot: Column) -> Column:
+    return F.round(
+        F.when(tot > 0, num.cast("double") / tot.cast("double")).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+
+
 def repetition_profile(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     ns: Sequence[int] = (2, 3, 5),
 ) -> DataFrame:
-    """Gopher-style repetition metrics, one row per document."""
+    """Gopher-style repetition metrics, one row per document —
+    zero-shuffle sorted-run fold (see module docstring)."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        T.words(T.normalize_text(F.col(text_col))).alias("tk"),
+    )
+    k = F.size(F.col("tk"))
+    cols = [
+        k.alias("n_words"),
+        F.size(F.array_distinct("tk")).alias("n_distinct_words"),
+    ]
+    for n in ns:
+        g = _grams(n, k)
+        cols.append(_run_stats(g).alias(f"_s{n}"))
+        cols.append(F.size(g).alias(f"_t{n}"))
+    staged = base.select("doc_id", *cols)
+    ttr = F.when(
+        F.col("n_words") > 0,
+        F.col("n_distinct_words").cast("double") / F.col("n_words").cast("double"),
+    ).otherwise(F.lit(0.0))
+    out = [
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.round(ttr, 6).alias("ttr"),
+    ]
+    for n in ns:
+        s, t = F.col(f"_s{n}"), F.col(f"_t{n}")
+        out.append(_frac(s["mx"], t).alias(f"top{n}gram_frac"))
+        out.append(_frac(s["dup"], t).alias(f"dup{n}gram_frac"))
+    return staged.select(*out)
+
+
+def repetition_profile_grouped(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: Sequence[int] = (2, 3, 5),
+) -> DataFrame:
+    """Relational reference implementation: tagged explode + two
+    doc_id-keyed hash aggregations (map-side combine). Same output as
+    :func:`repetition_profile`; use when the exploded grams themselves
+    are needed downstream."""
     base = df.select(
         F.col(id_col).alias("doc_id"),
         T.words(T.normalize_text(F.col(text_col))).alias("tk"),

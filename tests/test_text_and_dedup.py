@@ -452,3 +452,22 @@ class TestRepetition:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         kept = [r["doc_id"] for r in repetition_filter(df).collect()]
         assert kept == [1]
+
+    def test_fold_matches_grouped_reference(self, spark):
+        import random
+
+        from cod_stats_spark.operators.repetition import (
+            repetition_profile,
+            repetition_profile_grouped,
+        )
+
+        rng = random.Random(11)
+        vocab = ["a", "bb", "ccc", "dd", "e", "spam", "ham"]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 60))))
+            for i in range(80)
+        ] + [(100, "x " * 30), (101, ""), (102, "one two")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fold = sorted(map(tuple, repetition_profile(df).collect()))
+        grouped = sorted(map(tuple, repetition_profile_grouped(df).collect()))
+        assert fold == grouped

@@ -30,19 +30,76 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Adaptive small-graph cutoff: a verified near-dup edge list is
+# typically orders of magnitude smaller than the corpus (most docs are
+# not duplicates; LSH+verify prunes hard). Below this many edges the
+# right physical plan is not an iterative distributed algorithm at all
+# — it is: pull the edges to the driver (bounded by the cap), run
+# union-find there in O(E α(E)), and broadcast the tiny label table
+# back. Same adaptive philosophy as AQE's broadcast-join threshold:
+# the LOGICAL operator is identical, the physical strategy switches on
+# measured size. 200k edges ≈ a few MB of driver memory.
+DRIVER_EDGE_CAP = 200_000
+
+
+def _driver_union_find(rows, src: str, dst: str) -> list[tuple]:
+    """Min-root union-find with path compression over collected edges."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = row[src], row[dst]
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller: the root is
+            # then always the component minimum, matching the
+            # distributed min-label result exactly
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return [(v, find(v)) for v in parent]
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 20,
+    driver_edge_cap: int = DRIVER_EDGE_CAP,
 ) -> DataFrame:
     """(vertex, component) — component = min vertex id in the component.
 
     ``edges``: undirected pair list; vertices appearing only as isolated
     ids are not invented here (pass them through afterwards with a
     left join + coalesce to their own id).
+
+    Physical strategy is adaptive: a bounded ``limit(cap+1)`` probe
+    collects at most cap+1 edges (CollectLimit evaluates partitions
+    incrementally, so a huge edge list short-circuits the probe). If
+    the whole edge list fits, driver union-find replaces the iterative
+    path — saving its per-iteration job overhead — and the result is
+    bit-identical (min-root invariant). Pass ``driver_edge_cap=0`` to
+    force the distributed path (e.g. when the caller knows the graph
+    is big and wants to skip the probe's partial evaluation).
     """
+    if driver_edge_cap:
+        probe = edges.select(src, dst).limit(driver_edge_cap + 1).collect()
+        if len(probe) <= driver_edge_cap:
+            vtype = edges.schema[src].dataType.simpleString()
+            labels = _driver_union_find(probe, src, dst)
+            return edges.sparkSession.createDataFrame(
+                labels, f"vertex {vtype}, component {vtype}"
+            )
     # symmetrize in ONE pass over the edge list (explode of both
     # orientations) — a union of two selects would evaluate the whole
     # upstream pair-generation plan (LSH + verification) twice. The

@@ -92,17 +92,29 @@ def main() -> None:
         "repetition_metrics",
         "knn_join",
     ):
-        queries[wq](spark, warm_dir).count()
+        try:
+            queries[wq](spark, warm_dir).count()
+        except Exception as exc:  # warmup failure must not kill the suite
+            print(f"# warmup {wq} failed: {exc}", file=sys.stderr)
 
     # two timed runs per query, keep the min: steady-state throughput,
-    # robust to one-off JIT/GC/io hiccups (both runs execute fully)
-    per_query: dict[str, float] = {}
+    # robust to one-off JIT/GC/io hiccups (both runs execute fully).
+    # Per-query fault isolation: one red query records an error string
+    # and the suite keeps going — the summary JSON line ALWAYS prints
+    # (round-4 lesson: a single crash must not lose the whole signal).
+    per_query: dict[str, object] = {}
     t_total = 0.0
+    n_err = 0
     for name in HEADLINE:
         best = None
+        err = None
         for _ in range(2):
             t0 = time.perf_counter()
-            queries[name](spark, SF_DIR).count()
+            try:
+                queries[name](spark, SF_DIR).count()
+            except Exception as exc:
+                err = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
+                break
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
             # drop persisted blocks the query materialized (the dedup
@@ -110,6 +122,12 @@ def main() -> None:
             # redo the full work, and later queries must not be timed
             # under another query's block-manager/GC pressure
             spark.catalog.clearCache()
+        if err is not None:
+            per_query[name] = {"err": err}
+            n_err += 1
+            print(f"# {name}: ERROR {err}", file=sys.stderr)
+            spark.catalog.clearCache()
+            continue
         best = round(best, 3)
         per_query[name] = best
         t_total += best
@@ -122,6 +140,7 @@ def main() -> None:
                 "value": round(t_total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "errors": n_err,
                 "sf": sf,
             }
         )

@@ -2,7 +2,45 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ts_to_timestamp(df: DataFrame, col: str) -> Column:
+    """A Column of exact type TIMESTAMP for any timestamp-ish input.
+
+    The lake may hand us TIMESTAMP, TIMESTAMP_NTZ (plain parquet
+    ``timestamp[us]`` with no tz — what the driver's testdata writes),
+    or an ISO string. Functions like ``unix_micros`` and streaming
+    ``withWatermark`` accept only TIMESTAMP, so every time-touching
+    operator routes through here. The NTZ→TIMESTAMP cast reinterprets
+    the naive value in the session time zone, which is pinned UTC
+    (session.py:46 / prep_session) — value-preserving.
+    """
+    dtype = dict(df.dtypes).get(col, "")
+    c = F.col(col)
+    if dtype == "timestamp":
+        return c
+    if dtype.startswith("timestamp"):  # timestamp_ntz
+        return c.cast("timestamp")
+    if dtype == "string":
+        return F.to_timestamp(c)
+    return c.cast("timestamp")
+
+
+def epoch_us(df: DataFrame, col: str) -> tuple[Column, int]:
+    """(integer epoch column, units-per-second) for gap/delta math.
+
+    Timestamp-family columns (incl. TIMESTAMP_NTZ) become exact integer
+    microseconds via ``unix_micros`` — sub-second precision survives and
+    boundary comparisons (delta == gap) stay exact. Numeric columns are
+    treated as epoch seconds and returned as-is (multiplier 1).
+    """
+    dtype = dict(df.dtypes).get(col, "")
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(ts_to_timestamp(df, col)), 1_000_000
+    return F.col(col).cast("long"), 1
+
 
 def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Ensure enough partitions to parallelize CPU-heavy per-row work.

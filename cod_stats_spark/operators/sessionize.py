@@ -23,6 +23,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cod_stats_spark.operators._util import epoch_us
+
 
 def sessionize(
     df: DataFrame,
@@ -43,14 +45,11 @@ def sessionize(
     # Exact integer microseconds when the column is a timestamp — the
     # gap comparison must be exact at the boundary (delta == gap starts
     # a new session), and double epoch loses sub-µs precision at 2024
-    # magnitudes.
-    dtype = dict(df.dtypes).get(ts_col, "")
-    if dtype.startswith("timestamp"):
-        epoch = F.unix_micros(F.col(ts_col))
-        gap = F.lit(int(gap_seconds) * 1_000_000)
-    else:
-        epoch = F.col(ts_col).cast("long")
-        gap = F.lit(int(gap_seconds))
+    # magnitudes. epoch_us handles TIMESTAMP_NTZ (plain parquet
+    # timestamp[us]) by hopping through TIMESTAMP under the pinned-UTC
+    # session tz.
+    epoch, per_sec = epoch_us(df, ts_col)
+    gap = F.lit(int(gap_seconds) * per_sec)
     delta = epoch - F.lag(epoch).over(w)
     # First row per key (null delta) always starts a session; gap >= threshold
     # starts a new one (reference uses ifnull(delta, huge) >= threshold).

@@ -24,6 +24,8 @@ import pandas as pd  # noqa: F401 — used inside the by-value state fn
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from cod_stats_spark.operators._util import epoch_us, ts_to_timestamp
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -42,6 +44,11 @@ def streaming_session_rollup(
     value_col: str = "value",
 ) -> DataFrame:
     """session_window aggregation with watermarking (append-able)."""
+    # withWatermark requires exact TIMESTAMP (EVENT_TIME_IS_NOT_ON_
+    # TIMESTAMP_TYPE on NTZ); normalize in place — value-preserving
+    # under the pinned-UTC session tz.
+    if dict(events.dtypes).get(ts_col, "") not in ("", "timestamp"):
+        events = events.withColumn(ts_col, ts_to_timestamp(events, ts_col))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, f"{gap_seconds} seconds"), key_col)
@@ -94,11 +101,12 @@ def stateful_sessionize(
     previous one; inactivity timeout closes the tail). Arrow-batched:
     state transitions run per key-batch, not per row round-trip.
     """
+    _epoch, _per_sec = epoch_us(events, ts_col)
     prepared = events.select(
         F.col(key_col).cast("long").alias("user_id"),
-        F.unix_micros(F.col(ts_col)).alias("_ts_us"),
+        _epoch.alias("_ts_us"),
         F.col(value_col).cast("double").alias("value"),
-        F.lit(gap_seconds * 1_000_000).alias("_gap_us"),
+        F.lit(gap_seconds * _per_sec).alias("_gap_us"),
     )
 
     # NESTED function: cloudpickle serializes it BY VALUE. A module-level

@@ -36,8 +36,7 @@ HEADLINE = [
     "sessionize_events",
     "session_window_batch",
     "streak_runs",
-    "rolling_orders",
-    "cumulative_orders",
+    "rolling_orders",  # includes the cumulative frames (merged gate)
     "explode_words",
     "dedup_exact",
     # production-hash dedup variants (xxhash64): the hot path users

@@ -645,18 +645,26 @@ def streak_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rolling_orders",
-    covers="W8 (rolling ROWS frames over a total per-key order)",
+    covers="W8 W9 (rolling ROWS frames + unbounded-preceding running totals, one sorted window pass)",
     oracle="""
 SELECT o_custkey, o_orderkey,
        round(sum(o_totalprice) OVER w4, 2) AS o_totalprice_sum_roll4,
        round(avg(o_totalprice) OVER w4, 4) AS o_totalprice_avg_roll4,
-       count(*) OVER w4                    AS n_roll4
+       count(*) OVER w4                    AS n_roll4,
+       round(sum(o_totalprice) OVER wc, 2) AS o_totalprice_sum_cume,
+       count(*) OVER wc                    AS n_cume
 FROM orders
 WINDOW w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+       wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS UNBOUNDED PRECEDING)
 """,
 )
 def rolling_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 + W9 in one plan: both frames share the (o_custkey, o_orderdate,
+    o_orderkey) partition+order, so Catalyst evaluates them over a
+    single shuffle+sort — merged from the former separate
+    rolling_orders / cumulative_orders gates (registry ≤ 50)."""
     o = load_tables(spark, sf_dir)["orders"]
     rolled = rolling_frames(
         o,
@@ -665,38 +673,18 @@ def rolling_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("o_totalprice", "sum"), ("o_totalprice", "avg"), ("o_orderkey", "count")],
         preceding=3,
     )
-    return rolled.select(
+    both = cumulative_frames(
+        rolled,
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        [("o_totalprice", "sum"), ("o_orderkey", "count")],
+    )
+    return both.select(
         "o_custkey",
         "o_orderkey",
         F.round("o_totalprice_sum_roll4", 2).alias("o_totalprice_sum_roll4"),
         F.round("o_totalprice_avg_roll4", 4).alias("o_totalprice_avg_roll4"),
         F.col("o_orderkey_count_roll4").alias("n_roll4"),
-    )
-
-
-@query(
-    "cumulative_orders",
-    covers="W9 (running totals, unbounded-preceding ROWS frame)",
-    oracle="""
-SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER wc, 2) AS o_totalprice_sum_cume,
-       count(*) OVER wc                    AS n_cume
-FROM orders
-WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              ROWS UNBOUNDED PRECEDING)
-""",
-)
-def cumulative_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_tables(spark, sf_dir)["orders"]
-    cume = cumulative_frames(
-        o,
-        ["o_custkey"],
-        ["o_orderdate", "o_orderkey"],
-        [("o_totalprice", "sum"), ("o_orderkey", "count")],
-    )
-    return cume.select(
-        "o_custkey",
-        "o_orderkey",
         F.round("o_totalprice_sum_cume", 2).alias("o_totalprice_sum_cume"),
         F.col("o_orderkey_count_cume").alias("n_cume"),
     )
@@ -704,18 +692,32 @@ def cumulative_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "union_distinct",
-    covers="U1 A10 (union + distinct + dim join)",
+    covers="U1 U1+ A10 (union + distinct + dim join; INTERSECT / EXCEPT set ops beyond the reference's UNION/NOT IN)",
     oracle="""
-SELECT c_nationkey AS nationkey, count(*) AS n_customers
-FROM (
-  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
-  UNION
-  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-) u JOIN customer ON u.o_custkey = c_custkey
-GROUP BY c_nationkey
+WITH u AS (
+  SELECT c_nationkey AS k, count(*) AS n
+  FROM (
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  ) uu JOIN customer ON uu.o_custkey = c_custkey
+  GROUP BY c_nationkey
+),
+a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT 'union_nation' AS tag, k, n FROM u
+UNION ALL
+SELECT 'both' AS tag, o_custkey AS k, NULL::BIGINT AS n
+FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT 'f_only' AS tag, o_custkey AS k, NULL::BIGINT AS n
+FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
 """,
 )
 def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 + the extended set ops in one tagged union — merged from the
+    former separate union_distinct / set_ops_extended gates (registry
+    ≤ 50). Harmonized schema: (tag, k, n)."""
     t = load_tables(spark, sf_dir)
     o = t["orders"]
     u = (
@@ -724,11 +726,22 @@ def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"))
         .distinct()
     )
-    return (
+    union_rows = (
         u.join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy(F.col("c_nationkey").alias("nationkey"))
-        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("union_nation").alias("tag"), F.col("k").cast("long"), "n")
     )
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    null_n = F.lit(None).cast("long").alias("n")
+    both = a.intersect(b).select(
+        F.lit("both").alias("tag"), F.col("o_custkey").alias("k"), null_n
+    )
+    only = a.exceptAll(b).select(
+        F.lit("f_only").alias("tag"), F.col("o_custkey").alias("k"), null_n
+    )
+    return union_rows.unionByName(both).unionByName(only)
 
 
 @query(
@@ -785,25 +798,6 @@ GROUP BY fp
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     return exact_dedup(docs, "text", "doc_id")
-
-
-@query(
-    "fingerprint_docs",
-    covers="EXT-text (deterministic document fingerprinting)",
-    oracle=r"""
-SELECT doc_id,
-       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
-       length(text) AS n_chars_calc
-FROM documents
-""",
-)
-def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir)["documents"]
-    return docs.select(
-        "doc_id",
-        T.fingerprint(F.col("text")).alias("fp"),
-        T.char_count(F.col("text")).alias("n_chars_calc"),
-    )
 
 
 # -- MinHash / SimHash full-internal oracles ---------------------------
@@ -1001,18 +995,16 @@ def dedup_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "text", "doc_id", cands, threshold=0.5)
 
 
-@query(
-    "ann_cosine_topk",
-    covers="EXT-similarity (exact brute-force cosine top-k baseline)",
-    oracle="""
+_ANN_BRUTE_ORACLE = """
 SELECT vec_id AS id,
        round(list_cosine_similarity(embedding::DOUBLE[],
              (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS cosine
 FROM embeddings
 ORDER BY cosine DESC, id ASC
 LIMIT 10
-""",
-)
+"""
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
@@ -1056,11 +1048,6 @@ LIMIT {k}
 """
 
 
-@query(
-    "ann_lsh_topk",
-    covers="EXT-similarity (LSH-bucketed ANN — the pruned-scan scale path; FULL oracle incl. bucketing)",
-    oracle=_lsh_oracle_sql(),
-)
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
@@ -1140,7 +1127,7 @@ WITH tok AS (
               ELSE 0.0 END AS stopword_ratio
   FROM tok
 )
-SELECT doc_id, n_chars_calc, n_tokens_ws,
+SELECT m.doc_id, n_chars_calc, n_tokens_ws,
        round(mean_word_len, 6)   AS mean_word_len,
        round(punct_ratio, 6)     AS punct_ratio,
        round(stopword_ratio, 6)  AS stopword_ratio,
@@ -1148,17 +1135,22 @@ SELECT doc_id, n_chars_calc, n_tokens_ws,
             + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1.0 ELSE 0.5 END)
             + (1.0 - least(punct_ratio * 4.0, 1.0))
             + (CASE WHEN stopword_ratio >= 0.05 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.5 END)
-            ) / 4.0, 6)          AS quality
-FROM m
+            ) / 4.0, 6)          AS quality,
+       md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp
+FROM m JOIN documents d ON m.doc_id = d.doc_id
 """
 
 
 @query(
     "quality_tokens",
-    covers="EXT-text (token counting + quality scoring: length/punct/stopword ratios)",
+    covers="EXT-text (token counting + quality scoring: length/punct/stopword ratios; deterministic document fingerprinting)",
     oracle=QUALITY_ORACLE,
 )
 def quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality/token metrics + the rolling-hash fingerprint in one
+    projection — merged from the former separate quality_tokens /
+    fingerprint_docs gates (registry ≤ 50); still a single codegen
+    stage over one scan."""
     docs = load_tables(spark, sf_dir)["documents"]
     txt = F.col("text")
     return docs.select(
@@ -1169,6 +1161,7 @@ def quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(T.punct_ratio(txt), 6).alias("punct_ratio"),
         F.round(T.stopword_ratio(txt), 6).alias("stopword_ratio"),
         T.quality_score(txt).alias("quality"),
+        T.fingerprint(txt).alias("fp"),
     )
 
 
@@ -1705,11 +1698,6 @@ LIMIT {k}
 """
 
 
-@query(
-    "ann_ivf_topk",
-    covers="EXT-similarity (IVF probe search — fixed-count deterministic centroid sample, nprobe pruning; FULL oracle incl. assignment + probe set)",
-    oracle=_ivf_oracle_sql(),
-)
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cod_stats_spark.operators.similarity import ivf_topk
 
@@ -1727,6 +1715,38 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     qvec = [float(x) for x in qrow["embedding"]]
     return ivf_topk(emb, "embedding", "vec_id", qvec, centroids, k=10, nprobe=IVF_NPROBE)
+
+
+def _ann_merged_oracle() -> str:
+    """Union of the three FULL ANN oracles (brute / LSH / IVF), each
+    tagged with its method — every approximation stays value-verified."""
+    parts = [
+        ("brute", _ANN_BRUTE_ORACLE),
+        ("lsh", _lsh_oracle_sql()),
+        ("ivf", _ivf_oracle_sql()),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS method, id, cosine FROM ({sql})" for m, sql in parts
+    )
+
+
+@query(
+    "ann_topk",
+    covers=(
+        "EXT-similarity (ANN over embeddings, all three strategies in one gate: "
+        "exact brute-force cosine baseline; LSH sign-bucket multiprobe — the "
+        "pruned-scan scale path; IVF probe search with deterministic centroid "
+        "sample + nprobe pruning. FULL oracle incl. bucketing/assignment — "
+        "merged from the former ann_cosine_topk / ann_lsh_topk / ann_ivf_topk "
+        "gates, registry ≤ 50)"
+    ),
+    oracle=_ann_merged_oracle(),
+)
+def ann_topk_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brute = ann_cosine_topk(spark, sf_dir).select(F.lit("brute").alias("method"), "id", "cosine")
+    lsh = ann_lsh_topk_q(spark, sf_dir).select(F.lit("lsh").alias("method"), "id", "cosine")
+    ivf = ann_ivf_topk_q(spark, sf_dir).select(F.lit("ivf").alias("method"), "id", "cosine")
+    return brute.unionByName(lsh).unionByName(ivf)
 
 
 @query(
@@ -2276,50 +2296,69 @@ def json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stat_aggregates",
-    covers="EXT-olap (statistical aggregates: stddev/variance/corr/covar + bucketed histogram)",
+    covers="EXT-olap (statistical aggregates: stddev/variance/corr/covar + fixed-width bucketed histogram — width_bucket emulation)",
     oracle="""
-SELECT l_returnflag,
-       round(stddev_samp(l_extendedprice), 4)            AS price_stddev,
-       round(var_samp(l_quantity), 4)                    AS qty_var,
-       round(corr(l_extendedprice, l_quantity), 6)       AS price_qty_corr,
-       round(covar_samp(l_extendedprice, l_discount), 4) AS price_disc_covar,
-       count(*)                                          AS n
-FROM lineitem
-GROUP BY l_returnflag
+WITH stats AS (
+  SELECT l_returnflag,
+         round(stddev_samp(l_extendedprice), 4)            AS price_stddev,
+         round(var_samp(l_quantity), 4)                    AS qty_var,
+         round(corr(l_extendedprice, l_quantity), 6)       AS price_qty_corr,
+         round(covar_samp(l_extendedprice, l_discount), 4) AS price_disc_covar,
+         count(*)                                          AS n
+  FROM lineitem
+  GROUP BY l_returnflag
+),
+hist AS (
+  SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+         count(*)                                    AS n,
+         round(min(o_totalprice), 2)                 AS lo,
+         round(max(o_totalprice), 2)                 AS hi
+  FROM orders
+  GROUP BY bucket
+)
+SELECT 'stat:' || l_returnflag AS grp,
+       price_stddev AS m1, qty_var AS m2,
+       price_qty_corr AS m3, price_disc_covar AS m4, n
+FROM stats
+UNION ALL
+SELECT 'hist:' || bucket::VARCHAR AS grp,
+       lo AS m1, hi AS m2, NULL::DOUBLE AS m3, NULL::DOUBLE AS m4, n
+FROM hist
 """,
 )
 def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_tables(spark, sf_dir)["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
-        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
-        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
-        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("price_disc_covar"),
-        F.count(F.lit(1)).alias("n"),
+    """Statistical aggregates + histogram in one tagged union — merged
+    from the former separate stat_aggregates / histogram gates
+    (registry ≤ 50). Harmonized schema: (grp, m1..m4, n)."""
+    t = load_tables(spark, sf_dir)
+    null_m = F.lit(None).cast("double")
+    stats = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("m1"),
+            F.round(F.var_samp("l_quantity"), 4).alias("m2"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("m3"),
+            F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("m4"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.concat(F.lit("stat:"), F.col("l_returnflag")).alias("grp"),
+                "m1", "m2", "m3", "m4", "n")
     )
-
-
-@query(
-    "histogram",
-    covers="EXT-olap (fixed-width histogram via bucket arithmetic — width_bucket emulation)",
-    oracle="""
-SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
-       count(*)                                    AS n,
-       round(min(o_totalprice), 2)                 AS lo,
-       round(max(o_totalprice), 2)                 AS hi
-FROM orders
-GROUP BY bucket
-""",
-)
-def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_tables(spark, sf_dir)["orders"]
-    return o.groupBy(
-        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.min("o_totalprice"), 2).alias("lo"),
-        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    hist = (
+        t["orders"]
+        .groupBy(F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("m1"),
+            F.round(F.max("o_totalprice"), 2).alias("m2"),
+        )
+        .select(
+            F.concat(F.lit("hist:"), F.col("bucket").cast("string")).alias("grp"),
+            "m1", "m2", null_m.alias("m3"), null_m.alias("m4"), "n",
+        )
     )
+    return stats.unionByName(hist)
 
 
 @query(
@@ -2349,24 +2388,6 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type")
 
 
-@query(
-    "set_ops_extended",
-    covers="U1+ (INTERSECT / EXCEPT — set ops beyond the reference's UNION/NOT IN)",
-    oracle="""
-WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
-     b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
-SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
-UNION ALL
-SELECT 'f_only' AS tag, o_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
-""",
-)
-def set_ops_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_tables(spark, sf_dir)["orders"]
-    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
-    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
-    both = a.intersect(b).select(F.lit("both").alias("tag"), "o_custkey")
-    only = a.exceptAll(b).select(F.lit("f_only").alias("tag"), "o_custkey")
-    return both.unionByName(only)
 
 
 # ------------------------------------------------------- bench-only
@@ -2412,6 +2433,19 @@ def dedup_simhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     structural parameters as the md5-oracled `dedup_simhash` gate."""
     docs = load_tables(spark, sf_dir)["documents"]
     return simhash_near_pairs(docs, "text", "doc_id", max_hamming=8, bands=4)
+
+
+@_bench_only("ann_cosine_topk")
+def ann_cosine_topk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k alone (the ann_topk gate unions all
+    three strategies; the bench times each separately)."""
+    return ann_cosine_topk(spark, sf_dir)
+
+
+@_bench_only("ann_lsh_topk")
+def ann_lsh_topk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN alone (see ann_cosine_topk bench note)."""
+    return ann_lsh_topk_q(spark, sf_dir)
 
 
 @_bench_only("sketches_only")

@@ -97,7 +97,70 @@ def _decode_png(raw: bytes) -> dict | None:
     return {"format": "png", "width": width, "height": height, "n_frames": 1}
 
 
-CODECS: list = [_decode_fake, _decode_png]
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xCF + 1)
+) - {0xC4, 0xC8, 0xCC}  # SOF0..15 minus DHT/JPG/DAC
+
+
+def _decode_jpeg(raw: bytes) -> dict | None:
+    """JPEG metadata decode, pure Python: walk the marker segments from
+    SOI to the first SOF frame header and read its big-endian
+    height/width (ITU T.81 §B.2.2 — precision byte, then Y, then X).
+    No entropy decode, no library."""
+    import struct
+
+    if len(raw) < 4 or raw[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            return None  # desynced — not a parseable JPEG stream
+        marker = raw[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        if pos + 9 <= len(raw) and marker in _JPEG_SOF_MARKERS:
+            height, width = struct.unpack(">HH", raw[pos + 5 : pos + 9])
+            return {"format": "jpeg", "width": width, "height": height, "n_frames": 1}
+        (seg_len,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
+        if seg_len < 2:
+            return None
+        pos += 2 + seg_len
+    return None
+
+
+def _decode_wav(raw: bytes) -> dict | None:
+    """WAV metadata decode, pure Python: RIFF/WAVE container walk; the
+    ``fmt `` chunk yields channels/sample-rate/block-align, the
+    ``data`` chunk size yields the frame count (size / block_align)."""
+    import struct
+
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    pos = 12
+    sample_rate = block_align = data_size = None
+    while pos + 8 <= len(raw):
+        chunk_id = raw[pos : pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body = raw[pos + 8 : pos + 8 + size]
+        if chunk_id == b"fmt " and len(body) >= 16:
+            _fmt, _ch, sample_rate, _br, block_align, _bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+        elif chunk_id == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None:
+        return None
+    n_frames = (
+        int(data_size // block_align) if data_size is not None and block_align else None
+    )
+    return {"format": "wav", "sample_rate": int(sample_rate), "n_frames": n_frames}
+
+
+CODECS: list = [_decode_fake, _decode_png, _decode_jpeg, _decode_wav]
 
 
 def register_codec(sniff_decode) -> None:
@@ -167,6 +230,79 @@ def make_png_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("media_id"),
         F.concat(header, F.col(text_col).cast("binary")).alias("media_bytes"),
         F.lit("image").alias("media_type"),
+    )
+
+
+def _le16(v):
+    """4-char LE hex rendering of a 16-bit int column (byte-swapped)."""
+    be = F.lpad(F.hex(v), 4, "0")
+    return F.concat(F.substring(be, 3, 2), F.substring(be, 1, 2))
+
+
+def _le32(v):
+    """8-char LE hex rendering of a 32-bit int column (byte-reversed)."""
+    be = F.lpad(F.hex(v), 8, "0")
+    return F.concat(
+        F.substring(be, 7, 2), F.substring(be, 5, 2),
+        F.substring(be, 3, 2), F.substring(be, 1, 2),
+    )
+
+
+def _md5_mod(col, modulus):
+    return F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long") % modulus
+
+
+def make_jpeg_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Synthesize REAL JPEG-headered payloads per row: SOI + a SOF0
+    frame header (precision 8, md5-derived height/width, 3 components)
+    + text bytes as body. All JVM-side hex/unhex — byte-reproducible
+    in the SQL oracle."""
+    w = (_md5_mod(F.col(text_col), 1920) + 1).cast("int")
+    h = (_md5_mod(F.reverse(F.col(text_col)), 1080) + 1).cast("int")
+    header = F.unhex(
+        F.concat(
+            # SOI, SOF0 marker, length 0x0011, precision 8
+            F.lit("FFD8" + "FFC0" + "0011" + "08"),
+            F.lpad(F.hex(h), 4, "0"),
+            F.lpad(F.hex(w), 4, "0"),
+            # 3 components: (id, sampling 1x1, quant table)
+            F.lit("03" + "011100" + "021101" + "031101"),
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.concat(header, F.col(text_col).cast("binary")).alias("media_bytes"),
+        F.lit("image").alias("media_type"),
+    )
+
+
+def make_wav_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Synthesize REAL RIFF/WAVE payloads per row: canonical 44-byte
+    header (PCM fmt chunk with md5-derived sample rate and channel
+    count, little-endian fields) + text bytes as the data chunk."""
+    rate = ((_md5_mod(F.col(text_col), 4) + 1) * 8000).cast("int")  # 8/16/24/32 kHz
+    channels = (_md5_mod(F.reverse(F.col(text_col)), 2) + 1).cast("int")
+    block_align = (channels * 2).cast("int")          # 16-bit samples
+    byte_rate = (rate * block_align).cast("int")
+    data_size = F.octet_length(F.col(text_col)).cast("int")
+    header = F.unhex(
+        F.concat(
+            F.lit("52494646"),                  # 'RIFF'
+            _le32(data_size + 36),
+            F.lit("57415645" + "666D7420" + "10000000" + "0100"),  # 'WAVE','fmt ',16,PCM
+            _le16(channels),
+            _le32(rate),
+            _le32(byte_rate),
+            _le16(block_align),
+            F.lit("1000"),                      # bits per sample = 16 LE
+            F.lit("64617461"),                  # 'data'
+            _le32(data_size),
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.concat(header, F.col(text_col).cast("binary")).alias("media_bytes"),
+        F.lit("audio").alias("media_type"),
     )
 
 

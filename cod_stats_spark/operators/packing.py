@@ -100,9 +100,6 @@ def shard_manifest(packed: DataFrame) -> DataFrame:
     )
 
 
-_FFD_SCHEMA = "id bigint, n_tokens bigint, bucket int, bin_in_bucket int"
-
-
 def pack_ffd(
     df: DataFrame,
     token_col: str,
@@ -141,12 +138,16 @@ def pack_ffd(
         pdf = pdf.assign(bin_in_bucket=assigned)
         return pdf[["id", "n_tokens", "bucket", "bin_in_bucket"]]
 
+    # The id keeps its INPUT dtype — a blanket cast("bigint") would
+    # silently null string ids (uuid-keyed corpora are the norm).
+    id_dtype = dict(df.dtypes)[id_col]
+    schema = f"id {id_dtype}, n_tokens bigint, bucket int, bin_in_bucket int"
     keyed = df.select(
-        F.col(id_col).cast("bigint").alias("id"),
+        F.col(id_col).alias("id"),
         F.col(token_col).cast("bigint").alias("n_tokens"),
         (
             F.conv(F.substring(_order_key(id_col, salt), 1, 2), 16, 10).cast("int")
             % num_buckets
         ).alias("bucket"),
     )
-    return keyed.groupBy("bucket").applyInPandas(_ffd, _FFD_SCHEMA)
+    return keyed.groupBy("bucket").applyInPandas(_ffd, schema)

@@ -33,7 +33,9 @@ from cod_stats_spark.operators.multimodal import (
     decode_media_meta,
     frame_sample,
     make_fake_media,
+    make_jpeg_media,
     make_png_media,
+    make_wav_media,
     resize_plan,
 )
 from cod_stats_spark.operators.rolling import cumulative_frames, rolling_frames
@@ -1470,21 +1472,54 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PNG_DECODE_ORACLE = """
+def _sql_le16(expr: str) -> str:
+    s = f"printf('%04X', {expr})"
+    return f"(substr({s}, 3, 2) || substr({s}, 1, 2))"
+
+
+def _sql_le32(expr: str) -> str:
+    s = f"printf('%08X', {expr})"
+    return (
+        f"(substr({s}, 7, 2) || substr({s}, 5, 2) || "
+        f"substr({s}, 3, 2) || substr({s}, 1, 2))"
+    )
+
+
+REAL_CODECS_ORACLE = f"""
 WITH dims AS (
   SELECT doc_id, text,
     (('0x' || substr(md5(text), 1, 6))::BIGINT % 1920 + 1)::INT          AS width,
-    (('0x' || substr(md5(reverse(text)), 1, 6))::BIGINT % 1080 + 1)::INT AS height
+    (('0x' || substr(md5(reverse(text)), 1, 6))::BIGINT % 1080 + 1)::INT AS height,
+    ((('0x' || substr(md5(text), 1, 6))::BIGINT % 4 + 1) * 8000)::INT    AS rate,
+    (('0x' || substr(md5(reverse(text)), 1, 6))::BIGINT % 2 + 1)::INT    AS channels,
+    octet_length(encode(text))::INT                                      AS data_size
   FROM documents
 ), built AS (
-  SELECT doc_id AS media_id, 'image' AS media_type, 'png' AS format, width, height,
+  SELECT doc_id AS media_id, 'image' AS media_type, 'png' AS format,
+         width, height, 1::INT AS n_frames, NULL::INT AS sample_rate,
          unhex('89504E470D0A1A0A' || '0000000D' || '49484452'
                || printf('%08X', width) || printf('%08X', height)
                || '0802000000' || '00000000') || encode(text) AS payload
   FROM dims
+  UNION ALL
+  SELECT doc_id, 'image', 'jpeg',
+         width, height, 1::INT, NULL::INT,
+         unhex('FFD8FFC0001108'
+               || printf('%04X', height) || printf('%04X', width)
+               || '03011100021101031101') || encode(text)
+  FROM dims
+  UNION ALL
+  SELECT doc_id, 'audio', 'wav',
+         NULL::INT, NULL::INT,
+         (data_size // (channels * 2))::INT, rate,
+         unhex('52494646' || {_sql_le32('data_size + 36')}
+               || '57415645' || '666D7420' || '10000000' || '0100'
+               || {_sql_le16('channels')} || {_sql_le32('rate')}
+               || {_sql_le32('rate * channels * 2')} || {_sql_le16('channels * 2')}
+               || '1000' || '64617461' || {_sql_le32('data_size')}) || encode(text)
+  FROM dims
 )
-SELECT media_id, media_type, format, width, height,
-       1::INT AS n_frames,
+SELECT media_id, media_type, format, width, height, n_frames, sample_rate,
        octet_length(payload)::BIGINT AS n_bytes,
        sha256(hex(payload)) AS payload_hex_sha256,
        ceil(width  * least(1.0, 512.0 / greatest(width, height)))::INT AS target_width,
@@ -1494,29 +1529,42 @@ FROM built
 
 
 @query(
-    "multimodal_png_decode",
-    covers="EXT-multimodal (REAL-format codec through the registry seam: "
-    "pure-Python PNG header decode; FULL oracle rebuilds the PNG bytes "
-    "with unhex in SQL and sha256-cross-checks their hex rendering)",
-    oracle=PNG_DECODE_ORACLE,
+    "multimodal_codecs",
+    covers="EXT-multimodal (REAL-format codecs through the registry seam: "
+    "pure-Python PNG IHDR, JPEG SOF0 marker-walk, and RIFF/WAVE fmt-chunk "
+    "decoders in one tagged gate; FULL oracle rebuilds all three blobs "
+    "byte-for-byte with unhex in SQL and sha256-cross-checks their hex "
+    "rendering. Formerly the PNG-only multimodal_png_decode gate.)",
+    oracle=REAL_CODECS_ORACLE,
 )
-def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-PNG-headered payloads (signature + IHDR, built JVM-side),
-    decoded by the registry's pure-Python PNG codec via mapInPandas.
-    The payload_hex_sha256 column is computed JVM-side from the exact
+def multimodal_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-format payloads (PNG signature+IHDR, JPEG SOI+SOF0, WAV
+    RIFF+fmt+data — all built JVM-side from hex/unhex), decoded by the
+    registry's pure-Python codecs via ONE mapInPandas pass over the
+    union. payload_hex_sha256 is computed JVM-side from the exact
     bytes, proving Spark's blob construction and DuckDB's agree
-    byte-for-byte — the raw-bytes sha256 inside the decoder stays
-    covered by the `multimodal_decode` gate (ASCII payload, directly
-    sha256-able in SQL)."""
+    byte-for-byte."""
     docs = load_tables(spark, sf_dir)["documents"]
-    media = make_png_media(docs, "doc_id", "text")
-    hexsha = media.select(
-        "media_id", F.sha2(F.hex("media_bytes"), 256).alias("payload_hex_sha256")
-    )
+    sources = [
+        ("png", make_png_media(docs, "doc_id", "text")),
+        ("jpeg", make_jpeg_media(docs, "doc_id", "text")),
+        ("wav", make_wav_media(docs, "doc_id", "text")),
+    ]
+    media = sources[0][1]
+    for _, m in sources[1:]:
+        media = media.unionByName(m)
+    hexsha = None
+    for fmt, m in sources:
+        h = m.select(
+            "media_id", F.lit(fmt).alias("format"),
+            F.sha2(F.hex("media_bytes"), 256).alias("payload_hex_sha256"),
+        )
+        hexsha = h if hexsha is None else hexsha.unionByName(h)
     planned = resize_plan(decode_media_meta(media))
-    return planned.join(hexsha, "media_id").select(
+    return planned.join(hexsha, ["media_id", "format"]).select(
         "media_id", "media_type", "format", "width", "height", "n_frames",
-        "n_bytes", "payload_hex_sha256", "target_width", "target_height",
+        "sample_rate", "n_bytes", "payload_hex_sha256",
+        "target_width", "target_height",
     )
 
 

@@ -287,6 +287,20 @@ class TestPacking:
                 assert tot <= 512
         assert len(out) == len(counts)
 
+    def test_ffd_keeps_string_ids(self, spark):
+        """Round-4 regression: a blanket bigint cast silently nulled
+        non-integer ids — uuid-keyed corpora must survive intact."""
+        from cod_stats_spark.operators.packing import pack_ffd
+
+        rows = [(f"doc-{i:03d}", (i + 1) * 100) for i in range(9)]
+        df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+        out = pack_ffd(df, "n_tokens", budget=512, num_buckets=2).collect()
+        assert len(out) == len(rows)
+        assert dict(pack_ffd(df, "n_tokens", budget=512).dtypes)["id"] == "string"
+        ids = {r["id"] for r in out}
+        assert ids == {f"doc-{i:03d}" for i in range(9)}
+        assert all(r["id"] is not None for r in out)
+
     def test_manifest_covers_all_tokens(self, spark):
         from cod_stats_spark.operators.packing import (
             pack_sequences,

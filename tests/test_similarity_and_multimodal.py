@@ -117,6 +117,67 @@ class TestMultimodal:
             assert r["sha256"] == hashlib.sha256(raw).hexdigest()
             assert r["n_bytes"] == len(raw)
 
+    def test_jpeg_codec_decodes_real_header(self, spark):
+        """Pure-Python JPEG SOF0 marker-walk over JVM-built payloads."""
+        import hashlib
+        import struct
+
+        from cod_stats_spark.operators.multimodal import make_jpeg_media
+
+        docs = spark.createDataFrame(
+            [(1, "jpeg body text"), (2, "z" * 150)], "doc_id long, text string"
+        )
+        media = make_jpeg_media(docs, "doc_id", "text")
+        raws = {r["media_id"]: bytes(r["media_bytes"]) for r in media.collect()}
+        assert all(raw[:4] == b"\xff\xd8\xff\xc0" for raw in raws.values())
+        out = {r["media_id"]: r for r in decode_media_meta(media).collect()}
+        for mid, raw in raws.items():
+            # SOI(2) SOF0 marker(2) length(2) precision(1) → Y then X
+            h, w = struct.unpack(">HH", raw[7:11])
+            r = out[mid]
+            assert (r["format"], r["width"], r["height"], r["n_frames"]) == ("jpeg", w, h, 1)
+            assert r["sample_rate"] is None
+            assert r["sha256"] == hashlib.sha256(raw).hexdigest()
+
+    def test_jpeg_codec_walks_past_app0(self):
+        """SOF0 found even when APP0/comment segments precede it (real
+        camera files lead with JFIF headers)."""
+        import struct
+
+        from cod_stats_spark.operators.multimodal import _decode_jpeg
+
+        app0 = b"\xff\xe0" + struct.pack(">H", 2 + 5) + b"JFIF\x00"
+        sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 480, 640) \
+            + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+        meta = _decode_jpeg(b"\xff\xd8" + app0 + sof0 + b"body")
+        assert meta == {"format": "jpeg", "width": 640, "height": 480, "n_frames": 1}
+
+    def test_wav_codec_decodes_real_header(self, spark):
+        """Pure-Python RIFF/WAVE fmt+data chunk walk over JVM-built
+        payloads: sample rate and frame count recovered exactly."""
+        import struct
+
+        from cod_stats_spark.operators.multimodal import make_wav_media
+
+        docs = spark.createDataFrame(
+            [(1, "wav body text"), (2, "w" * 99)], "doc_id long, text string"
+        )
+        media = make_wav_media(docs, "doc_id", "text")
+        raws = {r["media_id"]: bytes(r["media_bytes"]) for r in media.collect()}
+        out = {r["media_id"]: r for r in decode_media_meta(media).collect()}
+        for mid, raw in raws.items():
+            assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+            rate = struct.unpack("<I", raw[24:28])[0]
+            block_align = struct.unpack("<H", raw[32:34])[0]
+            data_size = struct.unpack("<I", raw[40:44])[0]
+            r = out[mid]
+            assert r["format"] == "wav"
+            assert r["media_type"] == "audio"
+            assert r["sample_rate"] == rate
+            assert r["n_frames"] == data_size // block_align
+            assert r["width"] is None and r["height"] is None
+            assert data_size == len(raw) - 44
+
     def test_register_codec_extends_seam(self):
         from cod_stats_spark.operators import multimodal as mm
 

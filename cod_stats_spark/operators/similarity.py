@@ -113,18 +113,74 @@ def ann_lsh_topk(
     dim = len(query_vec)
     vec = F.col(vec_col).cast("array<double>")
     bucketed = df.withColumn("_bucket", lsh_bucket(vec, dim, n_planes))
+    probes = lsh_probes(query_vec, n_planes, multiprobe)
 
-    # driver-side query sketch (same deterministic planes)
+    q = _qvec_lit(query_vec)
+    cand = bucketed.filter(F.col("_bucket").isin(probes))
+    score = F.round(cosine(vec, q), 6)
+    return (
+        cand.select(F.col(id_col).alias("id"), score.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def lsh_probes(query_vec: list[float], n_planes: int, multiprobe: int = 0) -> list[int]:
+    """Driver-side query sketch + Hamming-1 multiprobe set (the same
+    deterministic planes the table side uses)."""
+    dim = len(query_vec)
     qb = 0
     for i in range(n_planes):
         plane = _hyperplane(dim, i)
         if sum(q * p for q, p in zip(query_vec, plane)) >= 0:
             qb |= 1 << i
-    probes = [qb] + [qb ^ (1 << i) for i in range(min(multiprobe, n_planes))]
+    return [qb] + [qb ^ (1 << i) for i in range(min(multiprobe, n_planes))]
 
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_planes: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the table Hive-partitioned by LSH sketch bucket —
+    the scale path ann_lsh_topk's docstring promises: a probe query
+    against the written table becomes PARTITION PRUNING (the scan
+    lists and reads only lsh_bucket=<probe> directories, 1/2^n_planes
+    of the data per probe) instead of a full-scan filter."""
+    from cod_stats_spark.operators.sharding import write_shards
+
+    vec = F.col(vec_col).cast("array<double>")
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(vec, dim, n_planes).alias("lsh_bucket"),
+    )
+    write_shards(bucketed, path, shard_col="lsh_bucket", mode=mode)
+
+
+def ann_lsh_topk_indexed(
+    spark,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe: int = 0,
+) -> DataFrame:
+    """ann_lsh_topk against a write_lsh_index table: the bucket
+    predicate hits the partition column, so Catalyst prunes the scan
+    to the probed directories (PartitionFilters in the plan — asserted
+    by tests/test_similarity_and_multimodal.py's pruning test)."""
+    df = spark.read.parquet(path)
+    probes = lsh_probes(query_vec, n_planes, multiprobe)
+    cand = df.filter(F.col("lsh_bucket").isin(probes))
     q = _qvec_lit(query_vec)
-    cand = bucketed.filter(F.col("_bucket").isin(probes))
-    score = F.round(cosine(vec, q), 6)
+    score = F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6)
     return (
         cand.select(F.col(id_col).alias("id"), score.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("id").asc())

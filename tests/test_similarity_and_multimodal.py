@@ -55,6 +55,45 @@ class TestSimilarity:
         rows = ivf_topk(df, "embedding", "vec_id", q, centroids, k=3, nprobe=1).collect()
         assert rows[0]["id"] == 10
 
+    def test_lsh_index_partition_pruning(self, spark, tmp_path):
+        """The 100 TB claim made concrete: embeddings written
+        Hive-partitioned by LSH sketch, probe query reads ONLY the
+        probed bucket directories — partition pruning in the plan AND
+        in the files actually touched."""
+        from cod_stats_spark.operators.similarity import (
+            ann_lsh_topk,
+            ann_lsh_topk_indexed,
+            lsh_probes,
+            write_lsh_index,
+        )
+
+        vecs, df = _vec_df(spark, n=200, dim=8)
+        path = str(tmp_path / "lsh_index")
+        write_lsh_index(df, path, "embedding", "vec_id", dim=8, n_planes=4)
+
+        q = [float(x) for x in vecs[5]]
+        probes = set(lsh_probes(q, n_planes=4, multiprobe=1))
+        indexed = spark.read.parquet(path)
+        all_buckets = {r["lsh_bucket"] for r in indexed.select("lsh_bucket").distinct().collect()}
+        assert all_buckets - probes, "test needs non-probed buckets on disk"
+
+        out = ann_lsh_topk_indexed(
+            spark, path, "embedding", "vec_id", q, k=5, n_planes=4, multiprobe=1
+        )
+        # 1) the plan prunes: the bucket predicate lands in the scan's
+        #    PartitionFilters (not a post-scan row filter)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "lsh_bucket" in plan.split("PartitionFilters", 1)[1][:200]
+        # 2) the files actually read all live under probed directories
+        cand = indexed.filter(F.col("lsh_bucket").isin(list(probes)))
+        touched = {r["f"] for r in cand.select(F.input_file_name().alias("f")).distinct().collect()}
+        assert touched
+        for f in touched:
+            assert any(f"lsh_bucket={b}/" in f for b in probes)
+        # 3) same answer as the unindexed operator
+        base = ann_lsh_topk(df, "embedding", "vec_id", q, k=5, n_planes=4, multiprobe=1)
+        assert [tuple(r) for r in out.collect()] == [tuple(r) for r in base.collect()]
+
     def test_near_dup_pairs_by_cosine(self, spark):
         base = [1.0, 0.0, 0.0, 0.0]
         rows = [

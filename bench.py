@@ -67,7 +67,7 @@ HEADLINE = [
 
 
 def main() -> None:
-    from cod_stats_spark.plans.bench_queries import BENCH_ONLY, QUERIES
+    from cod_stats_spark.plans.bench_queries import _PLAN_CACHE, BENCH_ONLY, QUERIES
     from cod_stats_spark.session import get_spark
 
     queries = {**QUERIES, **BENCH_ONLY}
@@ -108,6 +108,11 @@ def main() -> None:
         best = None
         err = None
         for _ in range(2):
+            # fresh plan per timed run: a cached DataFrame re-executes
+            # against the previous run's shuffle map outputs (same RDD
+            # lineage), which would time a partially-cached execution —
+            # not comparable to the r1 baseline
+            _PLAN_CACHE.clear()
             t0 = time.perf_counter()
             try:
                 queries[name](spark, SF_DIR).count()

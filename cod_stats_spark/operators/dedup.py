@@ -118,8 +118,15 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
     base_hash: str = "xxhash64",
+    shingle_col: str | None = None,
 ) -> DataFrame:
     """id → minhash signature (array<long>, one min-hash per seed).
+
+    ``shingle_col``: name of a PRECOMPUTED shingle-array column — skips
+    shingling entirely (pipelines that also Jaccard-verify shingle the
+    corpus once and share the projection). Min-hashing is duplicate-
+    invariant, so a distinct or non-distinct array gives identical
+    signatures.
 
     Hash family: ONE xxhash64 per shingle, then ``h_i = a_i·h + b_i``
     (odd multipliers from a deterministic PRNG seed) — the standard
@@ -138,7 +145,11 @@ def minhash_signatures(
     coeffs = minhash_coeffs(num_hashes)
     a_sql = "array(" + ", ".join(f"{a}L" for a, _ in coeffs) + ")"
     b_sql = "array(" + ", ".join(f"{b}L" for _, b in coeffs) + ")"
-    sh_sql = _shingles_sql(text_col, shingle_n, distinct=False)
+    sh_sql = (
+        f"`{shingle_col}`"
+        if shingle_col
+        else _shingles_sql(text_col, shingle_n, distinct=False)
+    )
     hash_sql = BASE_HASH_SQL[base_hash]("s")
     # The one-element explode is a Generate barrier: CollapseProject
     # would otherwise inline the whole shingle pipeline into the
@@ -165,6 +176,7 @@ def minhash_band_keys(
     shingle_n: int = 3,
     base_hash: str = "xxhash64",
     band_key: str = "hash",
+    shingle_col: str | None = None,
 ) -> DataFrame:
     """id → (band, band_hash) LSH keys, one row per band.
 
@@ -176,7 +188,9 @@ def minhash_band_keys(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, base_hash)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, base_hash, shingle_col
+    )
     wrap = "xxhash64({0})" if band_key == "hash" else "array({0})"
     band_exprs_sql = ", ".join(
         wrap.format(", ".join(f"sig[{b * rows + r}]" for r in range(rows)))
@@ -198,6 +212,7 @@ def minhash_lsh_pairs(
     max_bucket_size: int = 1000,
     base_hash: str = "xxhash64",
     band_key: str = "hash",
+    shingle_col: str | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -220,7 +235,8 @@ def minhash_lsh_pairs(
     the raw row values (exact banding semantics, SQL-reproducible).
     """
     banded = minhash_band_keys(
-        df, text_col, id_col, num_hashes, bands, shingle_n, base_hash, band_key
+        df, text_col, id_col, num_hashes, bands, shingle_n, base_hash, band_key,
+        shingle_col,
     )
     return lsh_pairs_from_band_keys(banded, max_bucket_size)
 
@@ -408,8 +424,16 @@ def ngram_jaccard_pairs(
     candidate_pairs: DataFrame,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    shingle_col: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs (id_a, id_b).
+
+    ``shingle_col``: name of a precomputed shingle-array column on
+    ``df`` — skips re-shingling when the caller already pays for the
+    projection. The array need not be distinct: set semantics are
+    restored here with array_distinct over the INVOLVED docs only
+    (array_distinct is O(k²) per doc — paying it corpus-wide at the
+    shared projection would cost more than the re-shingle it saves).
 
     Run AFTER LSH — never on all pairs. The candidate list is persisted
     (it is read twice: once to restrict shingling, once for the verify
@@ -436,14 +460,14 @@ def ngram_jaccard_pairs(
     # explode(array(..)) = Generate barrier: `sh` is referenced by the
     # size() column and both join sides; without the barrier the
     # interpreted shingle expression would re-evaluate per reference
+    sh_expr = (
+        F.array_distinct(F.col(shingle_col))
+        if shingle_col
+        else F.explode(F.array(shingles(text_col, shingle_n)))
+    )
     sh = (
         df.join(involved.withColumnRenamed("id", id_col), id_col, "left_semi")
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.array(shingles(text_col, shingle_n))
-            ).alias("sh"),
-        )
+        .select(F.col(id_col).alias("id"), sh_expr.alias("sh"))
         .withColumn("sz", F.size("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

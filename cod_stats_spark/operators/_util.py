@@ -21,7 +21,7 @@ def ts_to_timestamp(df: DataFrame, col: str) -> Column:
     c = F.col(col)
     if dtype == "timestamp":
         return c
-    if dtype.startswith("timestamp"):  # timestamp_ntz
+    if dtype.startswith("timestamp") or dtype == "date":  # ntz / date32
         return c.cast("timestamp")
     if dtype == "string":
         return F.to_timestamp(c)
@@ -37,7 +37,7 @@ def epoch_us(df: DataFrame, col: str) -> tuple[Column, int]:
     treated as epoch seconds and returned as-is (multiplier 1).
     """
     dtype = dict(df.dtypes).get(col, "")
-    if dtype.startswith("timestamp"):
+    if dtype.startswith("timestamp") or dtype == "date":
         return F.unix_micros(ts_to_timestamp(df, col)), 1_000_000
     return F.col(col).cast("long"), 1
 

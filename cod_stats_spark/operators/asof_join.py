@@ -42,13 +42,15 @@ def asof_join(
     the greatest value wins deterministically.
     """
     def _epoch(df: DataFrame, col: str):
-        # TIMESTAMP_NTZ has no direct numeric cast; hop through TIMESTAMP
-        # (session tz pinned UTC, so the instant is unchanged)
+        # TIMESTAMP_NTZ / DATE have no direct numeric cast; hop through
+        # TIMESTAMP via the shared helper (session tz pinned UTC, so
+        # the instant is unchanged). Numeric epoch columns cast as-is.
+        from cod_stats_spark.operators._util import ts_to_timestamp
+
         dtype = dict(df.dtypes)[col]
-        c = F.col(col)
-        if dtype.startswith("timestamp"):
-            return c.cast("timestamp").cast("double")
-        return c.cast("double")
+        if dtype.startswith("timestamp") or dtype in ("date", "string"):
+            return ts_to_timestamp(df, col).cast("double")
+        return F.col(col).cast("double")
 
     on = list(on)
     lcols = [c for c in left.columns]

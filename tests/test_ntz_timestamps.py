@@ -56,6 +56,31 @@ EXPECTED_SESSIONS = {
 }
 
 
+class TestEpochHelpers:
+    def test_epoch_us_across_dtypes(self, spark):
+        """One helper, every lake flavor: TIMESTAMP, TIMESTAMP_NTZ,
+        DATE, and numeric epoch-seconds all produce consistent epochs."""
+        from pyspark.sql import functions as F
+
+        from cod_stats_spark.operators._util import epoch_us
+
+        base_us = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z
+        df = spark.sql(
+            "SELECT timestamp'2026-01-01 00:00:00' AS ts,"
+            " timestamp_ntz'2026-01-01 00:00:00' AS tsn,"
+            " date'2026-01-01' AS d,"
+            f" {base_us // 1_000_000}L AS secs"
+        )
+        got = {}
+        for c in ("ts", "tsn", "d", "secs"):
+            col, per_sec = epoch_us(df, c)
+            got[c] = (df.select(col.alias("v")).first()["v"], per_sec)
+        assert got["ts"] == (base_us, 1_000_000)
+        assert got["tsn"] == (base_us, 1_000_000)
+        assert got["d"] == (base_us, 1_000_000)
+        assert got["secs"] == (base_us // 1_000_000, 1)
+
+
 class TestNtzSessionize:
     def test_read_dtype_matches_flavor(self, spark, events_parquet):
         path, tz = events_parquet

@@ -12,9 +12,11 @@ from cod_stats_spark.operators.streaks import run_lengths
 from cod_stats_spark.operators.interval_join import interval_join
 from cod_stats_spark.operators.asof_join import asof_join
 from cod_stats_spark.operators.skew import salted_aggregate, salted_join
+from cod_stats_spark.operators.profiling import profile_table
 
 __all__ = [
     "asof_join",
+    "profile_table",
     "salted_aggregate",
     "salted_join",
     "sessionize",

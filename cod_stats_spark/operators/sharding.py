@@ -96,3 +96,37 @@ def write_shards(
         .mode(mode)
         .save(path)
     )
+
+
+def compact_shards(
+    spark,
+    src_path: str,
+    dest_path: str,
+    shard_col: str = "shard_id",
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Small-file compaction for a sharded table: rewrite ``src_path``
+    (however fragmented — streaming sinks and task-parallel writers
+    leave tasks × shards slivers) into one file per shard directory at
+    ``dest_path``, by clustering on the shard column before the write.
+
+    Writes to a NEW location: overwriting a path while lazily reading
+    it is unsafe in Spark, and the atomic swap (rename dest over src)
+    is the deployment's move — object stores and HDFS each do this
+    differently. Returns a per-shard file-count manifest of the
+    compacted table. At 100 TB, run per partition-range as shards
+    close; each shard rewrite is one task reading its own slivers.
+    """
+    df = spark.read.format(fmt).load(src_path)
+    write_shards(df, dest_path, shard_col=shard_col, fmt=fmt)
+    out = spark.read.format(fmt).load(dest_path)
+    # input_file_name() is non-deterministic — project it before the
+    # aggregate (not inside one)
+    return (
+        out.select(F.col(shard_col), F.input_file_name().alias("_f"))
+        .groupBy(shard_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("_f").alias("n_files"),
+        )
+    )

@@ -60,6 +60,33 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def stream_dedup_by_key(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Engine-native streaming EXACT dedup by key: Spark's
+    dropDuplicatesWithinWatermark keeps state only for the watermark
+    horizon, so memory is bounded by (keys arriving per horizon), not
+    by the stream's lifetime — the right primitive when at-least-once
+    sources (Kafka replays, file re-lists) can re-deliver rows within
+    a bounded delay. The content-level near-dup index path
+    (dedup_batch_against_corpus) answers the unbounded-history
+    question; this answers the transport-duplicate one.
+
+    The timestamp column is normalized through TIMESTAMP (NTZ parquet
+    is rejected by withWatermark) before the watermark is applied.
+    """
+    from cod_stats_spark.operators._util import ts_to_timestamp
+
+    if dict(stream.dtypes).get(ts_col, "") not in ("", "timestamp"):
+        stream = stream.withColumn(ts_col, ts_to_timestamp(stream, ts_col))
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def _cross_jaccard(
     corpus: DataFrame,
     batch: DataFrame,

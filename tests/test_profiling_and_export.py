@@ -56,6 +56,102 @@ class TestProfileTable:
         assert [r["column"] for r in out] == ["b"]
 
 
+class TestCompaction:
+    def test_compact_fragmented_shards(self, spark, tmp_path):
+        from cod_stats_spark.operators.sharding import compact_shards
+
+        src = str(tmp_path / "fragmented")
+        dest = str(tmp_path / "compacted")
+        df = spark.range(2000).select(
+            F.col("id"), (F.col("id") % 4).alias("shard_id")
+        )
+        # fragmented write: 8 tasks × 4 shards = up to 32 slivers
+        df.repartition(8).write.partitionBy("shard_id").parquet(src)
+        frag_files = (
+            spark.read.parquet(src)
+            .select(F.input_file_name().alias("f")).distinct().count()
+        )
+        assert frag_files > 4
+
+        manifest = {r["shard_id"]: r for r in compact_shards(spark, src, dest).collect()}
+        assert set(manifest) == {0, 1, 2, 3}
+        assert all(r["n_files"] == 1 for r in manifest.values())
+        assert sum(r["n_rows"] for r in manifest.values()) == 2000
+        # content identical
+        a = {tuple(r) for r in spark.read.parquet(src).collect()}
+        b = {tuple(r) for r in spark.read.parquet(dest).collect()}
+        assert a == b
+
+
+class TestStreamDedupByKey:
+    def test_transport_duplicates_dropped_within_watermark(self, spark, tmp_path):
+        """At-least-once delivery: the same (key) rows re-delivered in a
+        later micro-batch inside the watermark horizon are dropped."""
+        from datetime import datetime as dt
+
+        import uuid
+
+        from cod_stats_spark.streaming.dedup import stream_dedup_by_key
+
+        src = tmp_path / "in"
+        def write_batch(n, rows):
+            spark.createDataFrame(
+                rows, "k long, ts timestamp, v double"
+            ).coalesce(1).write.parquet(f"{src}/b{n}")
+
+        write_batch(1, [(1, dt(2026, 1, 1, 10, 0, 0), 1.0),
+                        (2, dt(2026, 1, 1, 10, 1, 0), 2.0)])
+        stream = (
+            spark.readStream.schema("k long, ts timestamp, v double")
+            .option("maxFilesPerTrigger", "1").parquet(f"{src}/*")
+        )
+        plan = stream_dedup_by_key(stream, ["k"], "ts", watermark="30 minutes")
+        name = f"dedup_{uuid.uuid4().hex[:8]}"
+        q = (plan.writeStream.outputMode("append").format("memory")
+             .queryName(name).start())
+        try:
+            q.processAllAvailable()
+            # batch 2: k=1 re-delivered (dup), k=3 genuinely new
+            write_batch(2, [(1, dt(2026, 1, 1, 10, 0, 0), 1.0),
+                            (3, dt(2026, 1, 1, 10, 2, 0), 3.0)])
+            q.processAllAvailable()
+            got = {(r["k"], r["v"]) for r in spark.table(name).collect()}
+        finally:
+            q.stop()
+        assert got == {(1, 1.0), (2, 2.0), (3, 3.0)}
+
+    def test_ntz_source_normalized(self, spark, tmp_path):
+        """The wrapper hops NTZ through TIMESTAMP before withWatermark
+        (same contract as the sessionize paths)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import uuid
+
+        from cod_stats_spark.streaming.dedup import stream_dedup_by_key
+
+        d = tmp_path / "ntz"
+        d.mkdir()
+        t0 = 1_767_225_600_000_000
+        table = pa.table({
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array([t0, t0, t0 + 1_000_000], pa.timestamp("us")),
+        })
+        pq.write_table(table, str(d / "p.parquet"))
+        stream = spark.readStream.schema(
+            spark.read.parquet(str(d)).schema
+        ).parquet(str(d))
+        plan = stream_dedup_by_key(stream, ["k"], "ts", watermark="10 minutes")
+        name = f"ntzdedup_{uuid.uuid4().hex[:8]}"
+        q = (plan.writeStream.outputMode("append").format("memory")
+             .queryName(name).start())
+        try:
+            q.processAllAvailable()
+            got = sorted(r["k"] for r in spark.table(name).collect())
+        finally:
+            q.stop()
+        assert got == [1, 2]
+
+
 class TestTrainingExport:
     def test_export_roundtrip(self, spark, tmp_path):
         from cod_stats_spark.plans.training_export import export_training_shards

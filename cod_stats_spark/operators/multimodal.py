@@ -339,15 +339,20 @@ def decode_media_meta(df: DataFrame) -> DataFrame:
     partition-batch; partitioning of the input is preserved (no shuffle).
     """
 
+    names = [f.name for f in DECODED_SCHEMA.fields]
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [
-                _decode_one(mid, raw, mtype)
-                for mid, raw, mtype in zip(
-                    pdf["media_id"], pdf["media_bytes"], pdf["media_type"]
-                )
-            ]
-            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+            # columnar accumulation: pd.DataFrame from per-column lists
+            # is several times faster than from a list of per-row dicts
+            cols: dict[str, list] = {n: [] for n in names}
+            for mid, raw, mtype in zip(
+                pdf["media_id"], pdf["media_bytes"], pdf["media_type"]
+            ):
+                meta = _decode_one(mid, raw, mtype)
+                for n in names:
+                    cols[n].append(meta[n])
+            yield pd.DataFrame(cols, columns=names)
 
     return df.mapInPandas(decode_batches, DECODED_SCHEMA)
 

@@ -270,17 +270,27 @@ def knn_join(
     """
     from pyspark.sql import Window
 
-    qv = F.col("_qv").cast("array<double>")
-    vec = F.col(vec_col).cast("array<double>")
+    # Norms are precomputed ONCE per row on each side BEFORE the join:
+    # cosine() would otherwise recompute the corpus row's norm for
+    # every query it is paired with (|queries|× redundant aggregate
+    # evaluations per corpus row).
+    qv = F.col("_qv")
+    vec = F.col("_cv")
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", norm(qv))
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+    ).withColumn("_cn", norm(vec))
+    denom = F.col("_cn") * F.col("_qn")
+    score = F.when(denom > 0, dot(vec, qv) / denom).otherwise(F.lit(0.0))
     scored = (
-        corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        c.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("id"),
-            F.round(cosine(vec, qv), score_decimals).alias("cosine"),
+            F.round(score, score_decimals).alias("cosine"),
         )
     )
     order = [F.col("cosine").desc(), F.col("id").asc()]
@@ -313,16 +323,26 @@ def embedding_near_dup_pairs(
     quadratic in the table size.
     """
     vec = F.col(vec_col).cast("array<double>")
+    # per-row norm computed ONCE here — the in-bucket pair expansion
+    # below would otherwise re-evaluate each member's norm aggregate
+    # per pair (bucket_size× redundant work)
     bucketed = df.select(
         F.col(id_col).alias("id"),
         vec.alias("v"),
+        norm(vec).alias("n"),
         lsh_bucket(vec, dim, n_planes).alias("bucket"),
     )
     grouped = bucketed.groupBy("bucket").agg(
-        F.array_sort(F.collect_list(F.struct("id", "v"))).alias("items")
+        F.array_sort(F.collect_list(F.struct("id", "v", "n"))).alias("items")
     )
     small = grouped.filter(F.size("items").between(2, max_bucket_size))
     items = small.select(F.col("items"))
+    def _pair_cosine(a, b):
+        d = a["n"] * b["n"]
+        return F.round(
+            F.when(d > 0, dot(a["v"], b["v"]) / d).otherwise(F.lit(0.0)), 6
+        )
+
     pairs = items.select(
         F.explode(
             F.flatten(
@@ -333,7 +353,7 @@ def embedding_near_dup_pairs(
                         lambda b: F.struct(
                             a["id"].alias("id_a"),
                             b["id"].alias("id_b"),
-                            F.round(cosine(a["v"], b["v"]), 6).alias("cosine"),
+                            _pair_cosine(a, b).alias("cosine"),
                         ),
                     ),
                 )
@@ -355,7 +375,7 @@ def embedding_near_dup_pairs(
                         lambda b: F.struct(
                             h["id"].alias("id_a"),
                             b["id"].alias("id_b"),
-                            F.round(cosine(h["v"], b["v"]), 6).alias("cosine"),
+                            _pair_cosine(h, b).alias("cosine"),
                         ),
                     ),
                 )

@@ -44,6 +44,27 @@ def _qvec_lit(query_vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in query_vec])
 
 
+def _qnorm(query_vec: list[float]) -> float:
+    """Driver-side query norm. Catalyst does NOT constant-fold
+    higher-order-function aggregates over literal arrays, so
+    norm(_qvec_lit(q)) would be re-evaluated per scored row; Python's
+    left-to-right sum over the same doubles is bit-identical to the
+    fold Spark would run."""
+    import math
+
+    return math.sqrt(sum(float(x) * float(x) for x in query_vec))
+
+
+def _query_score(vec: Column, query_vec: list[float], decimals: int = 6) -> Column:
+    """round(cosine(vec, q), decimals) with the query norm as a folded
+    literal — one norm aggregate per row (the row's own), not two."""
+    d = norm(vec) * F.lit(_qnorm(query_vec))
+    return F.round(
+        F.when(d > 0, dot(vec, _qvec_lit(query_vec)) / d).otherwise(F.lit(0.0)),
+        decimals,
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     vec_col: str,
@@ -58,8 +79,9 @@ def brute_force_topk(
     heap, k-row driver merge). No shuffle; linear scan is the cost — at
     100 TB use ann_lsh_topk / ivf_topk to prune the scan.
     """
-    q = _qvec_lit(query_vec)
-    score = F.round(cosine(F.col(vec_col).cast("array<double>"), q), score_decimals)
+    score = _query_score(
+        F.col(vec_col).cast("array<double>"), query_vec, score_decimals
+    )
     return (
         df.select(F.col(id_col).alias("id"), score.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("id").asc())
@@ -115,9 +137,8 @@ def ann_lsh_topk(
     bucketed = df.withColumn("_bucket", lsh_bucket(vec, dim, n_planes))
     probes = lsh_probes(query_vec, n_planes, multiprobe)
 
-    q = _qvec_lit(query_vec)
     cand = bucketed.filter(F.col("_bucket").isin(probes))
-    score = F.round(cosine(vec, q), 6)
+    score = _query_score(vec, query_vec)
     return (
         cand.select(F.col(id_col).alias("id"), score.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("id").asc())
@@ -179,8 +200,7 @@ def ann_lsh_topk_indexed(
     df = spark.read.parquet(path)
     probes = lsh_probes(query_vec, n_planes, multiprobe)
     cand = df.filter(F.col("lsh_bucket").isin(probes))
-    q = _qvec_lit(query_vec)
-    score = F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6)
+    score = _query_score(F.col(vec_col).cast("array<double>"), query_vec)
     return (
         cand.select(F.col(id_col).alias("id"), score.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("id").asc())
@@ -197,15 +217,20 @@ def ivf_assign(
     """Assign each vector to its nearest centroid (by cosine).
 
     ``centroids`` is a small driver-side list [(centroid_id, vec)] —
-    broadcast as literal expressions, evaluated codegen-side.
+    broadcast as literal expressions, evaluated codegen-side. The
+    row's norm is projected ONCE (not re-aggregated per centroid) and
+    each centroid's norm is a driver-side folded literal.
     """
     vec = F.col(vec_col).cast("array<double>")
+    nv = F.col("_nv")
+
+    def _cscore(cv: list[float]) -> Column:
+        d = nv * F.lit(_qnorm(cv))
+        return F.when(d > 0, dot(vec, _qvec_lit(cv)) / d).otherwise(F.lit(0.0))
+
     pairs = F.array(
         *[
-            F.struct(
-                cosine(vec, _qvec_lit(cv)).alias("score"),
-                F.lit(cid).alias("cid"),
-            )
+            F.struct(_cscore(cv).alias("score"), F.lit(cid).alias("cid"))
             for cid, cv in centroids
         ]
     )
@@ -214,7 +239,11 @@ def ivf_assign(
         F.struct(F.lit(-2.0).alias("score"), F.lit(-1).alias("cid")),
         lambda acc, p: F.when(p["score"] > acc["score"], p).otherwise(acc),
     )
-    return df.withColumn("_centroid", best["cid"])
+    return (
+        df.withColumn("_nv", norm(vec))
+        .withColumn("_centroid", best["cid"])
+        .drop("_nv")
+    )
 
 
 def ivf_topk(
@@ -234,9 +263,8 @@ def ivf_topk(
     probe_ids = [cid for cid, _ in scored[:nprobe]]
     assigned = ivf_assign(df, vec_col, id_col, centroids)
     cand = assigned.filter(F.col("_centroid").isin(probe_ids))
-    q = _qvec_lit(query_vec)
     vec = F.col(vec_col).cast("array<double>")
-    score = F.round(cosine(vec, q), 6)
+    score = _query_score(vec, query_vec)
     return (
         cand.select(F.col(id_col).alias("id"), score.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("id").asc())

@@ -94,12 +94,17 @@ def stateful_sessionize(
     key_col: str = "user_id",
     gap_seconds: int = 1800,
     value_col: str = "value",
+    tail_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Custom stateful sessionization via applyInPandasWithState.
 
-    Emits CLOSED sessions (a new event with gap >= threshold closes the
-    previous one; inactivity timeout closes the tail). Arrow-batched:
-    state transitions run per key-batch, not per row round-trip.
+    Emits CLOSED sessions: a new event with gap >= threshold closes the
+    previous one, and — when ``tail_timeout_ms`` is set — a processing-
+    time inactivity timeout closes a key's final open session (state is
+    then removed, bounding the store: without a timeout every key ever
+    seen keeps state forever, which leaks at 100 TB key cardinality).
+    Arrow-batched: state transitions run per key-batch, not per row
+    round-trip.
     """
     _epoch, _per_sec = epoch_us(events, ts_col)
     prepared = events.select(
@@ -117,6 +122,27 @@ def stateful_sessionize(
         import pandas as pd
 
         (user_id,) = key
+
+        def _rows(closed):
+            return pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_number": [c[1] for c in closed],
+                    "session_start": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[3], unit="us") for c in closed],
+                    "n_events": [c[4] for c in closed],
+                    "sum_value": [c[5] / 10000.0 for c in closed],
+                }
+            )
+
+        if tail_timeout_ms is not None and state.hasTimedOut:
+            # inactivity expiry: flush the open tail session, drop state
+            session_number, last_us, start_us, n_events, sum_units = state.get
+            state.remove()
+            if last_us is not None:
+                yield _rows([(user_id, session_number, start_us, last_us, n_events, sum_units)])
+            return
+
         if state.exists:
             session_number, last_us, start_us, n_events, sum_units = state.get
         else:
@@ -150,22 +176,20 @@ def stateful_sessionize(
                 sum_units += float(round(float(value) * 10000.0))
 
         state.update((session_number, last_us, start_us, n_events, sum_units))
+        if tail_timeout_ms is not None:
+            state.setTimeoutDuration(tail_timeout_ms)
         if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [c[0] for c in closed],
-                    "session_number": [c[1] for c in closed],
-                    "session_start": [pd.Timestamp(c[2], unit="us") for c in closed],
-                    "session_end": [pd.Timestamp(c[3], unit="us") for c in closed],
-                    "n_events": [c[4] for c in closed],
-                    "sum_value": [c[5] / 10000.0 for c in closed],
-                }
-            )
+            yield _rows(closed)
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if tail_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return prepared.groupBy("user_id").applyInPandasWithState(
         session_fn_by_value,
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )

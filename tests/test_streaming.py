@@ -106,6 +106,51 @@ class TestStatefulSessionize:
         exp_closed = {t for t in exp_all if t[1] != last[t[0]]}
         assert got == exp_closed
 
+    def test_tail_session_flushes_on_inactivity_timeout(self, spark, tmp_path):
+        """With tail_timeout_ms set, a key's final OPEN session is
+        emitted (and its state dropped) once processing time passes the
+        timeout — the state store stays bounded by active keys."""
+        import time
+        import uuid
+        from datetime import datetime as dt
+
+        from cod_stats_spark.streaming import stateful_sessionize
+
+        src = tmp_path / "in"
+
+        def write_batch(n, rows):
+            spark.createDataFrame(
+                rows, "user_id long, ts timestamp, value double"
+            ).coalesce(1).write.parquet(f"{src}/b{n}")
+
+        write_batch(1, [(1, dt(2026, 1, 1, 10, 0, 0), 1.0),
+                        (1, dt(2026, 1, 1, 10, 1, 0), 2.0)])
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", "1").parquet(f"{src}/*")
+        )
+        plan = stateful_sessionize(stream, gap_seconds=300, tail_timeout_ms=500)
+        name = f"tails_{uuid.uuid4().hex[:8]}"
+        q = (plan.writeStream.outputMode("append").format("memory")
+             .queryName(name).start())
+        try:
+            # NOTE: processAllAvailable() never settles under
+            # ProcessingTimeTimeout (the engine keeps scheduling
+            # timeout-evaluation batches) — poll the sink instead; the
+            # timeout batch fires on its own once 500 ms of inactivity
+            # pass, no second data batch needed.
+            deadline = time.time() + 90
+            got = set()
+            while time.time() < deadline and not got:
+                time.sleep(0.5)
+                got = {
+                    (r["user_id"], r["session_number"], r["n_events"], r["sum_value"])
+                    for r in spark.table(name).collect()
+                }
+        finally:
+            q.stop()
+        assert (1, 1, 2, 3.0) in got
+
     def test_streaming_session_rollup_runs(self, spark):
         from cod_stats_spark.streaming import (
             run_stream_to_memory,

@@ -151,6 +151,60 @@ class TestStatefulSessionize:
             q.stop()
         assert (1, 1, 2, 3.0) in got
 
+    def test_state_survives_checkpoint_restart(self, spark, tmp_path):
+        """Kill the query between micro-batches; the restarted query
+        must close the pre-restart session with the accumulated state
+        (events counted BEFORE the restart), proving the state store
+        round-trips through the checkpoint."""
+        from datetime import datetime as dt
+
+        from cod_stats_spark.streaming import stateful_sessionize
+
+        src = tmp_path / "in"
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")  # file sink: the memory sink does
+        # not support checkpoint recovery
+
+        def write_batch(n, rows):
+            spark.createDataFrame(
+                rows, "user_id long, ts timestamp, value double"
+            ).coalesce(1).write.parquet(f"{src}/b{n}")
+
+        def start():
+            stream = (
+                spark.readStream.schema("user_id long, ts timestamp, value double")
+                .option("maxFilesPerTrigger", "1").parquet(f"{src}/*")
+            )
+            plan = stateful_sessionize(stream, gap_seconds=300)
+            return (
+                plan.writeStream.outputMode("append").format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt).start()
+            )
+
+        # run 1: open a session with two events, then stop
+        write_batch(1, [(1, dt(2026, 1, 1, 10, 0, 0), 1.0),
+                        (1, dt(2026, 1, 1, 10, 1, 0), 2.0)])
+        q1 = start()
+        try:
+            q1.processAllAvailable()
+        finally:
+            q1.stop()
+
+        # run 2 (fresh query object, same checkpoint): an event past the
+        # gap closes the pre-restart session
+        write_batch(2, [(1, dt(2026, 1, 1, 11, 0, 0), 7.0)])
+        q2 = start()
+        try:
+            q2.processAllAvailable()
+            got = {
+                (r["user_id"], r["session_number"], r["n_events"], r["sum_value"])
+                for r in spark.read.parquet(out).collect()
+            }
+        finally:
+            q2.stop()
+        assert (1, 1, 2, 3.0) in got  # both pre-restart events present
+
     def test_streaming_session_rollup_runs(self, spark):
         from cod_stats_spark.streaming import (
             run_stream_to_memory,

@@ -62,6 +62,44 @@ def rolling_frames(
     return out
 
 
+def rolling_time_frames(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    metrics: Mapping[str, str] | Sequence[tuple[str, str]],
+    window_seconds: int,
+    suffix: str | None = None,
+) -> DataFrame:
+    """Time-based rolling frames: each row aggregates all SAME-KEY rows
+    whose timestamp falls in ``[row.ts - window_seconds, row.ts]`` —
+    RANGE semantics (``RANGE BETWEEN INTERVAL .. PRECEDING AND CURRENT
+    ROW``), not row counts. The right frame for irregular event
+    streams, where "last 4 rows" and "last hour" are different things.
+
+    Ordering is on exact integer epoch micros (shared epoch_us helper —
+    TIMESTAMP / NTZ / DATE / numeric all work), so the boundary compare
+    is exact and RANGE needs no tiebreak (equal timestamps belong to
+    each other's frames by definition).
+
+    Scale: one shuffle + one sort per key, same as the ROWS frames —
+    the range lookback is evaluated in the same single pass.
+    """
+    from cod_stats_spark.operators._util import epoch_us
+
+    epoch, per_sec = epoch_us(df, ts_col)
+    sfx = suffix if suffix is not None else f"last{window_seconds}s"
+    out = df.withColumn("_ts_ord", epoch)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_ts_ord").asc())
+        .rangeBetween(-window_seconds * per_sec, Window.currentRow)
+    )
+    for metric, agg in _norm_metrics(metrics):
+        col: Column = _AGGS[agg](F.col(metric)).over(w)
+        out = out.withColumn(f"{metric}_{agg}_{sfx}", col)
+    return out.drop("_ts_ord")
+
+
 def cumulative_frames(
     df: DataFrame,
     key_cols: Sequence[str],

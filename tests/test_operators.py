@@ -160,6 +160,54 @@ class TestRolling:
         assert list(got["v_sum_r3"]) == list(exp_roll)
         assert list(got["v_sum_cume"]) == list(exp_cume)
 
+    def test_time_frames_match_pandas(self, spark):
+        """RANGE frame over irregular timestamps == pandas time-based
+        rolling: rows inside [t - 60s, t], NOT a fixed row count."""
+        import pandas as pd
+
+        from cod_stats_spark.operators.rolling import rolling_time_frames
+
+        ts = pd.to_datetime(
+            ["2026-01-01 10:00:00", "2026-01-01 10:00:10", "2026-01-01 10:00:50",
+             "2026-01-01 10:01:05", "2026-01-01 10:05:00"]
+        )
+        pdf = pd.DataFrame({"k": ["a"] * 5, "ts": ts, "v": [1.0, 2, 4, 8, 16]})
+        df = spark.createDataFrame(pdf)
+        out = rolling_time_frames(
+            df, ["k"], "ts", [("v", "sum"), ("v", "count")], window_seconds=60
+        )
+        got = out.orderBy("ts").toPandas()
+        exp = pdf.set_index("ts")["v"].rolling("60s").sum()
+        assert list(got["v_sum_last60s"]) == list(exp)
+        # 10:01:05 sees 10:00:10 (55s back) and 10:00:50, not 10:00:00
+        assert list(got["v_count_last60s"]) == [1, 2, 3, 3, 1]
+
+    def test_time_frames_ntz_input(self, spark, tmp_path):
+        """RANGE frames work on NTZ parquet (epoch ordering via the
+        shared helper)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from cod_stats_spark.operators.rolling import rolling_time_frames
+
+        t0 = 1_767_225_600_000_000
+        d = tmp_path / "ev"
+        d.mkdir()
+        pq.write_table(
+            pa.table({
+                "k": pa.array([1, 1, 1], pa.int64()),
+                "ts": pa.array([t0, t0 + 30_000_000, t0 + 120_000_000],
+                               pa.timestamp("us")),
+                "v": pa.array([1.0, 2.0, 4.0], pa.float64()),
+            }),
+            str(d / "p.parquet"),
+        )
+        df = spark.read.parquet(str(d))
+        assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+        out = rolling_time_frames(df, ["k"], "ts", [("v", "sum")], window_seconds=60)
+        got = [r["v_sum_last60s"] for r in out.orderBy("ts").collect()]
+        assert got == [1.0, 3.0, 4.0]
+
 
 class TestAsofJoin:
     def test_basic_and_tolerance(self, spark):

@@ -1,0 +1,116 @@
+"""Lexical retrieval scoring: TF-IDF / BM25 over a document corpus.
+
+The training-data uses: relevance-filtering a crawl against a topic
+query set, scoring documents for curriculum mixing, and lexical
+retrieval baselines next to the embedding ANN operators
+(operators/similarity.py).
+
+Scale shape (100 TB corpus):
+
+- ``doc_term_freqs`` explodes tokens once → one shuffle keyed on
+  (doc, term) with map-side combine; doc lengths ride along in the
+  same pass (no second scan).
+- ``idf_table`` is a term-keyed aggregate of the DTF — output is the
+  vocabulary, orders of magnitude smaller than the corpus.
+- ``bm25_scores`` filters the DTF to the query's terms FIRST (an
+  isin over a driver-side list — pushes into the scan of a persisted
+  DTF table), broadcasts the matching idf rows, and sums per doc.
+  Cost scales with documents containing query terms, never the
+  corpus.
+
+Tokenization reuses functions/text.py (lower + whitespace), so
+retrieval agrees with dedup/quality on what a "word" is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cod_stats_spark.functions.text import words
+
+
+def doc_term_freqs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc id, term, tf, doc_len): term frequencies + document length
+    in ONE pass (explode → count, with the length computed per row
+    before the explode and carried through the aggregate via first)."""
+    toks = words(F.lower(F.col(text_col)))
+    exploded = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("_len"),
+        F.explode(toks).alias("term"),
+    )
+    return exploded.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.first("_len").alias("doc_len"),
+    )
+
+
+def idf_table(dtf: DataFrame, n_docs: int, id_col: str = "doc_id") -> DataFrame:
+    """(term, df, idf) with the BM25+ smoothed idf:
+    ln(1 + (N − df + 0.5)/(df + 0.5)) — always positive, stable for
+    terms present in most documents."""
+    return dtf.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    ).select(
+        "term",
+        "df",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+
+
+def bm25_scores(
+    dtf: DataFrame,
+    idf: DataFrame,
+    query_terms: list[str],
+    avg_doc_len: float,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc id, score): BM25 of each document against the query term
+    list, descending-score ordering left to the caller. Documents
+    sharing no term with the query never appear (and never shuffle)."""
+    terms = [t.lower() for t in query_terms]
+    matched = dtf.filter(F.col("term").isin(terms))
+    scored = matched.join(F.broadcast(idf.filter(F.col("term").isin(terms))), "term")
+    tf = F.col("tf").cast("double")
+    denom = tf + k1 * (1.0 - b + b * F.col("doc_len") / F.lit(float(avg_doc_len)))
+    contrib = F.col("idf") * (tf * (k1 + 1.0)) / denom
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum(contrib), 6).alias("score"),
+        F.count(F.lit(1)).alias("n_matched_terms"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """One-shot convenience: build DTF + IDF from the corpus and return
+    the top-k docs for ``query``. For repeated queries, materialize
+    ``doc_term_freqs``/``idf_table`` once (the index) and call
+    ``bm25_scores`` directly — that is the production path."""
+    dtf = doc_term_freqs(docs, text_col, id_col)
+    stats = dtf.groupBy(id_col).agg(F.first("doc_len").alias("doc_len"))
+    agg = stats.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg_len")
+    ).first()
+    n_docs, avg_len = int(agg["n"]), float(agg["avg_len"] or 0.0) or 1.0
+    idf = idf_table(dtf, n_docs, id_col)
+    out = bm25_scores(
+        dtf, idf, query.split(), avg_len, id_col, k1, b
+    )
+    return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -1,0 +1,90 @@
+"""BM25 / TF-IDF retrieval operator tests — verified against a plain
+Python reference implementation on the same tokenization."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "a quick tour of the spark catalyst optimizer"),
+    (3, "dogs and foxes are both canids says the zoology text"),
+    (4, "completely unrelated document about sequence packing budgets"),
+    (5, "the the the the the"),  # stopword-ish repetition
+]
+
+
+def _py_bm25(corpus, query_terms, k1=1.2, b=0.75):
+    docs = {i: t.lower().split() for i, t in corpus}
+    n = len(docs)
+    avg_len = sum(len(v) for v in docs.values()) / n
+    df = {}
+    for toks in docs.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    scores = {}
+    for i, toks in docs.items():
+        s = 0.0
+        matched = 0
+        for q in query_terms:
+            tf = toks.count(q)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(toks) / avg_len))
+        if matched:
+            scores[i] = (round(s, 6), matched)
+    return scores
+
+
+class TestBm25:
+    def test_matches_python_reference(self, spark):
+        from cod_stats_spark.operators.retrieval import (
+            bm25_scores,
+            doc_term_freqs,
+            idf_table,
+        )
+
+        docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+        dtf = doc_term_freqs(docs)
+        n = len(CORPUS)
+        avg_len = sum(len(t.split()) for _, t in CORPUS) / n
+        idf = idf_table(dtf, n)
+        query = ["quick", "fox", "dog"]
+        got = {
+            r["doc_id"]: (r["score"], r["n_matched_terms"])
+            for r in bm25_scores(dtf, idf, query, avg_len).collect()
+        }
+        exp = _py_bm25(CORPUS, query)
+        assert set(got) == set(exp)
+        for i in exp:
+            assert got[i][1] == exp[i][1]
+            assert got[i][0] == pytest.approx(exp[i][0], abs=1e-6)
+
+    def test_topk_ordering_and_miss(self, spark):
+        from cod_stats_spark.operators.retrieval import bm25_topk
+
+        docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+        top = bm25_topk(docs, "quick fox dog", k=3).collect()
+        ids = [r["doc_id"] for r in top]
+        # doc 1 holds fox AND dog AND quick-adjacent terms — must rank first;
+        # doc 4 shares no term and must be absent entirely
+        assert ids[0] == 1
+        assert 4 not in ids
+        scores = [r["score"] for r in top]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_dtf_single_pass_doc_len(self, spark):
+        from cod_stats_spark.operators.retrieval import doc_term_freqs
+
+        docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+        dtf = doc_term_freqs(docs)
+        row = dtf.filter("doc_id = 5 and term = 'the'").first()
+        assert (row["tf"], row["doc_len"]) == (5, 5)
+        # one shuffle: a single partial+final aggregate pair
+        plan = dtf._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1

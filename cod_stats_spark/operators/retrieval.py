@@ -90,6 +90,31 @@ def bm25_scores(
     )
 
 
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    id_col: str = "id",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked result sets (the standard
+    way to combine lexical BM25 with embedding ANN results without
+    score calibration): each input must carry ``(id_col, rank)`` with
+    rank starting at 1; fused score = Σ 1/(k + rank), summed over the
+    lists the id appears in. Inputs are top-k lists (small) — the
+    union + aggregate is trivially cheap at any corpus scale.
+    """
+    tagged = None
+    for df in ranked_lists:
+        part = df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias("_rr"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    return tagged.groupBy(id_col).agg(
+        F.round(F.sum("_rr"), 6).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query: str,

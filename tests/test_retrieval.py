@@ -78,6 +78,24 @@ class TestBm25:
         scores = [r["score"] for r in top]
         assert scores == sorted(scores, reverse=True)
 
+    def test_rrf_fusion(self, spark):
+        """RRF: an id ranked well in BOTH lists beats an id that tops
+        only one (k=60 standard)."""
+        from cod_stats_spark.operators.retrieval import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(10, 1), (11, 2), (12, 3)], "id long, rank int"
+        )
+        emb = spark.createDataFrame(
+            [(11, 1), (13, 2), (10, 3)], "id long, rank int"
+        )
+        got = {r["id"]: (r["rrf_score"], r["n_lists"])
+               for r in rrf_fuse([lex, emb]).collect()}
+        assert got[11][1] == 2 and got[13][1] == 1
+        # 11: 1/62 + 1/61 ; 10: 1/61 + 1/63 ; both beat single-list 13
+        assert got[11][0] > got[10][0] > got[13][0]
+        assert got[11][0] == pytest.approx(1 / 62 + 1 / 61, abs=1e-6)
+
     def test_dtf_single_pass_doc_len(self, spark):
         from cod_stats_spark.operators.retrieval import doc_term_freqs
 

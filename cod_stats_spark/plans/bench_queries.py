@@ -763,7 +763,9 @@ def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_functions",
-    covers="§2.8 (date/time, string, math, conditional scalar families)",
+    covers="§2.8 (date/time incl. datediff/add_months/last_day/dayofweek, "
+    "string incl. regexp_extract/translate/lpad/split, math incl. "
+    "abs/pow/sqrt, conditional scalar families)",
     oracle="""
 SELECT o_orderkey,
        EXTRACT(year FROM o_orderdate)::BIGINT  AS o_year,
@@ -775,13 +777,25 @@ SELECT o_orderkey,
        CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS priority_rank,
        CASE WHEN o_totalprice > 100000 THEN 'big'
             WHEN o_totalprice > 10000  THEN 'mid'
-            ELSE 'small' END                   AS size_class
+            ELSE 'small' END                   AS size_class,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')::BIGINT AS days_to_end,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       (dayofweek(o_orderdate) + 1)::BIGINT    AS dow,
+       regexp_extract(o_orderpriority, '(\\d+)', 1) AS prio_digit,
+       translate(o_orderstatus, 'OF', 'of')    AS status_lc,
+       lpad(o_orderkey::VARCHAR, 12, '0')      AS key_padded,
+       string_split(o_orderpriority, '-')[1]   AS prio_head,
+       round(abs(o_totalprice - 100000.0), 2)  AS dist_100k,
+       round(sqrt(o_totalprice), 6)            AS price_sqrt,
+       round(pow(o_totalprice / 100000.0, 2), 6) AS price_sq
 FROM orders
 WHERE o_orderkey % 7 = 0
 """,
 )
 def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"]
+    od = F.col("o_orderdate").cast("date")
     return o.filter(F.col("o_orderkey") % 7 == 0).select(
         "o_orderkey",
         F.year("o_orderdate").cast("long").alias("o_year"),
@@ -795,6 +809,18 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_totalprice") > 10000, "mid")
         .otherwise("small")
         .alias("size_class"),
+        F.datediff(F.lit("1998-12-31").cast("date"), od).cast("long").alias("days_to_end"),
+        F.date_format(F.add_months(od, 3), "yyyy-MM-dd").alias("plus3m"),
+        F.date_format(F.last_day(od), "yyyy-MM-dd").alias("month_end"),
+        # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1
+        F.dayofweek(od).cast("long").alias("dow"),
+        F.regexp_extract("o_orderpriority", r"(\d+)", 1).alias("prio_digit"),
+        F.translate("o_orderstatus", "OF", "of").alias("status_lc"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
+        F.split(F.col("o_orderpriority"), "-").getItem(0).alias("prio_head"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("dist_100k"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        F.round(F.pow(F.col("o_totalprice") / 100000.0, 2), 6).alias("price_sq"),
     )
 
 
@@ -1923,29 +1949,49 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ranking_windows",
-    covers="EXT-olap (ntile / percent_rank / dense_rank over a total order)",
+    covers="EXT-olap (ntile / percent_rank / dense_rank / cume_dist / first_value / last_value / nth_value / lead+lag offsets over a total order)",
     oracle="""
 SELECT c_custkey, c_mktsegment,
        ntile(4)       OVER w AS quartile,
        round(percent_rank() OVER w, 6) AS pct_rank,
-       dense_rank()   OVER w AS drank
+       dense_rank()   OVER w AS drank,
+       round(cume_dist() OVER w, 6) AS cdist,
+       first_value(c_custkey) OVER w AS seg_top,
+       last_value(c_custkey) OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal DESC, c_custkey ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND UNBOUNDED FOLLOWING) AS seg_bottom,
+       nth_value(c_custkey, 2) OVER w AS seg_second,
+       lead(c_custkey, 1) OVER w AS next_key,
+       lag(c_custkey, 2, -1) OVER w AS prev2_key
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
 """,
 )
 def ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All ranking + positional window functions in ONE window spec
+    (single shuffle+sort; Catalyst evaluates every column in the same
+    pass — only seg_bottom needs the explicit unbounded-following
+    frame, since last_value under the default frame is just the
+    current row)."""
     from pyspark.sql import Window
 
     c = load_tables(spark, sf_dir)["customer"]
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
-    )
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    w = Window.partitionBy("c_mktsegment").orderBy(*order)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return c.select(
         "c_custkey",
         "c_mktsegment",
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.dense_rank().over(w).cast("long").alias("drank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("c_custkey").over(w).alias("seg_top"),
+        F.last("c_custkey").over(w_full).alias("seg_bottom"),
+        F.nth_value("c_custkey", 2).over(w).alias("seg_second"),
+        F.lead("c_custkey", 1).over(w).alias("next_key"),
+        F.lag("c_custkey", 2, -1).over(w).alias("prev2_key"),
     )
 
 

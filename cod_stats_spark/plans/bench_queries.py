@@ -1898,27 +1898,53 @@ def quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rollup_cube",
-    covers="EXT-olap (ROLLUP grouping sets with grouping_id)",
+    covers="EXT-olap (ROLLUP + CUBE + explicit GROUPING SETS, each with grouping_id, one tagged gate)",
     oracle="""
-SELECT l_returnflag, l_linestatus,
+SELECT 'rollup' AS variant, l_returnflag, l_linestatus,
        GROUPING(l_returnflag, l_linestatus) AS gid,
        count(*) AS n,
        round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube', l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus),
+       count(*), round(sum(l_quantity), 2)
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'gsets', l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus),
+       count(*), round(sum(l_quantity), 2)
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """,
 )
 def rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three multi-dimensional grouping shapes over one fact scan,
+    tagged. Catalyst expands each to a single Expand + aggregate —
+    no per-grouping-set rescans."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
+
+    def _agg(grouped, tag):
+        return grouped.agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        ).select(
+            F.lit(tag).alias("variant"),
+            "l_returnflag", "l_linestatus", "gid", "n", "sum_qty",
         )
-        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+
+    rolled = _agg(li.rollup("l_returnflag", "l_linestatus"), "rollup")
+    cubed = _agg(li.cube("l_returnflag", "l_linestatus"), "cube")
+    gsets = _agg(
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        ),
+        "gsets",
     )
+    return rolled.unionByName(cubed).unionByName(gsets)
 
 
 @query(

@@ -547,26 +547,34 @@ def weighted_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "daily_distinct",
-    covers="A10 A11 ST3 (tumbling day buckets + distinct + min/max audit)",
+    covers="A10 A11 ST3 F-json (tumbling day buckets + distinct + min/max audit + JSON scalar extraction from the props column)",
     oracle="""
 SELECT CAST(ts AS DATE)        AS day,
        count(*)                AS n_events,
        count(DISTINCT user_id) AS n_users,
        count(DISTINCT event_type) AS n_types,
        min(ts)                 AS first_ts,
-       max(ts)                 AS last_ts
+       max(ts)                 AS last_ts,
+       round(avg(CAST(props->>'$.k' AS DOUBLE)), 4) AS avg_prop_k,
+       max(CAST(props->>'$.k' AS BIGINT))           AS max_prop_k
 FROM events
 GROUP BY day
 """,
 )
 def daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day rollup + the JSON-parse scalar family: ``props`` is a JSON
+    string column; get_json_object stays JVM-side (codegen), verified
+    value-for-value against DuckDB's ->> extraction."""
     ev = load_tables(spark, sf_dir)["events"]
+    prop_k = F.get_json_object("props", "$.k")
     return ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("event_type").alias("n_types"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
+        F.round(F.avg(prop_k.cast("double")), 4).alias("avg_prop_k"),
+        F.max(prop_k.cast("long")).alias("max_prop_k"),
     )
 
 

@@ -22,7 +22,7 @@ cross join on a hot key (cap enforced via ``max_bucket_size``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cod_stats_spark.functions.text import fingerprint, shingles

@@ -23,7 +23,7 @@ import pandas as pd  # noqa: F401 — used inside the by-value state fn
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupStateTimeout
 
 from cod_stats_spark.operators._util import epoch_us, ts_to_timestamp
 from pyspark.sql.types import (

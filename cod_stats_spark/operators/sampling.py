@@ -39,6 +39,42 @@ def deterministic_sample(
     return df.filter(_hash_bucket(key) < threshold)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row draws u ∈ (0,1] as a pure hash of its key,
+    gets sort key u^(1/w), and the top-``n`` sort keys are the sample —
+    inclusion probability proportional to weight, reproducible under
+    any partitioning / engine / re-run (different salts draw
+    independent samples).
+
+    Plan: one codegen'd projection + TakeOrderedAndProject (per-
+    partition n-row heaps, driver merges n rows) — no shuffle, no full
+    sort. The standard tool for importance-weighted subsampling
+    (quality-score-weighted corpus thinning, source rebalancing).
+    Rows with weight <= 0 are excluded (their u^(1/w) is undefined).
+    """
+    buckets = 1 << 52  # double-exact integer range
+    key = F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double") + 1.0
+    ) / F.lit(float(buckets))  # (0, 1]
+    w = F.col(weight_col).cast("double")
+    sort_key = F.pow(u, 1.0 / w)
+    return (
+        df.filter(w > 0)
+        .withColumn("_es_key", sort_key)
+        .orderBy(F.col("_es_key").desc(), F.col(key_col).asc())
+        .limit(n)
+        .drop("_es_key")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

@@ -287,6 +287,56 @@ class TestDeterministicSampling:
         assert 120 < by["big"] < 280        # ~10% of 2000
 
 
+class TestWeightedSample:
+    def test_matches_python_reference_and_is_stable(self, spark):
+        """A-ES sample == the same formula computed in plain Python,
+        and identical across repartitionings."""
+        import hashlib
+        import math
+
+        rows = [(f"d{i}", float(1 + (i % 10))) for i in range(200)]
+        df = spark.createDataFrame(rows, "id string, w double")
+        from cod_stats_spark.operators.sampling import weighted_sample
+
+        got = {r["id"] for r in weighted_sample(df, "id", "w", n=20, salt="s").collect()}
+
+        def es_key(key, w):
+            u = (int(hashlib.md5((key + "s").encode()).hexdigest()[:13], 16) + 1.0) / (1 << 52)
+            return math.pow(u, 1.0 / w)
+
+        exp = {k for k, _ in sorted(rows, key=lambda r: (-es_key(r[0], r[1]), r[0]))[:20]}
+        assert got == exp
+
+        again = {
+            r["id"]
+            for r in weighted_sample(df.repartition(7), "id", "w", n=20, salt="s").collect()
+        }
+        assert again == got
+
+    def test_weights_bias_inclusion(self, spark):
+        """Across independent salts, heavy rows appear far more often
+        than light rows (10x weight ratio)."""
+        from cod_stats_spark.operators.sampling import weighted_sample
+
+        rows = [(f"h{i}", 10.0) for i in range(50)] + [(f"l{i}", 1.0) for i in range(50)]
+        df = spark.createDataFrame(rows, "id string, w double")
+        heavy = light = 0
+        for salt in ("a", "b", "c", "d"):
+            got = [r["id"] for r in weighted_sample(df, "id", "w", n=20, salt=salt).collect()]
+            heavy += sum(1 for i in got if i.startswith("h"))
+            light += sum(1 for i in got if i.startswith("l"))
+        assert heavy > 3 * light
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from cod_stats_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", 0.0), ("c", -2.0)], "id string, w double"
+        )
+        got = {r["id"] for r in weighted_sample(df, "id", "w", n=10).collect()}
+        assert got == {"a"}
+
+
 class TestPacking:
     def _toks(self, spark, counts):
         return spark.createDataFrame(

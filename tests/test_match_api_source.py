@@ -1,0 +1,131 @@
+"""Paginated match-API data source tests (SURVEY S1/S2/S4)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+def _write_api(root, pages: list[list[str]], transient: dict | None = None):
+    """Lay out a fake API directory: pages/ + details/."""
+    (root / "pages").mkdir(parents=True)
+    (root / "details").mkdir()
+    for i, ids in enumerate(pages):
+        doc = {"match_ids": ids, "next_page": i + 1 if i + 1 < len(pages) else None}
+        (root / "pages" / f"page_{i}.json").write_text(json.dumps(doc))
+    for ids in pages:
+        for mid in ids:
+            doc = {"matchID": mid, "kills": len(mid)}
+            if transient and mid in transient:
+                doc["__transient__"] = transient[mid]
+            (root / "details" / f"{mid}.json").write_text(json.dumps(doc))
+
+
+class TestPureFetchLogic:
+    def test_pagination_walks_cursor(self, tmp_path):
+        from cod_stats_spark.sources.match_api import FileTransport, fetch_page_ids
+
+        _write_api(tmp_path, [["a1", "a2"], ["b1"], ["c1", "c2", "c3"]])
+        pages = list(fetch_page_ids(FileTransport(str(tmp_path))))
+        assert pages == [(0, ["a1", "a2"]), (1, ["b1"]), (2, ["c1", "c2", "c3"])]
+
+    def test_backoff_retries_then_succeeds(self, tmp_path):
+        from cod_stats_spark.sources.match_api import (
+            FileTransport,
+            fetch_details_batched,
+            with_backoff,
+        )
+
+        _write_api(tmp_path, [["x1"]], transient={"x1": 2})
+        delays: list[float] = []
+
+        def backoff(fn):
+            return with_backoff(fn, max_retries=4, base_delay_s=1.0, sleeper=delays.append)
+
+        got = dict(
+            fetch_details_batched(FileTransport(str(tmp_path)), ["x1"], backoff=backoff)
+        )
+        assert json.loads(got["x1"])["matchID"] == "x1"
+        assert delays == [1.0, 2.0]  # exponential: base, base*2
+
+    def test_backoff_gives_up_after_max_retries(self, tmp_path):
+        from cod_stats_spark.sources.match_api import (
+            FileTransport,
+            TransientApiError,
+            with_backoff,
+        )
+
+        _write_api(tmp_path, [["y1"]], transient={"y1": 99})
+        t = FileTransport(str(tmp_path))
+        with pytest.raises(TransientApiError):
+            with_backoff(
+                lambda: t.get("details/y1.json"),
+                max_retries=2,
+                base_delay_s=0.0,
+                sleeper=lambda s: None,
+            )
+
+
+class TestChecksumSync:
+    def test_only_changed_files_copy(self, tmp_path):
+        from cod_stats_spark.sources.checksum_sync import sync_with_checksums
+
+        src = tmp_path / "site"
+        (src / "sub").mkdir(parents=True)
+        (src / "a.json").write_text('{"v": 1}')
+        (src / "sub" / "b.json").write_text('{"v": 2}')
+        dest = tmp_path / "pub"
+        dest.mkdir()
+
+        first = sync_with_checksums(str(src), str(dest))
+        assert first == {"a.json": "copied", "sub/b.json": "copied"}
+        assert (dest / "sub" / "b.json").read_text() == '{"v": 2}'
+
+        # re-sync with one changed file: only it copies
+        (src / "a.json").write_text('{"v": 99}')
+        second = sync_with_checksums(str(src), str(dest))
+        assert second == {"a.json": "copied", "sub/b.json": "unchanged"}
+        assert (dest / "a.json").read_text() == '{"v": 99}'
+        import json as js
+
+        manifest = js.loads((dest / ".checksums.json").read_text())
+        assert set(manifest) == {"a.json", "sub/b.json"}
+
+
+class TestSparkDataSource:
+    def test_read_format_end_to_end(self, spark, tmp_path):
+        from cod_stats_spark.sources.match_api import register_match_api_source
+
+        pages = [["a1", "a2"], ["b1"], ["c1", "c2", "c3"]]
+        _write_api(tmp_path, pages)
+        register_match_api_source(spark)
+        df = (
+            spark.read.format("cod_match_api")
+            .option("path", str(tmp_path))
+            .option("batchSize", "2")
+            .load()
+        )
+        rows = df.collect()
+        assert {r["match_id"] for r in rows} == {"a1", "a2", "b1", "c1", "c2", "c3"}
+        # one partition per page — detail fetches distribute
+        assert df.rdd.getNumPartitions() == len(pages)
+        by_page = {r["match_id"]: r["page"] for r in rows}
+        assert by_page["a1"] == 0 and by_page["b1"] == 1 and by_page["c3"] == 2
+        # payloads are the detail documents, parseable downstream with
+        # the engine's normal JSON path
+        payload = json.loads(rows[0]["payload"])
+        assert payload["matchID"] == rows[0]["match_id"]
+
+    def test_transient_failures_survive_through_spark(self, spark, tmp_path):
+        from cod_stats_spark.sources.match_api import register_match_api_source
+
+        _write_api(tmp_path, [["f1", "f2"]], transient={"f1": 1})
+        register_match_api_source(spark)
+        df = (
+            spark.read.format("cod_match_api")
+            .option("path", str(tmp_path))
+            .option("baseDelay", "0.01")
+            .load()
+        )
+        assert {r["match_id"] for r in df.collect()} == {"f1", "f2"}

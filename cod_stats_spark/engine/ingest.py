@@ -33,6 +33,29 @@ def read_matches(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_matches_from_api(spark: SparkSession, api_root: str, **options) -> DataFrame:
+    """Bronze match rows via the paginated-API connector
+    (sources/match_api.py) instead of a file glob: same output contract
+    as :func:`read_matches`, with the natural keys taken from the
+    payload itself (matchID + player.uno) since there is no filename.
+    Everything downstream (normalize → silver → gold) is unchanged —
+    the connector is just another bronze source.
+    """
+    from cod_stats_spark.sources.match_api import register_match_api_source
+
+    register_match_api_source(spark)
+    reader = spark.read.format("cod_match_api").option("path", api_root)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    raw = reader.load()
+    stats = F.from_json("payload", MATCH_SCHEMA).alias("stats")
+    return raw.select(stats).select(
+        F.col("stats.matchID").alias("game_id"),
+        F.col("stats.player.uno").alias("player_uno_id"),
+        "stats",
+    )
+
+
 def read_players_config(spark: SparkSession, path: str) -> DataFrame:
     """players.json → (player_uno_id PK, player_id, is_core) dimension.
 

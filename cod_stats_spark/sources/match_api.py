@@ -30,7 +30,12 @@ import os
 import time
 from collections.abc import Callable, Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class TransientApiError(Exception):
@@ -150,6 +155,59 @@ class MatchApiReader(DataSourceReader):
             yield (partition.page, mid, payload)
 
 
+class MatchApiStreamReader(SimpleDataSourceStreamReader):
+    """Incremental polling (the reference's cron pull, engine-side):
+    the streaming offset is the page cursor ``{"next_page": n}``. Each
+    micro-batch reads every COMPLETE new page past the committed
+    cursor; the partially-filled tail page is left for a later batch
+    (its contents may still grow), so a page is ingested exactly once.
+    Exactly-once delivery then follows from Spark's offset log — a
+    crashed batch replays the same [start, end) via readBetweenOffsets.
+    """
+
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("cod_match_api requires .option('path', <api root dir>)")
+        self.batch_size = int(options.get("batchsize", 10))
+        self.max_retries = int(options.get("maxretries", 4))
+        self.base_delay = float(options.get("basedelay", 0.05))
+
+    def _backoff(self, fn):
+        return with_backoff(fn, self.max_retries, self.base_delay)
+
+    def initialOffset(self) -> dict:
+        return {"next_page": 0}
+
+    def _read_range(self, start_page: int, end_page: int | None):
+        transport = FileTransport(self.root)
+        rows = []
+        page = start_page
+        while end_page is None or page < end_page:
+            try:
+                doc = self._backoff(lambda: transport.get(f"pages/page_{page}.json"))
+            except FileNotFoundError:
+                break  # cursor past the published tail
+            has_next = doc.get("next_page") is not None
+            if end_page is None and not has_next:
+                break  # tail page may still be filling — do not consume
+            ids = list(doc.get("match_ids", []))
+            for mid, payload in fetch_details_batched(
+                transport, ids, self.batch_size, backoff=self._backoff
+            ):
+                rows.append((page, mid, payload))
+            page += 1
+        return rows, page
+
+    def read(self, start: dict):
+        rows, next_page = self._read_range(int(start["next_page"]), None)
+        return iter(rows), {"next_page": next_page}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows, _ = self._read_range(int(start["next_page"]), int(end["next_page"]))
+        return iter(rows)
+
+
 class MatchApiDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -160,6 +218,9 @@ class MatchApiDataSource(DataSource):
 
     def reader(self, schema) -> MatchApiReader:
         return MatchApiReader(self.options)
+
+    def simpleStreamReader(self, schema) -> MatchApiStreamReader:
+        return MatchApiStreamReader(self.options)
 
 
 def register_match_api_source(spark) -> None:

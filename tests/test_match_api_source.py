@@ -67,6 +67,51 @@ class TestPureFetchLogic:
             )
 
 
+class TestStreamingApiSource:
+    def test_incremental_pages_exactly_once(self, spark, tmp_path):
+        """readStream over the API: batch 1 ingests complete pages,
+        the filling tail page is deferred; after the publisher appends
+        a page, the next batch picks up ONLY the newly-completed page —
+        no re-reads, no gaps."""
+        import uuid
+
+        from cod_stats_spark.sources.match_api import register_match_api_source
+
+        # pages 0,1 complete; page 1 is tail (next_page null) → deferred
+        _write_api(tmp_path, [["a1", "a2"], ["b1"]])
+        register_match_api_source(spark)
+        stream = (
+            spark.readStream.format("cod_match_api")
+            .option("path", str(tmp_path))
+            .option("baseDelay", "0.01")
+            .load()
+        )
+        name = f"api_{uuid.uuid4().hex[:8]}"
+        q = (stream.writeStream.outputMode("append").format("memory")
+             .queryName(name).start())
+        try:
+            q.processAllAvailable()
+            got1 = {r["match_id"] for r in spark.table(name).collect()}
+            assert got1 == {"a1", "a2"}  # page 0 only: page 1 still filling
+
+            # publisher completes page 1 by appending page 2 (new tail)
+            (tmp_path / "pages" / "page_1.json").write_text(
+                json.dumps({"match_ids": ["b1"], "next_page": 2})
+            )
+            (tmp_path / "pages" / "page_2.json").write_text(
+                json.dumps({"match_ids": ["c1"], "next_page": None})
+            )
+            (tmp_path / "details" / "c1.json").write_text(
+                json.dumps({"matchID": "c1", "kills": 2})
+            )
+            q.processAllAvailable()
+            rows = spark.table(name).collect()
+            got2 = [r["match_id"] for r in rows]
+            assert sorted(got2) == ["a1", "a2", "b1"]  # b1 once, c1 deferred
+        finally:
+            q.stop()
+
+
 class TestApiToEngine:
     def test_api_bronze_matches_file_bronze(self, spark, fixture_dirs, tmp_path):
         """The connector feeds the SAME bronze contract as the file

@@ -34,6 +34,33 @@ BNLJ_ALLOWED = {
 
 
 @needs_testdata
+def test_selective_filters_reach_the_scan(spark):
+    """Selective predicates must appear in the parquet scan's
+    PushedFilters — a filter evaluated post-scan reads the whole table
+    at 100 TB."""
+    from cod_stats_spark.plans.bench_queries import QUERIES
+
+    expectations = {
+        "filter_project": ["l_shipdate", "l_discount", "l_quantity"],
+        "q1_pricing_summary": ["l_shipdate"],
+        "scalar_functions": [],   # modulo filter is not pushable; scan must still prune columns
+        "semi_join_customers": [],
+    }
+    for name, pushed_cols in expectations.items():
+        plan = QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if pushed_cols:
+            assert "PushedFilters: [" in plan, f"{name}: no pushdown section"
+            section = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+            for col in pushed_cols:
+                assert col in section, f"{name}: {col} not pushed ({section})"
+        # column pruning: the scan's ReadSchema must not include every
+        # lineitem column (16 cols) for these narrow projections
+        if "ReadSchema" in plan:
+            schema_part = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+            assert schema_part.count(":") < 12, f"{name}: scan reads too many columns"
+
+
+@needs_testdata
 def test_no_cartesian_or_unexpected_nested_loop(spark):
     from cod_stats_spark.plans.bench_queries import QUERIES
 

@@ -13,10 +13,19 @@ from cod_stats_spark.operators.interval_join import interval_join
 from cod_stats_spark.operators.asof_join import asof_join
 from cod_stats_spark.operators.skew import salted_aggregate, salted_join
 from cod_stats_spark.operators.profiling import profile_table
+from cod_stats_spark.operators.retrieval import bm25_topk, rrf_fuse
+from cod_stats_spark.operators.rolling import rolling_time_frames
+from cod_stats_spark.operators.sampling import weighted_sample
+from cod_stats_spark.operators.sharding import compact_shards
 
 __all__ = [
     "asof_join",
+    "bm25_topk",
+    "compact_shards",
     "profile_table",
+    "rolling_time_frames",
+    "rrf_fuse",
+    "weighted_sample",
     "salted_aggregate",
     "salted_join",
     "sessionize",

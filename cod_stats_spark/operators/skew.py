@@ -31,6 +31,38 @@ _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 _PARTIAL = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
 
 
+def diagnose_skew(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_n: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Find the hot keys BEFORE a shuffle does: returns
+    ``(summary, top_keys)`` where summary is one row of key-count
+    distribution stats (n_keys, rows, max/p50/p99 per-key count, and
+    ``skew_ratio`` = max_count / mean_count — the replication factor a
+    salted plan must absorb) and top_keys is the ``top_n`` heaviest
+    keys with counts.
+
+    One count aggregate + one tiny reduction; top_keys is
+    TakeOrderedAndProject (per-partition heaps). Feed skew_ratio into
+    ``salted_aggregate``/``salted_join`` bucket counts: buckets ≈
+    ceil(skew_ratio) caps any single reducer at ~mean load.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("key_count"))
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("key_count").alias("n_rows"),
+        F.max("key_count").alias("max_count"),
+        F.expr("percentile_approx(key_count, 0.5, 10000)").alias("p50_count"),
+        F.expr("percentile_approx(key_count, 0.99, 10000)").alias("p99_count"),
+        F.round(
+            F.max("key_count") / (F.sum("key_count") / F.count(F.lit(1))), 2
+        ).alias("skew_ratio"),
+    )
+    top_keys = counts.orderBy(F.col("key_count").desc(), *key_cols).limit(top_n)
+    return summary, top_keys
+
+
 def salted_aggregate(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -68,6 +68,24 @@ class TestSaltedJoin:
         assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+class TestDiagnoseSkew:
+    def test_hot_key_surfaces_with_ratio(self, spark):
+        from cod_stats_spark.operators.skew import diagnose_skew
+
+        # one hot key with 900 rows, 100 singleton keys
+        rows = [(0, i) for i in range(900)] + [(k, 0) for k in range(1, 101)]
+        df = spark.createDataFrame(rows, "k long, payload long")
+        summary, top = diagnose_skew(df, ["k"], top_n=3)
+        s = summary.first()
+        assert s["n_keys"] == 101 and s["n_rows"] == 1000
+        assert s["max_count"] == 900 and s["p50_count"] == 1
+        # mean count ~9.9 → skew_ratio ~90.9: the salting factor needed
+        assert 85 < s["skew_ratio"] < 95
+        hot = top.collect()
+        assert hot[0]["k"] == 0 and hot[0]["key_count"] == 900
+        assert all(r["key_count"] == 1 for r in hot[1:])
+
+
 class TestCorruptAudit:
     def test_corrupt_files_surface(self, spark, fixture_dirs, tmp_path):
         import json as js

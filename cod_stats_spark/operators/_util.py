@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -42,6 +45,63 @@ def epoch_us(df: DataFrame, col: str) -> tuple[Column, int]:
     return F.col(col).cast("long"), 1
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark byte-size conf string ('128MB', '134217728b') → bytes."""
+    s = v.strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+        ("kb", 1 << 10), ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30),
+        ("m", 1 << 20), ("k", 1 << 10), ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(float(s) * mult)
+
+
+def _estimated_scan_width(df: DataFrame) -> int | None:
+    """Estimate the scan's partition count from file metadata only.
+
+    Mirrors Spark's FilePartition split math (size / maxPartitionBytes
+    per file, splits never span files) for LOCAL files, so the answer
+    is driver-side and costs a stat() per file — no physical planning.
+    Returns None when the plan has no file leaves (in-memory /
+    shuffled inputs) or the files are not locally stat-able; callers
+    fall back to an accurate (but expensive) physical probe then.
+
+    Approximation caveat, documented on purpose: a plan whose width is
+    set by a downstream shuffle (join/repartition above the scan) is
+    judged by its LEAF scan here. Underestimating costs one redundant
+    round-robin repartition of an already-wide df — wasteful but
+    correct; for spread()'s call sites (raw or semi-filtered scans)
+    the leaf estimate is the real width.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        mpb = _parse_bytes(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+    except Exception:
+        mpb = 128 * 1024 * 1024
+    total = 0
+    for f in files:
+        path = f[7:] if f.startswith("file://") else f
+        if not os.path.isabs(path):
+            return None  # remote FS — can't stat from the driver cheaply
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return None
+        total += max(1, math.ceil(size / mpb))
+    return total
+
+
 def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Ensure enough partitions to parallelize CPU-heavy per-row work.
 
@@ -52,21 +112,37 @@ def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     even on small tables: full width wins. At real scale the input
     already has >= cores partitions and this is a no-op.
 
-    The width probe prefers inputFiles() (analysis only) over
-    df.rdd.getNumPartitions() (full physical planning + RDD
-    conversion, ~0.1 s of driver time per query build).
+    Width probes, cheapest first:
+    1. inputFiles() length (analysis only) — many files ⇒ wide;
+    2. file-metadata split estimate (driver-side stat, no JVM
+       planning) — replaces the old df.rdd fallback that paid full
+       physical planning (~0.4 s on a complex plan) per call;
+    3. df.rdd.getNumPartitions() — accurate, expensive, last resort
+       (non-file inputs only: createDataFrame tests, shuffled dfs).
     """
     sc = df.sparkSession.sparkContext
     target = min_parallelism or sc.defaultParallelism
     try:
         # fast POSITIVE check only: many input files ⇒ already wide.
         # Few files does NOT imply narrow (cached/shuffled plans still
-        # report their leaf scan's files), so confirm with the accurate
-        # physical probe before paying a repartition.
+        # report their leaf scan's files), so confirm with the metadata
+        # estimate before paying a repartition.
         if len(df.inputFiles()) >= target:
             return df
     except Exception:
         pass
-    if df.rdd.getNumPartitions() < target:
+    try:
+        # a plan that already carries an explicit Repartition (e.g. a
+        # spread() further down the same pipeline) is wide by
+        # construction — AQE never coalesces user-specified
+        # repartition counts. One py4j analysis-only roundtrip.
+        if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+            return df
+    except Exception:
+        pass
+    width = _estimated_scan_width(df)
+    if width is None:
+        width = df.rdd.getNumPartitions()
+    if width < target:
         return df.repartition(target)
     return df

@@ -97,8 +97,15 @@ def connected_components(
         if len(probe) <= driver_edge_cap:
             vtype = edges.schema[src].dataType.simpleString()
             labels = _driver_union_find(probe, src, dst)
-            return edges.sparkSession.createDataFrame(
-                labels, f"vertex {vtype}, component {vtype}"
+            # bounded by the cap (≤ a few MB): hint broadcast so the
+            # caller's cluster join never SMJ-shuffles the corpus side
+            # against this tiny parallelized list (local-list dfs have
+            # no stats, so without the hint Catalyst plans SMJ and
+            # only AQE might rescue it at runtime)
+            return F.broadcast(
+                edges.sparkSession.createDataFrame(
+                    labels, f"vertex {vtype}, component {vtype}"
+                )
             )
     # symmetrize in ONE pass over the edge list (explode of both
     # orientations) — a union of two selects would evaluate the whole

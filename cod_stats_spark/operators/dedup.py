@@ -465,13 +465,18 @@ def ngram_jaccard_pairs(
         if shingle_col
         else F.explode(F.array(shingles(text_col, shingle_n)))
     )
+    # persist WITHOUT an eager count: the verify join's two build
+    # sides may race to populate the cache inside one action
+    # (duplicating this small candidate-restricted projection once),
+    # but skipping the extra barrier job saves a full scheduler
+    # round-trip per pipeline run — the right trade for a plan whose
+    # cost is bounded by the candidate set, not the corpus.
     sh = (
         df.join(involved.withColumnRenamed("id", id_col), id_col, "left_semi")
         .select(F.col(id_col).alias("id"), sh_expr.alias("sh"))
         .withColumn("sz", F.size("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sh.count()
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
     joined = candidate_pairs.join(a, "id_a").join(b, "id_b")

@@ -2626,3 +2626,22 @@ def sketches_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
     )
+
+
+@_bench_only("rollup_cube_v2")
+def rollup_cube_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench alias for the `rollup_cube` gate. The `_v2` name marks a
+    SCOPE change, not a plan change: round 5 widened the gate from one
+    grouping shape to three (ROLLUP + CUBE + GROUPING SETS, tagged
+    union), so its timing is not comparable to rounds 1-4's
+    `rollup_cube` entry (BENCH_NOTES.md)."""
+    return QUERIES["rollup_cube"](spark, sf_dir)
+
+
+@_bench_only("ranking_windows_v2")
+def ranking_windows_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench alias for the `ranking_windows` gate. `_v2`: round 5
+    added first_value/last_value/nth_value/lead+lag offsets to the
+    same single window pass — same shuffle+sort, more evaluated
+    columns — so cross-round timings break at r5 (BENCH_NOTES.md)."""
+    return QUERIES["ranking_windows"](spark, sf_dir)

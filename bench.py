@@ -62,6 +62,8 @@ HEADLINE = [
     # tests/test_bench_signatures.py for the guard
     "rollup_cube_v2",
     "ranking_windows_v2",
+    # round-6 addition: BM25 + RRF retrieval (new entry, new scope)
+    "retrieval_bm25",
     # round-3 training-pipeline additions
     "pii_redact",
     "repetition_metrics",

@@ -102,6 +102,8 @@ def rrf_fuse(
     lists the id appears in. Inputs are top-k lists (small) — the
     union + aggregate is trivially cheap at any corpus scale.
     """
+    if not ranked_lists:
+        raise ValueError("rrf_fuse requires at least one ranked list")
     tagged = None
     for df in ranked_lists:
         part = df.select(
@@ -113,6 +115,69 @@ def rrf_fuse(
         F.round(F.sum("_rr"), 6).alias("rrf_score"),
         F.count(F.lit(1)).alias("n_lists"),
     )
+
+
+def bm25_rank_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Fully LAZY BM25 top-k with ranks: (doc id, score,
+    n_matched_terms, rank), rank 1..k by (score desc, id asc).
+
+    Unlike :func:`bm25_topk` this runs NO driver action: the corpus
+    stats (N, avg doc length) join in as a broadcast one-row aggregate,
+    so the whole retrieval is a single Catalyst plan — composable into
+    gates/pipelines, and the production shape when the index is built
+    and queried in one job. Scores are rounded to 6 dp BEFORE ranking
+    so the ordering is reproducible across engines (cross-engine float
+    sums agree to well beyond 6 dp; ranking on raw doubles would let a
+    1-ulp disagreement flip near-ties).
+
+    Scale: cost after the DTF build is ∝ documents containing query
+    terms; the final top-k is TakeOrderedAndProject (per-partition
+    heaps) + a k-row window for the rank column — no global sort.
+    """
+    from pyspark.sql import Window
+
+    terms = [t.lower() for t in query_terms]
+    dtf = doc_term_freqs(docs, text_col, id_col)
+    doclens = dtf.groupBy(id_col).agg(F.first("doc_len").alias("doc_len"))
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.avg("doc_len").alias("_avg_len"),
+    )
+    df_counts = dtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (
+        df_counts.filter(F.col("term").isin(terms))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    matched = (
+        dtf.filter(F.col("term").isin(terms))
+        .join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    tf = F.col("tf").cast("double")
+    denom = tf + k1 * (1.0 - b + b * F.col("doc_len") / F.col("_avg_len"))
+    contrib = F.col("idf") * (tf * (k1 + 1.0)) / denom
+    scored = matched.groupBy(id_col).agg(
+        F.round(F.sum(contrib), 6).alias("score"),
+        F.count(F.lit(1)).alias("n_matched_terms"),
+    )
+    topk = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def bm25_topk(

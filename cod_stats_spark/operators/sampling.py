@@ -65,7 +65,13 @@ def weighted_sample(
         F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double") + 1.0
     ) / F.lit(float(buckets))  # (0, 1]
     w = F.col(weight_col).cast("double")
-    sort_key = F.pow(u, 1.0 / w)
+    # round the sort key to 12 dp: pow() is not guaranteed correctly
+    # rounded, so two engines can disagree by 1 ulp — enough to swap
+    # near-tied rows at the sample boundary. Keys are hash-uniform in
+    # (0,1] (typical spacing ≫ 1e-12), so 12 dp keeps them distinct
+    # while making the order engine-independent; exact ties fall to
+    # the key column.
+    sort_key = F.round(F.pow(u, 1.0 / w), 12)
     return (
         df.filter(w > 0)
         .withColumn("_es_key", sort_key)

@@ -38,7 +38,11 @@ from cod_stats_spark.operators.multimodal import (
     make_wav_media,
     resize_plan,
 )
-from cod_stats_spark.operators.rolling import cumulative_frames, rolling_frames
+from cod_stats_spark.operators.rolling import (
+    cumulative_frames,
+    rolling_frames,
+    rolling_time_frames,
+)
 from cod_stats_spark.operators.sessionize import session_rollup, sessionize
 from cod_stats_spark.operators.similarity import ann_lsh_topk, brute_force_topk
 from cod_stats_spark.operators.streaks import run_lengths
@@ -526,23 +530,60 @@ def pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "weighted_ratio",
-    covers="A8 (ratio-of-sums post-aggregation, NOT avg-of-ratios — SURVEY §7.4.3)",
+    covers="A8 + EXT-skew (ratio-of-sums post-aggregation, NOT avg-of-ratios — SURVEY §7.4.3; plus the same rollup through a two-phase SALTED aggregate, oracled to identical values — skew.py's hot-key path changes the physical plan, never the answer)",
     oracle="""
-SELECT l_returnflag,
-       round(100.0 * sum(l_extendedprice * l_discount) / sum(l_extendedprice), 4)
-         AS discount_pct,
-       round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))), 2)::DOUBLE AS discount_value
-FROM lineitem
-GROUP BY l_returnflag
+WITH base AS (
+  SELECT l_returnflag,
+         round(100.0 * sum(l_extendedprice * l_discount) / sum(l_extendedprice), 4)
+           AS discount_pct,
+         round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))), 2)::DOUBLE
+           AS discount_value
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT 'plain:' || l_returnflag AS grp, discount_pct, discount_value FROM base
+UNION ALL
+SELECT 'salted:' || l_returnflag AS grp, discount_pct, discount_value FROM base
 """,
 )
 def weighted_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same ratio-of-sums twice, tagged (widened r6): 'plain:'
+    rows via the direct groupBy, 'salted:' rows via
+    ``salted_aggregate`` (xxhash64(l_orderkey) mod 16 pre-shuffle,
+    merge after — the plan a hot l_returnflag would need at scale).
+    The oracle emits the identical values for both tags: salting must
+    be invisible in the answer (decimal sums are exactly equal; the
+    double ratio agrees far beyond the 4 dp rounding)."""
+    from cod_stats_spark.operators.skew import salted_aggregate
+
     li = load_tables(spark, sf_dir)["lineitem"]
     disc_val = F.sum(F.col("l_extendedprice") * F.col("l_discount"))
-    return li.groupBy("l_returnflag").agg(
+    plain = li.groupBy("l_returnflag").agg(
         F.round(100.0 * disc_val / F.sum("l_extendedprice"), 4).alias("discount_pct"),
         F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(30,8)")), 2).cast("double").alias("discount_value"),
+    ).select(
+        F.concat(F.lit("plain:"), F.col("l_returnflag")).alias("grp"),
+        "discount_pct", "discount_value",
     )
+    pre = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("epd"),
+        F.col("l_extendedprice").alias("ep"),
+        (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(30,8)").alias("epd_dec"),
+    )
+    salted = salted_aggregate(
+        pre,
+        ["l_returnflag"],
+        [("epd", "sum"), ("ep", "sum"), ("epd_dec", "sum")],
+        salt_col="l_orderkey",
+        buckets=16,
+    ).select(
+        F.concat(F.lit("salted:"), F.col("l_returnflag")).alias("grp"),
+        F.round(100.0 * F.col("epd_sum") / F.col("ep_sum"), 4).alias("discount_pct"),
+        F.round(F.col("epd_dec_sum"), 2).cast("double").alias("discount_value"),
+    )
+    return plain.unionByName(salted)
 
 
 @query(
@@ -668,28 +709,15 @@ def streak_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rolling_orders",
-    covers="W8 W9 (rolling ROWS frames + unbounded-preceding running totals, one sorted window pass)",
-    oracle="""
-SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER w4, 2) AS o_totalprice_sum_roll4,
-       round(avg(o_totalprice) OVER w4, 4) AS o_totalprice_avg_roll4,
-       count(*) OVER w4                    AS n_roll4,
-       round(sum(o_totalprice) OVER wc, 2) AS o_totalprice_sum_cume,
-       count(*) OVER wc                    AS n_cume
-FROM orders
-WINDOW w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
-       wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              ROWS UNBOUNDED PRECEDING)
-""",
-)
-def rolling_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rolling_orders_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W8 + W9 in one plan: both frames share the (o_custkey, o_orderdate,
     o_orderkey) partition+order, so Catalyst evaluates them over a
     single shuffle+sort — merged from the former separate
-    rolling_orders / cumulative_orders gates (registry ≤ 50)."""
+    rolling_orders / cumulative_orders gates (registry ≤ 50).
+
+    This ROWS-frames body is the timed `rolling_orders` bench entry
+    (unchanged plan since r3); the GATE widened in r6 with time-based
+    RANGE frames (BENCH_NOTES.md)."""
     o = load_tables(spark, sf_dir)["orders"]
     rolled = rolling_frames(
         o,
@@ -698,13 +726,50 @@ def rolling_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("o_totalprice", "sum"), ("o_totalprice", "avg"), ("o_orderkey", "count")],
         preceding=3,
     )
-    both = cumulative_frames(
+    return cumulative_frames(
         rolled,
         ["o_custkey"],
         ["o_orderdate", "o_orderkey"],
         [("o_totalprice", "sum"), ("o_orderkey", "count")],
     )
-    return both.select(
+
+
+@query(
+    "rolling_orders",
+    covers="W8 W9 + EXT-time-rolling (rolling ROWS frames + running totals + 7-day RANGE time frames; ROWS pair shares one sorted window pass)",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER w4, 2) AS o_totalprice_sum_roll4,
+       round(avg(o_totalprice) OVER w4, 4) AS o_totalprice_avg_roll4,
+       count(*) OVER w4                    AS n_roll4,
+       round(sum(o_totalprice) OVER wc, 2) AS o_totalprice_sum_cume,
+       count(*) OVER wc                    AS n_cume,
+       round(sum(o_totalprice) OVER wt, 2) AS o_totalprice_sum_7d,
+       count(*) OVER wt                    AS n_7d
+FROM orders
+WINDOW w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+       wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS UNBOUNDED PRECEDING),
+       wt AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+              RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames + running totals + a 7-day time-RANGE frame
+    (``rolling_time_frames`` — every same-key order in the trailing
+    week, however many rows that is; ordering on exact integer epoch
+    micros so the window boundary is exact in both engines)."""
+    both = _rolling_orders_rows(spark, sf_dir)
+    timed = rolling_time_frames(
+        both,
+        ["o_custkey"],
+        "o_orderdate",
+        [("o_totalprice", "sum"), ("o_orderkey", "count")],
+        window_seconds=7 * 86400,
+        suffix="7d",
+    )
+    return timed.select(
         "o_custkey",
         "o_orderkey",
         F.round("o_totalprice_sum_roll4", 2).alias("o_totalprice_sum_roll4"),
@@ -712,6 +777,8 @@ def rolling_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey_count_roll4").alias("n_roll4"),
         F.round("o_totalprice_sum_cume", 2).alias("o_totalprice_sum_cume"),
         F.col("o_orderkey_count_cume").alias("n_cume"),
+        F.round("o_totalprice_sum_7d", 2).alias("o_totalprice_sum_7d"),
+        F.col("o_orderkey_count_7d").alias("n_7d"),
     )
 
 
@@ -1881,21 +1948,14 @@ def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "last_order_price")
 
 
-@query(
-    "quantiles",
-    covers="EXT-olap (exact interpolated quantiles per group)",
-    oracle="""
-SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
-       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
-       round(quantile_cont(l_quantity, 0.5), 4)       AS qty_p50
-FROM lineitem
-GROUP BY l_returnflag
-""",
-)
-def quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _quantiles_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (sort-based; percentile_approx is the sketch
-    variant for 100 TB — exact kept here for oracle comparability)."""
+    variant for 100 TB — exact kept here for oracle comparability).
+
+    Registered as the timed `quantiles` bench entry (unchanged plan
+    since r1); its ORACLE rows moved into the `stat_aggregates`
+    tagged union in r6 to free a registry slot for `retrieval_bm25`
+    (registry ≤ 50, BENCH_NOTES.md)."""
     li = load_tables(spark, sf_dir)["lineitem"]
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
@@ -2461,7 +2521,7 @@ def json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stat_aggregates",
-    covers="EXT-olap (statistical aggregates: stddev/variance/corr/covar + fixed-width bucketed histogram — width_bucket emulation)",
+    covers="EXT-olap (statistical aggregates: stddev/variance/corr/covar + fixed-width bucketed histogram + exact interpolated quantiles per group)",
     oracle="""
 WITH stats AS (
   SELECT l_returnflag,
@@ -2480,6 +2540,15 @@ hist AS (
          round(max(o_totalprice), 2)                 AS hi
   FROM orders
   GROUP BY bucket
+),
+q AS (
+  SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+         round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+         round(quantile_cont(l_quantity, 0.5), 4)       AS qty_p50,
+         count(*)                                       AS n
+  FROM lineitem
+  GROUP BY l_returnflag
 )
 SELECT 'stat:' || l_returnflag AS grp,
        price_stddev AS m1, qty_var AS m2,
@@ -2489,12 +2558,18 @@ UNION ALL
 SELECT 'hist:' || bucket::VARCHAR AS grp,
        lo AS m1, hi AS m2, NULL::DOUBLE AS m3, NULL::DOUBLE AS m4, n
 FROM hist
+UNION ALL
+SELECT 'q:' || l_returnflag AS grp,
+       p50 AS m1, p95 AS m2, qty_p50 AS m3, NULL::DOUBLE AS m4, n
+FROM q
 """,
 )
 def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates + histogram in one tagged union — merged
-    from the former separate stat_aggregates / histogram gates
-    (registry ≤ 50). Harmonized schema: (grp, m1..m4, n)."""
+    """Statistical aggregates + histogram + exact quantiles in one
+    tagged union — merged from the former separate stat_aggregates /
+    histogram / quantiles gates (registry ≤ 50; quantiles folded r6).
+    Harmonized schema: (grp, m1..m4, n). The bench still times the
+    quantile plan alone under its original `quantiles` entry."""
     t = load_tables(spark, sf_dir)
     null_m = F.lit(None).cast("double")
     stats = (
@@ -2523,14 +2598,28 @@ def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m1", "m2", null_m.alias("m3"), null_m.alias("m4"), "n",
         )
     )
-    return stats.unionByName(hist)
+    quant = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("m1"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("m2"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("m3"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.concat(F.lit("q:"), F.col("l_returnflag")).alias("grp"),
+            "m1", "m2", "m3", null_m.alias("m4"), "n",
+        )
+    )
+    return stats.unionByName(hist).unionByName(quant)
 
 
 @query(
     "stratified_sample",
-    covers="EXT-sampling (deterministic md5-threshold stratified sampling — the exact sample reproduces in any engine)",
+    covers="EXT-sampling (deterministic md5-threshold stratified sampling + Efraimidis-Spirakis weighted sampling w/o replacement — the exact samples reproduce in any engine)",
     oracle=f"""
-SELECT event_id, event_type
+SELECT 'strat' AS tag, event_id, event_type
 FROM events
 WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 5))::BIGINT <
       CASE event_type
@@ -2538,19 +2627,156 @@ WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 5))::BIGINT <
         WHEN 'click' THEN {int(0.25 * (1 << 20))}
         ELSE {1 << 20}
       END
+UNION ALL
+SELECT 'wes' AS tag, event_id, event_type
+FROM (
+  SELECT event_id, event_type
+  FROM events
+  WHERE CAST(value AS DOUBLE) > 0
+  ORDER BY round(pow(
+             (CAST(('0x' || substr(md5(event_id::VARCHAR), 1, 13))::BIGINT
+                   AS DOUBLE) + 1.0) / {float(1 << 52)!r},
+             1.0 / CAST(value AS DOUBLE)), 12) DESC,
+           event_id ASC
+  LIMIT 400
+)
 """,
 )
 def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Downsample high-volume event types (view→10%, click→25%), keep
-    the rest whole — reproducibly: the sample is a pure function of the
-    key hash, so the oracle engine draws the IDENTICAL sample."""
-    from cod_stats_spark.operators.sampling import stratified_sample
+    """Two deterministic-sampling shapes, tagged (widened r6):
+    'strat' downsamples high-volume event types (view→10%, click→25%,
+    rest whole) by md5 threshold; 'wes' draws a 400-row
+    importance-weighted sample (weight = value) via Efraimidis-
+    Spirakis keys. Both samples are pure functions of the data, so
+    the oracle engine draws IDENTICAL rows."""
+    from cod_stats_spark.operators.sampling import stratified_sample, weighted_sample
 
     ev = load_tables(spark, sf_dir)["events"]
-    out = stratified_sample(
+    strat = stratified_sample(
         ev, "event_id", "event_type", {"view": 0.1, "click": 0.25}
+    ).select(F.lit("strat").alias("tag"), "event_id", "event_type")
+    wes = weighted_sample(ev, "event_id", "value", n=400).select(
+        F.lit("wes").alias("tag"), "event_id", "event_type"
     )
-    return out.select("event_id", "event_type")
+    return strat.unionByName(wes)
+
+
+_BM25_SQL_BODY = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+ex AS (SELECT doc_id, len(ws) AS doc_len, unnest(ws) AS term FROM tok),
+dtf AS (
+  SELECT doc_id, term, count(*) AS tf, first(doc_len) AS doc_len
+  FROM ex GROUP BY doc_id, term
+),
+doclens AS (SELECT doc_id, first(doc_len) AS doc_len FROM dtf GROUP BY doc_id),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avg_len
+  FROM doclens
+),
+idf AS (SELECT term, count(*) AS df FROM dtf GROUP BY term),
+scored_a AS (
+  SELECT d.doc_id,
+         round(sum( ln(1.0 + (s.n_docs - i.df + 0.5) / (i.df + 0.5))
+                    * (CAST(d.tf AS DOUBLE) * (1.2 + 1.0))
+                    / (CAST(d.tf AS DOUBLE)
+                       + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avg_len)) ), 6)
+           AS score
+  FROM dtf d JOIN idf i USING (term) CROSS JOIN st s
+  WHERE d.term IN ({terms_a})
+  GROUP BY d.doc_id
+),
+ranked_a AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS "rank"
+  FROM scored_a QUALIFY "rank" <= 20
+),
+scored_b AS (
+  SELECT d.doc_id,
+         round(sum( ln(1.0 + (s.n_docs - i.df + 0.5) / (i.df + 0.5))
+                    * (CAST(d.tf AS DOUBLE) * (1.2 + 1.0))
+                    / (CAST(d.tf AS DOUBLE)
+                       + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avg_len)) ), 6)
+           AS score
+  FROM dtf d JOIN idf i USING (term) CROSS JOIN st s
+  WHERE d.term IN ({terms_b})
+  GROUP BY d.doc_id
+),
+ranked_b AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS "rank"
+  FROM scored_b QUALIFY "rank" <= 20
+),
+rrf AS (
+  SELECT doc_id, round(sum(1.0 / CAST(60 + "rank" AS DOUBLE)), 6) AS score
+  FROM (SELECT doc_id, "rank" FROM ranked_a
+        UNION ALL
+        SELECT doc_id, "rank" FROM ranked_b)
+  GROUP BY doc_id
+),
+rrf_ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS "rank"
+  FROM rrf
+)
+SELECT 'bm25a' AS tag, doc_id, "rank", score FROM ranked_a
+UNION ALL
+SELECT 'bm25b' AS tag, doc_id, "rank", score FROM ranked_b
+UNION ALL
+SELECT 'rrf' AS tag, doc_id, "rank", score FROM rrf_ranked
+"""
+
+_RETRIEVAL_QUERY_A = ["hash", "join", "merge"]
+_RETRIEVAL_QUERY_B = ["scan", "filter", "vector"]
+
+
+@query(
+    "retrieval_bm25",
+    covers="EXT-retrieval (BM25 top-k over a one-shuffle doc-term-frequency index, two queries + reciprocal-rank fusion; FULL value oracle replays the BM25 arithmetic in SQL)",
+    oracle=_BM25_SQL_BODY.format(
+        terms_a=", ".join(f"'{t}'" for t in _RETRIEVAL_QUERY_A),
+        terms_b=", ".join(f"'{t}'" for t in _RETRIEVAL_QUERY_B),
+    ),
+)
+def retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval end-to-end: BM25 (k1=1.2, b=0.75, BM25+
+    smoothed idf) ranks the documents corpus against two term queries,
+    and reciprocal-rank fusion (k=60) combines the two rankings — the
+    standard hybrid-search shape next to the embedding ANN gates.
+    Scores round to 6 dp BEFORE ranking so ordering reproduces across
+    engines. Plan: one explode+shuffle builds the DTF, corpus stats
+    and idf broadcast, per-query cost ∝ docs containing query terms
+    (operators/retrieval.py docstring for the 100 TB posture)."""
+    from pyspark.sql import Window
+
+    from cod_stats_spark.operators.retrieval import bm25_rank_topk, rrf_fuse
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    qa = bm25_rank_topk(docs, _RETRIEVAL_QUERY_A, k=20)
+    qb = bm25_rank_topk(docs, _RETRIEVAL_QUERY_B, k=20)
+    fused = rrf_fuse(
+        [
+            qa.select(F.col("doc_id").alias("id"), "rank"),
+            qb.select(F.col("doc_id").alias("id"), "rank"),
+        ],
+        "id",
+        k=60,
+    )
+    wf = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    rows_f = (
+        fused.select(
+            F.col("id").alias("doc_id"), F.col("rrf_score").alias("score")
+        )
+        .withColumn("rank", F.row_number().over(wf))
+        .select(F.lit("rrf").alias("tag"), "doc_id", "rank", "score")
+    )
+    rows_a = qa.select(F.lit("bm25a").alias("tag"), "doc_id", "rank", "score")
+    rows_b = qb.select(F.lit("bm25b").alias("tag"), "doc_id", "rank", "score")
+    return rows_a.unionByName(rows_b).unionByName(rows_f)
 
 
 
@@ -2645,3 +2871,28 @@ def ranking_windows_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     same single window pass — same shuffle+sort, more evaluated
     columns — so cross-round timings break at r5 (BENCH_NOTES.md)."""
     return QUERIES["ranking_windows"](spark, sf_dir)
+
+
+@_bench_only("quantiles")
+def quantiles_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed `quantiles` entry — same plan as the r1–r5 gate; the
+    oracle rows now live in the stat_aggregates union (BENCH_NOTES.md)."""
+    return _quantiles_body(spark, sf_dir)
+
+
+@_bench_only("rolling_orders")
+def rolling_orders_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed `rolling_orders` entry — the r3–r5 ROWS-frames plan,
+    frozen while the gate widened with RANGE time frames in r6
+    (BENCH_NOTES.md; bench.py merges BENCH_ONLY over QUERIES, so this
+    override keeps the timed work comparable)."""
+    both = _rolling_orders_rows(spark, sf_dir)
+    return both.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice_sum_roll4", 2).alias("o_totalprice_sum_roll4"),
+        F.round("o_totalprice_avg_roll4", 4).alias("o_totalprice_avg_roll4"),
+        F.col("o_orderkey_count_roll4").alias("n_roll4"),
+        F.round("o_totalprice_sum_cume", 2).alias("o_totalprice_sum_cume"),
+        F.col("o_orderkey_count_cume").alias("n_cume"),
+    )

@@ -30,6 +30,8 @@ SKIP = {"streaming_daily_counts", "stateful_sessions", "incremental_dedup"}
 BNLJ_ALLOWED = {
     "interval_rollup",  # ≤42-row interval dim, broadcast by design
     "knn_join",         # broadcast query set, != join for self-exclusion
+    "retrieval_bm25",   # ONE-ROW corpus-stats aggregate broadcast-cross-
+                        # joined in (lazy scalar attach; N and avg_len)
 }
 
 

@@ -46,6 +46,10 @@ def canonical_plan(df) -> str:
     # spread()'s repartition target is the session's core count — an
     # environment fact, not part of the query's identity
     s = re.sub(r"Repartition \d+", "Repartition n", s)
+    # NamedLambdaVariable suffixes come from a session-global counter,
+    # so a gate's HOF lambdas print differently depending on how many
+    # lambdas earlier gate builds consumed
+    s = re.sub(r"lambda ([A-Za-z]+)_\d+", r"lambda \1_n", s)
     return s
 
 

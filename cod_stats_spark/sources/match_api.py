@@ -16,11 +16,16 @@ be a first-class ``spark.read.format("cod_match_api")`` connector:
   transient errors, bounded retries, injectable sleeper so tests (and
   cron deployments) control real time.
 
-The transport is pluggable. The built-in one serves a DIRECTORY
-laid out like the API (pages/page_<n>.json with ``match_ids`` +
-``next_page``; details/<id>.json) — the unit-testable stand-in this
-environment allows; an HTTP transport drops in without touching the
-reader logic (the seam mirrors multimodal.py's codec registry).
+The transport is pluggable behind ``make_transport(root)``: an
+``http(s)://`` root gets :class:`HttpTransport` (urllib GET per
+endpoint; 429/5xx → retryable, 404 → permanent — mirroring the
+reference fetcher's status handling, fetcher/fetch_matches.ts:149-218,
+282-302); any other root gets :class:`FileTransport`, which serves a
+DIRECTORY laid out like the API (pages/page_<n>.json with
+``match_ids`` + ``next_page``; details/<id>.json). Reader logic never
+knows which transport it got — tests/test_match_api_source.py runs the
+same pagination/backoff/batch contracts through BOTH, the HTTP one
+against a loopback http.server.
 """
 
 from __future__ import annotations
@@ -28,6 +33,8 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.error
+import urllib.request
 from collections.abc import Callable, Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -49,6 +56,12 @@ class FileTransport:
     a file containing ``{"__transient__": k}`` raises TransientApiError
     on each of its first k reads PER PROCESS — letting tests (and the
     fixture generator) plant rate-limit behavior deterministically.
+    The counters are process-global ON PURPOSE (a transient failure is
+    a moment-in-time event, not per-reader-instance state, and readers
+    construct a fresh transport per call) but keyed by absolute path
+    and resettable: a same-process stream RESTART that wants the
+    planted failures to fire again calls :meth:`reset_transients`
+    (see the restart test).
     """
 
     _transient_seen: dict[str, int] = {}
@@ -56,8 +69,20 @@ class FileTransport:
     def __init__(self, root: str):
         self.root = root
 
+    @classmethod
+    def reset_transients(cls, root: str | None = None) -> None:
+        """Forget consumed transient-failure counts — all of them, or
+        only those under ``root`` (so one fixture's reset cannot eat
+        another concurrent fixture's planted failures)."""
+        if root is None:
+            cls._transient_seen.clear()
+            return
+        prefix = os.path.abspath(root) + os.sep
+        for k in [k for k in cls._transient_seen if k.startswith(prefix)]:
+            del cls._transient_seen[k]
+
     def get(self, rel_path: str) -> dict:
-        full = os.path.join(self.root, rel_path)
+        full = os.path.abspath(os.path.join(self.root, rel_path))
         with open(full) as f:
             doc = json.load(f)
         fail_times = doc.get("__transient__")
@@ -67,6 +92,44 @@ class FileTransport:
                 FileTransport._transient_seen[full] = seen + 1
                 raise TransientApiError(f"transient failure {seen + 1}/{fail_times}: {rel_path}")
         return doc
+
+
+class HttpTransport:
+    """GETs ``{base_url}/{rel_path}`` and parses the JSON body.
+
+    Status mapping mirrors the reference fetcher: 404 is permanent
+    (FileNotFoundError — the cursor ran past the published tail);
+    429 and 5xx are retryable (TransientApiError, handled by
+    ``with_backoff`` exactly like the file transport's planted
+    failures); connection-level errors are retryable too (a flaky
+    network is the canonical transient).
+    """
+
+    def __init__(self, base_url: str, timeout_s: float = 10.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout_s = timeout_s
+
+    def get(self, rel_path: str) -> dict:
+        url = f"{self.base_url}/{rel_path}"
+        try:
+            with urllib.request.urlopen(url, timeout=self.timeout_s) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                raise FileNotFoundError(url) from e
+            if e.code == 429 or e.code >= 500:
+                raise TransientApiError(f"HTTP {e.code}: {url}") from e
+            raise
+        except urllib.error.URLError as e:
+            raise TransientApiError(f"connection error: {url} ({e.reason})") from e
+
+
+def make_transport(root: str):
+    """The transport seam: http(s) roots → HttpTransport, everything
+    else → FileTransport. Readers call this and stay transport-blind."""
+    if root.startswith(("http://", "https://")):
+        return HttpTransport(root)
+    return FileTransport(root)
 
 
 def with_backoff(
@@ -141,14 +204,14 @@ class MatchApiReader(DataSourceReader):
     def partitions(self):
         # driver-side cursor walk: ids only — payload bytes never
         # touch the driver
-        transport = FileTransport(self.root)
+        transport = make_transport(self.root)
         return [
             _PagePartition(page, ids)
             for page, ids in fetch_page_ids(transport, backoff=self._backoff)
         ]
 
     def read(self, partition: _PagePartition):
-        transport = FileTransport(self.root)
+        transport = make_transport(self.root)
         for mid, payload in fetch_details_batched(
             transport, partition.ids, self.batch_size, backoff=self._backoff
         ):
@@ -163,6 +226,12 @@ class MatchApiStreamReader(SimpleDataSourceStreamReader):
     (its contents may still grow), so a page is ingested exactly once.
     Exactly-once delivery then follows from Spark's offset log — a
     crashed batch replays the same [start, end) via readBetweenOffsets.
+
+    ``maxPagesPerBatch`` (default 50) bounds one micro-batch: after a
+    backlog (a long-down stream, a huge initial history) the whole
+    uncommitted range would otherwise land in ONE batch's driver-side
+    row list — an OOM/latency hazard. Leftover pages are picked up by
+    the following micro-batches via the committed cursor offset.
     """
 
     def __init__(self, options: dict):
@@ -172,6 +241,7 @@ class MatchApiStreamReader(SimpleDataSourceStreamReader):
         self.batch_size = int(options.get("batchsize", 10))
         self.max_retries = int(options.get("maxretries", 4))
         self.base_delay = float(options.get("basedelay", 0.05))
+        self.max_pages_per_batch = int(options.get("maxpagesperbatch", 50))
 
     def _backoff(self, fn):
         return with_backoff(fn, self.max_retries, self.base_delay)
@@ -179,11 +249,15 @@ class MatchApiStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"next_page": 0}
 
-    def _read_range(self, start_page: int, end_page: int | None):
-        transport = FileTransport(self.root)
+    def _read_range(
+        self, start_page: int, end_page: int | None, max_pages: int | None = None
+    ):
+        transport = make_transport(self.root)
         rows = []
         page = start_page
         while end_page is None or page < end_page:
+            if max_pages is not None and page - start_page >= max_pages:
+                break  # cap this micro-batch; cursor resumes here next batch
             try:
                 doc = self._backoff(lambda: transport.get(f"pages/page_{page}.json"))
             except FileNotFoundError:
@@ -200,7 +274,9 @@ class MatchApiStreamReader(SimpleDataSourceStreamReader):
         return rows, page
 
     def read(self, start: dict):
-        rows, next_page = self._read_range(int(start["next_page"]), None)
+        rows, next_page = self._read_range(
+            int(start["next_page"]), None, max_pages=self.max_pages_per_batch
+        )
         return iter(rows), {"next_page": next_page}
 
     def readBetweenOffsets(self, start: dict, end: dict):

@@ -25,21 +25,23 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_NUMERIC_PREFIXES = (
-    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
-)
+_NUMERIC_EXACT = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
 
 def _is_numeric(dtype: str) -> bool:
-    return dtype.startswith(_NUMERIC_PREFIXES)
+    # exact names + decimal(p,s): a prefix match would also catch
+    # 'interval day to second' (startswith 'int'), whose avg/stddev
+    # aggregates raise AnalysisException
+    return dtype in _NUMERIC_EXACT or dtype.startswith("decimal")
 
 
 def _is_orderable(dtype: str) -> bool:
-    # min/max over maps is not defined; arrays/structs order but their
+    # min/max over maps/intervals is not defined (ANSI interval types
+    # reject ordering aggregates); arrays/structs order but their
     # string rendering is noise in a profile — keep scalars only
     return not (
         dtype.startswith("array") or dtype.startswith("map") or dtype.startswith("struct")
-        or dtype == "binary"
+        or dtype.startswith("interval") or dtype == "binary"
     )
 
 

@@ -53,5 +53,9 @@ def export_training_shards(
     )
     rows = packed.join(counted.select(id_col, text_col), id_col)
     write_shards(rows, out_path, shard_col="shard_id")
-    written = docs.sparkSession.read.parquet(out_path)
+    # read back with the writer's schema: a fully-filtered gate (or an
+    # empty input) writes a partitioned dir with zero part files, and
+    # schema INFERENCE would fail there — the explicit schema makes the
+    # empty-corpus case a legitimate empty manifest instead of an error
+    written = docs.sparkSession.read.schema(rows.schema).parquet(out_path)
     return shard_manifest(written).orderBy("shard_id")

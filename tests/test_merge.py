@@ -92,9 +92,12 @@ class TestRealTableFormatMerge:
         pytest.importorskip(
             "delta",
             reason="delta-spark not installed: io.delta:delta-spark_2.13 jar "
-            "+ python package absent from image (offline, no "
-            "spark.jars.packages) — Parquet emulation in operators/merge.py "
-            "covers the semantics until then",
+            "+ python package absent from image. Resolution re-attempted "
+            "2026-08-14 (r6): DNS to repo1.maven.org fails (curl rc=6, "
+            "couldn't resolve host) — the container is verifiably offline, "
+            "so spark.jars.packages cannot fetch. Parquet emulation in "
+            "operators/merge.py covers the semantics until the jar appears, "
+            "at which point the parity body below runs as-is",
         )
         from cod_stats_spark.operators.merge import upsert
 

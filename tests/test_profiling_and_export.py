@@ -209,3 +209,35 @@ class TestTrainingExport:
         export_training_shards(docs, out, token_budget=64, min_quality=0.5)
         kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
         assert kept == {1}
+
+
+class TestAdviceRegressions:
+    def test_profile_table_skips_interval_numeric_trap(self, spark):
+        """'interval day to second' startswith 'int' — it must NOT get
+        avg/stddev aggregates (AnalysisException), only null-count and
+        min/max."""
+        from cod_stats_spark.operators.profiling import profile_table
+
+        df = spark.sql(
+            "SELECT id, make_interval(0, 0, 0, id, 0, 0, 0) AS iv"
+            " FROM range(5)"
+        )
+        prof = {r["column"]: r for r in profile_table(df).collect()}
+        assert prof["iv"]["mean"] is None and prof["iv"]["stddev"] is None
+        assert prof["id"]["mean"] == 2.0
+
+    def test_export_with_fully_filtered_gate_returns_empty_manifest(
+        self, spark, tmp_path
+    ):
+        """A quality gate nothing survives must yield an EMPTY manifest,
+        not an 'unable to infer schema' read-back crash."""
+        from cod_stats_spark.plans.training_export import export_training_shards
+
+        docs = spark.createDataFrame(
+            [(1, "decent text with several words here")], "doc_id long, text string"
+        )
+        out = str(tmp_path / "empty_shards")
+        manifest = export_training_shards(
+            docs, out, token_budget=64, min_quality=1e9
+        )
+        assert manifest.count() == 0

@@ -70,6 +70,9 @@ HEADLINE = [
     "pack_sequences",
     "shard_assign",
     "knn_join",
+    # round-6 addition: BLAS-scored batch KNN (new entry, new scope —
+    # the scale-audit answer to knn_join's |Q|x|C| interpreted scoring)
+    "knn_join_gemm",
 ]
 
 

@@ -335,6 +335,111 @@ def knn_join(
     )
 
 
+def knn_join_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    score_decimals: int = 6,
+    max_broadcast_queries: int = 100_000,
+    query_chunk: int = 512,
+) -> DataFrame:
+    """:func:`knn_join` with BLAS scoring — same exact answer, the
+    production path once |queries|·|corpus| makes interpreted per-pair
+    evaluation the bottleneck.
+
+    The r6 scale audit (SCALING.md) showed the pure-Column knn_join
+    growing superlinearly in wall time on a 10x corpus with 10x
+    queries: its cost model is inherently O(|Q|·|C|·d), and every
+    multiply runs as an interpreted HOF expression. This variant keeps
+    the identical distribution strategy (queries broadcast, corpus
+    never shuffled to score, per-partition lossless top-k prune before
+    the exchange) but scores each Arrow batch as ONE numpy matrix
+    product — C(B×d) @ Q.T(d×q) — which is two-plus orders of
+    magnitude more multiply-adds per second than the expression
+    interpreter. mapInPandas is Arrow-batched end to end: no
+    row-at-a-time Python anywhere.
+
+    Bounds, stated: the query side is collected to the driver and
+    broadcast (capped at ``max_broadcast_queries``; beyond that a
+    batch KNN should go through the LSH/IVF index paths instead), and
+    the score matrix is built ``query_chunk`` query-columns at a time
+    so per-task memory stays ≤ batch_rows × query_chunk × 8 bytes.
+
+    Tie semantics match knn_join exactly: rank by (round(cosine, 6)
+    DESC, id ASC); the per-batch prune sorts by the same total order,
+    so it is lossless for the global top-k. Self-matches excluded.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    spark = corpus.sparkSession
+    q_rows = queries.select(id_col, vec_col).collect()
+    if len(q_rows) > max_broadcast_queries:
+        raise ValueError(
+            f"{len(q_rows)} query vectors exceed max_broadcast_queries="
+            f"{max_broadcast_queries}; use the LSH/IVF index paths for "
+            "corpus-scale query sets"
+        )
+    q_ids_arr = np.array([r[0] for r in q_rows])
+    q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_norms = np.linalg.norm(q_mat, axis=1)
+    bc = spark.sparkContext.broadcast((q_ids_arr, q_mat, q_norms))
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, id {id_type}, cosine double"
+    kk = int(k)
+    dec = int(score_decimals)
+    chunk = int(query_chunk)
+
+    def score_batches(batches):
+        import pandas as pd
+
+        q_ids, Q, qn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            cn = np.linalg.norm(C, axis=1)
+            out_q, out_i, out_s = [], [], []
+            for lo in range(0, len(q_ids), chunk):
+                Qc = Q[lo : lo + chunk]
+                qnc = qn[lo : lo + chunk]
+                qidc = q_ids[lo : lo + chunk]
+                denom = cn[:, None] * qnc[None, :]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    S = np.where(denom > 0, C @ Qc.T / np.where(denom > 0, denom, 1.0), 0.0)
+                S = np.round(S, dec)
+                S[ids[:, None] == qidc[None, :]] = -np.inf  # self-matches
+                for j in range(Qc.shape[0]):
+                    col = S[:, j]
+                    # same total order as the global rank: score desc, id asc
+                    sel = np.lexsort((ids, -col))[:kk]
+                    sel = sel[np.isfinite(col[sel])]
+                    out_q.append(np.full(len(sel), qidc[j]))
+                    out_i.append(ids[sel])
+                    out_s.append(col[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "id": np.concatenate(out_i),
+                        "cosine": np.concatenate(out_s),
+                    }
+                )
+
+    pruned = corpus.select(id_col, vec_col).mapInPandas(score_batches, out_schema)
+    order = [F.col("cosine").desc(), F.col("id").asc()]
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

@@ -2896,3 +2896,15 @@ def rolling_orders_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice_sum_cume", 2).alias("o_totalprice_sum_cume"),
         F.col("o_orderkey_count_cume").alias("n_cume"),
     )
+
+
+@_bench_only("knn_join_gemm")
+def knn_join_gemm_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS-scored batch KNN (same query set as the knn_join gate; the
+    r6 scale audit showed interpreted per-pair scoring is the brute-
+    force path's bottleneck once |Q|x|C| grows — SCALING.md)."""
+    from cod_stats_spark.operators.similarity import knn_join_gemm
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    return knn_join_gemm(emb, queries, "embedding", "vec_id", k=5)

@@ -317,3 +317,61 @@ class TestKnnJoin:
         assert sorted(map(tuple, fast.collect())) == sorted(
             map(tuple, naive.collect())
         )
+
+
+class TestKnnJoinGemm:
+    def test_gemm_matches_column_path_exactly(self, spark):
+        """Same (query_id, id, cosine@6dp, rank) set as the pure-Column
+        knn_join on a real-shaped corpus — BLAS changes the arithmetic
+        order, never the answer."""
+        import random
+
+        from cod_stats_spark.operators.similarity import knn_join, knn_join_gemm
+
+        rng = random.Random(11)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = df.filter("vec_id % 30 = 0")
+
+        def key(out):
+            return sorted(
+                (r["query_id"], r["rank"], r["id"], round(r["cosine"], 6))
+                for r in out.collect()
+            )
+
+        col_path = knn_join(df.repartition(9), queries, "embedding", "vec_id", k=4)
+        gemm_path = knn_join_gemm(df.repartition(9), queries, "embedding", "vec_id", k=4)
+        assert key(gemm_path) == key(col_path)
+
+    def test_gemm_self_exclusion_and_ring(self, spark):
+        import math
+
+        from cod_stats_spark.operators.similarity import knn_join_gemm
+
+        n = 24
+        rows = [
+            (i, [math.cos(2 * math.pi * i / n), math.sin(2 * math.pi * i / n)])
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = knn_join_gemm(
+            df.repartition(7), df.filter("vec_id in (0, 12)"), "embedding",
+            "vec_id", k=2,
+        ).collect()
+        nbrs = {
+            q: sorted(r["id"] for r in out if r["query_id"] == q) for q in (0, 12)
+        }
+        assert nbrs[0] == [1, 23] and nbrs[12] == [11, 13]
+        for r in out:
+            assert r["id"] != r["query_id"]
+
+    def test_gemm_query_cap_raises(self, spark):
+        from cod_stats_spark.operators.similarity import knn_join_gemm
+
+        df = spark.createDataFrame(
+            [(i, [1.0, 0.0]) for i in range(8)], "vec_id long, embedding array<double>"
+        )
+        import pytest
+
+        with pytest.raises(ValueError, match="max_broadcast_queries"):
+            knn_join_gemm(df, df, "embedding", "vec_id", k=2, max_broadcast_queries=4)

@@ -37,12 +37,24 @@ def doc_term_freqs(
 ) -> DataFrame:
     """(doc id, term, tf, doc_len): term frequencies + document length
     in ONE pass (explode → count, with the length computed per row
-    before the explode and carried through the aggregate via first)."""
+    before the explode and carried through the aggregate via first).
+
+    The one-element explode is a Generate barrier (same trick as the
+    shingle pipeline, operators/dedup.py): ``words()`` is an
+    interpreted higher-order filter, and referencing it from both
+    ``size()`` and the token ``explode`` — or letting the Generate
+    re-evaluate its generator per emitted row — turns tokenization
+    O(len) into O(len·tokens) per document (measured 8× on the DTF
+    build at sf0.1)."""
     toks = words(F.lower(F.col(text_col)))
-    exploded = docs.select(
+    pinned = docs.select(
         F.col(id_col),
-        F.size(toks).alias("_len"),
-        F.explode(toks).alias("term"),
+        F.explode(F.array(toks)).alias("_toks"),
+    )
+    exploded = pinned.select(
+        F.col(id_col),
+        F.size("_toks").alias("_len"),
+        F.explode("_toks").alias("term"),
     )
     return exploded.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"),
@@ -125,6 +137,7 @@ def bm25_rank_topk(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    dtf: DataFrame | None = None,
 ) -> DataFrame:
     """Fully LAZY BM25 top-k with ranks: (doc id, score,
     n_matched_terms, rank), rank 1..k by (score desc, id asc).
@@ -141,11 +154,20 @@ def bm25_rank_topk(
     Scale: cost after the DTF build is ∝ documents containing query
     terms; the final top-k is TakeOrderedAndProject (per-partition
     heaps) + a k-row window for the rank column — no global sort.
+
+    ``dtf``: pass a PREBUILT (ideally persisted) ``doc_term_freqs``
+    table to share the index across queries — this one plan consumes
+    the DTF three ways (doc lengths, vocabulary df, term matching),
+    and without a materialized input each consumer re-runs the
+    explode+shuffle. One query is fine lazy; a query SET should build
+    the DTF once (the production posture is the same: the DTF is the
+    index table you persist).
     """
     from pyspark.sql import Window
 
     terms = [t.lower() for t in query_terms]
-    dtf = doc_term_freqs(docs, text_col, id_col)
+    if dtf is None:
+        dtf = doc_term_freqs(docs, text_col, id_col)
     doclens = dtf.groupBy(id_col).agg(F.first("doc_len").alias("doc_len"))
     stats = doclens.agg(
         F.count(F.lit(1)).cast("double").alias("_n_docs"),
@@ -178,6 +200,90 @@ def bm25_rank_topk(
     topk = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def bm25_rank_multi(
+    docs: DataFrame,
+    queries,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    dtf: DataFrame | None = None,
+) -> DataFrame:
+    """Rank a SET of term queries in ONE scoring pass:
+    (tag, doc id, score, rank 1..k per tag).
+
+    ``queries``: mapping of tag → term list. The per-query math is
+    identical to :func:`bm25_rank_topk`; the difference is plan shape:
+    the query set becomes a broadcast (tag, term) table joined into a
+    single DTF traversal, so N queries cost one pass over the matched
+    postings instead of N — the batch-retrieval shape (topic filtering
+    against a query battery, RRF input generation).
+
+    Top-k per tag is two-stage like knn_join: a per-partition
+    row_number prunes to ≤ k rows per (tag, partition) BEFORE the
+    exchange — the per-tag window never funnels every matching doc
+    through one task. Both stages rank by (score desc, id asc) on the
+    6-dp-rounded score, so the prune is lossless and the order
+    reproduces across engines.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    if dtf is None:
+        dtf = doc_term_freqs(docs, text_col, id_col)
+    pairs = [
+        (tag, t.lower())
+        for tag, terms in sorted(queries.items())
+        for t in terms
+    ]
+    all_terms = sorted({t for _, t in pairs})
+    qterms = F.broadcast(spark.createDataFrame(pairs, "tag string, term string"))
+    doclens = dtf.groupBy(id_col).agg(F.first("doc_len").alias("doc_len"))
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.avg("doc_len").alias("_avg_len"),
+    )
+    idf = (
+        dtf.filter(F.col("term").isin(all_terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    matched = (
+        dtf.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(idf), "term")
+        .join(qterms, "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    tf = F.col("tf").cast("double")
+    denom = tf + k1 * (1.0 - b + b * F.col("doc_len") / F.col("_avg_len"))
+    contrib = F.col("idf") * (tf * (k1 + 1.0)) / denom
+    scored = matched.groupBy("tag", id_col).agg(
+        F.round(F.sum(contrib), 6).alias("score"),
+        F.count(F.lit(1)).alias("n_matched_terms"),
+    )
+    order = [F.col("score").desc(), F.col(id_col).asc()]
+    local = Window.partitionBy("tag", F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        scored.withColumn("_lrn", F.row_number().over(local))
+        .filter(F.col("_lrn") <= k)
+        .drop("_lrn")
+    )
+    final = Window.partitionBy("tag").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def bm25_topk(

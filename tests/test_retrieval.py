@@ -106,3 +106,30 @@ class TestBm25:
         # one shuffle: a single partial+final aggregate pair
         plan = dtf._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
+
+
+def test_multi_query_matches_per_query_rankings(spark):
+    """bm25_rank_multi is a plan-shape optimization, not a semantics
+    change: per tag it must equal bm25_rank_topk exactly."""
+    from cod_stats_spark.operators.retrieval import bm25_rank_multi, bm25_rank_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle join hash join"),
+            (2, "hash table scan filter"),
+            (3, "window sort merge join spark"),
+            (4, "filter scan scan scan filter"),
+            (5, "join join join hash"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = {"qa": ["hash", "join"], "qb": ["scan", "filter"]}
+    multi = bm25_rank_multi(docs, queries, k=3)
+    rows_multi = {
+        (r["tag"], r["rank"], r["doc_id"], r["score"]) for r in multi.collect()
+    }
+    rows_single = set()
+    for tag, terms in queries.items():
+        for r in bm25_rank_topk(docs, terms, k=3).collect():
+            rows_single.add((tag, r["rank"], r["doc_id"], r["score"]))
+    assert rows_multi == rows_single

@@ -127,8 +127,14 @@ def main() -> int:
     con = duckdb.connect()
     from cod_stats_spark.tables import TABLE_NAMES
 
+    import os as _os
+
     for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # partial dirs (e.g. the generated .scale_data/sf1eq stratum
+        # carries only 5 tables) register what exists; gates touching
+        # a missing table then fail individually instead of up front
+        if _os.path.isfile(f"{sf_dir}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()

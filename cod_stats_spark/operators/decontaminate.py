@@ -42,10 +42,15 @@ def _ngrams(df: DataFrame, text_col: str, id_col: str, n: int, out_id: str) -> D
     # column-NAME shingles path builds the one-SQL-string form with the
     # token array bound to a lambda variable (see functions/text.py).
     grams = F.filter(shingles(text_col, n), lambda g: g != F.lit(""))
-    return spread(df).select(
+    # one-element explode = Generate barrier: exploding the HOF chain
+    # directly lets Generate re-evaluate the whole shingle+filter
+    # expression per EMITTED row — O(len·ngrams) per doc (same trap as
+    # retrieval.doc_term_freqs; measured there at 8×)
+    pinned = spread(df).select(
         F.col(id_col).alias(out_id),
-        F.explode(grams).alias("ngram"),
+        F.explode(F.array(grams)).alias("_grams"),
     )
+    return pinned.select(out_id, F.explode("_grams").alias("ngram"))
 
 
 def contamination_pairs(

@@ -457,3 +457,51 @@ class TestSharding:
         assert dirs == [f"shard_id={i}" for i in range(4)]
         back = spark.read.parquet(path)
         assert back.count() == 200
+
+
+class TestSpreadProbe:
+    """The r6 spread() rewrite: width probes must stay driver-side
+    (no physical planning) and make the right repartition call."""
+
+    def test_parse_bytes_suffixes(self):
+        from cod_stats_spark.operators._util import _parse_bytes
+
+        assert _parse_bytes("134217728b") == 128 * 1024 * 1024
+        assert _parse_bytes("128MB") == 128 * 1024 * 1024
+        assert _parse_bytes("128m") == 128 * 1024 * 1024
+        assert _parse_bytes("1g") == 1 << 30
+        assert _parse_bytes("512k") == 512 * 1024
+        assert _parse_bytes("1000") == 1000
+
+    def test_scan_width_estimate_narrow_file(self, spark, tmp_path):
+        from cod_stats_spark.operators._util import _estimated_scan_width
+
+        p = str(tmp_path / "t.parquet")
+        spark.range(1000).write.parquet(p)
+        df = spark.read.parquet(p)
+        w = _estimated_scan_width(df)
+        # small files: one estimated split per file
+        assert w == len(df.inputFiles())
+
+    def test_scan_width_none_for_local_relations(self, spark):
+        from cod_stats_spark.operators._util import _estimated_scan_width
+
+        df = spark.createDataFrame([(1,), (2,)], "x long")
+        assert _estimated_scan_width(df) is None
+
+    def test_spread_widens_narrow_scan_and_respects_existing_repartition(
+        self, spark, tmp_path
+    ):
+        from cod_stats_spark.operators._util import spread
+
+        p = str(tmp_path / "narrow.parquet")
+        spark.range(100).coalesce(1).write.parquet(p)
+        df = spark.read.parquet(p)
+        target = spark.sparkContext.defaultParallelism
+        widened = spread(df)
+        assert widened.rdd.getNumPartitions() >= min(target, 100) or target == 1
+        # an explicit repartition in the plan must short-circuit the
+        # probe (no second shuffle stacked on top)
+        again = spread(widened)
+        plan = again._jdf.queryExecution().analyzed().toString()
+        assert plan.count("Repartition") == 1

@@ -17,10 +17,18 @@ from cod_stats_spark.operators.retrieval import bm25_topk, rrf_fuse
 from cod_stats_spark.operators.rolling import rolling_time_frames
 from cod_stats_spark.operators.sampling import weighted_sample
 from cod_stats_spark.operators.sharding import compact_shards
+from cod_stats_spark.operators.clustering import kmeans_assign, kmeans_fit
+from cod_stats_spark.operators.retrieval import bm25_rank_multi, bm25_rank_topk
+from cod_stats_spark.operators.similarity import knn_join_gemm
 
 __all__ = [
     "asof_join",
+    "bm25_rank_multi",
+    "bm25_rank_topk",
     "bm25_topk",
+    "kmeans_assign",
+    "kmeans_fit",
+    "knn_join_gemm",
     "compact_shards",
     "profile_table",
     "rolling_time_frames",

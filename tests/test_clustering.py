@@ -1,0 +1,89 @@
+"""Distributed k-means (operators/clustering.py)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+
+def _blobs(n_per=40, seed=3):
+    """Three well-separated 8-d blobs; returns (rows, centers)."""
+    rng = random.Random(seed)
+    centers = [
+        [5.0] * 4 + [0.0] * 4,
+        [0.0] * 4 + [5.0] * 4,
+        [-5.0] * 8,
+    ]
+    rows = []
+    i = 0
+    for c in centers:
+        for _ in range(n_per):
+            rows.append((i, [x + rng.gauss(0, 0.3) for x in c]))
+            i += 1
+    return rows, centers
+
+
+class TestKMeans:
+    def test_recovers_blob_centers(self, spark):
+        from cod_stats_spark.operators.clustering import kmeans_fit
+
+        rows, centers = _blobs()
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        fitted, history = kmeans_fit(
+            df.repartition(5), "embedding", "vec_id", k=3, max_iter=25
+        )
+        assert len(fitted) == 3 and history[-1] <= history[0]
+        # every true center has a fitted centroid within noise distance
+        for c in centers:
+            d = min(
+                math.dist(c, f) for f in fitted
+            )
+            assert d < 0.5, f"no centroid near {c} (closest at {d})"
+
+    def test_deterministic_across_runs(self, spark):
+        from cod_stats_spark.operators.clustering import kmeans_fit
+
+        rows, _ = _blobs(seed=9)
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        a, _ = kmeans_fit(df.repartition(4), "embedding", "vec_id", k=3)
+        b, _ = kmeans_fit(df.repartition(4), "embedding", "vec_id", k=3)
+        assert a == b
+
+    def test_assign_groups_blobs(self, spark):
+        from cod_stats_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+        rows, _ = _blobs()
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        fitted, _ = kmeans_fit(df, "embedding", "vec_id", k=3)
+        out = kmeans_assign(df, "embedding", fitted).collect()
+        by_blob = {}
+        for r in out:
+            by_blob.setdefault(r["vec_id"] // 40, set()).add(r["cluster"])
+        # each blob maps to exactly one cluster, and the three differ
+        assert all(len(s) == 1 for s in by_blob.values())
+        assert len(set().union(*by_blob.values())) == 3
+
+    def test_k_larger_than_points_reseeds(self, spark):
+        from cod_stats_spark.operators.clustering import kmeans_fit
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [4.0, 4.0])], "vec_id long, embedding array<double>"
+        )
+        fitted, _ = kmeans_fit(df, "embedding", "vec_id", k=2, max_iter=5)
+        assert len(fitted) == 2
+
+    def test_ivf_with_kmeans_centroids_matches_brute_force(self, spark):
+        """Real centroids make IVF exact on separated data: nprobe=1
+        already returns the brute-force top-k for a blob query."""
+        from cod_stats_spark.operators.clustering import kmeans_fit
+        from cod_stats_spark.operators.similarity import brute_force_topk, ivf_topk
+
+        rows, centers = _blobs()
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        fitted, _ = kmeans_fit(df, "embedding", "vec_id", k=3)
+        q = [x + 0.1 for x in centers[0]]
+        ivf = ivf_topk(
+            df, "embedding", "vec_id", q, list(enumerate(fitted)), k=5, nprobe=1
+        ).collect()
+        brute = brute_force_topk(df, "embedding", "vec_id", q, k=5).collect()
+        assert [r["id"] for r in ivf] == [r["id"] for r in brute]

@@ -208,6 +208,65 @@ def ann_lsh_topk_indexed(
     )
 
 
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the table Hive-partitioned by k-means cluster — the
+    IVF twin of :func:`write_lsh_index`. A probe query against the
+    written table prunes the scan to ``ivf_cluster=<probe>``
+    directories (~1/k of the data per probed cluster). Centroids come
+    from ``clustering.kmeans_fit`` (or any driver-side list); keep the
+    SAME list for probing or the partitioning is meaningless."""
+    from cod_stats_spark.operators.clustering import kmeans_assign
+    from cod_stats_spark.operators.sharding import write_shards
+
+    labeled = kmeans_assign(df, vec_col, centroids).withColumnRenamed(
+        "cluster", "ivf_cluster"
+    )
+    write_shards(
+        labeled.select(id_col, vec_col, "ivf_cluster"),
+        path,
+        shard_col="ivf_cluster",
+        mode=mode,
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search against a :func:`write_ivf_index` table: the cluster
+    predicate hits the partition column → partition pruning, reading
+    only the ``nprobe`` nearest clusters' directories. Probe selection
+    is driver-side L2 against the same centroid list the index was
+    written with."""
+    import numpy as np
+
+    M = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((M - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2)[:nprobe]]
+    df = spark.read.parquet(path)
+    cand = df.filter(F.col("ivf_cluster").isin(probes))
+    score = _query_score(F.col(vec_col).cast("array<double>"), query_vec)
+    return (
+        cand.select(F.col(id_col).alias("id"), score.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     vec_col: str,

@@ -87,3 +87,49 @@ class TestKMeans:
         ).collect()
         brute = brute_force_topk(df, "embedding", "vec_id", q, k=5).collect()
         assert [r["id"] for r in ivf] == [r["id"] for r in brute]
+
+
+class TestIvfIndex:
+    def test_ivf_index_partition_pruning_and_parity(self, spark, tmp_path):
+        """The written IVF index must (a) prune the scan to the probed
+        cluster directories and (b) return the same top-k as scoring
+        the unindexed table, on separated blobs."""
+        from cod_stats_spark.operators.clustering import kmeans_fit
+        from cod_stats_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk_indexed,
+            write_ivf_index,
+        )
+
+        rows, centers = _blobs()
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        fitted, _ = kmeans_fit(df, "embedding", "vec_id", k=3)
+        path = str(tmp_path / "ivf_index")
+        write_ivf_index(df, path, "embedding", "vec_id", fitted)
+
+        q = [x + 0.1 for x in centers[1]]
+        out = ivf_topk_indexed(
+            spark, path, "embedding", "vec_id", q, fitted, k=5, nprobe=1
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "ivf_cluster" in plan
+        got = [r["id"] for r in out.collect()]
+        want = [r["id"] for r in brute_force_topk(df, "embedding", "vec_id", q, k=5).collect()]
+        assert got == want
+        # only the probed cluster's directory is touched (inputFiles()
+        # reports the PRE-pruning FileIndex listing, so ask the scan
+        # which files rows actually came from — the LSH test's device)
+        from pyspark.sql import functions as F
+
+        indexed = spark.read.parquet(path)
+        probed = indexed.filter(F.col("ivf_cluster").isin(
+            [r["ivf_cluster"] for r in out.join(
+                indexed.withColumnRenamed("vec_id", "id"), "id"
+            ).select("ivf_cluster").distinct().collect()]
+        ))
+        touched = {
+            r["f"]
+            for r in probed.select(F.input_file_name().alias("f")).distinct().collect()
+        }
+        assert touched
+        assert len({f.split("ivf_cluster=")[1].split("/")[0] for f in touched}) == 1

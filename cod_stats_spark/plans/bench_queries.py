@@ -470,21 +470,24 @@ FROM roster r JOIN stats s ON r.l_orderkey = s.l_orderkey
 """,
 )
 def order_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The team-roster shape (SURVEY A9/§7.4.4): collect_set sorted then
-    joined — roster identity is CANONICAL (sorted), never scan-order."""
+    """The team-roster shape (SURVEY A9/§7.4.4): collect_set sorted —
+    roster identity is CANONICAL (sorted), never scan-order. All four
+    aggregates ride ONE grouped aggregation (r6: the former
+    roster⋈stats self-join cost a second scan + shuffle for the same
+    key; Catalyst dedups the repeated collect_set expression, so the
+    set is built once)."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    roster = li.groupBy("l_orderkey").agg(
-        F.concat_ws(",", F.transform(F.array_sort(F.collect_set("l_partkey")), lambda x: x.cast("string"))).alias(
-            "part_roster"
-        ),
-        F.size(F.collect_set("l_partkey")).alias("n_distinct_parts"),
-    )
-    stats = li.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-    )
+    parts = F.collect_set("l_partkey")
     return (
-        roster.join(stats, "l_orderkey")
+        li.groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(
+                ",", F.transform(F.array_sort(parts), lambda x: x.cast("string"))
+            ).alias("part_roster"),
+            F.size(parts).alias("n_distinct_parts"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
         .withColumnRenamed("l_orderkey", "orderkey")
         .select("orderkey", "part_roster", "n_distinct_parts", "n_lines", "sum_qty")
     )

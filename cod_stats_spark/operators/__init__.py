@@ -20,6 +20,7 @@ from cod_stats_spark.operators.sharding import compact_shards
 from cod_stats_spark.operators.clustering import kmeans_assign, kmeans_fit
 from cod_stats_spark.operators.retrieval import bm25_rank_multi, bm25_rank_topk
 from cod_stats_spark.operators.similarity import knn_join_gemm
+from cod_stats_spark.operators.layout import write_zordered, zorder_key
 
 __all__ = [
     "asof_join",
@@ -29,6 +30,8 @@ __all__ = [
     "kmeans_assign",
     "kmeans_fit",
     "knn_join_gemm",
+    "write_zordered",
+    "zorder_key",
     "compact_shards",
     "profile_table",
     "rolling_time_frames",

@@ -1,0 +1,85 @@
+"""Z-order layout (operators/layout.py) — pruning proven from parquet
+footer statistics, not claimed."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+
+def _file_ranges(path: str, cols):
+    """[(per-file {col: (min, max)})] from parquet footers."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        lo = {c: None for c in cols}
+        hi = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for i in range(row_group.num_columns):
+                col = row_group.column(i)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    s = col.statistics
+                    lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                    hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+        if any(lo[c] is not None for c in cols):
+            out.append({c: (lo[c], hi[c]) for c in cols})
+    return out
+
+
+class TestZOrder:
+    def test_files_tile_both_dimensions(self, spark, tmp_path):
+        """Z-ordered files cover a small min-max window in BOTH
+        columns; a single-column sort leaves the other column spanning
+        ~the full domain in every file — the footer stats a reader
+        prunes on."""
+        from cod_stats_spark.operators.layout import write_zordered
+
+        n = 1 << 12
+        # uniform 2-d grid: x row-major, y column-major — adversarial
+        # for any single-column sort
+        df = spark.sql(
+            f"SELECT id % 64 AS x, id DIV 64 AS y, id AS payload FROM range({n})"
+        )
+        zpath = str(tmp_path / "zordered")
+        write_zordered(df, zpath, ["x", "y"], bits=6, num_files=16)
+        spath = str(tmp_path / "xsorted")
+        df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
+
+        def widths(path):
+            ranges = _file_ranges(path, ["x", "y"])
+            assert len(ranges) >= 8
+            return (
+                max(r["x"][1] - r["x"][0] for r in ranges),
+                max(r["y"][1] - r["y"][0] for r in ranges),
+            )
+
+        zx, zy = widths(zpath)
+        sx, sy = widths(spath)
+        # z-order: every file compact in BOTH dims (≤ half the domain)
+        assert zx <= 32 and zy <= 32, (zx, zy)
+        # x-sort: x compact but y unpruned (full 0..63 span somewhere)
+        assert sx <= 16 and sy >= 60, (sx, sy)
+
+    def test_zorder_roundtrip_preserves_rows(self, spark, tmp_path):
+        from cod_stats_spark.operators.layout import write_zordered
+
+        df = spark.sql("SELECT id AS x, (id * 7) % 100 AS y FROM range(1000)")
+        p = str(tmp_path / "z")
+        write_zordered(df, p, ["x", "y"], bits=8, num_files=4)
+        back = spark.read.parquet(p)
+        assert back.count() == 1000
+        assert set(back.columns) == {"x", "y"}
+        assert back.agg({"x": "sum"}).first()[0] == df.agg({"x": "sum"}).first()[0]
+
+    def test_bits_overflow_guard(self, spark):
+        import pytest
+
+        from cod_stats_spark.operators.layout import zorder_key
+
+        df = spark.range(10).selectExpr("id a", "id b", "id c", "id d")
+        with pytest.raises(ValueError, match="exceeds a long"):
+            zorder_key(df, ["a", "b", "c", "d"], bits=16)

@@ -175,9 +175,14 @@ def write_lsh_index(
     from cod_stats_spark.operators.sharding import write_shards
 
     vec = F.col(vec_col).cast("array<double>")
+    # the STORED vector dtype is pinned to array<double>: an appended
+    # batch whose source column is float (or vice versa) must not
+    # leave mixed-schema files behind — parquet readers fail on the
+    # per-file type mismatch, which is exactly the incremental-index
+    # hazard the lifecycle test plants
     bucketed = df.select(
         F.col(id_col),
-        F.col(vec_col),
+        vec.alias(vec_col),
         lsh_bucket(vec, dim, n_planes).alias("lsh_bucket"),
     )
     write_shards(bucketed, path, shard_col="lsh_bucket", mode=mode)
@@ -229,7 +234,13 @@ def write_ivf_index(
         "cluster", "ivf_cluster"
     )
     write_shards(
-        labeled.select(id_col, vec_col, "ivf_cluster"),
+        # stored vector dtype pinned (see write_lsh_index) — appended
+        # batches of either float/double sources stay readable
+        labeled.select(
+            id_col,
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+            "ivf_cluster",
+        ),
         path,
         shard_col="ivf_cluster",
         mode=mode,

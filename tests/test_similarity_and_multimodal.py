@@ -375,3 +375,40 @@ class TestKnnJoinGemm:
 
         with pytest.raises(ValueError, match="max_broadcast_queries"):
             knn_join_gemm(df, df, "embedding", "vec_id", k=2, max_broadcast_queries=4)
+
+
+class TestIndexLifecycle:
+    def test_lsh_index_append_batch(self, spark, tmp_path):
+        """Incremental index maintenance: a later batch appends into
+        the same bucket-partitioned layout (mode='append'), and probes
+        see old + new vectors without a rebuild."""
+        from cod_stats_spark.operators.similarity import (
+            ann_lsh_topk_indexed,
+            write_lsh_index,
+        )
+
+        vecs, df = _vec_df(spark, n=60, dim=8)
+        path = str(tmp_path / "lsh_inc")
+        write_lsh_index(df, path, "embedding", "vec_id", dim=8, n_planes=4)
+
+        # batch 2: near-copies of vector 5 with new ids — they must
+        # land in (and be found via) the same bucket as the original
+        batch2 = spark.createDataFrame(
+            [(1000 + i, [float(v) + 0.001 * i for v in vecs[5]]) for i in range(3)],
+            "vec_id long, embedding array<double>",
+        )
+        write_lsh_index(batch2, path, "embedding", "vec_id", dim=8, n_planes=4,
+                        mode="append")
+
+        q = [float(x) for x in vecs[5]]
+        got = ann_lsh_topk_indexed(
+            spark, path, "embedding", "vec_id", q, k=4, n_planes=4
+        ).collect()
+        ids = [r["id"] for r in got]
+        assert 5 in ids and all(1000 + i in ids for i in range(3))
+        # layout stayed partitioned: every file under lsh_bucket= dirs
+        import glob
+        import os
+
+        files = glob.glob(os.path.join(path, "lsh_bucket=*", "*.parquet"))
+        assert files

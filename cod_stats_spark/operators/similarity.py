@@ -453,6 +453,12 @@ def knn_join_gemm(
             f"{max_broadcast_queries}; use the LSH/IVF index paths for "
             "corpus-scale query sets"
         )
+    id_type_ = corpus.schema[id_col].dataType.simpleString()
+    if not q_rows:
+        # zero queries → a well-typed empty result, not a numpy shape error
+        return spark.createDataFrame(
+            [], f"query_id {id_type_}, id {id_type_}, cosine double, rank int"
+        )
     q_ids_arr = np.array([r[0] for r in q_rows])
     q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     q_norms = np.linalg.norm(q_mat, axis=1)

@@ -1,0 +1,103 @@
+"""Operators must degrade to empty output (not crash) on empty input.
+
+The driver regenerates testdata between rounds and a real pipeline
+sees empty partitions/days constantly; an operator that assumes ≥1
+row (a .first() scalar, an unguarded max) fails the whole job.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def _empty_events(spark):
+    return spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+class TestEmptyInputs:
+    def test_dedup_family_empty(self, spark):
+        from cod_stats_spark.operators.dedup import (
+            exact_dedup,
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+            simhash_near_pairs,
+        )
+
+        docs = _empty_docs(spark)
+        assert exact_dedup(docs, "text", "doc_id").count() == 0
+        cands = minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=8, bands=4)
+        assert cands.count() == 0
+        assert simhash_near_pairs(docs, "text", "doc_id").count() == 0
+        assert ngram_jaccard_pairs(docs, "text", "doc_id", cands).count() == 0
+
+    def test_windows_and_sampling_empty(self, spark):
+        from cod_stats_spark.operators.rolling import rolling_frames, rolling_time_frames
+        from cod_stats_spark.operators.sampling import stratified_sample, weighted_sample
+        from cod_stats_spark.operators.sessionize import sessionize
+
+        ev = _empty_events(spark)
+        assert sessionize(ev, "ts", ["user_id"], gap_seconds=60).count() == 0
+        assert (
+            rolling_frames(ev, ["user_id"], ["ts"], [("value", "sum")], preceding=3).count()
+            == 0
+        )
+        assert (
+            rolling_time_frames(ev, ["user_id"], "ts", [("value", "sum")], 3600).count()
+            == 0
+        )
+        assert weighted_sample(ev, "event_id", "value", n=10).count() == 0
+        assert (
+            stratified_sample(ev, "event_id", "event_type", {"view": 0.5}).count() == 0
+        )
+
+    def test_retrieval_and_components_empty(self, spark):
+        from cod_stats_spark.operators.components import connected_components
+        from cod_stats_spark.operators.retrieval import bm25_rank_multi, bm25_rank_topk
+
+        docs = _empty_docs(spark)
+        assert bm25_rank_topk(docs, ["hash"], k=5).count() == 0
+        assert bm25_rank_multi(docs, {"q": ["hash"]}, k=5).count() == 0
+        edges = spark.createDataFrame([], "id_a long, id_b long")
+        assert connected_components(edges).count() == 0
+
+    def test_profiling_and_skew_empty(self, spark):
+        from cod_stats_spark.operators.profiling import profile_table
+        from cod_stats_spark.operators.skew import diagnose_skew, salted_aggregate
+
+        ev = _empty_events(spark)
+        prof = {r["column"]: r for r in profile_table(ev).collect()}
+        assert prof["value"]["n_rows"] == 0
+        summary, top = diagnose_skew(ev, ["user_id"])
+        assert summary.first()["n_keys"] == 0 and top.count() == 0
+        assert (
+            salted_aggregate(ev, ["event_type"], [("value", "sum")], "event_id").count()
+            == 0
+        )
+
+    def test_similarity_empty(self, spark):
+        from cod_stats_spark.operators.similarity import (
+            brute_force_topk,
+            knn_join,
+            knn_join_gemm,
+        )
+
+        emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        q = [1.0, 0.0]
+        assert brute_force_topk(emb, "embedding", "vec_id", q, k=3).count() == 0
+        assert knn_join(emb, emb, "embedding", "vec_id", k=3).count() == 0
+        assert knn_join_gemm(emb, emb, "embedding", "vec_id", k=3).count() == 0
+
+    def test_kmeans_empty_raises_cleanly(self, spark):
+        from cod_stats_spark.operators.clustering import kmeans_fit
+
+        emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="empty input"):
+            kmeans_fit(emb, "embedding", "vec_id", k=2)

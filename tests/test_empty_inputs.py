@@ -101,3 +101,13 @@ class TestEmptyInputs:
         emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
         with pytest.raises(ValueError, match="empty input"):
             kmeans_fit(emb, "embedding", "vec_id", k=2)
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    from cod_stats_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 1.0), (4, 2.0)], "k long, w double"
+    )
+    got = {r["k"] for r in weighted_sample(df, "k", "w", n=10).collect()}
+    assert got == {3, 4}

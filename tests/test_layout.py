@@ -83,3 +83,14 @@ class TestZOrder:
         df = spark.range(10).selectExpr("id a", "id b", "id c", "id d")
         with pytest.raises(ValueError, match="exceeds a long"):
             zorder_key(df, ["a", "b", "c", "d"], bits=16)
+
+
+def test_constant_column_zorder(spark, tmp_path):
+    """A constant column contributes cell 0 everywhere instead of
+    dividing by a zero range."""
+    from cod_stats_spark.operators.layout import write_zordered
+
+    df = spark.sql("SELECT 7 AS x, id AS y FROM range(100)")
+    p = str(tmp_path / "const")
+    write_zordered(df, p, ["x", "y"], bits=6, num_files=2)
+    assert spark.read.parquet(p).count() == 100

@@ -1,0 +1,126 @@
+"""The capstone composition: raw corpus → curated training shards.
+
+Chains the engine's operator families in the order every pre-training
+data pipeline runs them, wired from the already-tested pieces:
+
+1. quality gate        functions/text.quality_score (codegen filter)
+2. exact dedup         operators/dedup.exact_dedup (one fp shuffle)
+3. near-dup removal    MinHash-LSH → Jaccard verify → connected
+                       components → canonical survivors (bucketed,
+                       candidate-restricted — never all-pairs)
+4. decontamination     operators/decontaminate (broadcast benchmark
+                       n-grams, cost ∝ matching docs)
+5. pack + shard write  operators/packing + sharding via
+                       plans/training_export (distributed prefix
+                       scan, clustered partitioned write, manifest
+                       computed FROM the written table)
+
+Returns ``(manifest, stats)`` where stats is the per-stage funnel
+(rows surviving each stage) — the number every curation run needs to
+report, computed from the same persisted intermediates the next stage
+consumes (each stage's count is the action that materializes its
+cache; no extra passes).
+
+Scale posture: every stage is the operator's documented bounded form;
+the persists are the silver-layer materializations a real pipeline
+writes between stages anyway. 100 TB changes the sizes, not the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from cod_stats_spark.functions import text as T
+from cod_stats_spark.functions.text import shingles
+from cod_stats_spark.operators._util import spread
+from cod_stats_spark.operators.components import dedup_clusters
+from cod_stats_spark.operators.decontaminate import decontaminate
+from cod_stats_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from cod_stats_spark.plans.training_export import export_training_shards
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.25,
+    jaccard_threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 16,
+    decontam_ngram_n: int = 8,
+    token_budget: int = 2048,
+    salt: str = "curate",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Run the full curation funnel; write shards to ``out_path``.
+
+    ``benchmark``: eval/benchmark documents to decontaminate against
+    (None skips stage 4). Returns (shard manifest, stage-count dict).
+    """
+    stats: dict[str, int] = {"input": docs.count()}
+
+    gated = docs.filter(
+        T.quality_score(F.col(text_col)) >= min_quality
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    stats["after_quality"] = gated.count()
+
+    # exact + near dedup — the dedup_pipeline gate's shape: shingle
+    # once, share the projection across LSH and the Jaccard verify
+    exact = exact_dedup(gated, text_col, id_col)
+    keepers = (
+        spread(
+            gated.join(
+                exact.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+            )
+        )
+        .withColumn("_sh", shingles(text_col, 3, distinct=False))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cands = minhash_lsh_pairs(
+        keepers, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_col="_sh",
+    )
+    confirmed = ngram_jaccard_pairs(
+        keepers, text_col, id_col, cands, threshold=jaccard_threshold,
+        shingle_col="_sh",
+    )
+    clustered = dedup_clusters(keepers, confirmed.select("id_a", "id_b"), id_col)
+    deduped = (
+        clustered.filter(F.col("is_canonical"))
+        .drop("_sh", "cluster_id", "is_canonical")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats["after_dedup"] = deduped.count()
+
+    if benchmark is not None:
+        clean = decontaminate(
+            deduped, benchmark, text_col, id_col, ngram_n=decontam_ngram_n
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        clean = deduped
+    stats["after_decontamination"] = clean.count()
+
+    # min_quality already applied — the export's gate must not drop
+    # more (quality_score is [0,1], so 0.0 passes everything)
+    manifest = export_training_shards(
+        clean,
+        out_path,
+        text_col=text_col,
+        id_col=id_col,
+        token_budget=token_budget,
+        min_quality=0.0,
+        salt=salt,
+    )
+    stats["shards"] = manifest.count()
+    for df in (gated, keepers, deduped):
+        df.unpersist()
+    if benchmark is not None:
+        clean.unpersist()
+    return manifest, stats

@@ -64,7 +64,12 @@ def zorder_key(
     row = df.agg(*aggs).first()
     key = F.lit(0).cast("long")
     for ci, c in enumerate(cols):
-        lo, hi = float(row[2 * ci]), float(row[2 * ci + 1])
+        # empty input / all-null column: min and max come back null —
+        # degrade to the constant-column cell (key 0 everywhere)
+        lo_raw, hi_raw = row[2 * ci], row[2 * ci + 1]
+        if lo_raw is None or hi_raw is None:
+            continue
+        lo, hi = float(lo_raw), float(hi_raw)
         cell = _bucket(F.col(c), lo, hi, bits)
         # spread bit b of this column's cell to position b*dims + ci
         for b in range(bits):

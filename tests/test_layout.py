@@ -94,3 +94,12 @@ def test_constant_column_zorder(spark, tmp_path):
     p = str(tmp_path / "const")
     write_zordered(df, p, ["x", "y"], bits=6, num_files=2)
     assert spark.read.parquet(p).count() == 100
+
+
+def test_empty_input_zorder(spark, tmp_path):
+    from cod_stats_spark.operators.layout import write_zordered
+
+    df = spark.createDataFrame([], "x long, y long")
+    p = str(tmp_path / "empty_z")
+    write_zordered(df, p, ["x", "y"], bits=6, num_files=2)
+    assert spark.read.schema("x long, y long").parquet(p).count() == 0

@@ -120,8 +120,24 @@ def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     3. df.rdd.getNumPartitions() — accurate, expensive, last resort
        (non-file inputs only: createDataFrame tests, shuffled dfs).
     """
+    import re
+
     sc = df.sparkSession.sparkContext
     target = min_parallelism or sc.defaultParallelism
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        plan = ""
+    # an explicit Repartition/coalesce OVERRIDES every file-based
+    # guess — it sets the real width no matter how many leaf files sit
+    # below. The analyzed plan prints top-down, so the FIRST match is
+    # the outermost (governing) node: repartition(n) prints
+    # "Repartition n, true" (AQE never coalesces it), coalesce(n)
+    # "Repartition n, false". A coalesce(1) over a many-file scan must
+    # widen here, not sneak past the inputFiles() fast path.
+    m = re.search(r"Repartition (\d+), (?:true|false)", plan)
+    if m:
+        return df if int(m.group(1)) >= target else df.repartition(target)
     try:
         # fast POSITIVE check only: many input files ⇒ already wide.
         # Few files does NOT imply narrow (cached/shuffled plans still
@@ -131,16 +147,16 @@ def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
             return df
     except Exception:
         pass
-    try:
-        # a plan that already carries an explicit Repartition (e.g. a
-        # spread() further down the same pipeline) is wide by
-        # construction — AQE never coalesces user-specified
-        # repartition counts. One py4j analysis-only roundtrip.
-        if "Repartition" in df._jdf.queryExecution().analyzed().toString():
-            return df
-    except Exception:
-        pass
     width = _estimated_scan_width(df)
+    if width is not None and width >= target and re.search(
+        r"\b(Join|Aggregate|Window|Distinct)\b", plan
+    ):
+        # the leaf files say wide, but a shuffle above the scan sets
+        # the real width (and AQE may coalesce it) — the estimate
+        # can't see that, so pay the accurate physical probe. This
+        # branch only triggers on large inputs (estimate >= target),
+        # where the ~0.1-0.4s probe is amortized by the actual work.
+        width = None
     if width is None:
         width = df.rdd.getNumPartitions()
     if width < target:

@@ -41,6 +41,7 @@ def _init_centroids(df: DataFrame, vec_col: str, id_col: str, k: int, salt: str)
             F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))).alias("_h"),
             F.col(vec_col).cast("array<double>").alias("_v"),
         )
+        .filter(F.col("_v").isNotNull())
         .orderBy("_h")
         .limit(k)
         .collect()
@@ -72,7 +73,14 @@ def kmeans_fit(
     """
     import numpy as np
 
-    vecs = df.select(F.col(vec_col).cast("array<double>").alias("_v")).persist()
+    # null vectors carry no position — drop them from the fit (the
+    # numpy conversion would otherwise die mid-iteration as an opaque
+    # executor error); callers label them separately if needed
+    vecs = (
+        df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .persist()
+    )
     try:
         n_rows = vecs.count()  # materialize once; iterations read cache
         if n_rows == 0:
@@ -86,6 +94,7 @@ def kmeans_fit(
 
             def partials(batches):
                 import pandas as pd
+                from pyspark import TaskContext
 
                 M = bc.value  # (k, d)
                 m_sq = (M * M).sum(axis=1)  # ||c||² per centroid
@@ -101,9 +110,10 @@ def kmeans_fit(
                         sel = assign == j
                         sums[j] += C[sel].sum(axis=0)
                         counts[j] += int(sel.sum())
+                ctx = TaskContext.get()
                 yield pd.DataFrame(
                     {
-                        "part": [0],
+                        "part": [ctx.partitionId() if ctx else 0],
                         "sums": [sums.ravel().tolist()],
                         "counts": [counts.tolist()],
                     }
@@ -112,8 +122,9 @@ def kmeans_fit(
             rows = vecs.mapInPandas(
                 partials, "part int, sums array<double>, counts array<long>"
             ).collect()
-            # combine partials in a fixed order → deterministic float sums
-            rows = sorted(rows, key=lambda r: (r["counts"], r["sums"]).__repr__())
+            # combine partials in PARTITION order → deterministic float
+            # sums for a fixed partitioning
+            rows = sorted(rows, key=lambda r: r["part"])
             total_sum = np.zeros_like(centroids)
             total_cnt = np.zeros(k_eff, dtype=np.int64)
             for r in rows:
@@ -162,6 +173,8 @@ def kmeans_assign(
 
     from cod_stats_spark.operators.similarity import dot
 
+    if not centroids:
+        raise ValueError("kmeans_assign requires at least one centroid")
     M = np.asarray(centroids, dtype=np.float64)
     v = F.col(vec_col).cast("array<double>")
     best = None

@@ -234,11 +234,17 @@ def bm25_rank_multi(
     spark = docs.sparkSession
     if dtf is None:
         dtf = doc_term_freqs(docs, text_col, id_col)
-    pairs = [
-        (tag, t.lower())
-        for tag, terms in sorted(queries.items())
-        for t in terms
-    ]
+    # dedupe (tag, term): the pairs table is JOINED, so a duplicated
+    # term in one query's list would double-count its posting rows —
+    # bm25_rank_topk's isin() filter is duplicate-immune and the two
+    # paths must score identically
+    pairs = sorted(
+        {
+            (tag, t.lower())
+            for tag, terms in queries.items()
+            for t in terms
+        }
+    )
     all_terms = sorted({t for _, t in pairs})
     qterms = F.broadcast(spark.createDataFrame(pairs, "tag string, term string"))
     doclens = dtf.groupBy(id_col).agg(F.first("doc_len").alias("doc_len"))

@@ -453,19 +453,21 @@ def knn_join_gemm(
             f"{max_broadcast_queries}; use the LSH/IVF index paths for "
             "corpus-scale query sets"
         )
-    id_type_ = corpus.schema[id_col].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
     if not q_rows:
         # zero queries → a well-typed empty result, not a numpy shape error
         return spark.createDataFrame(
-            [], f"query_id {id_type_}, id {id_type_}, cosine double, rank int"
+            [], f"query_id {id_type}, id {id_type}, cosine double, rank int"
         )
+    if any(r[1] is None for r in q_rows):
+        raise ValueError("knn_join_gemm: query vectors must be non-null")
     q_ids_arr = np.array([r[0] for r in q_rows])
     q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     q_norms = np.linalg.norm(q_mat, axis=1)
     bc = spark.sparkContext.broadcast((q_ids_arr, q_mat, q_norms))
 
-    id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"query_id {id_type}, id {id_type}, cosine double"
+    dim = q_mat.shape[1]
     kk = int(k)
     dec = int(score_decimals)
     chunk = int(query_chunk)
@@ -477,7 +479,13 @@ def knn_join_gemm(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            C = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            # null corpus vectors behave exactly like the Column path:
+            # cosine 0.0 (zero denom), still rankable by id — replace
+            # with a zero vector instead of letting np.array die on None
+            raw = [
+                v if v is not None else [0.0] * dim for v in pdf[vec_col].tolist()
+            ]
+            C = np.array(raw, dtype=np.float64)
             ids = pdf[id_col].to_numpy()
             cn = np.linalg.norm(C, axis=1)
             out_q, out_i, out_s = [], [], []

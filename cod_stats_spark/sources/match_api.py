@@ -122,6 +122,12 @@ class HttpTransport:
             raise
         except urllib.error.URLError as e:
             raise TransientApiError(f"connection error: {url} ({e.reason})") from e
+        except TimeoutError as e:
+            # a server that accepts the connection then stalls mid-body
+            # raises socket.timeout from resp.read() — NOT a URLError;
+            # it is the canonical transient and must retry, not kill
+            # the partition
+            raise TransientApiError(f"read timeout: {url}") from e
 
 
 def make_transport(root: str):

@@ -133,3 +133,22 @@ class TestIvfIndex:
         }
         assert touched
         assert len({f.split("ivf_cluster=")[1].split("/")[0] for f in touched}) == 1
+
+
+def test_assign_empty_centroids_raises(spark):
+    import pytest
+
+    from cod_stats_spark.operators.clustering import kmeans_assign
+
+    df = spark.createDataFrame([(1, [0.0, 1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="at least one centroid"):
+        kmeans_assign(df, "embedding", [])
+
+
+def test_fit_ignores_null_vectors(spark):
+    from cod_stats_spark.operators.clustering import kmeans_fit
+
+    rows = [(1, [0.0, 0.0]), (2, [4.0, 4.0]), (3, None), (4, [4.1, 4.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fitted, _ = kmeans_fit(df, "embedding", "vec_id", k=2, max_iter=10)
+    assert len(fitted) == 2

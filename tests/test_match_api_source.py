@@ -226,6 +226,7 @@ class _LoopbackApi:
 
         self.root = str(root)
         self.fail_once: dict[str, list] = {}  # rel path -> [remaining, status]
+        self.stall: dict[str, float] = {}  # rel path -> seconds before body
         self.hits: dict[str, int] = {}
         outer = self
 
@@ -254,6 +255,11 @@ class _LoopbackApi:
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
+                delay = outer.stall.get(rel)
+                if delay:
+                    import time as _time
+
+                    _time.sleep(delay)  # headers sent, body withheld
                 self.wfile.write(body)
 
         self.server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
@@ -435,3 +441,22 @@ class TestStreamBatchCap:
         # replay of a committed range ignores the cap (bounded by offsets)
         replay = list(r.readBetweenOffsets({"next_page": 0}, {"next_page": 4}))
         assert [x[0] for x in replay] == [0, 1, 2, 3]
+
+
+class TestHttpReadTimeout:
+    def test_stalled_body_is_transient(self, loopback_api):
+        """A server that accepts the connection then stalls mid-body
+        raises socket.timeout from resp.read() — NOT a URLError; it
+        must map to TransientApiError so backoff retries it
+        (code-review r6 finding)."""
+        from cod_stats_spark.sources.match_api import HttpTransport, TransientApiError
+
+        root, api = loopback_api
+        _write_api(root, [["s1"]])
+        api.stall["details/s1.json"] = 1.0
+        t = HttpTransport(api.url, timeout_s=0.2)
+        with pytest.raises(TransientApiError, match="read timeout"):
+            t.get("details/s1.json")
+        # once the stall is lifted the same transport succeeds
+        api.stall.clear()
+        assert t.get("details/s1.json")["matchID"] == "s1"

@@ -505,3 +505,17 @@ class TestSpreadProbe:
         again = spread(widened)
         plan = again._jdf.queryExecution().analyzed().toString()
         assert plan.count("Repartition") == 1
+
+    def test_spread_still_widens_after_explicit_coalesce(self, spark, tmp_path):
+        """coalesce(1) prints as 'Repartition 1, false' — the plan
+        check must not mistake an explicitly NARROW plan for a wide
+        one (code-review r6 finding)."""
+        from cod_stats_spark.operators._util import spread
+
+        p = str(tmp_path / "c1.parquet")
+        spark.range(500).write.parquet(p)
+        df = spark.read.parquet(p).coalesce(1)
+        target = spark.sparkContext.defaultParallelism
+        if target <= 1:
+            return
+        assert spread(df).rdd.getNumPartitions() > 1

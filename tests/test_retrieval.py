@@ -133,3 +133,19 @@ def test_multi_query_matches_per_query_rankings(spark):
         for r in bm25_rank_topk(docs, terms, k=3).collect():
             rows_single.add((tag, r["rank"], r["doc_id"], r["score"]))
     assert rows_multi == rows_single
+
+
+def test_multi_query_dedupes_repeated_terms(spark):
+    """A duplicated term in a query list must not double-count its
+    postings — isin() (single-query path) is duplicate-immune, the
+    joined pairs table must be too."""
+    from cod_stats_spark.operators.retrieval import bm25_rank_multi, bm25_rank_topk
+
+    docs = spark.createDataFrame(
+        [(1, "hash join scan"), (2, "hash hash filter"), (3, "scan scan scan")],
+        "doc_id long, text string",
+    )
+    multi = bm25_rank_multi(docs, {"q": ["hash", "hash", "join"]}, k=3).collect()
+    single = bm25_rank_topk(docs, ["hash", "hash", "join"], k=3).collect()
+    assert sorted((r["doc_id"], r["score"], r["n_matched_terms"]) for r in multi) == \
+           sorted((r["doc_id"], r["score"], r["n_matched_terms"]) for r in single)

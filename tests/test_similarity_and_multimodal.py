@@ -412,3 +412,32 @@ class TestIndexLifecycle:
 
         files = glob.glob(os.path.join(path, "lsh_bucket=*", "*.parquet"))
         assert files
+
+
+class TestGemmNullParity:
+    def test_null_corpus_vector_matches_column_path(self, spark):
+        from cod_stats_spark.operators.similarity import knn_join, knn_join_gemm
+
+        rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None), (4, [0.0, 1.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = df.filter("vec_id = 1")
+
+        def key(out):
+            return sorted(
+                (r["query_id"], r["rank"], r["id"], r["cosine"]) for r in out.collect()
+            )
+
+        assert key(knn_join_gemm(df, queries, "embedding", "vec_id", k=3)) == key(
+            knn_join(df, queries, "embedding", "vec_id", k=3)
+        )
+
+    def test_null_query_vector_raises(self, spark):
+        import pytest
+
+        from cod_stats_spark.operators.similarity import knn_join_gemm
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="non-null"):
+            knn_join_gemm(df, df, "embedding", "vec_id", k=1)

@@ -63,9 +63,19 @@ def _parse_bytes(v: str) -> int:
 def _estimated_scan_width(df: DataFrame) -> int | None:
     """Estimate the scan's partition count from file metadata only.
 
-    Mirrors Spark's FilePartition split math (size / maxPartitionBytes
-    per file, splits never span files) for LOCAL files, so the answer
-    is driver-side and costs a stat() per file — no physical planning.
+    Replays Spark's FilePartition math for LOCAL files — split each
+    file at ``maxSplitBytes = min(maxPartitionBytes, max(openCost,
+    (totalBytes + openCost·nFiles) / minPartitionNum))``, then
+    bin-pack the splits largest-first with the per-file open cost, the
+    exact algorithm in ``FilePartition.getFilePartitions`` — so the
+    answer is driver-side and costs a stat() per file, no physical
+    planning. Folding in ``spark.sql.files.openCostInBytes`` matters
+    in BOTH directions: thousands of tiny files pack into far fewer
+    partitions than one-split-per-file would guess (the round-6
+    estimate over-counted there and could skip a useful repartition),
+    and a handful of mid-size files can split FINER than
+    maxPartitionBytes when bytesPerCore is small.
+
     Returns None when the plan has no file leaves (in-memory /
     shuffled inputs) or the files are not locally stat-able; callers
     fall back to an accurate (but expensive) physical probe then.
@@ -83,23 +93,55 @@ def _estimated_scan_width(df: DataFrame) -> int | None:
         return None
     if not files:
         return None
+    spark = df.sparkSession
     try:
         mpb = _parse_bytes(
-            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
         )
     except Exception:
         mpb = 128 * 1024 * 1024
-    total = 0
+    try:
+        open_cost = _parse_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+        )
+    except Exception:
+        open_cost = 4 * 1024 * 1024
+    try:
+        min_pn = int(spark.conf.get("spark.sql.files.minPartitionNum"))
+    except Exception:
+        try:
+            min_pn = int(
+                spark.conf.get("spark.sql.leafNodeDefaultParallelism")
+            )
+        except Exception:
+            min_pn = spark.sparkContext.defaultParallelism
+    sizes = []
     for f in files:
         path = f[7:] if f.startswith("file://") else f
         if not os.path.isabs(path):
             return None  # remote FS — can't stat from the driver cheaply
         try:
-            size = os.path.getsize(path)
+            sizes.append(os.path.getsize(path))
         except OSError:
             return None
-        total += max(1, math.ceil(size / mpb))
-    return total
+    total = sum(sizes) + open_cost * len(sizes)
+    bytes_per_core = total / max(1, min_pn)
+    max_split = min(mpb, max(open_cost, int(bytes_per_core)))
+    splits: list[int] = []
+    for size in sizes:
+        n_chunks = max(1, math.ceil(size / max_split)) if size else 0
+        for i in range(n_chunks):
+            splits.append(min(max_split, size - i * max_split))
+    splits.sort(reverse=True)
+    n_parts, cur = 0, 0
+    for sp in splits:
+        if cur + sp > max_split and cur > 0:
+            n_parts += 1
+            cur = 0
+        cur += sp + open_cost
+    if cur > 0:
+        n_parts += 1
+    return max(1, n_parts)
 
 
 def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:

@@ -135,6 +135,88 @@ class TestIvfIndex:
         assert len({f.split("ivf_cluster=")[1].split("/")[0] for f in touched}) == 1
 
 
+class TestAssignGemmParity:
+    def test_column_and_gemm_paths_agree(self, spark):
+        """Both strategies must produce the identical assignment,
+        including first-minimum tie order — compared at the LARGEST k
+        the Column path can still evaluate (k=512 StackOverflows the
+        nested least() chain during analysis, which is exactly why the
+        GEMM route exists)."""
+        import random
+
+        from cod_stats_spark.operators.clustering import (
+            GEMM_ASSIGN_THRESHOLD,
+            _kmeans_assign_columns,
+            _kmeans_assign_gemm,
+        )
+        import numpy as np
+
+        rows, _ = _blobs()
+        rows.append((len(rows), None))  # null vector → null cluster
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        rng = random.Random(11)
+        k = GEMM_ASSIGN_THRESHOLD  # the dispatch boundary
+        cents = [[rng.uniform(-6, 6) for _ in range(8)] for _ in range(k)]
+        M = np.asarray(cents, dtype=np.float64)
+        col = {
+            r["vec_id"]: r["cluster"]
+            for r in _kmeans_assign_columns(df, "embedding", M).collect()
+        }
+        gemm = {
+            r["vec_id"]: r["cluster"]
+            for r in _kmeans_assign_gemm(df, "embedding", M).collect()
+        }
+        assert col == gemm
+        assert col[max(col)] is None  # the null vector on both paths
+
+    def test_dispatcher_routes_k512_through_gemm(self, spark):
+        """k=512 > threshold: the public entry point must avoid the
+        literal least() chain (which StackOverflows at this k) and the
+        distributed answer must equal a local numpy argmin ground
+        truth."""
+        import random
+
+        from cod_stats_spark.operators.clustering import (
+            GEMM_ASSIGN_THRESHOLD,
+            kmeans_assign,
+        )
+        import numpy as np
+
+        rows, _ = _blobs()
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        rng = random.Random(13)
+        k = 512
+        assert k > GEMM_ASSIGN_THRESHOLD
+        cents = [[rng.uniform(-6, 6) for _ in range(8)] for _ in range(k)]
+        dispatched = kmeans_assign(df, "embedding", cents)
+        plan = dispatched._jdf.queryExecution().analyzed().toString()
+        assert "least(" not in plan
+        M = np.asarray(cents, dtype=np.float64)
+        X = np.asarray([v for _, v in rows], dtype=np.float64)
+        want = (
+            (M * M).sum(axis=1)[None, :] - 2.0 * (X @ M.T)
+        ).argmin(axis=1)
+        got = {r["vec_id"]: r["cluster"] for r in dispatched.collect()}
+        assert got == {i: int(c) for (i, _), c in zip(rows, want)}
+
+    def test_exact_tie_breaks_to_lowest_index_on_both_paths(self, spark):
+        """Duplicate centroids produce exactly-equal distances — both
+        strategies must pick the lowest centroid index."""
+        import numpy as np
+
+        from cod_stats_spark.operators.clustering import (
+            _kmeans_assign_columns,
+            _kmeans_assign_gemm,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [2.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+        M = np.asarray([[9.0, 9.0], [2.0, 2.0], [2.0, 2.0]], dtype=np.float64)
+        for path in (_kmeans_assign_columns, _kmeans_assign_gemm):
+            assert path(df, "embedding", M).collect()[0]["cluster"] == 1
+
+
 def test_assign_empty_centroids_raises(spark):
     import pytest
 

@@ -473,15 +473,32 @@ class TestSpreadProbe:
         assert _parse_bytes("512k") == 512 * 1024
         assert _parse_bytes("1000") == 1000
 
-    def test_scan_width_estimate_narrow_file(self, spark, tmp_path):
+    def test_scan_width_estimate_matches_actual(self, spark, tmp_path):
         from cod_stats_spark.operators._util import _estimated_scan_width
 
         p = str(tmp_path / "t.parquet")
         spark.range(1000).write.parquet(p)
         df = spark.read.parquet(p)
         w = _estimated_scan_width(df)
-        # small files: one estimated split per file
-        assert w == len(df.inputFiles())
+        assert abs(w - df.rdd.getNumPartitions()) <= 1
+
+    def test_scan_width_estimate_packs_many_tiny_files(self, spark, tmp_path):
+        """The r7 open-cost fix: thousands-of-tiny-files inputs pack
+        into FEWER partitions than one-per-file (Spark bin-packs by
+        size + openCostInBytes); the estimate must track the real
+        width within ±1, not over-count and skip a useful
+        repartition."""
+        from cod_stats_spark.operators._util import _estimated_scan_width
+
+        p = str(tmp_path / "tiny.parquet")
+        # 200 one-row files, each a few hundred bytes
+        spark.range(200).repartition(200).write.parquet(p)
+        df = spark.read.parquet(p)
+        actual = df.rdd.getNumPartitions()
+        est = _estimated_scan_width(df)
+        assert abs(est - actual) <= 1
+        # and the packing really did collapse the file count
+        assert actual < len(df.inputFiles())
 
     def test_scan_width_none_for_local_relations(self, spark):
         from cod_stats_spark.operators._util import _estimated_scan_width

@@ -62,8 +62,12 @@ HEADLINE = [
     # tests/test_bench_signatures.py for the guard
     "rollup_cube_v2",
     "ranking_windows_v2",
-    # round-6 addition: BM25 + RRF retrieval (new entry, new scope)
+    # round-6 addition: BM25 + RRF retrieval (new entry, new scope).
+    # That entry deliberately times cold index construction + query;
+    # round 7 adds the query-only serve path against the persisted DTF
+    # index (index built outside the kept timing — BENCH_NOTES.md)
     "retrieval_bm25",
+    "retrieval_bm25_serve",
     # round-3 training-pipeline additions
     "pii_redact",
     "repetition_metrics",

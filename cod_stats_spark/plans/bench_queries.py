@@ -2917,6 +2917,40 @@ def rolling_orders_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_bench_only("retrieval_bm25_serve")
+def retrieval_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-only BM25 serving against the on-disk DTF index — the
+    round-6 verdict's index-build/query split ("What's wrong" #2). The
+    `retrieval_bm25` gate deliberately times DTF construction + the
+    full query battery + RRF (the cold-plan protocol); THIS entry
+    times what the two-query ranking battery costs once
+    `write_dtf_index` has been paid: ONE action of partition-pruned
+    postings/terms reads + broadcast idf + rank-limit-pushed top-k.
+    The index is built on the first call per sf_dir (that run's
+    timing is discarded by bench.py's min-of-2; see BENCH_NOTES.md,
+    which also records the measured job-constant floor this entry
+    sits on)."""
+    import os
+
+    from cod_stats_spark.operators.retrieval import (
+        bm25_serve_multi,
+        write_dtf_index,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = os.path.join(repo, ".bench_idx", tag, "bm25")
+    if not os.path.isdir(os.path.join(idx, "stats")):
+        docs = load_tables(spark, sf_dir)["documents"]
+        write_dtf_index(docs, idx)
+    return bm25_serve_multi(
+        spark,
+        idx,
+        {"bm25a": _RETRIEVAL_QUERY_A, "bm25b": _RETRIEVAL_QUERY_B},
+        k=20,
+    )
+
+
 @_bench_only("knn_join_gemm")
 def knn_join_gemm_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLAS-scored batch KNN (same query set as the knn_join gate; the

@@ -149,3 +149,81 @@ def test_multi_query_dedupes_repeated_terms(spark):
     single = bm25_rank_topk(docs, ["hash", "hash", "join"], k=3).collect()
     assert sorted((r["doc_id"], r["score"], r["n_matched_terms"]) for r in multi) == \
            sorted((r["doc_id"], r["score"], r["n_matched_terms"]) for r in single)
+
+
+class TestDtfIndex:
+    """write_dtf_index / bm25_serve_multi — the round-7 split of index
+    construction (write-once) from query serving (partition-pruned)."""
+
+    def test_serve_parity_with_in_memory_path(self, spark, tmp_path):
+        """Serving from the on-disk index must reproduce the in-memory
+        bm25_rank_multi rows exactly — tags, ids, 6-dp scores, ranks,
+        n_matched_terms."""
+        from cod_stats_spark.operators.retrieval import (
+            bm25_rank_multi,
+            bm25_serve_multi,
+            write_dtf_index,
+        )
+
+        docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+        path = str(tmp_path / "dtf_idx")
+        write_dtf_index(docs, path)
+        queries = {"qa": ["quick", "fox", "dog"], "qb": ["catalyst", "text"]}
+        mem = bm25_rank_multi(docs, queries, k=4)
+        srv = bm25_serve_multi(spark, path, queries, k=4)
+        key = lambda r: (
+            r["tag"], r["rank"], r["doc_id"], r["score"], r["n_matched_terms"]
+        )
+        assert sorted(map(key, srv.collect())) == sorted(map(key, mem.collect()))
+
+    def test_serve_prunes_to_probed_buckets(self, spark, tmp_path):
+        """The postings scan must carry a term_bucket PartitionFilter
+        (directory pruning) and only probed-bucket files may feed the
+        result — the ann_lsh_topk_indexed assertion applied to the
+        text index."""
+        from pyspark.sql import functions as F
+
+        from cod_stats_spark.operators.retrieval import (
+            DTF_INDEX_BUCKETS,
+            _term_bucket,
+            bm25_serve_multi,
+            write_dtf_index,
+        )
+
+        # widen the vocabulary so several buckets exist on disk
+        rows = [(i, f"w{i} w{i+1} shared token{i % 7}") for i in range(200)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        path = str(tmp_path / "dtf_idx")
+        write_dtf_index(docs, path)
+        written = {
+            r["term_bucket"]
+            for r in spark.read.parquet(f"{path}/postings")
+            .select("term_bucket").distinct().collect()
+        }
+        assert len(written) > 2  # pruning has something to skip
+
+        out = bm25_serve_multi(spark, path, {"q": ["shared", "w3"]}, k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "term_bucket" in plan
+        probe = {
+            int(v)
+            for v in spark.range(1)
+            .select(
+                _term_bucket(F.lit("shared")).alias("a"),
+                _term_bucket(F.lit("w3")).alias("b"),
+            )
+            .first()
+        }
+        assert probe < written  # strictly fewer buckets read than exist
+        assert out.count() == 5
+
+    def test_index_stats_match_corpus(self, spark, tmp_path):
+        from cod_stats_spark.operators.retrieval import write_dtf_index
+
+        docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+        path = str(tmp_path / "dtf_idx")
+        write_dtf_index(docs, path)
+        st = spark.read.parquet(f"{path}/stats").first()
+        assert int(st["n_docs"]) == len(CORPUS)
+        want_avg = sum(len(t.split()) for _, t in CORPUS) / len(CORPUS)
+        assert abs(st["avg_len"] - want_avg) < 1e-9

@@ -839,12 +839,45 @@ def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_rows.unionByName(both).unionByName(only)
 
 
+def _zcell_oracle_expr(xcol: str, ycol: str, bits: int = 12) -> str:
+    """SQL replay of ``layout.zorder_key`` for two columns: min-max
+    bucket each into 2^bits cells ((x−lo)/(hi−lo)·cells, floored and
+    clamped — the identical IEEE double expression order as the Spark
+    Column), then Morton-interleave the cell bits with BIGINT shift
+    ops. ``zr`` is a one-row CTE holding the min/max literals."""
+    cells = 1 << bits
+
+    def cell(col: str, lo: str, hi: str) -> str:
+        scaled = f"((({col}::DOUBLE) - {lo}) / ({hi} - {lo}))"
+        return (
+            f"greatest(0, least({cells - 1}, "
+            f"floor({scaled} * {cells}.0)::BIGINT))"
+        )
+
+    cx = cell(xcol, "zr.xlo", "zr.xhi")
+    cy = cell(ycol, "zr.ylo", "zr.yhi")
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({cx} >> {b}) & 1) << {b * 2})")
+        terms.append(f"((({cy} >> {b}) & 1) << {b * 2 + 1})")
+    return " | ".join(terms)
+
+
+_ZCELL_SQL = _zcell_oracle_expr("o_totalprice", "o_custkey")
+
+
 @query(
     "scalar_functions",
     covers="§2.8 (date/time incl. datediff/add_months/last_day/dayofweek, "
     "string incl. regexp_extract/translate/lpad/split, math incl. "
-    "abs/pow/sqrt, conditional scalar families)",
-    oracle="""
+    "abs/pow/sqrt, conditional scalar families; r7: + the layout.py "
+    "Z-order Morton cell id, bit-interleave replayed in SQL)",
+    oracle=f"""
+WITH zr AS (
+  SELECT min(o_totalprice::DOUBLE) AS xlo, max(o_totalprice::DOUBLE) AS xhi,
+         min(o_custkey::DOUBLE)    AS ylo, max(o_custkey::DOUBLE)    AS yhi
+  FROM orders WHERE o_orderkey % 7 = 0
+)
 SELECT o_orderkey,
        EXTRACT(year FROM o_orderdate)::BIGINT  AS o_year,
        EXTRACT(month FROM o_orderdate)::BIGINT AS o_month,
@@ -866,15 +899,20 @@ SELECT o_orderkey,
        string_split(o_orderpriority, '-')[1]   AS prio_head,
        round(abs(o_totalprice - 100000.0), 2)  AS dist_100k,
        round(sqrt(o_totalprice), 6)            AS price_sqrt,
-       round(pow(o_totalprice / 100000.0, 2), 6) AS price_sq
-FROM orders
+       round(pow(o_totalprice / 100000.0, 2), 6) AS price_sq,
+       ({_ZCELL_SQL})                          AS zcell
+FROM orders CROSS JOIN zr
 WHERE o_orderkey % 7 = 0
 """,
 )
 def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cod_stats_spark.operators.layout import zorder_key
+
     o = load_tables(spark, sf_dir)["orders"]
     od = F.col("o_orderdate").cast("date")
-    return o.filter(F.col("o_orderkey") % 7 == 0).select(
+    filtered = o.filter(F.col("o_orderkey") % 7 == 0)
+    zcell = zorder_key(filtered, ["o_totalprice", "o_custkey"], bits=12)
+    return filtered.select(
         "o_orderkey",
         F.year("o_orderdate").cast("long").alias("o_year"),
         F.month("o_orderdate").cast("long").alias("o_month"),
@@ -899,6 +937,7 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("dist_100k"),
         F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
         F.round(F.pow(F.col("o_totalprice") / 100000.0, 2), 6).alias("price_sq"),
+        zcell.alias("zcell"),
     )
 
 
@@ -1885,13 +1924,71 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, "embedding", "vec_id", qvec, centroids, k=10, nprobe=IVF_NPROBE)
 
 
+KMEANS_FOLD_K = 8  # literal-centroid count for the kmeans oracle slice
+KMEANS_FOLD_MOD = 20  # every 20th vector gets an oracled assignment row
+
+
+def _kmeans_assign_oracle_sql(k: int = KMEANS_FOLD_K, mod: int = KMEANS_FOLD_MOD) -> str:
+    """Oracle for ``clustering.kmeans_assign``: centroids are the same
+    deterministic md5-ordered fixed-count sample the IVF oracle uses,
+    and the argmin ``||c||² − 2·x·c`` (ties → lowest centroid index,
+    the Column path's (score, j) struct order) is replayed with SQL
+    dot products. The cluster index rides the union's ``cosine``
+    column as an exact double."""
+    return f"""
+WITH cent AS (
+  SELECT embedding::DOUBLE[] AS cv,
+         row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS j
+  FROM embeddings
+  ORDER BY md5(vec_id::VARCHAR), vec_id
+  LIMIT {k}
+), pts AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % {mod} = 0
+), scored AS (
+  SELECT p.vec_id, c.j,
+         row_number() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY (list_dot_product(c.cv, c.cv)
+                     - 2.0 * list_dot_product(p.v, c.cv)) ASC, c.j ASC
+         ) AS rn
+  FROM pts p CROSS JOIN cent c
+)
+SELECT vec_id AS id, j::DOUBLE AS cosine FROM scored WHERE rn = 1
+"""
+
+
+def ann_kmeans_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kmeans_assign (operators/clustering.py Column path) over every
+    KMEANS_FOLD_MOD-th embedding, with the md5-sample centroid rule
+    the IVF gate established (bounded driver collect, SQL-replayable)."""
+    from cod_stats_spark.operators.clustering import kmeans_assign
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id"))
+        .limit(KMEANS_FOLD_K)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in sample]
+    out = kmeans_assign(
+        emb.filter(F.col("vec_id") % KMEANS_FOLD_MOD == 0), "embedding", centroids
+    )
+    return out.select(
+        F.col("vec_id").alias("id"),
+        F.col("cluster").cast("double").alias("cosine"),
+    )
+
+
 def _ann_merged_oracle() -> str:
-    """Union of the three FULL ANN oracles (brute / LSH / IVF), each
-    tagged with its method — every approximation stays value-verified."""
+    """Union of the four FULL ANN/clustering oracles (brute / LSH /
+    IVF / k-means assignment), each tagged with its method — every
+    approximation stays value-verified."""
     parts = [
         ("brute", _ANN_BRUTE_ORACLE),
         ("lsh", _lsh_oracle_sql()),
         ("ivf", _ivf_oracle_sql()),
+        ("kmeans", _kmeans_assign_oracle_sql()),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{m}' AS method, id, cosine FROM ({sql})" for m, sql in parts
@@ -1904,7 +2001,8 @@ def _ann_merged_oracle() -> str:
         "EXT-similarity (ANN over embeddings, all three strategies in one gate: "
         "exact brute-force cosine baseline; LSH sign-bucket multiprobe — the "
         "pruned-scan scale path; IVF probe search with deterministic centroid "
-        "sample + nprobe pruning. FULL oracle incl. bucketing/assignment — "
+        "sample + nprobe pruning; r7: + clustering.kmeans_assign argmin with "
+        "md5-sampled centroids. FULL oracle incl. bucketing/assignment — "
         "merged from the former ann_cosine_topk / ann_lsh_topk / ann_ivf_topk "
         "gates, registry ≤ 50)"
     ),
@@ -1914,7 +2012,8 @@ def ann_topk_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = ann_cosine_topk(spark, sf_dir).select(F.lit("brute").alias("method"), "id", "cosine")
     lsh = ann_lsh_topk_q(spark, sf_dir).select(F.lit("lsh").alias("method"), "id", "cosine")
     ivf = ann_ivf_topk_q(spark, sf_dir).select(F.lit("ivf").alias("method"), "id", "cosine")
-    return brute.unionByName(lsh).unionByName(ivf)
+    km = ann_kmeans_assign_q(spark, sf_dir).select(F.lit("kmeans").alias("method"), "id", "cosine")
+    return brute.unionByName(lsh).unionByName(ivf).unionByName(km)
 
 
 @query(
@@ -2224,12 +2323,234 @@ WHERE k.doc_id NOT IN (SELECT id FROM removed)
 """
 
 
+def _curation_funnel_oracle_sql(
+    threshold: float = 0.7,
+    min_quality: float = 0.25,
+    ngram_n: int = 3,
+    min_overlap: int = 2,
+    budget: int = 2048,
+    salt: str = "curate",
+    mod: int = 7,
+) -> str:
+    """CTE chain replaying plans/curation.curate_corpus stage by stage
+    (quality gate → exact + near dedup → decontamination → pack) so
+    the funnel's five survivor counts are SQL-verified. Every block
+    reuses an expression already value-proven by its own gate
+    (quality_tokens / dedup_pipeline / decontaminate / pack_sequences);
+    this oracle composes them over the same %-split the decontaminate
+    gate uses (corpus = doc_id %% {mod} != 0, benchmark = the rest)."""
+    sh = _SHINGLES_SQL.format(src="f_keepers_docs")
+    stop_in = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+
+    def grams(rel: str) -> str:
+        return f"""
+    SELECT doc_id, unnest(s) AS ngram
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(
+                         generate_series(0, greatest(len(tk)-{ngram_n}, 0)),
+                         i -> array_to_string(tk[i+1:i+{ngram_n}], ' ')))
+             END AS s
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                           t -> t <> '') AS tk
+        FROM {rel}
+      )
+    )"""
+
+    return f"""
+f_corpus AS (SELECT * FROM documents WHERE doc_id % {mod} <> 0),
+f_bench AS (SELECT * FROM documents WHERE doc_id % {mod} = 0),
+f_qual AS (
+  SELECT doc_id,
+         round((least(len(toks) / 100.0, 1.0)
+              + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)
+              + (1.0 - least(pr * 4.0, 1.0))
+              + (CASE WHEN sr >= 0.05 AND sr <= 0.6 THEN 1.0 ELSE 0.5 END)
+              ) / 4.0, 6) AS quality
+  FROM (
+    SELECT doc_id, toks,
+           CASE WHEN len(toks) > 0
+                THEN list_aggregate(list_transform(toks, t -> len(t)), 'sum')::DOUBLE / len(toks)
+                ELSE 0.0 END AS mwl,
+           CASE WHEN length(text) > 0
+                THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                     / length(text)
+                ELSE 0.0 END AS pr,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, t -> t IN ({stop_in})))::DOUBLE / len(toks)
+                ELSE 0.0 END AS sr
+    FROM (SELECT doc_id, text, {_sql_tokens('text')} AS toks FROM f_corpus)
+  )
+),
+f_gated AS (
+  SELECT c.* FROM f_corpus c JOIN f_qual q USING (doc_id)
+  WHERE q.quality >= {min_quality}
+),
+f_keepers AS (
+  SELECT min(doc_id) AS doc_id
+  FROM f_gated
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+),
+f_keepers_docs AS (
+  SELECT g.* FROM f_gated g JOIN f_keepers k USING (doc_id)
+),
+f_sh AS ({sh}),
+f_scored AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s))::DOUBLE AS i,
+         len(a.s) + len(b.s) AS ab
+  FROM f_sh a JOIN f_sh b
+    ON a.doc_id < b.doc_id
+   AND least(len(a.s), len(b.s))::DOUBLE / greatest(len(a.s), len(b.s)) >= {threshold} - 1e-6
+),
+f_confirmed AS (
+  SELECT id_a, id_b FROM f_scored
+  WHERE (ab - i) > 0 AND round(i / (ab - i), 6) >= {threshold}
+),
+f_edges AS (
+  SELECT id_a AS u, id_b AS v FROM f_confirmed
+  UNION SELECT id_b, id_a FROM f_confirmed
+),
+f_reach(id, lab) AS (
+  SELECT u, u FROM f_edges
+  UNION
+  SELECT e.v, r.lab FROM f_reach r JOIN f_edges e ON e.u = r.id
+),
+f_removed AS (
+  SELECT id FROM f_reach GROUP BY id HAVING min(lab) < id
+),
+f_deduped AS (
+  SELECT k.* FROM f_keepers_docs k
+  WHERE k.doc_id NOT IN (SELECT id FROM f_removed)
+),
+f_cg AS ({grams('f_deduped')}),
+f_bg AS ({grams('f_bench')}),
+f_contam AS (
+  SELECT DISTINCT cg.doc_id
+  FROM f_cg cg JOIN f_bg bg ON cg.ngram = bg.ngram
+  GROUP BY cg.doc_id, bg.doc_id
+  HAVING count(*) >= {min_overlap}
+),
+f_clean AS (
+  SELECT d.* FROM f_deduped d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM f_contam)
+),
+f_packed AS (
+  SELECT doc_id,
+         ((sum(n_tokens) OVER (ORDER BY kk, doc_id ROWS UNBOUNDED PRECEDING)
+           - n_tokens)::BIGINT // {budget}) AS shard_id
+  FROM (
+    SELECT doc_id, len({_sql_tokens('text')})::BIGINT AS n_tokens,
+           md5('{salt}' || doc_id::VARCHAR) AS kk
+    FROM f_clean
+  )
+)
+"""
+
+
+_FUNNEL_ROWS_SQL = """
+SELECT 'funnel_input' AS tag, (SELECT count(*) FROM f_corpus) AS doc_id,
+       NULL::BIGINT AS cluster_id, NULL::VARCHAR AS lang,
+       NULL::VARCHAR AS source, NULL::BIGINT AS n_chars
+UNION ALL
+SELECT 'funnel_after_quality', (SELECT count(*) FROM f_gated),
+       NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+UNION ALL
+SELECT 'funnel_after_dedup', (SELECT count(*) FROM f_deduped),
+       NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+UNION ALL
+SELECT 'funnel_after_decontamination', (SELECT count(*) FROM f_clean),
+       NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+UNION ALL
+SELECT 'funnel_shards', (SELECT count(DISTINCT shard_id) FROM f_packed),
+       NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+"""
+
+
+def _dedup_pipeline_merged_oracle() -> str:
+    """Survivor rows (the r1–r6 dedup_pipeline oracle, unchanged) +
+    the curation funnel's five stage counts, as one tagged union. The
+    survivor part's WITH RECURSIVE prefix is reused to host the funnel
+    CTE chain (DuckDB allows several recursive CTEs per clause)."""
+    base = _dedup_pipeline_oracle_sql()
+    head, body = base.split("WITH RECURSIVE", 1)
+    # body = "<survivor CTEs> SELECT <survivor select>"
+    ctes, select = body.rsplit("\nSELECT ", 1)
+    return (
+        "WITH RECURSIVE "
+        + ctes
+        + ",\n"
+        + _curation_funnel_oracle_sql().strip().lstrip()
+        + "\nSELECT 'survivor' AS tag, "
+        + select
+        + "\nUNION ALL\n"
+        + _FUNNEL_ROWS_SQL
+    )
+
+
 @query(
     "dedup_pipeline",
-    covers="EXT-dedup (composite pipeline: exact -> MinHash-LSH -> Jaccard verify -> connected-component clusters -> canonical survivors; FULL oracle via recursive-CTE components)",
-    oracle=_dedup_pipeline_oracle_sql(),
+    covers="EXT-dedup (composite pipeline: exact -> MinHash-LSH -> Jaccard verify -> connected-component clusters -> canonical survivors; FULL oracle via recursive-CTE components. r7: + plans/curation.curate_corpus funnel — quality/dedup/decontamination/pack stage counts each replayed in SQL)",
+    oracle=_dedup_pipeline_merged_oracle(),
 )
 def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r1–r6 survivors output (tag='survivor') unioned with the
+    curate_corpus funnel's per-stage survivor counts (tag='funnel_*',
+    count in the doc_id column) — the capstone composition's stage
+    arithmetic is now oracle-verified, not just pytest-planted. The
+    funnel runs on the decontaminate gate's %-split (corpus = doc_id
+    %% 7 != 0, benchmark = the rest) and writes its shards to a
+    throwaway temp dir. The timed bench entry keeps the r1–r6
+    survivors-only plan via a BENCH_ONLY override (BENCH_NOTES.md)."""
+    import os
+    import tempfile
+
+    from cod_stats_spark.plans.curation import curate_corpus
+
+    survivors = _dedup_pipeline_survivors(spark, sf_dir)
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    out_dir = tempfile.mkdtemp(prefix="curation_gate_")
+    _, stats = curate_corpus(
+        corpus,
+        bench,
+        os.path.join(out_dir, "shards"),
+        min_quality=0.25,
+        jaccard_threshold=0.7,
+        num_hashes=32,
+        bands=16,
+        decontam_ngram_n=3,
+        decontam_min_overlap=2,
+        token_budget=2048,
+        salt="curate",
+    )
+    funnel = spark.createDataFrame(
+        [(f"funnel_{k}", int(v)) for k, v in stats.items()],
+        "tag string, doc_id long",
+    ).select(
+        "tag",
+        "doc_id",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_chars"),
+    )
+    tagged = survivors.select(
+        F.lit("survivor").alias("tag"),
+        "doc_id",
+        "cluster_id",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return tagged.unionByName(funnel)
+
+
+def _dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup removal as a single lazy plan: exact dedup
     picks canonical ids, MinHash-LSH proposes candidate pairs among
     survivors, Jaccard >= 0.7 confirms, and confirmed duplicates (the
@@ -2915,6 +3236,16 @@ def rolling_orders_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice_sum_cume", 2).alias("o_totalprice_sum_cume"),
         F.col("o_orderkey_count_cume").alias("n_cume"),
     )
+
+
+@_bench_only("dedup_pipeline")
+def dedup_pipeline_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed `dedup_pipeline` entry — the r1–r6 survivors-only
+    composite plan, frozen while the GATE widened in r7 with the
+    curation-funnel tagged union (BENCH_NOTES.md; bench.py merges
+    BENCH_ONLY over QUERIES, so this override keeps the timed work
+    comparable across rounds)."""
+    return _dedup_pipeline_survivors(spark, sf_dir)
 
 
 @_bench_only("retrieval_bm25_serve")

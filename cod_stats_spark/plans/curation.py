@@ -56,6 +56,7 @@ def curate_corpus(
     num_hashes: int = 32,
     bands: int = 16,
     decontam_ngram_n: int = 8,
+    decontam_min_overlap: int = 1,
     token_budget: int = 2048,
     salt: str = "curate",
 ) -> tuple[DataFrame, dict[str, int]]:
@@ -101,7 +102,8 @@ def curate_corpus(
 
     if benchmark is not None:
         clean = decontaminate(
-            deduped, benchmark, text_col, id_col, ngram_n=decontam_ngram_n
+            deduped, benchmark, text_col, id_col,
+            ngram_n=decontam_ngram_n, min_overlap=decontam_min_overlap,
         ).persist(StorageLevel.MEMORY_AND_DISK)
     else:
         clean = deduped

@@ -85,6 +85,84 @@ class TestZOrder:
             zorder_key(df, ["a", "b", "c", "d"], bits=16)
 
 
+def _scan_output_rows(df) -> int:
+    """numOutputRows of the executed plan's parquet scan — rows the
+    reader actually decoded AFTER parquet row-group skipping (Spark
+    pushes the predicate into the scan; surviving rows are counted at
+    the scan node, the row-level filter runs above it)."""
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan()
+    try:
+        ep = ep.finalPhysicalPlan()  # unwrap AQE
+    except Exception:
+        pass
+    leaves = ep.collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        it = m.iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numOutputRows":
+                total += kv._2().value()
+    return total
+
+
+class TestZOrderSparkPruning:
+    def test_spark_scan_skips_row_groups_on_either_dimension(
+        self, spark, tmp_path
+    ):
+        """End-to-end in Spark, not pyarrow: a range predicate on the
+        SECOND Z-order column must let the parquet reader skip most
+        row groups (scan numOutputRows ≪ table rows), while the same
+        predicate against a single-column-sorted layout decodes
+        ~everything — the read-path payoff `write_zordered` exists
+        for (round-6 verdict task 5)."""
+        from cod_stats_spark.operators.layout import write_zordered
+
+        n = 1 << 14
+        df = spark.sql(
+            f"SELECT id % 128 AS x, id DIV 128 AS y, id AS payload FROM range({n})"
+        )
+        zp = str(tmp_path / "z")
+        sp = str(tmp_path / "s")
+        # 64 files ≈ 256-row row groups: skipping granularity fine
+        # enough that the curve's tiling shows up in the scan metric
+        write_zordered(df, zp, ["x", "y"], bits=6, num_files=64)
+        df.repartitionByRange(64, "x").sortWithinPartitions("x").write.parquet(sp)
+
+        pred = "y BETWEEN 10 AND 20"
+        z_rows = _scan_output_rows(spark.read.parquet(zp).filter(pred))
+        s_rows = _scan_output_rows(spark.read.parquet(sp).filter(pred))
+        # x-sorted: every row group spans the full y domain — nothing
+        # skips; z-ordered: only the row groups tiling y∈[10,20] decode
+        assert s_rows >= n * 0.9, s_rows
+        assert z_rows <= n / 4, z_rows
+        assert z_rows < s_rows / 3, (z_rows, s_rows)
+        # and the answers agree exactly
+        want = sorted(
+            r["payload"] for r in df.filter(pred).collect()
+        )
+        got = sorted(
+            r["payload"] for r in spark.read.parquet(zp).filter(pred).collect()
+        )
+        assert got == want
+
+    def test_predicate_on_first_dimension_also_prunes(self, spark, tmp_path):
+        from cod_stats_spark.operators.layout import write_zordered
+
+        n = 1 << 14
+        df = spark.sql(
+            f"SELECT id % 128 AS x, id DIV 128 AS y, id AS payload FROM range({n})"
+        )
+        zp = str(tmp_path / "z2")
+        write_zordered(df, zp, ["x", "y"], bits=6, num_files=64)
+        z_rows = _scan_output_rows(
+            spark.read.parquet(zp).filter("x BETWEEN 100 AND 110")
+        )
+        assert z_rows <= n / 4, z_rows
+
+
 def test_constant_column_zorder(spark, tmp_path):
     """A constant column contributes cell 0 everywhere instead of
     dividing by a zero range."""

@@ -77,6 +77,11 @@ HEADLINE = [
     # round-6 addition: BLAS-scored batch KNN (new entry, new scope —
     # the scale-audit answer to knn_join's |Q|x|C| interpreted scoring)
     "knn_join_gemm",
+    # round-7 addition: the capstone curation funnel end to end
+    # (quality -> dedup -> decontaminate -> pack -> shard WRITE +
+    # manifest read-back) — the whole-job number cross-round funnels
+    # are tracked by (BENCH_NOTES.md)
+    "curate_corpus",
 ]
 
 
@@ -104,6 +109,7 @@ def main() -> None:
         "multimodal_decode",
         "repetition_metrics",
         "knn_join",
+        "curate_corpus",
     ):
         try:
             queries[wq](spark, warm_dir).count()

@@ -3238,6 +3238,43 @@ def rolling_orders_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_bench_only("curate_corpus")
+def curate_corpus_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone funnel as a timed entry (r6 verdict task 7):
+    quality gate → exact+near dedup → decontamination → pack → shard
+    WRITE, end to end including the driver-materializing stage counts
+    and the on-disk shard/manifest round-trip — the whole-job number
+    cross-round funnels are tracked by. Same parameters as the
+    oracle-verified funnel inside the `dedup_pipeline` gate; output
+    (the manifest) is computed FROM the written table."""
+    import os
+    import tempfile
+
+    from cod_stats_spark.plans.curation import curate_corpus
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    tmp_root = os.path.join(repo, ".bench_tmp")
+    os.makedirs(tmp_root, exist_ok=True)
+    out_dir = tempfile.mkdtemp(prefix="curate_bench_", dir=tmp_root)
+    manifest, _ = curate_corpus(
+        corpus,
+        bench,
+        os.path.join(out_dir, "shards"),
+        min_quality=0.25,
+        jaccard_threshold=0.7,
+        num_hashes=32,
+        bands=16,
+        decontam_ngram_n=3,
+        decontam_min_overlap=2,
+        token_budget=2048,
+        salt="curate",
+    )
+    return manifest
+
+
 @_bench_only("dedup_pipeline")
 def dedup_pipeline_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timed `dedup_pipeline` entry — the r1–r6 survivors-only

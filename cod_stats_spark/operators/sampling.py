@@ -99,3 +99,103 @@ def stratified_sample(
         ).otherwise(thr)
     key = F.concat(F.col(key_col).cast("string"), F.lit(salt))
     return df.filter(_hash_bucket(key) < thr)
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    splits: Mapping[str, float] | None = None,
+    salt: str = "",
+    group_col: str | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds ``out_col`` with
+    the split name, a pure function of the hashed key — re-runs,
+    repartitions, appends, and other engines all agree, so a doc can
+    never silently migrate between train and eval.
+
+    ``splits`` maps name -> fraction in declaration order (default
+    98/1/1); the last split absorbs hash-bucket rounding. ``group_col``
+    is the LEAKAGE GUARD: hash that column instead of the row key so an
+    entire group — all docs of one source, or one near-dup cluster id
+    from `dedup_clusters` — lands in a single split. Splitting
+    independent rows that are near-duplicates of each other puts
+    eval answers in the training set; group-hashing is how a 100 TB
+    pipeline prevents that without any join or shuffle (the assignment
+    stays a codegen'd projection).
+    """
+    if splits is None:
+        splits = {"train": 0.98, "val": 0.01, "test": 0.01}
+    buckets = 1 << 20
+    hash_col = group_col or key_col
+    b = _hash_bucket(F.concat(F.col(hash_col).cast("string"), F.lit(salt)))
+    names = list(splits)
+    acc = 0.0
+    expr = F.lit(names[-1])  # last split takes the rounding remainder
+    cut = []
+    for name in names[:-1]:
+        acc += float(splits[name])
+        cut.append((name, int(round(acc * buckets))))
+    for name, threshold in reversed(cut):
+        expr = F.when(b < threshold, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    target_weights: Mapping[str, float],
+    size_col: str | None = None,
+    budget: float | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: thin the corpus so the
+    surviving mass matches ``target_weights`` per domain (the static
+    mixture-reweighting every pretraining run does — e.g. cap web
+    crawl at 60%, boost code to 25%).
+
+    Mass is row count, or ``size_col`` (e.g. a token count) when
+    given. With no ``budget`` the sample is the LARGEST corpus that
+    achieves the exact target proportions without replication:
+    total S = min over domains of size_d / w_d, keep fraction
+    w_d * S / size_d per domain. With ``budget`` (same unit as mass)
+    fractions are min(1, budget * w_d / size_d) — domains short of
+    their allocation are kept whole and the mixture degrades
+    gracefully rather than failing. Domains absent from
+    ``target_weights`` are dropped.
+
+    Plan: one small groupBy over the domain column (collected —
+    driver state is O(#domains)), then the same md5-threshold filter
+    `stratified_sample` uses: a codegen'd projection over the big
+    table, zero shuffles, reproducible in any engine. Fractions round
+    to 9 dp before bucket-thresholding so two engines computing them
+    independently agree (same protocol as `weighted_sample`).
+    """
+    mass = F.count(F.lit(1)) if size_col is None else F.sum(F.col(size_col).cast("double"))
+    sizes = {
+        r["d"]: float(r["m"])
+        for r in df.groupBy(F.col(domain_col).alias("d")).agg(mass.alias("m")).collect()
+    }
+    weights = {d: float(w) for d, w in target_weights.items() if float(w) > 0}
+    fractions: dict[str, float] = {}
+    if budget is None:
+        s_total = min(
+            (sizes.get(d, 0.0) / w for d, w in weights.items()), default=0.0
+        )
+        for d, w in weights.items():
+            if sizes.get(d):
+                fractions[d] = w * s_total / sizes[d]
+    else:
+        for d, w in weights.items():
+            if sizes.get(d):
+                fractions[d] = min(1.0, float(budget) * w / sizes[d])
+    buckets = 1 << 20
+    thr = F.lit(-1)  # domains outside the target mixture drop
+    for domain, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(domain_col) == domain,
+            F.lit(int(round(frac, 9) * buckets)),
+        ).otherwise(thr)
+    key = F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    return df.filter(_hash_bucket(key) < thr)

@@ -337,6 +337,104 @@ class TestWeightedSample:
         assert got == {"a"}
 
 
+class TestAssignSplits:
+    def test_fractions_and_determinism(self, spark):
+        from cod_stats_spark.operators.sampling import assign_splits
+
+        df = spark.createDataFrame([(i,) for i in range(5000)], "id long")
+        out = assign_splits(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        by = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+        assert set(by) == {"train", "val", "test"}
+        assert sum(by.values()) == 5000        # every row gets a split
+        assert 3800 < by["train"] < 4200
+        again = assign_splits(
+            df.repartition(17), "id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        assert {(r["id"], r["split"]) for r in again.collect()} == {
+            (r["id"], r["split"]) for r in out.collect()
+        }
+
+    def test_append_stability(self, spark):
+        """New rows never move old rows between splits: assignment is a
+        pure per-row hash, so the split of a doc is stable as the
+        corpus grows (the property that keeps eval sets frozen)."""
+        from cod_stats_spark.operators.sampling import assign_splits
+
+        small = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+        big = spark.createDataFrame([(i,) for i in range(3000)], "id long")
+        a = {(r["id"], r["split"]) for r in assign_splits(small, "id").collect()}
+        b = {(r["id"], r["split"]) for r in assign_splits(big, "id").collect()}
+        assert a <= b
+
+    def test_group_leakage_guard(self, spark):
+        """With group_col, every row of a group lands in ONE split —
+        the guard that keeps near-dup clusters out of both train and
+        eval at once."""
+        from cod_stats_spark.operators.sampling import assign_splits
+
+        rows = [(i, f"g{i % 40}") for i in range(2000)]
+        df = spark.createDataFrame(rows, "id long, grp string")
+        out = assign_splits(
+            df, "id", {"train": 0.6, "val": 0.2, "test": 0.2}, group_col="grp"
+        )
+        per_group = (
+            out.groupBy("grp").agg(F.countDistinct("split").alias("n")).collect()
+        )
+        assert all(r["n"] == 1 for r in per_group)
+        # and more than one split is actually populated across groups
+        assert out.select("split").distinct().count() > 1
+
+
+class TestMixtureSample:
+    def _docs(self, spark):
+        rows = []
+        i = 0
+        for dom, n, size in (("web", 3000, 10), ("code", 600, 10), ("wiki", 300, 10)):
+            for _ in range(n):
+                rows.append((i, dom, size))
+                i += 1
+        return spark.createDataFrame(rows, "id long, dom string, toks long")
+
+    def test_exact_proportions_without_budget(self, spark):
+        """No budget -> largest corpus at the target mixture: the
+        binding domain is kept (nearly) whole, the rest thin to
+        match."""
+        from cod_stats_spark.operators.sampling import mixture_sample
+
+        df = self._docs(spark)
+        out = mixture_sample(
+            df, "id", "dom", {"web": 0.5, "code": 0.3, "wiki": 0.2}, size_col="toks"
+        )
+        by = {r["dom"]: r["count"] for r in out.groupBy("dom").count().collect()}
+        # binding domain: code (600/0.3=2000 < web 3000/0.5=6000, wiki 300/0.2=1500)
+        # -> wiki binds: S=1500; expect web 750, code 450, wiki 300
+        assert by["wiki"] == 300                     # scarcest kept whole
+        assert 600 < by["web"] < 900
+        assert 360 < by["code"] < 540
+
+    def test_budget_caps_and_drops(self, spark):
+        from cod_stats_spark.operators.sampling import mixture_sample
+
+        df = self._docs(spark)
+        out = mixture_sample(
+            df, "id", "dom", {"web": 0.5, "code": 0.5}, size_col="toks",
+            budget=20000,
+        )
+        by = {r["dom"]: r["count"] for r in out.groupBy("dom").count().collect()}
+        assert "wiki" not in by                      # outside the target mixture
+        assert by["code"] == 600                     # short domain kept whole
+        assert 800 < by["web"] < 1200                # 10000/30000 of web mass
+
+    def test_deterministic_under_repartition(self, spark):
+        from cod_stats_spark.operators.sampling import mixture_sample
+
+        df = self._docs(spark)
+        w = {"web": 0.6, "code": 0.4}
+        a = {r["id"] for r in mixture_sample(df, "id", "dom", w).collect()}
+        b = {r["id"] for r in mixture_sample(df.repartition(13), "id", "dom", w).collect()}
+        assert a == b and a
+
+
 class TestPacking:
     def _toks(self, spark, counts):
         return spark.createDataFrame(

@@ -43,10 +43,14 @@ HEADLINE = [
     # run — the md5-instrumented oracle variants stay in queries() as
     # correctness gates but are not what the perf envelope tracks
     # (round-2 verdict, task 1)
-    "dedup_minhash_prod",
+    "dedup_minhash_prod_v2",
     "dedup_simhash_prod",
-    "dedup_pipeline",
+    "dedup_pipeline_v2",
     "decontaminate",
+    # round-7 addition: the doc-level cleaning path (new entry, new
+    # scope — linear gram-set match; the `decontaminate` entry keeps
+    # timing the pairwise reporting join for cross-round comparability)
+    "decontaminate_clean",
     "sketches_only",
     "ann_cosine_topk",
     "ann_lsh_topk",
@@ -102,9 +106,9 @@ def main() -> None:
         warm_dir = SF_DIR
     for wq in (
         "q1_pricing_summary",
-        "dedup_minhash_prod",
+        "dedup_minhash_prod_v2",
         "dedup_simhash_prod",
-        "dedup_pipeline",
+        "dedup_pipeline_v2",
         "decontaminate",
         "multimodal_decode",
         "repetition_metrics",

@@ -2,24 +2,30 @@
 n-grams with an evaluation/benchmark set.
 
 The standard LLM-pipeline contract (n-gram overlap decontamination, as
-popularized by the GPT-3/PaLM appendices): a corpus document is
-contaminated when it contains at least ``min_overlap`` distinct word
-``n``-grams that also occur anywhere in the benchmark set.
+popularized by the GPT-3/PaLM appendices). Two query shapes:
 
-Scale shape (100 TB corpus, benchmark sets are MBs–GBs):
+- :func:`contaminated_docs` / :func:`decontaminate` — the CLEANING
+  path: a corpus document is contaminated when at least
+  ``min_overlap`` of its distinct word ``n``-grams occur anywhere in
+  the benchmark UNION. Cost is linear in the corpus gram count: the
+  benchmark reduces to one distinct n-gram SET, and each corpus gram
+  matches it at most once. This is the path to run at 100 TB.
+- :func:`contamination_pairs` — the REPORTING path: per
+  (doc, bench_doc) overlap counts ("which benchmark did we hit?").
+  Joining gram occurrences pairwise makes the intermediate
+  Σ_g cnt_corpus(g)·cnt_bench(g) — fine at benchmark granularity
+  and production n (8–13, where gram collisions are rare), but it
+  grows superlinearly when the benchmark side scales with the corpus
+  (the r7 sf10eq audit measured exactly that) — don't clean with it.
 
-- The benchmark side reduces to a DISTINCT n-gram set ONCE (tiny by
-  construction: eval suites are orders of magnitude smaller than the
-  corpus) and broadcasts.
-- The corpus side explodes to (doc_id, ngram) — linear in corpus size,
-  no shuffle for the join itself (broadcast hash join), one map-side-
-  combined shuffle for the per-(doc, bench) overlap count.
-- Nothing is ever all-pairs: docs with zero overlapping n-grams never
-  leave the map side.
-
-Set ``broadcast_benchmark=False`` if the benchmark side is too large
-for a broadcast (e.g. decontaminating against another corpus) — the
-join degrades gracefully to a shuffled hash join on the n-gram.
+Broadcast posture: eval suites are MBs, so the benchmark gram set
+normally broadcasts (zero shuffle on the corpus side). The decision is
+ADAPTIVE by default: Catalyst's size estimate for the benchmark input,
+times an n-gram expansion factor, is compared against the session's
+autoBroadcastJoinThreshold — a benchmark that is secretly another
+corpus degrades to a shuffled join (AQE may still convert at runtime
+if the built side turns out small) instead of OOMing the build side.
+Force with ``broadcast_benchmark=True``/``False``.
 
 All pure Column expressions (reuses functions/text.py shingling — the
 same normalization as the dedup family, so decontamination and dedup
@@ -53,6 +59,36 @@ def _ngrams(df: DataFrame, text_col: str, id_col: str, n: int, out_id: str) -> D
     return pinned.select(out_id, F.explode("_grams").alias("ngram"))
 
 
+def _should_broadcast(
+    benchmark: DataFrame, ngram_n: int, override: bool | None
+) -> bool:
+    """Adaptive broadcast decision for the benchmark gram set.
+
+    Catalyst's estimate of the benchmark INPUT (file bytes for a scan)
+    scaled by the n-gram expansion (each token starts ~one n-gram of
+    ~n tokens, and parquet text decompresses a few ×) against the
+    session's autoBroadcastJoinThreshold. Deliberately conservative:
+    a false negative costs one extra shuffle that AQE can still undo
+    at runtime; a false positive builds an unbounded hash relation on
+    every executor."""
+    if override is not None:
+        return override
+    try:
+        est = int(benchmark._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        thr = int(
+            benchmark.sparkSession._jsparkSession.sessionState()
+            .conf()
+            .autoBroadcastJoinThreshold()
+        )
+    except Exception:
+        est, thr = 1 << 62, 0
+    if thr <= 0:  # broadcast disabled session-wide
+        return False
+    if est >= 1 << 62:  # unknown (RDD-backed input): leave it to AQE,
+        return False    # which converts to broadcast at runtime if small
+    return est * ngram_n * 3 <= thr
+
+
 def contamination_pairs(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -62,21 +98,56 @@ def contamination_pairs(
     bench_id_col: str | None = None,
     ngram_n: int = 8,
     min_overlap: int = 1,
-    broadcast_benchmark: bool = True,
+    broadcast_benchmark: bool | None = None,
 ) -> DataFrame:
     """(doc_id, bench_id, n_overlap) for every corpus×benchmark pair
-    sharing >= ``min_overlap`` distinct word n-grams."""
+    sharing >= ``min_overlap`` distinct word n-grams — the REPORTING
+    shape (see module docstring for why cleaning should use
+    :func:`decontaminate` instead at scale)."""
     bench_text_col = bench_text_col or text_col
     bench_id_col = bench_id_col or id_col
     corpus_grams = _ngrams(corpus, text_col, id_col, ngram_n, "doc_id")
     bench_grams = _ngrams(benchmark, bench_text_col, bench_id_col, ngram_n, "bench_id").distinct()
-    if broadcast_benchmark:
+    if _should_broadcast(benchmark, ngram_n, broadcast_benchmark):
         bench_grams = F.broadcast(bench_grams)
     return (
         corpus_grams.join(bench_grams, "ngram")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_text_col: str | None = None,
+    ngram_n: int = 8,
+    min_overlap: int = 1,
+    broadcast_benchmark: bool | None = None,
+) -> DataFrame:
+    """(doc_id, n_matched) for corpus docs whose distinct n-grams hit
+    the benchmark UNION's gram set >= ``min_overlap`` times — the
+    CLEANING shape: one distinct gram set, each corpus gram matched at
+    most once, output linear in corpus grams. Slightly stricter than
+    pair-level counting (k grams spread across k different benchmark
+    docs count), which is the conservative direction for cleaning."""
+    bench_text_col = bench_text_col or text_col
+    corpus_grams = _ngrams(corpus, text_col, id_col, ngram_n, "doc_id")
+    bench_set = (
+        _ngrams(benchmark, bench_text_col, id_col, ngram_n, "_b")
+        .select("ngram")
+        .distinct()
+    )
+    if _should_broadcast(benchmark, ngram_n, broadcast_benchmark):
+        bench_set = F.broadcast(bench_set)
+    return (
+        corpus_grams.join(bench_set, "ngram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .filter(F.col("n_matched") >= min_overlap)
     )
 
 
@@ -93,10 +164,10 @@ def decontaminate(
     **kwargs,
 ) -> DataFrame:
     """Corpus rows with contaminated documents removed (left-anti join
-    against the flagged id set — the write path for a clean corpus)."""
-    flagged = contaminated_doc_ids(
-        contamination_pairs(corpus, benchmark, text_col, id_col, **kwargs)
-    )
+    against the flagged id set — the write path for a clean corpus).
+    Uses the linear doc-level gram-set match (:func:`contaminated_docs`),
+    NOT the pairwise report."""
+    flagged = contaminated_docs(corpus, benchmark, text_col, id_col, **kwargs)
     return corpus.join(
-        flagged.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+        flagged.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )

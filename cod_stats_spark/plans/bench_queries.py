@@ -2429,9 +2429,10 @@ f_deduped AS (
 f_cg AS ({grams('f_deduped')}),
 f_bg AS ({grams('f_bench')}),
 f_contam AS (
-  SELECT DISTINCT cg.doc_id
-  FROM f_cg cg JOIN f_bg bg ON cg.ngram = bg.ngram
-  GROUP BY cg.doc_id, bg.doc_id
+  SELECT doc_id
+  FROM f_cg
+  WHERE ngram IN (SELECT DISTINCT ngram FROM f_bg)
+  GROUP BY doc_id
   HAVING count(*) >= {min_overlap}
 ),
 f_clean AS (
@@ -2522,7 +2523,7 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_quality=0.25,
         jaccard_threshold=0.7,
         num_hashes=32,
-        bands=16,
+        bands=8,
         decontam_ngram_n=3,
         decontam_min_overlap=2,
         token_budget=2048,
@@ -2591,7 +2592,7 @@ def _dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cands = minhash_lsh_pairs(
-        keepers, "text", "doc_id", num_hashes=32, bands=16, shingle_col="_sh"
+        keepers, "text", "doc_id", num_hashes=32, bands=8, shingle_col="_sh"
     )
     confirmed = ngram_jaccard_pairs(
         keepers, "text", "doc_id", cands, threshold=0.7, shingle_col="_sh"
@@ -2941,9 +2942,9 @@ def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stratified_sample",
-    covers="EXT-sampling (deterministic md5-threshold stratified sampling + Efraimidis-Spirakis weighted sampling w/o replacement — the exact samples reproduce in any engine)",
+    covers="EXT-sampling (deterministic md5-threshold stratified sampling + Efraimidis-Spirakis weighted sampling w/o replacement + train/val/test split assignment with group-level leakage guard + domain-mixture sampling — the exact samples reproduce in any engine)",
     oracle=f"""
-SELECT 'strat' AS tag, event_id, event_type
+SELECT 'strat' AS tag, event_id AS id, event_type AS info
 FROM events
 WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 5))::BIGINT <
       CASE event_type
@@ -2952,7 +2953,7 @@ WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 5))::BIGINT <
         ELSE {1 << 20}
       END
 UNION ALL
-SELECT 'wes' AS tag, event_id, event_type
+SELECT 'wes' AS tag, event_id AS id, event_type AS info
 FROM (
   SELECT event_id, event_type
   FROM events
@@ -2964,25 +2965,82 @@ FROM (
            event_id ASC
   LIMIT 400
 )
+UNION ALL
+SELECT 'split' AS tag, doc_id AS id,
+       CASE WHEN ('0x' || substr(md5(source), 1, 5))::BIGINT
+                 < {int(round(0.9 * (1 << 20)))} THEN 'train'
+            WHEN ('0x' || substr(md5(source), 1, 5))::BIGINT
+                 < {int(round(0.95 * (1 << 20)))} THEN 'val'
+            ELSE 'test' END AS info
+FROM documents
+UNION ALL
+SELECT 'mix' AS tag, d.doc_id AS id, d.lang AS info
+FROM documents d
+JOIN (
+  WITH w(d, wt) AS (SELECT * FROM (VALUES
+         ('en', 0.4), ('zh', 0.2), ('es', 0.2), ('fr', 0.2))),
+  sizes AS (SELECT lang AS d, SUM(CAST(n_chars AS DOUBLE)) AS m
+            FROM documents GROUP BY lang),
+  st AS (SELECT min(m / wt) AS s_total FROM sizes JOIN w USING (d))
+  SELECT d,
+         CAST(floor(round(wt * (SELECT s_total FROM st) / m, 9)
+                    * {1 << 20}) AS BIGINT) AS thr
+  FROM sizes JOIN w USING (d)
+) t ON d.lang = t.d
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 5))::BIGINT < t.thr
 """,
 )
 def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two deterministic-sampling shapes, tagged (widened r6):
+    """Four deterministic-sampling shapes, tagged (widened r6, r7):
     'strat' downsamples high-volume event types (view→10%, click→25%,
     rest whole) by md5 threshold; 'wes' draws a 400-row
     importance-weighted sample (weight = value) via Efraimidis-
-    Spirakis keys. Both samples are pure functions of the data, so
-    the oracle engine draws IDENTICAL rows."""
-    from cod_stats_spark.operators.sampling import stratified_sample, weighted_sample
+    Spirakis keys; 'split' assigns 90/5/5 train/val/test hashed on the
+    SOURCE column (the leakage guard: every doc of a source lands in
+    one split); 'mix' thins the corpus to a 40/20/20/20 en/zh/es/fr
+    char mixture ('de' outside the target drops, the scarcest domain
+    is kept whole). All four are pure functions of the data, so the
+    oracle engine draws IDENTICAL rows."""
+    from cod_stats_spark.operators.sampling import (
+        assign_splits,
+        mixture_sample,
+        stratified_sample,
+        weighted_sample,
+    )
 
-    ev = load_tables(spark, sf_dir)["events"]
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    docs = t["documents"]
     strat = stratified_sample(
         ev, "event_id", "event_type", {"view": 0.1, "click": 0.25}
-    ).select(F.lit("strat").alias("tag"), "event_id", "event_type")
-    wes = weighted_sample(ev, "event_id", "value", n=400).select(
-        F.lit("wes").alias("tag"), "event_id", "event_type"
+    ).select(
+        F.lit("strat").alias("tag"),
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("info"),
     )
-    return strat.unionByName(wes)
+    wes = weighted_sample(ev, "event_id", "value", n=400).select(
+        F.lit("wes").alias("tag"),
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("info"),
+    )
+    split = assign_splits(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
+        group_col="source",
+    ).select(
+        F.lit("split").alias("tag"),
+        F.col("doc_id").alias("id"),
+        F.col("split").alias("info"),
+    )
+    mix = mixture_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.4, "zh": 0.2, "es": 0.2, "fr": 0.2},
+        size_col="n_chars",
+    ).select(
+        F.lit("mix").alias("tag"),
+        F.col("doc_id").alias("id"),
+        F.col("lang").alias("info"),
+    )
+    return strat.unionByName(wes).unionByName(split).unionByName(mix)
 
 
 _BM25_SQL_BODY = """
@@ -3149,13 +3207,20 @@ def _bench_only(name: str):
     return deco
 
 
-@_bench_only("dedup_minhash_prod")
+@_bench_only("dedup_minhash_prod_v2")
 def dedup_minhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production MinHash-LSH: xxhash64 base hash, per-band xxhash64
-    bucket key (narrow shuffle). Same structural parameters as the
-    md5-oracled `dedup_minhash` gate."""
+    bucket key (narrow shuffle). _v2 (r7): 8 bands × 4 rows — the
+    s-curve tuning for the 0.7 near-dup threshold (midpoint
+    (1/8)^(1/4) ≈ 0.6). The old 16×2 banding had its midpoint at
+    0.25, so sub-threshold doc FAMILIES (boilerplate, template text —
+    modeled by the sf10eq replica corpus) collided into tens of
+    millions of false candidates that the verify join then paid for
+    (BENCH_NOTES.md, SCALING.md r7). The md5-oracled `dedup_minhash`
+    gate keeps 16×2 — its oracle replays banding exactly, and wider
+    recall is the property IT proves."""
     docs = load_tables(spark, sf_dir)["documents"]
-    return minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=32, bands=16)
+    return minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=32, bands=8)
 
 
 @_bench_only("dedup_simhash_prod")
@@ -3266,7 +3331,7 @@ def curate_corpus_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_quality=0.25,
         jaccard_threshold=0.7,
         num_hashes=32,
-        bands=16,
+        bands=8,
         decontam_ngram_n=3,
         decontam_min_overlap=2,
         token_budget=2048,
@@ -3275,13 +3340,15 @@ def curate_corpus_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest
 
 
-@_bench_only("dedup_pipeline")
+@_bench_only("dedup_pipeline_v2")
 def dedup_pipeline_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Timed `dedup_pipeline` entry — the r1–r6 survivors-only
-    composite plan, frozen while the GATE widened in r7 with the
-    curation-funnel tagged union (BENCH_NOTES.md; bench.py merges
-    BENCH_ONLY over QUERIES, so this override keeps the timed work
-    comparable across rounds)."""
+    """Timed `dedup_pipeline` entry — the survivors-only composite
+    plan (the GATE widened in r7 with the curation-funnel tagged
+    union; bench.py merges BENCH_ONLY over QUERIES, so this override
+    keeps the timed work scope-clean). _v2 (r7): LSH banding retuned
+    16×2 → 8×4 for the 0.7 threshold after the sf10eq audit measured
+    the old banding generating 19.8M candidates for 1,044 true dups
+    (5 GB shuffle, 28 GB spill — BENCH_NOTES.md, SCALING.md)."""
     return _dedup_pipeline_survivors(spark, sf_dir)
 
 
@@ -3316,6 +3383,26 @@ def retrieval_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx,
         {"bm25a": _RETRIEVAL_QUERY_A, "bm25b": _RETRIEVAL_QUERY_B},
         k=20,
+    )
+
+
+@_bench_only("decontaminate_clean")
+def decontaminate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level decontamination CLEANING path (r7): the corpus is
+    anti-joined against docs whose distinct 3-grams hit the benchmark
+    UNION's gram set >= 2 times — one distinct gram set, each corpus
+    gram matched at most once, output linear in corpus grams. This is
+    the shape `curate_corpus` and any at-scale corpus clean runs; the
+    `decontaminate` gate keeps timing the per-(doc, bench) REPORTING
+    join, whose intermediate is Σ_g cnt_c(g)·cnt_b(g) (the r7 sf10eq
+    audit measured that superlinear — SCALING.md)."""
+    from cod_stats_spark.operators.decontaminate import decontaminate
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    return decontaminate(
+        corpus, bench, "text", "doc_id", ngram_n=3, min_overlap=2
     )
 
 

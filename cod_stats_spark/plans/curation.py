@@ -8,8 +8,10 @@ data pipeline runs them, wired from the already-tested pieces:
 3. near-dup removal    MinHash-LSH → Jaccard verify → connected
                        components → canonical survivors (bucketed,
                        candidate-restricted — never all-pairs)
-4. decontamination     operators/decontaminate (broadcast benchmark
-                       n-grams, cost ∝ matching docs)
+4. decontamination     operators/decontaminate (one distinct
+                       benchmark gram set — broadcast when it fits,
+                       shuffled join when it doesn't; doc-level match,
+                       cost linear in corpus grams)
 5. pack + shard write  operators/packing + sharding via
                        plans/training_export (distributed prefix
                        scan, clustered partitioned write, manifest
@@ -53,8 +55,12 @@ def curate_corpus(
     id_col: str = "doc_id",
     min_quality: float = 0.25,
     jaccard_threshold: float = 0.7,
+    # 8 bands × 4 rows: s-curve midpoint (1/8)^(1/4) ≈ 0.6, matched to
+    # the 0.7 default threshold. Wider banding (more bands, fewer rows)
+    # raises recall but collides sub-threshold doc FAMILIES — measured
+    # at 19.8M false candidates on the sf10eq replica corpus (SCALING.md)
     num_hashes: int = 32,
-    bands: int = 16,
+    bands: int = 8,
     decontam_ngram_n: int = 8,
     decontam_min_overlap: int = 1,
     token_budget: int = 2048,

@@ -329,14 +329,90 @@ class TestDecontaminate:
         from cod_stats_spark.operators.decontaminate import contamination_pairs
 
         corpus, bench = self._frames(spark)
+        # forced decisions are honored in the static plan
         plan = contamination_pairs(
-            corpus, bench, "text", "doc_id"
+            corpus, bench, "text", "doc_id", broadcast_benchmark=True
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         plan2 = contamination_pairs(
             corpus, bench, "text", "doc_id", broadcast_benchmark=False
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" not in plan2
+
+    def test_auto_broadcasts_known_small_benchmark(self, spark):
+        """Auto decision on a parquet-backed benchmark (Catalyst knows
+        its size): tiny -> static broadcast, zero corpus-side
+        shuffle. RDD-backed inputs have UNKNOWN size and defer to
+        AQE's runtime conversion instead."""
+        from cod_stats_spark.operators.decontaminate import (
+            _should_broadcast,
+            contaminated_docs,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        corpus, _ = self._frames(spark)
+        assert _should_broadcast(docs, 3, None) is True
+        plan = contaminated_docs(
+            corpus, docs, "text", "doc_id"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_auto_declines_broadcast_when_threshold_small(self, spark):
+        """The adaptive decision backs off to a shuffled join when the
+        benchmark's estimated gram bytes exceed the session broadcast
+        threshold — the sf10eq OOM fix: an unbounded benchmark must
+        degrade, not build an unbounded hash relation."""
+        from cod_stats_spark.operators.decontaminate import contaminated_docs
+
+        corpus, bench = self._frames(spark)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16")
+            plan = contaminated_docs(
+                corpus, bench, "text", "doc_id"
+            )._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_doc_level_cleaning_matches_union_set(self, spark):
+        """contaminated_docs counts distinct grams against the
+        benchmark UNION: two grams hitting two DIFFERENT bench docs
+        reach min_overlap=2 (stricter than pair-level counting), and
+        decontaminate() removes exactly the flagged docs."""
+        from cod_stats_spark.operators.decontaminate import (
+            contaminated_docs,
+            decontaminate,
+        )
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma xx yy epsilon zeta eta"),
+                (2, "totally unrelated text about something else entirely here"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [
+                (100, "alpha beta gamma qq rr"),       # shares 1 gram w/ doc 1
+                (101, "ss tt epsilon zeta eta"),       # shares 1 OTHER gram
+            ],
+            "doc_id long, text string",
+        )
+        flagged = {
+            r["doc_id"]: r["n_matched"]
+            for r in contaminated_docs(
+                corpus, bench, "text", "doc_id", ngram_n=3, min_overlap=2
+            ).collect()
+        }
+        # union semantics: 'alpha beta gamma' (bench 100) + 'epsilon
+        # zeta eta' (bench 101) = 2 distinct gram hits; PAIR-level
+        # counting would see only 1 per bench doc and not flag
+        assert flagged == {1: 2}
+        clean = decontaminate(
+            corpus, bench, "text", "doc_id", ngram_n=3, min_overlap=2
+        )
+        assert {r["doc_id"] for r in clean.collect()} == {2}
 
 
 class TestRedact:

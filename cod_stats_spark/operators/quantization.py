@@ -1,0 +1,198 @@
+"""Product quantization (PQ) for embedding columns — the memory story
+of billion-vector ANN.
+
+A d-dim float vector costs 4d bytes; PQ splits it into ``m`` subspaces
+and stores only each subspace's nearest-codeword index — ``m`` bytes
+per vector at k ≤ 256 codewords (Jégou/Douze/Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011). At 100 TB of
+raw embeddings that is the difference between an index that fits in
+cluster memory and one that doesn't; queries score against codes via
+an asymmetric-distance lookup table (ADC) without ever touching the
+original vectors.
+
+Spark shapes, consistent with the rest of `operators/similarity.py`:
+
+- **train** is bounded driver work: a DETERMINISTIC md5-ordered sample
+  (reproducible under any partitioning) collects to the driver —
+  O(sample·d) memory — and numpy Lloyd's runs per subspace. Codebooks
+  are m·k·(d/m) floats (a few KB), broadcast everywhere else.
+- **encode** is one Arrow-batched `mapInPandas` pass: per batch, each
+  subspace scores ONE GEMM against its k codewords and argmins — no
+  shuffle, no row-at-a-time Python. Output is `array<smallint>`.
+- **query (ADC)** decomposes the inner product exactly:
+  score(q, x̂) = Σ_m  q_m · c[m, code_m]. The driver precomputes the
+  (m × k) lookup table for the query, each partition sums table rows
+  per doc and keeps its own top-k (lossless prune on the same
+  (rounded score, id) total order the other ANN ops use), and the
+  driver merges k rows. Store NORMALIZED vectors to make the inner
+  product cosine.
+
+PQ is lossy by design: `pq_topk` returns the exact ADC ranking of the
+QUANTIZED corpus, an approximation of the true ranking (recall is
+tested on clustered fixtures; raise m/k for finer cells).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def train_pq(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    k: int = 16,
+    sample_size: int = 16384,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Learn PQ codebooks: (m, k, d/m) float64 array.
+
+    The training sample is the ``sample_size`` rows with the smallest
+    md5(id) — a pure function of the data (same sample on any engine,
+    any partitioning, any rerun), fetched with one TakeOrdered (per-
+    partition heaps, no shuffle). Lloyd's per subspace is plain numpy
+    on the driver; empty clusters re-seed deterministically from the
+    points farthest from their codeword.
+    """
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .limit(int(sample_size))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_pq: no non-null vectors to train on")
+    x = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"train_pq: dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.Generator(np.random.PCG64(seed))
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        # k-means++-lite init: distinct sample rows, seeded
+        init_idx = rng.choice(len(xs), size=min(k, len(xs)), replace=False)
+        cent = xs[init_idx].copy()
+        if len(cent) < k:  # tiny sample: pad with jittered repeats
+            pad = xs[rng.integers(0, len(xs), k - len(cent))]
+            cent = np.vstack([cent, pad + rng.normal(0, 1e-6, pad.shape)])
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = xs[mask].mean(axis=0)
+                else:  # deterministic re-seed: farthest point overall
+                    cent[c] = xs[d2.min(axis=1).argmax()]
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: np.ndarray,
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Append ``out_col`` = array<smallint> of length m (the per-
+    subspace nearest-codeword indices; first minimum on ties). Null
+    vectors encode to null. One mapInPandas pass, GEMM per subspace:
+    argmin_j ||x_s - c_j||² = argmin_j (||c_j||² - 2·x_s·c_j)."""
+    spark = df.sparkSession
+    m, k, sub = codebooks.shape
+    bc = spark.sparkContext.broadcast(codebooks)
+    cols = df.columns
+    out_fields = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols)
+    schema = f"{out_fields}, `{out_col}` array<smallint>"
+
+    def encode(batches):
+        books = bc.value
+        mm, kk, ss = books.shape
+        cnorm = (books**2).sum(axis=2)  # (m, k)
+        for pdf in batches:
+            vecs = pdf[vec_col]
+            ok = vecs.notna()
+            codes = [None] * len(pdf)
+            if ok.any():
+                X = np.array([list(v) for v in vecs[ok]], dtype=np.float64)
+                n = X.shape[0]
+                c = np.empty((n, mm), dtype=np.int16)
+                for j in range(mm):
+                    xs = X[:, j * ss : (j + 1) * ss]
+                    # (n,k): ||c||² − 2·x·cᵀ  (x² constant per row)
+                    d2 = cnorm[j][None, :] - 2.0 * (xs @ books[j].T)
+                    c[:, j] = d2.argmin(axis=1)
+                it = iter(c)
+                codes = [
+                    [int(v) for v in next(it)] if good else None for good in ok
+                ]
+            pdf[out_col] = codes
+            yield pdf
+
+    return df.mapInPandas(encode, schema=schema)
+
+
+def pq_topk(
+    df: DataFrame,
+    code_col: str,
+    id_col: str,
+    query_vec: list[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Top-k by asymmetric inner-product over PQ codes: (id, score).
+
+    The (m × kc) lookup table lut[j, c] = q_j · codebook[j, c] is
+    computed once on the driver (exact IP decomposition); each Arrow
+    batch scores docs as a table gather+sum and keeps its partition
+    top-k on (round(score, 6) DESC, id ASC) — the same lossless
+    two-stage prune the exact KNN paths use — before the k-row driver
+    merge. Null codes are skipped."""
+    spark = df.sparkSession
+    m, kc, sub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.shape[0] != m * sub:
+        raise ValueError(f"pq_topk: query dim {q.shape[0]} != {m * sub}")
+    lut = np.array(
+        [codebooks[j] @ q[j * sub : (j + 1) * sub] for j in range(m)]
+    )  # (m, kc)
+    bc = spark.sparkContext.broadcast(lut)
+    id_type = df.schema[id_col].dataType.simpleString()
+    kk, dec = int(k), int(score_decimals)
+
+    def score(batches):
+        import pandas as pd
+
+        table = bc.value
+        mm = table.shape[0]
+        jj = np.arange(mm)
+        for pdf in batches:
+            codes = pdf[code_col]
+            ok = codes.notna()
+            if not ok.any():
+                continue
+            C = np.array([list(c) for c in codes[ok]], dtype=np.int64)  # (n, m)
+            s = np.round(table[jj[None, :], C].sum(axis=1), dec)
+            out = pd.DataFrame({"id": pdf[id_col][ok].values, "score": s})
+            out = out.sort_values(
+                ["score", "id"], ascending=[False, True]
+            ).head(kk)
+            yield out
+
+    scored = df.mapInPandas(score, schema=f"id {id_type}, score double")
+    return scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(kk)
+
+
+def pq_reconstruct(codes: list[int], codebooks: np.ndarray) -> np.ndarray:
+    """Driver-side decode of one code word back to its cell centroid
+    (testing/debug helper — production scoring never reconstructs)."""
+    m, _, sub = codebooks.shape
+    return np.concatenate([codebooks[j, codes[j]] for j in range(m)])

@@ -1980,29 +1980,152 @@ def ann_kmeans_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_FOLD_M = 4   # subspaces for the PQ oracle slice (64-dim → 16/sub)
+PQ_FOLD_K = 8   # codewords per subspace (md5-sampled, SQL-replayable)
+
+
+def _pq_oracle_sql(
+    m: int = PQ_FOLD_M, kc: int = PQ_FOLD_K, mod: int = KMEANS_FOLD_MOD, dim: int = 64
+) -> str:
+    """Oracle for ``operators/quantization.py``: codebooks are the
+    md5-sample rule's first ``kc`` vectors SPLIT per subspace (the
+    same deterministic-centroid trick as the IVF/k-means folds — PQ
+    TRAINING is numpy Lloyd's and not SQL-expressible, but encode and
+    ADC over FIXED codebooks are pure arithmetic). Two tagged rows per
+    sampled doc: 'pq_code' packs the m per-subspace argmin indices
+    into one exact double (Σ code_j·kc^j), 'pq_adc' replays the
+    asymmetric inner-product Σ_j q_j·cb[j][code_j] against the
+    vec_id=0 query. list_slice bounds are 1-based inclusive."""
+    sub = dim // m
+    weights = " ".join(f"WHEN {j} THEN {kc**j}" for j in range(m))
+    packed = f"cidx * (CASE j {weights} END)"
+    return f"""
+WITH cent AS (
+  SELECT embedding::DOUBLE[] AS cv,
+         row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cidx
+  FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {kc}
+), pts AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % {mod} = 0
+), subs AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
+scored AS (
+  SELECT p.vec_id, s.j, c.cidx,
+         row_number() OVER (
+           PARTITION BY p.vec_id, s.j
+           ORDER BY (list_dot_product(list_slice(c.cv, s.j*{sub}+1, (s.j+1)*{sub}),
+                                      list_slice(c.cv, s.j*{sub}+1, (s.j+1)*{sub}))
+                     - 2.0 * list_dot_product(list_slice(p.v, s.j*{sub}+1, (s.j+1)*{sub}),
+                                              list_slice(c.cv, s.j*{sub}+1, (s.j+1)*{sub}))) ASC,
+                    c.cidx ASC) AS rn
+  FROM pts p CROSS JOIN cent c CROSS JOIN subs s
+), codes AS (SELECT vec_id, j, cidx FROM scored WHERE rn = 1),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT 'pq_code' AS method, vec_id AS id,
+       sum({packed})::DOUBLE AS cosine
+FROM codes GROUP BY vec_id
+UNION ALL
+SELECT 'pq_adc' AS method, c.vec_id AS id,
+       round(sum(list_dot_product(list_slice(q.qv, c.j*{sub}+1, (c.j+1)*{sub}),
+                                  list_slice(cb.cv, c.j*{sub}+1, (c.j+1)*{sub}))), 6) AS cosine
+FROM codes c JOIN cent cb ON cb.cidx = c.cidx CROSS JOIN q
+GROUP BY c.vec_id
+"""
+
+
+def ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode + ADC (operators/quantization.py) over every
+    KMEANS_FOLD_MOD-th embedding, codebooks = the md5-sample rule's
+    vectors split per subspace (training itself is numpy Lloyd's —
+    oracled here over FIXED codebooks, exactly like the k-means fold
+    oracles assignment rather than the iterative fit)."""
+    import numpy as np
+
+    from cod_stats_spark.operators.quantization import pq_encode
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id"))
+        .limit(PQ_FOLD_K)
+        .collect()
+    )
+    vecs = np.array([[float(x) for x in r["embedding"]] for r in sample])
+    dim = vecs.shape[1]
+    sub = dim // PQ_FOLD_M
+    books = np.stack(
+        [vecs[:, j * sub : (j + 1) * sub] for j in range(PQ_FOLD_M)]
+    )  # (m, k, sub)
+    codes = pq_encode(
+        emb.filter(F.col("vec_id") % KMEANS_FOLD_MOD == 0), "embedding", books
+    )
+    qvec = np.array(
+        [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    )
+    lut = np.array(
+        [books[j] @ qvec[j * sub : (j + 1) * sub] for j in range(PQ_FOLD_M)]
+    )  # (m, k)
+    packed = sum(
+        (F.element_at("pq_code", j + 1).cast("long") * (PQ_FOLD_K**j) for j in range(PQ_FOLD_M)),
+        start=F.lit(0).cast("long"),
+    )
+    adc = F.round(
+        sum(
+            (
+                F.element_at(
+                    F.array(*[F.lit(float(x)) for x in lut[j]]),
+                    F.element_at("pq_code", j + 1).cast("int") + 1,
+                )
+                for j in range(PQ_FOLD_M)
+            ),
+            start=F.lit(0.0),
+        ),
+        6,
+    )
+    code_rows = codes.select(
+        F.lit("pq_code").alias("method"),
+        F.col("vec_id").alias("id"),
+        packed.cast("double").alias("cosine"),
+    )
+    adc_rows = codes.select(
+        F.lit("pq_adc").alias("method"),
+        F.col("vec_id").alias("id"),
+        adc.alias("cosine"),
+    )
+    return code_rows.unionByName(adc_rows)
+
+
 def _ann_merged_oracle() -> str:
-    """Union of the four FULL ANN/clustering oracles (brute / LSH /
-    IVF / k-means assignment), each tagged with its method — every
-    approximation stays value-verified."""
+    """Union of the FULL ANN/clustering/quantization oracles (brute /
+    LSH / IVF / k-means assignment / PQ encode+ADC), each tagged with
+    its method — every approximation stays value-verified."""
     parts = [
         ("brute", _ANN_BRUTE_ORACLE),
         ("lsh", _lsh_oracle_sql()),
         ("ivf", _ivf_oracle_sql()),
         ("kmeans", _kmeans_assign_oracle_sql()),
     ]
-    return "\nUNION ALL\n".join(
+    tagged = "\nUNION ALL\n".join(
         f"SELECT '{m}' AS method, id, cosine FROM ({sql})" for m, sql in parts
+    )
+    # the PQ oracle emits its own method tags ('pq_code'/'pq_adc');
+    # its WITH chain nests in a subquery so the UNION ALL parses
+    return (
+        tagged
+        + "\nUNION ALL\nSELECT method, id, cosine FROM (\n"
+        + _pq_oracle_sql()
+        + "\n)"
     )
 
 
 @query(
     "ann_topk",
     covers=(
-        "EXT-similarity (ANN over embeddings, all three strategies in one gate: "
+        "EXT-similarity (ANN over embeddings, all strategies in one gate: "
         "exact brute-force cosine baseline; LSH sign-bucket multiprobe — the "
         "pruned-scan scale path; IVF probe search with deterministic centroid "
         "sample + nprobe pruning; r7: + clustering.kmeans_assign argmin with "
-        "md5-sampled centroids. FULL oracle incl. bucketing/assignment — "
+        "md5-sampled centroids, + quantization.py PQ encode (per-subspace "
+        "argmin packed exactly) and ADC inner-product scoring over fixed "
+        "codebooks. FULL oracle incl. bucketing/assignment/quantization — "
         "merged from the former ann_cosine_topk / ann_lsh_topk / ann_ivf_topk "
         "gates, registry ≤ 50)"
     ),
@@ -2013,7 +2136,8 @@ def ann_topk_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = ann_lsh_topk_q(spark, sf_dir).select(F.lit("lsh").alias("method"), "id", "cosine")
     ivf = ann_ivf_topk_q(spark, sf_dir).select(F.lit("ivf").alias("method"), "id", "cosine")
     km = ann_kmeans_assign_q(spark, sf_dir).select(F.lit("kmeans").alias("method"), "id", "cosine")
-    return brute.unionByName(lsh).unionByName(ivf).unionByName(km)
+    pq = ann_pq_q(spark, sf_dir)
+    return brute.unionByName(lsh).unionByName(ivf).unionByName(km).unionByName(pq)
 
 
 @query(

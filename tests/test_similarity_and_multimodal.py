@@ -441,3 +441,120 @@ class TestGemmNullParity:
         )
         with pytest.raises(ValueError, match="non-null"):
             knn_join_gemm(df, df, "embedding", "vec_id", k=1)
+
+
+class TestProductQuantization:
+    def _clustered(self, spark, n_per=40, dim=16, centers=4, seed=11):
+        """Well-separated clusters: ADC over PQ codes must rank the
+        query's own cluster first."""
+        rng = np.random.default_rng(seed)
+        cents = rng.normal(size=(centers, dim)) * 10.0
+        rows = []
+        for i in range(centers * n_per):
+            c = i % centers
+            v = cents[c] + rng.normal(size=dim) * 0.3
+            v = v / np.linalg.norm(v)          # normalized: IP == cosine
+            rows.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        return cents, df
+
+    def _books(self, spark, df):
+        from cod_stats_spark.operators.quantization import train_pq
+
+        return train_pq(df, "embedding", "vec_id", m=4, k=16, sample_size=200, seed=3)
+
+    def test_encode_matches_numpy_reference(self, spark):
+        from cod_stats_spark.operators.quantization import pq_encode
+
+        _, df = self._clustered(spark)
+        books = self._books(spark, df)
+        got = {
+            r["vec_id"]: list(r["pq_code"])
+            for r in pq_encode(df, "embedding", books).collect()
+        }
+        m, k, sub = books.shape
+        for r in df.collect():
+            x = np.array(r["embedding"], dtype=np.float64)
+            exp = [
+                int(((books[j] - x[j * sub : (j + 1) * sub]) ** 2).sum(axis=1).argmin())
+                for j in range(m)
+            ]
+            assert got[r["vec_id"]] == exp
+
+    def test_compression_and_schema(self, spark):
+        from cod_stats_spark.operators.quantization import pq_encode
+
+        _, df = self._clustered(spark)
+        books = self._books(spark, df)
+        out = pq_encode(df, "embedding", books)
+        assert dict(out.dtypes)["pq_code"] == "array<smallint>"
+        # m=4 smallint codes vs 16 floats: the 100 TB memory story
+        assert len(out.first()["pq_code"]) == 4
+
+    def test_adc_topk_recall_vs_brute_force(self, spark):
+        from cod_stats_spark.operators.quantization import pq_encode, pq_topk
+
+        cents, df = self._clustered(spark)
+        books = self._books(spark, df)
+        codes = pq_encode(df, "embedding", books)
+        q = cents[2] / np.linalg.norm(cents[2])
+        qv = [float(x) for x in q]
+        # tight clusters quantize many docs into the SAME cell, so ADC
+        # ties scramble WITHIN-cluster order vs the exact ranking; the
+        # recall claim PQ makes is cluster-level — every ADC hit must
+        # be one of the exact top-40 (= the query's own cluster)
+        exact40 = {r["id"] for r in brute_force_topk(df, "embedding", "vec_id", qv, k=40).collect()}
+        approx = [r["id"] for r in pq_topk(codes, "pq_code", "vec_id", qv, books, k=10).collect()]
+        assert len(approx) == 10
+        assert set(approx) <= exact40
+        # every ADC hit comes from the query's own cluster
+        assert all(i % 4 == 2 for i in approx)
+
+    def test_deterministic_under_repartition(self, spark):
+        from cod_stats_spark.operators.quantization import pq_encode, pq_topk
+
+        cents, df = self._clustered(spark)
+        books = self._books(spark, df)
+        q = [float(x) for x in cents[1] / np.linalg.norm(cents[1])]
+        a = pq_topk(pq_encode(df, "embedding", books), "pq_code", "vec_id", q, books, k=5).collect()
+        b = pq_topk(
+            pq_encode(df.repartition(13), "embedding", books),
+            "pq_code", "vec_id", q, books, k=5,
+        ).collect()
+        assert [(r["id"], r["score"]) for r in a] == [(r["id"], r["score"]) for r in b]
+
+    def test_null_vectors_and_dim_guards(self, spark):
+        from cod_stats_spark.operators.quantization import (
+            pq_encode,
+            pq_topk,
+            train_pq,
+        )
+
+        _, df = self._clustered(spark)
+        books = self._books(spark, df)
+        with_null = df.unionByName(
+            spark.createDataFrame([(9999, None)], "vec_id long, embedding array<float>")
+        )
+        enc = pq_encode(with_null, "embedding", books)
+        assert enc.filter("vec_id = 9999").first()["pq_code"] is None
+        # null codes are skipped by ADC, not scored
+        got = pq_topk(enc, "pq_code", "vec_id", [0.1] * 16, books, k=5).collect()
+        assert all(r["id"] != 9999 for r in got)
+        with pytest.raises(ValueError):
+            pq_topk(enc, "pq_code", "vec_id", [0.1] * 7, books, k=5)
+        with pytest.raises(ValueError):
+            train_pq(df, "embedding", "vec_id", m=5)   # 16 % 5 != 0
+
+    def test_reconstruction_sane(self, spark):
+        from cod_stats_spark.operators.quantization import (
+            pq_encode,
+            pq_reconstruct,
+        )
+
+        _, df = self._clustered(spark)
+        books = self._books(spark, df)
+        row = pq_encode(df, "embedding", books).first()
+        x = np.array(row["embedding"], dtype=np.float64)
+        xhat = pq_reconstruct(list(row["pq_code"]), books)
+        # cell centroid approximates the vector far better than zero
+        assert np.linalg.norm(x - xhat) < 0.5 * np.linalg.norm(x)

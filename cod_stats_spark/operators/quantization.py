@@ -196,3 +196,58 @@ def pq_reconstruct(codes: list[int], codebooks: np.ndarray) -> np.ndarray:
     (testing/debug helper — production scoring never reconstructs)."""
     m, _, sub = codebooks.shape
     return np.concatenate([codebooks[j, codes[j]] for j in range(m)])
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    codebooks: np.ndarray,
+    mode: str = "overwrite",
+) -> None:
+    """IVF-PQ on-disk index (the billion-vector layout FAISS made
+    standard, non-residual variant): the table Hive-partitions by IVF
+    cluster — a probe query prunes the SCAN to nprobe directories —
+    and each partition stores only (id, pq_code), m bytes of payload
+    per vector instead of the 8d raw array. Both compressions compose:
+    a query reads ~nprobe/k of the rows AND ~m/(8d) of the bytes per
+    row. Same append contract as the LSH/IVF indexes (mode='append'
+    with the SAME centroids + codebooks)."""
+    from cod_stats_spark.operators.clustering import kmeans_assign
+    from cod_stats_spark.operators.sharding import write_shards
+
+    labeled = kmeans_assign(df, vec_col, centroids).withColumnRenamed(
+        "cluster", "ivf_cluster"
+    )
+    coded = pq_encode(labeled, vec_col, codebooks)
+    write_shards(
+        coded.select(id_col, "pq_code", "ivf_cluster"),
+        path,
+        shard_col="ivf_cluster",
+        mode=mode,
+    )
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    id_col: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ADC top-k against a :func:`write_ivfpq_index` table: driver-side
+    L2 probe selection (same rule as `ivf_topk_indexed`), the cluster
+    predicate prunes partitions on disk, and the surviving codes score
+    through the query's (m × k) lookup table — the original vectors
+    are never read because the index doesn't store them."""
+    M = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((M - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2)[:nprobe]]
+    cand = spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probes))
+    return pq_topk(cand, "pq_code", id_col, query_vec, codebooks, k=k)

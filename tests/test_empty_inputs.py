@@ -111,3 +111,30 @@ def test_weighted_sample_drops_nonpositive_weights(spark):
     )
     got = {r["k"] for r in weighted_sample(df, "k", "w", n=10).collect()}
     assert got == {3, 4}
+
+
+def test_r7_ops_empty_inputs(spark):
+    """assign_splits / mixture_sample / PQ encode+ADC degrade to empty
+    or raise the documented error on empty frames."""
+    import numpy as np
+    import pytest
+
+    from cod_stats_spark.operators.quantization import (
+        pq_encode,
+        pq_topk,
+        train_pq,
+    )
+    from cod_stats_spark.operators.sampling import assign_splits, mixture_sample
+
+    docs = _empty_docs(spark)
+    assert assign_splits(docs, "doc_id").count() == 0
+    assert (
+        mixture_sample(docs, "doc_id", "text", {"en": 1.0}).count() == 0
+    )
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-null"):
+        train_pq(emb, "embedding", "vec_id", m=2, k=2)
+    books = np.zeros((2, 2, 2))
+    enc = pq_encode(emb, "embedding", books)
+    assert enc.count() == 0
+    assert pq_topk(enc, "pq_code", "vec_id", [0.0] * 4, books, k=3).count() == 0

@@ -558,3 +558,93 @@ class TestProductQuantization:
         xhat = pq_reconstruct(list(row["pq_code"]), books)
         # cell centroid approximates the vector far better than zero
         assert np.linalg.norm(x - xhat) < 0.5 * np.linalg.norm(x)
+
+
+class TestIvfPqIndex:
+    def test_write_prune_score_parity(self, spark, tmp_path):
+        from cod_stats_spark.operators.quantization import (
+            ivfpq_topk_indexed,
+            pq_encode,
+            pq_topk,
+            train_pq,
+            write_ivfpq_index,
+        )
+
+        rng = np.random.default_rng(5)
+        cents4 = rng.normal(size=(4, 16)) * 10.0
+        rows = []
+        for i in range(160):
+            v = cents4[i % 4] + rng.normal(size=16) * 0.3
+            v = v / np.linalg.norm(v)
+            rows.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        books = train_pq(df, "embedding", "vec_id", m=4, k=16, sample_size=200, seed=3)
+        centroids = [[float(x) for x in c / np.linalg.norm(c)] for c in cents4]
+        path = str(tmp_path / "ivfpq")
+        write_ivfpq_index(df, path, "embedding", "vec_id", centroids, books)
+
+        # layout: Hive dirs per cluster, payload is id + m-byte code only
+        import glob
+        import os
+
+        assert glob.glob(os.path.join(path, "ivf_cluster=*", "*.parquet"))
+        stored = spark.read.parquet(path)
+        assert set(stored.columns) == {"vec_id", "pq_code", "ivf_cluster"}
+
+        q = [float(x) for x in cents4[1] / np.linalg.norm(cents4[1])]
+        out = ivfpq_topk_indexed(
+            spark, path, "vec_id", q, centroids, books, k=8, nprobe=1
+        )
+        # the probe predicate reaches the scan as a partition filter:
+        # only the probed cluster's directory is read
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "ivf_cluster" in plan
+        got = [(r["id"], r["score"]) for r in out.collect()]
+        assert len(got) == 8
+        assert all(i % 4 == 1 for i, _ in got)     # query's own cluster
+
+        # parity: indexed ADC == in-memory ADC over the same candidates
+        cand = df.filter(F.col("vec_id") % 4 == 1)
+        mem = pq_topk(
+            pq_encode(cand, "embedding", books), "pq_code", "vec_id", q, books, k=8
+        )
+        assert got == [(r["id"], r["score"]) for r in mem.collect()]
+
+    def test_append_batch_found(self, spark, tmp_path):
+        from cod_stats_spark.operators.quantization import (
+            ivfpq_topk_indexed,
+            train_pq,
+            write_ivfpq_index,
+        )
+
+        rng = np.random.default_rng(9)
+        cents = rng.normal(size=(3, 16)) * 10.0
+        rows = [
+            (i, [float(x) for x in (cents[i % 3] + rng.normal(size=16) * 0.2)])
+            for i in range(90)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        books = train_pq(df, "embedding", "vec_id", m=4, k=8, sample_size=100, seed=1)
+        centroids = [[float(x) for x in c] for c in cents]
+        path = str(tmp_path / "ivfpq_inc")
+        write_ivfpq_index(df, path, "embedding", "vec_id", centroids, books)
+        near0 = [float(x) for x in (cents[0] + rng.normal(size=16) * 0.01)]
+        batch2 = spark.createDataFrame(
+            [(5000, near0)], "vec_id long, embedding array<float>"
+        )
+        write_ivfpq_index(
+            batch2, path, "embedding", "vec_id", centroids, books, mode="append"
+        )
+        # k covers the whole probed cluster (30 base members + 1
+        # appended): coarse PQ cells tie many members at the same ADC
+        # score (ids break ties), so membership — not top-5 rank — is
+        # the property append must preserve
+        got = [
+            r["id"]
+            for r in ivfpq_topk_indexed(
+                spark, path, "vec_id", [float(x) for x in cents[0]],
+                centroids, books, k=50, nprobe=1,
+            ).collect()
+        ]
+        assert 5000 in got
+        assert all(i == 5000 or i % 3 == 0 for i in got)

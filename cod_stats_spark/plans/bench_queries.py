@@ -2036,10 +2036,23 @@ def ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     KMEANS_FOLD_MOD-th embedding, codebooks = the md5-sample rule's
     vectors split per subspace (training itself is numpy Lloyd's —
     oracled here over FIXED codebooks, exactly like the k-means fold
-    oracles assignment rather than the iterative fit)."""
+    oracles assignment rather than the iterative fit).
+
+    The 'pq_adc' rows are served FROM A WRITTEN IVF-PQ INDEX: the
+    sampled slice is written via `write_ivfpq_index` (4 md5-sample
+    centroids) to a throwaway dir and read back with every cluster
+    probed, so the oracle value-verifies the index's write → Hive
+    layout → read → ADC-over-stored-codes path end to end — codes on
+    disk must round-trip exactly or the hashes diverge."""
+    import os
+    import tempfile
+
     import numpy as np
 
-    from cod_stats_spark.operators.quantization import pq_encode
+    from cod_stats_spark.operators.quantization import (
+        pq_encode,
+        write_ivfpq_index,
+    )
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     sample = (
@@ -2054,9 +2067,15 @@ def ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = np.stack(
         [vecs[:, j * sub : (j + 1) * sub] for j in range(PQ_FOLD_M)]
     )  # (m, k, sub)
-    codes = pq_encode(
-        emb.filter(F.col("vec_id") % KMEANS_FOLD_MOD == 0), "embedding", books
-    )
+    pts = emb.filter(F.col("vec_id") % KMEANS_FOLD_MOD == 0)
+    codes = pq_encode(pts, "embedding", books)
+    # IVF-PQ round-trip for the ADC rows: 4 coarse centroids from the
+    # same sample; probing ALL clusters makes the candidate set the
+    # full slice, so the SQL oracle needs no IVF arithmetic
+    centroids = [[float(x) for x in vecs[c]] for c in range(4)]
+    idx_dir = os.path.join(tempfile.mkdtemp(prefix="ivfpq_gate_"), "idx")
+    write_ivfpq_index(pts, idx_dir, "embedding", "vec_id", centroids, books)
+    stored = spark.read.parquet(idx_dir)
     qvec = np.array(
         [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     )
@@ -2085,7 +2104,7 @@ def ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"),
         packed.cast("double").alias("cosine"),
     )
-    adc_rows = codes.select(
+    adc_rows = stored.select(
         F.lit("pq_adc").alias("method"),
         F.col("vec_id").alias("id"),
         adc.alias("cosine"),

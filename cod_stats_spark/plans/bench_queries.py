@@ -3273,9 +3273,62 @@ def retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reciprocal-rank fusion (k=60) combines the two rankings — the
     standard hybrid-search shape next to the embedding ANN gates.
     Scores round to 6 dp BEFORE ranking so ordering reproduces across
-    engines. Plan: one explode+shuffle builds the DTF, corpus stats
-    and idf broadcast, per-query cost ∝ docs containing query terms
-    (operators/retrieval.py docstring for the 100 TB posture)."""
+    engines.
+
+    r7: the GATE serves both rankings FROM A WRITTEN DTF INDEX
+    (`write_dtf_index` into a throwaway dir → `bm25_serve_multi`
+    with its partition-pruned postings/terms reads), so the oracle's
+    BM25 arithmetic now value-verifies the on-disk index path end to
+    end — a wrong stored tf/df/doc-len diverges the hashes. The
+    TIMED bench entry keeps the r6 in-memory plan via a BENCH_ONLY
+    override (scope-stable; BENCH_NOTES.md)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from cod_stats_spark.operators.retrieval import (
+        bm25_serve_multi,
+        rrf_fuse,
+        write_dtf_index,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    idx = os.path.join(tempfile.mkdtemp(prefix="dtf_gate_"), "bm25")
+    write_dtf_index(docs, idx)
+    ranked = bm25_serve_multi(
+        spark,
+        idx,
+        {"bm25a": _RETRIEVAL_QUERY_A, "bm25b": _RETRIEVAL_QUERY_B},
+        k=20,
+    ).persist()
+    fused = rrf_fuse(
+        [
+            ranked.filter(F.col("tag") == t).select(
+                F.col("doc_id").alias("id"), "rank"
+            )
+            for t in ("bm25a", "bm25b")
+        ],
+        "id",
+        k=60,
+    )
+    wf = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    rows_f = (
+        fused.select(
+            F.col("id").alias("doc_id"), F.col("rrf_score").alias("score")
+        )
+        .withColumn("rank", F.row_number().over(wf))
+        .select(F.lit("rrf").alias("tag"), "doc_id", "rank", "score")
+    )
+    rows_ab = ranked.select("tag", "doc_id", "rank", "score")
+    return rows_ab.unionByName(rows_f)
+
+
+def _retrieval_bm25_inmem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r6 in-memory retrieval plan (DTF built and persisted in the
+    session, one scoring pass, RRF) — kept as the TIMED `retrieval_bm25`
+    bench body so cross-round timings stay scope-clean while the gate
+    moved to the index-served path."""
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
@@ -3527,6 +3580,14 @@ def retrieval_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"bm25a": _RETRIEVAL_QUERY_A, "bm25b": _RETRIEVAL_QUERY_B},
         k=20,
     )
+
+
+@_bench_only("retrieval_bm25")
+def retrieval_bm25_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed `retrieval_bm25` entry — the r6 in-memory cold plan
+    (session DTF build + 2 queries + RRF), frozen while the GATE
+    moved to the written-index serve path in r7 (BENCH_NOTES.md)."""
+    return _retrieval_bm25_inmem(spark, sf_dir)
 
 
 @_bench_only("decontaminate_clean")

@@ -1570,20 +1570,46 @@ FROM r
 def shard_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both shard assignments over documents: global row index +
     fixed-size shard (100 rows) and mod shard (16 shards) — see
-    operators/sharding.py."""
+    operators/sharding.py.
+
+    r7: the mod half ROUND-TRIPS THROUGH COMPACTION — written
+    deliberately fragmented (8 writer tasks × 16 shard dirs), rewritten
+    by `compact_shards` into one file per shard, and read back from the
+    compacted table. The oracle recomputes the assignment from scratch,
+    so a row lost/duplicated/re-sharded anywhere in the
+    write→compact→read path diverges the value hashes; the gate also
+    asserts the compacted layout is actually one file per shard."""
+    import os
+    import tempfile
+
     from cod_stats_spark.operators.sharding import (
         assign_shards_fixed_size,
         assign_shards_mod,
+        compact_shards,
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
     fixed = assign_shards_fixed_size(docs, "doc_id", shard_size=100).select(
         "doc_id", "row_idx", F.col("shard_id").alias("shard_fixed")
     )
-    mod = assign_shards_mod(docs, "doc_id", n_shards=16).select(
-        "doc_id", F.col("shard_id").alias("shard_mod")
+    mod = assign_shards_mod(docs, "doc_id", n_shards=16)
+    tmp = tempfile.mkdtemp(prefix="compact_gate_")
+    src, dst = os.path.join(tmp, "src"), os.path.join(tmp, "compacted")
+    # fragment on purpose: every writer task leaves a sliver in every
+    # shard dir — the exact small-file mess compaction exists to fix
+    (
+        mod.select("doc_id", "shard_id")
+        .repartition(8)
+        .write.partitionBy("shard_id")
+        .parquet(src)
     )
-    return fixed.join(mod, "doc_id")
+    manifest = compact_shards(spark, src, dst, "shard_id")
+    bad = manifest.filter(F.col("n_files") != 1).count()
+    assert bad == 0, f"compaction left {bad} multi-file shards"
+    mod_rt = spark.read.parquet(dst).select(
+        "doc_id", F.col("shard_id").cast("long").alias("shard_mod")
+    )
+    return fixed.join(mod_rt, "doc_id")
 
 
 MULTIMODAL_ORACLE = """
@@ -3580,6 +3606,27 @@ def retrieval_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"bm25a": _RETRIEVAL_QUERY_A, "bm25b": _RETRIEVAL_QUERY_B},
         k=20,
     )
+
+
+@_bench_only("shard_assign")
+def shard_assign_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed `shard_assign` entry — the r3–r6 pure-assignment plan
+    (fixed-size prefix scan + mod projection, no I/O), frozen while
+    the GATE added the fragment→compact→read-back round-trip in r7
+    (BENCH_NOTES.md)."""
+    from cod_stats_spark.operators.sharding import (
+        assign_shards_fixed_size,
+        assign_shards_mod,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    fixed = assign_shards_fixed_size(docs, "doc_id", shard_size=100).select(
+        "doc_id", "row_idx", F.col("shard_id").alias("shard_fixed")
+    )
+    mod = assign_shards_mod(docs, "doc_id", n_shards=16).select(
+        "doc_id", F.col("shard_id").alias("shard_mod")
+    )
+    return fixed.join(mod, "doc_id")
 
 
 @_bench_only("retrieval_bm25")

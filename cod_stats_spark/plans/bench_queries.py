@@ -1209,10 +1209,29 @@ LIMIT {k}
 
 
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: served FROM A WRITTEN LSH INDEX — the corpus is written
+    bucket-partitioned to a throwaway dir and probed with
+    `ann_lsh_topk_indexed` (partition-pruned read), so the generated
+    LSH oracle value-verifies the on-disk bucketing/probe/scoring path
+    end to end (indexed and in-memory answers are parity-tested equal;
+    the oracle pins them both)."""
+    import os
+    import tempfile
+
+    from cod_stats_spark.operators.similarity import (
+        ann_lsh_topk_indexed,
+        write_lsh_index,
+    )
+
     emb = load_tables(spark, sf_dir)["embeddings"]
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     qvec = [float(x) for x in qrow["embedding"]]
-    return ann_lsh_topk(emb, "embedding", "vec_id", qvec, k=10, n_planes=4, multiprobe=2)
+    dim = len(qvec)
+    idx = os.path.join(tempfile.mkdtemp(prefix="lsh_gate_"), "idx")
+    write_lsh_index(emb, idx, "embedding", "vec_id", dim=dim, n_planes=4)
+    return ann_lsh_topk_indexed(
+        spark, idx, "embedding", "vec_id", qvec, k=10, n_planes=4, multiprobe=2
+    )
 
 
 def _sql_tokens(expr: str) -> str:
@@ -3462,8 +3481,13 @@ def ann_cosine_topk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_bench_only("ann_lsh_topk")
 def ann_lsh_topk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN alone (see ann_cosine_topk bench note)."""
-    return ann_lsh_topk_q(spark, sf_dir)
+    """LSH-bucketed ANN alone (see ann_cosine_topk bench note) — the
+    r1–r6 in-memory plan, frozen while the GATE moved to the
+    written-index probe in r7 (BENCH_NOTES.md)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    return ann_lsh_topk(emb, "embedding", "vec_id", qvec, k=10, n_planes=4, multiprobe=2)
 
 
 @_bench_only("sketches_only")

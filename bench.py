@@ -44,7 +44,7 @@ HEADLINE = [
     # correctness gates but are not what the perf envelope tracks
     # (round-2 verdict, task 1)
     "dedup_minhash_prod_v2",
-    "dedup_simhash_prod",
+    "dedup_simhash_prod_v2",
     "dedup_pipeline_v2",
     "decontaminate",
     # round-7 addition: the doc-level cleaning path (new entry, new
@@ -107,7 +107,7 @@ def main() -> None:
     for wq in (
         "q1_pricing_summary",
         "dedup_minhash_prod_v2",
-        "dedup_simhash_prod",
+        "dedup_simhash_prod_v2",
         "dedup_pipeline_v2",
         "decontaminate",
         "multimodal_decode",

@@ -3464,12 +3464,25 @@ def dedup_minhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=32, bands=8)
 
 
-@_bench_only("dedup_simhash_prod")
+@_bench_only("dedup_simhash_prod_v2")
 def dedup_simhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production SimHash near-dup pairs: xxhash64 token hash. Same
-    structural parameters as the md5-oracled `dedup_simhash` gate."""
+    """Production SimHash near-dup pairs: xxhash64 token hash. _v2
+    (r7): Manku block-combination banding (6 blocks, 3-block tables →
+    20 tables of ~33-bit keys) + bucket cap 128, replacing contiguous
+    4×16 / cap 1000. Two independent scale fixes (SCALING.md r7
+    measurement): the wide keys kill the 16-bit scheme's n²/2¹⁶
+    random-collision term AND lift recall at Hamming 4–8 (sf10eq:
+    32.0M verified pairs found vs 1.9M — the family corpus really
+    contains them), while the tighter cap bounds per-bucket all-pairs
+    expansion to ≤64 pairs/member/table (linear in the corpus, was
+    the 160M-pair / 20 GB-spill term at cap 1000). The md5-oracled
+    `dedup_simhash` gate keeps contiguous banding — that is the
+    scheme its SQL replays."""
     docs = load_tables(spark, sf_dir)["documents"]
-    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=8, bands=4)
+    return simhash_near_pairs(
+        docs, "text", "doc_id", max_hamming=8, combo=(6, 3),
+        max_bucket_size=128,
+    )
 
 
 @_bench_only("ann_cosine_topk")

@@ -46,7 +46,7 @@ DEFAULT_QUERIES = [
     "sessionize_events",    # one hash exchange + per-key window sort
     "dedup_exact",          # fingerprint shuffle
     "dedup_minhash_prod_v2",   # shingle explode -> minhash -> band join
-    "dedup_simhash_prod",   # zero-shuffle fold + 64-bit bucket join
+    "dedup_simhash_prod_v2",  # zero-shuffle fold + combo-table bucket join
     "dedup_pipeline_v2",       # full near-dup composite
     "decontaminate",        # PAIRWISE reporting join (capped below)
     "decontaminate_clean",  # doc-level gram-set cleaning path

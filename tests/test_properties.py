@@ -118,3 +118,68 @@ class TestAsofProperties:
             match = [r for r in rts if r <= t]
             expected = float(match[-1]) if match else None
             assert out[i] == expected
+
+
+class TestSplitAndMixtureProperties:
+    @prop
+    @given(
+        fracs=st.lists(
+            st.floats(min_value=0.05, max_value=1.0, allow_nan=False),
+            min_size=2, max_size=4,
+        ),
+        salt=st.sampled_from(["", "a", "b"]),
+    )
+    def test_assign_splits_partitions_every_row(self, spark, fracs, salt):
+        """For ANY fraction map (normalized), splits PARTITION the id
+        space: every row gets exactly one split, totals add up, and a
+        Python replay of the md5-bucket rule agrees row for row."""
+        import hashlib
+
+        from cod_stats_spark.operators.sampling import assign_splits
+
+        total = sum(fracs)
+        names = [f"s{i}" for i in range(len(fracs))]
+        splits = {n: f / total for n, f in zip(names, fracs)}
+        ids = list(range(300))
+        df = spark.createDataFrame([(i,) for i in ids], "id long")
+        got = {
+            r["id"]: r["split"]
+            for r in assign_splits(df, "id", splits, salt=salt).collect()
+        }
+        assert set(got) == set(ids)
+
+        buckets = 1 << 20
+        cut, acc = [], 0.0
+        for n in names[:-1]:
+            acc += splits[n]
+            cut.append((n, int(round(acc * buckets))))
+        for i in ids:
+            b = int(hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:5], 16)
+            exp = names[-1]
+            for n, thr in cut:
+                if b < thr:
+                    exp = n
+                    break
+            assert got[i] == exp
+
+    @prop
+    @given(
+        w=st.dictionaries(
+            st.sampled_from(["d0", "d1", "d2"]),
+            st.floats(min_value=0.1, max_value=1.0, allow_nan=False),
+            min_size=1, max_size=3,
+        )
+    )
+    def test_mixture_sample_subset_and_domain_scoped(self, spark, w):
+        """The mixture sample is a SUBSET of the input, contains only
+        targeted domains, and is deterministic."""
+        from cod_stats_spark.operators.sampling import mixture_sample
+
+        rows = [(i, f"d{i % 4}") for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, dom string")
+        out = mixture_sample(df, "id", "dom", w)
+        got = {(r["id"], r["dom"]) for r in out.collect()}
+        assert got <= set(rows)
+        assert {d for _, d in got} <= set(w)
+        again = {(r["id"], r["dom"]) for r in mixture_sample(df, "id", "dom", w).collect()}
+        assert got == again

@@ -164,14 +164,32 @@ def pq_topk(
     lut = np.array(
         [codebooks[j] @ q[j * sub : (j + 1) * sub] for j in range(m)]
     )  # (m, kc)
-    bc = spark.sparkContext.broadcast(lut)
+    return _adc_topk(df, code_col, id_col, lut, k, score_decimals)
+
+
+def _adc_topk(
+    df: DataFrame,
+    code_col: str,
+    id_col: str,
+    lut: np.ndarray,
+    k: int,
+    score_decimals: int,
+    cluster_col: str | None = None,
+    cluster_offsets: dict[int, float] | None = None,
+) -> DataFrame:
+    """Shared ADC scorer: table gather+sum per Arrow batch, optional
+    per-cluster additive offset (the residual IVF-PQ decomposition
+    q·x̂ = q·c_cluster + q·residual̂), lossless partition top-k prune
+    on (round(score), id), k-row driver merge."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((lut, cluster_offsets or {}))
     id_type = df.schema[id_col].dataType.simpleString()
     kk, dec = int(k), int(score_decimals)
 
     def score(batches):
         import pandas as pd
 
-        table = bc.value
+        table, offs = bc.value
         mm = table.shape[0]
         jj = np.arange(mm)
         for pdf in batches:
@@ -180,7 +198,12 @@ def pq_topk(
             if not ok.any():
                 continue
             C = np.array([list(c) for c in codes[ok]], dtype=np.int64)  # (n, m)
-            s = np.round(table[jj[None, :], C].sum(axis=1), dec)
+            s = table[jj[None, :], C].sum(axis=1)
+            if offs:
+                s = s + np.array(
+                    [offs.get(int(c), 0.0) for c in pdf[cluster_col][ok]]
+                )
+            s = np.round(s, dec)
             out = pd.DataFrame({"id": pdf[id_col][ok].values, "score": s})
             out = out.sort_values(
                 ["score", "id"], ascending=[False, True]
@@ -198,6 +221,43 @@ def pq_reconstruct(codes: list[int], codebooks: np.ndarray) -> np.ndarray:
     return np.concatenate([codebooks[j, codes[j]] for j in range(m)])
 
 
+def _residual_col(vec_col: str, centroids: list[list[float]], cluster_col: str):
+    """Column expr: vector minus its assigned centroid (codegen
+    zip_with over a literal centroid array — no Python per row)."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    return F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.element_at(cents, F.col(cluster_col) + 1),
+        lambda a, b: a - b,
+    )
+
+
+def train_pq_residual(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    m: int = 8,
+    k: int = 16,
+    sample_size: int = 16384,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """PQ codebooks over IVF RESIDUALS (x − centroid[assign(x)]) — the
+    FAISS IVF-PQ training shape: residuals concentrate near zero, so
+    the same code budget quantizes them far more finely than raw
+    vectors. Pair with ``write_ivfpq_index(..., residual=True)``."""
+    from cod_stats_spark.operators.clustering import kmeans_assign
+
+    labeled = kmeans_assign(df, vec_col, centroids)
+    res = labeled.withColumn(
+        "_res", _residual_col(vec_col, centroids, "cluster")
+    )
+    return train_pq(res, "_res", id_col, m, k, sample_size, iters, seed)
+
+
 def write_ivfpq_index(
     df: DataFrame,
     path: str,
@@ -206,22 +266,34 @@ def write_ivfpq_index(
     centroids: list[list[float]],
     codebooks: np.ndarray,
     mode: str = "overwrite",
+    residual: bool = False,
 ) -> None:
     """IVF-PQ on-disk index (the billion-vector layout FAISS made
-    standard, non-residual variant): the table Hive-partitions by IVF
-    cluster — a probe query prunes the SCAN to nprobe directories —
-    and each partition stores only (id, pq_code), m bytes of payload
-    per vector instead of the 8d raw array. Both compressions compose:
-    a query reads ~nprobe/k of the rows AND ~m/(8d) of the bytes per
-    row. Same append contract as the LSH/IVF indexes (mode='append'
-    with the SAME centroids + codebooks)."""
+    standard): the table Hive-partitions by IVF cluster — a probe
+    query prunes the SCAN to nprobe directories — and each partition
+    stores only (id, pq_code), m bytes of payload per vector instead
+    of the 8d raw array. Both compressions compose: a query reads
+    ~nprobe/k of the rows AND ~m/(8d) of the bytes per row.
+
+    ``residual=True`` encodes x − centroid[cluster] instead of x (pass
+    codebooks from :func:`train_pq_residual` and the SAME flag at
+    query time): residuals are small, so the cells are finer for the
+    same code budget — the accuracy-per-byte upgrade. Same append
+    contract as the LSH/IVF indexes (mode='append' with the SAME
+    centroids + codebooks + flag)."""
     from cod_stats_spark.operators.clustering import kmeans_assign
     from cod_stats_spark.operators.sharding import write_shards
 
     labeled = kmeans_assign(df, vec_col, centroids).withColumnRenamed(
         "cluster", "ivf_cluster"
     )
-    coded = pq_encode(labeled, vec_col, codebooks)
+    enc_col = vec_col
+    if residual:
+        labeled = labeled.withColumn(
+            "_res", _residual_col(vec_col, centroids, "ivf_cluster")
+        )
+        enc_col = "_res"
+    coded = pq_encode(labeled, enc_col, codebooks)
     write_shards(
         coded.select(id_col, "pq_code", "ivf_cluster"),
         path,
@@ -239,15 +311,30 @@ def ivfpq_topk_indexed(
     codebooks: np.ndarray,
     k: int = 10,
     nprobe: int = 2,
+    score_decimals: int = 6,
+    residual: bool = False,
 ) -> DataFrame:
     """ADC top-k against a :func:`write_ivfpq_index` table: driver-side
     L2 probe selection (same rule as `ivf_topk_indexed`), the cluster
     predicate prunes partitions on disk, and the surviving codes score
     through the query's (m × k) lookup table — the original vectors
-    are never read because the index doesn't store them."""
+    are never read because the index doesn't store them. With
+    ``residual=True`` the score decomposes exactly:
+    q·x̂ = q·c_cluster + q·residual̂ — the per-cluster constant rides
+    in as a driver-computed offset over the probed clusters."""
     M = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(query_vec, dtype=np.float64)
     d2 = ((M - q[None, :]) ** 2).sum(axis=1)
     probes = [int(i) for i in np.argsort(d2)[:nprobe]]
     cand = spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probes))
-    return pq_topk(cand, "pq_code", id_col, query_vec, codebooks, k=k)
+    m, kc, sub = codebooks.shape
+    if q.shape[0] != m * sub:
+        raise ValueError(f"ivfpq_topk_indexed: query dim {q.shape[0]} != {m * sub}")
+    lut = np.array(
+        [codebooks[j] @ q[j * sub : (j + 1) * sub] for j in range(m)]
+    )
+    offsets = {p: float(M[p] @ q) for p in probes} if residual else None
+    return _adc_topk(
+        cand, "pq_code", id_col, lut, k, score_decimals,
+        cluster_col="ivf_cluster", cluster_offsets=offsets,
+    )

@@ -3034,9 +3034,27 @@ def json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stat_aggregates",
-    covers="EXT-olap (statistical aggregates: stddev/variance/corr/covar + fixed-width bucketed histogram + exact interpolated quantiles per group)",
+    covers="EXT-olap (statistical aggregates: stddev/variance/corr/covar + fixed-width bucketed histogram + exact interpolated quantiles per group; r7: + operators/profiling.profile_table's per-column count/null/mean/stddev/min/max rows, recomputed from scratch in SQL)",
     oracle="""
-WITH stats AS (
+WITH prof AS (
+  SELECT 'l_quantity' AS c, count(*) AS n_rows,
+         count(*) - count(l_quantity) AS n_null,
+         round(avg(l_quantity), 6) AS mean,
+         round(stddev_samp(l_quantity), 6) AS std,
+         min(l_quantity)::DOUBLE AS mn, max(l_quantity)::DOUBLE AS mx
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+         round(avg(l_extendedprice), 6), round(stddev_samp(l_extendedprice), 6),
+         min(l_extendedprice)::DOUBLE, max(l_extendedprice)::DOUBLE
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', count(*), count(*) - count(l_discount),
+         round(avg(l_discount), 6), round(stddev_samp(l_discount), 6),
+         min(l_discount)::DOUBLE, max(l_discount)::DOUBLE
+  FROM lineitem
+),
+stats AS (
   SELECT l_returnflag,
          round(stddev_samp(l_extendedprice), 4)            AS price_stddev,
          round(var_samp(l_quantity), 4)                    AS qty_var,
@@ -3075,6 +3093,16 @@ UNION ALL
 SELECT 'q:' || l_returnflag AS grp,
        p50 AS m1, p95 AS m2, qty_p50 AS m3, NULL::DOUBLE AS m4, n
 FROM q
+UNION ALL
+SELECT 'prof:' || c AS grp,
+       n_null::DOUBLE AS m1, mean AS m2, std AS m3, NULL::DOUBLE AS m4,
+       n_rows AS n
+FROM prof
+UNION ALL
+SELECT 'profrange:' || c AS grp,
+       mn AS m1, mx AS m2, NULL::DOUBLE AS m3, NULL::DOUBLE AS m4,
+       n_rows AS n
+FROM prof
 """,
 )
 def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3125,7 +3153,36 @@ def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m1", "m2", "m3", null_m.alias("m4"), "n",
         )
     )
-    return stats.unionByName(hist).unionByName(quant)
+    # r7: the table profiler's ACTUAL long-form output, reshaped into
+    # the gate schema — count/null/mean/stddev ('prof:') and min/max
+    # ('profrange:') per numeric column are recomputed from scratch by
+    # the oracle, so profile_table itself is value-verified (its HLL
+    # approx_distinct column stays under the sketch gate's
+    # bounded-error regime and is not hashed here)
+    from cod_stats_spark.operators.profiling import profile_table
+
+    pcols = ["l_quantity", "l_extendedprice", "l_discount"]
+    profiled = profile_table(t["lineitem"], columns=pcols)
+    prof = profiled.select(
+        F.concat(F.lit("prof:"), F.col("column")).alias("grp"),
+        F.col("n_null").cast("double").alias("m1"),
+        F.col("mean").alias("m2"),
+        F.col("stddev").alias("m3"),
+        null_m.alias("m4"),
+        F.col("n_rows").alias("n"),
+    )
+    prange = profiled.select(
+        F.concat(F.lit("profrange:"), F.col("column")).alias("grp"),
+        F.col("min_value").cast("double").alias("m1"),
+        F.col("max_value").cast("double").alias("m2"),
+        null_m.alias("m3"),
+        null_m.alias("m4"),
+        F.col("n_rows").alias("n"),
+    )
+    return (
+        stats.unionByName(hist).unionByName(quant)
+        .unionByName(prof).unionByName(prange)
+    )
 
 
 @query(

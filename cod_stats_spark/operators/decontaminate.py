@@ -99,15 +99,34 @@ def contamination_pairs(
     ngram_n: int = 8,
     min_overlap: int = 1,
     broadcast_benchmark: bool | None = None,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """(doc_id, bench_id, n_overlap) for every corpus×benchmark pair
     sharing >= ``min_overlap`` distinct word n-grams — the REPORTING
     shape (see module docstring for why cleaning should use
-    :func:`decontaminate` instead at scale)."""
+    :func:`decontaminate` instead at scale).
+
+    ``max_gram_df`` bounds the quadratic term structurally: grams
+    occurring in more than that many BENCHMARK documents are dropped
+    before pairing (the standard stop-gram practice for contamination
+    reports — a gram shared by half the benchmark identifies nothing
+    and multiplies every corpus occurrence by that half). With a cap
+    c the per-gram fanout is ≤ c, so the intermediate is
+    ≤ c·|corpus grams| — linear — at the cost of undercounting
+    n_overlap for pairs whose overlap includes dropped boilerplate
+    grams. Default None keeps exact counting."""
     bench_text_col = bench_text_col or text_col
     bench_id_col = bench_id_col or id_col
     corpus_grams = _ngrams(corpus, text_col, id_col, ngram_n, "doc_id")
     bench_grams = _ngrams(benchmark, bench_text_col, bench_id_col, ngram_n, "bench_id").distinct()
+    if max_gram_df is not None:
+        keep = (
+            bench_grams.groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_gram_df)
+            .select("ngram")
+        )
+        bench_grams = bench_grams.join(keep, "ngram", "left_semi")
     if _should_broadcast(benchmark, ngram_n, broadcast_benchmark):
         bench_grams = F.broadcast(bench_grams)
     return (

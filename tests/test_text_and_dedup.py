@@ -649,3 +649,44 @@ class TestRepetition:
         fold = sorted(map(tuple, repetition_profile(df).collect()))
         grouped = sorted(map(tuple, repetition_profile_grouped(df).collect()))
         assert fold == grouped
+
+
+class TestGramDfCap:
+    def test_boilerplate_grams_dropped_from_report(self, spark):
+        """max_gram_df: a gram present in MANY benchmark docs (the
+        quadratic fanout source) is excluded from pair counting; rare
+        grams still count. Cleaning via decontaminate() is unaffected
+        (union-set semantics has no per-pair fanout to bound)."""
+        from cod_stats_spark.operators.decontaminate import contamination_pairs
+
+        boiler = "terms of service apply here"
+        corpus = spark.createDataFrame(
+            [
+                (1, f"doc one unique alpha beta gamma phrase {boiler}"),
+                (2, f"doc two nothing shared at all whatsoever {boiler}"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100 + i, f"bench item {i} {boiler}") for i in range(6)]
+            + [(200, "unique alpha beta gamma phrase indeed")],
+            "doc_id long, text string",
+        )
+        uncapped = {
+            (r["doc_id"], r["bench_id"])
+            for r in contamination_pairs(
+                corpus, bench, "text", "doc_id", ngram_n=3, min_overlap=1
+            ).collect()
+        }
+        # boilerplate makes every (corpus, bench-item) pair
+        assert len(uncapped) > 6
+        capped = {
+            (r["doc_id"], r["bench_id"])
+            for r in contamination_pairs(
+                corpus, bench, "text", "doc_id", ngram_n=3, min_overlap=1,
+                max_gram_df=3,
+            ).collect()
+        }
+        # the 6-doc boilerplate grams are dropped; the rare
+        # 'unique alpha beta gamma phrase' grams (df=1) still report
+        assert capped == {(1, 200)}

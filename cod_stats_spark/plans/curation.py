@@ -30,6 +30,8 @@ writes between stages anyway. 100 TB changes the sizes, not the plan.
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -65,11 +67,21 @@ def curate_corpus(
     decontam_min_overlap: int = 1,
     token_budget: int = 2048,
     salt: str = "curate",
+    splits: Mapping[str, float] | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation funnel; write shards to ``out_path``.
 
     ``benchmark``: eval/benchmark documents to decontaminate against
     (None skips stage 4). Returns (shard manifest, stage-count dict).
+
+    ``splits``: optional train/val/test fraction map — after cleaning,
+    every surviving doc gets a deterministic hash-bucket split
+    (sampling.assign_splits; near-dups are already collapsed to one
+    canonical survivor upstream, so row-level assignment cannot leak
+    an eval doc's near-duplicate into train), and each split packs and
+    writes its OWN shard tree under ``out_path/split=<name>`` with an
+    independent shard sequence. The manifest gains a ``split`` column;
+    stats gains per-split survivor counts.
     """
     stats: dict[str, int] = {"input": docs.count()}
 
@@ -117,15 +129,42 @@ def curate_corpus(
 
     # min_quality already applied — the export's gate must not drop
     # more (quality_score is [0,1], so 0.0 passes everything)
-    manifest = export_training_shards(
-        clean,
-        out_path,
-        text_col=text_col,
-        id_col=id_col,
-        token_budget=token_budget,
-        min_quality=0.0,
-        salt=salt,
-    )
+    if splits:
+        import os
+
+        from cod_stats_spark.operators.sampling import assign_splits
+
+        assigned = assign_splits(clean, id_col, splits, salt=salt).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        parts = []
+        for name in splits:
+            part = assigned.filter(F.col("split") == name).drop("split")
+            stats[f"split_{name}"] = part.count()
+            m = export_training_shards(
+                part,
+                os.path.join(out_path, f"split={name}"),
+                text_col=text_col,
+                id_col=id_col,
+                token_budget=token_budget,
+                min_quality=0.0,
+                salt=f"{salt}|{name}",
+            )
+            parts.append(m.withColumn("split", F.lit(name)))
+        manifest = parts[0]
+        for m in parts[1:]:
+            manifest = manifest.unionByName(m)
+        assigned.unpersist()
+    else:
+        manifest = export_training_shards(
+            clean,
+            out_path,
+            text_col=text_col,
+            id_col=id_col,
+            token_budget=token_budget,
+            min_quality=0.0,
+            salt=salt,
+        )
     stats["shards"] = manifest.count()
     for df in (gated, keepers, deduped):
         df.unpersist()

@@ -57,3 +57,57 @@ def test_funnel_without_benchmark(spark, tmp_path):
     out = str(tmp_path / "curated_nb")
     _, stats = curate_corpus(docs, None, out, min_quality=0.5, token_budget=64)
     assert stats["after_decontamination"] == stats["after_dedup"] == 3
+
+
+def test_funnel_with_splits(spark, tmp_path):
+    """splits= writes per-split shard trees: every cleaned doc lands in
+    exactly one split, per-split counts sum to the cleaned corpus, the
+    manifest carries the split column, and the on-disk trees are
+    disjoint; assignment is deterministic across reruns."""
+    import glob
+    import os
+
+    from cod_stats_spark.plans.curation import curate_corpus
+
+    rows = [
+        (i, f"document number {i} with plenty of reasonable english text "
+            "about the quick brown fox and the lazy dog crossing town")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "curated_splits")
+    splits = {"train": 0.7, "val": 0.15, "test": 0.15}
+    manifest, stats = curate_corpus(
+        docs, None, out, min_quality=0.2, token_budget=64, splits=splits
+    )
+    cleaned = stats["after_decontamination"]
+    per = {k[len("split_"):]: v for k, v in stats.items() if k.startswith("split_")}
+    assert set(per) == set(splits)
+    assert sum(per.values()) == cleaned
+    assert set(
+        r["split"] for r in manifest.select("split").distinct().collect()
+    ) <= set(splits)
+    # disjoint trees on disk, doc ids never shared between splits
+    seen: dict[int, str] = {}
+    for name in splits:
+        files = glob.glob(os.path.join(out, f"split={name}", "**", "*.parquet"),
+                          recursive=True)
+        if per[name] == 0:
+            continue
+        assert files
+        ids = {r["doc_id"] for r in spark.read.parquet(
+            os.path.join(out, f"split={name}")).select("doc_id").collect()}
+        assert len(ids) == per[name]
+        for i in ids:
+            assert i not in seen, f"doc {i} in {seen.get(i)} and {name}"
+            seen[i] = name
+    assert len(seen) == cleaned
+
+    # deterministic: rerun assigns identical splits
+    out2 = str(tmp_path / "curated_splits2")
+    _, stats2 = curate_corpus(
+        docs, None, out2, min_quality=0.2, token_budget=64, splits=splits
+    )
+    assert {k: v for k, v in stats2.items() if k.startswith("split_")} == {
+        f"split_{k}": v for k, v in per.items()
+    }

@@ -76,3 +76,34 @@ def test_no_cartesian_or_unexpected_nested_loop(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
             offenders.append(f"{name}: unexpected BroadcastNestedLoopJoin")
     assert not offenders, offenders
+
+
+# Bench-only bodies whose CALL has side effects outside a throwaway
+# dir (retrieval_bm25_serve materializes its index under the repo's
+# .bench_idx cache) — their plans are covered by their own tests.
+BENCH_SKIP = {"retrieval_bm25_serve"}
+
+
+@needs_testdata
+def test_bench_only_bodies_no_cartesian_or_unexpected_nested_loop(spark):
+    """The TIMED plans get the same scale guard as the registry: the
+    r7 bench/gate splits mean several plans exist only in BENCH_ONLY
+    (in-memory retrieval, pure shard assignment, the prod dedup
+    variants, the curation funnel) and must not regress into
+    all-pairs joins either."""
+    from cod_stats_spark.plans.bench_queries import BENCH_ONLY
+
+    allowed = BNLJ_ALLOWED | {
+        "knn_join_gemm",   # same bounded broadcast-query contract as knn_join
+        "curate_corpus",   # contains the one-row corpus-stats cross joins
+    }
+    offenders: list[str] = []
+    for name, fn in BENCH_ONLY.items():
+        if name in BENCH_SKIP:
+            continue
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in allowed:
+            offenders.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    assert not offenders, offenders

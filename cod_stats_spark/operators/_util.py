@@ -144,6 +144,73 @@ def _estimated_scan_width(df: DataFrame) -> int | None:
     return max(1, n_parts)
 
 
+def materialize(
+    df: DataFrame,
+    expansion: float = 1.0,
+    heap_fraction: float = 0.25,
+    label: str = "silver",
+    widen: bool = True,
+) -> DataFrame:
+    """Adaptive silver-layer materialization: heap-cache when it fits,
+    scratch-parquet when it doesn't.
+
+    ``df.persist(MEMORY_AND_DISK)`` is the right call when the
+    deserialized data fits the executor heap with room to spare — but
+    when it doesn't, the columnar cache's failure mode is not graceful
+    spill: CachedBatches are built and re-read as multi-MB Java object
+    graphs whose transient footprint the memory manager does not
+    track, and at heap << data the JVM dies with OOM instead of
+    degrading (measured: dedup_pipeline_v2 on the 2 GB sf10eq stratum
+    under a 2 GB heap, r8 forced-spill audit — SCALING.md). A parquet
+    scratch table has no such cliff: encoded columnar on disk,
+    streaming on both write and read — it IS the silver-table
+    materialization a 100 TB pipeline performs at this pipeline break
+    anyway.
+
+    Decision: Catalyst's size estimate for the plan (file-based, so
+    proportional to the real input) times ``expansion`` (the caller's
+    deserialized-bytes-per-input-byte factor: shingle arrays blow up
+    ~20-50x from parquet text) against ``heap_fraction`` of the JVM
+    heap (executor memory via ``spark.executor.memory`` when set —
+    real clusters set it — else this JVM's max heap, which IS the
+    executor in local mode). Unknown estimates (non-file inputs) and
+    any seam failure fall back to the persist path — the behavior
+    this helper replaces, and the right default when nothing says the
+    input is big.
+
+    ``widen=True`` re-spreads the scratch read-back (a ~150 MB scratch
+    table reads back as a handful of parquet splits; downstream
+    per-row HOF work wants full width). The persist branch returns
+    ``df.persist(MEMORY_AND_DISK)`` EXACTLY — callers' plans are
+    byte-identical to the pre-helper shape when memory suffices, so
+    bench plan signatures cannot drift.
+    """
+    import tempfile
+
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        try:
+            heap = _parse_bytes(spark.conf.get("spark.executor.memory"))
+        except Exception:
+            heap = int(
+                spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+            )
+        big = est < (1 << 62) and est * expansion > heap_fraction * heap
+    except Exception:
+        big = False
+    if not big:
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    out = os.path.join(
+        tempfile.mkdtemp(prefix=f"cod_stats_scratch_{label}_"), "data"
+    )
+    df.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return spread(back) if widen else back
+
+
 def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Ensure enough partitions to parallelize CPU-heavy per-row work.
 

@@ -2939,15 +2939,25 @@ def _dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text itself is dropped from the persist: with _sh materialized,
     # no downstream stage reads it — the cached silver layer carries
     # the shingles, not the (larger) raw documents.
-    keepers = (
+    #
+    # materialize(): heap-cache when the deserialized shingle arrays
+    # fit (~24x the parquet bytes — byte-identical plan to the old
+    # .persist() then), scratch-parquet when they don't. The r8
+    # forced-spill audit measured the heap-cache path OOM-ing a 2 GB
+    # JVM on the 2 GB stratum — the columnar cache has no graceful
+    # degradation for fat rows; the parquet break does (SCALING.md).
+    from cod_stats_spark.operators._util import materialize
+
+    keepers = materialize(
         spread(
             docs.join(
                 exact.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
             )
         )
         .withColumn("_sh", shingles("text", 3, distinct=False))
-        .drop("text")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .drop("text"),
+        expansion=24,
+        label="keepers",
     )
     cands = minhash_lsh_pairs(
         keepers, "text", "doc_id", num_hashes=32, bands=8, shingle_col="_sh"

@@ -91,16 +91,21 @@ def curate_corpus(
     stats["after_quality"] = gated.count()
 
     # exact + near dedup — the dedup_pipeline gate's shape: shingle
-    # once, share the projection across LSH and the Jaccard verify
+    # once, share the projection across LSH and the Jaccard verify.
+    # materialize(): heap-cache when the shingle arrays fit, scratch
+    # parquet when they don't (the r8 forced-spill finding — see
+    # _dedup_pipeline_survivors and SCALING.md)
+    from cod_stats_spark.operators._util import materialize
+
     exact = exact_dedup(gated, text_col, id_col)
-    keepers = (
+    keepers = materialize(
         spread(
             gated.join(
                 exact.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
             )
-        )
-        .withColumn("_sh", shingles(text_col, 3, distinct=False))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ).withColumn("_sh", shingles(text_col, 3, distinct=False)),
+        expansion=24,
+        label="keepers",
     )
     cands = minhash_lsh_pairs(
         keepers, text_col, id_col, num_hashes=num_hashes, bands=bands,

@@ -47,6 +47,16 @@ def get_spark(app_name: str = "cod_stats_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 32 MB G1 regions: array-heavy rows (shingle sets, bucket
+        # collect_lists, cached batches) allocate multi-MB arrays; at
+        # default region sizes (1 MB on a 2 GB heap) every >512 KB
+        # array is a "humongous" allocation, and churning those under
+        # JNI critical sections (native parquet reads) triggers G1's
+        # GCLocker retry pathology — measured OOM-without-exhaustion
+        # in the r8 forced-spill audit (SCALING.md). Bigger regions
+        # make those allocations ordinary; on executors this is the
+        # same flag via spark.executor.extraJavaOptions.
+        .config("spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
     )

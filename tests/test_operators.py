@@ -634,3 +634,48 @@ class TestSpreadProbe:
         if target <= 1:
             return
         assert spread(df).rdd.getNumPartitions() > 1
+
+
+class TestMaterialize:
+    """Adaptive silver-layer materialization (_util.materialize): the
+    persist branch must be byte-identical to a plain persist (bench
+    plan signatures depend on it), the scratch branch must round-trip
+    through parquet with identical rows, and the decision must follow
+    estimate x expansion vs heap."""
+
+    def _df(self, spark, tmp_path):
+        p = str(tmp_path / "m.parquet")
+        spark.range(1000).selectExpr(
+            "id", "repeat('x', 100) as payload"
+        ).write.parquet(p)
+        return spark.read.parquet(p)
+
+    def test_small_input_persists(self, spark, tmp_path):
+        from cod_stats_spark.operators._util import materialize
+
+        df = self._df(spark, tmp_path)
+        out = materialize(df, expansion=1.0, label="t")
+        assert out.storageLevel.useMemory  # persist branch taken
+        assert out.count() == 1000
+        out.unpersist()
+
+    def test_big_input_routes_to_scratch(self, spark, tmp_path):
+        from cod_stats_spark.operators._util import materialize
+
+        df = self._df(spark, tmp_path)
+        # absurd expansion forces the scratch branch on any heap
+        out = materialize(df, expansion=1e12, label="t")
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" not in plan
+        assert "Relation" in plan  # parquet read-back
+        got = {(r["id"], r["payload"]) for r in out.collect()}
+        want = {(r["id"], r["payload"]) for r in df.collect()}
+        assert got == want
+
+    def test_non_file_input_falls_back_to_persist(self, spark):
+        from cod_stats_spark.operators._util import materialize
+
+        df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+        out = materialize(df, expansion=1e12, label="t")
+        assert out.count() == 10  # unknown estimate -> safe persist path
+        out.unpersist()

@@ -213,6 +213,9 @@ def _build(builder):
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # same G1 region tuning as session.get_spark (humongous-
+        # allocation churn — see the comment there / SCALING.md r8)
+        .config("spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
         .config("spark.sql.parquet.filterPushdown", "true")
         .getOrCreate()
     )

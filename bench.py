@@ -46,6 +46,10 @@ HEADLINE = [
     "dedup_minhash_prod_v2",
     "dedup_simhash_prod_v2",
     "dedup_pipeline_v2",
+    # round-8 addition: winnowing containment detector (new entry,
+    # new scope — rolling-hash fingerprints + capped bucket pairing;
+    # BENCH_NOTES.md "New entries (round 8)")
+    "dedup_winnow",
     "decontaminate",
     # round-7 addition: the doc-level cleaning path (new entry, new
     # scope — linear gram-set match; the `decontaminate` entry keeps

@@ -476,6 +476,105 @@ def simhash_near_pairs(
     return pairs.unionByName(star).filter(F.col("hamming") <= max_hamming).distinct()
 
 
+def winnow_sql(
+    x: str, k: int = 8, w: int = 4, base_hash: str = "xxhash64"
+) -> str:
+    """SQL expression: the winnowed fingerprint set of a text column
+    (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for
+    Document Fingerprinting", SIGMOD'03): hash every character k-gram
+    of the normalized text, slide a w-gram window, keep each window's
+    MINIMUM hash, distinct the selections. Expected density 2/(w+1) of
+    the grams — a guaranteed-coverage sample (every shared substring
+    of length >= k+w-1 contributes at least one shared fingerprint),
+    which is what makes winnowing detect PARTIAL overlap/containment
+    that whole-document resemblance sketches (MinHash) dilute away.
+
+    Zero shuffle, one projection: the same nested-lambda binding
+    discipline as the minhash/simhash builders (norm text and the
+    gram-hash array each bind to a lambda variable, evaluated once
+    per row). Docs shorter than k chars contribute their whole text
+    as the single gram; empty docs select nothing."""
+    h = BASE_HASH_SQL[base_hash]("substring(s, i, {k})".format(k=k))
+    norm = f"trim(regexp_replace(lower({x}), '\\\\s+', ' '))"
+    hashes = (
+        f"transform(sequence(1, greatest(length(s) - {k} + 1, 1)), i -> {h})"
+    )
+    select = (
+        f"array_distinct(transform(sequence(1, greatest(size(hs) - {w} + 1, 1)),"
+        f" j -> array_min(slice(hs, j, {w}))))"
+    )
+    return (
+        f"transform(array({norm}), s -> if(length(s) = 0,"
+        f" array()," # noqa: ISC003 — readability of the generated SQL
+        f" transform(array({hashes}), hs -> {select})[0]))[0]"
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    w: int = 4,
+    base_hash: str = "xxhash64",
+    out_col: str = "winnow_fp",
+) -> DataFrame:
+    """id → winnowed fingerprint set (array<long>, see
+    :func:`winnow_sql`). The per-doc building block: persist it next
+    to the corpus and containment queries become fingerprint joins."""
+    return spread(df).select(
+        F.col(id_col).alias("id"),
+        F.expr(winnow_sql(text_col, k, w, base_hash)).alias(out_col),
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = 1000,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """(id_a, id_b, shared) for document pairs sharing >= ``min_shared``
+    winnowed fingerprints — the copy/containment detector: a paragraph
+    lifted verbatim into an otherwise-different document keeps its
+    fingerprints, so the pair surfaces even though whole-doc Jaccard
+    is far below any near-dup threshold (tests plant exactly this).
+
+    Shape: one zero-shuffle fingerprint projection, one groupBy on the
+    fingerprint value, per-bucket pairing, one (id_a, id_b) count agg —
+    the decontaminate/LSH bucket discipline. ``max_fp_df`` drops
+    fingerprints present in more than that many documents before
+    pairing (stop-fingerprint cap, same contract as decontaminate's
+    ``max_gram_df``): boilerplate shared by half the corpus identifies
+    nothing and is what would make the pairing quadratic; with the cap
+    the intermediate is <= cap · |fingerprints| — linear. Shared
+    counts for surviving pairs then UNDERCOUNT by the dropped
+    boilerplate, which is the standard trade. None disables."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w, base_hash).select(
+        "id", F.explode("winnow_fp").alias("fp")
+    )
+    buckets = fps.groupBy("fp").agg(F.array_sort(F.collect_list("id")).alias("ids"))
+    sized = buckets.filter(F.size("ids") >= 2)
+    if max_fp_df is not None:
+        sized = sized.filter(F.size("ids") <= max_fp_df)
+    pairs = sized.select(
+        F.expr(
+            "explode(flatten(transform(ids, (a, i) ->"
+            " transform(slice(ids, i + 2, size(ids)),"
+            " b -> struct(a as id_a, b as id_b)))))"
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -744,3 +744,107 @@ class TestGramDfCap:
         # the 6-doc boilerplate grams are dropped; the rare
         # 'unique alpha beta gamma phrase' grams (df=1) still report
         assert capped == {(1, 200)}
+
+
+class TestWinnowing:
+    """Rolling-hash document fingerprinting (winnowing): guaranteed
+    coverage of long shared substrings, containment detection that
+    whole-document Jaccard misses, and the stop-fingerprint cap."""
+
+    K, W = 8, 4
+
+    def _docs(self, spark):
+        lifted = (
+            "certain passages travel between documents completely verbatim "
+            "and a fingerprinting scheme with positional guarantees will "
+            "always sample at least one hash from any long enough match"
+        )
+        filler_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))
+        filler_b = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(40))
+        rows = [
+            (1, lifted),                       # the source paragraph
+            (2, filler_a + " " + lifted),      # contains it, mostly different
+            (3, filler_b),                     # unrelated
+            (4, ""),                           # empty
+            (5, "tiny"),                       # shorter than k
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_containment_found_where_jaccard_misses(self, spark):
+        from cod_stats_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            winnow_overlap_pairs,
+        )
+        from pyspark.sql import functions as F
+
+        docs = self._docs(spark)
+        pairs = {
+            (r["id_a"], r["id_b"]): r["shared"]
+            for r in winnow_overlap_pairs(
+                docs, "text", "doc_id", k=self.K, w=self.W, min_shared=2
+            ).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 5  # lifted paragraph found
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+        # whole-doc Jaccard on the same pair sits far below any dedup
+        # threshold — the containment case resemblance dilutes away
+        cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        jac = ngram_jaccard_pairs(
+            docs, "text", "doc_id", cand, threshold=0.0
+        ).collect()
+        assert jac and jac[0]["jaccard"] < 0.5
+
+    def test_selection_density_and_edge_docs(self, spark):
+        """Winnowing selects ~2/(w+1) of the gram hashes (bounded both
+        ways), empty docs select nothing, sub-k docs select their one
+        whole-text gram."""
+        from cod_stats_spark.operators.dedup import winnow_fingerprints
+
+        docs = self._docs(spark)
+        out = {
+            r["id"]: r["winnow_fp"]
+            for r in winnow_fingerprints(
+                docs, "text", "doc_id", k=self.K, w=self.W
+            ).collect()
+        }
+        n_grams = len(self._docs(spark).collect()[0]["text"]) - self.K + 1
+        sel = len(out[1])
+        assert 1 <= sel <= n_grams
+        # density: distinct minima of w-windows ≤ #windows, ≥ grams/w
+        assert sel >= (n_grams - self.W + 1) / self.W - 1
+        assert out[4] == []
+        assert len(out[5]) == 1
+
+    def test_every_long_match_shares_a_fingerprint(self, spark):
+        """The winnowing guarantee: any common substring of length >=
+        k + w - 1 yields at least one SHARED selected fingerprint."""
+        from cod_stats_spark.operators.dedup import winnow_fingerprints
+
+        shared_run = "x" * 0 + "the guarantee substring is exactly this run"
+        assert len(shared_run) >= self.K + self.W - 1
+        rows = [(1, "AAA " + shared_run + " BBB"), (2, "CCCC " + shared_run)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["id"]: set(r["winnow_fp"])
+            for r in winnow_fingerprints(
+                docs, "text", "doc_id", k=self.K, w=self.W
+            ).collect()
+        }
+        assert out[1] & out[2], "no shared fingerprint for a long verbatim run"
+
+    def test_stop_fingerprint_cap_bounds_pairing(self, spark):
+        from cod_stats_spark.operators.dedup import winnow_overlap_pairs
+
+        boiler = "this exact boilerplate preamble appears in every document "
+        rows = [(i, boiler + f"unique suffix number {i}") for i in range(20)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        uncapped = winnow_overlap_pairs(
+            docs, "text", "doc_id", k=self.K, w=self.W, min_shared=2,
+            max_fp_df=None,
+        ).count()
+        capped = winnow_overlap_pairs(
+            docs, "text", "doc_id", k=self.K, w=self.W, min_shared=2,
+            max_fp_df=10,
+        ).count()
+        assert uncapped == 190  # all C(20,2) pairs share the boilerplate
+        assert capped == 0      # boilerplate fps dropped, suffixes unique

@@ -273,6 +273,37 @@ def curate_corpus_append(
     return manifest, stats
 
 
+def stream_curate_to_corpus(
+    spark,
+    docs_stream: DataFrame,
+    benchmark: DataFrame | None,
+    state_dir: str,
+    checkpoint_path: str | None = None,
+    **append_kwargs,
+):
+    """Structured-Streaming wrapper for :func:`curate_corpus_append`:
+    every micro-batch runs the WHOLE incremental funnel (quality gate →
+    dedup vs the persisted fingerprint/band index → decontaminate →
+    fragment shard write) with the streaming epoch id as the batch id,
+    so fragment shard trees arrive as ``shards_frag/batch=<epoch>``
+    and the :func:`compact_curated_shards` maintenance pass runs on
+    whatever cadence the deployment compacts on. Returns the
+    StreamingQuery. The exactly-once contract is the file source's +
+    the checkpoint's, same as streaming/dedup.stream_dedup_to_corpus;
+    kwargs pass through to curate_corpus_append."""
+
+    def batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
+        curate_corpus_append(
+            spark, batch_df, benchmark, state_dir,
+            batch_id=int(epoch_id), **append_kwargs,
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(batch_fn).outputMode("append")
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()
+
+
 def compact_curated_shards(spark, state_dir: str) -> DataFrame:
     """Maintenance pass for the append path: renumber the per-batch
     fragment shard sequences (``shards_frag/batch=N/shard_id=M``)

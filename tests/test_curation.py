@@ -171,3 +171,64 @@ def test_append_equals_rebuild(spark, tmp_path):
     for sd in glob.glob(os.path.join(state, "shards", "shard_id=*")):
         files = [f for f in os.listdir(sd) if f.endswith(".parquet")]
         assert len(files) == 1, f"{sd} not compacted: {files}"
+
+
+def test_stream_curate_to_corpus(spark, tmp_path):
+    """The streaming wrapper drives the full incremental funnel per
+    micro-batch: quality junk, near-dups (within and across batches),
+    and contaminated docs all die; survivors land in per-epoch
+    fragment shard trees that the maintenance pass compacts into one
+    contiguous sequence."""
+    import glob
+    import json as js
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401 (parity with peers)
+
+    from cod_stats_spark.plans.curation import (
+        compact_curated_shards,
+        stream_curate_to_corpus,
+    )
+
+    docs = {r[0]: r[1] for r in _corpus(spark).collect()}
+    bench = spark.createDataFrame(
+        [(100, "benchmark secret passage that must not leak into training at all")],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    # epoch 0: keeper 1, near-dup 3, junk 5; epoch 1: exact dup 2,
+    # keeper 4, contaminated 6
+    with open(src / "b1.json", "w") as f:
+        for i in (1, 3, 5):
+            f.write(js.dumps({"doc_id": i, "text": docs[i]}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream_curate_to_corpus(
+        spark, stream, bench, state, str(tmp_path / "ckpt"),
+        min_quality=0.5, token_budget=64, decontam_ngram_n=8,
+    )
+    try:
+        q.processAllAvailable()
+        with open(src / "b2.json", "w") as f:
+            for i in (2, 4, 6):
+                f.write(js.dumps({"doc_id": i, "text": docs[i]}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    frag_batches = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(state, "shards_frag", "batch=*"))
+    )
+    assert len(frag_batches) == 2
+    compacted = compact_curated_shards(spark, state)
+    assert {r["doc_id"] for r in compacted.select("doc_id").collect()} == {1, 4}
+    shard_ids = sorted(
+        r["shard_id"] for r in compacted.select("shard_id").distinct().collect()
+    )
+    assert shard_ids == list(range(len(shard_ids)))

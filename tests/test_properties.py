@@ -183,3 +183,55 @@ class TestSplitAndMixtureProperties:
         assert {d for _, d in got} <= set(w)
         again = {(r["id"], r["dom"]) for r in mixture_sample(df, "id", "dom", w).collect()}
         assert got == again
+
+
+class TestWinnowProperties:
+    """Winnowing guarantee (Schleimer et al.): for ANY two documents
+    sharing a verbatim substring of length >= k + w - 1, the selected
+    fingerprint sets intersect. Checked against a pure-Python replica
+    of the selection rule on random texts with a planted shared run;
+    also checks the Spark selection equals the replica exactly."""
+
+    K, W = 8, 4
+
+    @staticmethod
+    def _select(text, k, w):
+        import hashlib
+
+        s = " ".join(text.lower().split())
+        if not s:
+            return set()
+        n = max(len(s) - k + 1, 1)
+        hs = [
+            int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:15], 16)
+            for i in range(n)
+        ]
+        m = max(len(hs) - w + 1, 1)
+        return {min(hs[j : j + w]) for j in range(m)}
+
+    @prop
+    @given(
+        pre=st.text(alphabet="abcdef ", max_size=40),
+        mid=st.text(alphabet="ghijkl ", min_size=11, max_size=60),
+        post=st.text(alphabet="mnopqr ", max_size=40),
+    )
+    def test_shared_run_always_fingerprinted(self, spark, pre, mid, post):
+        from cod_stats_spark.operators.dedup import winnow_fingerprints
+
+        # normalize the planted run the way the operator will, and
+        # re-check it still meets the k+w-1 guarantee afterwards
+        mid_norm = " ".join(mid.split())
+        if len(mid_norm) < self.K + self.W - 1:
+            return
+        rows = [(1, f"{pre} {mid} {post}"), (2, f"zz {mid} yy")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["id"]: set(r["winnow_fp"])
+            for r in winnow_fingerprints(
+                df, "text", "doc_id", k=self.K, w=self.W, base_hash="md5_60"
+            ).collect()
+        }
+        assert got[1] & got[2], "guarantee violated: no shared fingerprint"
+        # Spark selection == pure-Python replica, doc by doc
+        for doc_id, text in rows:
+            assert got[doc_id] == self._select(text, self.K, self.W)

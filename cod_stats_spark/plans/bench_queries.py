@@ -2174,8 +2174,16 @@ def _pq_oracle_sql(
     smallest index), residuals are element-wise v − centroid, the
     residual codebooks are the sample residuals split per subspace,
     and the score replays the exact decomposition
-    q·x̂ = q·c_cluster + Σ_j q_j·rcb[j][code_j]."""
+    q·x̂ = q·c_cluster + Σ_j q_j·rcb[j][code_j].
+
+    r8 (+ 'pq_refine'): the two-stage refine serving pattern
+    (`ivfpq_topk_refined`) — the ADC-top-``refine_rerank`` candidate
+    set re-scored with EXACT cosine, top-``refine_k`` returned. The
+    oracle takes the same top-R slice of the adcres CTE (same
+    (rounded score, id) total order) and exact-scores it from the
+    embeddings table."""
     n_coarse = 4
+    refine_rerank, refine_k = 15, 10
     sub = dim // m
     weights = " ".join(f"WHEN {j} THEN {kc**j}" for j in range(m))
     packed = f"cidx * (CASE j {weights} END)"
@@ -2239,7 +2247,17 @@ rscored AS (
                      - 2.0 * list_dot_product({slc("p.rv")}, {slc("r.rv")})) ASC,
                     r.cidx ASC) AS rn
   FROM pres p CROSS JOIN rcb r CROSS JOIN subs s
-), rcodes AS (SELECT vec_id, cl, j, cidx FROM rscored WHERE rn = 1)
+), rcodes AS (SELECT vec_id, cl, j, cidx FROM rscored WHERE rn = 1),
+adcres AS (
+  SELECT c.vec_id AS id,
+         round(any_value(list_dot_product(q.qv, co.cv))
+               + sum(list_dot_product(list_slice(q.qv, c.j*{sub}+1, (c.j+1)*{sub}),
+                                      list_slice(cb.rv, c.j*{sub}+1, (c.j+1)*{sub}))), 6) AS cosine
+  FROM rcodes c JOIN rcb cb ON cb.cidx = c.cidx
+  JOIN coarse co ON co.cidx = c.cl
+  CROSS JOIN q
+  GROUP BY c.vec_id
+)
 SELECT 'pq_code' AS method, vec_id AS id,
        sum({packed})::DOUBLE AS cosine
 FROM codes GROUP BY vec_id
@@ -2250,14 +2268,16 @@ SELECT 'pq_adc' AS method, c.vec_id AS id,
 FROM codes c JOIN cent cb ON cb.cidx = c.cidx CROSS JOIN q
 GROUP BY c.vec_id
 UNION ALL
-SELECT 'pq_adc_res' AS method, c.vec_id AS id,
-       round(any_value(list_dot_product(q.qv, co.cv))
-             + sum(list_dot_product(list_slice(q.qv, c.j*{sub}+1, (c.j+1)*{sub}),
-                                    list_slice(cb.rv, c.j*{sub}+1, (c.j+1)*{sub}))), 6) AS cosine
-FROM rcodes c JOIN rcb cb ON cb.cidx = c.cidx
-JOIN coarse co ON co.cidx = c.cl
-CROSS JOIN q
-GROUP BY c.vec_id
+SELECT 'pq_adc_res' AS method, id, cosine FROM adcres
+UNION ALL
+SELECT 'pq_refine' AS method, id, cosine FROM (
+  SELECT e.vec_id AS id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+  FROM (SELECT id FROM adcres ORDER BY cosine DESC, id ASC LIMIT {refine_rerank}) r
+  JOIN embeddings e ON e.vec_id = r.id
+  CROSS JOIN q
+  ORDER BY cosine DESC, id ASC LIMIT {refine_k}
+)
 """
 
 
@@ -2392,7 +2412,35 @@ def ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"),
         adc_res.alias("cosine"),
     )
-    return code_rows.unionByName(adc_rows).unionByName(res_rows)
+    # refine stage (r8): exact cosine re-rank of the residual-ADC
+    # top-15 — candidate selection runs through the WRITTEN index via
+    # ivfpq_topk_indexed (all 4 clusters probed, so the oracle needs
+    # no probe arithmetic), the re-rank reads raw vectors via a
+    # broadcast semi join
+    from cod_stats_spark.operators.quantization import ivfpq_topk_refined
+
+    refined = ivfpq_topk_refined(
+        spark,
+        idx_res,
+        pts,
+        "embedding",
+        "vec_id",
+        [float(x) for x in qvec],
+        centroids,
+        books_res,
+        k=10,
+        rerank=15,
+        nprobe=4,
+        residual=True,
+    )
+    ref_rows = refined.select(
+        F.lit("pq_refine").alias("method"), "id", "cosine"
+    )
+    return (
+        code_rows.unionByName(adc_rows)
+        .unionByName(res_rows)
+        .unionByName(ref_rows)
+    )
 
 
 def _ann_merged_oracle() -> str:

@@ -740,3 +740,92 @@ class TestResidualIvfPq:
             spark, p2, "vec_id", q, centroids, books, k=10, nprobe=2, residual=True
         ).collect()]
         assert a == b and len(a) == 10
+
+
+class TestIvfPqRefine:
+    def test_refine_restores_exact_order(self, spark, tmp_path):
+        """Two-stage refine: ADC over a deliberately COARSE codebook
+        (m=2) misorders within clusters; exact re-ranking of the ADC
+        top-rerank must return exactly the brute-force top-k whenever
+        the candidate stage recalls them — and scores must equal the
+        exact cosine, not the quantized approximation."""
+        from cod_stats_spark.operators.quantization import (
+            ivfpq_topk_indexed,
+            ivfpq_topk_refined,
+            train_pq,
+            write_ivfpq_index,
+        )
+        from cod_stats_spark.operators.similarity import brute_force_topk
+
+        rng = np.random.default_rng(11)
+        cents4 = rng.normal(size=(4, 16)) * 10.0
+        rows = []
+        for i in range(200):
+            v = cents4[i % 4] + rng.normal(size=16) * 0.5
+            rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        centroids = [[float(x) for x in c / np.linalg.norm(c)] for c in cents4]
+        books = train_pq(df, "embedding", "vec_id", m=2, k=8, sample_size=200)
+        path = str(tmp_path / "ivfpq_ref")
+        write_ivfpq_index(df, path, "embedding", "vec_id", centroids, books)
+
+        q = [float(x) for x in cents4[3] / np.linalg.norm(cents4[3])]
+        exact = [
+            (r["id"], r["cosine"])
+            for r in brute_force_topk(df, "embedding", "vec_id", q, k=10).collect()
+        ]
+        refined = [
+            (r["id"], r["cosine"])
+            for r in ivfpq_topk_refined(
+                spark, path, df, "embedding", "vec_id", q, centroids, books,
+                k=10, rerank=50, nprobe=1,
+            ).collect()
+        ]
+        # cluster 3 holds 50 docs, rerank=50 covers it — refine must
+        # reproduce the exact ranking AND exact scores
+        assert refined == exact
+        # sanity: the coarse ADC alone does NOT (quantized scores)
+        adc = [
+            (r["id"], r["score"])
+            for r in ivfpq_topk_indexed(
+                spark, path, "vec_id", q, centroids, books, k=10, nprobe=1
+            ).collect()
+        ]
+        assert adc != exact
+
+    def test_refine_residual_mode(self, spark, tmp_path):
+        from cod_stats_spark.operators.quantization import (
+            ivfpq_topk_refined,
+            train_pq_residual,
+            write_ivfpq_index,
+        )
+        from cod_stats_spark.operators.similarity import brute_force_topk
+
+        rng = np.random.default_rng(12)
+        cents4 = rng.normal(size=(4, 16)) * 10.0
+        rows = []
+        for i in range(120):
+            v = cents4[i % 4] + rng.normal(size=16) * 0.4
+            rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        centroids = [[float(x) for x in c / np.linalg.norm(c)] for c in cents4]
+        books = train_pq_residual(
+            df, "embedding", "vec_id", centroids, m=4, k=16, sample_size=200
+        )
+        path = str(tmp_path / "ivfpq_ref_res")
+        write_ivfpq_index(
+            df, path, "embedding", "vec_id", centroids, books, residual=True
+        )
+        q = [float(x) for x in cents4[0] / np.linalg.norm(cents4[0])]
+        refined = [
+            (r["id"], r["cosine"])
+            for r in ivfpq_topk_refined(
+                spark, path, df, "embedding", "vec_id", q, centroids, books,
+                k=5, rerank=30, nprobe=1, residual=True,
+            ).collect()
+        ]
+        exact = [
+            (r["id"], r["cosine"])
+            for r in brute_force_topk(df, "embedding", "vec_id", q, k=5).collect()
+        ]
+        assert refined == exact

@@ -184,6 +184,12 @@ def materialize(
     ``df.persist(MEMORY_AND_DISK)`` EXACTLY — callers' plans are
     byte-identical to the pre-helper shape when memory suffices, so
     bench plan signatures cannot drift.
+
+    Caveat: the scratch branch is a parquet round-trip, so TIMESTAMP
+    columns come back as the file flavor (possibly NTZ — see
+    `ts_to_timestamp`). Current callers materialize id/text/array
+    silver layers with no timestamps; route any time-bearing frame
+    through `ts_to_timestamp` downstream as usual.
     """
     import tempfile
 

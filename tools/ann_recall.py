@@ -139,6 +139,23 @@ def main() -> None:
                             "coarse": len(coarse), "nprobe": nprobe,
                             "residual": residual, "recall_at_10": r})
                 print(json.dumps(out[-1]), flush=True)
+            # refine stage: exact re-rank of the ADC top-50 — recall
+            # becomes candidate-stage recall, quantization error gone
+            from cod_stats_spark.operators.quantization import (
+                ivfpq_topk_refined,
+            )
+
+            r = recall(
+                lambda qv, b=books, p=idx, res=residual:
+                ivfpq_topk_refined(
+                    spark, p, emb, "embedding", "vec_id", qv, coarse, b,
+                    k=K, rerank=50, nprobe=4, residual=res,
+                )
+            )
+            out.append({"method": "ivfpq_refine", "m": m, "k_codewords": kc,
+                        "coarse": len(coarse), "rerank": 50, "nprobe": 4,
+                        "residual": residual, "recall_at_10": r})
+            print(json.dumps(out[-1]), flush=True)
 
     print(json.dumps({"summary": out}))
     spark.stop()

@@ -50,6 +50,7 @@ DEFAULT_QUERIES = [
     "dedup_pipeline_v2",       # full near-dup composite
     "decontaminate",        # PAIRWISE reporting join (capped below)
     "decontaminate_clean",  # doc-level gram-set cleaning path
+    "dedup_winnow",         # char-gram fingerprint explode + fp-bucket pairing (r8)
     "retrieval_bm25",       # DTF build (explode+shuffle) + 2 queries
     "pack_sequences",       # distributed prefix scan (256 buckets)
     "curate_corpus",        # capstone funnel incl. shard write

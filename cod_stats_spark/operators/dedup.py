@@ -575,6 +575,57 @@ def winnow_overlap_pairs(
     )
 
 
+def winnow_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = 1000,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, bench_id, n_overlap) for corpus×benchmark pairs sharing
+    >= ``min_shared`` winnowed fingerprints — the VERBATIM-overlap
+    contamination report.
+
+    Relationship to `decontaminate.contamination_pairs` (word n-gram
+    report): same join shape, different gram economics. Winnowing
+    emits ~2/(w+1) of the char-gram hashes per document (vs one gram
+    per token) while KEEPING the guarantee that any lifted run of
+    >= k+w-1 characters shares at least one fingerprint — so the
+    Σ_f cnt_c(f)·cnt_b(f) pairing intermediate starts ~2.5× smaller
+    per covered byte, and the report answers the question eval
+    contamination actually asks (verbatim leakage) rather than
+    bag-of-ngram co-occurrence. ``max_fp_df`` drops fingerprints in
+    more than that many BENCHMARK docs before pairing (the stop-gram
+    cap, same contract as contamination_pairs' ``max_gram_df``).
+    Overlap counts are shared-fingerprint counts — a ~2/(w+1)-rate
+    sample of the shared gram volume, not a gram census."""
+    bench_text_col = bench_text_col or text_col
+    bench_id_col = bench_id_col or id_col
+    cfp = winnow_fingerprints(corpus, text_col, id_col, k, w, base_hash).select(
+        F.col("id").alias("doc_id"), F.explode("winnow_fp").alias("fp")
+    )
+    bfp = winnow_fingerprints(
+        benchmark, bench_text_col, bench_id_col, k, w, base_hash
+    ).select(F.col("id").alias("bench_id"), F.explode("winnow_fp").alias("fp"))
+    if max_fp_df is not None:
+        keep = bfp.groupBy("fp").agg(F.count(F.lit(1)).alias("_n")).filter(
+            F.col("_n") <= max_fp_df
+        )
+        bfp = bfp.join(keep.select("fp"), "fp", "left_semi")
+    return (
+        cfp.join(bfp, "fp")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_shared)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

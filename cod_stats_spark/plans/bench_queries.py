@@ -3446,25 +3446,88 @@ HAVING count(*) >= {min_overlap}
 """
 
 
+def _winnow_contam_oracle_sql(
+    mod: int = 7, k: int = 8, w: int = 4, min_shared: int = 2
+) -> str:
+    """Cross-set winnow replica: the md5_60 fingerprint selection of
+    `_winnow_oracle_sql` computed per %-split side, then paired on
+    fingerprint equality with a shared-count threshold."""
+    md5_60 = (
+        "list_sum(list_transform(range(15), q ->"
+        " (strpos('0123456789abcdef', md5({e})[q+1:q+1]) - 1)::BIGINT"
+        " * (1::BIGINT << (4*(14-q)))))"
+    ).format(e=f"substr(s, i, {k})")
+
+    def sel(pred: str) -> str:
+        return f"""
+  SELECT doc_id, unnest(fp) AS f FROM (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(hs) - {w} + 1, 1) + 1),
+                                        j -> list_min(hs[j:j+{w - 1}]))) AS fp
+    FROM (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(s) - {k} + 1, 1) + 1),
+                            i -> {md5_60}) AS hs
+      FROM (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+        FROM documents WHERE {pred}
+      ) WHERE length(s) > 0
+    )
+  )"""
+
+    return f"""
+SELECT a.doc_id, b.doc_id AS bench_id, count(*) AS n_overlap
+FROM ({sel(f"doc_id % {mod} <> 0")}) a
+JOIN ({sel(f"doc_id % {mod} = 0")}) b ON a.f = b.f
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {min_shared}
+"""
+
+
 @query(
     "decontaminate",
-    covers="EXT-decontamination (train/eval n-gram overlap: benchmark n-gram set broadcast against the exploded corpus, per-pair overlap count; FULL oracle)",
-    oracle=_decontaminate_oracle_sql(mod=7, ngram_n=3, min_overlap=2),
+    covers=(
+        "EXT-decontamination (tagged union, r8. method='ngram': train/eval "
+        "word-n-gram overlap — benchmark gram set against the exploded "
+        "corpus, per-pair overlap count; FULL oracle. method='winnow': the "
+        "verbatim-leakage report over winnowed char-gram fingerprints — "
+        "~2/(w+1) the gram volume with the >= k+w-1 coverage guarantee; "
+        "FULL oracle: md5_60 selection + cross-set pairing in SQL)"
+    ),
+    oracle=(
+        "SELECT 'ngram' AS method, doc_id, bench_id, n_overlap FROM ("
+        + _decontaminate_oracle_sql(mod=7, ngram_n=3, min_overlap=2)
+        + ")\nUNION ALL\nSELECT 'winnow' AS method, doc_id, bench_id,"
+        " n_overlap FROM ("
+        + _winnow_contam_oracle_sql()
+        + ")"
+    ),
 )
 def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontaminate.py): docs
     with doc_id % 7 == 0 stand in for an eval set; the rest is the
     training corpus. Production decontamination uses 8-13-grams; the
     gate uses 3-grams so the synthetic corpus yields hundreds of pairs
-    and the overlap counting is value-verified broadly."""
+    and the overlap counting is value-verified broadly.
+
+    r8: + the winnowed verbatim-overlap report
+    (dedup.winnow_contamination_pairs, md5_60 member, uncapped on the
+    bounded gate data) as a second tagged arm. The TIMED entry keeps
+    the r1–r7 n-gram-only plan via a BENCH_ONLY override."""
     from cod_stats_spark.operators.decontaminate import contamination_pairs
+    from cod_stats_spark.operators.dedup import winnow_contamination_pairs
 
     docs = load_tables(spark, sf_dir)["documents"]
     corpus = docs.filter(F.col("doc_id") % 7 != 0)
     bench = docs.filter(F.col("doc_id") % 7 == 0)
-    return contamination_pairs(
+    ng = contamination_pairs(
         corpus, bench, "text", "doc_id", ngram_n=3, min_overlap=2
-    )
+    ).select(F.lit("ngram").alias("method"), "doc_id", "bench_id", "n_overlap")
+    wn = winnow_contamination_pairs(
+        corpus, bench, "text", "doc_id", k=8, w=4, min_shared=2,
+        max_fp_df=None, base_hash="md5_60",
+    ).select(F.lit("winnow").alias("method"), "doc_id", "bench_id", "n_overlap")
+    return ng.unionByName(wn)
 
 
 @query(
@@ -4249,6 +4312,23 @@ def retrieval_bm25_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session DTF build + 2 queries + RRF), frozen while the GATE
     moved to the written-index serve path in r7 (BENCH_NOTES.md)."""
     return _retrieval_bm25_inmem(spark, sf_dir)
+
+
+@_bench_only("decontaminate")
+def decontaminate_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed `decontaminate` entry — the r1–r7 pairwise n-gram
+    reporting plan, frozen while the GATE widened into the
+    ngram/winnow tagged union in r8 (BENCH_NOTES.md; bench.py merges
+    BENCH_ONLY over QUERIES, so this override keeps the timed work
+    scope-clean and the signature golden unchanged)."""
+    from cod_stats_spark.operators.decontaminate import contamination_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    return contamination_pairs(
+        corpus, bench, "text", "doc_id", ngram_n=3, min_overlap=2
+    )
 
 
 @_bench_only("decontaminate_clean")

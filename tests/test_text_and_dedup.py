@@ -848,3 +848,53 @@ class TestWinnowing:
         ).count()
         assert uncapped == 190  # all C(20,2) pairs share the boilerplate
         assert capped == 0      # boilerplate fps dropped, suffixes unique
+
+
+class TestWinnowContamination:
+    def test_verbatim_leak_found_and_cap_applies(self, spark):
+        """A benchmark passage lifted verbatim into a training doc must
+        surface in the winnow contamination report; unrelated docs must
+        not; benchmark-side stop-fingerprints (boilerplate in every
+        bench doc) are dropped by the cap."""
+        from cod_stats_spark.operators.dedup import winnow_contamination_pairs
+
+        secret = (
+            "the held out evaluation answer key sentence that must never "
+            "appear inside any training document under any circumstances"
+        )
+        filler = " ".join(f"word{i} token{i}" for i in range(40))
+        corpus = spark.createDataFrame(
+            [(1, filler + " " + secret), (2, filler)],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, secret), (101, "entirely different benchmark prompt here")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["doc_id"], r["bench_id"]): r["n_overlap"]
+            for r in winnow_contamination_pairs(
+                corpus, bench, "text", "doc_id", min_shared=2
+            ).collect()
+        }
+        assert (1, 100) in got and got[(1, 100)] >= 5
+        assert (2, 100) not in got and (1, 101) not in got
+
+        # benchmark-side boilerplate: shared preamble in EVERY bench doc
+        # pairs every corpus doc without the cap, nothing with it
+        boiler = "standard benchmark instructions preamble text common to all "
+        bench2 = spark.createDataFrame(
+            [(200 + i, boiler + f"question variant {i}") for i in range(12)],
+            "doc_id long, text string",
+        )
+        corpus2 = spark.createDataFrame(
+            [(1, filler + " " + boiler)], "doc_id long, text string"
+        )
+        uncapped = winnow_contamination_pairs(
+            corpus2, bench2, "text", "doc_id", min_shared=2, max_fp_df=None
+        ).count()
+        capped = winnow_contamination_pairs(
+            corpus2, bench2, "text", "doc_id", min_shared=2, max_fp_df=6
+        ).count()
+        assert uncapped == 12
+        assert capped == 0

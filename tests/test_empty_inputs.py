@@ -138,3 +138,34 @@ def test_r7_ops_empty_inputs(spark):
     enc = pq_encode(emb, "embedding", books)
     assert enc.count() == 0
     assert pq_topk(enc, "pq_code", "vec_id", [0.0] * 4, books, k=3).count() == 0
+
+
+def test_r8_ops_empty_inputs(spark, tmp_path):
+    """Winnowing family and the incremental curation funnel degrade to
+    empty outputs (not errors) on empty frames."""
+    from cod_stats_spark.operators.dedup import (
+        winnow_contamination_pairs,
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+    from cod_stats_spark.plans.curation import curate_corpus_append
+
+    docs = _empty_docs(spark)
+    assert winnow_fingerprints(docs, "text", "doc_id").count() == 0
+    assert winnow_overlap_pairs(docs, "text", "doc_id").count() == 0
+    some = spark.createDataFrame(
+        [(1, "a real document with words")], "doc_id long, text string"
+    )
+    assert winnow_contamination_pairs(some, docs, "text", "doc_id").count() == 0
+    assert winnow_contamination_pairs(docs, some, "text", "doc_id").count() == 0
+    # empty first batch leaves a consistent (empty) state; a following
+    # real batch still curates normally against it
+    state = str(tmp_path / "state")
+    _, s0 = curate_corpus_append(
+        spark, docs, None, state, batch_id=1, min_quality=0.0, token_budget=64
+    )
+    assert s0["after_dedup"] == 0 and s0["shards"] == 0
+    _, s1 = curate_corpus_append(
+        spark, some, None, state, batch_id=2, min_quality=0.0, token_budget=64
+    )
+    assert s1["after_dedup"] == 1 and s1["shards"] == 1

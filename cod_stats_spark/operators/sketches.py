@@ -1,0 +1,187 @@
+"""Mergeable HyperLogLog sketch state — incremental distinct counts.
+
+Spark's ``approx_count_distinct`` answers "how many distinct NOW" in
+one pass, but its HLL++ state is opaque: you cannot persist a batch's
+sketch and merge it with tomorrow's without rescanning both. At
+100 TB the pattern that matters is PRE-AGGREGATED SKETCH STATE: each
+ingest batch/day/partition reduces to a few KB of registers, stored
+next to the data, and any window of batches merges in milliseconds —
+distinct users over any date range without touching the events again.
+
+This module implements that state explicitly, flat and engine-
+portable (Flajolet et al., "HyperLogLog: the analysis of a near-
+optimal cardinality estimation algorithm", AofA 2007):
+
+- :func:`hll_partial`   — (group..., register, rho) rows: one shuffle,
+                          the mergeable unit. Store it as a table.
+- :func:`hll_merge`     — union + max(rho) per register. Associative
+                          and idempotent, so ANY merge tree (daily →
+                          monthly → total) gives the identical state.
+- :func:`hll_estimate`  — registers → cardinality estimate, with the
+                          standard linear-counting small-range branch.
+
+Everything is Column arithmetic (no UDFs). The rho computation uses
+``length(bin(w))`` for the integer bit length — exact in both Spark
+and DuckDB — and the estimator's register sum is computed in DECIMAL
+integer space (each 2^(R-rho) term is exact, the sum is exact, ONE
+rounding at the final double division), so the md5-member estimate is
+value-reproducible digit-for-digit by a SQL oracle: the
+`sketch_aggregates` gate replays state AND estimate in DuckDB.
+
+Accuracy: the standard ~1.04/sqrt(m) relative error (m = 2^p
+registers); property-tested against exact distinct counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cod_stats_spark.operators.dedup import BASE_HASH_SQL
+
+_NBITS = {"xxhash64": 64, "md5_64": 64, "md5_60": 60}
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_partial(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    p: int = 12,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """(group..., register, rho) — the mergeable HLL state, max'd per
+    register. One shuffle on (group, register); at most m = 2^p rows
+    per group regardless of input size. Null values are ignored
+    (COUNT DISTINCT semantics)."""
+    nbits = _NBITS[base_hash]
+    if not 4 <= p <= nbits - 8:
+        raise ValueError(f"hll_partial: p={p} out of range for {base_hash}")
+    m = 1 << p
+    wbits = nbits - p
+    h = BASE_HASH_SQL[base_hash](f"cast(`{value_col}` as string)")
+    # register = low p bits; w = the remaining hash bits; rho = count
+    # of leading zeros in the wbits window + 1 — via the exact integer
+    # bit length length(bin(w)), identical in Spark and DuckDB
+    reg = f"cast(({h}) & {m - 1} as int)"
+    w = f"shiftrightunsigned({h}, {p})"
+    rho = (
+        f"cast(if({w} = 0, {wbits + 1},"
+        f" {wbits + 1} - length(bin({w}))) as int)"
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            F.expr(reg).alias("register"),
+            F.expr(rho).alias("rho"),
+        )
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(group_cols: list[str], *states: DataFrame) -> DataFrame:
+    """Merge any number of compatible partial states (same p, same
+    hash): union + max per register. max is associative/commutative/
+    idempotent, so daily → monthly → yearly rollup trees, re-merges,
+    and replays all converge to the identical state."""
+    if not states:
+        raise ValueError("hll_merge: need at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "register").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    state: DataFrame,
+    group_cols: list[str],
+    p: int = 12,
+    base_hash: str = "xxhash64",
+    out_col: str = "approx_distinct",
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-group cardinality estimate from a partial state.
+
+    Exact-arithmetic shape for oracle parity: the indicator sum
+    Σ 2^(−rho) is scaled by 2^R (R = max possible rho) into DECIMAL
+    integers — every term and the sum are exact — and the only float
+    roundings are the final cast + division, which both engines
+    perform identically on identical integers. Small-range correction:
+    linear counting m·ln(m/V) when E_raw ≤ 2.5m and V (empty
+    registers) > 0 — the standard HLL branch structure."""
+    nbits = _NBITS[base_hash]
+    m = 1 << p
+    wbits = nbits - p
+    R = wbits + 1
+    c = _alpha(m) * m * m * (2.0**R)  # python double, embedded as literal
+    agg = state.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n_present"),
+        F.sum(
+            F.expr(f"cast(shiftleft(cast(1 as bigint), {R} - rho) as decimal(38,0))")
+        ).alias("_s_present"),
+    )
+    zeros = (F.lit(m) - F.col("_n_present")).cast("long")
+    s_total = F.col("_s_present") + zeros.cast("decimal(38,0)") * F.lit(
+        2**R
+    ).cast("decimal(38,0)")
+    e_raw = F.lit(float(c)) / s_total.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        *group_cols, F.round(est, decimals).alias(out_col)
+    )
+
+
+def hll_oracle_sql(
+    src: str,
+    value_sql: str,
+    group_sql: str,
+    p: int,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB replica of hll_partial∘hll_estimate with the md5_60 hash
+    member — state construction, register max, exact integer register
+    sum, and both estimator branches, so the gate value-verifies the
+    whole sketch path digit-for-digit. ``value_sql`` must render the
+    SAME string Spark's cast produces (e.g. ``user_id::VARCHAR``)."""
+    nbits = 60
+    m = 1 << p
+    wbits = nbits - p
+    R = wbits + 1
+    c = _alpha(m) * m * m * (2.0**R)
+    md5_60 = (
+        "list_sum(list_transform(range(15), q ->"
+        " (strpos('0123456789abcdef', md5({e})[q+1:q+1]) - 1)::BIGINT"
+        " * (1::BIGINT << (4*(14-q)))))"
+    ).format(e=value_sql)
+    return f"""
+SELECT g, round(CASE WHEN e_raw <= {2.5 * m} AND zeros > 0
+                     THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                     ELSE e_raw END, 4) AS approx_distinct
+FROM (
+  SELECT g, ({m} - count(*)) AS zeros,
+         {c!r} / (sum((1::BIGINT << ({R} - rho))::DECIMAL(38,0))
+                  + ({m} - count(*))::DECIMAL(38,0) * {2**R}::DECIMAL(38,0))::DOUBLE AS e_raw
+  FROM (
+    SELECT g, register, max(rho) AS rho
+    FROM (
+      SELECT g, (h & {m - 1}) AS register,
+             CASE WHEN (h >> {p}) = 0 THEN {wbits + 1}
+                  ELSE {wbits + 1} - length(bin(h >> {p})) END AS rho
+      FROM (
+        SELECT {group_sql} AS g, {md5_60} AS h
+        FROM {src} WHERE ({where}) AND ({value_sql}) IS NOT NULL
+      )
+    ) GROUP BY g, register
+  ) GROUP BY g
+)
+"""

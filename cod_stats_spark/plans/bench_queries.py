@@ -29,6 +29,7 @@ from cod_stats_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from cod_stats_spark.operators.interval_join import interval_join
+from cod_stats_spark.operators.sketches import hll_oracle_sql
 from cod_stats_spark.operators.multimodal import (
     decode_media_meta,
     frame_sample,
@@ -2714,26 +2715,52 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sketch_aggregates",
-    covers="EXT-olap (approximate sketches: HLL distinct + quantile sketch; bounded-error oracle — estimates asserted within rated error of exact values)",
-    oracle="""
-SELECT event_type,
-       count(*)                AS n,
-       count(DISTINCT user_id) AS exact_users,
-       true                    AS hll_within_bounds,
-       true                    AS median_within_bounds
-FROM events
-GROUP BY event_type
-""",
+    covers=(
+        "EXT-olap (approximate sketches, r8 tagged union. 'n'/'exact_users': "
+        "exact values. 'hll_md5_p10': operators/sketches.py — EXPLICIT "
+        "mergeable HLL state (the persist-a-batch-sketch, merge-any-window "
+        "pattern approx_count_distinct's opaque state can't do), served from "
+        "TWO merged parity-split partials and VALUE-verified digit-for-digit "
+        "(state, register max, exact-integer register sum, both estimator "
+        "branches replayed in SQL). 'hll_builtin_ok'/'median_ok': Spark's "
+        "builtin HLL++/KLL estimates bounds-checked as before)"
+    ),
+    oracle=(
+        """
+SELECT 'n' AS tag, event_type, count(*)::DOUBLE AS value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'exact_users' AS tag, event_type, count(DISTINCT user_id)::DOUBLE AS value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'hll_builtin_ok' AS tag, event_type, 1.0 AS value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'median_ok' AS tag, event_type, 1.0 AS value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'hll_md5_p10' AS tag, g AS event_type, approx_distinct AS value
+FROM ("""
+        + hll_oracle_sql("events", "user_id::VARCHAR", "event_type", p=10)
+        + ")"
+    ),
 )
 def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path for distincts/quantiles: approx_count_distinct
     (HyperLogLog++) and percentile_approx (KLL-style) — mergeable
-    partial states, constant memory, one pass. Sketch ESTIMATES are
-    engine-specific, so the oracle checks bounded error instead of
-    values: the query emits exact counts plus booleans asserting the
-    HLL estimate lands within 5× its rated rsd and the approx median
-    inside the exact p40–p60 band; the driver's exact-hash compare then
-    verifies the bounds held."""
+    partial states, constant memory, one pass. The BUILTIN estimates
+    are engine-specific, so those arms stay bounds-checked (booleans
+    as 0/1); the r8 'hll_md5_p10' arm is this repo's OWN mergeable
+    HLL (operators/sketches.py) whose md5-member estimate is a
+    deterministic function of the data — state construction, merge of
+    two parity-split partials, and both estimator branches are
+    value-verified against the SQL replica exactly."""
+    from cod_stats_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_partial,
+    )
+
     ev = load_tables(spark, sf_dir)["events"]
     agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2743,17 +2770,52 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.4).alias("_p40"),
         F.percentile("value", 0.6).alias("_p60"),
     )
-    return agg.select(
-        "event_type",
-        "n",
-        "exact_users",
-        (
-            F.abs(F.col("_approx_users") - F.col("exact_users"))
-            <= F.greatest(F.col("exact_users") * 0.10, F.lit(3.0))
-        ).alias("hll_within_bounds"),
-        F.col("_approx_median").between(F.col("_p40"), F.col("_p60")).alias(
-            "median_within_bounds"
-        ),
+
+    def tag_rows(tag: str, value) -> DataFrame:
+        return agg.select(
+            F.lit(tag).alias("tag"),
+            "event_type",
+            value.cast("double").alias("value"),
+        )
+
+    hll_ok = (
+        F.abs(F.col("_approx_users") - F.col("exact_users"))
+        <= F.greatest(F.col("exact_users") * 0.10, F.lit(3.0))
+    ).cast("int")
+    median_ok = F.col("_approx_median").between(
+        F.col("_p40"), F.col("_p60")
+    ).cast("int")
+    # the explicit mergeable sketch: two parity-split partial states
+    # merged (daily-sketch pattern), then estimated — merge is max per
+    # register, so this MUST equal the oracle's one-shot replay
+    halves = [
+        hll_partial(
+            ev.filter(F.col("event_id") % 2 == par),
+            "user_id",
+            ["event_type"],
+            p=10,
+            base_hash="md5_60",
+        )
+        for par in (0, 1)
+    ]
+    est = hll_estimate(
+        hll_merge(["event_type"], *halves),
+        ["event_type"],
+        p=10,
+        base_hash="md5_60",
+    )
+    return (
+        tag_rows("n", F.col("n"))
+        .unionByName(tag_rows("exact_users", F.col("exact_users")))
+        .unionByName(tag_rows("hll_builtin_ok", hll_ok))
+        .unionByName(tag_rows("median_ok", median_ok))
+        .unionByName(
+            est.select(
+                F.lit("hll_md5_p10").alias("tag"),
+                "event_type",
+                F.col("approx_distinct").alias("value"),
+            )
+        )
     )
 
 

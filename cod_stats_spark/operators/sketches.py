@@ -34,7 +34,7 @@ registers); property-tested against exact distinct counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cod_stats_spark.operators.dedup import BASE_HASH_SQL
@@ -184,4 +184,187 @@ FROM (
     ) GROUP BY g, register
   ) GROUP BY g
 )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable frequency state + heavy hitters
+# ---------------------------------------------------------------------------
+#
+# Same production shape as the HLL above, for FREQUENCIES instead of
+# cardinalities (Cormode & Muthukrishnan, "An improved data stream
+# summary: the count-min sketch and its applications", J.Alg 2005):
+# each batch reduces to a depth×width grid of counters stored next to
+# the data; any window of batches merges by cell-wise SUM (exact, since
+# counters are additive); a point query reads depth cells and takes the
+# min. At 100 TB that means "how often did THIS user/url/token appear
+# over any date range" without rescanning, in depth·width·groups rows
+# of state — and heavy hitters fall out by probing the batch's distinct
+# items against the merged state.
+#
+# Guarantees: est ≥ true count always (counters only overcount);
+# est ≤ true + εN with probability 1−δ for width = ⌈e/ε⌉, depth =
+# ⌈ln 1/δ⌉. Hash family: the per-depth salted base hash
+# hash('cms{d}:' || value) — independent-enough in practice and, with
+# the md5_60 member, digit-for-digit reproducible by the DuckDB oracle
+# (the `sketch_aggregates` gate replays state, merge, and query).
+
+
+def _cms_cell_sql(value_sql: str, d: int, width: int, base_hash: str) -> str:
+    """The depth-``d`` cell index for ``value_sql`` (Spark SQL dialect):
+    salted base hash mod width. Hash values are non-negative (md5_60
+    is 60-bit, xxhash64 is masked below), so `%` == pmod."""
+    h = BASE_HASH_SQL[base_hash](f"concat('cms{d}:', {value_sql})")
+    if base_hash == "xxhash64":
+        h = f"(({h}) & 4611686018427387903)"  # clear sign: 2^62-1 mask
+    return f"cast(({h}) % {width} as int)"
+
+
+def cms_partial(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    depth: int = 4,
+    width: int = 512,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """(group..., d, w, cnt) — the mergeable count-min state. One
+    explode (depth rows per input row, map-side) + one shuffle on
+    (group, d, w); at most depth·width rows per group regardless of
+    input size. Nulls are ignored."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"cms_partial: bad depth={depth}/width={width}")
+    v = f"cast(`{value_col}` as string)"
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.expr(_cms_cell_sql(v, d, width, base_hash)).alias("w"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, F.explode(cells).alias("_cell"))
+        .groupBy(*group_cols, F.col("_cell.d").alias("d"), F.col("_cell.w").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(group_cols: list[str], *states: DataFrame) -> DataFrame:
+    """Merge compatible partial states (same depth/width/hash):
+    union + sum per cell. Counter addition is associative and
+    commutative, so any merge tree yields the identical state — and
+    unlike the HLL max-merge it is NOT idempotent: merging a batch
+    twice double-counts, which is the correct semantics for counts."""
+    if not states:
+        raise ValueError("cms_merge: need at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "d", "w").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(
+    state: DataFrame,
+    probes: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+    base_hash: str = "xxhash64",
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Point-query ``probes`` (group..., value) against a state: each
+    probe's depth cells left-join the state (missing cell → 0) and the
+    minimum over depth is the estimate. The state is bounded at
+    depth·width rows per group, so it is broadcast — probes stream
+    map-side with zero shuffle on the big side (one small agg brings
+    the depth cells of each probe back together)."""
+    v = f"cast(`{value_col}` as string)"
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.expr(_cms_cell_sql(v, d, width, base_hash)).alias("w"),
+            )
+            for d in range(depth)
+        ]
+    )
+    pc = probes.select(
+        *group_cols, F.col(value_col), F.explode(cells).alias("_cell")
+    ).select(*group_cols, value_col, F.col("_cell.d").alias("d"), F.col("_cell.w").alias("w"))
+    joined = pc.join(F.broadcast(state), [*group_cols, "d", "w"], "left")
+    return (
+        joined.groupBy(*group_cols, value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+    )
+
+
+def cms_heavy_hitters(
+    state: DataFrame,
+    candidates: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    threshold,
+    depth: int = 4,
+    width: int = 512,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Items whose estimated count ≥ ``threshold`` (a literal or a
+    Column over the estimate row). CMS never undercounts, so recall is
+    100% — every true heavy hitter survives; the εN overcount bound
+    caps false positives. ``candidates`` supplies the probe set (the
+    classic pattern: the current batch's distinct items probe the
+    all-time merged state)."""
+    est = cms_query(
+        state, candidates, group_cols, value_col,
+        depth=depth, width=width, base_hash=base_hash,
+    )
+    thr = threshold if isinstance(threshold, Column) else F.lit(threshold)
+    return est.where(F.col("est_count") >= thr)
+
+
+def cms_oracle_sql(
+    src: str,
+    value_sql: str,
+    group_sql: str,
+    depth: int,
+    width: int,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB replica of cms_partial∘cms_merge∘cms_query with the
+    md5_60 hash member, probing every distinct (group, value) in
+    ``src``: yields (g, v, est_count) for the gate to filter/aggregate.
+    Counters are integers — no float rounding anywhere."""
+
+    def md5_60(e: str) -> str:
+        return (
+            "list_sum(list_transform(range(15), q ->"
+            f" (strpos('0123456789abcdef', md5({e})[q+1:q+1]) - 1)::BIGINT"
+            " * (1::BIGINT << (4*(14-q)))))"
+        )
+
+    def cell(d: int) -> str:
+        salted = f"'cms{d}:' || v"
+        return f"({md5_60(salted)}) % {width}"
+
+    cells = "\n  UNION ALL\n".join(
+        f"  SELECT g, v, {d} AS d, {cell(d)} AS w FROM items" for d in range(depth)
+    )
+    return f"""
+WITH items AS (
+  SELECT {group_sql} AS g, ({value_sql}) AS v
+  FROM {src} WHERE ({where}) AND ({value_sql}) IS NOT NULL
+), cells AS (
+{cells}
+), state AS (
+  SELECT g, d, w, count(*) AS cnt FROM cells GROUP BY g, d, w
+), probe_cells AS (
+  SELECT DISTINCT g, v, d, w FROM cells
+)
+SELECT p.g, p.v, min(s.cnt) AS est_count
+FROM probe_cells p JOIN state s USING (g, d, w)
+GROUP BY p.g, p.v
 """

@@ -29,7 +29,7 @@ from cod_stats_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from cod_stats_spark.operators.interval_join import interval_join
-from cod_stats_spark.operators.sketches import hll_oracle_sql
+from cod_stats_spark.operators.sketches import cms_oracle_sql, hll_oracle_sql
 from cod_stats_spark.operators.multimodal import (
     decode_media_meta,
     frame_sample,
@@ -2722,7 +2722,10 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pattern approx_count_distinct's opaque state can't do), served from "
         "TWO merged parity-split partials and VALUE-verified digit-for-digit "
         "(state, register max, exact-integer register sum, both estimator "
-        "branches replayed in SQL). 'hll_builtin_ok'/'median_ok': Spark's "
+        "branches replayed in SQL). 'cms_probe'/'cms_hh_n': the mergeable "
+        "count-min sketch — parity-split partials, sum-merge, broadcast "
+        "point query, and the heavy-hitter probe, all integer counters "
+        "replayed exactly in SQL. 'hll_builtin_ok'/'median_ok': Spark's "
         "builtin HLL++/KLL estimates bounds-checked as before)"
     ),
     oracle=(
@@ -2742,7 +2745,27 @@ UNION ALL
 SELECT 'hll_md5_p10' AS tag, g AS event_type, approx_distinct AS value
 FROM ("""
         + hll_oracle_sql("events", "user_id::VARCHAR", "event_type", p=10)
-        + ")"
+        + """)
+UNION ALL
+SELECT 'cms_probe' AS tag, c.g AS event_type, c.est_count::DOUBLE AS value
+FROM ("""
+        + cms_oracle_sql("events", "user_id::VARCHAR", "event_type",
+                         depth=4, width=512)
+        + """) c
+JOIN (SELECT event_type AS g, min(user_id)::VARCHAR AS v
+      FROM events GROUP BY event_type) p
+  ON c.g = p.g AND c.v = p.v
+UNION ALL
+SELECT 'cms_hh_n' AS tag, c.g AS event_type, count(*)::DOUBLE AS value
+FROM ("""
+        + cms_oracle_sql("events", "user_id::VARCHAR", "event_type",
+                         depth=4, width=512)
+        + """) c
+JOIN (SELECT event_type AS g, greatest(count(*) * 0.01, 2.0) AS thr
+      FROM events GROUP BY event_type) t
+  ON c.g = t.g
+WHERE c.est_count >= t.thr
+GROUP BY c.g"""
     ),
 )
 def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2756,6 +2779,10 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     two parity-split partials, and both estimator branches are
     value-verified against the SQL replica exactly."""
     from cod_stats_spark.operators.sketches import (
+        cms_heavy_hitters,
+        cms_merge,
+        cms_partial,
+        cms_query,
         hll_estimate,
         hll_merge,
         hll_partial,
@@ -2804,6 +2831,42 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         p=10,
         base_hash="md5_60",
     )
+    # the mergeable count-min state, same parity-split merge pattern;
+    # integer counters, so the SQL replay is exact with no rounding
+    cms_halves = [
+        cms_partial(
+            ev.filter(F.col("event_id") % 2 == par),
+            "user_id",
+            ["event_type"],
+            depth=4,
+            width=512,
+            base_hash="md5_60",
+        )
+        for par in (0, 1)
+    ]
+    cms_state = cms_merge(["event_type"], *cms_halves)
+    probe = ev.groupBy("event_type").agg(F.min("user_id").alias("user_id"))
+    cms_probe = cms_query(
+        cms_state, probe, ["event_type"], "user_id",
+        depth=4, width=512, base_hash="md5_60",
+    )
+    thr = ev.groupBy("event_type").agg(
+        F.greatest(F.count(F.lit(1)) * 0.01, F.lit(2.0)).alias("_thr")
+    )
+    hh = cms_heavy_hitters(
+        cms_state,
+        ev.select("event_type", "user_id").distinct(),
+        ["event_type"],
+        "user_id",
+        threshold=2.0,  # the floor; the per-group 1% cut tightens below
+        depth=4, width=512, base_hash="md5_60",
+    )
+    hh_n = (
+        hh.join(F.broadcast(thr), "event_type")
+        .where(F.col("est_count") >= F.col("_thr"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("_hh_n"))
+    )
     return (
         tag_rows("n", F.col("n"))
         .unionByName(tag_rows("exact_users", F.col("exact_users")))
@@ -2814,6 +2877,20 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("hll_md5_p10").alias("tag"),
                 "event_type",
                 F.col("approx_distinct").alias("value"),
+            )
+        )
+        .unionByName(
+            cms_probe.select(
+                F.lit("cms_probe").alias("tag"),
+                "event_type",
+                F.col("est_count").cast("double").alias("value"),
+            )
+        )
+        .unionByName(
+            hh_n.select(
+                F.lit("cms_hh_n").alias("tag"),
+                "event_type",
+                F.col("_hh_n").cast("double").alias("value"),
             )
         )
     )

@@ -1,5 +1,6 @@
-"""Mergeable HLL sketch state (operators/sketches.py): merge-tree
-invariance, accuracy vs exact distincts, null/edge handling."""
+"""Mergeable sketch state (operators/sketches.py): HLL merge-tree
+invariance + accuracy vs exact distincts; count-min never-undercount,
+additive merge, bounded state, heavy-hitter recall."""
 
 from __future__ import annotations
 
@@ -90,3 +91,107 @@ class TestHll:
             base_hash="md5_60",
         ).first()["approx_distinct"]
         assert abs(est - 300) / 300 < 0.3
+
+
+class TestCms:
+    D, W = 4, 256
+
+    def _state_and_exact(self, spark, df):
+        from cod_stats_spark.operators.sketches import cms_partial
+
+        state = cms_partial(df, "v", ["g"], depth=self.D, width=self.W)
+        exact = {
+            (r["g"], r["v"]): r["n"]
+            for r in df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        return state, exact
+
+    def test_never_undercounts_and_bounded_overcount(self, spark):
+        from cod_stats_spark.operators.sketches import cms_query
+
+        df = _events(spark)
+        state, exact = self._state_and_exact(spark, df)
+        probes = df.distinct()
+        est = {
+            (r["g"], r["v"]): r["est_count"]
+            for r in cms_query(
+                state, probes, ["g"], "v", depth=self.D, width=self.W
+            ).collect()
+        }
+        n_per_g = {}
+        for (g, _), n in exact.items():
+            n_per_g[g] = n_per_g.get(g, 0) + n
+        for k, n in exact.items():
+            assert est[k] >= n, (k, est[k], n)  # CMS guarantee: no undercount
+            # e/width overcount bound holds in aggregate; per-item allow 4x
+            assert est[k] - n <= max(4 * 2.72 * n_per_g[k[0]] / self.W, 4), (
+                k, est[k], n,
+            )
+
+    def test_merge_is_additive_and_order_free(self, spark):
+        from cod_stats_spark.operators.sketches import cms_merge, cms_partial
+
+        df = _events(spark).withColumn("day", F.abs(F.hash("v")) % 3)
+        parts = [
+            cms_partial(
+                df.filter(F.col("day") == d), "v", ["g"], depth=self.D, width=self.W
+            )
+            for d in range(3)
+        ]
+        one_shot = cms_partial(df, "v", ["g"], depth=self.D, width=self.W)
+        flat = cms_merge(["g"], *parts)
+        nested = cms_merge(["g"], cms_merge(["g"], parts[2], parts[0]), parts[1])
+        rows = lambda d: sorted(map(tuple, d.collect()))
+        assert rows(one_shot) == rows(flat) == rows(nested)
+        # NOT idempotent: double-merging a part double-counts — by design
+        doubled = cms_merge(["g"], flat, parts[0])
+        assert sum(r[-1] for r in doubled.collect()) > sum(
+            r[-1] for r in flat.collect()
+        )
+
+    def test_state_bounded_nulls_ignored_missing_cell_zero(self, spark):
+        from cod_stats_spark.operators.sketches import cms_partial, cms_query
+
+        df = spark.createDataFrame(
+            [(0, f"u{i}") for i in range(4000)] + [(0, None)] * 50,
+            "g int, v string",
+        )
+        st = cms_partial(df, "v", ["g"], depth=self.D, width=self.W)
+        assert st.count() <= self.D * self.W
+        assert (
+            st.agg(F.sum("cnt")).first()[0] == 4000 * self.D
+        )  # nulls contributed nothing
+        # a probe the state never saw CAN estimate 0 via the missing-cell
+        # left join (width large enough that some cell is empty)
+        ghost = spark.createDataFrame([(1, "never-seen")], "g int, v string")
+        est = cms_query(st, ghost, ["g"], "v", depth=self.D, width=self.W).first()
+        assert est["est_count"] == 0
+
+    def test_heavy_hitters_full_recall(self, spark):
+        from cod_stats_spark.operators.sketches import cms_heavy_hitters, cms_partial
+
+        # skewed stream: item 'hot{k}' appears 50+k times, the rest once
+        rows = [(0, f"hot{k}") for k in range(5) for _ in range(50 + k)]
+        rows += [(0, f"cold{i}") for i in range(2000)]
+        df = spark.createDataFrame(rows, "g int, v string")
+        state = cms_partial(df, "v", ["g"], depth=self.D, width=self.W)
+        hh = cms_heavy_hitters(
+            state, df.distinct(), ["g"], "v", threshold=50,
+            depth=self.D, width=self.W,
+        )
+        got = {r["v"] for r in hh.collect()}
+        assert {f"hot{k}" for k in range(5)} <= got  # recall is 100%
+        # εN false-positive bound: overcount ≤ eN/W w.h.p. keeps the
+        # cold tail (count 1) far below threshold 50
+        assert not [v for v in got if v.startswith("cold")]
+
+    def test_guards(self, spark):
+        import pytest
+
+        from cod_stats_spark.operators.sketches import cms_merge, cms_partial
+
+        df = _events(spark, n=100)
+        with pytest.raises(ValueError, match="bad depth"):
+            cms_partial(df, "v", ["g"], depth=0)
+        with pytest.raises(ValueError, match="at least one"):
+            cms_merge(["g"])

@@ -60,6 +60,11 @@ HEADLINE = [
     "ann_lsh_topk",
     "lang_id",
     "quality_tokens",
+    # round-8 addition: unigram-LM corpus-likelihood scoring (new
+    # entry, new scope — model fit + broadcast score join; the
+    # quality_tokens timed body stays the frozen one-projection plan
+    # via its BENCH_ONLY override; BENCH_NOTES.md "New entries")
+    "lm_score",
     "multimodal_decode",
     "asof_join_orders",
     "quantiles",

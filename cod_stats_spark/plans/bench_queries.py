@@ -29,6 +29,7 @@ from cod_stats_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from cod_stats_spark.operators.interval_join import interval_join
+from cod_stats_spark.operators.lm_score import unigram_lm_oracle_sql
 from cod_stats_spark.operators.sketches import cms_oracle_sql, hll_oracle_sql
 from cod_stats_spark.operators.multimodal import (
     decode_media_meta,
@@ -1439,24 +1440,39 @@ SELECT m.doc_id, n_chars_calc, n_tokens_ws,
             + (1.0 - least(punct_ratio * 4.0, 1.0))
             + (CASE WHEN stopword_ratio >= 0.05 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.5 END)
             ) / 4.0, 6)          AS quality,
-       md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp
+       md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp,
+       lm.lm_tokens, round(lm.lm_nll, 6) AS lm_nll
 FROM m JOIN documents d ON m.doc_id = d.doc_id
+JOIN ({unigram_lm_oracle_sql("documents")}) lm ON lm.doc_id = m.doc_id
 """
 
 
 @query(
     "quality_tokens",
-    covers="EXT-text (token counting + quality scoring: length/punct/stopword ratios; deterministic document fingerprinting)",
+    covers=(
+        "EXT-text (token counting + quality scoring: length/punct/stopword "
+        "ratios; deterministic document fingerprinting; r8: unigram-LM "
+        "mean negative log-likelihood — operators/lm_score.py fit∘score "
+        "with the smoothed ratio and per-doc mean replayed in SQL)"
+    ),
     oracle=QUALITY_ORACLE,
 )
 def quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality/token metrics + the rolling-hash fingerprint in one
     projection — merged from the former separate quality_tokens /
-    fingerprint_docs gates (registry ≤ 50); still a single codegen
-    stage over one scan."""
+    fingerprint_docs gates (registry ≤ 50) — joined with the r8
+    unigram-LM corpus-likelihood score (model fit on the same corpus,
+    broadcast back over it; the timed plan history stays split:
+    BENCH_ONLY `quality_tokens` keeps the one-projection body, the
+    model path is timed as `lm_score`)."""
+    from cod_stats_spark.operators.lm_score import (
+        unigram_lm_fit,
+        unigram_lm_score,
+    )
+
     docs = load_tables(spark, sf_dir)["documents"]
     txt = F.col("text")
-    return docs.select(
+    base = docs.select(
         "doc_id",
         T.char_count(txt).alias("n_chars_calc"),
         T.token_count_ws(txt).alias("n_tokens_ws"),
@@ -1466,6 +1482,10 @@ def quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.quality_score(txt).alias("quality"),
         T.fingerprint(txt).alias("fp"),
     )
+    lm = unigram_lm_score(docs, unigram_lm_fit(docs)).select(
+        "doc_id", "lm_tokens", F.round("lm_nll", 6).alias("lm_nll")
+    )
+    return base.join(lm, "doc_id")
 
 
 def _pii_oracle() -> str:
@@ -4385,6 +4405,47 @@ def ranking_windows_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     same single window pass — same shuffle+sort, more evaluated
     columns — so cross-round timings break at r5 (BENCH_NOTES.md)."""
     return QUERIES["ranking_windows"](spark, sf_dir)
+
+
+@_bench_only("quality_tokens")
+def quality_tokens_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed `quality_tokens` entry — the r3–r7 single-projection plan
+    (token/quality metrics + fingerprint over one scan), frozen while
+    the gate widened with the unigram-LM likelihood columns in r8
+    (BENCH_NOTES.md; the LM fit+score adds a model join the timed
+    history never had, so the gate body and the timed body split —
+    the new model path gets its own `lm_score` entry)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    txt = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.char_count(txt).alias("n_chars_calc"),
+        T.token_count_ws(txt).alias("n_tokens_ws"),
+        F.round(T.mean_word_length(txt), 6).alias("mean_word_len"),
+        F.round(T.punct_ratio(txt), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio(txt), 6).alias("stopword_ratio"),
+        T.quality_score(txt).alias("quality"),
+        T.fingerprint(txt).alias("fp"),
+    )
+
+
+@_bench_only("lm_score")
+def lm_score_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed unigram-LM scoring: fit the token→count model over the
+    corpus and score every document's mean negative log-likelihood
+    (operators/lm_score.py) — one token shuffle for the fit, a
+    broadcast model join for the scoring (new r8 entry,
+    BENCH_NOTES.md)."""
+    from cod_stats_spark.operators.lm_score import (
+        unigram_lm_fit,
+        unigram_lm_score,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    scored = unigram_lm_score(docs, unigram_lm_fit(docs))
+    return scored.select(
+        "doc_id", "lm_tokens", F.round("lm_nll", 6).alias("lm_nll")
+    )
 
 
 @_bench_only("quantiles")

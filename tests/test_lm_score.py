@@ -1,0 +1,122 @@
+"""Unigram-LM scoring (operators/lm_score.py): likelihood ordering,
+unseen-token floor, empty docs, broadcast/shuffle parity, and the
+incremental model-merge contract."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _docs(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the log"),
+        (2, "zyx qwv plk jhg"),          # out-of-distribution
+        (3, ""),                          # zero tokens
+        (4, "the the the the"),           # maximally in-distribution
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestUnigramLm:
+    def test_scores_order_fluency_and_handle_empty(self, spark):
+        from cod_stats_spark.operators.lm_score import (
+            unigram_lm_fit,
+            unigram_lm_score,
+        )
+
+        docs = _docs(spark)
+        out = {
+            r["doc_id"]: (r["lm_tokens"], r["lm_nll"])
+            for r in unigram_lm_score(docs, unigram_lm_fit(docs)).collect()
+        }
+        assert len(out) == 5
+        assert out[3] == (0, 0.0)                      # empty doc
+        assert out[4][1] < out[0][1] < out[2][1]       # fluent < gibberish
+        assert all(v[1] >= 0 for v in out.values())
+
+    def test_matches_hand_computed_model(self, spark):
+        from cod_stats_spark.operators.lm_score import (
+            unigram_lm_fit,
+            unigram_lm_score,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "a a b"), (1, "b c")], "doc_id long, text string"
+        )
+        model = unigram_lm_fit(docs)
+        counts = {r["token"]: r["cnt"] for r in model.collect()}
+        assert counts == {"a": 2, "b": 2, "c": 1}
+        n, v = 5.0, 3.0
+        p = {t: (c + 1.0) / (n + v) for t, c in counts.items()}
+        want0 = -(2 * math.log(p["a"]) + math.log(p["b"])) / 3
+        got = {
+            r["doc_id"]: r["lm_nll"]
+            for r in unigram_lm_score(docs, model).collect()
+        }
+        assert got[0] == pytest.approx(want0, rel=1e-12)
+
+    def test_unseen_token_gets_floor_probability(self, spark):
+        from cod_stats_spark.operators.lm_score import (
+            unigram_lm_fit,
+            unigram_lm_score,
+        )
+
+        train = spark.createDataFrame([(0, "a a b")], "doc_id long, text string")
+        test = spark.createDataFrame([(9, "zzz")], "doc_id long, text string")
+        model = unigram_lm_fit(train)
+        r = unigram_lm_score(test, model).first()
+        n, v = 3.0, 2.0
+        assert r["lm_nll"] == pytest.approx(-math.log(1.0 / (n + v)), rel=1e-12)
+
+    def test_broadcast_and_shuffle_paths_agree(self, spark):
+        from cod_stats_spark.operators.lm_score import (
+            unigram_lm_fit,
+            unigram_lm_score,
+        )
+
+        docs = _docs(spark)
+        model = unigram_lm_fit(docs)
+        a = sorted(map(tuple, unigram_lm_score(docs, model).collect()))
+        b = sorted(
+            map(
+                tuple,
+                unigram_lm_score(
+                    docs, model, broadcast_model=False
+                ).collect(),
+            )
+        )
+        assert [(x[0], x[1], round(x[2], 9)) for x in a] == [
+            (x[0], x[1], round(x[2], 9)) for x in b
+        ]
+
+    def test_model_merges_by_count_sum(self, spark):
+        """Refit-per-batch + sum == one-shot fit: the model is itself
+        a rollup_state 'sum' metric, so incremental maintenance of the
+        LM rides the same contract."""
+        from cod_stats_spark.operators.lm_score import unigram_lm_fit
+
+        docs = _docs(spark)
+        parts = [docs.filter(F.col("doc_id") % 2 == p) for p in (0, 1)]
+        merged = (
+            unigram_lm_fit(parts[0])
+            .unionByName(unigram_lm_fit(parts[1]))
+            .groupBy("token")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        one = sorted(map(tuple, unigram_lm_fit(docs).collect()))
+        two = sorted(map(tuple, merged.collect()))
+        assert one == two
+
+    def test_empty_model_guard(self, spark):
+        from cod_stats_spark.operators.lm_score import (
+            unigram_lm_fit,
+            unigram_lm_score,
+        )
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        with pytest.raises(ValueError, match="empty model"):
+            unigram_lm_score(_docs(spark), unigram_lm_fit(empty))

@@ -368,3 +368,140 @@ SELECT p.g, p.v, min(s.cnt) AS est_count
 FROM probe_cells p JOIN state s USING (g, d, w)
 GROUP BY p.g, p.v
 """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram — mergeable quantile state
+# ---------------------------------------------------------------------------
+#
+# The third leg of the mergeable-state trio (HLL → distincts, CMS →
+# frequencies, histogram → quantiles). percentile_approx's KLL-style
+# state is opaque and randomized; the fixed-bin histogram trades
+# adaptivity for a state that is (a) additive — cells merge by SUM,
+# any tree converges — and (b) fully deterministic rational
+# arithmetic, so estimates replay digit-for-digit in a SQL oracle.
+# Bin bounds are part of the contract (from domain knowledge or a
+# min/max pass); error is bounded by one bin width. At most nbins
+# rows per group regardless of input size.
+
+
+def hist_partial(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    nbins: int = 256,
+) -> DataFrame:
+    """(group..., bin, cnt) — the mergeable histogram state. Values
+    are clamped into [lo, hi] (outliers land in the edge bins, a
+    documented property of the fixed-bin contract). Nulls ignored.
+    One shuffle on (group, bin)."""
+    if not (hi > lo) or nbins < 1:
+        raise ValueError(f"hist_partial: bad bounds lo={lo} hi={hi} nbins={nbins}")
+    w = (hi - lo) / nbins
+    v = F.col(value_col).cast("double")
+    b = F.floor((v - F.lit(float(lo))) / F.lit(float(w))).cast("int")
+    clamped = F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1))
+    return (
+        df.where(v.isNotNull())
+        .select(*group_cols, clamped.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(group_cols: list[str], *states: DataFrame) -> DataFrame:
+    """Union + sum per bin — additive like the CMS (NOT idempotent:
+    re-merging a batch double-counts)."""
+    if not states:
+        raise ValueError("hist_merge: need at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantile(
+    state: DataFrame,
+    group_cols: list[str],
+    q: float,
+    lo: float,
+    hi: float,
+    nbins: int = 256,
+    out_col: str = "approx_quantile",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group quantile estimate: walk the cumulative counts to the
+    first bin whose running total reaches rank q·n, then interpolate
+    linearly inside it — lo + width·(bin + (q·n − cum_before)/cnt).
+    Pure +,−,×,÷ on exact integers and literals (no transcendental
+    functions), so both engines produce the identical double before
+    the single rounding."""
+    from pyspark.sql import Window
+
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"hist_quantile: q={q} outside (0, 1)")
+    w = (hi - lo) / nbins
+    win = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = state.select(
+        *group_cols,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(win).alias("_cum"),
+        F.sum("cnt").over(Window.partitionBy(*group_cols)).alias("_n"),
+    )
+    target = F.lit(q) * F.col("_n")
+    hit = cum.where(F.col("_cum") >= target).groupBy(*group_cols).agg(
+        F.min_by(
+            F.struct("bin", "cnt", "_cum", "_n"), F.col("bin")
+        ).alias("_h")
+    )
+    h = F.col("_h")
+    frac = (F.lit(q) * h["_n"] - (h["_cum"] - h["cnt"])) / h["cnt"]
+    est = F.lit(float(lo)) + F.lit(float(w)) * (h["bin"] + frac)
+    return hit.select(*group_cols, F.round(est, decimals).alias(out_col))
+
+
+def hist_oracle_sql(
+    src: str,
+    value_sql: str,
+    group_sql: str,
+    q: float,
+    lo: float,
+    hi: float,
+    nbins: int = 256,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB replica of hist_partial∘hist_quantile — same clamp, same
+    cumulative walk, same interpolation, same single rounding."""
+    w = (hi - lo) / nbins
+    return f"""
+SELECT g, round({float(lo)!r} + {float(w)!r} * (bin + ({q!r} * n - (cum - cnt)) / cnt),
+                6) AS approx_quantile
+FROM (
+  SELECT g, bin, cnt, cum, n,
+         row_number() OVER (
+           PARTITION BY g
+           ORDER BY CASE WHEN cum >= {q!r} * n THEN 0 ELSE 1 END, bin
+         ) AS rk
+  FROM (
+    SELECT g, bin, cnt,
+           sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+           sum(cnt) OVER (PARTITION BY g) AS n
+    FROM (
+      SELECT g, least(greatest(floor((v - {float(lo)!r}) / {float(w)!r})::INT, 0),
+                      {nbins - 1}) AS bin,
+             count(*) AS cnt
+      FROM (
+        SELECT {group_sql} AS g, ({value_sql})::DOUBLE AS v
+        FROM {src} WHERE ({where}) AND ({value_sql}) IS NOT NULL
+      ) GROUP BY g, bin
+    )
+  )
+) WHERE rk = 1 AND cum >= {q!r} * n
+"""

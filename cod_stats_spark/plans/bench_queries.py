@@ -30,7 +30,11 @@ from cod_stats_spark.operators.dedup import (
 )
 from cod_stats_spark.operators.interval_join import interval_join
 from cod_stats_spark.operators.lm_score import unigram_lm_oracle_sql
-from cod_stats_spark.operators.sketches import cms_oracle_sql, hll_oracle_sql
+from cod_stats_spark.operators.sketches import (
+    cms_oracle_sql,
+    hist_oracle_sql,
+    hll_oracle_sql,
+)
 from cod_stats_spark.operators.multimodal import (
     decode_media_meta,
     frame_sample,
@@ -2820,8 +2824,11 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "branches replayed in SQL). 'cms_probe'/'cms_hh_n': the mergeable "
         "count-min sketch — parity-split partials, sum-merge, broadcast "
         "point query, and the heavy-hitter probe, all integer counters "
-        "replayed exactly in SQL. 'hll_builtin_ok'/'median_ok': Spark's "
-        "builtin HLL++/KLL estimates bounds-checked as before)"
+        "replayed exactly in SQL. 'hist_q50'/'hist_q90': the mergeable "
+        "fixed-bin histogram quantile state — clamp, sum-merge, cumulative "
+        "walk, and linear interpolation, deterministic rational arithmetic "
+        "replayed exactly. 'hll_builtin_ok'/'median_ok': Spark's builtin "
+        "HLL++/KLL estimates bounds-checked as before)"
     ),
     oracle=(
         """
@@ -2860,7 +2867,19 @@ JOIN (SELECT event_type AS g, greatest(count(*) * 0.01, 2.0) AS thr
       FROM events GROUP BY event_type) t
   ON c.g = t.g
 WHERE c.est_count >= t.thr
-GROUP BY c.g"""
+GROUP BY c.g
+UNION ALL
+SELECT 'hist_q50' AS tag, g AS event_type, approx_quantile AS value
+FROM ("""
+        + hist_oracle_sql("events", "value", "event_type", q=0.5,
+                          lo=0.0, hi=500.0, nbins=200)
+        + """)
+UNION ALL
+SELECT 'hist_q90' AS tag, g AS event_type, approx_quantile AS value
+FROM ("""
+        + hist_oracle_sql("events", "value", "event_type", q=0.9,
+                          lo=0.0, hi=500.0, nbins=200)
+        + ")"
     ),
 )
 def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2878,6 +2897,9 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_merge,
         cms_partial,
         cms_query,
+        hist_merge,
+        hist_partial,
+        hist_quantile,
         hll_estimate,
         hll_merge,
         hll_partial,
@@ -2962,6 +2984,27 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("_hh_n"))
     )
+    # the mergeable fixed-bin histogram state, same parity-split merge
+    hist_halves = [
+        hist_partial(
+            ev.filter(F.col("event_id") % 2 == par),
+            "value",
+            ["event_type"],
+            lo=0.0, hi=500.0, nbins=200,
+        )
+        for par in (0, 1)
+    ]
+    hist_state = hist_merge(["event_type"], *hist_halves)
+    hist_rows = [
+        hist_quantile(
+            hist_state, ["event_type"], q, lo=0.0, hi=500.0, nbins=200
+        ).select(
+            F.lit(tag).alias("tag"),
+            "event_type",
+            F.col("approx_quantile").alias("value"),
+        )
+        for tag, q in (("hist_q50", 0.5), ("hist_q90", 0.9))
+    ]
     return (
         tag_rows("n", F.col("n"))
         .unionByName(tag_rows("exact_users", F.col("exact_users")))
@@ -2988,6 +3031,8 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("_hh_n").cast("double").alias("value"),
             )
         )
+        .unionByName(hist_rows[0])
+        .unionByName(hist_rows[1])
     )
 
 

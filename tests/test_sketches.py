@@ -5,6 +5,7 @@ additive merge, bounded state, heavy-hitter recall."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 
 def _events(spark, n=6000, users=997, groups=5):
@@ -195,3 +196,86 @@ class TestCms:
             cms_partial(df, "v", ["g"], depth=0)
         with pytest.raises(ValueError, match="at least one"):
             cms_merge(["g"])
+
+
+class TestHistogram:
+    LO, HI, NB = 0.0, 100.0, 50
+
+    def _df(self, spark, n=4000, groups=3):
+        rows = [(i % groups, float((i * 37) % 997) / 10.0) for i in range(n)]
+        return spark.createDataFrame(rows, "g int, v double")
+
+    def test_quantile_within_bin_width_of_exact(self, spark):
+        from cod_stats_spark.operators.sketches import hist_partial, hist_quantile
+
+        df = self._df(spark)
+        state = hist_partial(df, "v", ["g"], self.LO, self.HI, self.NB)
+        width = (self.HI - self.LO) / self.NB
+        for q in (0.1, 0.5, 0.9):
+            est = {
+                r["g"]: r["approx_quantile"]
+                for r in hist_quantile(
+                    state, ["g"], q, self.LO, self.HI, self.NB
+                ).collect()
+            }
+            exact = {
+                r["g"]: r["p"]
+                for r in df.groupBy("g")
+                .agg(F.expr(f"percentile(v, {q})").alias("p"))
+                .collect()
+            }
+            for g in exact:
+                assert abs(est[g] - exact[g]) <= width + 1e-9, (q, g)
+
+    def test_merge_tree_invariance(self, spark):
+        from cod_stats_spark.operators.sketches import (
+            hist_merge,
+            hist_partial,
+            hist_quantile,
+        )
+
+        df = self._df(spark).withColumn("day", F.abs(F.hash("v")) % 3)
+        parts = [
+            hist_partial(
+                df.filter(F.col("day") == d), "v", ["g"], self.LO, self.HI, self.NB
+            )
+            for d in range(3)
+        ]
+        one = hist_partial(df, "v", ["g"], self.LO, self.HI, self.NB)
+        flat = hist_merge(["g"], *parts)
+        nested = hist_merge(["g"], hist_merge(["g"], parts[1], parts[2]), parts[0])
+        rows = lambda st: sorted(
+            map(
+                tuple,
+                hist_quantile(st, ["g"], 0.5, self.LO, self.HI, self.NB).collect(),
+            )
+        )
+        assert rows(one) == rows(flat) == rows(nested)
+
+    def test_outliers_clamp_to_edge_bins(self, spark):
+        from cod_stats_spark.operators.sketches import hist_partial
+
+        df = spark.createDataFrame(
+            [(0, -50.0), (0, 20.0), (0, 999.0), (0, None)], "g int, v double"
+        )
+        st = {r["bin"]: r["cnt"] for r in
+              hist_partial(df, "v", ["g"], self.LO, self.HI, self.NB).collect()}
+        assert st == {0: 1, 10: 1, self.NB - 1: 1}  # null ignored
+
+    def test_guards(self, spark):
+        from cod_stats_spark.operators.sketches import (
+            hist_merge,
+            hist_partial,
+            hist_quantile,
+        )
+
+        df = self._df(spark, n=10)
+        with pytest.raises(ValueError, match="bad bounds"):
+            hist_partial(df, "v", ["g"], 10.0, 10.0, 4)
+        with pytest.raises(ValueError, match="outside"):
+            hist_quantile(
+                hist_partial(df, "v", ["g"], self.LO, self.HI, self.NB),
+                ["g"], 1.0, self.LO, self.HI, self.NB,
+            )
+        with pytest.raises(ValueError, match="at least one"):
+            hist_merge(["g"])

@@ -30,6 +30,13 @@ value-reproducible digit-for-digit by a SQL oracle: the
 
 Accuracy: the standard ~1.04/sqrt(m) relative error (m = 2^p
 registers); property-tested against exact distinct counts.
+
+All three sketch families in this module (HLL, count-min, fixed-bin
+histogram) are plain groupBy aggregations, so the SAME partial
+builders run unchanged on a Structured Streaming readStream — bounded
+state in complete/update mode, and the materialized state merges with
+stored batch states afterwards (parity-tested in
+tests/test_streaming.py::TestStreamingSketchState).
 """
 
 from __future__ import annotations

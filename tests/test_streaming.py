@@ -525,3 +525,75 @@ class TestStreamingDedup:
             q.stop()
         kept = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
         assert kept == {1, 3, 10}
+
+
+@needs_testdata
+class TestStreamingSketchState:
+    """The mergeable sketch states are plain aggregations, so the SAME
+    operators run unchanged on a readStream — bounded state (registers /
+    cells) in complete mode, and the materialized state merges with any
+    stored batch state afterwards."""
+
+    def test_streaming_hll_state_equals_batch(self, spark):
+        from cod_stats_spark.operators.sketches import (
+            hll_estimate,
+            hll_partial,
+        )
+        from cod_stats_spark.streaming.ingest import (
+            run_stream_to_memory,
+            stream_events,
+        )
+
+        stream = stream_events(spark, f"{SF}/events.parquet")
+        live_state = run_stream_to_memory(
+            hll_partial(stream, "user_id", ["event_type"], p=8), "complete"
+        )
+        batch = spark.read.parquet(f"{SF}/events.parquet")
+        want = sorted(
+            map(
+                tuple,
+                hll_estimate(
+                    hll_partial(batch, "user_id", ["event_type"], p=8),
+                    ["event_type"],
+                    p=8,
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(tuple, hll_estimate(live_state, ["event_type"], p=8).collect())
+        )
+        assert got == want
+
+    def test_streaming_cms_state_equals_batch(self, spark):
+        from cod_stats_spark.operators.sketches import cms_partial, cms_query
+        from cod_stats_spark.streaming.ingest import (
+            run_stream_to_memory,
+            stream_events,
+        )
+
+        stream = stream_events(spark, f"{SF}/events.parquet")
+        live_state = run_stream_to_memory(
+            cms_partial(stream, "user_id", ["event_type"], depth=2, width=128),
+            "complete",
+        )
+        batch = spark.read.parquet(f"{SF}/events.parquet")
+        probes = batch.select("event_type", "user_id").distinct()
+        want = sorted(
+            map(
+                tuple,
+                cms_query(
+                    cms_partial(batch, "user_id", ["event_type"], depth=2, width=128),
+                    probes, ["event_type"], "user_id", depth=2, width=128,
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                cms_query(
+                    live_state, probes, ["event_type"], "user_id",
+                    depth=2, width=128,
+                ).collect(),
+            )
+        )
+        assert got == want

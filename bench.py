@@ -65,6 +65,10 @@ HEADLINE = [
     # quality_tokens timed body stays the frozen one-projection plan
     # via its BENCH_ONLY override; BENCH_NOTES.md "New entries")
     "lm_score",
+    # round-8 addition: trained-BPE tokenization, whole job (word
+    # counts -> driver merge training -> memoized mapInPandas encode;
+    # new entry, new scope; BENCH_NOTES.md "New entries")
+    "bpe_encode",
     "multimodal_decode",
     "asof_join_orders",
     "quantiles",

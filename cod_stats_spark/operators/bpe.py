@@ -1,0 +1,190 @@
+"""Trained BPE tokenization — real subword vocabularies at corpus scale.
+
+Byte-pair encoding (Sennrich, Haddow & Birch, "Neural Machine
+Translation of Rare Words with Subword Units", ACL 2016) with the
+standard big-data factoring every production tokenizer trainer uses:
+the ONLY corpus-sized step is the word-frequency count (one explode +
+one shuffle, map-side combine absorbs the Zipf head); training then
+runs on the bounded word→count dictionary driver-side with
+incremental pair statistics, and encoding broadcasts the learned
+merge ranks back over the corpus as an Arrow-batched ``mapInPandas``
+with per-word memoization — the Zipf distribution means a batch of
+documents re-encodes the same few thousand words, so the cache hit
+rate is extreme.
+
+This upgrades `functions.text.token_count_bpe_ish` (a regex
+approximation of subword granularity) to an actual trained subword
+tokenizer: stable merges, real token sequences usable for sequence
+packing budgets, and a vocabulary artifact that can be persisted and
+shipped.
+
+Driver state: the top ``max_words`` word-count pairs (bounded by
+parameter, same contract as the PQ/k-means training samples).
+Determinism: word selection orders by (count desc, word asc); merge
+selection by (pair count desc, pair asc) — byte-identical merges for
+the same corpus on any partitioning.
+
+Not SQL-expressible (iterative greedy merges), so there is no oracle
+slot; correctness is pinned by unit tests against hand-derived merges
+and a pure-Python reference encoder, plus the round-trip invariant
+(concatenating a word's tokens and stripping the end-of-word marker
+reproduces the word).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cod_stats_spark.functions import text as TXT
+
+EOW = "</w>"
+
+
+def word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    max_words: int = 100_000,
+) -> list[tuple[str, int]]:
+    """The corpus-sized step: (word, count) for the ``max_words`` most
+    frequent whitespace words, deterministic order (count desc, word
+    asc). One shuffle; the driver receives at most ``max_words`` rows."""
+    c = F.col(text_col)
+    toks = TXT.words(F.lower(c) if lowercase else c)
+    rows = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(max_words)
+        .collect()
+    )
+    return [(r["w"], r["cnt"]) for r in rows]
+
+
+def learn_bpe(
+    counts: list[tuple[str, int]], vocab_size: int = 512
+) -> list[tuple[str, str]]:
+    """Driver-side BPE training with incremental pair statistics
+    (the subword-nmt scheme): each word is a symbol sequence ending in
+    the EOW marker; repeatedly merge the most frequent adjacent symbol
+    pair until ``vocab_size`` merges are learned or no pair repeats.
+    Ties break lexicographically for cross-run determinism."""
+    words: list[list[str]] = [list(w) + [EOW] for w, _ in counts]
+    freqs = [c for _, c in counts]
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, syms in enumerate(words):
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] += freqs[i]
+            pair_words[(a, b)].add(i)
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < vocab_size and pair_counts:
+        (a, b), cnt = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((a, b))
+        merged = a + b
+        for i in list(pair_words[(a, b)]):
+            syms = words[i]
+            f = freqs[i]
+            # remove this word's contribution to every pair it holds
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= f
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                pair_words[p].discard(i)
+            # apply the merge within the word
+            out: list[str] = []
+            j = 0
+            while j < len(syms):
+                if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+            # re-add the updated word's pairs
+            for p in zip(out, out[1:]):
+                pair_counts[p] += f
+                pair_words[p].add(i)
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank merging of one word (reference encoder —
+    also the per-word kernel the distributed encode memoizes)."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_rank, best_j = None, None
+        for j, p in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_j = r, j
+        if best_j is None:
+            break
+        syms[best_j : best_j + 2] = [syms[best_j] + syms[best_j + 1]]
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    lowercase: bool = True,
+    out_tokens: str = "bpe_tokens",
+    out_count: str = "bpe_n_tokens",
+) -> DataFrame:
+    """(id..., bpe_tokens array<string>, bpe_n_tokens) — Arrow-batched
+    encode with the merge ranks broadcast in the task closure and a
+    per-executor word→tokens cache (Zipf makes the hit rate extreme;
+    the cache is bounded by the live vocabulary). No shuffle: the
+    input partitioning is preserved."""
+    import pandas as pd
+
+    id_cols = id_cols or ["doc_id"]
+    ranks = {p: i for i, p in enumerate(merges)}
+    schema = T.StructType(
+        [docs.schema[c] for c in id_cols]
+        + [
+            T.StructField(out_tokens, T.ArrayType(T.StringType())),
+            T.StructField(out_count, T.IntegerType()),
+        ]
+    )
+    src = docs.select(*id_cols, F.col(text_col).alias("_t"))
+    lower = lowercase
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+
+        def enc(word: str) -> list[str]:
+            got = cache.get(word)
+            if got is None:
+                got = cache[word] = encode_word(word, ranks)
+            return got
+
+        for pdf in batches:
+            toks_col, n_col = [], []
+            for text in pdf["_t"]:
+                s = (text or "")
+                if lower:
+                    s = s.lower()
+                toks: list[str] = []
+                for w in s.split():
+                    toks.extend(enc(w))
+                toks_col.append(toks)
+                n_col.append(len(toks))
+            out = pdf[id_cols].copy()
+            out[out_tokens] = toks_col
+            out[out_count] = n_col
+            yield out
+
+    return src.mapInPandas(encode_batches, schema)

@@ -4493,6 +4493,25 @@ def lm_score_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_bench_only("bpe_encode")
+def bpe_encode_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed trained-BPE tokenization, whole job: corpus word counts
+    (one shuffle, driver receives the bounded vocabulary), driver-side
+    merge training, and the Arrow-batched memoized encode over every
+    document (operators/bpe.py — new r8 entry, BENCH_NOTES.md). Not
+    SQL-expressible (iterative greedy merges), so correctness is
+    pinned by tests/test_bpe.py rather than an oracle slot."""
+    from cod_stats_spark.operators.bpe import (
+        bpe_encode,
+        learn_bpe,
+        word_counts,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    merges = learn_bpe(word_counts(docs), vocab_size=512)
+    return bpe_encode(docs, merges).select("doc_id", "bpe_n_tokens")
+
+
 @_bench_only("quantiles")
 def quantiles_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timed `quantiles` entry — same plan as the r1–r5 gate; the

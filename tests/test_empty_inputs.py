@@ -169,3 +169,67 @@ def test_r8_ops_empty_inputs(spark, tmp_path):
         spark, some, None, state, batch_id=2, min_quality=0.0, token_budget=64
     )
     assert s1["after_dedup"] == 1 and s1["shards"] == 1
+
+
+def test_r8b_sketch_rollup_lm_bpe_empty(spark):
+    """The second r8 wave: sketch states, rollup state, LM scoring,
+    and BPE all degrade cleanly when a batch is empty."""
+    import pytest as _pytest
+
+    from cod_stats_spark.operators.bpe import bpe_encode, learn_bpe, word_counts
+    from cod_stats_spark.operators.lm_score import unigram_lm_fit, unigram_lm_score
+    from cod_stats_spark.operators.rollup_state import rollup_merge, rollup_partial
+    from cod_stats_spark.operators.sketches import (
+        cms_partial,
+        cms_query,
+        hist_partial,
+        hist_quantile,
+        hll_estimate,
+        hll_partial,
+    )
+
+    ev = _empty_events(spark)
+    docs = _empty_docs(spark)
+    # sketches: empty state, and estimates over empty state are empty
+    assert hll_partial(ev, "user_id", ["event_type"], p=6).count() == 0
+    assert (
+        hll_estimate(
+            hll_partial(ev, "user_id", ["event_type"], p=6), ["event_type"], p=6
+        ).count()
+        == 0
+    )
+    empty_cms = cms_partial(ev, "user_id", ["event_type"], depth=2, width=32)
+    assert empty_cms.count() == 0
+    probe = spark.createDataFrame([("click", 1)], "event_type string, user_id int")
+    # probing an EMPTY state returns the zero estimate, not an error
+    assert (
+        cms_query(empty_cms, probe, ["event_type"], "user_id", depth=2, width=32)
+        .first()["est_count"]
+        == 0
+    )
+    assert hist_partial(ev, "value", ["event_type"], 0.0, 1.0, 4).count() == 0
+    assert (
+        hist_quantile(
+            hist_partial(ev, "value", ["event_type"], 0.0, 1.0, 4),
+            ["event_type"], 0.5, 0.0, 1.0, 4,
+        ).count()
+        == 0
+    )
+    # rollup state: empty partials merge away cleanly
+    metrics = {"n": ("count", None), "s": ("sum", "value")}
+    st = rollup_partial(ev, ["event_type"], metrics)
+    assert st.count() == 0
+    assert rollup_merge(["event_type"], metrics, st, st).count() == 0
+    # LM: empty corpus yields an empty model; scoring with it raises the
+    # documented guard, and scoring an empty corpus with a REAL model
+    # yields zero rows
+    assert unigram_lm_fit(docs).count() == 0
+    with _pytest.raises(ValueError, match="empty model"):
+        unigram_lm_score(docs, unigram_lm_fit(docs))
+    some = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert unigram_lm_score(docs, unigram_lm_fit(some)).count() == 0
+    # BPE: empty corpus -> no words, no merges; encode of empty is empty
+    wc = word_counts(docs)
+    assert wc == []
+    assert learn_bpe(wc) == []
+    assert bpe_encode(docs, []).count() == 0

@@ -2543,15 +2543,81 @@ def ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RP_DIM_OUT = 8
+
+
+def _rp_oracle_sql(dim: int = 64, d_out: int = RP_DIM_OUT, k: int = 10) -> str:
+    """Generated oracle for random-projection ANN: the JL matrix is a
+    deterministic driver-side constant (operators/projection.py), so
+    the projection itself, the reduced-space cosine, and the pruned
+    top-k are all expressible in SQL — the approximation is verified,
+    not just its row count."""
+    from cod_stats_spark.operators.projection import projection_planes
+
+    planes = projection_planes(dim, d_out)
+
+    def plane_lit(p):
+        return "[" + ", ".join(repr(v) for v in p) + "]"
+
+    proj = ", ".join(
+        f"list_dot_product(embedding::DOUBLE[], {plane_lit(p)})" for p in planes
+    )
+    return f"""
+WITH rp AS (
+  SELECT vec_id, [{proj}] AS y FROM embeddings
+), q AS (SELECT y AS qy FROM rp WHERE vec_id = 0)
+SELECT vec_id AS id,
+       round(list_cosine_similarity(rp.y, (SELECT qy FROM q)), 6) AS cosine
+FROM rp
+ORDER BY cosine DESC, id ASC
+LIMIT {k}
+"""
+
+
+def ann_rp_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k in the JL-reduced space: project with the pure-Column
+    path (the JVM arithmetic the oracle replays), then cosine against
+    the projected query and the (rounded score, id) deterministic
+    top-k. The production shape projects once with project_gemm and
+    runs ANY of the ANN strategies over the narrow column — this gate
+    row proves the reduced-space geometry end to end."""
+    from cod_stats_spark.operators.projection import random_project
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    dim = len(emb.select("embedding").first()["embedding"])
+    rp = random_project(emb, "embedding", dim, RP_DIM_OUT, out_col="y")
+    qy = [float(v) for v in rp.filter(F.col("vec_id") == 0).first()["y"]]
+    qlit = "array(" + ", ".join(repr(v) for v in qy) + ")"
+    dot = (
+        f"aggregate(zip_with(y, {qlit}, (a, b) -> a * b),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    nrm = (
+        "aggregate(transform(y, v -> v * v),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    qn = sum(v * v for v in qy) ** 0.5
+    cos = F.expr(dot) / (F.sqrt(F.expr(nrm)) * F.lit(qn))
+    return (
+        rp.select(
+            F.col("vec_id").alias("id"), F.round(cos, 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(10)
+    )
+
+
 def _ann_merged_oracle() -> str:
     """Union of the FULL ANN/clustering/quantization oracles (brute /
-    LSH / IVF / k-means assignment / PQ encode+ADC), each tagged with
-    its method — every approximation stays value-verified."""
+    LSH / IVF / k-means assignment / PQ encode+ADC / JL random
+    projection), each tagged with its method — every approximation
+    stays value-verified."""
     parts = [
         ("brute", _ANN_BRUTE_ORACLE),
         ("lsh", _lsh_oracle_sql()),
         ("ivf", _ivf_oracle_sql()),
         ("kmeans", _kmeans_assign_oracle_sql()),
+        ("rp", _rp_oracle_sql()),
     ]
     tagged = "\nUNION ALL\n".join(
         f"SELECT '{m}' AS method, id, cosine FROM ({sql})" for m, sql in parts
@@ -2575,7 +2641,10 @@ def _ann_merged_oracle() -> str:
         "sample + nprobe pruning; r7: + clustering.kmeans_assign argmin with "
         "md5-sampled centroids, + quantization.py PQ encode (per-subspace "
         "argmin packed exactly) and ADC inner-product scoring over fixed "
-        "codebooks. FULL oracle incl. bucketing/assignment/quantization — "
+        "codebooks; r8: + JL random-projection reduced-space top-k "
+        "(operators/projection.py — deterministic hash-generated matrix, so "
+        "projection, reduced-space cosine, and the pruned top-k replay in "
+        "SQL). FULL oracle incl. bucketing/assignment/quantization — "
         "merged from the former ann_cosine_topk / ann_lsh_topk / ann_ivf_topk "
         "gates, registry ≤ 50)"
     ),
@@ -2587,7 +2656,11 @@ def ann_topk_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ann_ivf_topk_q(spark, sf_dir).select(F.lit("ivf").alias("method"), "id", "cosine")
     km = ann_kmeans_assign_q(spark, sf_dir).select(F.lit("kmeans").alias("method"), "id", "cosine")
     pq = ann_pq_q(spark, sf_dir)
-    return brute.unionByName(lsh).unionByName(ivf).unionByName(km).unionByName(pq)
+    rp = ann_rp_topk_q(spark, sf_dir).select(F.lit("rp").alias("method"), "id", "cosine")
+    return (
+        brute.unionByName(lsh).unionByName(ivf).unionByName(km)
+        .unionByName(pq).unionByName(rp)
+    )
 
 
 @query(

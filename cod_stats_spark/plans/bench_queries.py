@@ -1974,7 +1974,11 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "operators/rollup_state.py — partial-agg state written to parquet "
         "and read back between merges, then finalized (avg/variance from "
         "sum/sumsq/count), so the stored-continuous-aggregate contract is "
-        "value-verified end to end against the one-shot SQL)"
+        "value-verified end to end against the one-shot SQL. 'gapfill': "
+        "operators/gapfill.py resample_daily over a deliberately-holed "
+        "slice — sequence-exploded calendar, zero-fill for additive "
+        "metrics, IGNORE-NULLS window forward-fill for state metrics, "
+        "replayed with generate_series + the same window in SQL)"
     ),
     oracle="""
 SELECT 'stream' AS tag, CAST(ts AS DATE) AS day, count(*) AS n_events,
@@ -1992,6 +1996,37 @@ SELECT 'inc' AS tag, CAST(ts AS DATE) AS day, count(*) AS n_events,
        round((sum(value * value) - sum(value) * sum(value) / count(*))
              / count(*), 4) AS var_value
 FROM events GROUP BY day
+UNION ALL
+SELECT 'gapfill' AS tag, day, n_events, sum_value, min_value, max_value,
+       avg_value, var_value
+FROM (
+  WITH roll AS (
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n, sum(value) AS s,
+           sum(value * value) AS ss, min(value) AS mn, max(value) AS mx
+    FROM events
+    WHERE event_type = 'purchase' AND day(ts) % 3 <> 0
+    GROUP BY day
+  ), cal AS (
+    SELECT unnest(generate_series((SELECT min(day) FROM roll),
+                                  (SELECT max(day) FROM roll),
+                                  INTERVAL 1 DAY))::DATE AS day
+  ), dense AS (
+    SELECT c.day, coalesce(r.n, 0) AS n, coalesce(r.s, 0.0) AS s,
+           coalesce(r.ss, 0.0) AS ss,
+           last_value(r.mn IGNORE NULLS) OVER (
+             ORDER BY c.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS mn,
+           last_value(r.mx IGNORE NULLS) OVER (
+             ORDER BY c.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS mx
+    FROM cal c LEFT JOIN roll r ON c.day = r.day
+  )
+  SELECT day, n AS n_events, round(s, 4) AS sum_value, mn AS min_value,
+         mx AS max_value,
+         CASE WHEN n > 0 THEN round(s / n, 4) END AS avg_value,
+         CASE WHEN n > 0 THEN round((ss - s * s / n) / n, 4) END AS var_value
+  FROM dense
+)
 """,
 )
 def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2085,7 +2120,37 @@ def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = rollup_merge(
             ["day"], metrics, stored, rollup_partial(batch, ["day"], metrics)
         )
-    return streamed.unionByName(report(state, "inc"))
+
+    # gapfill arm: a deliberately-holed slice (purchase events on
+    # day-of-month % 3 != 0) densified back to the full calendar
+    from cod_stats_spark.operators.gapfill import resample_daily
+
+    holed = ev.where(
+        (F.col("event_type") == "purchase") & (F.dayofmonth("ts") % 3 != 0)
+    )
+    roll = holed.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    dense = resample_daily(
+        roll, "day", [],
+        {"n": "zero", "s": "zero", "ss": "zero", "mn": "ffill", "mx": "ffill"},
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    gap = dense.select(
+        F.lit("gapfill").alias("tag"),
+        "day",
+        n.alias("n_events"),
+        F.round(s, 4).alias("sum_value"),
+        F.col("mn").alias("min_value"),
+        F.col("mx").alias("max_value"),
+        F.when(n > 0, F.round(s / n, 4)).alias("avg_value"),
+        F.when(n > 0, F.round((ss - s * s / n) / n, 4)).alias("var_value"),
+    )
+    return streamed.unionByName(report(state, "inc")).unionByName(gap)
 
 
 def _near_dup_oracle_sql(dim: int = 64, n_planes: int = 4, threshold: float = 0.3,

@@ -4618,7 +4618,11 @@ def lm_score_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus and score every document's mean negative log-likelihood
     (operators/lm_score.py) — one token shuffle for the fit, a
     broadcast model join for the scoring (new r8 entry,
-    BENCH_NOTES.md)."""
+    BENCH_NOTES.md). Ends in a checksum aggregate REFERENCING the
+    scored columns: bench.py's count() action would otherwise let
+    Catalyst eliminate the unique-keyed left join and time only the
+    scan (caught by the r8 shuffle audit — zero shuffle bytes where
+    the token explode had to be)."""
     from cod_stats_spark.operators.lm_score import (
         unigram_lm_fit,
         unigram_lm_score,
@@ -4626,8 +4630,16 @@ def lm_score_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     scored = unigram_lm_score(docs, unigram_lm_fit(docs))
-    return scored.select(
-        "doc_id", "lm_tokens", F.round("lm_nll", 6).alias("lm_nll")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("lm_tokens").alias("total_tokens"),
+        F.round(F.sum("lm_nll"), 4).alias("nll_checksum"),
+    ).where(
+        # a data-dependent predicate on the checksum: count() cannot
+        # column-prune a filter, so the aggregate expressions — and
+        # with them the scoring join — must evaluate (an ungrouped
+        # aggregate alone gets pruned to "emit one row")
+        F.col("nll_checksum") > F.lit(-1.0)
     )
 
 

@@ -107,3 +107,37 @@ def test_bench_only_bodies_no_cartesian_or_unexpected_nested_loop(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in allowed:
             offenders.append(f"{name}: unexpected BroadcastNestedLoopJoin")
     assert not offenders, offenders
+
+
+@needs_testdata
+def test_timed_bodies_survive_count_pruning(spark):
+    """bench.py times fn(...).count(): Catalyst may legally ELIMINATE
+    work whose output cardinality count() doesn't depend on — caught
+    live in r8 when lm_score's unique-keyed left scoring join pruned
+    to a bare scan and the entry timed nothing. Pure projections are a
+    known, documented scan+count floor (BENCH_NOTES.md); but any timed
+    body whose headline cost is a JOIN or explode must keep it in the
+    COUNT plan. This pins the ones with that contract."""
+    from cod_stats_spark.plans.bench_queries import BENCH_ONLY, QUERIES
+
+    must_keep = {
+        # name -> fragments that must appear in the optimized count() plan
+        "lm_score": ["Join", "Generate"],        # scoring join + explode
+        "knn_join": ["Join"],
+        "knn_join_gemm": ["MapInPandas"],        # its "join" IS the GEMM stage
+    }
+    queries = {**QUERIES, **BENCH_ONLY}
+    offenders: list[str] = []
+    for name, frags in must_keep.items():
+        plan = (
+            queries[name](spark, SF)
+            .groupBy()
+            .count()
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        for frag in frags:
+            if frag not in plan:
+                offenders.append(f"{name}: {frag} pruned out of the count() plan")
+    assert not offenders, offenders

@@ -12,8 +12,9 @@ this operator makes that contract explicit and distributed:
 - left-join the sparse rollup back,
 - fill each metric by policy: ``"zero"`` (additive metrics: counts,
   sums), ``"ffill"`` (state-like metrics: last known min/max/price —
-  one window with ``last(ignorenulls=True)``), or ``"null"`` (leave
-  the hole visible).
+  one window with ``last(ignorenulls=True)``), ``"interp"`` (linear
+  interpolation between the surrounding present values, day-weighted;
+  edge gaps stay null), or ``"null"`` (leave the hole visible).
 
 Shuffle shape: one small per-group span agg + one join keyed on the
 GROUP (the calendar side is tiny — groups × days), then a single
@@ -27,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-FILL_POLICIES = ("zero", "ffill", "null")
+FILL_POLICIES = ("zero", "ffill", "interp", "null")
 
 
 def resample_daily(
@@ -67,14 +68,35 @@ def resample_daily(
     dense = calendar.join(df, [*group_cols, day_col], "left")
 
     ffill_cols = [c for c, p in fills.items() if p == "ffill"]
-    if ffill_cols:
-        w = (
+    interp_cols = [c for c, p in fills.items() if p == "interp"]
+    if ffill_cols or interp_cols:
+        back = (
             Window.partitionBy(*group_cols)
             .orderBy(day_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         for c in ffill_cols:
-            dense = dense.withColumn(c, F.last(c, ignorenulls=True).over(w))
+            dense = dense.withColumn(c, F.last(c, ignorenulls=True).over(back))
+        if interp_cols:
+            fwd = (
+                Window.partitionBy(*group_cols)
+                .orderBy(F.col(day_col).desc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            for c in interp_cols:
+                present_day = F.when(F.col(c).isNotNull(), F.col(day_col))
+                pv = F.last(c, ignorenulls=True).over(back)
+                pd_ = F.last(present_day, ignorenulls=True).over(back)
+                nv = F.last(c, ignorenulls=True).over(fwd)
+                nd = F.last(present_day, ignorenulls=True).over(fwd)
+                frac = F.datediff(F.col(day_col), pd_) / F.datediff(nd, pd_)
+                dense = dense.withColumn(
+                    c,
+                    F.when(F.col(c).isNotNull(), F.col(c)).when(
+                        pv.isNotNull() & nv.isNotNull(),
+                        pv + (nv - pv) * frac,
+                    ),
+                )
     for c, p in fills.items():
         if p == "zero":
             dense = dense.withColumn(

@@ -148,6 +148,45 @@ def hll_estimate(
     )
 
 
+def hll_sliding_estimate(
+    state: DataFrame,
+    group_cols: list[str],
+    day_col: str,
+    window_days: int,
+    p: int = 12,
+    base_hash: str = "xxhash64",
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Trailing-window distinct counts from STORED per-day states —
+    the query the mergeable representation exists for: "distinct users
+    over the trailing N days, for every day" without rescanning any
+    event. For each day in the state, merge the registers of the
+    preceding ``window_days`` days (range join on the tiny state
+    table — days × m rows per group — then max(rho) per register) and
+    estimate. The events tables never participate; cost is independent
+    of corpus size."""
+    days = state.select(*group_cols, F.col(day_col)).distinct()
+    s = state.select(
+        *[F.col(c).alias(f"_s_{c}") for c in group_cols],
+        F.col(day_col).alias("_s_day"),
+        "register",
+        "rho",
+    )
+    cond = [days[c] == s[f"_s_{c}"] for c in group_cols] + [
+        s["_s_day"] <= days[day_col],
+        s["_s_day"] >= F.date_sub(days[day_col], window_days - 1),
+    ]
+    merged = (
+        days.join(s, cond)
+        .groupBy(*group_cols, day_col, "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return hll_estimate(
+        merged, [*group_cols, day_col], p=p, base_hash=base_hash,
+        out_col=out_col,
+    )
+
+
 def hll_oracle_sql(
     src: str,
     value_sql: str,

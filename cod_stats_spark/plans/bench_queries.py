@@ -2959,7 +2959,10 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pattern approx_count_distinct's opaque state can't do), served from "
         "TWO merged parity-split partials and VALUE-verified digit-for-digit "
         "(state, register max, exact-integer register sum, both estimator "
-        "branches replayed in SQL). 'cms_probe'/'cms_hh_n': the mergeable "
+        "branches replayed in SQL). 'hll_trail7': trailing-7-day distincts "
+        "merged from STORED per-day states via the range-join sliding merge "
+        "— events never rescanned, equals the one-shot replay by merge "
+        "associativity. 'cms_probe'/'cms_hh_n': the mergeable "
         "count-min sketch — parity-split partials, sum-merge, broadcast "
         "point query, and the heavy-hitter probe, all integer counters "
         "replayed exactly in SQL. 'hist_q50'/'hist_q90': the mergeable "
@@ -3006,6 +3009,17 @@ JOIN (SELECT event_type AS g, greatest(count(*) * 0.01, 2.0) AS thr
   ON c.g = t.g
 WHERE c.est_count >= t.thr
 GROUP BY c.g
+UNION ALL
+SELECT 'hll_trail7' AS tag, g AS event_type, approx_distinct AS value
+FROM ("""
+        + hll_oracle_sql(
+            "events", "user_id::VARCHAR", "event_type", p=10,
+            where=(
+                "CAST(ts AS DATE) >= "
+                "(SELECT max(CAST(ts AS DATE)) - 6 FROM events)"
+            ),
+        )
+        + """)
 UNION ALL
 SELECT 'hist_q50' AS tag, g AS event_type, approx_quantile AS value
 FROM ("""
@@ -3122,6 +3136,23 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("_hh_n"))
     )
+    # sliding-window distincts from STORED per-day states: merge the
+    # trailing 7 days' registers (range join over the tiny state, the
+    # events never rescanned) — by merge associativity this MUST equal
+    # the oracle's one-shot replay over the same day span
+    from cod_stats_spark.operators.sketches import hll_sliding_estimate
+
+    day_states = hll_partial(
+        ev.withColumn("_day", F.to_date("ts")),
+        "user_id",
+        ["event_type", "_day"],
+        p=10,
+        base_hash="md5_60",
+    )
+    last_day = ev.agg(F.max(F.to_date("ts"))).first()[0]
+    trail = hll_sliding_estimate(
+        day_states, ["event_type"], "_day", 7, p=10, base_hash="md5_60"
+    ).where(F.col("_day") == F.lit(last_day))
     # the mergeable fixed-bin histogram state, same parity-split merge
     hist_halves = [
         hist_partial(
@@ -3167,6 +3198,13 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("cms_hh_n").alias("tag"),
                 "event_type",
                 F.col("_hh_n").cast("double").alias("value"),
+            )
+        )
+        .unionByName(
+            trail.select(
+                F.lit("hll_trail7").alias("tag"),
+                "event_type",
+                F.col("approx_distinct").alias("value"),
             )
         )
         .unionByName(hist_rows[0])

@@ -67,6 +67,39 @@ class TestResampleDaily:
         days = sorted(str(r["day"]) for r in out.collect())
         assert days == [f"2026-01-0{i}" for i in range(1, 5)]
 
+    def test_interp_fills_linearly_and_leaves_edges_null(self, spark):
+        import datetime as dt
+
+        from cod_stats_spark.operators.gapfill import resample_daily
+
+        d = dt.date
+        rows = [
+            ("a", d(2026, 1, 2), 10.0),
+            ("a", d(2026, 1, 5), 40.0),   # gap Jan 3-4 -> 20, 30
+            ("a", d(2026, 1, 6), 0.0),
+        ]
+        df = spark.createDataFrame(rows, "g string, day date, v double")
+        out = resample_daily(
+            df, "day", ["g"], {"v": "interp"}, span="global"
+        )
+        vals = {str(r["day"]): r["v"] for r in out.collect()}
+        assert vals["2026-01-03"] == pytest.approx(20.0)
+        assert vals["2026-01-04"] == pytest.approx(30.0)
+        assert vals["2026-01-02"] == 10.0            # present rows untouched
+        assert vals["2026-01-06"] == 0.0
+        # span starts at the group's own min here, so no leading edge;
+        # force one with a second group sharing the global span
+        df2 = df.unionByName(
+            spark.createDataFrame(
+                [("b", d(2026, 1, 4), 8.0)], "g string, day date, v double"
+            )
+        )
+        out2 = resample_daily(df2, "day", ["g"], {"v": "interp"}, span="global")
+        b = {str(r["day"]): r["v"] for r in out2.collect() if r["g"] == "b"}
+        assert b["2026-01-02"] is None               # before first value
+        assert b["2026-01-06"] is None               # after last value
+        assert b["2026-01-04"] == 8.0
+
     def test_guards(self, spark):
         from cod_stats_spark.operators.gapfill import resample_daily
 

@@ -118,6 +118,22 @@ def learn_bpe(
     return merges
 
 
+def save_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the learned vocabulary as a rank-ordered parquet table —
+    the artifact a pipeline ships so every later batch (and every
+    other engine) encodes identically."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    df = spark.createDataFrame(rows, "rank int, left string, right string")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a persisted vocabulary, restoring training order (rank is
+    the merge priority — order IS the model)."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["left"], r["right"]) for r in rows]
+
+
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Greedy lowest-rank merging of one word (reference encoder —
     also the per-word kernel the distributed encode memoizes)."""

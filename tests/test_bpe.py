@@ -92,6 +92,25 @@ class TestDistributedBpe:
         assert [w for w, _ in top] == ["low", "lower", "newest"]
         assert all(c == 200 for _, c in top)
 
+    def test_vocabulary_round_trips_through_parquet(self, spark, tmp_path):
+        from cod_stats_spark.operators.bpe import (
+            bpe_encode,
+            learn_bpe,
+            load_merges,
+            save_merges,
+            word_counts,
+        )
+
+        docs = self._docs(spark)
+        merges = learn_bpe(word_counts(docs), vocab_size=32)
+        path = str(tmp_path / "vocab")
+        save_merges(spark, merges, path)
+        restored = load_merges(spark, path)
+        assert restored == merges                      # order IS the model
+        a = sorted(map(tuple, bpe_encode(docs, merges).collect()))
+        b = sorted(map(tuple, bpe_encode(docs, restored).collect()))
+        assert a == b
+
     def test_empty_and_null_text(self, spark):
         from cod_stats_spark.operators.bpe import bpe_encode, learn_bpe
 

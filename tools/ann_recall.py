@@ -97,6 +97,34 @@ def main() -> None:
                         "multiprobe": mp, "recall_at_10": r})
             print(json.dumps(out[-1]), flush=True)
 
+    # Random projection (r8): project with the production GEMM path,
+    # then reduced-space exact top-k — measures how much recall the
+    # JL reduction itself costs at each width
+    from cod_stats_spark.operators.projection import (
+        project_gemm,
+        projection_planes,
+    )
+
+    d_in = X.shape[1]
+    for d_out in (8, 16, 32):
+        proj_rows = project_gemm(
+            emb, "embedding", projection_planes(d_in, d_out), out_col="y"
+        ).select("vec_id", "y").collect()
+        pids = np.array([r["vec_id"] for r in proj_rows], dtype=np.int64)
+        Y = np.array([[float(v) for v in r["y"]] for r in proj_rows])
+        Yn = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True), 1e-12)
+        pos = {int(i): j for j, i in enumerate(pids)}
+        hits = 0
+        for qid, _ in queries:
+            qy = Yn[pos[qid]]
+            cos = np.round(Yn @ qy, 6)
+            order = np.lexsort((pids, -cos))
+            got = {int(i) for i in pids[order[:K]]}
+            hits += len(got & truth[qid])
+        out.append({"method": "rp", "d_out": d_out,
+                    "recall_at_10": round(hits / (K * len(queries)), 3)})
+        print(json.dumps(out[-1]), flush=True)
+
     # IVF: Lloyd's centroids, probe-count sweep
     centroids, _ = kmeans_fit(emb, "embedding", "vec_id", k=64, max_iter=10)
     for nprobe in (1, 2, 4, 8, 16):

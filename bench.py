@@ -63,8 +63,11 @@ HEADLINE = [
     # round-8 addition: unigram-LM corpus-likelihood scoring (new
     # entry, new scope — model fit + broadcast score join; the
     # quality_tokens timed body stays the frozen one-projection plan
-    # via its BENCH_ONLY override; BENCH_NOTES.md "New entries")
-    "lm_score",
+    # via its BENCH_ONLY override; BENCH_NOTES.md "New entries").
+    # _v2 (round 9): the r8 body ran the model fit twice (totals
+    # action + unpersisted scoring join); fixed to a single fit, so
+    # the timed plan changed and the entry is renamed (BENCH_NOTES.md)
+    "lm_score_v2",
     # round-8 addition: trained-BPE tokenization, whole job (word
     # counts -> driver merge training -> memoized mapInPandas encode;
     # new entry, new scope; BENCH_NOTES.md "New entries")

@@ -190,6 +190,14 @@ def materialize(
     `ts_to_timestamp`). Current callers materialize id/text/array
     silver layers with no timestamps; route any time-bearing frame
     through `ts_to_timestamp` downstream as usual.
+
+    Behavioral asymmetry callers should know: the scratch branch runs
+    the write job EAGERLY at call time (the persist branch stays lazy
+    until the first action), and the returned read-back frame is a
+    plain scan — a later ``unpersist()`` on it is a harmless no-op.
+    Scratch dirs are registered for removal at interpreter exit, so
+    repeated calls in one process don't accumulate tmp trees beyond
+    the process lifetime.
     """
     import tempfile
 
@@ -209,9 +217,12 @@ def materialize(
         big = False
     if not big:
         return df.persist(StorageLevel.MEMORY_AND_DISK)
-    out = os.path.join(
-        tempfile.mkdtemp(prefix=f"cod_stats_scratch_{label}_"), "data"
-    )
+    import atexit
+    import shutil
+
+    scratch = tempfile.mkdtemp(prefix=f"cod_stats_scratch_{label}_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    out = os.path.join(scratch, "data")
     df.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
     return spread(back) if widen else back

@@ -161,9 +161,12 @@ def bpe_encode(
 ) -> DataFrame:
     """(id..., bpe_tokens array<string>, bpe_n_tokens) — Arrow-batched
     encode with the merge ranks broadcast in the task closure and a
-    per-executor word→tokens cache (Zipf makes the hit rate extreme;
-    the cache is bounded by the live vocabulary). No shuffle: the
-    input partitioning is preserved."""
+    per-task word→tokens cache (Zipf makes the hit rate extreme). The
+    cache is explicitly BOUNDED: only words ≤32 chars are cached (ids,
+    hex hashes, and URLs are long and near-unique — caching them buys
+    nothing) and the dict is reset when it reaches ``_CACHE_CAP``
+    entries, so high-cardinality text cannot grow a task's footprint
+    past a fixed ceiling regardless of distinct-word count."""
     import pandas as pd
 
     id_cols = id_cols or ["doc_id"]
@@ -179,12 +182,20 @@ def bpe_encode(
     lower = lowercase
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ~256k entries of short words ≈ tens of MB worst case; reset
+        # (not LRU) keeps eviction O(1) and the steady state for Zipf
+        # text never comes close to the cap.
+        _CACHE_CAP = 1 << 18
         cache: dict[str, list[str]] = {}
 
         def enc(word: str) -> list[str]:
             got = cache.get(word)
             if got is None:
-                got = cache[word] = encode_word(word, ranks)
+                got = encode_word(word, ranks)
+                if len(word) <= 32:
+                    if len(cache) >= _CACHE_CAP:
+                        cache.clear()
+                    cache[word] = got
             return got
 
         for pdf in batches:

@@ -72,22 +72,60 @@ def unigram_lm_score(
     model: (id..., lm_tokens, lm_nll). Unseen tokens get the smoothed
     floor probability alpha/(N + alpha·V); zero-token documents score
     (0, 0.0). Lower = more in-distribution; exp(lm_nll) is the
-    perplexity."""
+    perplexity.
+
+    The model plan executes exactly ONCE. ``broadcast_model=True``
+    (the default) collects it driver-side — the same driver-sized
+    contract broadcasting already implies — computes N/V locally, and
+    ships a literal (token, logp) relation to the scoring join.
+    ``broadcast_model=False`` persists the model instead (the N/V
+    totals action materializes the cache the scoring join then reads);
+    the cache lives as long as the returned frame — callers doing a
+    one-shot score may ``model.unpersist()`` after their action.
+    Pre-fix, the N/V ``.first()`` and the unpersisted join each ran
+    the full fit (explode + token shuffle) — twice per call."""
     id_cols = id_cols or ["doc_id"]
-    totals = model.agg(
-        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("v")
-    ).first()
-    n_total = float(totals["n"] or 0)
-    vocab = float(totals["v"] or 0)
-    denom = n_total + alpha * vocab
-    if denom <= 0:
-        raise ValueError("unigram_lm_score: empty model")
-    scored_model = model.select(
-        "token",
-        F.log((F.col("cnt") + F.lit(alpha)) / F.lit(denom)).alias("_logp"),
-    )
+    spark = docs.sparkSession
     if broadcast_model:
-        scored_model = F.broadcast(scored_model)
+        import pandas as pd
+
+        mrows = model.select("token", "cnt").toPandas()
+        n_total = float(mrows["cnt"].sum()) if len(mrows) else 0.0
+        vocab = float(len(mrows))
+        denom = n_total + alpha * vocab
+        if denom <= 0:
+            raise ValueError("unigram_lm_score: empty model")
+        scored_model = F.broadcast(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "token": mrows["token"],
+                        "_logp": [
+                            math.log((c + alpha) / denom)
+                            for c in mrows["cnt"]
+                        ],
+                    }
+                )
+            )
+        )
+    else:
+        from pyspark.storagelevel import StorageLevel
+
+        model = model.persist(StorageLevel.MEMORY_AND_DISK)
+        totals = model.agg(
+            F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("v")
+        ).first()
+        n_total = float(totals["n"] or 0)
+        vocab = float(totals["v"] or 0)
+        denom = n_total + alpha * vocab
+        if denom <= 0:
+            raise ValueError("unigram_lm_score: empty model")
+        scored_model = model.select(
+            "token",
+            F.log(
+                (F.col("cnt") + F.lit(alpha)) / F.lit(denom)
+            ).alias("_logp"),
+        )
     unseen = math.log(alpha / denom)
     tk = docs.select(*id_cols, F.explode(_tokens(text_col, lowercase)).alias("token"))
     per_doc = (

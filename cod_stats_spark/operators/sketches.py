@@ -164,8 +164,22 @@ def hll_sliding_estimate(
     preceding ``window_days`` days (range join on the tiny state
     table — days × m rows per group — then max(rho) per register) and
     estimate. The events tables never participate; cost is independent
-    of corpus size."""
-    days = state.select(*group_cols, F.col(day_col)).distinct()
+    of corpus size.
+
+    The day frame is DENSIFIED — distinct groups × distinct days in
+    the state (a cross join of two tiny driver-bounded sets), not
+    just the (group, day) pairs that have events. A group idle on day
+    d but active on d-2 still owes a trailing-window row for d; with
+    the sparse frame it silently vanished whenever its last event
+    predated the anchor day (the hll_trail7 gate only passed because
+    the testdata kept every group active on the final day). Pairs
+    where the group has NO state day inside the window drop out in
+    the inner join below — matching a per-window GROUP BY over the
+    raw events, which emits nothing for a group with no events."""
+    groups = state.select(*group_cols).distinct()
+    days = groups.crossJoin(
+        F.broadcast(state.select(F.col(day_col)).distinct())
+    )
     s = state.select(
         *[F.col(c).alias(f"_s_{c}") for c in group_cols],
         F.col(day_col).alias("_s_day"),

@@ -4650,13 +4650,18 @@ def quality_tokens_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_bench_only("lm_score")
+@_bench_only("lm_score_v2")
 def lm_score_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timed unigram-LM scoring: fit the token→count model over the
     corpus and score every document's mean negative log-likelihood
     (operators/lm_score.py) — one token shuffle for the fit, a
-    broadcast model join for the scoring (new r8 entry,
-    BENCH_NOTES.md). Ends in a checksum aggregate REFERENCING the
+    broadcast model join for the scoring. `_v2` (r9): the r8 entry
+    executed the fit TWICE per call (the N/V totals action plus the
+    unpersisted scoring join — ADVICE r8); the fix collects the
+    driver-bounded model once and ships a literal logp relation, so
+    the timed plan changed and the entry is renamed per the
+    comparability protocol (BENCH_NOTES.md). Ends in a checksum
+    aggregate REFERENCING the
     scored columns: bench.py's count() action would otherwise let
     Catalyst eliminate the unique-keyed left join and time only the
     scan (caught by the r8 shuffle audit — zero shuffle bytes where

@@ -304,7 +304,7 @@ def stream_curate_to_corpus(
     return writer.start()
 
 
-def compact_curated_shards(spark, state_dir: str) -> DataFrame:
+def compact_curated_shards(spark, state_dir: str) -> "DataFrame | None":
     """Maintenance pass for the append path: renumber the per-batch
     fragment shard sequences (``shards_frag/batch=N/shard_id=M``)
     into ONE contiguous global sequence and rewrite the tree at
@@ -315,18 +315,36 @@ def compact_curated_shards(spark, state_dir: str) -> DataFrame:
     the same bounded prefix-sum trick pack_sequences uses for its
     bucket totals; the renumbering itself is a codegen map lookup, so
     the rewrite is one clustering shuffle regardless of corpus size.
-    Returns the compacted table."""
+    Returns the compacted table.
+
+    Empty fragment tree (scheduled compaction firing before the first
+    batch lands, or right after a compaction already consumed the
+    fragments) is a NO-OP: returns the existing compacted table if
+    one exists, else ``None`` — never an error, so the maintenance
+    pass is safe to run on any schedule."""
+    import glob
     import os
 
     from cod_stats_spark.operators.sharding import write_shards
 
-    frag = spark.read.parquet(os.path.join(state_dir, "shards_frag"))
+    frag_dir = os.path.join(state_dir, "shards_frag")
+    dest = os.path.join(state_dir, "shards")
+
+    def _has_parquet(d: str) -> bool:
+        return bool(glob.glob(os.path.join(d, "**", "*.parquet"),
+                              recursive=True))
+
+    if not _has_parquet(frag_dir):
+        return spark.read.parquet(dest) if _has_parquet(dest) else None
+    frag = spark.read.parquet(frag_dir)
     counts = (
         frag.groupBy("batch")
         .agg((F.max("shard_id") + 1).alias("n"))
         .orderBy("batch")
         .collect()
     )
+    if not counts:
+        return spark.read.parquet(dest) if _has_parquet(dest) else None
     offsets: dict[int, int] = {}
     offset = 0
     for r in counts:

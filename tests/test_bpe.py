@@ -122,3 +122,31 @@ class TestDistributedBpe:
         assert rows[0]["bpe_tokens"] == [] and rows[0]["bpe_n_tokens"] == 0
         assert rows[1]["bpe_tokens"] == [] and rows[1]["bpe_n_tokens"] == 0
         assert rows[2]["bpe_n_tokens"] == len(rows[2]["bpe_tokens"]) > 0
+
+
+class TestCacheBounds:
+    def test_high_cardinality_words_encode_correctly_past_cache_policy(self, spark):
+        """r8 ADVICE: the per-task word cache must stay bounded — long
+        near-unique words (ids/hashes/URLs) are not cached at all, and
+        the dict resets at its cap. Behavioral check: a corpus of
+        distinct >32-char words (cache never populated) and repeated
+        short words (cache hit path) both encode identically to the
+        uncached per-word function."""
+        from cod_stats_spark.operators.bpe import (
+            bpe_encode,
+            encode_word,
+            learn_bpe,
+        )
+
+        merges = learn_bpe([("ab", 5), ("abab", 3)], vocab_size=4)
+        ranks = {p: i for i, p in enumerate(merges)}
+        long_words = ["ab" * 20 + f"x{i:030d}" for i in range(50)]
+        docs = spark.createDataFrame(
+            [(0, " ".join(long_words)), (1, "ab ab abab ab")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+        want0 = [t for w in long_words for t in encode_word(w, ranks)]
+        want1 = [t for w in "ab ab abab ab".split() for t in encode_word(w, ranks)]
+        assert rows[0]["bpe_tokens"] == want0
+        assert rows[1]["bpe_tokens"] == want1

@@ -232,3 +232,23 @@ def test_stream_curate_to_corpus(spark, tmp_path):
         r["shard_id"] for r in compacted.select("shard_id").distinct().collect()
     )
     assert shard_ids == list(range(len(shard_ids)))
+
+
+def test_compact_before_first_batch_is_a_noop(spark, tmp_path):
+    """r8 ADVICE: scheduled compaction must be safe before the first
+    batch lands (no fragment tree at all -> None; fragments already
+    consumed but a compacted table present -> that table)."""
+    from cod_stats_spark.plans.curation import compact_curated_shards
+
+    state = str(tmp_path / "state")
+    assert compact_curated_shards(spark, state) is None
+
+    # an existing compacted tree with no fresh fragments is returned as-is
+    import os
+
+    dest = os.path.join(state, "shards")
+    spark.createDataFrame(
+        [(1, "kept doc", 0)], "doc_id long, text string, shard_id int"
+    ).write.partitionBy("shard_id").parquet(dest)
+    out = compact_curated_shards(spark, state)
+    assert out is not None and out.count() == 1

@@ -32,6 +32,11 @@ BNLJ_ALLOWED = {
     "knn_join",         # broadcast query set, != join for self-exclusion
     "retrieval_bm25",   # ONE-ROW corpus-stats aggregate broadcast-cross-
                         # joined in (lazy scalar attach; N and avg_len)
+    "sketch_aggregates",  # hll_sliding_estimate densifies its day frame
+                          # as distinct-groups × distinct-days (r9, r8
+                          # ADVICE fix) — a cross join of two tiny
+                          # driver-bounded sets over the STATE table,
+                          # independent of corpus size
 }
 
 
@@ -122,7 +127,7 @@ def test_timed_bodies_survive_count_pruning(spark):
 
     must_keep = {
         # name -> fragments that must appear in the optimized count() plan
-        "lm_score": ["Join", "Generate"],        # scoring join + explode
+        "lm_score_v2": ["Join", "Generate"],     # scoring join + explode
         "knn_join": ["Join"],
         "knn_join_gemm": ["MapInPandas"],        # its "join" IS the GEMM stage
     }

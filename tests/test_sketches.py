@@ -279,3 +279,51 @@ class TestHistogram:
             )
         with pytest.raises(ValueError, match="at least one"):
             hist_merge(["g"])
+
+
+class TestHllSliding:
+    P = 10
+
+    def test_idle_group_still_reported_inside_window(self, spark):
+        """r8 ADVICE: the day frame must be DENSE (groups x days) — a
+        group with no events on the anchor day but events within the
+        trailing window owes a row whose estimate equals the one-shot
+        replay over its window span (merge associativity)."""
+        from cod_stats_spark.operators.sketches import (
+            hll_estimate,
+            hll_partial,
+            hll_sliding_estimate,
+        )
+
+        rows = (
+            # group A: active every day 1..3
+            [("A", f"2024-01-0{d}", f"a{i}") for d in (1, 2, 3) for i in range(40)]
+            # group B: active ONLY on day 1 — idle on the day-3 anchor
+            + [("B", "2024-01-01", f"b{i}") for i in range(25)]
+            # group C: active only day 5 — OUTSIDE a day-3 3-day window
+            + [("C", "2024-01-05", f"c{i}") for i in range(10)]
+        )
+        df = spark.createDataFrame(rows, "g string, day string, v string").withColumn(
+            "day", F.to_date("day")
+        )
+        state = hll_partial(df, "v", ["g", "day"], p=self.P)
+        trail = hll_sliding_estimate(state, ["g"], "day", 3, p=self.P)
+        anchored = {
+            r["g"]: r["approx_distinct"]
+            for r in trail.where(F.col("day") == F.lit("2024-01-03")).collect()
+        }
+        # B is reported at the anchor even though it was idle that day
+        assert set(anchored) == {"A", "B"}
+        # and each equals the one-shot estimate over the same span
+        oneshot = {
+            r["g"]: r["approx_distinct"]
+            for r in hll_estimate(
+                hll_partial(
+                    df.where(F.col("day") <= F.lit("2024-01-03")), "v", ["g"],
+                    p=self.P,
+                ),
+                ["g"],
+                p=self.P,
+            ).collect()
+        }
+        assert anchored == {g: oneshot[g] for g in ("A", "B")}

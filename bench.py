@@ -50,6 +50,10 @@ HEADLINE = [
     # new scope — rolling-hash fingerprints + capped bucket pairing;
     # BENCH_NOTES.md "New entries (round 8)")
     "dedup_winnow",
+    # round-9 addition: ExactSubstr span dedup (new entry, new scope —
+    # positional-gram census + island merge + cleaned-text rebuild;
+    # BENCH_NOTES.md "New entries (round 9)")
+    "dedup_substring",
     "decontaminate",
     # round-7 addition: the doc-level cleaning path (new entry, new
     # scope — linear gram-set match; the `decontaminate` entry keeps

@@ -92,9 +92,24 @@ def scd2_apply(
     """Fold a batch of change rows into an existing SCD2 dimension.
     Only keys present in ``changes`` are rebuilt (their existing
     intervals revert to change rows — valid_from carries the original
-    observation time, so history is preserved); unaffected keys pass
-    through without rewriting. Accepts out-of-order and retroactive
-    changes: the rebuild re-sorts the full per-key history."""
+    observation time); unaffected keys pass through without
+    rewriting. Out-of-order and retroactive changes re-sort into the
+    per-key history.
+
+    apply(build(log_a), log_b) == build(log_a ∪ log_b) holds exactly
+    when (i) ``collapse=False``, for ARBITRARY interleaving — no
+    information is ever dropped — or (ii) ``collapse=True`` with
+    append-only batches (each key's new changes all dated after its
+    current open row), the production ingest case. A collapsed
+    dimension cannot replay a no-op observation it already dropped,
+    so a retroactive insert INSIDE a collapsed same-value run may
+    legitimately differ from a full-log rebuild — that is inherent to
+    SCD2, not to this implementation; keep the raw change log if you
+    need retroactive rebuilds. Point-in-time LOOKUP results are
+    identical for collapsed and uncollapsed dimensions (collapse only
+    merges same-value intervals), which is what the
+    `asof_join_orders` gate's 'scd2_inc' arm verifies under an
+    adversarially interleaved split."""
     key_cols, attr_cols = list(key_cols), list(attr_cols)
     affected = changes.select(*key_cols).distinct()
     untouched = dim.join(F.broadcast(affected), key_cols, "left_anti")

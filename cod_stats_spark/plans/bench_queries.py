@@ -950,20 +950,90 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- training-data pipeline ops
 
 
-@query(
-    "dedup_exact",
-    covers="EXT-dedup (exact dedup via normalized-text fingerprint groupBy)",
-    oracle=r"""
-SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+def _dedup_exact_oracle() -> str:
+    from cod_stats_spark.operators.chunking import chunk_oracle_sql
+    from cod_stats_spark.operators.substring import substring_oracle_sql
+
+    exact = r"""
+SELECT 'exact' AS tag,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
        min(doc_id) AS keep_id,
        count(*)    AS n_copies
 FROM documents
 GROUP BY fp
-""",
+"""
+    sub = substring_oracle_sql("documents", n=8, min_count=2, keep_first=False)
+    sub1 = substring_oracle_sql("documents", n=8, min_count=2, keep_first=True)
+    chunk = chunk_oracle_sql("documents", max_tokens=32, stride=24)
+    return (
+        exact
+        + "\nUNION ALL\nSELECT 'substring' AS tag, fp, keep_id,"
+        " n_copies::BIGINT AS n_copies FROM ("
+        + sub
+        + ")\nUNION ALL\nSELECT 'substring_keep1' AS tag, fp, keep_id,"
+        " n_copies::BIGINT AS n_copies FROM ("
+        + sub1
+        + ")\nUNION ALL\nSELECT 'chunk_fp' AS tag, fp,"
+        " doc_id * 100000 + chunk_id AS keep_id,"
+        " n_tokens::BIGINT AS n_copies FROM ("
+        + chunk
+        + ")"
+    )
+
+
+@query(
+    "dedup_exact",
+    covers=(
+        "EXT-dedup (tagged union, r9. 'exact': exact dedup via "
+        "normalized-text fingerprint groupBy. 'substring'/'substring_keep1': "
+        "operators/substring.py — the Lee et al. ExactSubstr pass at 8-token "
+        "gram granularity, remove-all and keep-first policies; the emitted "
+        "fp is the md5 of the SPAN-REMOVED rebuilt text, so gram hashing, "
+        "duplicate census, island merge, and removal boundaries are all "
+        "value-verified through one digest. 'chunk_fp': "
+        "operators/chunking.py content check — md5 of every 32-token/"
+        "stride-24 chunk window (boundary arithmetic is oracled in the "
+        "pack_sequences gate's 'chunk' arm))"
+    ),
+    oracle=_dedup_exact_oracle(),
 )
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + substring-span dedup + chunk-content arms. The TIMED
+    `dedup_exact` entry keeps the r1-r8 exact-only plan via its
+    BENCH_ONLY override (BENCH_NOTES.md); the substring pass gets its
+    own timed `dedup_substring` entry with the production xxhash64
+    member."""
+    from cod_stats_spark.operators.chunking import chunk_documents
+    from cod_stats_spark.operators.substring import substring_dedup
+
     docs = load_tables(spark, sf_dir)["documents"]
-    return exact_dedup(docs, "text", "doc_id")
+    exact = exact_dedup(docs, "text", "doc_id").select(
+        F.lit("exact").alias("tag"), "fp", "keep_id", "n_copies"
+    )
+    arms = [exact]
+    for tag, kf in (("substring", False), ("substring_keep1", True)):
+        arms.append(
+            substring_dedup(
+                docs, n=8, min_count=2, keep_first=kf, base_hash="md5_60"
+            ).select(
+                F.lit(tag).alias("tag"),
+                F.md5("clean_text").alias("fp"),
+                F.col("doc_id").alias("keep_id"),
+                F.col("n_dup_tokens").alias("n_copies"),
+            )
+        )
+    arms.append(
+        chunk_documents(docs, max_tokens=32, stride=24).select(
+            F.lit("chunk_fp").alias("tag"),
+            F.md5("chunk_text").alias("fp"),
+            (F.col("doc_id") * 100000 + F.col("chunk_id")).alias("keep_id"),
+            F.col("n_tokens").cast("long").alias("n_copies"),
+        )
+    )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
 
 
 # -- MinHash / SimHash full-internal oracles ---------------------------
@@ -1647,27 +1717,58 @@ FROM tok
 """
 
 
+def _pack_gate_oracle() -> str:
+    from cod_stats_spark.operators.chunking import chunk_oracle_sql
+
+    return (
+        "SELECT 'pack' AS tag, doc_id, n_tokens, start_offset, shard_id"
+        " AS seq FROM ("
+        + PACK_ORACLE
+        + ")\nUNION ALL\nSELECT 'chunk' AS tag, doc_id,"
+        " n_tokens::BIGINT AS n_tokens, chunk_start::BIGINT AS start_offset,"
+        " chunk_id::BIGINT AS seq FROM ("
+        + chunk_oracle_sql("documents", max_tokens=32, stride=24)
+        + ")"
+    )
+
+
 @query(
     "pack_sequences",
-    covers="EXT-packing (concatenation-order shard assignment on a "
-    "deterministic md5 tape; distributed two-phase prefix scan, verified "
-    "against the naive global-window oracle)",
-    oracle=PACK_ORACLE,
+    covers="EXT-packing (tagged union, r9. 'pack': concatenation-order "
+    "shard assignment on a deterministic md5 tape — distributed two-phase "
+    "prefix scan, verified against the naive global-window oracle. "
+    "'chunk': operators/chunking.py token-window boundaries — start "
+    "offset, length, and window ordinal of every 32-token/stride-24 "
+    "chunk replayed in SQL; chunk CONTENT md5s are oracled in the "
+    "dedup_exact gate's 'chunk_fp' arm)",
+    oracle=_pack_gate_oracle(),
 )
 def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget packing of documents into training shards.
-
-    The Spark side runs the 256-bucket distributed prefix scan from
-    operators/packing.py; the oracle is the single global window the
-    scan must numerically reproduce.
-    """
+    """Token-budget packing + chunk windowing boundaries. The TIMED
+    `pack_sequences` entry keeps the r1-r8 pack-only plan via its
+    BENCH_ONLY override (BENCH_NOTES.md)."""
+    from cod_stats_spark.operators.chunking import chunk_documents
     from cod_stats_spark.operators.packing import pack_sequences
 
     docs = load_tables(spark, sf_dir)["documents"]
     toks = docs.select(
         "doc_id", T.token_count_ws(F.col("text")).alias("n_tokens")
     )
-    return pack_sequences(toks, "n_tokens", "doc_id", budget=2048)
+    packed = pack_sequences(toks, "n_tokens", "doc_id", budget=2048).select(
+        F.lit("pack").alias("tag"),
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.col("shard_id").cast("long").alias("seq"),
+    )
+    chunks = chunk_documents(docs, max_tokens=32, stride=24).select(
+        F.lit("chunk").alias("tag"),
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("chunk_start").cast("long").alias("start_offset"),
+        F.col("chunk_id").cast("long").alias("seq"),
+    )
+    return packed.unionByName(chunks)
 
 
 KNN_JOIN_ORACLE = """
@@ -2728,25 +2829,70 @@ def ann_topk_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "asof_join_orders",
-    covers="EXT-asof (as-of join: latest order state at each event; union+window implementation)",
-    oracle="""
-SELECT e.event_id, e.user_id, e.ts, o.last_order_price
+def _scd2_dim_oracle() -> str:
+    """The SCD2 priority dimension replayed in SQL: change log = max
+    priority per (custkey, orderdate), collapsed runs, closed
+    intervals (operators/scd.scd2_oracle_sql)."""
+    from cod_stats_spark.operators.scd import scd2_oracle_sql
+
+    return scd2_oracle_sql(
+        "(SELECT o_custkey AS ck, o_orderdate AS od,"
+        " max(o_orderpriority) AS pr FROM orders GROUP BY 1, 2)",
+        "ck", "od", "pr",
+    )
+
+
+def _asof_gate_oracle() -> str:
+    scd_lookup = f"""
+SELECT e.event_id, e.user_id, e.ts,
+       CAST(substring(d.attr, 1, 1) AS DOUBLE) AS val
+FROM events e
+ASOF LEFT JOIN ({_scd2_dim_oracle()}) d
+  ON e.user_id = d.k AND e.ts >= d.valid_from
+"""
+    return f"""
+SELECT 'asof' AS tag, e.event_id, e.user_id, e.ts, o.last_order_price AS val
 FROM events e
 ASOF LEFT JOIN (
   SELECT o_custkey, o_orderdate, max(o_totalprice) AS last_order_price
   FROM orders GROUP BY o_custkey, o_orderdate
 ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-""",
+UNION ALL
+SELECT 'scd2' AS tag, * FROM ({scd_lookup})
+UNION ALL
+SELECT 'scd2_inc' AS tag, * FROM ({scd_lookup})
+"""
+
+
+@query(
+    "asof_join_orders",
+    covers=(
+        "EXT-asof EXT-scd2 (tagged union, r9. 'asof': as-of join — latest "
+        "order state at each event, union+window implementation. 'scd2': "
+        "operators/scd.py — SCD2 dimension history (collapse + interval "
+        "close) built from the order-priority change log, point-in-time "
+        "lookup of every event against it; interval construction is "
+        "verified because every lookup value rides the intervals. "
+        "'scd2_inc': the SAME lookups against a dimension maintained as "
+        "scd2_apply(scd2_build(priority-1-2 rows), priority-3-5 rows) — an "
+        "adversarially interleaved retroactive batch, collapse=False so "
+        "apply == rebuild holds exactly (scd2_apply docstring); the oracle "
+        "arm is identical SQL, so the maintenance path is hash-verified "
+        "through every lookup)"
+    ),
+    oracle=_asof_gate_oracle(),
 )
 def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Each event annotated with the price of the customer's most recent
-    order at that time. Right side pre-aggregated to unique (key, ts)
-    so ties are impossible (deterministic in both engines). Spark has
-    no native as-of join: implemented as union + one window sort —
-    a single shuffle, no nested loop (operators/asof_join.py)."""
+    """As-of + SCD2 point-in-time arms. The TIMED `asof_join_orders`
+    entry keeps the r1-r8 asof-only plan via its BENCH_ONLY override
+    (BENCH_NOTES.md). Right sides pre-aggregated to unique (key, ts)
+    so ties are impossible (deterministic in both engines)."""
     from cod_stats_spark.operators.asof_join import asof_join
+    from cod_stats_spark.operators.scd import (
+        scd2_apply,
+        scd2_build,
+        scd2_lookup,
+    )
 
     t = load_tables(spark, sf_dir)
     right = (
@@ -2755,11 +2901,52 @@ def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("o_totalprice").alias("last_order_price"))
     )
     left = t["events"].select("event_id", "user_id", "ts")
-    out = asof_join(
+    asof_rows = asof_join(
         left, right, on=["user_id"], left_ts="ts", right_ts="ots",
         right_payload=["last_order_price"],
+    ).select(
+        F.lit("asof").alias("tag"), "event_id", "user_id", "ts",
+        F.col("last_order_price").alias("val"),
     )
-    return out.select("event_id", "user_id", "ts", "last_order_price")
+    log = (
+        t["orders"]
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("chg_ts"),
+        )
+        .agg(F.max("o_orderpriority").alias("attr"))
+    )
+    dim = scd2_build(log, ["user_id"], "chg_ts", ["attr"])
+    # incremental: split the change log by ATTRIBUTE (priorities 1-2
+    # vs 3-5) so the second batch is heavily retroactive and
+    # interleaved within every key — the hardest apply shape.
+    # collapse=False on this path: the identity apply == rebuild
+    # holds for arbitrary interleave exactly when nothing is dropped
+    # (scd2_apply docstring); lookups through the uncollapsed
+    # dimension equal lookups through the oracle's collapsed one, so
+    # the SAME SQL arm hash-verifies the whole maintenance path.
+    batch1 = F.substring("attr", 1, 1).cast("int") <= 2
+    dim_inc = scd2_apply(
+        scd2_build(
+            log.where(batch1), ["user_id"], "chg_ts", ["attr"],
+            collapse=False,
+        ),
+        log.where(~batch1),
+        ["user_id"],
+        "chg_ts",
+        ["attr"],
+        collapse=False,
+    )
+    def scd_arm(d: DataFrame, tag: str) -> DataFrame:
+        return scd2_lookup(left, d, ["user_id"], "ts", ["attr"]).select(
+            F.lit(tag).alias("tag"), "event_id", "user_id", "ts",
+            F.substring("attr", 1, 1).cast("double").alias("val"),
+        )
+    return (
+        asof_rows
+        .unionByName(scd_arm(dim, "scd2"))
+        .unionByName(scd_arm(dim_inc, "scd2_inc"))
+    )
 
 
 def _quantiles_body(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4036,9 +4223,28 @@ def json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select("o_custkey", doc.alias("doc"))
 
 
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+_FUNNEL_GAP_S = 7 * 86400
+
+
+def _stat_gate_extras() -> dict[str, str]:
+    from cod_stats_spark.operators.funnel import (
+        cohort_oracle_sql,
+        funnel_oracle_sql,
+    )
+
+    return {
+        "funnel": funnel_oracle_sql(_FUNNEL_STEPS),
+        "funnelgap": funnel_oracle_sql(
+            _FUNNEL_STEPS, max_gap_seconds=_FUNNEL_GAP_S
+        ),
+        "cohort": cohort_oracle_sql(period="week"),
+    }
+
+
 @query(
     "stat_aggregates",
-    covers="EXT-olap (statistical aggregates: stddev/variance/corr/covar + fixed-width bucketed histogram + exact interpolated quantiles per group; r7: + operators/profiling.profile_table's per-column count/null/mean/stddev/min/max rows, recomputed from scratch in SQL)",
+    covers="EXT-olap EXT-analytics (statistical aggregates: stddev/variance/corr/covar + fixed-width bucketed histogram + exact interpolated quantiles per group; r7: + operators/profiling.profile_table's per-column count/null/mean/stddev/min/max rows, recomputed from scratch in SQL; r9: + operators/funnel.py — strict-sequential funnel over the event stream ['funnel:'], the 7-day-max-gap variant ['funnelgap:'], and weekly cohort retention triangles ['cohort:'], each replayed as chained CTEs in SQL)",
     oracle="""
 WITH prof AS (
   SELECT 'l_quantity' AS c, count(*) AS n_rows,
@@ -4107,7 +4313,22 @@ SELECT 'profrange:' || c AS grp,
        mn AS m1, mx AS m2, NULL::DOUBLE AS m3, NULL::DOUBLE AS m4,
        n_rows AS n
 FROM prof
-""",
+UNION ALL
+SELECT 'funnel:' || step::VARCHAR || ':' || step_name AS grp,
+       conversion AS m1, NULL::DOUBLE AS m2, NULL::DOUBLE AS m3,
+       NULL::DOUBLE AS m4, n_users AS n
+FROM ({funnel})
+UNION ALL
+SELECT 'funnelgap:' || step::VARCHAR || ':' || step_name AS grp,
+       conversion AS m1, NULL::DOUBLE AS m2, NULL::DOUBLE AS m3,
+       NULL::DOUBLE AS m4, n_users AS n
+FROM ({funnelgap})
+UNION ALL
+SELECT 'cohort:' || cohort::VARCHAR || ':' || period_offset::VARCHAR AS grp,
+       retention AS m1, cohort_size::DOUBLE AS m2, NULL::DOUBLE AS m3,
+       NULL::DOUBLE AS m4, n_active AS n
+FROM ({cohort})
+""".format(**_stat_gate_extras()),
 )
 def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates + histogram + exact quantiles in one
@@ -4183,9 +4404,50 @@ def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_m.alias("m4"),
         F.col("n_rows").alias("n"),
     )
+    # r9: funnel + cohort-retention arms over the event stream
+    from cod_stats_spark.operators.funnel import (
+        cohort_retention,
+        funnel_counts,
+    )
+
+    ev = t["events"]
+
+    def funnel_arm(prefix: str, gap: int | None) -> DataFrame:
+        return funnel_counts(
+            ev, _FUNNEL_STEPS, max_gap_seconds=gap
+        ).select(
+            F.concat(
+                F.lit(prefix),
+                F.col("step").cast("string"),
+                F.lit(":"),
+                F.col("step_name"),
+            ).alias("grp"),
+            F.col("conversion").alias("m1"),
+            null_m.alias("m2"),
+            null_m.alias("m3"),
+            null_m.alias("m4"),
+            F.col("n_users").alias("n"),
+        )
+
+    coh = cohort_retention(ev, period="week").select(
+        F.concat(
+            F.lit("cohort:"),
+            F.col("cohort").cast("string"),
+            F.lit(":"),
+            F.col("period_offset").cast("string"),
+        ).alias("grp"),
+        F.col("retention").alias("m1"),
+        F.col("cohort_size").cast("double").alias("m2"),
+        null_m.alias("m3"),
+        null_m.alias("m4"),
+        F.col("n_active").alias("n"),
+    )
     return (
         stats.unionByName(hist).unionByName(quant)
         .unionByName(prof).unionByName(prange)
+        .unionByName(funnel_arm("funnel:", None))
+        .unionByName(funnel_arm("funnelgap:", _FUNNEL_GAP_S))
+        .unionByName(coh)
     )
 
 
@@ -4901,6 +5163,75 @@ def dedup_winnow_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(
         docs, "text", "doc_id", k=8, w=4, min_shared=2, max_fp_df=100
     )
+
+
+@_bench_only("dedup_exact")
+def dedup_exact_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed exact dedup — the r1-r8 fingerprint-groupBy plan, frozen
+    while the gate widened into the r9 tagged union (substring-span +
+    chunk-content arms; BENCH_NOTES.md). The substring pass gets its
+    own `dedup_substring` entry."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return exact_dedup(docs, "text", "doc_id")
+
+
+@_bench_only("pack_sequences")
+def pack_sequences_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed packing — the r1-r8 prefix-scan plan, frozen while the
+    gate widened with the r9 'chunk' boundary arm (BENCH_NOTES.md)."""
+    from cod_stats_spark.operators.packing import pack_sequences
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", T.token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(toks, "n_tokens", "doc_id", budget=2048)
+
+
+@_bench_only("asof_join_orders")
+def asof_join_orders_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed as-of join — the r1-r8 union+window plan, frozen while
+    the gate widened with the r9 SCD2 arms (BENCH_NOTES.md)."""
+    from cod_stats_spark.operators.asof_join import asof_join
+
+    t = load_tables(spark, sf_dir)
+    right = (
+        t["orders"]
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ots"),
+        )
+        .agg(F.max("o_totalprice").alias("last_order_price"))
+    )
+    left = t["events"].select("event_id", "user_id", "ts")
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ots",
+        right_payload=["last_order_price"],
+    )
+    return out.select("event_id", "user_id", "ts", "last_order_price")
+
+
+@_bench_only("dedup_substring")
+def dedup_substring_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed ExactSubstr span dedup, production posture (r9, new
+    entry — BENCH_NOTES.md "New entries"): xxhash64 gram member,
+    25-token granularity (long enough that only real template
+    boilerplate repeats on this corpus, short enough that the
+    synthetic replicas' shared runs are actually found), remove-all
+    policy, whole job through the cleaned-text rebuild. Ends in a
+    checksum aggregate REFERENCING the rebuilt text + span counts —
+    bench.py's count() would otherwise eliminate the unique-keyed
+    per-doc left join and the rebuild projection (the lm_score
+    count-pruning hazard, tests/test_plan_audit.py)."""
+    from cod_stats_spark.operators.substring import substring_dedup
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = substring_dedup(docs, n=25, min_count=2)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_dup_tokens").alias("dup_tokens"),
+        F.sum(F.crc32(F.col("clean_text"))).alias("clean_checksum"),
+    ).where(F.col("clean_checksum") > F.lit(-1))
 
 
 @_bench_only("knn_join_gemm")

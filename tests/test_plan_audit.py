@@ -128,6 +128,8 @@ def test_timed_bodies_survive_count_pruning(spark):
     must_keep = {
         # name -> fragments that must appear in the optimized count() plan
         "lm_score_v2": ["Join", "Generate"],     # scoring join + explode
+        "dedup_substring": ["Join", "Generate"],  # site markback join +
+                                                  # posexplode gram sites
         "knn_join": ["Join"],
         "knn_join_gemm": ["MapInPandas"],        # its "join" IS the GEMM stage
     }

@@ -285,6 +285,57 @@ class TestScd2:
         want = sorted(map(tuple, scd2_build(log, ["k"], "t", ["attr"]).collect()))
         assert sorted(map(tuple, inc.collect())) == want
 
+    def test_uncollapsed_apply_equals_rebuild_under_any_interleave(self, spark):
+        """The exact identity (scd2_apply docstring case i): with
+        collapse=False, apply == rebuild for ARBITRARY interleaving —
+        including a retroactive insert INSIDE what collapse would
+        have merged into one run."""
+        from cod_stats_spark.operators.scd import scd2_apply, scd2_build
+
+        rows = [
+            (1, _ts(1), "a"), (1, _ts(5), "a"), (1, _ts(10), "b"),
+        ]
+        mid = [(1, _ts(3), "b")]  # lands between the two 'a' rows
+        log = spark.createDataFrame(rows, "k long, t timestamp, attr string")
+        batch = spark.createDataFrame(mid, "k long, t timestamp, attr string")
+        inc = scd2_apply(
+            scd2_build(log, ["k"], "t", ["attr"], collapse=False),
+            batch, ["k"], "t", ["attr"], collapse=False,
+        )
+        full = scd2_build(
+            log.unionByName(batch), ["k"], "t", ["attr"], collapse=False
+        )
+        assert sorted(map(tuple, inc.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
+    def test_collapsed_dim_cannot_replay_dropped_noop(self, spark):
+        """The documented SCD2 limitation (docstring case ii): a
+        collapsed dimension dropped the t=5 'a' no-op, so a
+        retroactive insert inside that run yields a history that
+        differs from the full-log rebuild — the raw change log, not
+        the dim, is the source of truth for retroactive rebuilds."""
+        from cod_stats_spark.operators.scd import scd2_apply, scd2_build
+
+        rows = [
+            (1, _ts(1), "a"), (1, _ts(5), "a"), (1, _ts(10), "b"),
+        ]
+        mid = [(1, _ts(3), "b")]
+        log = spark.createDataFrame(rows, "k long, t timestamp, attr string")
+        batch = spark.createDataFrame(mid, "k long, t timestamp, attr string")
+        inc = scd2_apply(
+            scd2_build(log, ["k"], "t", ["attr"]), batch, ["k"], "t", ["attr"]
+        )
+        full = scd2_build(log.unionByName(batch), ["k"], "t", ["attr"])
+        # full rebuild recovers the 'a' run RESUMING at t=5 …
+        assert (_ts(5),) in {
+            (r["valid_from"],) for r in full.where(F.col("attr") == "a").collect()
+        }
+        # … which the collapsed dim, having dropped the no-op, cannot
+        assert (_ts(5),) not in {
+            (r["valid_from"],) for r in inc.collect()
+        }
+
     def test_apply_leaves_unaffected_keys_untouched(self, spark):
         from cod_stats_spark.operators.scd import scd2_apply, scd2_build
 

@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cod_stats_spark.functions.text import words_sql
+from cod_stats_spark.operators._util import spread
 from cod_stats_spark.operators.dedup import BASE_HASH_SQL
 
 _PACK = 1 << 32  # site key = doc_id * 2^32 + pos (keep_first only)
@@ -89,7 +90,10 @@ def duplicate_gram_sites(
     the keep-one-copy policy; requires doc_id < 2^31 (sites are
     ordered via the packed key doc_id·2^32 + pos so the argmin rides
     the census aggregate instead of a second window shuffle)."""
-    sites = docs.select(
+    # spread: the gram hashing is interpreted HOF work (CPU-bound even
+    # on small tables) and a single parquet split would serialize it
+    # on one core — same discipline as the shingle pipelines
+    sites = spread(docs).select(
         F.col(id_col),
         F.posexplode(
             F.expr(_gram_sites_sql(text_col, n, base_hash))
@@ -159,7 +163,7 @@ def remove_spans(
         F.sum(F.col("span_end") - F.col("span_start")).alias("n_dup_tokens"),
     )
     tk = F.expr(f"array({words_sql(text_col)})[0]")
-    joined = docs.select(F.col(id_col), tk.alias("_tk")).join(
+    joined = spread(docs).select(F.col(id_col), tk.alias("_tk")).join(
         per_doc, id_col, "left"
     )
     sp = F.coalesce(

@@ -105,16 +105,15 @@ def funnel_counts(
     return rows
 
 
-def funnel_oracle_sql(
+def _funnel_ctes(
     steps: list[str],
-    src: str = "events",
-    user_sql: str = "user_id",
-    type_sql: str = "event_type",
-    ts_sql: str = "ts",
-    max_gap_seconds: int | None = None,
-) -> str:
-    """DuckDB replica of funnel_counts — the same earliest-after-prev
-    recurrence as chained CTEs."""
+    src: str,
+    user_sql: str,
+    type_sql: str,
+    ts_sql: str,
+    max_gap_seconds: int | None,
+) -> list[str]:
+    """The chained s1..sk CTEs both oracle renderers share."""
     ctes = [
         f"s1 AS (SELECT {user_sql} AS u, min({ts_sql}) AS t FROM {src} "
         f"WHERE {type_sql} = '{steps[0]}' GROUP BY u)"
@@ -131,6 +130,39 @@ def funnel_oracle_sql(
             f"AND e.{ts_sql} > p.t{gap} "
             f"WHERE e.{type_sql} = '{step}' GROUP BY e.{user_sql})"
         )
+    return ctes
+
+
+def funnel_steps_oracle_sql(
+    steps: list[str],
+    src: str = "events",
+    user_sql: str = "user_id",
+    type_sql: str = "event_type",
+    ts_sql: str = "ts",
+    max_gap_seconds: int | None = None,
+) -> str:
+    """DuckDB replica of funnel_users flattened to one row per
+    completed (user, step): (user_id, step, step_ts) — the oracle for
+    the streaming funnel's append stream."""
+    ctes = _funnel_ctes(steps, src, user_sql, type_sql, ts_sql, max_gap_seconds)
+    selects = [
+        f"SELECT u AS user_id, {i} AS step, t AS step_ts FROM s{i}"
+        for i in range(1, len(steps) + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def funnel_oracle_sql(
+    steps: list[str],
+    src: str = "events",
+    user_sql: str = "user_id",
+    type_sql: str = "event_type",
+    ts_sql: str = "ts",
+    max_gap_seconds: int | None = None,
+) -> str:
+    """DuckDB replica of funnel_counts — the same earliest-after-prev
+    recurrence as chained CTEs."""
+    ctes = _funnel_ctes(steps, src, user_sql, type_sql, ts_sql, max_gap_seconds)
     selects = [
         f"SELECT {i} AS step, '{name}' AS step_name, "
         f"(SELECT count(*) FROM s{i}) AS n_users, "

@@ -28,6 +28,7 @@ from cod_stats_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
+from cod_stats_spark.operators.funnel import funnel_steps_oracle_sql
 from cod_stats_spark.operators.interval_join import interval_join
 from cod_stats_spark.operators.lm_score import unigram_lm_oracle_sql
 from cod_stats_spark.operators.sketches import (
@@ -55,6 +56,11 @@ from cod_stats_spark.operators.streaks import run_lengths
 from cod_stats_spark.operators.topk import top_k, top_k_per_group
 from cod_stats_spark.session import prep_session
 from cod_stats_spark.tables import load_tables
+
+# the event-stream funnel the stat_aggregates and stateful_sessions
+# gates share (operators/funnel.py, streaming/funnel.py)
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+_FUNNEL_GAP_S = 7 * 86400
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -3093,8 +3099,21 @@ def ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stateful_sessions",
     cache_plan=False,
-    covers="ST1 §2.10 (applyInPandasWithState custom stateful operator, streaming execution, FULL oracle: closed sessions)",
-    oracle=f"""
+    covers=(
+        "ST1 §2.10 EXT-analytics (applyInPandasWithState custom stateful "
+        "operators, streaming execution, tagged union r9. 'session': "
+        "closed sessions, FULL oracle. 'funnel': streaming/funnel.py "
+        "stateful_funnel — per-user step-completion vectors folded "
+        "incrementally, one appended row per newly completed step; the "
+        "oracle replays the BATCH funnel recurrence as chained CTEs, so "
+        "the streaming fold must agree with it exactly)"
+    ),
+    oracle=(
+        f"""
+SELECT 'session' AS tag, user_id, session_number AS k,
+       session_start AS ts_a, session_end AS ts_b,
+       n_events AS v1, sum_value AS v2
+FROM (
 WITH flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts) >= {SESSION_GAP_SECONDS} * 1000000
@@ -3114,15 +3133,27 @@ WITH flagged AS (
 SELECT * FROM sessions s
 WHERE session_number < (SELECT max(session_number) FROM sessions m
                         WHERE m.user_id = s.user_id)
-""",
+)
+UNION ALL
+SELECT 'funnel' AS tag, user_id, step::BIGINT AS k,
+       step_ts AS ts_a, NULL::TIMESTAMP AS ts_b,
+       NULL::BIGINT AS v1, NULL::DOUBLE AS v2
+FROM ("""
+        + funnel_steps_oracle_sql(_FUNNEL_STEPS)
+        + ")"
+    ),
 )
 def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The custom stateful streaming operator run for real (micro-batch
-    execution over the file source) and oracle-checked: it emits every
-    session CLOSED by a later event — exactly the batch gaps-and-islands
-    sessions minus each user's final (still-open) one."""
+    """Custom stateful streaming operators run for real (micro-batch
+    execution over the file source) and oracle-checked. 'session':
+    every session CLOSED by a later event — the batch gaps-and-islands
+    sessions minus each user's final (still-open) one. 'funnel': the
+    incremental per-user funnel fold — over a single-source static
+    replay its appended (user, step, ts) rows must equal the batch
+    recurrence exactly."""
     from cod_stats_spark.streaming import (
         run_stream_to_memory,
+        stateful_funnel,
         stateful_sessionize,
         stream_events,
     )
@@ -3131,10 +3162,28 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_stream_to_memory(
         stateful_sessionize(stream, gap_seconds=SESSION_GAP_SECONDS), "append"
     )
-    return out.select(
-        "user_id", "session_number", "session_start", "session_end",
-        "n_events", "sum_value",
+    sess = out.select(
+        F.lit("session").alias("tag"),
+        "user_id",
+        F.col("session_number").alias("k"),
+        F.col("session_start").alias("ts_a"),
+        F.col("session_end").alias("ts_b"),
+        F.col("n_events").alias("v1"),
+        F.col("sum_value").alias("v2"),
     )
+    stream2 = stream_events(spark, f"{sf_dir}/events.parquet")
+    fun = run_stream_to_memory(
+        stateful_funnel(stream2, _FUNNEL_STEPS), "append"
+    ).select(
+        F.lit("funnel").alias("tag"),
+        "user_id",
+        F.col("step").cast("long").alias("k"),
+        F.col("step_ts").alias("ts_a"),
+        F.lit(None).cast("timestamp").alias("ts_b"),
+        F.lit(None).cast("long").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    return sess.unionByName(fun)
 
 
 @query(
@@ -4221,10 +4270,6 @@ def json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per.select("o_custkey", doc.alias("doc"))
-
-
-_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
-_FUNNEL_GAP_S = 7 * 86400
 
 
 def _stat_gate_extras() -> dict[str, str]:

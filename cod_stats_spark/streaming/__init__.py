@@ -1,6 +1,7 @@
 """Structured Streaming variants of the engine's operators (SURVEY §2.9)."""
 
 from cod_stats_spark.streaming.ingest import stream_events, run_stream_to_memory
+from cod_stats_spark.streaming.funnel import stateful_funnel
 from cod_stats_spark.streaming.sessions import (
     streaming_session_rollup,
     stateful_sessionize,
@@ -11,4 +12,5 @@ __all__ = [
     "run_stream_to_memory",
     "streaming_session_rollup",
     "stateful_sessionize",
+    "stateful_funnel",
 ]

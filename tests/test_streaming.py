@@ -597,3 +597,90 @@ class TestStreamingSketchState:
             )
         )
         assert got == want
+
+
+class TestStatefulFunnel:
+    STEPS = ["view", "click", "buy"]
+
+    def _run_batches(self, spark, tmp_path, batches):
+        """Feed batches as separate files with maxFilesPerTrigger=1 so
+        each is its own micro-batch; return all appended rows."""
+        from cod_stats_spark.streaming import stateful_funnel
+
+        src = tmp_path / "in"
+        for n, rows in enumerate(batches):
+            spark.createDataFrame(
+                rows, "user_id long, event_type string, ts timestamp"
+            ).coalesce(1).write.parquet(f"{src}/b{n}")
+        stream = (
+            spark.readStream.schema("user_id long, event_type string, ts timestamp")
+            .option("maxFilesPerTrigger", "1").parquet(f"{src}/*")
+        )
+        import uuid
+
+        name = f"funnel_{uuid.uuid4().hex[:8]}"
+        q = (
+            stateful_funnel(stream, self.STEPS)
+            .writeStream.outputMode("append").format("memory")
+            .queryName(name).start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {
+            (r["user_id"], r["step"], r["step_ts"])
+            for r in spark.table(name).collect()
+        }
+
+    def test_incremental_fold_equals_batch_funnel(self, spark, tmp_path):
+        """Steps completed across SEPARATE micro-batches (ts-ordered
+        arrival) must equal the batch recurrence over the union — and
+        each (user, step) row is appended exactly once."""
+        import datetime as dt
+
+        t = lambda m: dt.datetime(2026, 1, 1, 10, m)
+        b1 = [(1, "view", t(0)), (1, "click", t(1)),
+              (2, "click", t(0)),              # pre-view click: ignored
+              (3, "view", t(2))]
+        b2 = [(1, "buy", t(5)),
+              (2, "view", t(6)), (2, "click", t(7)),
+              (3, "view", t(8))]               # repeat view: no re-emit
+        got = self._run_batches(spark, tmp_path, [b1, b2])
+
+        from cod_stats_spark.operators.funnel import funnel_users
+
+        ev = spark.createDataFrame(
+            b1 + b2, "user_id long, event_type string, ts timestamp"
+        )
+        want = set()
+        for r in funnel_users(ev, self.STEPS).collect():
+            for i in range(1, len(self.STEPS) + 1):
+                if r[f"t{i}"] is not None:
+                    want.add((r["user_id"], i, r[f"t{i}"]))
+        assert got == want
+        # u1 completed the whole funnel, u2 stopped at click, u3 at view
+        assert {(u, s) for u, s, _ in got} == {
+            (1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 1),
+        }
+
+    def test_strictness_at_equal_timestamps(self, spark, tmp_path):
+        """A step-2 event at exactly t1 must not count (strict >) —
+        regardless of intra-batch processing order."""
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1, 12, 0)
+        rows = [(1, "click", t0), (1, "view", t0)]
+        got = self._run_batches(spark, tmp_path, [rows])
+        assert {(u, s) for u, s, _ in got} == {(1, 1)}
+
+    def test_guard(self, spark):
+        from cod_stats_spark.streaming import stateful_funnel
+
+        ev = spark.createDataFrame(
+            [], "user_id long, event_type string, ts timestamp"
+        )
+        import pytest
+
+        with pytest.raises(ValueError):
+            stateful_funnel(ev, [])

@@ -68,11 +68,25 @@ def curate_corpus(
     token_budget: int = 2048,
     salt: str = "curate",
     splits: Mapping[str, float] | None = None,
+    substring_n: int | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation funnel; write shards to ``out_path``.
 
     ``benchmark``: eval/benchmark documents to decontaminate against
     (None skips stage 4). Returns (shard manifest, stage-count dict).
+
+    ``substring_n``: when set, an ExactSubstr span-removal stage
+    (operators/substring.py, keep_first=True) runs between near-dup
+    removal and decontamination: any passage of >= substring_n tokens
+    still repeated across the SURVIVORS — cross-document boilerplate
+    near-dup removal can't see, because the docs around it differ — is
+    kept once (globally first site) and scrubbed everywhere else.
+    Documents scrubbed to empty are dropped; stats gains
+    ``after_substring`` (surviving docs). Surviving text is the
+    span-removed NORMALIZED form (lowercased, single-spaced — the
+    dedup family's canonical text), which downstream stages normalize
+    into anyway. Off by default: the timed `curate_corpus` bench
+    entry keeps its r7 five-stage plan.
 
     ``splits``: optional train/val/test fraction map — after cleaning,
     every surviving doc gets a deterministic hash-bucket split
@@ -122,6 +136,27 @@ def curate_corpus(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats["after_dedup"] = deduped.count()
+
+    if substring_n is not None:
+        from cod_stats_spark.operators.substring import substring_dedup
+
+        scrubbed = substring_dedup(
+            deduped, text_col, id_col, n=substring_n, keep_first=True
+        )
+        replaced = (
+            deduped.drop(text_col)
+            .join(
+                scrubbed.select(
+                    id_col, F.col("clean_text").alias(text_col)
+                ),
+                id_col,
+            )
+            .where(F.length(F.col(text_col)) > 0)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        stats["after_substring"] = replaced.count()
+        deduped.unpersist()
+        deduped = replaced
 
     if benchmark is not None:
         clean = decontaminate(

@@ -252,3 +252,39 @@ def test_compact_before_first_batch_is_a_noop(spark, tmp_path):
     ).write.partitionBy("shard_id").parquet(dest)
     out = compact_curated_shards(spark, state)
     assert out is not None and out.count() == 1
+
+
+def test_substring_stage_scrubs_cross_doc_boilerplate(spark, tmp_path):
+    """substring_n plants an ExactSubstr stage between near-dedup and
+    decontamination: boilerplate shared by otherwise-DIFFERENT docs
+    (invisible to whole-doc near-dup removal) is kept at its first
+    site and scrubbed from every other survivor; docs scrubbed to
+    nothing die at the stage."""
+    from cod_stats_spark.plans.curation import curate_corpus
+
+    boiler = ("subscribe to our newsletter for updates terms of service "
+              "apply all rights reserved contact us for more information")
+    rows = [
+        (1, "completely original research findings about spark engines "
+            + boiler),
+        (2, boiler + " a different and equally original discussion of "
+            "columnar storage internals"),
+        (3, boiler),                       # nothing but boilerplate: dies
+        (4, "no shared passages in this document at all just plain text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    manifest, stats = curate_corpus(
+        docs, None, out, min_quality=0.0, token_budget=64, substring_n=8,
+    )
+    assert stats["after_dedup"] == 4
+    assert stats["after_substring"] == 3            # doc 3 scrubbed empty
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+    assert set(kept) == {1, 2, 4}
+    survivors_with_boiler = [d for d, t in kept.items() if "newsletter" in t]
+    assert len(survivors_with_boiler) == 1          # exactly one copy kept
+    assert "original research" in kept[1]
+    assert "columnar storage internals" in kept[2]

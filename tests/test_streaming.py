@@ -19,9 +19,12 @@ class TestStreaming:
     def test_streaming_daily_equals_batch(self, spark):
         from cod_stats_spark.plans.bench_queries import QUERIES
 
+        # the gate is a tagged union since r8 ('stream'/'inc'/'gapfill');
+        # the streaming-equals-batch claim is the 'stream' arm's
         stream_rows = {
             (r["day"], r["n_events"], r["sum_value"])
             for r in QUERIES["streaming_daily_counts"](spark, SF).collect()
+            if r["tag"] == "stream"
         }
         from cod_stats_spark.tables import read_parquet
 

@@ -88,6 +88,7 @@ def scd2_apply(
     ts_col: str,
     attr_cols: Sequence[str],
     collapse: bool = True,
+    dedupe: bool = False,
 ) -> DataFrame:
     """Fold a batch of change rows into an existing SCD2 dimension.
     Only keys present in ``changes`` are rebuilt (their existing
@@ -109,20 +110,29 @@ def scd2_apply(
     identical for collapsed and uncollapsed dimensions (collapse only
     merges same-value intervals), which is what the
     `asof_join_orders` gate's 'scd2_inc' arm verifies under an
-    adversarially interleaved split."""
+    adversarially interleaved split.
+
+    ``dedupe=True`` drops duplicate (key, ts) rows from the unioned
+    change log (first by attr order for determinism) — makes the fold
+    idempotent under at-least-once batch replay (a re-delivered batch
+    collides with its own reverted dim rows), at the cost of one
+    row_number window that rides the rebuild's key exchange. Leave
+    False when inputs honor the unique-(key, ts) contract."""
     key_cols, attr_cols = list(key_cols), list(attr_cols)
     affected = changes.select(*key_cols).distinct()
     untouched = dim.join(F.broadcast(affected), key_cols, "left_anti")
     reverted = dim.join(F.broadcast(affected), key_cols, "left_semi").select(
         *key_cols, F.col("valid_from").alias(ts_col), *attr_cols
     )
-    rebuilt = scd2_build(
-        reverted.unionByName(changes.select(*key_cols, ts_col, *attr_cols)),
-        key_cols,
-        ts_col,
-        attr_cols,
-        collapse=collapse,
-    )
+    log = reverted.unionByName(changes.select(*key_cols, ts_col, *attr_cols))
+    if dedupe:
+        w = Window.partitionBy(*key_cols, ts_col).orderBy(*attr_cols)
+        log = (
+            log.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    rebuilt = scd2_build(log, key_cols, ts_col, attr_cols, collapse=collapse)
     return untouched.unionByName(rebuilt)
 
 

@@ -2,6 +2,11 @@
 
 from cod_stats_spark.streaming.ingest import stream_events, run_stream_to_memory
 from cod_stats_spark.streaming.funnel import stateful_funnel
+from cod_stats_spark.streaming.scd import (
+    apply_scd2_batch,
+    read_scd2_dim,
+    stream_scd2_apply,
+)
 from cod_stats_spark.streaming.sessions import (
     streaming_session_rollup,
     stateful_sessionize,
@@ -13,4 +18,7 @@ __all__ = [
     "streaming_session_rollup",
     "stateful_sessionize",
     "stateful_funnel",
+    "apply_scd2_batch",
+    "read_scd2_dim",
+    "stream_scd2_apply",
 ]

@@ -1,0 +1,114 @@
+"""Streaming SCD2 maintenance — a change stream folds into a
+persisted dimension table, one `scd2_apply` per micro-batch.
+
+The dimension is REWRITTEN per batch (interval closes touch existing
+rows — append-only state, the trick the incremental-dedup index uses,
+cannot express that), so state lives in a versioned directory tree:
+
+    state_dir/
+      _CURRENT          <- text file holding the live version number
+      v=3/…parquet      <- immutable snapshot per applied batch
+
+Each batch reads the version named by ``_CURRENT``, applies, writes
+the NEW version dir (never touching the one it read — no
+read-overwrite conflict with Spark's lazy plans), then repoints
+``_CURRENT`` with an atomic rename. A crash between write and
+repoint leaves a dangling dir the next run overwrites; a crash after
+repoint is durable. foreachBatch replays (at-least-once) are
+absorbed by ``scd2_apply(dedupe=True)``: a re-delivered change row
+collides with its own reverted dim row on (key, ts) and dedups away.
+
+This is the production shape for the reference's overwrite-on-ingest
+lookup tables generalized to keep history (SURVEY §1.4 / §2.9): the
+stream is the ingest feed, the versioned dim is the silver table
+downstream point-in-time lookups (`scd2_lookup`) read.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cod_stats_spark.operators.scd import scd2_apply, scd2_build
+
+
+def _current_version(state_dir: str) -> int | None:
+    ptr = os.path.join(state_dir, "_CURRENT")
+    if not os.path.isfile(ptr):
+        return None
+    with open(ptr) as f:
+        return int(f.read().strip())
+
+
+def read_scd2_dim(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """The live dimension snapshot, or None before the first batch."""
+    v = _current_version(state_dir)
+    if v is None:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, f"v={v}"))
+
+
+def apply_scd2_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    collapse: bool = False,
+) -> None:
+    """Fold one change batch into the persisted dimension (see module
+    docstring for the version/pointer protocol). collapse defaults
+    False — the exact apply==rebuild regime for arbitrary batch
+    interleaving (operators/scd.scd2_apply docstring)."""
+    if batch.isEmpty():
+        return
+    cur = _current_version(state_dir)
+    if cur is None:
+        new_dim = scd2_build(batch, key_cols, ts_col, attr_cols, collapse=collapse)
+        nxt = 0
+    else:
+        dim = spark.read.parquet(os.path.join(state_dir, f"v={cur}"))
+        new_dim = scd2_apply(
+            dim, batch, key_cols, ts_col, attr_cols,
+            collapse=collapse, dedupe=True,
+        )
+        nxt = cur + 1
+    os.makedirs(state_dir, exist_ok=True)
+    new_dim.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"v={nxt}")
+    )
+    tmp = os.path.join(state_dir, "_CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, os.path.join(state_dir, "_CURRENT"))
+
+
+def stream_scd2_apply(
+    changes_stream: DataFrame,
+    state_dir: str,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    collapse: bool = False,
+    checkpoint_path: str | None = None,
+):
+    """Run the maintenance loop as a Structured Streaming sink:
+    foreachBatch -> apply_scd2_batch. Returns the StreamingQuery."""
+    key_cols, attr_cols = list(key_cols), list(attr_cols)
+
+    def batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_scd2_batch(
+            batch_df.sparkSession, batch_df, state_dir,
+            key_cols, ts_col, attr_cols, collapse=collapse,
+        )
+
+    writer = (
+        changes_stream.writeStream.foreachBatch(batch_fn)
+        .outputMode("append")
+    )
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

@@ -687,3 +687,70 @@ class TestStatefulFunnel:
 
         with pytest.raises(ValueError):
             stateful_funnel(ev, [])
+
+
+class TestStreamScd2:
+    def _batches(self):
+        import datetime as dt
+
+        t = lambda d: dt.datetime(2026, 1, d)
+        b1 = [(1, t(1), "bronze"), (2, t(2), "silver")]
+        b2 = [(1, t(5), "gold"), (3, t(6), "bronze")]
+        return b1, b2
+
+    def test_stream_apply_equals_one_shot_build(self, spark, tmp_path):
+        from cod_stats_spark.operators.scd import scd2_build
+        from cod_stats_spark.streaming import read_scd2_dim, stream_scd2_apply
+
+        b1, b2 = self._batches()
+        src = tmp_path / "in"
+        for n, rows in enumerate((b1, b2)):
+            spark.createDataFrame(
+                rows, "k long, t timestamp, attr string"
+            ).coalesce(1).write.parquet(f"{src}/b{n}")
+        stream = (
+            spark.readStream.schema("k long, t timestamp, attr string")
+            .option("maxFilesPerTrigger", "1").parquet(f"{src}/*")
+        )
+        state = str(tmp_path / "dim")
+        q = stream_scd2_apply(
+            stream, state, ["k"], "t", ["attr"],
+            checkpoint_path=str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(map(tuple, read_scd2_dim(spark, state).collect()))
+        log = spark.createDataFrame(
+            b1 + b2, "k long, t timestamp, attr string"
+        )
+        want = sorted(
+            map(tuple, scd2_build(log, ["k"], "t", ["attr"], collapse=False).collect())
+        )
+        assert got == want
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        """foreachBatch is at-least-once: applying the SAME batch twice
+        must leave the dimension unchanged (dedupe absorbs the
+        collision between the replay and its own reverted rows)."""
+        from cod_stats_spark.streaming import apply_scd2_batch, read_scd2_dim
+
+        b1, b2 = self._batches()
+        state = str(tmp_path / "dim")
+        df1 = spark.createDataFrame(b1, "k long, t timestamp, attr string")
+        df2 = spark.createDataFrame(b2, "k long, t timestamp, attr string")
+        apply_scd2_batch(spark, df1, state, ["k"], "t", ["attr"])
+        apply_scd2_batch(spark, df2, state, ["k"], "t", ["attr"])
+        once = sorted(map(tuple, read_scd2_dim(spark, state).collect()))
+        apply_scd2_batch(spark, df2, state, ["k"], "t", ["attr"])  # replay
+        again = sorted(map(tuple, read_scd2_dim(spark, state).collect()))
+        assert once == again
+
+    def test_empty_batch_is_a_noop(self, spark, tmp_path):
+        from cod_stats_spark.streaming import apply_scd2_batch, read_scd2_dim
+
+        state = str(tmp_path / "dim")
+        empty = spark.createDataFrame([], "k long, t timestamp, attr string")
+        apply_scd2_batch(spark, empty, state, ["k"], "t", ["attr"])
+        assert read_scd2_dim(spark, state) is None

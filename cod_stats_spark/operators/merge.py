@@ -14,6 +14,17 @@ DataFrame algebra and an atomic overwrite of the target:
 All set logic is anti-joins + unions + a window dedup — shuffles on
 the merge key only. At cluster scale, swap the final overwrite for
 MERGE INTO on Delta/Iceberg; the semantics here are the same.
+
+Relationship to :mod:`operators.scd` (r9): this module's
+``scd2_apply`` is the MERGE INTO pattern — a current/history table,
+one latest row per key per batch, append-only forward in time, string
+sentinel for the open end. ``operators/scd.scd2_build/scd2_apply`` is
+the CHANGE-LOG form — arbitrary (incl. retroactive/interleaved)
+batches rebuilt per affected key with a documented apply == rebuild
+contract, typed null open end, and the as-of point-in-time lookup.
+Use this module when maintaining a dimension table forward from
+per-batch snapshots; use operators/scd when you own the raw change
+log.
 """
 
 from __future__ import annotations

@@ -9,6 +9,13 @@ overwrite-on-ingest — SURVEY.md §1.4); SCD2 is the general form every
 analytics engine grows into, and its point-in-time lookup is the
 as-of family this repo already has.
 
+Relationship to :mod:`operators.merge` (r3): merge.scd2_apply is the
+MERGE INTO pattern over a current/history table — append-only forward
+in time, one latest source row per key per batch, string sentinel
+open end. THIS module is the change-log form: build/rebuild from raw
+observations, arbitrary batch interleaving with an exact
+apply == rebuild contract, typed null open end, and scd2_lookup.
+
 - :func:`scd2_build` — history from a change log: per key, order by
   ts, optionally collapse no-op changes (same attrs as the previous
   row), close each row with the next row's ts. Two window passes over

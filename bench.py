@@ -78,6 +78,10 @@ HEADLINE = [
     "bpe_encode",
     "multimodal_decode",
     "asof_join_orders",
+    # round-9 addition: funnel + cohort retention over the event
+    # stream (new entry, new scope; BENCH_NOTES.md "New entries
+    # (round 9)")
+    "funnel_retention",
     "quantiles",
     # _v2 names: the gate bodies were WIDENED in round 5 (rollup_cube
     # 1→3 grouping shapes, ranking_windows +4 window functions), so the

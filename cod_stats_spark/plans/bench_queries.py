@@ -5256,6 +5256,39 @@ def asof_join_orders_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "last_order_price")
 
 
+@_bench_only("funnel_retention")
+def funnel_retention_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed event-stream analytics pair (r9, new entry —
+    BENCH_NOTES.md "New entries"): the 4-step strict-sequential
+    funnel (three user-key joins over shrinking populations) plus the
+    weekly cohort-retention triangle (first-touch agg + cohort-grid
+    agg) over the full events table. Ends in a filtered checksum
+    aggregate referencing both results — the funnel's per-step counts
+    are constant-row aggregates count() would otherwise eliminate
+    (the lm_score hazard)."""
+    from cod_stats_spark.operators.funnel import (
+        cohort_retention,
+        funnel_counts,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    fun = funnel_counts(ev, _FUNNEL_STEPS).agg(
+        F.sum("n_users").alias("_fu")
+    )
+    coh = cohort_retention(ev, period="week").agg(
+        F.sum("n_active").alias("_ca"),
+        F.round(F.sum("retention"), 4).alias("_cr"),
+    )
+    return (
+        fun.crossJoin(coh)
+        .select(
+            (F.col("_fu") + F.col("_ca")).alias("users_checksum"),
+            F.col("_cr").alias("retention_checksum"),
+        )
+        .where(F.col("users_checksum") > F.lit(-1))
+    )
+
+
 @_bench_only("dedup_substring")
 def dedup_substring_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timed ExactSubstr span dedup, production posture (r9, new

@@ -130,6 +130,8 @@ def test_timed_bodies_survive_count_pruning(spark):
         "lm_score_v2": ["Join", "Generate"],     # scoring join + explode
         "dedup_substring": ["Join", "Generate"],  # site markback join +
                                                   # posexplode gram sites
+        "funnel_retention": ["Join"],             # funnel level joins +
+                                                  # cohort first-touch join
         "knn_join": ["Join"],
         "knn_join_gemm": ["MapInPandas"],        # its "join" IS the GEMM stage
     }

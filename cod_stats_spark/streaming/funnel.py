@@ -57,13 +57,19 @@ def stateful_funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """(user_id, step, step_ts) — one appended row per newly completed
     funnel step (step counts from 1). Events whose type is not a
-    funnel step are filtered JVM-side before reaching Python."""
+    funnel step are filtered JVM-side before reaching Python.
+    ``max_gap_seconds`` mirrors the batch operator: step j must land
+    within the window (t_{j-1}, t_{j-1} + gap] — the greedy fold is
+    still exact, because events arrive in time order, so an
+    out-of-window candidate implies every later candidate is too."""
     if len(steps) < 1 or len(set(steps)) != len(steps):
         raise ValueError("stateful_funnel: steps must be non-empty and distinct")
     k = len(steps)
+    gap_us = None if max_gap_seconds is None else int(max_gap_seconds) * 1_000_000
     _epoch, _ = epoch_us(events, ts_col)
     step_idx = F.lit(None).cast("int")
     for i, s in enumerate(reversed(steps)):
@@ -100,7 +106,14 @@ def stateful_funnel(
                 if int(st) != filled:
                     continue
                 ts_us = int(ts_us)
-                if filled == 0 or ts_us > slots[filled - 1]:
+                ok = filled == 0 or (
+                    ts_us > slots[filled - 1]
+                    and (
+                        gap_us is None
+                        or ts_us <= slots[filled - 1] + gap_us
+                    )
+                )
+                if ok:
                     slots[filled] = ts_us
                     newly.append((filled + 1, ts_us))
                     filled += 1

@@ -754,3 +754,50 @@ class TestStreamScd2:
         empty = spark.createDataFrame([], "k long, t timestamp, attr string")
         apply_scd2_batch(spark, empty, state, ["k"], "t", ["attr"])
         assert read_scd2_dim(spark, state) is None
+
+
+class TestStatefulFunnelGap(TestStatefulFunnel):
+    def test_gap_parity_with_batch(self, spark, tmp_path):
+        """max_gap_seconds mirrors the batch operator: step j only
+        counts within (t_{j-1}, t_{j-1}+gap]."""
+        import datetime as dt
+
+        from cod_stats_spark.operators.funnel import funnel_users
+        from cod_stats_spark.streaming import stateful_funnel
+
+        t = lambda h: dt.datetime(2026, 1, 1, h)
+        rows = [
+            (1, "view", t(0)), (1, "click", t(1)),   # inside 2h gap
+            (2, "view", t(0)), (2, "click", t(5)),   # outside
+        ]
+        src = tmp_path / "in"
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        ).coalesce(1).write.parquet(f"{src}/b0")
+        stream = (
+            spark.readStream.schema("user_id long, event_type string, ts timestamp")
+            .parquet(f"{src}/*")
+        )
+        import uuid
+
+        name = f"fgap_{uuid.uuid4().hex[:8]}"
+        q = (
+            stateful_funnel(stream, ["view", "click"], max_gap_seconds=7200)
+            .writeStream.outputMode("append").format("memory")
+            .queryName(name).start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {(r["user_id"], r["step"]) for r in spark.table(name).collect()}
+        assert got == {(1, 1), (1, 2), (2, 1)}
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        want = set()
+        for r in funnel_users(ev, ["view", "click"], max_gap_seconds=7200).collect():
+            for i in (1, 2):
+                if r[f"t{i}"] is not None:
+                    want.add((r["user_id"], i))
+        assert got == want

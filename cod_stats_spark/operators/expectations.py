@@ -1,0 +1,202 @@
+"""Declarative data-quality expectations — a deequ/dbt-tests-style
+constraint checker as pure DataFrame algebra.
+
+Every serious pipeline gates its silver tables on declared
+expectations ("order keys are unique", "discount in [0, 0.1]",
+"every order's customer exists") and records a violations report.
+The reference engine does this implicitly with SQLite constraints
+(PRIMARY KEY / INSERT OR IGNORE — SURVEY.md §1.4); at 100 TB the
+constraints become ALGEBRA: one aggregate pass for all row-level
+checks plus one bounded aggregate per set-level check.
+
+Check specs — each a dict, validated up front:
+
+- ``{"check": "not_null",        "column": c}``
+- ``{"check": "range",           "column": c, "lo": x, "hi": y}``
+  (inclusive bounds; either side optional; nulls don't violate —
+  declare not_null separately, the dbt convention)
+- ``{"check": "accepted_values", "column": c, "values": [...]}``
+- ``{"check": "matches",         "column": c, "pattern": re}``
+  (Java∩RE2-safe regex, the redact.py discipline; nulls pass)
+- ``{"check": "unique",          "columns": [c, ...]}``
+- ``{"check": "referential",     "column": c, "ref": other_df,
+   "ref_column": rc}`` (nulls pass, the SQL FK convention)
+
+Cost model: all row-level checks (not_null/range/accepted_values/
+matches) evaluate in ONE whole-stage-codegen aggregate over one scan
+— adding a check adds a sum(CASE), not a pass. Each ``unique`` is
+one groupBy on its key columns (count>1 groups summed); each
+``referential`` is one left-anti join against the (distinct,
+broadcast-eligible) reference keys. Nothing is ever collected beyond
+the one-row-per-check report.
+
+The report is (check, column, n_violations, n_rows, passed) — long
+form, SQL-replayable value for value (the `stat_aggregates` gate's
+'dq:' rows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ROW_LEVEL = {"not_null", "range", "accepted_values", "matches"}
+_SET_LEVEL = {"unique", "referential"}
+
+
+def _check_name(spec: Mapping) -> str:
+    kind = spec["check"]
+    if kind == "unique":
+        return f"unique:{','.join(spec['columns'])}"
+    col = spec["column"]
+    if kind == "range":
+        lo, hi = spec.get("lo"), spec.get("hi")
+        return f"range:{col}:{lo!r}:{hi!r}"
+    if kind == "referential":
+        return f"referential:{col}->{spec['ref_column']}"
+    return f"{kind}:{col}"
+
+
+def _violation_expr(spec: Mapping):
+    kind = spec["check"]
+    c = F.col(spec["column"])
+    if kind == "not_null":
+        return c.isNull()
+    if kind == "range":
+        bad = F.lit(False)
+        if spec.get("lo") is not None:
+            bad = bad | (c < F.lit(spec["lo"]))
+        if spec.get("hi") is not None:
+            bad = bad | (c > F.lit(spec["hi"]))
+        return c.isNotNull() & bad
+    if kind == "accepted_values":
+        return c.isNotNull() & ~c.isin(list(spec["values"]))
+    if kind == "matches":
+        return c.isNotNull() & ~c.rlike(spec["pattern"])
+    raise ValueError(f"not a row-level check: {kind}")
+
+
+def _validate(specs: Sequence[Mapping]) -> None:
+    for spec in specs:
+        kind = spec.get("check")
+        if kind in _ROW_LEVEL:
+            if "column" not in spec:
+                raise ValueError(f"{kind}: missing 'column'")
+            if kind == "range" and spec.get("lo") is None and spec.get("hi") is None:
+                raise ValueError("range: need at least one of lo/hi")
+            if kind == "accepted_values" and not spec.get("values"):
+                raise ValueError("accepted_values: empty 'values'")
+            if kind == "matches" and not spec.get("pattern"):
+                raise ValueError("matches: missing 'pattern'")
+        elif kind == "unique":
+            if not spec.get("columns"):
+                raise ValueError("unique: missing 'columns'")
+        elif kind == "referential":
+            if not all(k in spec for k in ("column", "ref", "ref_column")):
+                raise ValueError("referential: need column, ref, ref_column")
+        else:
+            raise ValueError(f"unknown check kind: {kind!r}")
+
+
+def check_expectations(
+    df: DataFrame, specs: Sequence[Mapping]
+) -> DataFrame:
+    """Evaluate every spec; return the long-form report
+    (check, column, n_violations, n_rows, passed) with one row per
+    spec, deterministic order-independent values."""
+    _validate(specs)
+    spark = df.sparkSession
+    row_specs = [s for s in specs if s["check"] in _ROW_LEVEL]
+    reports: list[DataFrame] = []
+
+    if row_specs:
+        # ONE wide aggregate, then explode a struct array over its
+        # row — a union of per-check selects would let Catalyst
+        # column-prune each branch into its own aggregate over its
+        # own scan (N passes; caught by the plan test)
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            F.sum(_violation_expr(s).cast("long")).alias(f"_v{i}")
+            for i, s in enumerate(row_specs)
+        ]
+        wide = df.agg(*aggs)
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(_check_name(s)).alias("check"),
+                    F.lit(s["column"]).alias("column"),
+                    F.coalesce(F.col(f"_v{i}"), F.lit(0)).alias(
+                        "n_violations"
+                    ),
+                    F.col("_n").alias("n_rows"),
+                )
+                for i, s in enumerate(row_specs)
+            ]
+        )
+        reports.append(
+            wide.select(F.explode(entries).alias("_c")).select("_c.*")
+        )
+
+    n_rows_total = None  # lazily attach via cross join of the count
+    for s in specs:
+        if s["check"] == "unique":
+            cols = list(s["columns"])
+            dup = (
+                df.groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .where(F.col("_c") > 1)
+                .agg(
+                    F.coalesce(F.sum("_c"), F.lit(0)).alias("n_violations")
+                )
+            )
+            reports.append(
+                dup.crossJoin(df.agg(F.count(F.lit(1)).alias("n_rows"))).select(
+                    F.lit(_check_name(s)).alias("check"),
+                    F.lit(",".join(cols)).alias("column"),
+                    "n_violations",
+                    "n_rows",
+                )
+            )
+        elif s["check"] == "referential":
+            col, ref, rc = s["column"], s["ref"], s["ref_column"]
+            keys = F.broadcast(
+                ref.select(F.col(rc).alias(col)).distinct()
+            )
+            orphans = (
+                df.where(F.col(col).isNotNull())
+                .join(keys, col, "left_anti")
+                .agg(F.count(F.lit(1)).alias("n_violations"))
+            )
+            reports.append(
+                orphans.crossJoin(
+                    df.agg(F.count(F.lit(1)).alias("n_rows"))
+                ).select(
+                    F.lit(_check_name(s)).alias("check"),
+                    F.lit(col).alias("column"),
+                    "n_violations",
+                    "n_rows",
+                )
+            )
+
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "check",
+        "column",
+        "n_violations",
+        "n_rows",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def violation_samples(
+    df: DataFrame, spec: Mapping, limit: int = 20
+) -> DataFrame:
+    """The offending rows for ONE row-level check (debugging aid) —
+    bounded by ``limit``, never a full-table collect."""
+    _validate([spec])
+    if spec["check"] not in _ROW_LEVEL:
+        raise ValueError("violation_samples: row-level checks only")
+    return df.where(_violation_expr(spec)).limit(limit)

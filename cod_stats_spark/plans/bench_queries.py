@@ -4289,7 +4289,7 @@ def _stat_gate_extras() -> dict[str, str]:
 
 @query(
     "stat_aggregates",
-    covers="EXT-olap EXT-analytics (statistical aggregates: stddev/variance/corr/covar + fixed-width bucketed histogram + exact interpolated quantiles per group; r7: + operators/profiling.profile_table's per-column count/null/mean/stddev/min/max rows, recomputed from scratch in SQL; r9: + operators/funnel.py — strict-sequential funnel over the event stream ['funnel:'], the 7-day-max-gap variant ['funnelgap:'], and weekly cohort retention triangles ['cohort:'], each replayed as chained CTEs in SQL)",
+    covers="EXT-olap EXT-analytics (statistical aggregates: stddev/variance/corr/covar + fixed-width bucketed histogram + exact interpolated quantiles per group; r7: + operators/profiling.profile_table's per-column count/null/mean/stddev/min/max rows, recomputed from scratch in SQL; r9: + operators/funnel.py — strict-sequential funnel over the event stream ['funnel:'], the 7-day-max-gap variant ['funnelgap:'], and weekly cohort retention triangles ['cohort:'], each replayed as chained CTEs in SQL; r9: + operators/expectations.py ['dq:'] — declarative data-quality checks (not_null/range/accepted_values/regex/unique/referential) incl. a genuinely FAILING unique on the synthetic lineitem PK, every violation count recomputed from scratch in SQL)",
     oracle="""
 WITH prof AS (
   SELECT 'l_quantity' AS c, count(*) AS n_rows,
@@ -4373,6 +4373,57 @@ SELECT 'cohort:' || cohort::VARCHAR || ':' || period_offset::VARCHAR AS grp,
        retention AS m1, cohort_size::DOUBLE AS m2, NULL::DOUBLE AS m3,
        NULL::DOUBLE AS m4, n_active AS n
 FROM ({cohort})
+UNION ALL
+SELECT 'dq:' || chk AS grp, nv::DOUBLE AS m1,
+       (nv = 0)::INT::DOUBLE AS m2, NULL::DOUBLE AS m3, NULL::DOUBLE AS m4,
+       nr AS n
+FROM (
+  SELECT 'not_null:l_quantity' AS chk,
+         (count(*) - count(l_quantity))::BIGINT AS nv, count(*) AS nr
+  FROM lineitem
+  UNION ALL
+  SELECT 'range:l_quantity:1:25',
+         sum(CASE WHEN l_quantity IS NOT NULL
+                  AND (l_quantity < 1 OR l_quantity > 25)
+             THEN 1 ELSE 0 END)::BIGINT, count(*)
+  FROM lineitem
+  UNION ALL
+  SELECT 'range:l_discount:0.0:0.1',
+         sum(CASE WHEN l_discount IS NOT NULL
+                  AND (l_discount < 0.0 OR l_discount > 0.1)
+             THEN 1 ELSE 0 END)::BIGINT, count(*)
+  FROM lineitem
+  UNION ALL
+  SELECT 'accepted_values:l_returnflag',
+         sum(CASE WHEN l_returnflag IS NOT NULL
+                  AND l_returnflag NOT IN ('A', 'N', 'R')
+             THEN 1 ELSE 0 END)::BIGINT, count(*)
+  FROM lineitem
+  UNION ALL
+  SELECT 'unique:l_orderkey,l_linenumber',
+         (SELECT coalesce(sum(c), 0)::BIGINT FROM (
+            SELECT count(*) AS c FROM lineitem
+            GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)),
+         (SELECT count(*) FROM lineitem)
+  UNION ALL
+  SELECT 'matches:o_orderpriority',
+         sum(CASE WHEN o_orderpriority IS NOT NULL
+                  AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+             THEN 1 ELSE 0 END)::BIGINT, count(*)
+  FROM orders
+  UNION ALL
+  SELECT 'unique:o_orderkey',
+         (SELECT coalesce(sum(c), 0)::BIGINT FROM (
+            SELECT count(*) AS c FROM orders
+            GROUP BY o_orderkey HAVING count(*) > 1)),
+         (SELECT count(*) FROM orders)
+  UNION ALL
+  SELECT 'referential:o_custkey->c_custkey',
+         (SELECT count(*) FROM orders
+          WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+         (SELECT count(*) FROM orders)
+)
 """.format(**_stat_gate_extras()),
 )
 def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4487,12 +4538,48 @@ def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_m.alias("m4"),
         F.col("n_active").alias("n"),
     )
+    # r9: declarative data-quality expectations (operators/
+    # expectations.py) — one codegen aggregate for the row-level
+    # checks, one bounded agg per set-level check, every count
+    # recomputed from scratch in SQL
+    from cod_stats_spark.operators.expectations import check_expectations
+
+    dq_li = check_expectations(
+        t["lineitem"],
+        [
+            {"check": "not_null", "column": "l_quantity"},
+            {"check": "range", "column": "l_quantity", "lo": 1, "hi": 25},
+            {"check": "range", "column": "l_discount", "lo": 0.0, "hi": 0.1},
+            {"check": "accepted_values", "column": "l_returnflag",
+             "values": ["A", "N", "R"]},
+            {"check": "unique", "columns": ["l_orderkey", "l_linenumber"]},
+        ],
+    )
+    dq_ord = check_expectations(
+        t["orders"],
+        [
+            {"check": "matches", "column": "o_orderpriority",
+             "pattern": "^[1-5]-"},
+            {"check": "unique", "columns": ["o_orderkey"]},
+            {"check": "referential", "column": "o_custkey",
+             "ref": t["customer"], "ref_column": "c_custkey"},
+        ],
+    )
+    dq = dq_li.unionByName(dq_ord).select(
+        F.concat(F.lit("dq:"), F.col("check")).alias("grp"),
+        F.col("n_violations").cast("double").alias("m1"),
+        F.col("passed").cast("double").alias("m2"),
+        null_m.alias("m3"),
+        null_m.alias("m4"),
+        F.col("n_rows").alias("n"),
+    )
     return (
         stats.unionByName(hist).unionByName(quant)
         .unionByName(prof).unionByName(prange)
         .unionByName(funnel_arm("funnel:", None))
         .unionByName(funnel_arm("funnelgap:", _FUNNEL_GAP_S))
         .unionByName(coh)
+        .unionByName(dq)
     )
 
 

@@ -1,0 +1,131 @@
+"""Data-quality expectations (operators/expectations.py): every check
+kind against planted violations, the single-aggregate plan contract,
+and the bounded sample helper. SQL value verification of the real
+tables lives in the stat_aggregates gate's 'dq:' rows."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _df(spark):
+    rows = [
+        # id, qty, flag, code, note
+        (1, 10.0, "A", "1-HIGH", "ok"),
+        (2, None, "A", "2-LOW", "ok"),          # null qty
+        (3, 99.0, "X", "bad", None),            # out of range, bad flag+code
+        (3, 5.0, "N", "3-MID", "ok"),           # duplicate id
+        (4, -1.0, "R", "5-MIN", "ok"),          # below range
+    ]
+    return spark.createDataFrame(
+        rows, "id long, qty double, flag string, code string, note string"
+    )
+
+
+class TestCheckExpectations:
+    def _report(self, spark, specs, df=None):
+        from cod_stats_spark.operators.expectations import check_expectations
+
+        return {
+            r["check"]: (r["n_violations"], r["n_rows"], r["passed"])
+            for r in check_expectations(df or _df(spark), specs).collect()
+        }
+
+    def test_every_kind_counts_planted_violations(self, spark):
+        ref = None
+
+        def run(spark):
+            nonlocal ref
+            ref = spark.createDataFrame([(1,), (2,), (4,)], "k long")
+            return self._report(
+                spark,
+                [
+                    {"check": "not_null", "column": "qty"},
+                    {"check": "range", "column": "qty", "lo": 0, "hi": 50},
+                    {"check": "accepted_values", "column": "flag",
+                     "values": ["A", "N", "R"]},
+                    {"check": "matches", "column": "code",
+                     "pattern": "^[1-5]-"},
+                    {"check": "unique", "columns": ["id"]},
+                    {"check": "referential", "column": "id", "ref": ref,
+                     "ref_column": "k"},
+                ],
+            )
+
+        got = run(spark)
+        assert got["not_null:qty"] == (1, 5, False)
+        assert got["range:qty:0:50"] == (2, 5, False)       # 99 and -1
+        assert got["accepted_values:flag"] == (1, 5, False)  # 'X'
+        assert got["matches:code"] == (1, 5, False)          # 'bad'
+        assert got["unique:id"] == (2, 5, False)             # both id=3 rows
+        assert got["referential:id->k"] == (2, 5, False)     # the id=3 pair
+
+    def test_clean_table_passes_everything(self, spark):
+        df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+        got = self._report(
+            spark,
+            [
+                {"check": "not_null", "column": "v"},
+                {"check": "range", "column": "v", "lo": 0},
+                {"check": "unique", "columns": ["id"]},
+            ],
+            df=df,
+        )
+        assert all(v == (0, 2, True) for v in got.values())
+
+    def test_nulls_do_not_violate_value_checks(self, spark):
+        """dbt convention: range/accepted/matches skip nulls — declare
+        not_null separately."""
+        df = spark.createDataFrame([(1, None)], "id long, v string")
+        got = self._report(
+            spark,
+            [
+                {"check": "accepted_values", "column": "v", "values": ["x"]},
+                {"check": "matches", "column": "v", "pattern": "^x$"},
+            ],
+            df=df,
+        )
+        assert all(v == (0, 1, True) for v in got.values())
+
+    def test_row_level_checks_share_one_aggregate_scan(self, spark):
+        """Adding a row-level check must add a sum(CASE), not a scan:
+        the optimized plan contains exactly one read of the table."""
+        from cod_stats_spark.operators.expectations import check_expectations
+
+        df = _df(spark)
+        plan = (
+            check_expectations(
+                df,
+                [
+                    {"check": "not_null", "column": "qty"},
+                    {"check": "range", "column": "qty", "lo": 0, "hi": 50},
+                    {"check": "accepted_values", "column": "flag",
+                     "values": ["A"]},
+                ],
+            )
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert plan.count("LogicalRDD") == 1
+
+    def test_guards(self, spark):
+        from cod_stats_spark.operators.expectations import check_expectations
+
+        df = _df(spark)
+        for bad in (
+            [{"check": "nope", "column": "id"}],
+            [{"check": "range", "column": "qty"}],
+            [{"check": "accepted_values", "column": "flag", "values": []}],
+            [{"check": "unique"}],
+            [{"check": "referential", "column": "id"}],
+        ):
+            with pytest.raises(ValueError):
+                check_expectations(df, bad)
+
+    def test_violation_samples_bounded(self, spark):
+        from cod_stats_spark.operators.expectations import violation_samples
+
+        rows = violation_samples(
+            _df(spark), {"check": "range", "column": "qty", "lo": 0, "hi": 50},
+            limit=1,
+        ).collect()
+        assert len(rows) == 1 and rows[0]["qty"] in (99.0, -1.0)

@@ -54,6 +54,21 @@ def insert_only(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> Da
     return target.unionByName(new_rows)
 
 
+def delete_keys(
+    target: DataFrame, keys_df: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """MERGE … WHEN MATCHED THEN DELETE — the right-to-erasure /
+    retention pass: every target row whose key appears in ``keys_df``
+    is removed. One broadcast-eligible left-anti join on the key
+    (deletion lists are small by nature); rewrite-and-swap the target
+    like the other maintenance ops. For SCD2 history tables, pass the
+    dimension's key columns to erase a subject's ENTIRE history."""
+    keys = list(keys)
+    return target.join(
+        F.broadcast(keys_df.select(*keys).distinct()), keys, "left_anti"
+    )
+
+
 def upsert(
     target: DataFrame,
     source: DataFrame,

@@ -129,3 +129,31 @@ class TestRealTableFormatMerge:
         )
         got_emulated = rows(upsert(target, source, ["k"], "ts"), "k", "v")
         assert got_real == got_emulated
+
+
+class TestDeleteKeys:
+    def test_deletes_whole_key_history_and_keeps_rest(self, spark):
+        from cod_stats_spark.operators.merge import delete_keys
+
+        target = spark.createDataFrame(
+            [(1, "a", 1), (1, "b", 2), (2, "c", 1), (3, "d", 1)],
+            "k long, v string, ver int",
+        )
+        erase = spark.createDataFrame([(1,), (3,), (99,)], "k long")
+        out = delete_keys(target, erase, ["k"])
+        assert sorted((r["k"], r["v"]) for r in out.collect()) == [(2, "c")]
+
+    def test_composite_key_and_duplicate_deletion_rows(self, spark):
+        from cod_stats_spark.operators.merge import delete_keys
+
+        target = spark.createDataFrame(
+            [(1, "x", 10), (1, "y", 20), (2, "x", 30)],
+            "k long, sub string, v int",
+        )
+        erase = spark.createDataFrame(
+            [(1, "x"), (1, "x")], "k long, sub string"
+        )
+        out = delete_keys(target, erase, ["k", "sub"])
+        assert sorted((r["k"], r["sub"]) for r in out.collect()) == [
+            (1, "y"), (2, "x"),
+        ]

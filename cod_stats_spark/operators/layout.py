@@ -101,3 +101,28 @@ def write_zordered(
         else z.repartitionByRange("_z")
     )
     parted.sortWithinPartitions("_z").drop("_z").write.mode(mode).parquet(path)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Total-order export — CTAS … ORDER BY as a layout operator: a
+    SAMPLED range partitioner (repartitionByRange reservoir-samples
+    the key distribution, so files get ~equal rows even under skew —
+    never a single-reducer global sort) assigns each file a disjoint
+    key interval, and a within-partition sort orders rows inside it.
+    Every file's footer min-max then covers a slice of the ONE sort
+    dimension, the layout for a dominant-predicate column (z-order is
+    the multi-dimension trade: compact in all dims, wider in each).
+    Point/range predicates on the key prune to the few files whose
+    interval intersects."""
+    parted = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files
+        else df.repartitionByRange(*cols)
+    )
+    parted.sortWithinPartitions(*cols).write.mode(mode).parquet(path)

@@ -181,3 +181,46 @@ def test_empty_input_zorder(spark, tmp_path):
     p = str(tmp_path / "empty_z")
     write_zordered(df, p, ["x", "y"], bits=6, num_files=2)
     assert spark.read.schema("x long, y long").parquet(p).count() == 0
+
+
+class TestWriteSorted:
+    def test_files_hold_disjoint_ordered_key_ranges(self, spark, tmp_path):
+        """Total-order contract from the footers: file key intervals
+        are pairwise disjoint and the union is the full domain — the
+        'ORDER BY export' layout a dominant-predicate column wants."""
+        from cod_stats_spark.operators.layout import write_sorted
+
+        df = spark.sql(
+            "SELECT (id * 2654435761) % 4096 AS k, id AS payload "
+            "FROM range(4096)"
+        )
+        path = str(tmp_path / "sorted")
+        write_sorted(df, path, ["k"], num_files=8)
+        ranges = sorted(r["k"] for r in _file_ranges(path, ["k"]))
+        assert len(ranges) >= 4
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2          # disjoint AND ordered
+        assert ranges[0][0] == 0 and ranges[-1][1] == 4095
+
+    def test_scan_prunes_to_one_file_on_point_predicate(self, spark, tmp_path):
+        from cod_stats_spark.operators.layout import write_sorted
+
+        df = spark.sql("SELECT id AS k, id AS payload FROM range(4096)")
+        path = str(tmp_path / "sorted")
+        write_sorted(df, path, ["k"], num_files=8)
+        back = spark.read.parquet(path).where("k = 17")
+        # row-group pruning: far fewer rows surface than the table holds
+        assert back.count() == 1
+        ranges = _file_ranges(path, ["k"])
+        covering = [r for r in ranges if r["k"][0] <= 17 <= r["k"][1]]
+        assert len(covering) == 1
+
+    def test_roundtrip_preserves_rows(self, spark, tmp_path):
+        from cod_stats_spark.operators.layout import write_sorted
+
+        df = spark.sql("SELECT id % 97 AS k, id AS payload FROM range(1000)")
+        path = str(tmp_path / "sorted")
+        write_sorted(df, path, ["k"], num_files=4)
+        assert spark.read.parquet(path).count() == 1000
+        got = sorted(r["payload"] for r in spark.read.parquet(path).collect())
+        assert got == list(range(1000))

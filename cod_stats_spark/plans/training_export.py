@@ -35,12 +35,18 @@ def export_training_shards(
     token_budget: int = 65536,
     min_quality: float = 0.25,
     salt: str = "export",
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Pack quality-filtered documents into token-budget shards and
     write them Hive-partitioned by ``shard_id``; returns the shard
     manifest (shard_id, n_docs, n_tokens, first_offset) computed from
     the written table — so the manifest always describes the bytes on
     disk, not the plan that produced them.
+
+    ``fmt="json"`` writes JSON-Lines shard files (one JSON object per
+    line — the interchange format most pre-training corpora ship as)
+    instead of parquet; the manifest is still computed from the
+    written bytes, read back with the writer's schema.
     """
     gated = docs.filter(T.quality_score(F.col(text_col)) >= min_quality)
     counted = gated.select(
@@ -52,10 +58,12 @@ def export_training_shards(
         counted, "n_tokens", id_col, budget=token_budget, salt=salt
     )
     rows = packed.join(counted.select(id_col, text_col), id_col)
-    write_shards(rows, out_path, shard_col="shard_id")
+    write_shards(rows, out_path, shard_col="shard_id", fmt=fmt)
     # read back with the writer's schema: a fully-filtered gate (or an
     # empty input) writes a partitioned dir with zero part files, and
     # schema INFERENCE would fail there — the explicit schema makes the
     # empty-corpus case a legitimate empty manifest instead of an error
-    written = docs.sparkSession.read.schema(rows.schema).parquet(out_path)
+    written = (
+        docs.sparkSession.read.schema(rows.schema).format(fmt).load(out_path)
+    )
     return shard_manifest(written).orderBy("shard_id")

@@ -241,3 +241,35 @@ class TestAdviceRegressions:
             docs, out, token_budget=64, min_quality=1e9
         )
         assert manifest.count() == 0
+
+
+def test_jsonl_export_round_trips_with_manifest(spark, tmp_path):
+    """fmt='json' writes JSON-Lines shard files (the pre-training
+    interchange format): every line is one JSON object, the manifest
+    still describes the written bytes, and content round-trips."""
+    import glob
+    import json as jsonlib
+    import os
+
+    from cod_stats_spark.plans.training_export import export_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with several plain words") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "jsonl")
+    manifest = export_training_shards(
+        docs, out, token_budget=64, min_quality=0.0, fmt="json"
+    )
+    m = manifest.collect()
+    assert sum(r["n_docs"] for r in m) == 40
+    files = glob.glob(os.path.join(out, "shard_id=*", "part-*"))
+    assert files
+    seen = set()
+    for f in files:
+        with open(f) as fh:
+            for line in fh:
+                obj = jsonlib.loads(line)     # every line parses alone
+                assert "text" in obj and "doc_id" in obj
+                seen.add(obj["doc_id"])
+    assert seen == set(range(40))

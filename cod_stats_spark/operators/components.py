@@ -211,16 +211,33 @@ def dedup_clusters(
     id_col: str,
     src: str = "id_a",
     dst: str = "id_b",
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Assign every row of ``df`` its duplicate-cluster canonical id.
 
     Rows not touching any pair become their own singleton cluster.
     Output: df columns + ``cluster_id`` + ``is_canonical``.
-    """
+
+    ``rank_col``: by default the survivor is the minimum-id row (the
+    deterministic choice the SQL oracles replay). Curation pipelines
+    usually want the BEST copy instead — pass a rank column (e.g. a
+    quality score) and the cluster's max-rank row survives (ties
+    break to the min id). Costs one row_number window on cluster_id;
+    ``cluster_id`` itself stays the min-label either way, so cluster
+    identity is unchanged."""
+    from pyspark.sql import Window
+
     comp = connected_components(pairs, src, dst)
     out = (
         df.join(comp, df[id_col] == comp["vertex"], "left")
         .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
         .drop("vertex", "component")
     )
-    return out.withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    if rank_col is None:
+        return out.withColumn(
+            "is_canonical", F.col(id_col) == F.col("cluster_id")
+        )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(rank_col).desc_nulls_last(), F.col(id_col).asc()
+    )
+    return out.withColumn("is_canonical", F.row_number().over(w) == 1)

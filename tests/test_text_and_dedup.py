@@ -380,6 +380,28 @@ class TestConnectedComponents:
         assert out[1] == (1, True) and out[2] == (1, False) and out[4] == (1, False)
         assert out[0] == (0, True) and out[3] == (3, True) and out[5] == (5, True)
 
+    def test_dedup_clusters_rank_col_keeps_best_copy(self, spark):
+        """rank_col switches the survivor from min-id to max-rank
+        (ties -> min id); cluster identity is unchanged."""
+        from cod_stats_spark.operators.components import dedup_clusters
+
+        docs = spark.createDataFrame(
+            [(1, 0.2), (2, 0.9), (4, 0.9), (5, 0.5)],
+            "doc_id long, quality double",
+        )
+        pairs = spark.createDataFrame([(1, 2), (2, 4)], "id_a long, id_b long")
+        out = {
+            r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in dedup_clusters(
+                docs, pairs, "doc_id", rank_col="quality"
+            ).collect()
+        }
+        # cluster {1,2,4}: quality tie 0.9 between 2 and 4 -> min id 2
+        assert out[1] == (1, False)
+        assert out[2] == (1, True)
+        assert out[4] == (1, False)
+        assert out[5] == (5, True)      # singleton survives regardless
+
 
 class TestDecontaminate:
     def _frames(self, spark):

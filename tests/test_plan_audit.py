@@ -37,6 +37,10 @@ BNLJ_ALLOWED = {
                           # ADVICE fix) — a cross join of two tiny
                           # driver-bounded sets over the STATE table,
                           # independent of corpus size
+    "stat_aggregates",    # expectations' set-level checks attach the
+                          # ONE-ROW n_rows aggregate to the one-row
+                          # violation count via a broadcast cross join
+                          # (r9 'dq:' arms) — 1×1, size-independent
 }
 
 
@@ -101,6 +105,8 @@ def test_bench_only_bodies_no_cartesian_or_unexpected_nested_loop(spark):
     allowed = BNLJ_ALLOWED | {
         "knn_join_gemm",   # same bounded broadcast-query contract as knn_join
         "curate_corpus",   # contains the one-row corpus-stats cross joins
+        "funnel_retention",  # one-row funnel checksum × one-row cohort
+                             # checksum cross join (r9) — 1×1 scalar attach
     }
     offenders: list[str] = []
     for name, fn in BENCH_ONLY.items():

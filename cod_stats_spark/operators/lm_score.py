@@ -150,6 +150,188 @@ def unigram_lm_score(
     )
 
 
+def bigram_lm_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(w1, w2, cnt) — adjacent-token bigram counts. One explode + one
+    shuffle on the pair; the Zipf head collapses map-side exactly like
+    the unigram fit. Merge incrementally by summing cnt."""
+    tk = _tokens(text_col, lowercase)
+    src = docs.select(tk.alias("_tk"))
+    pairs = F.expr(
+        "filter(transform(_tk, (w, i) ->"
+        " struct(if(i > 0, element_at(_tk, i), null) as w1, w as w2)),"
+        " p -> p.w1 is not null)"
+    )
+    return (
+        src.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    uni_model: DataFrame,
+    bi_model: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    alpha: float = 1.0,
+    lam: float = 0.7,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document mean NLL under a Jelinek-Mercer interpolated
+    bigram model: (id..., lm2_tokens, lm2_nll).
+
+    P(w_i | w_{i-1}) = λ·c(w_{i-1}, w_i)/c(w_{i-1})
+                     + (1-λ)·P_uni(w_i)           (positions ≥ 2)
+    P(w_1)           = P_uni(w_1)                 (no context)
+
+    with P_uni the add-alpha unigram (same convention as
+    unigram_lm_score; unseen tokens get the α/(N+αV) floor; unseen
+    contexts/pairs contribute nothing to the bigram term). Both
+    models are collected driver-side once (the broadcast-model
+    contract: vocabularies and their bigram supports are
+    driver-bounded by Heaps' law) and shipped as literal relations,
+    so each model plan executes exactly once. Zero-token documents
+    score (0, 0.0); exp(lm2_nll) is the interpolated perplexity."""
+    import pandas as pd
+
+    id_cols = id_cols or ["doc_id"]
+    spark = docs.sparkSession
+    uni = uni_model.select("token", "cnt").toPandas()
+    n_total = float(uni["cnt"].sum()) if len(uni) else 0.0
+    vocab = float(len(uni))
+    denom = n_total + alpha * vocab
+    if denom <= 0:
+        raise ValueError("bigram_lm_score: empty unigram model")
+    floor = alpha / denom
+    puni = {
+        w: (c + alpha) / denom for w, c in zip(uni["token"], uni["cnt"])
+    }
+    cuni = dict(zip(uni["token"], (float(c) for c in uni["cnt"])))
+    bi = bi_model.select("w1", "w2", "cnt").toPandas()
+    uni_rel = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"w2": uni["token"], "_pu": [puni[w] for w in uni["token"]]}
+            )
+        )
+    )
+    bi_rel = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "w1": bi["w1"],
+                    "w2b": bi["w2"],
+                    "_bp": [
+                        lam * float(c) / cuni[w1]
+                        for w1, c in zip(bi["w1"], bi["cnt"])
+                    ],
+                }
+            )
+        )
+        if len(bi)
+        else spark.createDataFrame([], "w1 string, w2b string, _bp double")
+    )
+    tk = _tokens(text_col, lowercase)
+    ent = F.expr(
+        "transform(_tk, (w, i) ->"
+        " struct(if(i > 0, element_at(_tk, i), null) as wp, w as w))"
+    )
+    pos = (
+        docs.select(*id_cols, tk.alias("_tk"))
+        .select(*id_cols, F.explode(ent).alias("_e"))
+        .select(*id_cols, F.col("_e.wp").alias("_wp"), F.col("_e.w").alias("_w"))
+    )
+    joined = (
+        pos.join(uni_rel, pos["_w"] == uni_rel["w2"], "left")
+        .join(
+            bi_rel,
+            (pos["_wp"] == bi_rel["w1"]) & (pos["_w"] == bi_rel["w2b"]),
+            "left",
+        )
+    )
+    pu = F.coalesce(F.col("_pu"), F.lit(floor))
+    prob = F.when(F.col("_wp").isNull(), pu).otherwise(
+        F.coalesce(F.col("_bp"), F.lit(0.0)) + F.lit(1.0 - lam) * pu
+    )
+    per_doc = joined.groupBy(*id_cols).agg(
+        F.count(F.lit(1)).alias("lm2_tokens"),
+        (-F.sum(F.log(prob)) / F.count(F.lit(1))).alias("lm2_nll"),
+    )
+    return (
+        docs.select(*id_cols)
+        .join(per_doc, id_cols, "left")
+        .select(
+            *id_cols,
+            F.coalesce(F.col("lm2_tokens"), F.lit(0)).alias("lm2_tokens"),
+            F.coalesce(F.col("lm2_nll"), F.lit(0.0)).alias("lm2_nll"),
+        )
+    )
+
+
+def bigram_lm_oracle_sql(
+    src: str,
+    text_sql: str = "text",
+    id_sql: str = "doc_id",
+    alpha: float = 1.0,
+    lam: float = 0.7,
+) -> str:
+    """DuckDB replica of bigram fit∘score over the same corpus:
+    identical tokens, counts, interpolation, and per-doc mean —
+    (doc_id, lm2_tokens, lm2_nll) unrounded. Training == scoring
+    corpus, so every observed pair and context resolves (the Spark
+    path's unseen branches are unit-test territory)."""
+    toks = (
+        f"list_filter(string_split_regex(trim(lower({text_sql})), '\\s+'),"
+        " t -> t <> '')"
+    )
+    return f"""
+SELECT d.{id_sql} AS doc_id,
+       coalesce(s.lm2_tokens, 0) AS lm2_tokens,
+       coalesce(s.lm2_nll, 0.0) AS lm2_nll
+FROM {src} d
+LEFT JOIN (
+  WITH tok AS (
+    SELECT {id_sql} AS doc_id, {toks} AS tk FROM {src}
+  ), uni AS (
+    SELECT t, count(*) AS c
+    FROM (SELECT unnest(tk) AS t FROM tok) GROUP BY t
+  ), tot AS (
+    SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM uni
+  ), pr AS (
+    SELECT doc_id, i, tk[i + 1] AS w,
+           CASE WHEN i > 0 THEN tk[i] END AS wp
+    FROM tok, UNNEST(CASE WHEN len(tk) = 0 THEN []
+                     ELSE generate_series(0, len(tk) - 1) END) AS u(i)
+  ), big AS (
+    SELECT wp AS w1, w AS w2, count(*) AS c12
+    FROM pr WHERE wp IS NOT NULL GROUP BY 1, 2
+  ), terms AS (
+    SELECT p.doc_id,
+           CASE WHEN p.wp IS NULL
+                THEN (u2.c + {alpha!r}) / (tot.n + {alpha!r} * tot.v)
+                ELSE {lam!r} * b.c12::DOUBLE / u1.c
+                     + {1.0 - lam!r} * (u2.c + {alpha!r})
+                       / (tot.n + {alpha!r} * tot.v)
+           END AS prob
+    FROM pr p
+    CROSS JOIN tot
+    JOIN uni u2 ON u2.t = p.w
+    LEFT JOIN uni u1 ON u1.t = p.wp
+    LEFT JOIN big b ON b.w1 = p.wp AND b.w2 = p.w
+  )
+  SELECT doc_id, count(*) AS lm2_tokens,
+         -sum(ln(prob)) / count(*) AS lm2_nll
+  FROM terms GROUP BY doc_id
+) s ON s.doc_id = d.{id_sql}
+"""
+
+
 def unigram_lm_oracle_sql(
     src: str,
     text_sql: str = "text",

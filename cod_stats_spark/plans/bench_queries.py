@@ -30,7 +30,10 @@ from cod_stats_spark.operators.dedup import (
 )
 from cod_stats_spark.operators.funnel import funnel_steps_oracle_sql
 from cod_stats_spark.operators.interval_join import interval_join
-from cod_stats_spark.operators.lm_score import unigram_lm_oracle_sql
+from cod_stats_spark.operators.lm_score import (
+    bigram_lm_oracle_sql,
+    unigram_lm_oracle_sql,
+)
 from cod_stats_spark.operators.sketches import (
     cms_oracle_sql,
     hist_oracle_sql,
@@ -1521,9 +1524,11 @@ SELECT m.doc_id, n_chars_calc, n_tokens_ws,
             + (CASE WHEN stopword_ratio >= 0.05 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.5 END)
             ) / 4.0, 6)          AS quality,
        md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp,
-       lm.lm_tokens, round(lm.lm_nll, 6) AS lm_nll
+       lm.lm_tokens, round(lm.lm_nll, 6) AS lm_nll,
+       lm2.lm2_tokens, round(lm2.lm2_nll, 6) AS lm2_nll
 FROM m JOIN documents d ON m.doc_id = d.doc_id
 JOIN ({unigram_lm_oracle_sql("documents")}) lm ON lm.doc_id = m.doc_id
+JOIN ({bigram_lm_oracle_sql("documents")}) lm2 ON lm2.doc_id = m.doc_id
 """
 
 
@@ -1533,7 +1538,10 @@ JOIN ({unigram_lm_oracle_sql("documents")}) lm ON lm.doc_id = m.doc_id
         "EXT-text (token counting + quality scoring: length/punct/stopword "
         "ratios; deterministic document fingerprinting; r8: unigram-LM "
         "mean negative log-likelihood — operators/lm_score.py fit∘score "
-        "with the smoothed ratio and per-doc mean replayed in SQL)"
+        "with the smoothed ratio and per-doc mean replayed in SQL; r9: "
+        "Jelinek-Mercer interpolated BIGRAM mean NLL [lm2_*] — pair "
+        "counts, context totals, the λ·c12/c1 + (1−λ)·P_uni interpolation "
+        "and the no-context first-token term all replayed in SQL)"
     ),
     oracle=QUALITY_ORACLE,
 )
@@ -1546,6 +1554,8 @@ def quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     BENCH_ONLY `quality_tokens` keeps the one-projection body, the
     model path is timed as `lm_score`)."""
     from cod_stats_spark.operators.lm_score import (
+        bigram_lm_fit,
+        bigram_lm_score,
         unigram_lm_fit,
         unigram_lm_score,
     )
@@ -1562,10 +1572,14 @@ def quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.quality_score(txt).alias("quality"),
         T.fingerprint(txt).alias("fp"),
     )
-    lm = unigram_lm_score(docs, unigram_lm_fit(docs)).select(
+    uni = unigram_lm_fit(docs)
+    lm = unigram_lm_score(docs, uni).select(
         "doc_id", "lm_tokens", F.round("lm_nll", 6).alias("lm_nll")
     )
-    return base.join(lm, "doc_id")
+    lm2 = bigram_lm_score(docs, uni, bigram_lm_fit(docs)).select(
+        "doc_id", "lm2_tokens", F.round("lm2_nll", 6).alias("lm2_nll")
+    )
+    return base.join(lm, "doc_id").join(lm2, "doc_id")
 
 
 def _pii_oracle() -> str:

@@ -120,3 +120,91 @@ class TestUnigramLm:
         empty = spark.createDataFrame([], "doc_id long, text string")
         with pytest.raises(ValueError, match="empty model"):
             unigram_lm_score(_docs(spark), unigram_lm_fit(empty))
+
+
+class TestBigramLm:
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat"),
+                (2, "the cat ran to the mat"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def _models(self, spark):
+        from cod_stats_spark.operators.lm_score import (
+            bigram_lm_fit,
+            unigram_lm_fit,
+        )
+
+        docs = self._corpus(spark)
+        return docs, unigram_lm_fit(docs), bigram_lm_fit(docs)
+
+    def test_matches_hand_computed_interpolation(self, spark):
+        """One position checked by hand: doc 'the cat' scored against
+        the corpus — P(the) = add-alpha unigram; P(cat|the) =
+        0.7·c(the,cat)/c(the) + 0.3·P_uni(cat)."""
+        import math
+
+        from cod_stats_spark.operators.lm_score import bigram_lm_score
+
+        docs, uni, bi = self._models(spark)
+        probe = spark.createDataFrame([(9, "the cat")], "doc_id long, text string")
+        row = bigram_lm_score(probe, uni, bi).collect()[0]
+        # corpus: 12 tokens, 7 distinct; c(the)=4, c(cat)=2, c(the,cat)=2
+        denom = 12 + 7.0
+        p_the = (4 + 1) / denom
+        p_cat_given_the = 0.7 * 2 / 4 + 0.3 * ((2 + 1) / denom)
+        want = -(math.log(p_the) + math.log(p_cat_given_the)) / 2
+        assert row["lm2_tokens"] == 2
+        assert abs(row["lm2_nll"] - want) < 1e-12
+
+    def test_unseen_context_backs_off_to_unigram(self, spark):
+        """A pair with an unseen context has no bigram mass: its term
+        is exactly (1-λ)·P_uni(w) — strictly worse than any seen
+        continuation."""
+        import math
+
+        from cod_stats_spark.operators.lm_score import bigram_lm_score
+
+        docs, uni, bi = self._models(spark)
+        probe = spark.createDataFrame(
+            [(9, "zzz the")], "doc_id long, text string"
+        )
+        row = bigram_lm_score(probe, uni, bi).collect()[0]
+        denom = 12 + 7.0
+        floor = 1.0 / denom                 # unseen 'zzz'
+        p_the_after_zzz = 0.3 * ((4 + 1) / denom)
+        want = -(math.log(floor) + math.log(p_the_after_zzz)) / 2
+        assert abs(row["lm2_nll"] - want) < 1e-12
+
+    def test_fluent_bigrams_beat_shuffled_words(self, spark):
+        from cod_stats_spark.operators.lm_score import bigram_lm_score
+
+        docs, uni, bi = self._models(spark)
+        probe = spark.createDataFrame(
+            [(1, "the cat sat on the mat"), (2, "mat the on sat cat the")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["lm2_nll"] for r in bigram_lm_score(probe, uni, bi).collect()}
+        # same unigram mass, so only bigram structure separates them
+        assert got[1] < got[2]
+
+    def test_empty_null_and_empty_bigram_model(self, spark):
+        from cod_stats_spark.operators.lm_score import (
+            bigram_lm_fit,
+            bigram_lm_score,
+            unigram_lm_fit,
+        )
+
+        single = spark.createDataFrame([(1, "word")], "doc_id long, text string")
+        uni, bi = unigram_lm_fit(single), bigram_lm_fit(single)
+        assert bi.count() == 0              # no adjacent pairs at all
+        probe = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "word word")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: (r["lm2_tokens"], r["lm2_nll"]) for r in
+               bigram_lm_score(probe, uni, bi).collect()}
+        assert got[1] == (0, 0.0) and got[2] == (0, 0.0)
+        assert got[3][0] == 2 and got[3][1] > 0.0

@@ -235,3 +235,95 @@ class TestWinnowProperties:
         # Spark selection == pure-Python replica, doc by doc
         for doc_id, text in rows:
             assert got[doc_id] == self._select(text, self.K, self.W)
+
+
+def _model_substring_dedup(texts, n, keep_first):
+    """Pure-Python reference for ExactSubstr at gram granularity n:
+    returns {doc_id: (clean_text, n_dup_tokens)}."""
+    toks = {d: t.lower().split() for d, t in texts.items()}
+    sites = {}  # gram -> [(doc, pos)]
+    for d, tk in sorted(toks.items()):
+        for p in range(len(tk) - n + 1):
+            sites.setdefault(tuple(tk[p:p + n]), []).append((d, p))
+    marked = {d: set() for d in toks}
+    for gram, locs in sites.items():
+        if len(locs) < 2:
+            continue
+        first = min(locs)
+        for d, p in locs:
+            if keep_first and (d, p) == first:
+                continue
+            marked[d].update(range(p, p + n))
+    out = {}
+    for d, tk in toks.items():
+        kept = [w for i, w in enumerate(tk) if i not in marked[d]]
+        out[d] = (" ".join(kept), len(tk) - len(kept))
+    return out
+
+
+class TestSubstringDedupProperties:
+    @prop
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(list("abc")), min_size=0, max_size=18),
+            min_size=1,
+            max_size=6,
+        ),
+        n=st.integers(min_value=2, max_value=4),
+        keep_first=st.booleans(),
+    )
+    def test_matches_python_reference(self, spark, docs, n, keep_first):
+        """Random tiny-alphabet corpora force dense gram collisions —
+        within-doc repeats, cross-doc overlaps, islands that merge —
+        and the operator must equal the brute-force model on cleaned
+        text AND removed-token counts (which pins span boundaries)."""
+        from cod_stats_spark.operators.substring import substring_dedup
+
+        texts = {i: " ".join(ws) for i, ws in enumerate(docs)}
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_dup_tokens"])
+            for r in substring_dedup(
+                df, n=n, keep_first=keep_first
+            ).collect()
+        }
+        assert got == _model_substring_dedup(texts, n, keep_first)
+
+
+class TestChunkingProperties:
+    @prop
+    @given(
+        words=st.lists(
+            st.text(alphabet="xyz", min_size=1, max_size=4),
+            min_size=0,
+            max_size=40,
+        ),
+        max_tokens=st.integers(min_value=1, max_value=9),
+        stride_delta=st.integers(min_value=0, max_value=4),
+    )
+    def test_cover_and_reconstruction(self, spark, words, max_tokens, stride_delta):
+        """Every token position is covered by >= 1 chunk; with
+        stride == max_tokens the chunks are disjoint and reassemble
+        the normalized text exactly."""
+        from cod_stats_spark.operators.chunking import chunk_documents
+
+        stride = max(1, max_tokens - stride_delta)
+        text = " ".join(words)
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            (r["chunk_id"], r["chunk_start"], r["n_tokens"], r["chunk_text"])
+            for r in chunk_documents(
+                df, max_tokens=max_tokens, stride=stride
+            ).collect()
+        )
+        covered = set()
+        for _, start, ntk, chunk in rows:
+            toks = chunk.split() if chunk else []
+            assert len(toks) == ntk
+            assert toks == words[start:start + ntk]  # content == window
+            covered.update(range(start, start + ntk))
+        assert covered == set(range(len(words)))
+        if stride == max_tokens:
+            assert " ".join(t for _, _, _, t in rows if t) == " ".join(words)

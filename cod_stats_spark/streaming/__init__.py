@@ -1,6 +1,11 @@
 """Structured Streaming variants of the engine's operators (SURVEY §2.9)."""
 
 from cod_stats_spark.streaming.ingest import stream_events, run_stream_to_memory
+from cod_stats_spark.streaming.expectations import (
+    expectations_batch_report,
+    read_expectation_reports,
+    stream_expectations,
+)
 from cod_stats_spark.streaming.funnel import stateful_funnel
 from cod_stats_spark.streaming.scd import (
     apply_scd2_batch,
@@ -18,6 +23,9 @@ __all__ = [
     "streaming_session_rollup",
     "stateful_sessionize",
     "stateful_funnel",
+    "expectations_batch_report",
+    "read_expectation_reports",
+    "stream_expectations",
     "apply_scd2_batch",
     "read_scd2_dim",
     "stream_scd2_apply",

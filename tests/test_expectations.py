@@ -129,3 +129,58 @@ class TestCheckExpectations:
             limit=1,
         ).collect()
         assert len(rows) == 1 and rows[0]["qty"] in (99.0, -1.0)
+
+
+class TestStreamExpectations:
+    def test_per_batch_reports_accumulate(self, spark, tmp_path):
+        """Each micro-batch appends its own tagged report rows; counts
+        describe that batch alone; the report table accumulates."""
+        from cod_stats_spark.streaming import (
+            read_expectation_reports,
+            stream_expectations,
+        )
+
+        src = tmp_path / "in"
+        b0 = [(1, 5.0), (2, None)]          # one null
+        b1 = [(3, 7.0), (3, 8.0), (4, 200.0)]  # dup id + out of range
+        for n, rows in enumerate((b0, b1)):
+            spark.createDataFrame(rows, "id long, v double").coalesce(
+                1
+            ).write.parquet(f"{src}/b{n}")
+        stream = (
+            spark.readStream.schema("id long, v double")
+            .option("maxFilesPerTrigger", "1").parquet(f"{src}/*")
+        )
+        report = str(tmp_path / "report")
+        specs = [
+            {"check": "not_null", "column": "v"},
+            {"check": "range", "column": "v", "lo": 0, "hi": 100},
+            {"check": "unique", "columns": ["id"]},
+        ]
+        q = stream_expectations(
+            stream, specs, report, checkpoint_path=str(tmp_path / "ckpt")
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["batch"], r["check"]): (r["n_violations"], r["n_rows"], r["passed"])
+            for r in read_expectation_reports(spark, report).collect()
+        }
+        assert len(got) == 6                 # 2 batches x 3 checks
+        # batch file order maps to epoch order under maxFilesPerTrigger=1;
+        # identify batches by their row counts instead of epoch numbers
+        by_n = {}
+        for (b, chk), (nv, nr, ok) in got.items():
+            by_n.setdefault(nr, {})[chk] = (nv, ok)
+        two, three = by_n[2], by_n[3]
+        assert two["not_null:v"] == (1, False)
+        assert two["unique:id"] == (0, True)
+        assert three["range:v:0:100"] == (1, False)
+        assert three["unique:id"] == (2, False)
+
+    def test_report_absent_before_first_batch(self, spark, tmp_path):
+        from cod_stats_spark.streaming import read_expectation_reports
+
+        assert read_expectation_reports(spark, str(tmp_path / "nope")) is None

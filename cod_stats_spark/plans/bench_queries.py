@@ -56,6 +56,10 @@ from cod_stats_spark.operators.rolling import (
 from cod_stats_spark.operators.sessionize import session_rollup, sessionize
 from cod_stats_spark.operators.similarity import ann_lsh_topk, brute_force_topk
 from cod_stats_spark.operators.streaks import run_lengths
+from cod_stats_spark.operators.timeseries_agg import (
+    ohlc_oracle_sql,
+    twa_oracle_sql,
+)
 from cod_stats_spark.operators.topk import top_k, top_k_per_group
 from cod_stats_spark.session import prep_session
 from cod_stats_spark.tables import load_tables
@@ -2099,7 +2103,15 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "operators/gapfill.py resample_daily over a deliberately-holed "
         "slice — sequence-exploded calendar, zero-fill for additive "
         "metrics, IGNORE-NULLS window forward-fill for state metrics, "
-        "replayed with generate_series + the same window in SQL)"
+        "replayed with generate_series + the same window in SQL. r9 "
+        "'ohlc:<type>' / 'twa:<type>' arms: operators/timeseries_agg.py "
+        "hyperfunctions per event_type per day — OHLC downsample (open/"
+        "close = values at the bucket's first/last observation; ties "
+        "pre-aggregated to unique (key, ts) like the as-of gate) mapped "
+        "onto the gate shape as sum_value=open, avg_value=close, min/max="
+        "low/high, n_events=n_obs; and the LOCF time-weighted average — "
+        "integer-microsecond segment/clip arithmetic — as avg_value=twa, "
+        "sum_value=weight_seconds; both replayed exactly in SQL)"
     ),
     oracle="""
 SELECT 'stream' AS tag, CAST(ts AS DATE) AS day, count(*) AS n_events,
@@ -2148,7 +2160,30 @@ FROM (
          CASE WHEN n > 0 THEN round((ss - s * s / n) / n, 4) END AS var_value
   FROM dense
 )
-""",
+UNION ALL
+SELECT 'ohlc:' || k AS tag, CAST(to_timestamp(bucket_start) AS DATE) AS day,
+       n_obs AS n_events, round(open, 4) AS sum_value,
+       low AS min_value, high AS max_value,
+       round(close, 4) AS avg_value, NULL::DOUBLE AS var_value
+FROM ("""
+        + ohlc_oracle_sql(
+            "(SELECT event_type, ts, max(value) AS value FROM events"
+            " GROUP BY 1, 2)",
+            "ts", "event_type", "value", 86400,
+        )
+        + """)
+UNION ALL
+SELECT 'twa:' || k AS tag, CAST(to_timestamp(bucket_start) AS DATE) AS day,
+       NULL::BIGINT AS n_events, round(weight_seconds, 4) AS sum_value,
+       NULL::DOUBLE AS min_value, NULL::DOUBLE AS max_value,
+       round(twa, 4) AS avg_value, NULL::DOUBLE AS var_value
+FROM ("""
+        + twa_oracle_sql(
+            "(SELECT event_type, ts, max(value) AS value FROM events"
+            " GROUP BY 1, 2)",
+            "ts", "event_type", "value", 86400,
+        )
+        + ")",
 )
 def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real streaming execution driven to completion on static files:
@@ -2271,7 +2306,49 @@ def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n > 0, F.round(s / n, 4)).alias("avg_value"),
         F.when(n > 0, F.round((ss - s * s / n) / n, 4)).alias("var_value"),
     )
-    return streamed.unionByName(report(state, "inc")).unionByName(gap)
+    # r9 hyperfunction arms: OHLC + LOCF time-weighted average per
+    # event_type per day (operators/timeseries_agg.py) — ties
+    # pre-aggregated to unique (key, ts), the as-of gate discipline
+    from cod_stats_spark.operators.timeseries_agg import (
+        ohlc_downsample,
+        time_weighted_avg,
+    )
+
+    series = ev.groupBy("event_type", "ts").agg(
+        F.max("value").alias("value")
+    )
+    day_of = F.to_date(F.timestamp_seconds(F.col("bucket_start")))
+    null_d = F.lit(None).cast("double")
+    ohlc = ohlc_downsample(
+        series, "ts", ["event_type"], "value", 86400
+    ).select(
+        F.concat(F.lit("ohlc:"), F.col("event_type")).alias("tag"),
+        day_of.alias("day"),
+        F.col("n_obs").alias("n_events"),
+        F.round("open", 4).alias("sum_value"),
+        F.col("low").alias("min_value"),
+        F.col("high").alias("max_value"),
+        F.round("close", 4).alias("avg_value"),
+        null_d.alias("var_value"),
+    )
+    twa = time_weighted_avg(
+        series, "ts", ["event_type"], "value", 86400
+    ).select(
+        F.concat(F.lit("twa:"), F.col("event_type")).alias("tag"),
+        day_of.alias("day"),
+        F.lit(None).cast("long").alias("n_events"),
+        F.round("weight_seconds", 4).alias("sum_value"),
+        null_d.alias("min_value"),
+        null_d.alias("max_value"),
+        F.round("twa", 4).alias("avg_value"),
+        null_d.alias("var_value"),
+    )
+    return (
+        streamed.unionByName(report(state, "inc"))
+        .unionByName(gap)
+        .unionByName(ohlc)
+        .unionByName(twa)
+    )
 
 
 def _near_dup_oracle_sql(dim: int = 64, n_planes: int = 4, threshold: float = 0.3,

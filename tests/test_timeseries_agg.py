@@ -1,0 +1,110 @@
+"""Time-series hyperfunctions (operators/timeseries_agg.py): OHLC
+downsampling and LOCF time-weighted averages — hand-computed segment
+arithmetic, boundary clipping, final-observation exclusion. SQL value
+verification over the real events table lives in the
+streaming_daily_counts gate's 'ohlc:'/'twa:' arms."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+
+def _ts(h, m=0):
+    return dt.datetime(2026, 1, 1, h, m)
+
+
+class TestOhlc:
+    def test_open_close_follow_time_not_value(self, spark):
+        from cod_stats_spark.operators.timeseries_agg import ohlc_downsample
+
+        rows = [
+            ("a", _ts(0, 10), 5.0),   # open
+            ("a", _ts(0, 20), 9.0),   # high
+            ("a", _ts(0, 40), 1.0),   # low
+            ("a", _ts(0, 50), 3.0),   # close
+            ("a", _ts(1, 5), 7.0),    # next bucket
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        got = {
+            r["bucket_start"]: (r["open"], r["high"], r["low"], r["close"], r["n_obs"])
+            for r in ohlc_downsample(df, "ts", ["k"], "v", 3600).collect()
+        }
+        base = int(dt.datetime(2026, 1, 1).timestamp())
+        assert got[base] == (5.0, 9.0, 1.0, 3.0, 4)
+        assert got[base + 3600] == (7.0, 7.0, 7.0, 7.0, 1)
+
+    def test_keys_are_independent(self, spark):
+        from cod_stats_spark.operators.timeseries_agg import ohlc_downsample
+
+        rows = [("a", _ts(0), 1.0), ("b", _ts(0), 9.0)]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        got = {r["k"]: r["open"] for r in ohlc_downsample(df, "ts", ["k"], "v", 60).collect()}
+        assert got == {"a": 1.0, "b": 9.0}
+
+
+class TestTimeWeightedAvg:
+    def test_hand_computed_weights_across_boundary(self, spark):
+        """v=10 held 00:30–01:30 (30 min in bucket 0, 30 in bucket 1),
+        v=20 held 01:30–02:00 (30 min in bucket 1). Bucket 0 twa = 10;
+        bucket 1 twa = (10·30 + 20·30)/60 = 15. The final observation
+        (02:00) contributes nothing."""
+        from cod_stats_spark.operators.timeseries_agg import time_weighted_avg
+
+        rows = [
+            ("a", _ts(0, 30), 10.0),
+            ("a", _ts(1, 30), 20.0),
+            ("a", _ts(2, 0), 99.0),   # terminal: no successor
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        got = {
+            r["bucket_start"]: (r["twa"], r["weight_seconds"])
+            for r in time_weighted_avg(df, "ts", ["k"], "v", 3600).collect()
+        }
+        base = int(dt.datetime(2026, 1, 1).timestamp())
+        assert got[base] == (10.0, 1800.0)
+        assert got[base + 3600] == (15.0, 3600.0)
+        assert base + 7200 not in got       # nothing held into bucket 2
+
+    def test_full_bucket_inside_one_segment(self, spark):
+        """A bucket entirely inside one held segment reports that value
+        with full weight."""
+        from cod_stats_spark.operators.timeseries_agg import time_weighted_avg
+
+        rows = [("a", _ts(0, 0), 4.0), ("a", _ts(3, 0), 8.0)]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        got = {
+            r["bucket_start"]: (r["twa"], r["weight_seconds"])
+            for r in time_weighted_avg(df, "ts", ["k"], "v", 3600).collect()
+        }
+        base = int(dt.datetime(2026, 1, 1).timestamp())
+        assert got[base] == (4.0, 3600.0)
+        assert got[base + 3600] == (4.0, 3600.0)
+        assert got[base + 7200] == (4.0, 3600.0)
+        assert (base + 10800) not in got
+
+    def test_single_observation_key_reports_nothing(self, spark):
+        from cod_stats_spark.operators.timeseries_agg import time_weighted_avg
+
+        df = spark.createDataFrame(
+            [("a", _ts(0), 1.0)], "k string, ts timestamp, v double"
+        )
+        assert time_weighted_avg(df, "ts", ["k"], "v", 60).count() == 0
+
+    def test_twa_differs_from_plain_avg_under_irregular_sampling(self, spark):
+        """The reason the operator exists: a value held for 59 minutes
+        then flipped for 1 minute has twa ≈ the held value, while the
+        plain mean of the two observations is their midpoint."""
+        from pyspark.sql import functions as F
+
+        from cod_stats_spark.operators.timeseries_agg import time_weighted_avg
+
+        rows = [
+            ("a", _ts(0, 0), 100.0),
+            ("a", _ts(0, 59), 0.0),
+            ("a", _ts(1, 0), 0.0),
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        twa = time_weighted_avg(df, "ts", ["k"], "v", 3600).collect()[0]["twa"]
+        plain = df.agg(F.avg("v")).first()[0]
+        assert abs(twa - 100.0 * 59 / 60) < 1e-9
+        assert abs(plain - 100.0 / 3) < 1e-9

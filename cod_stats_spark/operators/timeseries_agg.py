@@ -21,7 +21,14 @@ microseconds:
 
 Shuffles: one (key) window for the successor lookup, one
 (key, bucket) aggregation — both O(observations); the bucket explode
-multiplies rows only by the buckets a segment actually crosses.
+multiplies rows only by the buckets a segment actually crosses, so
+total exploded rows ≤ observations + Σ_keys (key time-span / bucket)
+— the SAME cardinality a dense per-bucket output has, because that
+is what LOCF-into-every-bucket means. A sparse key observed years
+apart therefore emits one row per bucket of the gap; pick the bucket
+size for the report you actually want, or filter segments with
+``t2 - t`` above a staleness cap first if a value should not be
+held across long outages.
 
 :func:`ohlc_downsample` is the companion shape for the same series:
 per (key, bucket) open/high/low/close + observation count. Rows must

@@ -27,11 +27,14 @@ granularity:
 4. span removal rebuilds the document from its kept token positions
    with JVM-side higher-order functions — no Python in the pipeline.
 
-Any substring of >= 2n-1 tokens that repeats is guaranteed covered by
-a duplicated full n-gram; the detection threshold is exact at n-token
-granularity (a repeat of exactly n tokens is found; one of n-1 tokens
-never is). This is the standard fixed-granularity relaxation of the
-suffix-array method.
+Detection is EXACT at token granularity: a repeated token run of
+length L >= n contains identical full n-grams at every offset
+0..L-n of both copies, so all its positions are marked and the
+island merge covers the entire [p, p+L) region; a repeat of n-1
+tokens is never found. (Character-offset repeats that don't align
+on token boundaries are out of scope — the standard relaxation vs
+the byte-level suffix array, which token-level training-data dedup
+shares.)
 
 Shuffle account (100 TB posture): one token-count-proportional shuffle
 on gh for the duplicate census, one more for the site join-back, one

@@ -146,6 +146,50 @@ def time_weighted_avg(
     )
 
 
+def streaming_ohlc(
+    events: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    bucket_seconds: int,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """The streaming form of :func:`ohlc_downsample`: watermarked
+    tumbling-window aggregation — min_by/max_by and the extremes are
+    all mergeable, so the state store holds one partial OHLC row per
+    open (key, bucket) and late data inside the watermark folds in.
+    Same output schema as the batch operator (bucket_start epoch
+    seconds), so the two are directly comparable on a static replay
+    (see tests)."""
+    from cod_stats_spark.operators._util import ts_to_timestamp
+
+    key_cols = list(key_cols)
+    if dict(events.dtypes).get(ts_col, "") not in ("", "timestamp"):
+        events = events.withColumn(ts_col, ts_to_timestamp(events, ts_col))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, f"{bucket_seconds} seconds"), *key_cols
+        )
+        .agg(
+            F.min_by(value_col, ts_col).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, ts_col).alias("close"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(
+            *key_cols,
+            F.unix_timestamp(F.col("window.start")).alias("bucket_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_obs",
+        )
+    )
+
+
 def ohlc_oracle_sql(
     src: str,
     ts_sql: str,

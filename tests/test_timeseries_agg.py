@@ -108,3 +108,46 @@ class TestTimeWeightedAvg:
         plain = df.agg(F.avg("v")).first()[0]
         assert abs(twa - 100.0 * 59 / 60) < 1e-9
         assert abs(plain - 100.0 / 3) < 1e-9
+
+
+class TestStreamingOhlc:
+    def test_streaming_equals_batch_on_static_replay(self, spark, tmp_path):
+        """The watermarked streaming OHLC must agree with the batch
+        operator on the same static input (mergeable partials: late
+        files inside the watermark fold into the open bucket)."""
+        import uuid
+
+        from cod_stats_spark.operators.timeseries_agg import (
+            ohlc_downsample,
+            streaming_ohlc,
+        )
+
+        rows = [
+            ("a", _ts(0, 10), 5.0), ("a", _ts(0, 50), 3.0),
+            ("a", _ts(1, 5), 7.0), ("b", _ts(0, 30), 2.0),
+        ]
+        src = tmp_path / "in"
+        # two files -> two micro-batches; the second carries bucket-0
+        # data that must MERGE into already-open state
+        spark.createDataFrame(rows[:2], "k string, ts timestamp, v double")\
+            .coalesce(1).write.parquet(f"{src}/b0")
+        spark.createDataFrame(rows[2:], "k string, ts timestamp, v double")\
+            .coalesce(1).write.parquet(f"{src}/b1")
+        stream = (
+            spark.readStream.schema("k string, ts timestamp, v double")
+            .option("maxFilesPerTrigger", "1").parquet(f"{src}/*")
+        )
+        name = f"ohlc_{uuid.uuid4().hex[:8]}"
+        q = (
+            streaming_ohlc(stream, "ts", ["k"], "v", 3600)
+            .writeStream.outputMode("complete").format("memory")
+            .queryName(name).start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(map(tuple, spark.table(name).collect()))
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        want = sorted(map(tuple, ohlc_downsample(df, "ts", ["k"], "v", 3600).collect()))
+        assert got == want

@@ -201,12 +201,48 @@ def hll_sliding_estimate(
     )
 
 
+def hll_intersection_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str],
+    p: int = 12,
+    base_hash: str = "xxhash64",
+    out_col: str = "approx_intersection",
+    decimals: int = 4,
+) -> DataFrame:
+    """|A ∩ B| by inclusion-exclusion over stored states:
+    est(A) + est(B) − est(A ∪ B), floored at 0 — the set-algebra
+    query mergeable sketches unlock (the union state is one
+    max-per-register merge; the raw events never participate).
+    Standard HLL caveat: the subtraction compounds the ±1.04/√m
+    relative errors of three estimates, so small intersections of
+    large sets are noisy — size m for the sets, not the overlap.
+    Groups present in only one input yield no row (inner join on the
+    group key): an empty other side means est(B) and est(A∪B)−est(A)
+    both vanish, i.e. the estimate would be 0 anyway."""
+    ea = hll_estimate(a, group_cols, p, base_hash, "_ea", decimals=10)
+    eb = hll_estimate(b, group_cols, p, base_hash, "_eb", decimals=10)
+    eu = hll_estimate(
+        hll_merge(group_cols, a, b), group_cols, p, base_hash, "_eu",
+        decimals=10,
+    )
+    est = F.greatest(
+        F.col("_ea") + F.col("_eb") - F.col("_eu"), F.lit(0.0)
+    )
+    return (
+        ea.join(eb, group_cols)
+        .join(eu, group_cols)
+        .select(*group_cols, F.round(est, decimals).alias(out_col))
+    )
+
+
 def hll_oracle_sql(
     src: str,
     value_sql: str,
     group_sql: str,
     p: int,
     where: str = "TRUE",
+    decimals: int = 4,
 ) -> str:
     """DuckDB replica of hll_partial∘hll_estimate with the md5_60 hash
     member — state construction, register max, exact integer register
@@ -226,7 +262,7 @@ def hll_oracle_sql(
     return f"""
 SELECT g, round(CASE WHEN e_raw <= {2.5 * m} AND zeros > 0
                      THEN {float(m)!r} * ln({float(m)!r} / zeros)
-                     ELSE e_raw END, 4) AS approx_distinct
+                     ELSE e_raw END, {decimals}) AS approx_distinct
 FROM (
   SELECT g, ({m} - count(*)) AS zeros,
          {c!r} / (sum((1::BIGINT << ({R} - rho))::DECIMAL(38,0))

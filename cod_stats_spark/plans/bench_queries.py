@@ -3295,7 +3295,7 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "replayed exactly in SQL. 'hist_q50'/'hist_q90': the mergeable "
         "fixed-bin histogram quantile state — clamp, sum-merge, cumulative "
         "walk, and linear interpolation, deterministic rational arithmetic "
-        "replayed exactly. 'hll_builtin_ok'/'median_ok': Spark's builtin "
+        "replayed exactly. 'hll_inter': r9 set algebra — |A∩B| of the parity-half user sets by inclusion-exclusion over the stored states (three estimates, each replayed in SQL at 10 decimals, combined and floored identically). 'hll_builtin_ok'/'median_ok': Spark's builtin "
         "HLL++/KLL estimates bounds-checked as before)"
     ),
     oracle=(
@@ -3348,6 +3348,22 @@ FROM ("""
         )
         + """)
 UNION ALL
+SELECT 'hll_inter' AS tag, a.g AS event_type,
+       round(greatest(a.approx_distinct + b.approx_distinct
+                      - u.approx_distinct, 0.0), 4) AS value
+FROM ("""
+        + hll_oracle_sql("events", "user_id::VARCHAR", "event_type", p=10,
+                         where="event_id % 2 = 0", decimals=10)
+        + """) a
+JOIN ("""
+        + hll_oracle_sql("events", "user_id::VARCHAR", "event_type", p=10,
+                         where="event_id % 2 = 1", decimals=10)
+        + """) b ON a.g = b.g
+JOIN ("""
+        + hll_oracle_sql("events", "user_id::VARCHAR", "event_type", p=10,
+                         decimals=10)
+        + """) u ON a.g = u.g
+UNION ALL
 SELECT 'hist_q50' AS tag, g AS event_type, approx_quantile AS value
 FROM ("""
         + hist_oracle_sql("events", "value", "event_type", q=0.5,
@@ -3380,6 +3396,7 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist_partial,
         hist_quantile,
         hll_estimate,
+        hll_intersection_estimate,
         hll_merge,
         hll_partial,
     )
@@ -3536,6 +3553,19 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(hist_rows[0])
         .unionByName(hist_rows[1])
+        .unionByName(
+            # r9: HLL set algebra — |odd-half users ∩ even-half users|
+            # by inclusion-exclusion over the SAME stored parity
+            # states (three estimates, no event rescanned)
+            hll_intersection_estimate(
+                halves[0], halves[1], ["event_type"], p=10,
+                base_hash="md5_60",
+            ).select(
+                F.lit("hll_inter").alias("tag"),
+                "event_type",
+                F.col("approx_intersection").alias("value"),
+            )
+        )
     )
 
 

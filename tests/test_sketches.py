@@ -327,3 +327,45 @@ class TestHllSliding:
             ).collect()
         }
         assert anchored == {g: oneshot[g] for g in ("A", "B")}
+
+
+class TestHllIntersection:
+    P = 10
+
+    def test_inclusion_exclusion_tracks_true_overlap(self, spark):
+        from cod_stats_spark.operators.sketches import (
+            hll_intersection_estimate,
+            hll_partial,
+        )
+
+        # A = u0..u599, B = u400..u999 -> true overlap 200
+        a_rows = [("g", f"u{i}") for i in range(600)]
+        b_rows = [("g", f"u{i}") for i in range(400, 1000)]
+        mk = lambda rows: hll_partial(
+            spark.createDataFrame(rows, "g string, v string"), "v", ["g"],
+            p=self.P,
+        )
+        est = hll_intersection_estimate(
+            mk(a_rows), mk(b_rows), ["g"], p=self.P
+        ).collect()[0]["approx_intersection"]
+        # compounded error of three estimates: allow 3x the single-set
+        # rated bound on the UNION size (1000)
+        m = 1 << self.P
+        assert abs(est - 200) <= 3 * 3 * 1.04 / (m ** 0.5) * 1000
+
+    def test_disjoint_sets_floor_at_zero(self, spark):
+        from cod_stats_spark.operators.sketches import (
+            hll_intersection_estimate,
+            hll_partial,
+        )
+
+        mk = lambda lo, hi: hll_partial(
+            spark.createDataFrame(
+                [("g", f"u{i}") for i in range(lo, hi)], "g string, v string"
+            ),
+            "v", ["g"], p=self.P,
+        )
+        est = hll_intersection_estimate(
+            mk(0, 300), mk(10_000, 10_300), ["g"], p=self.P
+        ).collect()[0]["approx_intersection"]
+        assert 0.0 <= est <= 3 * 3 * 1.04 / ((1 << self.P) ** 0.5) * 600

@@ -182,6 +182,7 @@ def bigram_lm_score(
     alpha: float = 1.0,
     lam: float = 0.7,
     lowercase: bool = True,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Per-document mean NLL under a Jelinek-Mercer interpolated
     bigram model: (id..., lm2_tokens, lm2_nll).
@@ -192,51 +193,81 @@ def bigram_lm_score(
 
     with P_uni the add-alpha unigram (same convention as
     unigram_lm_score; unseen tokens get the α/(N+αV) floor; unseen
-    contexts/pairs contribute nothing to the bigram term). Both
-    models are collected driver-side once (the broadcast-model
-    contract: vocabularies and their bigram supports are
-    driver-bounded by Heaps' law) and shipped as literal relations,
-    so each model plan executes exactly once. Zero-token documents
-    score (0, 0.0); exp(lm2_nll) is the interpolated perplexity."""
+    contexts/pairs contribute nothing to the bigram term).
+
+    ``broadcast_model=True`` (default) collects both models once
+    driver-side and ships literal relations — right while they fit
+    (vocabularies are Heaps-bounded; bigram SUPPORT grows much
+    faster, so this path is for corpus scales where the pair table
+    is still tens of millions of rows). At 100 TB pass
+    ``broadcast_model=False``: the models persist and the scoring
+    runs as shuffled joins on w2 and (w1, w2) — AQE handles the Zipf
+    head — with each fit still executing exactly once. Zero-token
+    documents score (0, 0.0); exp(lm2_nll) is the interpolated
+    perplexity."""
     import pandas as pd
 
     id_cols = id_cols or ["doc_id"]
     spark = docs.sparkSession
-    uni = uni_model.select("token", "cnt").toPandas()
-    n_total = float(uni["cnt"].sum()) if len(uni) else 0.0
-    vocab = float(len(uni))
-    denom = n_total + alpha * vocab
-    if denom <= 0:
-        raise ValueError("bigram_lm_score: empty unigram model")
-    floor = alpha / denom
-    puni = {
-        w: (c + alpha) / denom for w, c in zip(uni["token"], uni["cnt"])
-    }
-    cuni = dict(zip(uni["token"], (float(c) for c in uni["cnt"])))
-    bi = bi_model.select("w1", "w2", "cnt").toPandas()
-    uni_rel = F.broadcast(
-        spark.createDataFrame(
-            pd.DataFrame(
-                {"w2": uni["token"], "_pu": [puni[w] for w in uni["token"]]}
+    if broadcast_model:
+        uni = uni_model.select("token", "cnt").toPandas()
+        n_total = float(uni["cnt"].sum()) if len(uni) else 0.0
+        vocab = float(len(uni))
+        denom = n_total + alpha * vocab
+        if denom <= 0:
+            raise ValueError("bigram_lm_score: empty unigram model")
+        floor = alpha / denom
+        puni = {
+            w: (c + alpha) / denom for w, c in zip(uni["token"], uni["cnt"])
+        }
+        cuni = dict(zip(uni["token"], (float(c) for c in uni["cnt"])))
+        bi = bi_model.select("w1", "w2", "cnt").toPandas()
+        uni_rel = F.broadcast(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {"w2": uni["token"], "_pu": [puni[w] for w in uni["token"]]}
+                )
             )
         )
-    )
-    bi_rel = F.broadcast(
-        spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "w1": bi["w1"],
-                    "w2b": bi["w2"],
-                    "_bp": [
-                        lam * float(c) / cuni[w1]
-                        for w1, c in zip(bi["w1"], bi["cnt"])
-                    ],
-                }
+        bi_rel = F.broadcast(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "w1": bi["w1"],
+                        "w2b": bi["w2"],
+                        "_bp": [
+                            lam * float(c) / cuni[w1]
+                            for w1, c in zip(bi["w1"], bi["cnt"])
+                        ],
+                    }
+                )
             )
+            if len(bi)
+            else spark.createDataFrame([], "w1 string, w2b string, _bp double")
         )
-        if len(bi)
-        else spark.createDataFrame([], "w1 string, w2b string, _bp double")
-    )
+    else:
+        from pyspark.storagelevel import StorageLevel
+
+        uni_model = uni_model.persist(StorageLevel.MEMORY_AND_DISK)
+        totals = uni_model.agg(
+            F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("v")
+        ).first()
+        denom = float(totals["n"] or 0) + alpha * float(totals["v"] or 0)
+        if denom <= 0:
+            raise ValueError("bigram_lm_score: empty unigram model")
+        floor = alpha / denom
+        uni_rel = uni_model.select(
+            F.col("token").alias("w2"),
+            ((F.col("cnt") + F.lit(alpha)) / F.lit(denom)).alias("_pu"),
+        )
+        ctx = uni_model.select(
+            F.col("token").alias("w1"), F.col("cnt").alias("_c1")
+        )
+        bi_rel = bi_model.join(ctx, "w1").select(
+            "w1",
+            F.col("w2").alias("w2b"),
+            (F.lit(lam) * F.col("cnt") / F.col("_c1")).alias("_bp"),
+        )
     tk = _tokens(text_col, lowercase)
     ent = F.expr(
         "transform(_tk, (w, i) ->"

@@ -208,3 +208,24 @@ class TestBigramLm:
                bigram_lm_score(probe, uni, bi).collect()}
         assert got[1] == (0, 0.0) and got[2] == (0, 0.0)
         assert got[3][0] == 2 and got[3][1] > 0.0
+
+
+    def test_broadcast_and_shuffle_bigram_paths_agree(self, spark):
+        from cod_stats_spark.operators.lm_score import bigram_lm_score
+
+        docs, uni, bi = self._models(spark)
+        probe = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "zzz the mat")],
+            "doc_id long, text string",
+        )
+        a = sorted(
+            (r["doc_id"], r["lm2_tokens"], round(r["lm2_nll"], 12))
+            for r in bigram_lm_score(probe, uni, bi).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["lm2_tokens"], round(r["lm2_nll"], 12))
+            for r in bigram_lm_score(
+                probe, uni, bi, broadcast_model=False
+            ).collect()
+        )
+        assert a == b

@@ -69,6 +69,20 @@ from cod_stats_spark.tables import load_tables
 _FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
 _FUNNEL_GAP_S = 7 * 86400
 
+SESSION_GAP_SECONDS = 1800
+
+
+def _paths_top_sql(n: int) -> str:
+    """Top-20 within-session event paths (operators/paths.py oracle),
+    deterministic order: count desc, path asc."""
+    from cod_stats_spark.operators.paths import path_oracle_sql
+
+    return (
+        "SELECT path, n_occurrences, n_sessions FROM ("
+        + path_oracle_sql(n, SESSION_GAP_SECONDS)
+        + ") ORDER BY n_occurrences DESC, path ASC LIMIT 20"
+    )
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 _COVERAGE: dict[str, str] = {}
@@ -446,8 +460,17 @@ def interval_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "explode_words",
-    covers="J9 (lateral unnest/explode) + T1",
-    oracle="""
+    covers=(
+        "J9 (lateral unnest/explode) + T1 + EXT-analytics (r9 tagged "
+        "union. 'word': top-20 word frequencies as before. 'path2'/"
+        "'path3': operators/paths.py event path analysis — top-20 "
+        "within-session event-type n-grams over the sessionized stream; "
+        "the sessionize CTE, tiebreak-ordered sequences, n-gram slices "
+        "and both counts replayed in SQL)"
+    ),
+    oracle=(
+        """
+SELECT 'word' AS tag, word, n_occurrences, n_docs FROM (
 SELECT word, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
 FROM (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
@@ -456,9 +479,25 @@ FROM (
 GROUP BY word
 ORDER BY n_occurrences DESC, word ASC
 LIMIT 20
-""",
+)
+UNION ALL
+SELECT 'path2' AS tag, path AS word, n_occurrences, n_sessions AS n_docs
+FROM ("""
+        + _paths_top_sql(2)
+        + """)
+UNION ALL
+SELECT 'path3' AS tag, path AS word, n_occurrences, n_sessions AS n_docs
+FROM ("""
+        + _paths_top_sql(3)
+        + ")"
+    ),
 )
 def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word frequencies + r9 event path analysis, tagged. The TIMED
+    `explode_words` entry keeps the r1-r8 word-only plan via its
+    BENCH_ONLY override (BENCH_NOTES.md)."""
+    from cod_stats_spark.operators.paths import event_path_ngrams
+
     docs = load_tables(spark, sf_dir)["documents"]
     exploded = docs.select(
         "doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("word")
@@ -467,7 +506,26 @@ def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
-    return top_k(agg, [("n_occurrences", True), ("word", False)], 20)
+    words = top_k(agg, [("n_occurrences", True), ("word", False)], 20).select(
+        F.lit("word").alias("tag"), "word", "n_occurrences", "n_docs"
+    )
+    ev = load_tables(spark, sf_dir)["events"]
+    out = words
+    for nn in (2, 3):
+        paths = event_path_ngrams(
+            ev, n=nn, gap_seconds=SESSION_GAP_SECONDS
+        )
+        out = out.unionByName(
+            top_k(
+                paths, [("n_occurrences", True), ("path", False)], 20
+            ).select(
+                F.lit(f"path{nn}").alias("tag"),
+                F.col("path").alias("word"),
+                "n_occurrences",
+                F.col("n_sessions").alias("n_docs"),
+            )
+        )
+    return out
 
 
 @query(
@@ -643,8 +701,6 @@ def daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- windows
 
-
-SESSION_GAP_SECONDS = 1800
 
 SESSIONIZE_ORACLE = f"""
 WITH flagged AS (
@@ -5416,6 +5472,22 @@ def dedup_winnow_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(
         docs, "text", "doc_id", k=8, w=4, min_shared=2, max_fp_df=100
     )
+
+
+@_bench_only("explode_words")
+def explode_words_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed word explode — the r1-r8 word-frequency plan, frozen
+    while the gate widened with the r9 event-path arms
+    (BENCH_NOTES.md)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    exploded = docs.select(
+        "doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("word")
+    )
+    agg = exploded.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return top_k(agg, [("n_occurrences", True), ("word", False)], 20)
 
 
 @_bench_only("dedup_exact")

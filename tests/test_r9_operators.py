@@ -370,3 +370,59 @@ class TestScd2:
             for r in scd2_lookup(facts, dim, ["k"], "ts", ["attr"]).collect()
         }
         assert got == {100: "bronze", 101: "bronze", 102: "gold", 103: None}
+
+
+class TestEventPaths:
+    def test_planted_session_paths(self, spark):
+        from cod_stats_spark.operators.paths import event_path_ngrams
+
+        t0 = dt.datetime(2026, 1, 1, 10, 0)
+        sec = dt.timedelta(seconds=1)
+        rows = [
+            # u1 session 1: view > click > buy (1s apart)
+            (1, 1, "view", t0), (1, 2, "click", t0 + sec), (1, 3, "buy", t0 + 2 * sec),
+            # u1 session 2 (2h later): view > click
+            (1, 4, "view", t0 + dt.timedelta(hours=2)),
+            (1, 5, "click", t0 + dt.timedelta(hours=2) + sec),
+            # u2: single event — too short for any 2-gram
+            (2, 6, "view", t0),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string, ts timestamp"
+        )
+        got = {
+            r["path"]: (r["n_occurrences"], r["n_sessions"])
+            for r in event_path_ngrams(ev, n=2, gap_seconds=1800).collect()
+        }
+        assert got == {"view>click": (2, 2), "click>buy": (1, 1)}
+        got3 = {
+            r["path"]: (r["n_occurrences"], r["n_sessions"])
+            for r in event_path_ngrams(ev, n=3, gap_seconds=1800).collect()
+        }
+        assert got3 == {"view>click>buy": (1, 1)}
+
+    def test_equal_ts_orders_by_tiebreak(self, spark):
+        from cod_stats_spark.operators.paths import event_path_ngrams
+
+        t0 = dt.datetime(2026, 1, 1, 10, 0)
+        rows = [(1, 2, "b", t0), (1, 1, "a", t0)]   # same ts: event_id orders
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string, ts timestamp"
+        )
+        got = [r["path"] for r in event_path_ngrams(ev, n=2).collect()]
+        assert got == ["a>b"]
+
+    def test_repeat_inside_one_session_counts_occurrences(self, spark):
+        from cod_stats_spark.operators.paths import event_path_ngrams
+
+        t0 = dt.datetime(2026, 1, 1, 10, 0)
+        sec = dt.timedelta(seconds=1)
+        rows = [(1, i, e, t0 + i * sec) for i, e in enumerate(["x", "y", "x", "y"])]
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string, ts timestamp"
+        )
+        got = {
+            r["path"]: (r["n_occurrences"], r["n_sessions"])
+            for r in event_path_ngrams(ev, n=2).collect()
+        }
+        assert got == {"x>y": (2, 1), "y>x": (1, 1)}

@@ -51,6 +51,8 @@ DEFAULT_QUERIES = [
     "decontaminate",        # PAIRWISE reporting join (capped below)
     "decontaminate_clean",  # doc-level gram-set cleaning path
     "dedup_winnow",         # char-gram fingerprint explode + fp-bucket pairing (r8)
+    "dedup_substring",      # positional-gram census + island merge + rebuild (r9)
+    "funnel_retention",     # funnel joins + cohort triangle (r9)
     "retrieval_bm25",       # DTF build (explode+shuffle) + 2 queries
     "pack_sequences",       # distributed prefix scan (256 buckets)
     "curate_corpus",        # capstone funnel incl. shard write

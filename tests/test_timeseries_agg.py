@@ -151,3 +151,45 @@ class TestStreamingOhlc:
         df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
         want = sorted(map(tuple, ohlc_downsample(df, "ts", ["k"], "v", 3600).collect()))
         assert got == want
+
+
+class TestAnomalyFlags:
+    def test_spike_flagged_against_its_prior_window_only(self, spark):
+        """A 10x spike is flagged; the stable points around it are
+        not; the spike does NOT contaminate its own window (exclusive
+        frame), so the immediately following normal point survives."""
+        import datetime as dt
+
+        from cod_stats_spark.operators.anomaly import flag_anomalies
+
+        t0 = dt.datetime(2026, 1, 1, 10, 0)
+        sec = dt.timedelta(seconds=10)
+        vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 100.0, 10.2, 9.8]
+        rows = [("a", t0 + i * sec, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        got = {
+            r["ts"]: (r["is_anomaly"], r["zscore"])
+            for r in flag_anomalies(
+                df, "v", ["k"], "ts", window_seconds=3600, min_points=5
+            ).collect()
+        }
+        at = lambda i: got[t0 + i * sec]
+        assert at(6)[0] is True                      # the 100.0 spike
+        assert at(7)[0] is False and at(8)[0] is False
+        # warm-up rows (fewer than min_points priors): null score, no flag
+        assert at(0)[1] is None and at(0)[0] is False
+        assert at(4)[1] is None                      # only 4 priors
+
+    def test_zero_variance_window_never_flags(self, spark):
+        import datetime as dt
+
+        from cod_stats_spark.operators.anomaly import flag_anomalies
+
+        t0 = dt.datetime(2026, 1, 1)
+        sec = dt.timedelta(seconds=1)
+        rows = [("a", t0 + i * sec, 5.0) for i in range(8)] + [
+            ("a", t0 + 8 * sec, 5.0)
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        out = flag_anomalies(df, "v", ["k"], "ts", 3600)
+        assert out.where("is_anomaly").count() == 0

@@ -62,6 +62,26 @@ from cod_stats_spark.operators.dedup import BASE_HASH_SQL
 _PACK = 1 << 32  # site key = doc_id * 2^32 + pos (keep_first only)
 
 
+def gram_sites(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """ALL positional gram sites (id, pos, gh) — the raw material the
+    census and the incremental (streaming) variant both consume.
+    spread(): the gram hashing is interpreted HOF work (CPU-bound
+    even on small tables) and a single parquet split would serialize
+    it on one core — the shingle-pipeline discipline."""
+    return spread(docs).select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(_gram_sites_sql(text_col, n, base_hash))
+        ).alias("pos", "gh"),
+    )
+
+
 def _gram_sites_sql(text_col: str, n: int, base_hash: str) -> str:
     """SQL expression: array of positional n-gram hashes over the
     normalized whitespace tokens of ``text_col`` — element i is the
@@ -93,15 +113,7 @@ def duplicate_gram_sites(
     the keep-one-copy policy; requires doc_id < 2^31 (sites are
     ordered via the packed key doc_id·2^32 + pos so the argmin rides
     the census aggregate instead of a second window shuffle)."""
-    # spread: the gram hashing is interpreted HOF work (CPU-bound even
-    # on small tables) and a single parquet split would serialize it
-    # on one core — same discipline as the shingle pipelines
-    sites = spread(docs).select(
-        F.col(id_col),
-        F.posexplode(
-            F.expr(_gram_sites_sql(text_col, n, base_hash))
-        ).alias("pos", "gh"),
-    )
+    sites = gram_sites(docs, text_col, id_col, n, base_hash)
     aggs = [F.count(F.lit(1)).alias("_cnt")]
     if keep_first:
         aggs.append(

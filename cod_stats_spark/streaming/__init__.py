@@ -7,6 +7,10 @@ from cod_stats_spark.streaming.expectations import (
     stream_expectations,
 )
 from cod_stats_spark.streaming.funnel import stateful_funnel
+from cod_stats_spark.streaming.substring import (
+    stream_substring_dedup,
+    substring_batch_against_corpus,
+)
 from cod_stats_spark.streaming.scd import (
     apply_scd2_batch,
     read_scd2_dim,
@@ -26,6 +30,8 @@ __all__ = [
     "expectations_batch_report",
     "read_expectation_reports",
     "stream_expectations",
+    "substring_batch_against_corpus",
+    "stream_substring_dedup",
     "apply_scd2_batch",
     "read_scd2_dim",
     "stream_scd2_apply",

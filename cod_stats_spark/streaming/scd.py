@@ -26,28 +26,17 @@ downstream point-in-time lookups (`scd2_lookup`) read.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
 from cod_stats_spark.operators.scd import scd2_apply, scd2_build
-
-
-def _current_version(state_dir: str) -> int | None:
-    ptr = os.path.join(state_dir, "_CURRENT")
-    if not os.path.isfile(ptr):
-        return None
-    with open(ptr) as f:
-        return int(f.read().strip())
+from cod_stats_spark.streaming._state import read_state, write_state
 
 
 def read_scd2_dim(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """The live dimension snapshot, or None before the first batch."""
-    v = _current_version(state_dir)
-    if v is None:
-        return None
-    return spark.read.parquet(os.path.join(state_dir, f"v={v}"))
+    return read_state(spark, state_dir)
 
 
 def apply_scd2_batch(
@@ -59,31 +48,21 @@ def apply_scd2_batch(
     attr_cols: Sequence[str],
     collapse: bool = False,
 ) -> None:
-    """Fold one change batch into the persisted dimension (see module
-    docstring for the version/pointer protocol). collapse defaults
-    False — the exact apply==rebuild regime for arbitrary batch
-    interleaving (operators/scd.scd2_apply docstring)."""
+    """Fold one change batch into the persisted dimension (versioned
+    state protocol: streaming/_state.py). collapse defaults False —
+    the exact apply==rebuild regime for arbitrary batch interleaving
+    (operators/scd.scd2_apply docstring)."""
     if batch.isEmpty():
         return
-    cur = _current_version(state_dir)
-    if cur is None:
+    dim = read_state(spark, state_dir)
+    if dim is None:
         new_dim = scd2_build(batch, key_cols, ts_col, attr_cols, collapse=collapse)
-        nxt = 0
     else:
-        dim = spark.read.parquet(os.path.join(state_dir, f"v={cur}"))
         new_dim = scd2_apply(
             dim, batch, key_cols, ts_col, attr_cols,
             collapse=collapse, dedupe=True,
         )
-        nxt = cur + 1
-    os.makedirs(state_dir, exist_ok=True)
-    new_dim.write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"v={nxt}")
-    )
-    tmp = os.path.join(state_dir, "_CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(nxt))
-    os.replace(tmp, os.path.join(state_dir, "_CURRENT"))
+    write_state(new_dim, state_dir)
 
 
 def stream_scd2_apply(

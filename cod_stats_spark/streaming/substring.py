@@ -1,0 +1,143 @@
+"""Incremental exact-substring dedup — batch-append against a
+persisted gram census.
+
+The streaming posture of :mod:`operators.substring`: documents
+already shipped are immutable, so the only coherent append semantics
+is KEEP-FIRST-IN-TIME — a passage's first-ever shipped occurrence
+stands, and every later occurrence (in the same batch or any later
+one) is scrubbed before shipping. State is the gram census
+(gh, cnt): O(distinct grams) rows, merged by count sum per batch
+under the versioned-rewrite protocol (streaming/_state.py).
+
+Per batch:
+
+1. the batch's positional gram sites (one row per token);
+2. census merge: old (gh, cnt) ⊎ batch counts — also carrying the
+   OLD count per gram, because exemption needs it;
+3. a batch site is duplicated when the MERGED count reaches
+   ``min_count``; it is exempt (kept) only when it is the batch's
+   first site of that gram AND the gram was never seen before
+   (old count 0) — i.e. it is the first occurrence in shipped
+   history;
+4. island merge + span removal on the batch docs only;
+5. census state written (new version, atomic repoint).
+
+Equality contract (tested): when batches arrive with increasing doc
+ids, the sequential outputs equal the one-shot
+``substring_dedup(union, keep_first=True)`` — the packed-key global
+argmin then coincides with first-in-time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cod_stats_spark.operators.substring import (
+    _PACK,
+    duplicate_spans,
+    gram_sites,
+    remove_spans,
+)
+from cod_stats_spark.streaming._state import read_state, write_state
+
+_CENSUS_SCHEMA = "gh long, cnt long"
+
+
+def substring_batch_against_corpus(
+    spark: SparkSession,
+    batch: DataFrame,
+    census_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+    min_count: int = 2,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """One incremental step: returns the batch's rows as
+    (id, clean_text, n_spans, n_dup_tokens) with every
+    already-shipped-or-earlier passage removed, and advances the
+    census state. Ids must be globally unique and < 2^31 (the packed
+    site key contract)."""
+    sites = gram_sites(batch, text_col, id_col, n, base_hash)
+    batch_census = sites.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("_new"),
+        F.min(F.col(id_col) * F.lit(_PACK) + F.col("pos")).alias("_first"),
+    )
+    old = read_state(spark, census_dir)
+    if old is None:
+        old = spark.createDataFrame([], _CENSUS_SCHEMA)
+    merged = (
+        batch_census.join(
+            old.select("gh", F.col("cnt").alias("_old")), "gh", "left"
+        )
+        .withColumn("_old", F.coalesce(F.col("_old"), F.lit(0)))
+        .withColumn("_cnt", F.col("_old") + F.col("_new"))
+    )
+    # localCheckpoint: the mark join below must read the census built
+    # against the OLD state even though write_state advances it in
+    # the same function — and the downstream action happens on the
+    # RETURNED frame, after that advance
+    merged = merged.localCheckpoint(eager=True)
+    dup = merged.where(F.col("_cnt") >= min_count)
+    marked = (
+        sites.join(dup, "gh")
+        .where(
+            ~(
+                (F.col("_old") == 0)
+                & (
+                    F.col(id_col) * F.lit(_PACK) + F.col("pos")
+                    == F.col("_first")
+                )
+            )
+        )
+        .select(id_col, "pos")
+    )
+    spans = duplicate_spans(marked, id_col, n)
+    cleaned = remove_spans(batch, spans, text_col, id_col)
+    # new census = grams untouched by this batch ∪ the merged counts
+    # (merged alone would DROP every old gram absent from the batch);
+    # the old snapshot stays on disk, so the lazy anti-join is safe
+    # to evaluate inside write_state's action
+    untouched = old.join(batch_census.select("gh"), "gh", "left_anti")
+    write_state(
+        untouched.unionByName(
+            merged.select("gh", F.col("_cnt").alias("cnt"))
+        ),
+        census_dir,
+    )
+    return cleaned
+
+
+def stream_substring_dedup(
+    docs_stream: DataFrame,
+    census_dir: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+    min_count: int = 2,
+    base_hash: str = "xxhash64",
+    checkpoint_path: str | None = None,
+):
+    """foreachBatch wrapper: each micro-batch scrubs against shipped
+    history and appends its cleaned rows (+ batch id) to
+    ``out_path``. Returns the StreamingQuery."""
+
+    def batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cleaned = substring_batch_against_corpus(
+            batch_df.sparkSession, batch_df, census_dir,
+            text_col, id_col, n, min_count, base_hash,
+        )
+        cleaned.withColumn("batch", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    writer = docs_stream.writeStream.foreachBatch(batch_fn).outputMode(
+        "append"
+    )
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

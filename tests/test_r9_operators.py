@@ -426,3 +426,92 @@ class TestEventPaths:
             for r in event_path_ngrams(ev, n=2).collect()
         }
         assert got == {"x>y": (2, 1), "y>x": (1, 1)}
+
+
+class TestIncrementalSubstring:
+    def _corpus(self, spark):
+        rows = [
+            (1, PASSAGE + " first home"),
+            (2, "prefix words " + PASSAGE + " suffix words"),
+            (3, "completely original content in the first batch here"),
+            (4, PASSAGE + " third copy late"),
+            (5, "more fresh unrelated text arriving in batch two"),
+            (6, "prefix words " + PASSAGE + " suffix words"),  # exact dup of 2
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_sequential_batches_equal_one_shot_keep_first(self, spark, tmp_path):
+        """Ids increase across batches, so keep-first-in-time must
+        equal the one-shot keep_first pass over the union — including
+        a gram whose min_count is only reached ACROSS batches."""
+        from cod_stats_spark.operators.substring import substring_dedup
+        from cod_stats_spark.streaming import substring_batch_against_corpus
+
+        docs = self._corpus(spark)
+        b1 = docs.where("doc_id <= 3")
+        b2 = docs.where("doc_id > 3")
+        census = str(tmp_path / "census")
+        out1 = substring_batch_against_corpus(
+            spark, b1, census, n=8, min_count=2
+        ).collect()
+        out2 = substring_batch_against_corpus(
+            spark, b2, census, n=8, min_count=2
+        ).collect()
+        got = sorted(
+            (r["doc_id"], r["clean_text"], r["n_dup_tokens"])
+            for r in out1 + out2
+        )
+        want = sorted(
+            (r["doc_id"], r["clean_text"], r["n_dup_tokens"])
+            for r in substring_dedup(docs, n=8, keep_first=True).collect()
+        )
+        assert got == want
+        # semantics spot-check: doc 1 keeps the passage, 4 and 6 lose it
+        by_id = dict((d, t) for d, t, _ in got)
+        assert PASSAGE in by_id[1]
+        assert PASSAGE not in by_id[4] and PASSAGE not in by_id[6]
+
+    def test_census_survives_batches_without_the_gram(self, spark, tmp_path):
+        """A gram seen once in batch 1 must still be in the census
+        after a batch that doesn't mention it — its SECOND occurrence
+        in batch 3 is scrubbed."""
+        from cod_stats_spark.streaming import substring_batch_against_corpus
+
+        census = str(tmp_path / "census")
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+        substring_batch_against_corpus(
+            spark, mk([(1, PASSAGE)]), census, n=8, min_count=2
+        ).collect()
+        substring_batch_against_corpus(
+            spark, mk([(2, "nothing shared at all in this middle batch")]),
+            census, n=8, min_count=2,
+        ).collect()
+        out = substring_batch_against_corpus(
+            spark, mk([(3, PASSAGE + " tail")]), census, n=8, min_count=2
+        ).collect()
+        assert out[0]["clean_text"] == "tail"
+
+    def test_streaming_wrapper_appends_cleaned_batches(self, spark, tmp_path):
+        from cod_stats_spark.streaming import stream_substring_dedup
+
+        docs = self._corpus(spark)
+        src = tmp_path / "in"
+        docs.where("doc_id <= 3").coalesce(1).write.parquet(f"{src}/b0")
+        docs.where("doc_id > 3").coalesce(1).write.parquet(f"{src}/b1")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1").parquet(f"{src}/*")
+        )
+        out = str(tmp_path / "out")
+        q = stream_substring_dedup(
+            stream, str(tmp_path / "census"), out, n=8, min_count=2,
+            checkpoint_path=str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = {r["doc_id"]: r["clean_text"]
+                for r in spark.read.parquet(out).collect()}
+        assert set(rows) == {1, 2, 3, 4, 5, 6}
+        assert PASSAGE in rows[1] and PASSAGE not in rows[6]

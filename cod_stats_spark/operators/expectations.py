@@ -18,6 +18,11 @@ Check specs — each a dict, validated up front:
 - ``{"check": "accepted_values", "column": c, "values": [...]}``
 - ``{"check": "matches",         "column": c, "pattern": re}``
   (Java∩RE2-safe regex, the redact.py discipline; nulls pass)
+- ``{"check": "freshness",       "column": ts, "max_age_seconds": s,
+   "as_of": dt}`` (rows older than ``as_of − max_age`` violate —
+  the staleness monitor; ``as_of`` is an explicit datetime/ISO
+  string so reports are deterministic and replayable, never a
+  hidden now(); nulls pass — declare not_null separately)
 - ``{"check": "unique",          "columns": [c, ...]}``
 - ``{"check": "referential",     "column": c, "ref": other_df,
    "ref_column": rc}`` (nulls pass, the SQL FK convention)
@@ -42,7 +47,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_ROW_LEVEL = {"not_null", "range", "accepted_values", "matches"}
+_ROW_LEVEL = {"not_null", "range", "accepted_values", "matches", "freshness"}
 _SET_LEVEL = {"unique", "referential"}
 
 
@@ -56,6 +61,8 @@ def _check_name(spec: Mapping) -> str:
         return f"range:{col}:{lo!r}:{hi!r}"
     if kind == "referential":
         return f"referential:{col}->{spec['ref_column']}"
+    if kind == "freshness":
+        return f"freshness:{col}:{int(spec['max_age_seconds'])}"
     return f"{kind}:{col}"
 
 
@@ -75,6 +82,14 @@ def _violation_expr(spec: Mapping):
         return c.isNotNull() & ~c.isin(list(spec["values"]))
     if kind == "matches":
         return c.isNotNull() & ~c.rlike(spec["pattern"])
+    if kind == "freshness":
+        import datetime as _dt
+
+        as_of = spec["as_of"]
+        if isinstance(as_of, str):
+            as_of = _dt.datetime.fromisoformat(as_of)
+        cutoff = as_of - _dt.timedelta(seconds=int(spec["max_age_seconds"]))
+        return c.isNotNull() & (c < F.lit(cutoff))
     raise ValueError(f"not a row-level check: {kind}")
 
 
@@ -90,6 +105,10 @@ def _validate(specs: Sequence[Mapping]) -> None:
                 raise ValueError("accepted_values: empty 'values'")
             if kind == "matches" and not spec.get("pattern"):
                 raise ValueError("matches: missing 'pattern'")
+            if kind == "freshness" and not (
+                spec.get("max_age_seconds") and spec.get("as_of")
+            ):
+                raise ValueError("freshness: need max_age_seconds and as_of")
         elif kind == "unique":
             if not spec.get("columns"):
                 raise ValueError("unique: missing 'columns'")

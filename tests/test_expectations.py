@@ -184,3 +184,45 @@ class TestStreamExpectations:
         from cod_stats_spark.streaming import read_expectation_reports
 
         assert read_expectation_reports(spark, str(tmp_path / "nope")) is None
+
+
+class TestFreshness:
+    def test_stale_rows_violate_against_explicit_as_of(self, spark):
+        import datetime as dt
+
+        from cod_stats_spark.operators.expectations import check_expectations
+
+        as_of = dt.datetime(2026, 1, 10, 12, 0)
+        rows = [
+            (1, dt.datetime(2026, 1, 10, 11, 0)),   # 1h old: fresh
+            (2, dt.datetime(2026, 1, 9, 11, 0)),    # 25h old: stale
+            (3, None),                               # null: passes
+        ]
+        df = spark.createDataFrame(rows, "id long, ts timestamp")
+        got = {
+            r["check"]: (r["n_violations"], r["passed"])
+            for r in check_expectations(
+                df,
+                [{"check": "freshness", "column": "ts",
+                  "max_age_seconds": 86400, "as_of": as_of}],
+            ).collect()
+        }
+        assert got["freshness:ts:86400"] == (1, False)
+        # ISO-string as_of parses identically
+        got2 = check_expectations(
+            df,
+            [{"check": "freshness", "column": "ts",
+              "max_age_seconds": 86400, "as_of": "2026-01-10T12:00:00"}],
+        ).collect()[0]
+        assert got2["n_violations"] == 1
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from cod_stats_spark.operators.expectations import check_expectations
+
+        df = spark.createDataFrame([(1,)], "id long")
+        with _pytest.raises(ValueError):
+            check_expectations(
+                df, [{"check": "freshness", "column": "id"}]
+            )

@@ -193,3 +193,29 @@ class TestAnomalyFlags:
         df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
         out = flag_anomalies(df, "v", ["k"], "ts", 3600)
         assert out.where("is_anomaly").count() == 0
+
+    def test_large_offset_constant_series_never_nan_flags(self, spark):
+        """FP-cancellation adversary: values ~1e8 with tiny jitter make
+        ss − s²/n go slightly NEGATIVE in float64; an unclamped variance
+        would sqrt to NaN, and Spark's NaN > 0 ordering would FLAG the
+        row with a NaN score. Every score must be null or finite, and
+        nothing in a near-constant series may be flagged."""
+        import datetime as dt
+        import math
+
+        from cod_stats_spark.operators.anomaly import flag_anomalies
+
+        t0 = dt.datetime(2026, 1, 1)
+        sec = dt.timedelta(seconds=1)
+        base = 1.0e8
+        # jitter far below k·sigma detectability but enough to make the
+        # sum-of-squares cancellation go negative at this magnitude
+        vals = [base + (1e-4 if i % 2 else -1e-4) for i in range(40)]
+        rows = [("a", t0 + i * sec, v) for i, v in enumerate(vals)]
+        # plus a truly constant key at the same magnitude (var == -0.0 risk)
+        rows += [("b", t0 + i * sec, base) for i in range(40)]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        got = flag_anomalies(df, "v", ["k"], "ts", 3600).collect()
+        for r in got:
+            assert r["is_anomaly"] is False, r
+            assert r["zscore"] is None or math.isfinite(r["zscore"]), r

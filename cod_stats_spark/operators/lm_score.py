@@ -222,6 +222,14 @@ def bigram_lm_score(
         }
         cuni = dict(zip(uni["token"], (float(c) for c in uni["cnt"])))
         bi = bi_model.select("w1", "w2", "cnt").toPandas()
+        # A context token absent from the unigram model (possible when
+        # the two models were merged/refreshed independently) has no
+        # cnt to normalize by. The shuffle path below drops such rows
+        # via its inner join on w1 — mirror that here instead of
+        # KeyError'ing, so both paths fail the same way (by backoff).
+        if len(bi):
+            known = bi["w1"].isin(cuni.keys())
+            bi = bi[known]
         uni_rel = F.broadcast(
             spark.createDataFrame(
                 pd.DataFrame(

@@ -229,3 +229,40 @@ class TestBigramLm:
             ).collect()
         )
         assert a == b
+
+    def test_bigram_context_missing_from_unigram_model_drops_not_crashes(
+        self, spark
+    ):
+        """Independently merged/refreshed models can leave a bigram
+        whose CONTEXT token w1 is absent from the unigram model. The
+        shuffle path silently drops such rows (inner join on w1); the
+        broadcast path must match — back off via the unigram term, not
+        KeyError (round-9 advice)."""
+        from cod_stats_spark.operators.lm_score import bigram_lm_score
+
+        docs, uni, bi = self._models(spark)
+        ghost = spark.createDataFrame(
+            [("ghost", "cat", 3)], "w1 string, w2 string, cnt long"
+        )
+        bi2 = bi.unionByName(ghost)
+        probe = spark.createDataFrame(
+            [(1, "ghost cat sat"), (2, "the cat sat")],
+            "doc_id long, text string",
+        )
+        a = sorted(
+            (r["doc_id"], r["lm2_tokens"], round(r["lm2_nll"], 12))
+            for r in bigram_lm_score(probe, uni, bi2).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["lm2_tokens"], round(r["lm2_nll"], 12))
+            for r in bigram_lm_score(
+                probe, uni, bi2, broadcast_model=False
+            ).collect()
+        )
+        assert a == b
+        # and the poisoned pair changed nothing vs the clean model
+        clean = sorted(
+            (r["doc_id"], r["lm2_tokens"], round(r["lm2_nll"], 12))
+            for r in bigram_lm_score(probe, uni, bi).collect()
+        )
+        assert a == clean

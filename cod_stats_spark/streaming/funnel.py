@@ -68,6 +68,18 @@ def stateful_funnel(
     out-of-window candidate implies every later candidate is too."""
     if len(steps) < 1 or len(set(steps)) != len(steps):
         raise ValueError("stateful_funnel: steps must be non-empty and distinct")
+    # The state is keyed by a hardcoded LongType user_id; a silent
+    # cast of e.g. a string id would null out and collapse every such
+    # user into ONE shared state group, corrupting results without an
+    # error (the batch funnel_users accepts any id type). Refuse
+    # non-integral id columns up front instead.
+    user_dtype = dict(events.dtypes).get(user_col)
+    if user_dtype not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise TypeError(
+            f"stateful_funnel: user_col {user_col!r} has type {user_dtype!r};"
+            " the streaming state is keyed by a long — pass an integral id"
+            " column (the batch funnel_users operator accepts any id type)"
+        )
     k = len(steps)
     gap_us = None if max_gap_seconds is None else int(max_gap_seconds) * 1_000_000
     _epoch, _ = epoch_us(events, ts_col)

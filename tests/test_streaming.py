@@ -688,6 +688,20 @@ class TestStatefulFunnel:
         with pytest.raises(ValueError):
             stateful_funnel(ev, [])
 
+    def test_non_integral_user_id_rejected(self, spark):
+        """The state is keyed by a long; a string id would silently
+        cast to null and collapse every such user into ONE shared
+        state group (round-9 advice). Refuse it up front instead."""
+        from cod_stats_spark.streaming import stateful_funnel
+
+        import pytest
+
+        ev = spark.createDataFrame(
+            [], "user_id string, event_type string, ts timestamp"
+        )
+        with pytest.raises(TypeError, match="integral"):
+            stateful_funnel(ev, ["view", "click"])
+
 
 class TestStreamScd2:
     def _batches(self):

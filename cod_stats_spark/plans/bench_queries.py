@@ -4583,7 +4583,10 @@ FROM (
             GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)),
          (SELECT count(*) FROM lineitem)
   UNION ALL
-  SELECT 'matches:o_orderpriority',
+  -- '490f3990' == md5('^[1-5]-')[:8], the operator's pattern_tag —
+  -- the check name embeds it so same-column matches checks with
+  -- different patterns stay distinguishable (r10)
+  SELECT 'matches:o_orderpriority:490f3990',
          sum(CASE WHEN o_orderpriority IS NOT NULL
                   AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
              THEN 1 ELSE 0 END)::BIGINT, count(*)

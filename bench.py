@@ -149,12 +149,23 @@ def main() -> None:
     # Per-query fault isolation: one red query records an error string
     # and the suite keeps going — the summary JSON line ALWAYS prints
     # (round-4 lesson: a single crash must not lose the whole signal).
+    # Drift forensics (round-9 verdict, what's-wrong #4): frozen-plan
+    # entries have regressed in driver-recorded rounds purely from
+    # external box load. Record the 1-min loadavg at each query's start
+    # and BOTH raw run times, so a cross-round delta on an unchanged
+    # plan can be auto-classified: high loadavg or a big run-to-run
+    # spread (max/min) = load noise, tight agreeing runs = regression.
     per_query: dict[str, object] = {}
+    raw_runs: dict[str, list[float]] = {}
+    load_at: dict[str, float] = {}
+    load_start = round(os.getloadavg()[0], 2)
     t_total = 0.0
     n_err = 0
     for name in HEADLINE:
         best = None
         err = None
+        load_at[name] = round(os.getloadavg()[0], 2)
+        raw_runs[name] = []
         for _ in range(2):
             # fresh plan per timed run: a cached DataFrame re-executes
             # against the previous run's shuffle map outputs (same RDD
@@ -168,6 +179,7 @@ def main() -> None:
                 err = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
                 break
             dt = time.perf_counter() - t0
+            raw_runs[name].append(round(dt, 3))
             best = dt if best is None else min(best, dt)
             # drop persisted blocks the query materialized (the dedup
             # pipeline caches candidates/keepers): the second run must
@@ -198,6 +210,13 @@ def main() -> None:
                 "queries": per_query,
                 "errors": n_err,
                 "sf": sf,
+                # drift forensics: raw (both) run times + 1-min loadavg
+                # at each entry's start and at suite start/end — see
+                # BENCH_NOTES.md "Classifying cross-round deltas"
+                "runs": raw_runs,
+                "loadavg": load_at,
+                "loadavg_start": load_start,
+                "loadavg_end": round(os.getloadavg()[0], 2),
             }
         )
     )

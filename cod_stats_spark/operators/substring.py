@@ -238,13 +238,17 @@ def substring_oracle_sql(
     n: int = 8,
     min_count: int = 2,
     keep_first: bool = False,
+    emit_text: bool = False,
 ) -> str:
     """DuckDB replica of the full pipeline with the md5_60 hash
     member: positional gram hashes, duplicate census (+ packed-key
     argmin when keep_first), island merge, span removal, and the
     cleaned-text rebuild — emitted as (fp, keep_id, n_copies) =
     (md5 of cleaned normalized text, doc_id, removed token count) so
-    one md5 comparison value-verifies every span boundary."""
+    one md5 comparison value-verifies every span boundary.
+    ``emit_text`` adds the rebuilt text itself as a fourth column
+    ``clean_text`` (the incremental-curation oracle feeds it to the
+    decontamination replay downstream of the scrub)."""
     md5_60 = (
         "list_sum(list_transform(range(15), q ->"
         " (strpos('0123456789abcdef', md5(gram)[q+1:q+1]) - 1)::BIGINT"
@@ -313,7 +317,8 @@ clean AS (
 dupagg AS (SELECT doc_id, sum(e - s) AS ndup FROM spans GROUP BY doc_id)
 SELECT md5(coalesce(c.txt, '')) AS fp,
        d.doc_id AS keep_id,
-       coalesce(p.ndup, 0) AS n_copies
+       coalesce(p.ndup, 0) AS n_copies{
+    ", coalesce(c.txt, '') AS clean_text" if emit_text else ""}
 FROM {src} d
 LEFT JOIN clean c USING (doc_id)
 LEFT JOIN dupagg p USING (doc_id)

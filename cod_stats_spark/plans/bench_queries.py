@@ -4019,17 +4019,25 @@ kept AS (
   UNION ALL
   SELECT doc_id FROM n2 WHERE doc_id NOT IN (SELECT id_b FROM px)
 ),
-{_incremental_curate_ctes(threshold)}
+{_incremental_curate_ctes(threshold)},
+{_incremental_curate_ss_ctes(threshold)}
 SELECT 'dedup' AS tag, d.doc_id,
        CASE WHEN d.doc_id % 2 = 1 THEN 1 ELSE 2 END::INT AS arrival_batch,
-       d.lang, d.source, d.n_chars
+       d.lang, d.source, d.n_chars, NULL::VARCHAR AS fp
 FROM documents d JOIN kept USING (doc_id)
 UNION ALL
 SELECT 'curate' AS tag, d.doc_id,
        CASE WHEN d.doc_id % 2 = 1 THEN 1 ELSE 2 END::INT AS arrival_batch,
-       d.lang, d.source, d.n_chars
+       d.lang, d.source, d.n_chars, NULL::VARCHAR AS fp
 FROM c_keptdocs d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM c_contam)
+UNION ALL
+SELECT 'curate_ss' AS tag, d.doc_id,
+       CASE WHEN d.doc_id * 2 <= (SELECT mx FROM r_mx)
+            THEN 1 ELSE 2 END::INT AS arrival_batch,
+       d.lang, d.source, d.n_chars, s.fp
+FROM documents d JOIN r_scrub s USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM r_contam)
 """
 
 
@@ -4158,6 +4166,116 @@ c_contam AS (
 )"""
 
 
+def _incremental_curate_ss_ctes(
+    threshold: float,
+    substring_n: int = 8,
+    substring_min_count: int = 2,
+    ngram_n: int = 3,
+    min_overlap: int = 2,
+) -> str:
+    """CTE block replaying curate_corpus_append WITH the ExactSubstr
+    census stage on (r10): same quality gate and corpus/bench split as
+    the 'curate' arm (c_gated / c_sh / c_fp / c_bg are reused), but the
+    two arrival batches are a RANGE split on doc_id — ids increase
+    across batches, so the incremental keep-first-in-time census
+    equals the ONE-SHOT keep_first packed-key argmin (the contract
+    streaming/substring.py proves), and the scrub replays as the
+    already-verified one-shot substring oracle over the sequential
+    dedup survivors. Decontamination then runs on the SCRUBBED text,
+    exactly as the funnel does. r_scrub carries md5(clean_text), so
+    the gate value-verifies every span boundary through the funnel's
+    state maintenance, shard write, and compaction."""
+    from cod_stats_spark.operators.substring import substring_oracle_sql
+
+    prune = (
+        "least(len(a.s), len(b.s))::DOUBLE / greatest(len(a.s), len(b.s))"
+        f" >= {threshold} - 1e-6"
+    )
+    jac = (
+        "round(len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s)"
+        f" - len(list_intersect(a.s, b.s))), 6) >= {threshold}"
+    )
+    ss = substring_oracle_sql(
+        "r_keptdocs",
+        n=substring_n,
+        min_count=substring_min_count,
+        keep_first=True,
+        emit_text=True,
+    )
+    return f"""
+r_mx AS (SELECT max(doc_id) AS mx FROM documents),
+r_b1e AS (
+  SELECT min(doc_id) AS doc_id FROM c_fp
+  WHERE doc_id * 2 <= (SELECT mx FROM r_mx) GROUP BY fp
+),
+r_p1 AS (
+  SELECT b.doc_id AS id_b
+  FROM c_sh a JOIN c_sh b ON a.doc_id < b.doc_id
+  JOIN r_b1e ka ON ka.doc_id = a.doc_id
+  JOIN r_b1e kb ON kb.doc_id = b.doc_id
+  WHERE {prune} AND {jac}
+),
+r_s1 AS (SELECT doc_id FROM r_b1e WHERE doc_id NOT IN (SELECT id_b FROM r_p1)),
+r_b2e AS (
+  SELECT min(doc_id) AS doc_id FROM c_fp
+  WHERE doc_id * 2 > (SELECT mx FROM r_mx) GROUP BY fp
+),
+r_e2 AS (
+  SELECT b.doc_id FROM r_b2e b JOIN c_fp f USING (doc_id)
+  WHERE f.fp NOT IN (SELECT f1.fp FROM r_s1 JOIN c_fp f1 USING (doc_id))
+),
+r_p2 AS (
+  SELECT b.doc_id AS id_b
+  FROM c_sh a JOIN c_sh b ON a.doc_id < b.doc_id
+  JOIN r_e2 ka ON ka.doc_id = a.doc_id
+  JOIN r_e2 kb ON kb.doc_id = b.doc_id
+  WHERE {prune} AND {jac}
+),
+r_n2 AS (SELECT doc_id FROM r_e2 WHERE doc_id NOT IN (SELECT id_b FROM r_p2)),
+r_px AS (
+  SELECT b.doc_id AS id_b
+  FROM c_sh a JOIN c_sh b ON true
+  JOIN r_s1 ON r_s1.doc_id = a.doc_id
+  JOIN r_n2 ON r_n2.doc_id = b.doc_id
+  WHERE {prune} AND {jac}
+),
+r_kept AS (
+  SELECT doc_id FROM r_s1
+  UNION ALL
+  SELECT doc_id FROM r_n2 WHERE doc_id NOT IN (SELECT id_b FROM r_px)
+),
+r_keptdocs AS (SELECT g.* FROM c_gated g JOIN r_kept USING (doc_id)),
+r_ss AS ({ss}),
+r_scrub AS (
+  SELECT keep_id AS doc_id, fp, clean_text
+  FROM r_ss WHERE length(clean_text) > 0
+),
+r_cg AS (
+    SELECT doc_id, unnest(s) AS ngram
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(
+                         generate_series(0, greatest(len(tk)-{ngram_n}, 0)),
+                         i -> array_to_string(tk[i+1:i+{ngram_n}], ' ')))
+             END AS s
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(clean_text), '\\s+', ' ', 'g')), ' '),
+                           t -> t <> '') AS tk
+        FROM r_scrub
+      )
+    )
+),
+r_contam AS (
+  SELECT doc_id
+  FROM r_cg
+  WHERE ngram IN (SELECT DISTINCT ngram FROM c_bg)
+  GROUP BY doc_id
+  HAVING count(*) >= {min_overlap}
+)"""
+
+
 @query(
     "incremental_dedup",
     cache_plan=False,
@@ -4169,7 +4287,10 @@ c_contam AS (
         "funnel: quality gate -> dedup-vs-state -> decontaminate -> "
         "fragment shard write -> compact_curated_shards maintenance, "
         "survivors read back FROM the compacted shard tree and replayed "
-        "sequentially in SQL)"
+        "sequentially in SQL. r10: + 'curate_ss' rows — the same funnel "
+        "with the ExactSubstr census stage ON (streaming/substring.py "
+        "under the funnel's state_dir) on a range split, fp = md5 of the "
+        "scrubbed shard text, every span boundary replayed in SQL)"
     ),
     oracle=_incremental_dedup_oracle_sql(),
 )
@@ -4226,6 +4347,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         # checkpoint so the scratch dir can be deleted before the caller
         # collects (the result is bounded: surviving docs only)
+        null_fp = F.lit(None).cast("string").alias("fp")
         dedup_rows = (
             spark.read.parquet(corpus)
             .select(
@@ -4235,6 +4357,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lang",
                 "source",
                 "n_chars",
+                null_fp,
             )
             .localCheckpoint(eager=True)
         )
@@ -4272,12 +4395,64 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lang",
                 "source",
                 "n_chars",
+                null_fp,
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        # r10 'curate_ss' rows: the same funnel with the ExactSubstr
+        # census stage ON, driven on a RANGE split (doc ids increase
+        # across batches) so keep-first-in-time coincides with the
+        # one-shot keep_first argmin the oracle replays; fp = md5 of
+        # the scrubbed text read back from the compacted shard tree —
+        # one hash value-verifies every span boundary through census
+        # state maintenance, fragment write, and compaction.
+        mx = int(docs.agg(F.max("doc_id")).first()[0])
+        state_ss = os.path.join(tmp, "curate_ss_state")
+        for batch_id, pred in (
+            (1, F.col("doc_id") * 2 <= mx),
+            (2, F.col("doc_id") * 2 > mx),
+        ):
+            curate_corpus_append(
+                spark,
+                c_corpus.filter(pred),
+                c_bench,
+                state_ss,
+                batch_id=batch_id,
+                min_quality=0.25,
+                jaccard_threshold=0.7,
+                num_hashes=32,
+                bands=16,
+                decontam_ngram_n=3,
+                decontam_min_overlap=2,
+                token_budget=2048,
+                salt="curate",
+                substring_n=8,
+            )
+        compacted_ss = compact_curated_shards(spark, state_ss)
+        arrival_ss = (
+            F.when(F.col("doc_id") * 2 <= mx, F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("int")
+            .alias("arrival_batch")
+        )
+        curate_ss_rows = (
+            compacted_ss.select("doc_id", F.md5(F.col("text")).alias("fp"))
+            .join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+            .select(
+                F.lit("curate_ss").alias("tag"),
+                "doc_id",
+                arrival_ss,
+                "lang",
+                "source",
+                "n_chars",
+                "fp",
             )
             .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return dedup_rows.unionByName(curate_rows)
+    return dedup_rows.unionByName(curate_rows).unionByName(curate_ss_rows)
 
 
 def _decontaminate_oracle_sql(mod: int, ngram_n: int, min_overlap: int) -> str:

@@ -229,10 +229,26 @@ def curate_corpus_append(
     decontam_min_overlap: int = 1,
     token_budget: int = 2048,
     salt: str = "curate",
+    substring_n: int | None = None,
+    substring_min_count: int = 2,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Incremental curation — the production posture `curate_corpus`
     lacks: append ONE new document batch against the EXISTING curated
     corpus state instead of rebuilding the funnel over the union.
+
+    ``substring_n``: when set, the ExactSubstr span scrub runs between
+    the dedup stage and decontamination — the same slot it occupies in
+    the one-shot funnel — via streaming/substring's persisted gram
+    census under ``state_dir/substring_census``: any passage of >=
+    substring_n tokens already SHIPPED (this batch or any earlier one)
+    is kept at its first-in-time site and scrubbed everywhere later.
+    Documents scrubbed to empty are dropped; stats gains
+    ``after_substring``; surviving text is the span-removed NORMALIZED
+    form (the dedup family's canonical text), exactly as in
+    :func:`curate_corpus`. When batches arrive with increasing doc
+    ids, sequential appends equal the one-shot funnel with the same
+    ``substring_n`` (the keep-first global argmin coincides with
+    first-in-time — the contract streaming/substring.py proves).
 
     State layout under ``state_dir``:
 
@@ -282,6 +298,34 @@ def curate_corpus_append(
         bands=bands,
     )
     stats["after_dedup"] = deduped.count()
+
+    if substring_n is not None:
+        from cod_stats_spark.streaming.substring import (
+            substring_batch_against_corpus,
+        )
+
+        scrubbed = substring_batch_against_corpus(
+            spark,
+            deduped,
+            os.path.join(state_dir, "substring_census"),
+            text_col=text_col,
+            id_col=id_col,
+            n=substring_n,
+            min_count=substring_min_count,
+        )
+        replaced = (
+            deduped.drop(text_col)
+            .join(
+                scrubbed.select(
+                    id_col, F.col("clean_text").alias(text_col)
+                ),
+                id_col,
+            )
+            .where(F.length(F.col(text_col)) > 0)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        stats["after_substring"] = replaced.count()
+        deduped = replaced
 
     if benchmark is not None:
         clean = decontaminate(

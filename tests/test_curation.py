@@ -173,6 +173,62 @@ def test_append_equals_rebuild(spark, tmp_path):
         assert len(files) == 1, f"{sd} not compacted: {files}"
 
 
+def test_append_equals_rebuild_with_substring_stage(spark, tmp_path):
+    """r10: the incremental funnel's ExactSubstr census stage — a >=8
+    token passage whose FIRST occurrence ships in batch 1 and whose
+    second arrives in batch 2 must be scrubbed from the batch-2 doc
+    exactly as the one-shot funnel (keep_first=True) scrubs it. Ids
+    increase across batches, so append == rebuild must hold doc for
+    doc AND byte for byte on the scrubbed text."""
+    from cod_stats_spark.plans.curation import (
+        compact_curated_shards,
+        curate_corpus,
+        curate_corpus_append,
+    )
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, passage
+            + " and the quick brown fox then runs across the quiet field"),
+        (2, "a completely different document about distributed query engines "
+            "that shuffle and aggregate large tables across many cores"),
+        (3, "prefix words lead in here and then " + passage
+            + " with trailing words to close it out"),
+        (4, "another unrelated document with enough plain english words in "
+            "it to pass the quality gate without any trouble at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(min_quality=0.25, token_budget=64, substring_n=8)
+    state = str(tmp_path / "state_ss")
+    _, s1 = curate_corpus_append(
+        spark, docs.filter("doc_id <= 2"), None, state, batch_id=1, **kw
+    )
+    _, s2 = curate_corpus_append(
+        spark, docs.filter("doc_id > 2"), None, state, batch_id=2, **kw
+    )
+    assert s1["after_substring"] == 2 and s2["after_substring"] == 2
+    compacted = compact_curated_shards(spark, state)
+    got = {
+        (r["doc_id"], r["text"])
+        for r in compacted.select("doc_id", "text").collect()
+    }
+
+    out = str(tmp_path / "rebuild_ss")
+    curate_corpus(docs, None, out, **kw)
+    want = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+    assert got == want
+    by_id = dict(got)
+    assert len(by_id) == 4
+    # first-in-time occurrence stands; the cross-batch repeat is gone
+    assert passage in by_id[1]
+    assert passage not in by_id[3]
+    # scrubbed doc keeps its non-span tokens (normalized form)
+    assert "prefix words lead in here and then" in by_id[3]
+
+
 def test_stream_curate_to_corpus(spark, tmp_path):
     """The streaming wrapper drives the full incremental funnel per
     micro-batch: quality junk, near-dups (within and across batches),

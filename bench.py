@@ -76,6 +76,11 @@ HEADLINE = [
     # counts -> driver merge training -> memoized mapInPandas encode;
     # new entry, new scope; BENCH_NOTES.md "New entries")
     "bpe_encode",
+    # round-10 addition: trained hashed-bigram logistic quality
+    # classifier, whole job (label synthesis -> 6 distributed-gradient
+    # GD iterations -> relation-path scoring; new entry, new scope;
+    # BENCH_NOTES.md "New entries (round 10)")
+    "quality_classifier",
     "multimodal_decode",
     "asof_join_orders",
     # round-9 addition: funnel + cohort retention over the event

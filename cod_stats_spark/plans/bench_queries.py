@@ -1552,6 +1552,39 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qc_gate_model():
+    """Fixed-weight classifier for the gate's qc_score column: the
+    FORWARD pass (hashing trick, bigram features, mean-pooled dot
+    product, sigmoid) is what the oracle can replay — fixed literal
+    weights make it exact in SQL (the ann_topk 'rp' projection-literal
+    precedent); TRAINING is an iterative optimizer, property-tested in
+    tests/test_quality_classifier.py and timed by the
+    `quality_classifier` bench entry (the BPE factoring). Seeded so
+    Spark body and oracle SQL embed identical literals."""
+    import random
+
+    from cod_stats_spark.operators.quality_classifier import (
+        QualityClassifierModel,
+    )
+
+    rng = random.Random(20260815)
+    return QualityClassifierModel(
+        dim=64,
+        ngrams=2,
+        base_hash="md5_60",
+        bias=-0.25,
+        weights=[round(rng.uniform(-1.5, 1.5), 6) for _ in range(64)],
+    )
+
+
+def _qc_oracle_join() -> str:
+    from cod_stats_spark.operators.quality_classifier import (
+        quality_classifier_oracle_sql,
+    )
+
+    return quality_classifier_oracle_sql(_qc_gate_model())
+
+
 _SQL_TOKS = _sql_tokens("text")
 QUALITY_ORACLE = f"""
 WITH tok AS (
@@ -1585,10 +1618,12 @@ SELECT m.doc_id, n_chars_calc, n_tokens_ws,
             ) / 4.0, 6)          AS quality,
        md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp,
        lm.lm_tokens, round(lm.lm_nll, 6) AS lm_nll,
-       lm2.lm2_tokens, round(lm2.lm2_nll, 6) AS lm2_nll
+       lm2.lm2_tokens, round(lm2.lm2_nll, 6) AS lm2_nll,
+       qc.qc_score
 FROM m JOIN documents d ON m.doc_id = d.doc_id
 JOIN ({unigram_lm_oracle_sql("documents")}) lm ON lm.doc_id = m.doc_id
 JOIN ({bigram_lm_oracle_sql("documents")}) lm2 ON lm2.doc_id = m.doc_id
+JOIN ({_qc_oracle_join()}) qc ON qc.doc_id = m.doc_id
 """
 
 
@@ -1601,7 +1636,10 @@ JOIN ({bigram_lm_oracle_sql("documents")}) lm2 ON lm2.doc_id = m.doc_id
         "with the smoothed ratio and per-doc mean replayed in SQL; r9: "
         "Jelinek-Mercer interpolated BIGRAM mean NLL [lm2_*] — pair "
         "counts, context totals, the λ·c12/c1 + (1−λ)·P_uni interpolation "
-        "and the no-context first-token term all replayed in SQL)"
+        "and the no-context first-token term all replayed in SQL; r10: "
+        "trained hashed-bigram logistic quality classifier [qc_score] — "
+        "operators/quality_classifier.py, fixed-literal-weight forward "
+        "pass: md5_60 bucket hash, mean pooling, sigmoid all in SQL)"
     ),
     oracle=QUALITY_ORACLE,
 )
@@ -1639,7 +1677,17 @@ def quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm2 = bigram_lm_score(docs, uni, bigram_lm_fit(docs)).select(
         "doc_id", "lm2_tokens", F.round("lm2_nll", 6).alias("lm2_nll")
     )
-    return base.join(lm, "doc_id").join(lm2, "doc_id")
+    from cod_stats_spark.operators.quality_classifier import (
+        quality_classifier_expr,
+    )
+
+    qc = docs.select(
+        "doc_id",
+        F.round(
+            quality_classifier_expr(_qc_gate_model(), "text"), 6
+        ).alias("qc_score"),
+    )
+    return base.join(lm, "doc_id").join(lm2, "doc_id").join(qc, "doc_id")
 
 
 def _pii_oracle() -> str:
@@ -5768,6 +5816,50 @@ def dedup_substring_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_dup_tokens").alias("dup_tokens"),
         F.sum(F.crc32(F.col("clean_text"))).alias("clean_checksum"),
     ).where(F.col("clean_checksum") > F.lit(-1))
+
+
+@_bench_only("quality_classifier")
+def quality_classifier_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed supervised-quality job, whole pipeline (r10, new entry —
+    BENCH_NOTES.md "New entries"): synthesize the fluent-vs-junk
+    training set (the corpus labeled 1 ∪ its reversed-text corruption
+    labeled 0, disjoint ids), fit the hashed bag-of-bigrams logistic
+    model (dim 2^15, 6 full-batch GD iterations — each an exact
+    distributed gradient: one doc shuffle, one fid shuffle over the
+    once-persisted feature matrix), then score the ORIGINAL corpus
+    through the production relation path (broadcast weight join, the
+    100 TB posture; the array-literal codegen path caps at dim 4096).
+    Ends in the filtered checksum aggregate referencing the scores so
+    bench.py's count() cannot prune the scoring join (the lm_score
+    count-pruning hazard, tests/test_plan_audit.py)."""
+    from cod_stats_spark.operators.quality_classifier import (
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    # train on a 20% labeled subsample, score the WHOLE corpus — the
+    # CCNet posture (the quality model trains on a curated labeled
+    # set, never the full 100 TB), and what keeps the timed fit
+    # proportionate while still exercising real distributed gradients
+    sample = docs.where(F.col("doc_id") % 5 == 0)
+    labeled = sample.select(
+        "doc_id", F.lit(1).alias("label"), "text"
+    ).unionByName(
+        sample.select(
+            (-F.col("doc_id") - 1).alias("doc_id"),
+            F.lit(0).alias("label"),
+            F.reverse(F.col("text")).alias("text"),
+        )
+    )
+    model = quality_classifier_fit(
+        labeled, dim=1 << 15, ngrams=2, iters=5, lr=10.0
+    )
+    scored = quality_classifier_score(docs, model, as_expression=False)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("qc_score").alias("score_checksum"),
+    ).where(F.col("score_checksum") > F.lit(-1))
 
 
 @_bench_only("knn_join_gemm")

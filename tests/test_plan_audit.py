@@ -140,6 +140,9 @@ def test_timed_bodies_survive_count_pruning(spark):
                                                   # cohort first-touch join
         "knn_join": ["Join"],
         "knn_join_gemm": ["MapInPandas"],        # its "join" IS the GEMM stage
+        "quality_classifier": ["Join", "Generate"],  # weight join + feature
+                                                     # explode in the scoring
+                                                     # pass (r10)
     }
     queries = {**QUERIES, **BENCH_ONLY}
     offenders: list[str] = []

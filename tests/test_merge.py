@@ -93,7 +93,7 @@ class TestRealTableFormatMerge:
             "delta",
             reason="delta-spark not installed: io.delta:delta-spark_2.13 jar "
             "+ python package absent from image. Resolution re-attempted "
-            "2026-08-14 (r6, r7, r8, and again in r9: curl rc=6 / http_code "
+            "2026-08-15 (r6–r9, and again in r10: curl rc=6 / http_code "
             "000 to repo1.maven.org) — the "
             "container is verifiably offline, "
             "so spark.jars.packages cannot fetch. Parquet emulation in "

@@ -56,6 +56,7 @@ DEFAULT_QUERIES = [
     "retrieval_bm25",       # DTF build (explode+shuffle) + 2 queries
     "pack_sequences",       # distributed prefix scan (256 buckets)
     "curate_corpus",        # capstone funnel incl. shard write
+    "quality_classifier",   # hashed-feature GD iterations + score join (r10)
     "q1_pricing_summary",   # control: scan + two-level hash agg
 ]
 

@@ -68,6 +68,11 @@ from cod_stats_spark.tables import load_tables
 # gates share (operators/funnel.py, streaming/funnel.py)
 _FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
 _FUNNEL_GAP_S = 7 * 86400
+# the stateful_sessions 'anomaly' arm's parameters (r10) — shared by
+# the Spark body and the SQL replay
+_ANOM_WINDOW_S = 3600
+_ANOM_K = 3.0
+_ANOM_MIN_POINTS = 5
 
 SESSION_GAP_SECONDS = 1800
 
@@ -3301,7 +3306,11 @@ def ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stateful_funnel — per-user step-completion vectors folded "
         "incrementally, one appended row per newly completed step; the "
         "oracle replays the BATCH funnel recurrence as chained CTEs, so "
-        "the streaming fold must agree with it exactly)"
+        "the streaming fold must agree with it exactly. 'anomaly' (r10): "
+        "streaming/anomaly.py stateful_anomaly — per-key trailing-window "
+        "z-scores folded incrementally with pruned (ts, value) state; the "
+        "oracle replays the batch exclusive-RANGE-frame recurrence "
+        "(sum/sumsq, clamp, warm-up and zero-variance guards) in SQL)"
     ),
     oracle=(
         f"""
@@ -3335,7 +3344,33 @@ SELECT 'funnel' AS tag, user_id, step::BIGINT AS k,
        NULL::BIGINT AS v1, NULL::DOUBLE AS v2
 FROM ("""
         + funnel_steps_oracle_sql(_FUNNEL_STEPS)
-        + ")"
+        + f""")
+UNION ALL
+SELECT 'anomaly' AS tag, user_id,
+       (CASE WHEN az IS NOT NULL AND abs(az) > {_ANOM_K}
+             THEN 1 ELSE 0 END)::BIGINT AS k,
+       ts AS ts_a, NULL::TIMESTAMP AS ts_b, NULL::BIGINT AS v1,
+       round(az, 6) AS v2
+FROM (
+  SELECT user_id, ts,
+         CASE WHEN n >= {_ANOM_MIN_POINTS} AND var > 0
+              THEN (value - s / n) / sqrt(var) END AS az
+  FROM (
+    SELECT user_id, ts, value, n, s,
+           CASE WHEN n >= 2
+                THEN greatest((ss - s * s / n) / (n - 1), 0.0) END AS var
+    FROM (
+      SELECT user_id, ts, value,
+             count(value) OVER w AS n,
+             sum(value) OVER w AS s,
+             sum(value * value) OVER w AS ss
+      FROM (SELECT user_id, ts, value, epoch_us(ts) AS e FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY e
+                   RANGE BETWEEN {_ANOM_WINDOW_S * 1_000_000} PRECEDING
+                         AND 1 PRECEDING)
+    )
+  )
+)"""
     ),
 )
 def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3378,7 +3413,30 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("v1"),
         F.lit(None).cast("double").alias("v2"),
     )
-    return sess.unionByName(fun)
+    # r10 'anomaly' arm: the streaming monitor run for real; k carries
+    # the flag, v2 the rounded score — the oracle replays the batch
+    # exclusive-frame recurrence, so the incremental fold must agree
+    from cod_stats_spark.streaming import stateful_anomaly
+
+    stream3 = stream_events(spark, f"{sf_dir}/events.parquet")
+    anom = run_stream_to_memory(
+        stateful_anomaly(
+            stream3,
+            window_seconds=_ANOM_WINDOW_S,
+            k=_ANOM_K,
+            min_points=_ANOM_MIN_POINTS,
+        ),
+        "append",
+    ).select(
+        F.lit("anomaly").alias("tag"),
+        "user_id",
+        F.col("is_anomaly").cast("long").alias("k"),
+        F.col("ts").alias("ts_a"),
+        F.lit(None).cast("timestamp").alias("ts_b"),
+        F.lit(None).cast("long").alias("v1"),
+        F.round("zscore", 6).alias("v2"),
+    )
+    return sess.unionByName(fun).unionByName(anom)
 
 
 @query(

@@ -49,6 +49,34 @@ from cod_stats_spark.operators.dedup import (
 from cod_stats_spark.plans.training_export import export_training_shards
 
 
+def _model_gate(
+    gated: DataFrame,
+    qc_model,
+    min_qc_score: float,
+    text_col: str,
+    id_col: str,
+    stats: dict[str, int],
+) -> DataFrame:
+    """Shared classifier-gate stage: score, threshold, persist, count
+    (the count is the materializing action, as with every stage), and
+    release the parent stage's cache."""
+    from cod_stats_spark.operators.quality_classifier import (
+        quality_classifier_score,
+    )
+
+    kept = (
+        quality_classifier_score(
+            gated, qc_model, text_col=text_col, id_col=id_col
+        )
+        .where(F.col("qc_score") >= min_qc_score)
+        .drop("qc_score")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats["after_model_gate"] = kept.count()
+    gated.unpersist()
+    return kept
+
+
 def curate_corpus(
     docs: DataFrame,
     benchmark: DataFrame | None,
@@ -69,6 +97,8 @@ def curate_corpus(
     salt: str = "curate",
     splits: Mapping[str, float] | None = None,
     substring_n: int | None = None,
+    qc_model=None,
+    min_qc_score: float = 0.5,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation funnel; write shards to ``out_path``.
 
@@ -96,6 +126,17 @@ def curate_corpus(
     writes its OWN shard tree under ``out_path/split=<name>`` with an
     independent shard sequence. The manifest gains a ``split`` column;
     stats gains per-split survivor counts.
+
+    ``qc_model``: an optional trained
+    :class:`operators.quality_classifier.QualityClassifierModel` —
+    when set, a MODEL gate runs right after the heuristic quality
+    gate (the CCNet posture: cheap heuristics first, then the trained
+    fluent-vs-junk classifier, both before the expensive dedup
+    stages): docs scoring below ``min_qc_score`` drop; stats gains
+    ``after_model_gate``. Inference is the classifier's stateless
+    forward pass (zero-shuffle codegen for dims ≤ 4096, broadcast
+    relation otherwise), so the stage adds no state and preserves the
+    append-equals-rebuild contract.
     """
     stats: dict[str, int] = {"input": docs.count()}
 
@@ -103,6 +144,10 @@ def curate_corpus(
         T.quality_score(F.col(text_col)) >= min_quality
     ).persist(StorageLevel.MEMORY_AND_DISK)
     stats["after_quality"] = gated.count()
+
+    if qc_model is not None:
+        gated = _model_gate(gated, qc_model, min_qc_score, text_col,
+                            id_col, stats)
 
     # exact + near dedup — the dedup_pipeline gate's shape: shingle
     # once, share the projection across LSH and the Jaccard verify.
@@ -231,10 +276,17 @@ def curate_corpus_append(
     salt: str = "curate",
     substring_n: int | None = None,
     substring_min_count: int = 2,
+    qc_model=None,
+    min_qc_score: float = 0.5,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Incremental curation — the production posture `curate_corpus`
     lacks: append ONE new document batch against the EXISTING curated
     corpus state instead of rebuilding the funnel over the union.
+
+    ``qc_model`` / ``min_qc_score``: the trained-classifier gate in
+    the same slot as the one-shot funnel (right after the heuristic
+    quality gate). The forward pass is stateless, so the stage cannot
+    break append-equals-rebuild.
 
     ``substring_n``: when set, the ExactSubstr span scrub runs between
     the dedup stage and decontamination — the same slot it occupies in
@@ -283,6 +335,10 @@ def curate_corpus_append(
         T.quality_score(F.col(text_col)) >= min_quality
     ).persist(StorageLevel.MEMORY_AND_DISK)
     stats["after_quality"] = gated.count()
+
+    if qc_model is not None:
+        gated = _model_gate(gated, qc_model, min_qc_score, text_col,
+                            id_col, stats)
 
     from cod_stats_spark.streaming.dedup import dedup_batch_against_corpus
 

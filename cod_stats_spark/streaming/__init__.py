@@ -6,6 +6,7 @@ from cod_stats_spark.streaming.expectations import (
     read_expectation_reports,
     stream_expectations,
 )
+from cod_stats_spark.streaming.anomaly import stateful_anomaly
 from cod_stats_spark.streaming.funnel import stateful_funnel
 from cod_stats_spark.streaming.substring import (
     stream_substring_dedup,
@@ -27,6 +28,7 @@ __all__ = [
     "streaming_session_rollup",
     "stateful_sessionize",
     "stateful_funnel",
+    "stateful_anomaly",
     "expectations_batch_report",
     "read_expectation_reports",
     "stream_expectations",

@@ -229,6 +229,78 @@ def test_append_equals_rebuild_with_substring_stage(spark, tmp_path):
     assert "prefix words lead in here and then" in by_id[3]
 
 
+def test_model_gate_stage_drops_classifier_junk(spark, tmp_path):
+    """r10: the trained-classifier gate — reversed-word junk that
+    PASSES the heuristic quality gate (normal lengths/punct) must die
+    at the model stage, in both the one-shot and the append funnel,
+    and append == rebuild with the stage on."""
+    from pyspark.sql import functions as F
+
+    from cod_stats_spark.operators.quality_classifier import (
+        quality_classifier_fit,
+    )
+    from cod_stats_spark.plans.curation import (
+        compact_curated_shards,
+        curate_corpus,
+        curate_corpus_append,
+    )
+
+    fluent = [
+        (i, 1, f"the quick brown fox number {i} jumps over the lazy dog "
+               "while the curious cat watches from the warm windowsill")
+        for i in range(30)
+    ]
+    train = spark.createDataFrame(
+        fluent, "doc_id long, label int, text string"
+    )
+    train = train.unionByName(
+        train.select(
+            (F.col("doc_id") + 10_000).alias("doc_id"),
+            F.lit(0).alias("label"),
+            F.reverse(F.col("text")).alias("text"),
+        )
+    )
+    model = quality_classifier_fit(
+        train, dim=1 << 10, ngrams=1, iters=12, lr=10.0
+    )
+
+    rows = [
+        (1, "the small dog jumps over the brown fence while the happy "
+            "cat watches from the quiet garden"),
+        (2, "a different fluent document where the calm fox naps under "
+            "the old tree near the warm meadow"),
+        (3, "wodaem mraw eht raen eert dlo eht rednu span xof mlac"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(min_quality=0.0, token_budget=64, qc_model=model,
+              min_qc_score=0.5)
+
+    out = str(tmp_path / "model_gated")
+    _, stats = curate_corpus(docs, None, out, **kw)
+    assert stats["after_quality"] == 3
+    assert stats["after_model_gate"] == 2      # doc 3 dies at the model
+    want = {
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert want == {1, 2}
+
+    state = str(tmp_path / "model_state")
+    _, s1 = curate_corpus_append(
+        spark, docs.filter("doc_id <= 2"), None, state, batch_id=1, **kw
+    )
+    _, s2 = curate_corpus_append(
+        spark, docs.filter("doc_id > 2"), None, state, batch_id=2, **kw
+    )
+    assert s1["after_model_gate"] == 2 and s2["after_model_gate"] == 0
+    got = {
+        r["doc_id"]
+        for r in compact_curated_shards(spark, state)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want
+
+
 def test_stream_curate_to_corpus(spark, tmp_path):
     """The streaming wrapper drives the full incremental funnel per
     micro-batch: quality junk, near-dups (within and across batches),

@@ -703,6 +703,112 @@ class TestStatefulFunnel:
             stateful_funnel(ev, ["view", "click"])
 
 
+class TestStatefulAnomaly:
+    def _run_batches(self, spark, tmp_path, batches, **kw):
+        from cod_stats_spark.streaming import stateful_anomaly
+
+        src = tmp_path / "in"
+        for n, rows in enumerate(batches):
+            spark.createDataFrame(
+                rows, "user_id long, ts timestamp, value double"
+            ).coalesce(1).write.parquet(f"{src}/b{n}")
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", "1").parquet(f"{src}/*")
+        )
+        import uuid
+
+        name = f"anom_{uuid.uuid4().hex[:8]}"
+        q = (
+            stateful_anomaly(stream, **kw)
+            .writeStream.outputMode("append").format("memory")
+            .queryName(name).start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {
+            (r["user_id"], r["ts"]): (
+                None if r["zscore"] is None else round(r["zscore"], 9),
+                r["is_anomaly"],
+            )
+            for r in spark.table(name).collect()
+        }
+
+    def test_streaming_fold_equals_batch_operator(self, spark, tmp_path):
+        """Two micro-batches with a cross-batch window (the spike in
+        batch 2 is judged against batch 1's history) must equal the
+        BATCH flag_anomalies over the union, row for row."""
+        import datetime as dt
+
+        from cod_stats_spark.operators.anomaly import flag_anomalies
+
+        t0 = dt.datetime(2026, 1, 1, 10, 0)
+        sec = dt.timedelta(seconds=10)
+        vals1 = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0]
+        vals2 = [100.0, 10.2, 9.8]              # spike + recovery
+        b1 = [(1, t0 + i * sec, v) for i, v in enumerate(vals1)]
+        b2 = [
+            (1, t0 + (len(vals1) + i) * sec, v) for i, v in enumerate(vals2)
+        ]
+        # a second key stays entirely inside batch 2
+        b2 += [(2, t0 + i * sec, 5.0) for i in range(7)]
+        got = self._run_batches(
+            spark, tmp_path, [b1, b2], window_seconds=3600, min_points=5
+        )
+        ev = spark.createDataFrame(
+            b1 + b2, "user_id long, ts timestamp, value double"
+        )
+        want = {
+            (r["user_id"], r["ts"]): (
+                None if r["zscore"] is None else round(r["zscore"], 9),
+                r["is_anomaly"],
+            )
+            for r in flag_anomalies(
+                ev, "value", ["user_id"], "ts", 3600, min_points=5
+            ).collect()
+        }
+        assert got == want
+        # the spike (first event of batch 2) IS flagged — against the
+        # history that lives only in batch-1 state
+        assert got[(1, t0 + len(vals1) * sec)][1] is True
+        assert sum(1 for z, f in got.values() if f) == 1
+
+    def test_window_expiry_across_batches(self, spark, tmp_path):
+        """History older than the window must be pruned from state: a
+        batch-2 value identical to the batch-1 plateau is NOT judged
+        against it once the window has passed."""
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        sec = dt.timedelta(seconds=1)
+        b1 = [(1, t0 + i * sec, 10.0) for i in range(8)]
+        # batch 2 starts 2 windows later: no priors in range -> null
+        t1 = t0 + dt.timedelta(seconds=200)
+        b2 = [(1, t1, 99.0)]
+        got = self._run_batches(
+            spark, tmp_path, [b1, b2], window_seconds=60, min_points=3
+        )
+        assert got[(1, t1)] == (None, False)
+
+    def test_guards(self, spark):
+        import pytest
+
+        from cod_stats_spark.streaming import stateful_anomaly
+
+        ev_str = spark.createDataFrame(
+            [], "user_id string, ts timestamp, value double"
+        )
+        with pytest.raises(TypeError):
+            stateful_anomaly(ev_str)
+        ev = spark.createDataFrame(
+            [], "user_id long, ts timestamp, value double"
+        )
+        with pytest.raises(ValueError):
+            stateful_anomaly(ev, window_seconds=0)
+
+
 class TestStreamScd2:
     def _batches(self):
         import datetime as dt

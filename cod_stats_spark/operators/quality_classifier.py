@@ -321,13 +321,14 @@ def quality_classifier_score(
 
     spark = docs.sparkSession
     nz = [(i, v) for i, v in enumerate(model.weights) if v != 0.0]
-    wrel = spark.createDataFrame(
-        pd.DataFrame(
-            {"_fid": [i for i, _ in nz], "_w": [v for _, v in nz]}
+    wrel = (
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"_fid": [i for i, _ in nz], "_w": [v for _, v in nz]}
+            )
         )
         if nz
-        else pd.DataFrame({"_fid": pd.Series(dtype="int64"),
-                           "_w": pd.Series(dtype="float64")})
+        else spark.createDataFrame([], "_fid int, _w double")
     )
     if broadcast_model:
         wrel = F.broadcast(wrel)

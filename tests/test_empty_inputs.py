@@ -233,3 +233,59 @@ def test_r8b_sketch_rollup_lm_bpe_empty(spark):
     assert wc == []
     assert learn_bpe(wc) == []
     assert bpe_encode(docs, []).count() == 0
+
+
+def test_r10_ops_empty_inputs(spark, tmp_path):
+    """r10 surface: classifier scoring, the model-gated funnel, and
+    the OLAP arms must degrade to empty output on empty input; fit on
+    an empty corpus raises its documented guard."""
+    import pytest as _pytest
+
+    from cod_stats_spark.operators.quality_classifier import (
+        QualityClassifierModel,
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+
+    docs = _empty_docs(spark)
+    model = QualityClassifierModel(dim=16)
+    assert quality_classifier_score(docs, model).count() == 0
+    assert quality_classifier_score(
+        docs, model, as_expression=False
+    ).count() == 0
+    with _pytest.raises(ValueError, match="no documents"):
+        quality_classifier_fit(
+            spark.createDataFrame([], "doc_id long, label int, text string"),
+            dim=16,
+        )
+
+    # incremental funnel with substring + model gates on: an empty
+    # batch is a no-op at every stage (and must not corrupt state)
+    from cod_stats_spark.plans.curation import curate_corpus_append
+
+    _, stats = curate_corpus_append(
+        spark,
+        docs,
+        None,
+        str(tmp_path / "state"),
+        batch_id=1,
+        substring_n=8,
+        qc_model=model,
+    )
+    assert stats["after_model_gate"] == 0
+    assert stats["after_substring"] == 0
+    assert stats["shards"] == 0
+
+    # timeseries hyperfunctions over an empty event stream
+    from cod_stats_spark.operators.timeseries_agg import (
+        ohlc_downsample,
+        time_weighted_avg,
+    )
+
+    ev = _empty_events(spark)
+    assert ohlc_downsample(ev, "ts", ["user_id"], "value", 60).count() == 0
+    assert time_weighted_avg(ev, "ts", ["user_id"], "value", 60).count() == 0
+
+    from cod_stats_spark.operators.anomaly import flag_anomalies
+
+    assert flag_anomalies(ev, "value", ["user_id"], "ts", 60).count() == 0

@@ -77,7 +77,7 @@ HEADLINE = [
     # new entry, new scope; BENCH_NOTES.md "New entries")
     "bpe_encode",
     # round-10 addition: trained hashed-bigram logistic quality
-    # classifier, whole job (label synthesis -> 6 distributed-gradient
+    # classifier, whole job (label synthesis -> 5 distributed-gradient
     # GD iterations -> relation-path scoring; new entry, new scope;
     # BENCH_NOTES.md "New entries (round 10)")
     "quality_classifier",

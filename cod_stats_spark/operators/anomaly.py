@@ -55,14 +55,17 @@ def flag_anomalies(
     # FP cancellation on large-magnitude near-constant series can push
     # ss − s²/n slightly NEGATIVE; sqrt would then be NaN, and Spark's
     # NaN ordering makes `NaN > 0` TRUE — an unguarded std check would
-    # FLAG the row with a NaN score. Clamp and gate on var > 0.
+    # FLAG the row with a NaN score. Clamp and gate on var > 0. The
+    # same ordering makes greatest(NaN, 0) = NaN when the variance
+    # arithmetic OVERFLOWS (|v| ≳ 1e154 ⇒ inf − inf), so the gate also
+    # excludes NaN explicitly — overflow yields null, never a flag.
     var = F.greatest(
         (ss - s * s / n) / (n - 1), F.lit(0.0)
     )
     std = F.sqrt(var)
     z = (F.col(value_col) - mean) / std
     score = F.when(
-        (n >= min_points) & (var > 0), z
+        (n >= min_points) & (var > 0) & ~F.isnan(var), z
     )
     return src.withColumn(out_score, score).withColumn(
         out_flag, F.coalesce(F.abs(score) > F.lit(k), F.lit(False))

@@ -52,9 +52,11 @@ from cod_stats_spark.functions import text as T
 
 #: inference hash expressions, by name — mirrors dedup.BASE_HASH_SQL:
 #: xxhash64 for production, md5_60 when a DuckDB oracle must replay.
+#: The SINGLE Spark-side source: _fid and the codegen forward pass
+#: both render from these templates.
 _SPARK_HASH = {
-    "xxhash64": lambda x: F.expr(f"xxhash64({x})"),
-    "md5_60": lambda x: F.expr(
+    "xxhash64": lambda x: f"xxhash64({x})",
+    "md5_60": lambda x: (
         f"cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
     ),
 }
@@ -120,13 +122,9 @@ def _feats_col(text_col: str, ngrams: int, lowercase: bool) -> Column:
     return F.expr(_feats_sql(text_col, ngrams, lowercase))
 
 
-def _fid(feat_col: Column, dim: int, base_hash: str) -> Column:
-    hashed = (
-        F.xxhash64(feat_col)
-        if base_hash == "xxhash64"
-        else F.conv(F.substring(F.md5(feat_col), 1, 15), 16, 10).cast("long")
-    )
-    return F.pmod(hashed, F.lit(dim)).cast("int")
+def _fid_sql(x: str, dim: int, base_hash: str) -> str:
+    """Bucket id as a SQL fragment over an expression string ``x``."""
+    return f"cast(pmod({_SPARK_HASH[base_hash](x)}, {dim}) as int)"
 
 
 def quality_classifier_fit(
@@ -173,7 +171,7 @@ def quality_classifier_fit(
             F.col(label_col).cast("double").alias("_y"),
             F.explode(feats).alias("_f"),
         )
-        .withColumn("_fid", _fid(F.col("_f"), dim, base_hash))
+        .withColumn("_fid", F.expr(_fid_sql("_f", dim, base_hash)))
         .groupBy("_id", "_y", "_fid")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
@@ -278,16 +276,12 @@ def quality_classifier_expr(
         )
     feats = _feats_sql(text_col, model.ngrams, model.lowercase)
     warr = "array(" + ", ".join(repr(float(v)) for v in model.weights) + ")"
-    h = (
-        "xxhash64(f)"
-        if model.base_hash == "xxhash64"
-        else "cast(conv(substring(md5(f), 1, 15), 16, 10) as bigint)"
-    )
     # the feature array binds to `fs` once per row (same idiom as
     # _feats_sql) — it is referenced three times in the margin
     margin = (
         f"if(size(fs) > 0, aggregate(transform(fs, f -> "
-        f"element_at({warr}, cast(pmod({h}, {model.dim}) as int) + 1)), "
+        f"element_at({warr}, {_fid_sql('f', model.dim, model.base_hash)}"
+        f" + 1)), "
         f"cast(0.0 as double), (acc, v) -> acc + v) / size(fs), 0.0) "
         f"+ ({model.bias!r})"
     )
@@ -335,7 +329,9 @@ def quality_classifier_score(
     feats = _feats_col(text_col, model.ngrams, model.lowercase)
     exploded = docs.select(
         F.col(id_col).alias("_id"), F.explode(feats).alias("_f")
-    ).withColumn("_fid", _fid(F.col("_f"), model.dim, model.base_hash))
+    ).withColumn(
+        "_fid", F.expr(_fid_sql("_f", model.dim, model.base_hash))
+    )
     per_doc = (
         exploded.join(wrel, "_fid", "left")
         .groupBy("_id")

@@ -5882,7 +5882,7 @@ def quality_classifier_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     BENCH_NOTES.md "New entries"): synthesize the fluent-vs-junk
     training set (the corpus labeled 1 ∪ its reversed-text corruption
     labeled 0, disjoint ids), fit the hashed bag-of-bigrams logistic
-    model (dim 2^15, 6 full-batch GD iterations — each an exact
+    model (dim 2^15, 5 full-batch GD iterations — each an exact
     distributed gradient: one doc shuffle, one fid shuffle over the
     once-persisted feature matrix), then score the ORIGINAL corpus
     through the production relation path (broadcast weight join, the

@@ -368,6 +368,10 @@ def curate_corpus_append(
             id_col=id_col,
             n=substring_n,
             min_count=substring_min_count,
+            # the census merge is count-additive; tagging the commit
+            # with the batch id makes an at-least-once replay re-scrub
+            # against the original snapshot instead of double-merging
+            batch_id=int(batch_id),
         )
         replaced = (
             deduped.drop(text_col)
@@ -403,6 +407,11 @@ def curate_corpus_append(
     )
     stats["shards"] = manifest.count()
     gated.unpersist()
+    if substring_n is not None:
+        # release the span-scrubbed cache: a long-running foreachBatch
+        # loop calls this per micro-batch, and an unpersisted stage
+        # cache per epoch would accumulate until eviction thrashing
+        deduped.unpersist()
     if benchmark is not None:
         clean.unpersist()
     return manifest, stats

@@ -40,7 +40,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-_MARKER = re.compile(r"^_COMMIT\.v(\d+)$")
+_MARKER = re.compile(r"^_COMMIT\.v(\d+)(?:\.(.+))?$")
 
 
 class _LocalStateFS:
@@ -145,12 +145,36 @@ def read_state(
     return spark.read.parquet(f"{state_dir}/v={v}")
 
 
-def write_state(df: DataFrame, state_dir: str, fs=None) -> None:
-    """Write the next version dir, then commit it manifest-last."""
+def find_version_by_note(state_dir: str, note: str, fs=None) -> int | None:
+    """The version whose commit marker carries ``note`` (None if no
+    commit did). Notes ride the marker NAME — `_COMMIT.v{N}.{note}` —
+    so a writer's version and its note become visible in ONE atomic
+    directory-entry creation; an at-least-once caller (foreachBatch)
+    tags each commit with its batch id and detects replays by looking
+    the id up here, with no window where the data is committed but the
+    tag is not."""
+    fs = fs or _LocalStateFS()
+    hits = [
+        int(m.group(1))
+        for m in (_MARKER.match(n) for n in fs.list_names(state_dir))
+        if m and m.group(2) == note
+    ]
+    return max(hits) if hits else None
+
+
+def write_state(
+    df: DataFrame, state_dir: str, fs=None, note: str | None = None
+) -> None:
+    """Write the next version dir, then commit it manifest-last.
+    ``note`` (filename-safe: letters, digits, ``_ - .``) is recorded
+    in the commit marker's name for :func:`find_version_by_note`."""
+    if note is not None and not re.fullmatch(r"[\w.-]+", note):
+        raise ValueError(f"write_state: note not filename-safe: {note!r}")
     spark = df.sparkSession
     fs = fs or _fs_for(spark, state_dir)
     cur = current_version(state_dir, fs)
     nxt = 0 if cur is None else cur + 1
     fs.mkdirs(state_dir)
     df.write.mode("overwrite").parquet(f"{state_dir}/v={nxt}")
-    fs.create_text(os.path.join(state_dir, f"_COMMIT.v{nxt}"), str(nxt))
+    name = f"_COMMIT.v{nxt}" + (f".{note}" if note is not None else "")
+    fs.create_text(os.path.join(state_dir, name), str(nxt))

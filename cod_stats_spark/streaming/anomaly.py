@@ -81,13 +81,20 @@ def stateful_anomaly(
         )
     if window_seconds <= 0 or min_points < 1:
         raise ValueError("stateful_anomaly: window_seconds > 0, min_points >= 1")
-    span_us = int(window_seconds) * 1_000_000
-    _epoch, _ = epoch_us(events, ts_col)
+    # epoch_us returns seconds (multiplier 1) for numeric ts columns and
+    # microseconds for timestamp families — the span AND the output
+    # rendering must follow the multiplier, not assume micros
+    _epoch, per_sec = epoch_us(events, ts_col)
+    span_us = int(window_seconds) * per_sec
+    ts_unit = "us" if per_sec == 1_000_000 else "s"
+    # null event times are dropped JVM-side: a monitoring score has no
+    # meaning without a time, and int(NaN) inside the state fold would
+    # otherwise kill the whole streaming query on one bad record
     prepared = events.select(
         F.col(user_col).cast("long").alias("user_id"),
         _epoch.alias("_ts_us"),
         F.col(value_col).cast("double").alias("_v"),
-    )
+    ).where(F.col("_ts_us").isNotNull())
 
     # nested: cloudpickle ships it by value (no worker import path)
     def anomaly_fn_by_value(key, pdfs, state):
@@ -100,38 +107,49 @@ def stateful_anomaly(
             ts_hist, v_hist = (list(state.get[0]), list(state.get[1]))
         else:
             ts_hist, v_hist = [], []
+        head = 0  # expiry cursor — O(1) amortized, no per-event list shift
         out_ts, out_v, out_z, out_flag = [], [], [], []
         for pdf in pdfs:
             if pdf.empty:
                 continue
             pdf = pdf.sort_values("_ts_us")
             for ts_us, v in zip(pdf["_ts_us"], pdf["_v"]):
+                ts_us = int(ts_us)
                 if pd.isna(v):
                     # a null observation scores null, never flags, and
                     # contributes nothing to later windows — exactly
                     # the batch operator's null-skipping window aggs
-                    out_ts.append(int(ts_us))
+                    out_ts.append(ts_us)
                     out_v.append(None)
                     out_z.append(None)
                     out_flag.append(False)
                     continue
-                ts_us, v = int(ts_us), float(v)
+                v = float(v)
                 lo = ts_us - span_us
-                # prune: nothing older than lo can matter again for
-                # this or any later (>= ts_us) event
-                while ts_hist and ts_hist[0] < lo:
-                    ts_hist.pop(0)
-                    v_hist.pop(0)
-                # the exclusive frame: [t - window, t)
-                n = s = ss = 0.0
-                for t_x, v_x in zip(ts_hist, v_hist):
+                # advance the cursor: nothing older than lo can matter
+                # again for this or any later (>= ts_us) event
+                while head < len(ts_hist) and ts_hist[head] < lo:
+                    head += 1
+                # the exclusive frame: [t - window, t). Recomputed per
+                # event in ascending order — the float-sum sequence then
+                # matches the batch window aggregation (6-decimal oracle
+                # parity); a running add/subtract pair would be O(1) per
+                # event but drifts, the trade a high-rate deployment can
+                # flip with a wider rounding tolerance
+                n = 0
+                s = ss = 0.0
+                for i in range(head, len(ts_hist)):
+                    t_x = ts_hist[i]
                     if t_x < ts_us:  # ties excluded, like RANGE ... -1
+                        v_x = v_hist[i]
                         n += 1
                         s += v_x
                         ss += v_x * v_x
                 z = None
                 if n >= min_points:
                     var = max((ss - s * s / n) / (n - 1), 0.0)
+                    # NaN var (inf - inf under value overflow) compares
+                    # False here, so overflow yields null, never a flag
                     if var > 0:
                         z = (v - s / n) / math.sqrt(var)
                 out_ts.append(ts_us)
@@ -141,11 +159,11 @@ def stateful_anomaly(
                 ts_hist.append(ts_us)
                 v_hist.append(v)
         if out_ts:
-            state.update((ts_hist, v_hist))
+            state.update((ts_hist[head:], v_hist[head:]))
             yield pd.DataFrame(
                 {
                     "user_id": [user_id] * len(out_ts),
-                    "ts": [pd.Timestamp(t, unit="us") for t in out_ts],
+                    "ts": [pd.Timestamp(t, unit=ts_unit) for t in out_ts],
                     "value": out_v,
                     "zscore": out_z,
                     "is_anomaly": out_flag,

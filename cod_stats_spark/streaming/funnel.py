@@ -81,8 +81,11 @@ def stateful_funnel(
             " column (the batch funnel_users operator accepts any id type)"
         )
     k = len(steps)
-    gap_us = None if max_gap_seconds is None else int(max_gap_seconds) * 1_000_000
-    _epoch, _ = epoch_us(events, ts_col)
+    # epoch_us returns seconds (multiplier 1) for numeric ts columns —
+    # the gap and the output rendering must follow the multiplier
+    _epoch, per_sec = epoch_us(events, ts_col)
+    gap_us = None if max_gap_seconds is None else int(max_gap_seconds) * per_sec
+    ts_unit = "us" if per_sec == 1_000_000 else "s"
     step_idx = F.lit(None).cast("int")
     for i, s in enumerate(reversed(steps)):
         step_idx = F.when(
@@ -135,7 +138,9 @@ def stateful_funnel(
                 {
                     "user_id": [user_id] * len(newly),
                     "step": [s for s, _ in newly],
-                    "step_ts": [pd.Timestamp(t, unit="us") for _, t in newly],
+                    "step_ts": [
+                        pd.Timestamp(t, unit=ts_unit) for _, t in newly
+                    ],
                 }
             )
 

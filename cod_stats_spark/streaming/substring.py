@@ -53,18 +53,46 @@ def substring_batch_against_corpus(
     n: int = 50,
     min_count: int = 2,
     base_hash: str = "xxhash64",
+    batch_id: int | None = None,
 ) -> DataFrame:
     """One incremental step: returns the batch's rows as
     (id, clean_text, n_spans, n_dup_tokens) with every
     already-shipped-or-earlier passage removed, and advances the
     census state. Ids must be globally unique and < 2^31 (the packed
-    site key contract)."""
+    site key contract).
+
+    ``batch_id``: pass the stable micro-batch/epoch id when calling
+    from an at-least-once loop (foreachBatch). Each census commit is
+    tagged with its batch id IN THE COMMIT MARKER NAME (one atomic
+    directory entry carries both — streaming/_state.py), so a replayed
+    batch id is detected, re-scrubs against the SNAPSHOT it originally
+    read (the tagged version minus one), and skips the merge: the
+    count-additive census never double-counts (a replay would
+    otherwise see the batch's own counts as 'already shipped' and
+    scrub its first occurrences), and the replayed output equals the
+    original. Without a batch_id every call merges — correct only for
+    calls that genuinely happen once."""
+    from cod_stats_spark.streaming._state import find_version_by_note
+
+    note = None if batch_id is None else f"b{int(batch_id)}"
+    applied_v = (
+        find_version_by_note(census_dir, note) if note is not None else None
+    )
     sites = gram_sites(batch, text_col, id_col, n, base_hash)
     batch_census = sites.groupBy("gh").agg(
         F.count(F.lit(1)).alias("_new"),
         F.min(F.col(id_col) * F.lit(_PACK) + F.col("pos")).alias("_first"),
     )
-    old = read_state(spark, census_dir)
+    if applied_v is not None:
+        # replay: the batch's commit wrote version applied_v, so it
+        # READ applied_v − 1 (single-writer, versions are sequential)
+        old = (
+            spark.read.parquet(f"{census_dir}/v={applied_v - 1}")
+            if applied_v >= 1
+            else None
+        )
+    else:
+        old = read_state(spark, census_dir)
     if old is None:
         old = spark.createDataFrame([], _CENSUS_SCHEMA)
     merged = (
@@ -95,17 +123,19 @@ def substring_batch_against_corpus(
     )
     spans = duplicate_spans(marked, id_col, n)
     cleaned = remove_spans(batch, spans, text_col, id_col)
-    # new census = grams untouched by this batch ∪ the merged counts
-    # (merged alone would DROP every old gram absent from the batch);
-    # the old snapshot stays on disk, so the lazy anti-join is safe
-    # to evaluate inside write_state's action
-    untouched = old.join(batch_census.select("gh"), "gh", "left_anti")
-    write_state(
-        untouched.unionByName(
-            merged.select("gh", F.col("_cnt").alias("cnt"))
-        ),
-        census_dir,
-    )
+    if applied_v is None:
+        # new census = grams untouched by this batch ∪ the merged
+        # counts (merged alone would DROP every old gram absent from
+        # the batch); the old snapshot stays on disk, so the lazy
+        # anti-join is safe to evaluate inside write_state's action
+        untouched = old.join(batch_census.select("gh"), "gh", "left_anti")
+        write_state(
+            untouched.unionByName(
+                merged.select("gh", F.col("_cnt").alias("cnt"))
+            ),
+            census_dir,
+            note=note,
+        )
     return cleaned
 
 
@@ -130,6 +160,7 @@ def stream_substring_dedup(
         cleaned = substring_batch_against_corpus(
             batch_df.sparkSession, batch_df, census_dir,
             text_col, id_col, n, min_count, base_hash,
+            batch_id=int(epoch_id),
         )
         cleaned.withColumn("batch", F.lit(int(epoch_id))).write.mode(
             "append"

@@ -471,6 +471,54 @@ class TestIncrementalSubstring:
         assert PASSAGE in by_id[1]
         assert PASSAGE not in by_id[4] and PASSAGE not in by_id[6]
 
+    def test_replayed_batch_id_is_idempotent(self, spark, tmp_path):
+        """At-least-once replay (r10): re-running a batch WITH ITS
+        BATCH ID must re-scrub against the snapshot it originally read
+        and skip the census merge — without the guard, the replay sees
+        its own counts already merged and scrubs the batch's own FIRST
+        occurrences. The census must not advance on replay."""
+        import os
+
+        from cod_stats_spark.streaming import substring_batch_against_corpus
+
+        census = str(tmp_path / "census")
+        docs = self._corpus(spark)
+        b1, b2 = docs.where("doc_id <= 3"), docs.where("doc_id > 3")
+        first = sorted(
+            (r["doc_id"], r["clean_text"])
+            for r in substring_batch_against_corpus(
+                spark, b1, census, n=8, min_count=2, batch_id=0
+            ).collect()
+        )
+        out2 = sorted(
+            (r["doc_id"], r["clean_text"])
+            for r in substring_batch_against_corpus(
+                spark, b2, census, n=8, min_count=2, batch_id=1
+            ).collect()
+        )
+        markers = sorted(
+            n for n in os.listdir(census) if n.startswith("_COMMIT")
+        )
+        # replay BOTH batches: outputs identical, no new versions
+        replay1 = sorted(
+            (r["doc_id"], r["clean_text"])
+            for r in substring_batch_against_corpus(
+                spark, b1, census, n=8, min_count=2, batch_id=0
+            ).collect()
+        )
+        replay2 = sorted(
+            (r["doc_id"], r["clean_text"])
+            for r in substring_batch_against_corpus(
+                spark, b2, census, n=8, min_count=2, batch_id=1
+            ).collect()
+        )
+        assert replay1 == first
+        assert replay2 == out2
+        assert PASSAGE in dict(replay1)[1]     # first occurrence survives
+        assert sorted(
+            n for n in os.listdir(census) if n.startswith("_COMMIT")
+        ) == markers
+
     def test_census_survives_batches_without_the_gram(self, spark, tmp_path):
         """A gram seen once in batch 1 must still be in the census
         after a batch that doesn't mention it — its SECOND occurrence

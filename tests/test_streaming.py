@@ -792,6 +792,65 @@ class TestStatefulAnomaly:
         )
         assert got[(1, t1)] == (None, False)
 
+    def test_epoch_seconds_ts_column_honors_multiplier(
+        self, spark, tmp_path
+    ):
+        """A numeric ts column is epoch SECONDS (the epoch_us
+        contract): the window span and state pruning must follow the
+        multiplier, matching the batch operator (r10 review fix — the
+        first cut hardcoded microseconds, making the window 1e6x too
+        wide)."""
+        from cod_stats_spark.operators.anomaly import flag_anomalies
+        from cod_stats_spark.streaming import stateful_anomaly
+
+        rows = [(1, 1_700_000_000 + i, v) for i, v in enumerate(
+            [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 100.0, 10.2]
+        )]
+        # plus a far-future point with NO in-window priors (window 60s)
+        rows.append((1, 1_700_000_000 + 10_000, 50.0))
+        src = tmp_path / "in"
+        spark.createDataFrame(
+            rows, "user_id long, ts long, value double"
+        ).coalesce(1).write.parquet(f"{src}/b0")
+        stream = (
+            spark.readStream.schema("user_id long, ts long, value double")
+            .parquet(f"{src}/*")
+        )
+        import uuid
+
+        name = f"anomsec_{uuid.uuid4().hex[:8]}"
+        q = (
+            stateful_anomaly(stream, window_seconds=60, min_points=5)
+            .writeStream.outputMode("append").format("memory")
+            .queryName(name).start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            int(r["ts"].timestamp()): (
+                None if r["zscore"] is None else round(r["zscore"], 9),
+                r["is_anomaly"],
+            )
+            for r in spark.table(name).collect()
+        }
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts long, value double"
+        )
+        want = {
+            r["ts"]: (
+                None if r["zscore"] is None else round(r["zscore"], 9),
+                r["is_anomaly"],
+            )
+            for r in flag_anomalies(
+                ev, "value", ["user_id"], "ts", 60, min_points=5
+            ).collect()
+        }
+        assert got == want
+        assert got[1_700_000_000 + 6][1] is True       # the spike
+        assert got[1_700_000_000 + 10_000] == (None, False)  # pruned
+
     def test_guards(self, spark):
         import pytest
 

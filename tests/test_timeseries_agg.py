@@ -219,3 +219,31 @@ class TestAnomalyFlags:
         for r in got:
             assert r["is_anomaly"] is False, r
             assert r["zscore"] is None or math.isfinite(r["zscore"]), r
+
+    def test_value_overflow_yields_null_not_flag(self, spark):
+        """|v| ≳ 1e154 makes v² overflow: ss − s²/n = inf − inf = NaN,
+        and greatest(NaN, 0) is NaN under Spark's NaN ordering — the
+        var > 0 gate alone would flag with a NaN score (r10 review);
+        the isnan guard must yield null instead."""
+        import datetime as dt
+
+        from cod_stats_spark.operators.anomaly import flag_anomalies
+
+        t0 = dt.datetime(2026, 1, 1)
+        sec = dt.timedelta(seconds=1)
+        # constant huge series: ss = inf AND s²/n = inf ⇒ var = NaN
+        rows = [("a", t0 + i * sec, 1e160) for i in range(7)]
+        # alternating huge series: s = 0 ⇒ var = inf ⇒ z = 0, no flag
+        rows += [
+            ("b", t0 + i * sec, v * 1e160)
+            for i, v in enumerate([1, -1, 1, -1, 1, -1, 1])
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        import math
+
+        for r in flag_anomalies(df, "v", ["k"], "ts", 3600).collect():
+            assert r["is_anomaly"] is False, r
+            if r["k"] == "a":
+                assert r["zscore"] is None, r
+            else:
+                assert r["zscore"] is None or math.isfinite(r["zscore"]), r

@@ -1,0 +1,181 @@
+"""Semantic deduplication — SemDeDup over an embedding column.
+
+The embedding-space complement of the lexical dedup family (Abbas et
+al., "SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication", 2023): cluster the embeddings with k-means, then
+within each cluster drop near-duplicate pairs above a cosine
+threshold, keeping the member FARTHEST from its centroid (the paper's
+keeper rule — the most "extreme" exemplar of the semantic
+neighborhood survives). Catches paraphrases and re-renders that
+lexical MinHash/SimHash/ExactSubstr miss because the words differ.
+
+Spark shape, by stage:
+
+1. assignment — ``clustering.kmeans_assign`` (zero-shuffle codegen
+   argmin for bounded k, GEMM beyond);
+2. keeper rank — cosine to the OWN centroid via one broadcast join on
+   the cluster id (k rows), rounded to 6 decimals so the rank compares
+   identically in any engine;
+3. pairing — a self-join ON THE CLUSTER ID (a.id < b.id) with the
+   rounded pair cosine filter: pairs only form within a cluster, so
+   the cost is Σ|cluster|² ≈ n²/k — **k is the scale knob** (SemDeDup
+   runs k ≈ 50k at web scale precisely to bound cluster sizes; there
+   is no silent cap here, choose k ∝ n);
+4. survivors — a row is dropped iff it is the WORSE side of any
+   ≥threshold pair (worse = closer to the centroid; ties → larger
+   id). Every survivor is therefore the best-ranked member of its
+   ≥threshold neighborhood — pairwise-exact, deterministic, and
+   SQL-replayable with fixed centroids (no iterative component
+   chasing; for clique-shaped duplicate groups this is exactly
+   one-survivor-per-group).
+
+Training the centroids is k-means (``clustering.kmeans_fit``, bounded
+driver state); like BPE/PQ/the quality classifier, TRAINING is not
+SQL-expressible but assignment + dedup over FIXED centroids is pure
+arithmetic — the `ann_topk` gate's 'semdedup' rows replay every
+assignment, rank, pair decision, and survivor in SQL via the
+md5-sampled deterministic centroid rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cod_stats_spark.operators.clustering import kmeans_assign
+from cod_stats_spark.operators.similarity import dot, norm
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Survivor rows of ``df`` + (cluster, centroid_cosine).
+
+    ``centroids``: the trained k-means centers (list of float lists —
+    the kmeans_fit output; fixed centroids keep the whole operator
+    exactly replayable). ``threshold`` compares against the pair
+    cosine ROUNDED to 6 decimals, the gate discipline that makes the
+    boundary engine-independent."""
+    import math
+
+    if not centroids:
+        raise ValueError("semantic_dedup: centroids must be non-empty")
+    spark = df.sparkSession
+    v = F.col(vec_col).cast("array<double>")
+    assigned = kmeans_assign(
+        df.select(F.col(id_col).alias("_id"), v.alias("_v")), "_v", centroids
+    )
+    # keeper rank: cosine to the OWN centroid — one broadcast join on
+    # the k-row centroid relation; norms of the centroids fold in as
+    # driver-computed literals (bit-identical to a left-to-right SQL
+    # fold over the same doubles)
+    cent_rows = [
+        (j, [float(x) for x in c], math.sqrt(sum(float(x) ** 2 for x in c)))
+        for j, c in enumerate(centroids)
+    ]
+    cent = F.broadcast(
+        spark.createDataFrame(
+            cent_rows, "cluster int, _cv array<double>, _cn double"
+        )
+    )
+    ranked = (
+        assigned.join(cent, "cluster")
+        .withColumn("_n", norm(F.col("_v")))
+        .select(
+            "_id",
+            "_v",
+            "_n",
+            "cluster",
+            F.round(
+                F.when(
+                    F.col("_n") * F.col("_cn") > 0,
+                    dot(F.col("_v"), F.col("_cv"))
+                    / (F.col("_n") * F.col("_cn")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("centroid_cosine"),
+        )
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pair_cos = F.round(
+        F.when(
+            F.col("a._n") * F.col("b._n") > 0,
+            dot(F.col("a._v"), F.col("b._v"))
+            / (F.col("a._n") * F.col("b._n")),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    # worse side = CLOSER to the centroid (higher cc); ties → larger id
+    worse = F.when(
+        (F.col("a.centroid_cosine") > F.col("b.centroid_cosine"))
+        | (
+            (F.col("a.centroid_cosine") == F.col("b.centroid_cosine"))
+            & (F.col("a._id") > F.col("b._id"))
+        ),
+        F.col("a._id"),
+    ).otherwise(F.col("b._id"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .where(pair_cos >= F.lit(float(threshold)))
+        .select(worse.alias("_id"))
+        .distinct()
+    )
+    survivors = ranked.join(dropped, "_id", "left_anti").select(
+        "_id", "cluster", "centroid_cosine"
+    )
+    return df.join(
+        survivors.withColumnRenamed("_id", id_col), id_col
+    )
+
+
+def semantic_dedup_oracle_sql(
+    k: int,
+    threshold: float,
+    src: str = "embeddings",
+    id_expr: str = "vec_id",
+    vec_expr: str = "embedding",
+    pts_src: str | None = None,
+) -> str:
+    """DuckDB replica over the md5-sampled deterministic centroids
+    (the IVF/k-means gate rule): assignment argmin, rounded centroid
+    cosine, within-cluster pair decisions, and the worse-side drop —
+    emitted as the survivor rows (id, cosine). ``pts_src``: optional
+    separate relation for the DEDUPED points (the gate augments the
+    corpus with synthetic near-dup copies there) while the centroid
+    sample stays on ``src``."""
+    return f"""
+WITH cent AS (
+  SELECT {vec_expr}::DOUBLE[] AS cv,
+         row_number() OVER (ORDER BY md5({id_expr}::VARCHAR), {id_expr}) - 1 AS j
+  FROM {src}
+  ORDER BY md5({id_expr}::VARCHAR), {id_expr}
+  LIMIT {k}
+), pts AS (
+  SELECT {id_expr} AS id, {vec_expr}::DOUBLE[] AS v FROM {pts_src or src}
+), asg AS (
+  SELECT id, v, j, round(list_cosine_similarity(v, cv), 6) AS cc
+  FROM (
+    SELECT p.id, p.v, c.j, c.cv,
+           row_number() OVER (
+             PARTITION BY p.id
+             ORDER BY (list_dot_product(c.cv, c.cv)
+                       - 2.0 * list_dot_product(p.v, c.cv)) ASC, c.j ASC
+           ) AS rn
+    FROM pts p CROSS JOIN cent c
+  ) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT CASE WHEN (a.cc > b.cc) OR (a.cc = b.cc AND a.id > b.id)
+                       THEN a.id ELSE b.id END AS id
+  FROM asg a JOIN asg b ON a.j = b.j AND a.id < b.id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+)
+SELECT id, cc AS cosine FROM asg WHERE id NOT IN (SELECT id FROM dropped)
+"""

@@ -2979,17 +2979,80 @@ def ann_rp_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_T = 0.995      # pair-cosine threshold for the semdedup arm
+_SEMDEDUP_MOD = 25       # every 25th vector gets a synthetic near-dup
+_SEMDEDUP_OFF = 100_000  # id offset of the synthetic copies
+
+
+def _semdedup_pts_sql() -> str:
+    """The semdedup arm's point set: the corpus ∪ synthetic near-dup
+    copies (element 0 scaled 1.01 — the same double arithmetic on the
+    same values in both engines). The natural gate embeddings have NO
+    near-dup pairs (max pair cosine ≈ 0.46 at sf0.01), so the copies
+    are what exercises the drop logic; cosine(v, copy) ≈ 0.9999."""
+    return f"""(
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_SEMDEDUP_OFF},
+         list_transform(embedding::DOUBLE[],
+                        (x, i) -> CASE WHEN i = 1 THEN x * 1.01 ELSE x END)
+  FROM embeddings WHERE vec_id % {_SEMDEDUP_MOD} = 0
+)"""
+
+
+def ann_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semantic.py) over the augmented corpus with
+    the md5-sample deterministic centroids — survivors with their
+    rounded centroid cosine; the synthetic copies and/or their
+    originals die by the worse-side (closer-to-centroid) rule."""
+    from cod_stats_spark.operators.semantic import semantic_dedup
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    vec = F.col("embedding").cast("array<double>")
+    copies = emb.where(F.col("vec_id") % _SEMDEDUP_MOD == 0).select(
+        (F.col("vec_id") + _SEMDEDUP_OFF).alias("vec_id"),
+        F.transform(
+            vec, lambda x, i: F.when(i == 0, x * 1.01).otherwise(x)
+        ).alias("embedding"),
+    )
+    aug = emb.select("vec_id", vec.alias("embedding")).unionByName(copies)
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")),
+            F.col("vec_id"),
+        )
+        .limit(KMEANS_FOLD_K)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in sample]
+    out = semantic_dedup(
+        aug, "embedding", "vec_id", centroids, threshold=_SEMDEDUP_T
+    )
+    return out.select(
+        F.col("vec_id").alias("id"), F.col("centroid_cosine").alias("cosine")
+    )
+
+
 def _ann_merged_oracle() -> str:
     """Union of the FULL ANN/clustering/quantization oracles (brute /
     LSH / IVF / k-means assignment / PQ encode+ADC / JL random
-    projection), each tagged with its method — every approximation
-    stays value-verified."""
+    projection / SemDeDup survivors), each tagged with its method —
+    every approximation stays value-verified."""
+    from cod_stats_spark.operators.semantic import semantic_dedup_oracle_sql
+
     parts = [
         ("brute", _ANN_BRUTE_ORACLE),
         ("lsh", _lsh_oracle_sql()),
         ("ivf", _ivf_oracle_sql()),
         ("kmeans", _kmeans_assign_oracle_sql()),
         ("rp", _rp_oracle_sql()),
+        (
+            "semdedup",
+            semantic_dedup_oracle_sql(
+                KMEANS_FOLD_K, _SEMDEDUP_T, pts_src=_semdedup_pts_sql()
+            ),
+        ),
     ]
     tagged = "\nUNION ALL\n".join(
         f"SELECT '{m}' AS method, id, cosine FROM ({sql})" for m, sql in parts
@@ -3016,7 +3079,11 @@ def _ann_merged_oracle() -> str:
         "codebooks; r8: + JL random-projection reduced-space top-k "
         "(operators/projection.py — deterministic hash-generated matrix, so "
         "projection, reduced-space cosine, and the pruned top-k replay in "
-        "SQL). FULL oracle incl. bucketing/assignment/quantization — "
+        "SQL); r10: + SemDeDup (operators/semantic.py — cluster-restricted "
+        "embedding near-dup removal keeping the farthest-from-centroid "
+        "member; assignment, centroid-cosine ranks, pair decisions, and "
+        "survivors replayed in SQL over synthetic near-dup copies). FULL "
+        "oracle incl. bucketing/assignment/quantization — "
         "merged from the former ann_cosine_topk / ann_lsh_topk / ann_ivf_topk "
         "gates, registry ≤ 50)"
     ),
@@ -3029,9 +3096,12 @@ def ann_topk_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     km = ann_kmeans_assign_q(spark, sf_dir).select(F.lit("kmeans").alias("method"), "id", "cosine")
     pq = ann_pq_q(spark, sf_dir)
     rp = ann_rp_topk_q(spark, sf_dir).select(F.lit("rp").alias("method"), "id", "cosine")
+    sd = ann_semdedup_q(spark, sf_dir).select(
+        F.lit("semdedup").alias("method"), "id", "cosine"
+    )
     return (
         brute.unionByName(lsh).unionByName(ivf).unionByName(km)
-        .unionByName(pq).unionByName(rp)
+        .unionByName(pq).unionByName(rp).unionByName(sd)
     )
 
 

@@ -129,12 +129,39 @@ def _expectations(spark, t):
     )
 
 
+def _semantic(spark, t):
+    """SemDeDup with k scaled to the corpus (clusters bounded to ~128
+    members — the paper's posture; k is the knob that keeps the
+    within-cluster pairing n²/k linear-ish). Centroids are the
+    md5-sample rule (no Lloyd iterations — the audit times assignment
+    + rank + pairing + drop, not training)."""
+    import pyspark.sql.functions as F
+
+    from cod_stats_spark.operators.semantic import semantic_dedup
+
+    emb = t["embeddings"]
+    n = emb.count()
+    k = max(8, n // 128)
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")),
+            F.col("vec_id"),
+        )
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in sample]
+    return semantic_dedup(emb, "embedding", "vec_id", cents, threshold=0.9)
+
+
 CASES = {
     "ohlc": _ohlc,
     "twa": _twa,
     "twa_sparse": _twa_sparse,
     "scd2_apply": _scd2_apply,
     "expectations": _expectations,
+    "semantic_dedup": _semantic,
 }
 
 

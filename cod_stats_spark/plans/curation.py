@@ -99,6 +99,9 @@ def curate_corpus(
     substring_n: int | None = None,
     qc_model=None,
     min_qc_score: float = 0.5,
+    semantic_centroids: list[list[float]] | None = None,
+    semantic_threshold: float = 0.95,
+    embedding_col: str = "embedding",
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation funnel; write shards to ``out_path``.
 
@@ -126,6 +129,16 @@ def curate_corpus(
     writes its OWN shard tree under ``out_path/split=<name>`` with an
     independent shard sequence. The manifest gains a ``split`` column;
     stats gains per-split survivor counts.
+
+    ``semantic_centroids``: when set (and ``docs`` carries
+    ``embedding_col``), a SemDeDup stage (operators/semantic.py) runs
+    right after lexical near-dup removal: paraphrases and re-renders
+    whose WORDS differ — invisible to MinHash/Jaccard/ExactSubstr —
+    collapse to the farthest-from-centroid exemplar when their
+    embedding cosine clears ``semantic_threshold``. Stats gains
+    ``after_semantic``. Centroids come from
+    ``clustering.kmeans_fit`` (or any fixed list); k is the scale
+    knob that bounds the within-cluster pairing.
 
     ``qc_model``: an optional trained
     :class:`operators.quality_classifier.QualityClassifierModel` —
@@ -181,6 +194,24 @@ def curate_corpus(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats["after_dedup"] = deduped.count()
+
+    if semantic_centroids is not None:
+        from cod_stats_spark.operators.semantic import semantic_dedup
+
+        kept = (
+            semantic_dedup(
+                deduped,
+                embedding_col,
+                id_col,
+                semantic_centroids,
+                threshold=semantic_threshold,
+            )
+            .drop("cluster", "centroid_cosine")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        stats["after_semantic"] = kept.count()
+        deduped.unpersist()
+        deduped = kept
 
     if substring_n is not None:
         from cod_stats_spark.operators.substring import substring_dedup

@@ -301,6 +301,43 @@ def test_model_gate_stage_drops_classifier_junk(spark, tmp_path):
     assert got == want
 
 
+def test_semantic_stage_collapses_paraphrases(spark, tmp_path):
+    """r10: a paraphrase pair — different WORDS (lexical dedup can't
+    see it), same embedding neighborhood — must collapse at the
+    semantic stage to the farthest-from-centroid exemplar; unrelated
+    docs survive."""
+    from cod_stats_spark.plans.curation import curate_corpus
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the barn",
+         [1.0, 0.02, 0.0, 0.0]),
+        (2, "a swift russet fox leaps above an idle hound by the stable",
+         [0.97, 0.05, 0.0, 0.0]),          # paraphrase of 1
+        (3, "distributed query engines shuffle and aggregate large tables",
+         [0.0, 0.0, 1.0, 0.0]),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>"
+    )
+    out = str(tmp_path / "semantic_gated")
+    _, stats = curate_corpus(
+        docs,
+        None,
+        out,
+        min_quality=0.0,
+        token_budget=64,
+        semantic_centroids=[[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]],
+        semantic_threshold=0.99,
+    )
+    assert stats["after_dedup"] == 3          # lexically all distinct
+    assert stats["after_semantic"] == 2       # the paraphrase collapses
+    kept = {
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    # doc 2 is farther from the centroid than doc 1 → 2 is the keeper
+    assert kept == {2, 3}
+
+
 def test_stream_curate_to_corpus(spark, tmp_path):
     """The streaming wrapper drives the full incremental funnel per
     micro-batch: quality junk, near-dups (within and across batches),

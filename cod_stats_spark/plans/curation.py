@@ -309,10 +309,22 @@ def curate_corpus_append(
     substring_min_count: int = 2,
     qc_model=None,
     min_qc_score: float = 0.5,
+    semantic_centroids: list[list[float]] | None = None,
+    semantic_threshold: float = 0.95,
+    embedding_col: str = "embedding",
 ) -> tuple[DataFrame, dict[str, int]]:
     """Incremental curation — the production posture `curate_corpus`
     lacks: append ONE new document batch against the EXISTING curated
     corpus state instead of rebuilding the funnel over the union.
+
+    ``semantic_centroids``: the SemDeDup stage in the same slot as the
+    one-shot funnel (after lexical dedup), incremental form: the batch
+    dedups within itself by the worse-side rule, then SHIPPED WINS —
+    a batch doc with a ≥threshold partner already in the
+    cluster-partitioned state under ``state_dir/semantic_state`` dies
+    (an already-shipped exemplar is immutable). Stats gains
+    ``after_semantic``. Centroids must stay FIXED for the state's
+    lifetime.
 
     ``qc_model`` / ``min_qc_score``: the trained-classifier gate in
     the same slot as the one-shot funnel (right after the heuristic
@@ -385,6 +397,23 @@ def curate_corpus_append(
         bands=bands,
     )
     stats["after_dedup"] = deduped.count()
+
+    if semantic_centroids is not None:
+        from cod_stats_spark.streaming.semantic import (
+            semantic_batch_against_corpus,
+        )
+
+        deduped = semantic_batch_against_corpus(
+            spark,
+            deduped,
+            os.path.join(state_dir, "semantic_state"),
+            semantic_centroids,
+            vec_col=embedding_col,
+            id_col=id_col,
+            threshold=semantic_threshold,
+            batch_id=int(batch_id),
+        ).drop("cluster", "centroid_cosine")
+        stats["after_semantic"] = deduped.count()
 
     if substring_n is not None:
         from cod_stats_spark.streaming.substring import (

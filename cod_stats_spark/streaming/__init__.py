@@ -12,6 +12,10 @@ from cod_stats_spark.streaming.substring import (
     stream_substring_dedup,
     substring_batch_against_corpus,
 )
+from cod_stats_spark.streaming.semantic import (
+    semantic_batch_against_corpus,
+    stream_semantic_dedup,
+)
 from cod_stats_spark.streaming.scd import (
     apply_scd2_batch,
     read_scd2_dim,
@@ -34,6 +38,8 @@ __all__ = [
     "stream_expectations",
     "substring_batch_against_corpus",
     "stream_substring_dedup",
+    "semantic_batch_against_corpus",
+    "stream_semantic_dedup",
     "apply_scd2_batch",
     "read_scd2_dim",
     "stream_scd2_apply",

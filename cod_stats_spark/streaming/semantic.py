@@ -1,0 +1,172 @@
+"""Streaming incremental semantic dedup — new embeddings vs a growing
+corpus (the SemDeDup analog of streaming/dedup.py).
+
+Shipped documents are immutable, so the coherent append semantics is
+SHIPPED-WINS (the keep-first-in-time rule the substring census uses):
+a new document dies iff it has a ≥threshold cosine partner among the
+already-kept members of its cluster — a better (farther-from-centroid)
+newcomer cannot retract an already-shipped exemplar. Within the batch
+itself the one-shot worse-side rule applies first (keep the farthest
+from the centroid), so a batch is internally deduped exactly like
+:func:`operators.semantic.semantic_dedup` before probing the state.
+
+State: one append-only parquet tree per corpus, Hive-partitioned by
+``cluster`` — a batch probe reads ONLY the clusters the batch touches
+(partition pruning; the batch side is micro-batch-sized and
+broadcastable). Centroids are FIXED for the corpus lifetime (train
+once with ``clustering.kmeans_fit``, or re-train and rebuild — a
+moving centroid would silently re-bucket history). Each survivor row
+stores (id, v, n, cc) so probes never recompute norms or ranks.
+
+Scale shape per batch: zero-shuffle assignment, one broadcast join
+against the pruned state partitions, one within-batch cluster
+self-join (micro-batch sized). Nothing about the existing state is
+rewritten — the append is the only write.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cod_stats_spark.operators.semantic import semantic_dedup
+
+_STATE_SCHEMA = "id long, v array<double>, n double, cc double, b long, cluster int"
+
+
+def semantic_batch_against_corpus(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    threshold: float = 0.95,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """One incremental step: the batch's surviving rows (with cluster
+    + centroid_cosine), after within-batch SemDeDup and the
+    shipped-wins probe against the state; survivors append to the
+    state. Ids must be globally unique across batches (the ingest
+    key contract shared with streaming/dedup.py).
+
+    ``batch_id``: pass the stable epoch id from an at-least-once loop.
+    State rows carry it; a REPLAYED batch id probes against the state
+    MINUS its own first-run rows (they would otherwise kill the whole
+    replayed batch at cosine 1.0 — the shipped-wins rule seeing the
+    batch's former self) and skips the append, so the replayed output
+    equals the original (the gram-census lesson, applied to the
+    append-only layout: detection by column instead of marker)."""
+    from cod_stats_spark.operators.similarity import dot
+
+    # 1. within-batch one-shot SemDeDup (worse-side drop, exact)
+    local = semantic_dedup(batch, vec_col, id_col, centroids, threshold)
+
+    # 2. shipped-wins probe: a batch survivor dies iff ANY state member
+    # of its cluster clears the threshold. State is cluster-partitioned
+    # — the semi-join prunes to the batch's clusters only.
+    v = F.col(vec_col).cast("array<double>")
+    probe = local.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("_n"),
+        "cluster",
+        "centroid_cosine",
+    )
+    applied = False
+    if os.path.isdir(state_path):
+        state = spark.read.schema(_STATE_SCHEMA).parquet(state_path)
+        if batch_id is not None:
+            applied = (
+                state.where(F.col("b") == int(batch_id)).limit(1).count()
+                > 0
+            )
+            if applied:
+                state = state.where(F.col("b") != int(batch_id))
+        pair_cos = F.round(
+            F.when(
+                F.col("_n") * F.col("n") > 0,
+                dot(F.col("_v"), F.col("v")) / (F.col("_n") * F.col("n")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+        # prune the state scan to the batch's clusters (partition
+        # pruning via the broadcast semi join on the partition column)
+        touched = state.join(
+            F.broadcast(probe.select("cluster").distinct()),
+            "cluster",
+            "left_semi",
+        )
+        dead = (
+            probe.join(touched, "cluster")
+            .where(pair_cos >= F.lit(float(threshold)))
+            .select("_id")
+            .distinct()
+        )
+        survivors = probe.join(dead, "_id", "left_anti")
+    else:
+        survivors = probe
+    # pin before the append: the plan reads the state path, and the
+    # append below would refreshByPath-invalidate a mere cache (the
+    # streaming/dedup.py lesson)
+    survivors = survivors.localCheckpoint(eager=True)
+    if not applied:
+        survivors.select(
+            F.col("_id").alias("id"),
+            F.col("_v").alias("v"),
+            F.col("_n").alias("n"),
+            F.col("centroid_cosine").alias("cc"),
+            F.lit(-1 if batch_id is None else int(batch_id)).alias("b"),
+            "cluster",
+        ).write.mode("append").partitionBy("cluster").parquet(state_path)
+    out = survivors.select(
+        F.col("_id").alias(id_col), "cluster", "centroid_cosine"
+    )
+    return batch.join(out, id_col)
+
+
+def stream_semantic_dedup(
+    docs_stream: DataFrame,
+    state_path: str,
+    out_path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    threshold: float = 0.95,
+    checkpoint_path: str | None = None,
+):
+    """foreachBatch wrapper: each micro-batch dedups within itself,
+    probes shipped history, and appends its survivors (+ batch id) to
+    ``out_path``. Returns the StreamingQuery."""
+
+    def batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        kept = semantic_batch_against_corpus(
+            batch_df.sparkSession,
+            batch_df,
+            state_path,
+            centroids,
+            vec_col,
+            id_col,
+            threshold,
+            batch_id=int(epoch_id),
+        )
+        kept.withColumn("batch", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    writer = docs_stream.writeStream.foreachBatch(batch_fn).outputMode(
+        "append"
+    )
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

@@ -338,6 +338,51 @@ def test_semantic_stage_collapses_paraphrases(spark, tmp_path):
     assert kept == {2, 3}
 
 
+def test_append_semantic_stage_shipped_wins(spark, tmp_path):
+    """r10: the incremental funnel's SemDeDup stage — a batch-2
+    paraphrase of a SHIPPED batch-1 doc dies (shipped wins, even
+    though the newcomer is farther from the centroid); unrelated
+    batch-2 docs survive."""
+    from cod_stats_spark.plans.curation import (
+        compact_curated_shards,
+        curate_corpus_append,
+    )
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    rows1 = [
+        (1, "the quick brown fox jumps over the lazy dog near the barn",
+         [1.0, 0.02, 0.0, 0.0]),
+    ]
+    rows2 = [
+        (2, "a swift russet fox leaps above an idle hound by the stable",
+         [0.97, 0.05, 0.0, 0.0]),          # paraphrase of shipped 1
+        (3, "distributed query engines shuffle and aggregate large tables",
+         [0.0, 0.0, 1.0, 0.0]),
+    ]
+    schema = "doc_id long, text string, embedding array<double>"
+    state = str(tmp_path / "state_sem")
+    kw = dict(min_quality=0.0, token_budget=64,
+              semantic_centroids=cents, semantic_threshold=0.99)
+    _, s1 = curate_corpus_append(
+        spark, spark.createDataFrame(rows1, schema), None, state,
+        batch_id=1, **kw,
+    )
+    _, s2 = curate_corpus_append(
+        spark, spark.createDataFrame(rows2, schema), None, state,
+        batch_id=2, **kw,
+    )
+    assert s1["after_semantic"] == 1
+    assert s2["after_dedup"] == 2            # lexically distinct
+    assert s2["after_semantic"] == 1         # the paraphrase dies
+    got = {
+        r["doc_id"]
+        for r in compact_curated_shards(spark, state)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == {1, 3}
+
+
 def test_stream_curate_to_corpus(spark, tmp_path):
     """The streaming wrapper drives the full incremental funnel per
     micro-batch: quality junk, near-dups (within and across batches),

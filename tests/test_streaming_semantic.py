@@ -1,0 +1,135 @@
+"""Incremental semantic dedup (streaming/semantic.py): shipped-wins
+across batches, within-batch worse-side dedup, state growth, and the
+foreachBatch wrapper."""
+
+from __future__ import annotations
+
+CENTROIDS = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, embedding array<double>"
+    )
+
+
+class TestSemanticBatchAgainstCorpus:
+    def test_shipped_wins_across_batches(self, spark, tmp_path):
+        """Batch 1 ships an exemplar; batch 2's near-dup dies even
+        though it is FARTHER from the centroid (a shipped doc is
+        immutable — the one-shot worse-side rule applies only within
+        a batch); an unrelated newcomer survives."""
+        from cod_stats_spark.streaming import semantic_batch_against_corpus
+
+        state = str(tmp_path / "state")
+        b1 = _df(spark, [(1, [1.0, 0.0, 0.0, 0.0])])
+        out1 = semantic_batch_against_corpus(
+            spark, b1, state, CENTROIDS, threshold=0.99
+        )
+        assert {r["doc_id"] for r in out1.collect()} == {1}
+
+        b2 = _df(
+            spark,
+            [
+                (2, [0.95, 0.05, 0.0, 0.0]),   # near-dup of shipped 1,
+                                                # farther from centroid
+                (3, [0.0, 0.0, 1.0, 0.0]),     # unrelated, new cluster
+            ],
+        )
+        out2 = semantic_batch_against_corpus(
+            spark, b2, state, CENTROIDS, threshold=0.99
+        )
+        assert {r["doc_id"] for r in out2.collect()} == {3}
+        # state carries exactly the shipped survivors
+        ids = {
+            r["id"] for r in spark.read.parquet(state).select("id").collect()
+        }
+        assert ids == {1, 3}
+
+    def test_within_batch_dedup_applies_first(self, spark, tmp_path):
+        """A fresh batch with an internal near-dup pair keeps only the
+        farthest-from-centroid member (the one-shot rule), and only
+        that survivor reaches the state."""
+        from cod_stats_spark.streaming import semantic_batch_against_corpus
+
+        state = str(tmp_path / "state")
+        b = _df(
+            spark,
+            [
+                (1, [1.0, 0.0, 0.0, 0.0]),
+                (2, [0.95, 0.05, 0.0, 0.0]),   # farther → the keeper
+            ],
+        )
+        out = semantic_batch_against_corpus(
+            spark, b, state, CENTROIDS, threshold=0.99
+        )
+        assert {r["doc_id"] for r in out.collect()} == {2}
+        ids = {
+            r["id"] for r in spark.read.parquet(state).select("id").collect()
+        }
+        assert ids == {2}
+
+    def test_replayed_batch_id_is_idempotent(self, spark, tmp_path):
+        """At-least-once replay: re-running a batch WITH ITS BATCH ID
+        must produce the original survivors (not die against its own
+        first-run state rows) and must not double the state."""
+        from cod_stats_spark.streaming import semantic_batch_against_corpus
+
+        state = str(tmp_path / "state")
+        b1 = _df(spark, [(1, [1.0, 0.0, 0.0, 0.0])])
+        semantic_batch_against_corpus(
+            spark, b1, state, CENTROIDS, threshold=0.99, batch_id=0
+        ).collect()
+        b2 = _df(
+            spark,
+            [(2, [0.95, 0.05, 0.0, 0.0]), (3, [0.0, 0.0, 1.0, 0.0])],
+        )
+        first = {
+            r["doc_id"]
+            for r in semantic_batch_against_corpus(
+                spark, b2, state, CENTROIDS, threshold=0.99, batch_id=1
+            ).collect()
+        }
+        replay = {
+            r["doc_id"]
+            for r in semantic_batch_against_corpus(
+                spark, b2, state, CENTROIDS, threshold=0.99, batch_id=1
+            ).collect()
+        }
+        assert first == replay == {3}
+        rows = spark.read.parquet(state).collect()
+        assert sorted(r["id"] for r in rows) == [1, 3]  # no doubling
+
+    def test_stream_wrapper_end_to_end(self, spark, tmp_path):
+        from cod_stats_spark.streaming import stream_semantic_dedup
+
+        src = tmp_path / "in"
+        _df(spark, [(1, [1.0, 0.0, 0.0, 0.0])]).coalesce(1).write.parquet(
+            f"{src}/b0"
+        )
+        _df(
+            spark,
+            [(2, [0.95, 0.05, 0.0, 0.0]), (3, [0.0, 0.0, 1.0, 0.0])],
+        ).coalesce(1).write.parquet(f"{src}/b1")
+        stream = (
+            spark.readStream.schema("doc_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        out = str(tmp_path / "out")
+        q = stream_semantic_dedup(
+            stream,
+            str(tmp_path / "state"),
+            out,
+            CENTROIDS,
+            threshold=0.99,
+            checkpoint_path=str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+        }
+        assert got == {1, 3}

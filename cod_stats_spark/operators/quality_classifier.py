@@ -50,16 +50,12 @@ from pyspark.sql import functions as F
 
 from cod_stats_spark.functions import text as T
 
-#: inference hash expressions, by name — mirrors dedup.BASE_HASH_SQL:
-#: xxhash64 for production, md5_60 when a DuckDB oracle must replay.
-#: The SINGLE Spark-side source: _fid and the codegen forward pass
-#: both render from these templates.
-_SPARK_HASH = {
-    "xxhash64": lambda x: f"xxhash64({x})",
-    "md5_60": lambda x: (
-        f"cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
-    ),
-}
+from cod_stats_spark.operators.dedup import BASE_HASH_SQL
+
+#: the dedup family's hash templates are the single Spark-side source
+#: (xxhash64 for production, md5_60 when a DuckDB oracle must replay);
+#: this operator supports the two oracle-relevant members.
+_SPARK_HASH = {k: BASE_HASH_SQL[k] for k in ("xxhash64", "md5_60")}
 
 _DUCK_MD5_60 = (
     "list_sum(list_transform(range(15), q ->"

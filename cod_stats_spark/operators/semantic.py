@@ -69,6 +69,15 @@ def semantic_dedup(
     assigned = kmeans_assign(
         df.select(F.col(id_col).alias("_id"), v.alias("_v")), "_v", centroids
     )
+    # null embeddings can't participate in a cosine decision — they
+    # PASS THROUGH (null cluster/score); silently deleting them (the
+    # inner joins below would) is data loss, not a dedup decision
+    null_part = assigned.where(F.col("cluster").isNull()).select(
+        "_id",
+        F.col("cluster"),
+        F.lit(None).cast("double").alias("centroid_cosine"),
+    )
+    assigned = assigned.where(F.col("cluster").isNotNull())
     # keeper rank: cosine to the OWN centroid — one broadcast join on
     # the k-row centroid relation; norms of the centroids fold in as
     # driver-computed literals (bit-identical to a left-to-right SQL
@@ -82,6 +91,12 @@ def semantic_dedup(
             cent_rows, "cluster int, _cv array<double>, _cn double"
         )
     )
+    # NaN components make every comparison against them TRUE under
+    # Spark's NaN ordering (the anomaly-clamp lesson): a NaN cosine
+    # would pair with everything and rank above everything. Guard the
+    # rank and (below) the pair filter explicitly — NaN vectors fall
+    # to score 0 and never form pairs, so they survive untouched.
+    _raw_cc = dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn"))
     ranked = (
         assigned.join(cent, "cluster")
         .withColumn("_n", norm(F.col("_v")))
@@ -92,9 +107,8 @@ def semantic_dedup(
             "cluster",
             F.round(
                 F.when(
-                    F.col("_n") * F.col("_cn") > 0,
-                    dot(F.col("_v"), F.col("_cv"))
-                    / (F.col("_n") * F.col("_cn")),
+                    (F.col("_n") * F.col("_cn") > 0) & ~F.isnan(_raw_cc),
+                    _raw_cc,
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("centroid_cosine"),
@@ -124,12 +138,16 @@ def semantic_dedup(
             (F.col("a.cluster") == F.col("b.cluster"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .where(pair_cos >= F.lit(float(threshold)))
+        .where(
+            (pair_cos >= F.lit(float(threshold))) & ~F.isnan(pair_cos)
+        )
         .select(worse.alias("_id"))
         .distinct()
     )
-    survivors = ranked.join(dropped, "_id", "left_anti").select(
-        "_id", "cluster", "centroid_cosine"
+    survivors = (
+        ranked.join(dropped, "_id", "left_anti")
+        .select("_id", "cluster", "centroid_cosine")
+        .unionByName(null_part)
     )
     return df.join(
         survivors.withColumnRenamed("_id", id_col), id_col

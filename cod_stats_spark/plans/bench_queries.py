@@ -2981,7 +2981,11 @@ def ann_rp_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_T = 0.995      # pair-cosine threshold for the semdedup arm
 _SEMDEDUP_MOD = 25       # every 25th vector gets a synthetic near-dup
-_SEMDEDUP_OFF = 100_000  # id offset of the synthetic copies
+_SEMDEDUP_OFF = 100_000_000  # synthetic-copy id offset, far above
+                             # any real vec_id at any stratum (the
+                             # 2 GB replica corpus tops out ~2e5 —
+                             # a colliding offset would alias copies
+                             # onto live ids and corrupt pair identity
 
 
 def _semdedup_pts_sql() -> str:

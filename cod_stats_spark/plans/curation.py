@@ -395,6 +395,10 @@ def curate_corpus_append(
         threshold=jaccard_threshold,
         num_hashes=num_hashes,
         bands=bands,
+        # at-least-once replay safety: without the tag a replayed epoch
+        # collides with its own first-run index rows, comes back empty,
+        # and OVERWRITES its shard fragments with nothing (r10 review)
+        batch_id=int(batch_id),
     )
     stats["after_dedup"] = deduped.count()
 

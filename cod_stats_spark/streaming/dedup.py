@@ -50,12 +50,23 @@ from cod_stats_spark.operators.dedup import (
     ngram_jaccard_pairs,
 )
 
-FP_SCHEMA = "id long, fp string"
-BANDS_SCHEMA = "id long, band int, band_hash long"
+# the trailing `b` (batch id, r10) makes at-least-once replays safe:
+# probes exclude the replaying batch's own first-run rows, and a
+# completed append is recorded by an _APPLIED.b{id} marker so it is
+# never doubled. Pre-r10 index dirs lack the column — the explicit
+# schema reads it as null, which the exclusion predicates treat as
+# "some other batch".
+FP_SCHEMA = "id long, fp string, b long"
+BANDS_SCHEMA = "id long, band int, band_hash long, b long"
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    if os.path.isdir(path):
+    from cod_stats_spark.streaming._state import _fs_for
+
+    # existence through the path's own filesystem (local os for plain
+    # paths, Hadoop FS for schemed ones) — a driver-local isdir would
+    # silently treat an hdfs://s3a:// index as forever-absent (r10)
+    if _fs_for(spark, path).exists(path):
         return spark.read.schema(schema).parquet(path)
     return spark.createDataFrame([], schema)
 
@@ -146,6 +157,7 @@ def dedup_batch_against_corpus(
     num_hashes: int = 32,
     bands: int = 16,
     shingle_n: int = 3,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """One incremental-dedup step: returns the batch's surviving rows
     and appends them (plus their index entries) to corpus/index.
@@ -153,9 +165,38 @@ def dedup_batch_against_corpus(
     Ids must be globally unique across batches and corpus (the ingest
     layer's key contract). Callable directly for batch backfills; the
     streaming wrapper below feeds it micro-batches.
+
+    ``batch_id`` (r10): pass the stable epoch id from an at-least-once
+    loop. Index probes then exclude rows tagged with this batch id —
+    a replayed batch would otherwise collide with its own first-run
+    fingerprints/bands and come back EMPTY, emptying every downstream
+    funnel stage and overwriting the epoch's shard fragments with
+    nothing. With the guard, a replay recomputes the SAME survivors
+    (within-batch dedup is deterministic, the excluded index equals
+    the pre-batch index) and skips the already-completed appends
+    (``_APPLIED.b{id}`` marker — atomic directory-entry creation via
+    the path's own filesystem). A crash mid-append without the marker
+    re-appends on retry; duplicate index rows are probe-harmless,
+    duplicate corpus rows are the documented residual window.
     """
+    from cod_stats_spark.streaming._state import _fs_for
+
     fp_path = os.path.join(index_path, "fingerprints")
     bands_path = os.path.join(index_path, "bands")
+    fs = _fs_for(spark, index_path)
+    marker = (
+        None
+        if batch_id is None
+        else os.path.join(index_path, f"_APPLIED.b{int(batch_id)}")
+    )
+    applied = marker is not None and fs.exists(marker)
+
+    def _not_own(df: DataFrame) -> DataFrame:
+        if batch_id is None:
+            return df
+        return df.where(
+            F.col("b").isNull() | (F.col("b") != int(batch_id))
+        )
 
     batch = batch.withColumn("_fp", fingerprint(F.col(text_col)))
     # exact, within batch: min id per fingerprint survives
@@ -164,7 +205,7 @@ def dedup_batch_against_corpus(
         F.col("_rn") == 1
     ).drop("_rn")
     # exact, vs corpus: anti-join the fingerprint index
-    fp_index = _read_or_empty(spark, fp_path, FP_SCHEMA)
+    fp_index = _not_own(_read_or_empty(spark, fp_path, FP_SCHEMA))
     # lazy persist, no count barrier: the consumers below run as
     # sequential jobs, so the first one (the band-key checkpoint)
     # populates the cache and the rest read it
@@ -197,8 +238,10 @@ def dedup_batch_against_corpus(
     )
 
     # near, vs corpus: probe the band index with the batch's band keys
-    if os.path.isdir(corpus_path):
-        band_index = _read_or_empty(spark, bands_path, BANDS_SCHEMA)
+    from cod_stats_spark.streaming._state import _fs_for
+
+    if _fs_for(spark, corpus_path).exists(corpus_path):
+        band_index = _not_own(_read_or_empty(spark, bands_path, BANDS_SCHEMA))
         near_bands = batch_bands.join(
             batch_near.select(F.col(id_col).alias("id")), "id", "left_semi"
         )
@@ -235,13 +278,17 @@ def dedup_batch_against_corpus(
     survivors = survivors.localCheckpoint(eager=True)
     batch.unpersist()
 
-    survivors.drop("_fp").write.mode("append").parquet(corpus_path)
-    survivors.select(F.col(id_col).alias("id"), F.col("_fp").alias("fp")).write.mode(
-        "append"
-    ).parquet(fp_path)
-    batch_bands.join(
-        survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
-    ).write.mode("append").parquet(bands_path)
+    if not applied:
+        _b = F.lit(-1 if batch_id is None else int(batch_id)).alias("b")
+        survivors.drop("_fp").write.mode("append").parquet(corpus_path)
+        survivors.select(
+            F.col(id_col).alias("id"), F.col("_fp").alias("fp"), _b
+        ).write.mode("append").parquet(fp_path)
+        batch_bands.join(
+            survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
+        ).withColumn("b", _b).write.mode("append").parquet(bands_path)
+        if marker is not None:
+            fs.create_text(marker, str(int(batch_id)))
     return survivors.drop("_fp")
 
 
@@ -266,6 +313,7 @@ def stream_dedup_to_corpus(
         dedup_batch_against_corpus(
             spark, batch_df, text_col, id_col, corpus_path, index_path,
             threshold, num_hashes, bands, shingle_n,
+            batch_id=int(epoch_id),
         )
 
     writer = docs_stream.writeStream.foreachBatch(batch_fn).outputMode("append")

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cod_stats_spark.operators.semantic import semantic_dedup
+from cod_stats_spark.operators.similarity import dot, norm
+from cod_stats_spark.streaming._state import _fs_for
 
 _STATE_SCHEMA = "id long, v array<double>, n double, cc double, b long, cluster int"
 
@@ -53,14 +55,17 @@ def semantic_batch_against_corpus(
     key contract shared with streaming/dedup.py).
 
     ``batch_id``: pass the stable epoch id from an at-least-once loop.
-    State rows carry it; a REPLAYED batch id probes against the state
-    MINUS its own first-run rows (they would otherwise kill the whole
-    replayed batch at cosine 1.0 — the shipped-wins rule seeing the
-    batch's former self) and skips the append, so the replayed output
-    equals the original (the gram-census lesson, applied to the
-    append-only layout: detection by column instead of marker)."""
-    from cod_stats_spark.operators.similarity import dot
-
+    Completed appends are recorded by an ``_APPLIED.b{id}`` marker
+    (atomic directory-entry creation, the _state.py commit idiom, via
+    the path's own filesystem — local or Hadoop); a replayed batch id
+    skips the append. Independently, the probe ALWAYS excludes state
+    rows tagged with this batch id — so a replay (marker present) and
+    a retry after a mid-append crash (no marker, possibly partial
+    rows durable under a direct committer) both score against exactly
+    the pre-batch state instead of being killed by their own former
+    selves at cosine 1.0. A crashed-then-retried append can leave
+    duplicate exemplar rows in the state — harmless (the same vector
+    twice makes the same kill decisions)."""
     # 1. within-batch one-shot SemDeDup (worse-side drop, exact)
     local = semantic_dedup(batch, vec_col, id_col, centroids, threshold)
 
@@ -71,30 +76,29 @@ def semantic_batch_against_corpus(
     probe = local.select(
         F.col(id_col).alias("_id"),
         v.alias("_v"),
-        F.sqrt(
-            F.aggregate(
-                F.transform(v, lambda x: x * x),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-        ).alias("_n"),
+        norm(v).alias("_n"),
         "cluster",
         "centroid_cosine",
     )
-    applied = False
-    if os.path.isdir(state_path):
+    fs = _fs_for(spark, state_path)
+    marker = (
+        None
+        if batch_id is None
+        else os.path.join(state_path, f"_APPLIED.b{int(batch_id)}")
+    )
+    applied = marker is not None and fs.exists(marker)
+    if fs.exists(state_path):
         state = spark.read.schema(_STATE_SCHEMA).parquet(state_path)
         if batch_id is not None:
-            applied = (
-                state.where(F.col("b") == int(batch_id)).limit(1).count()
-                > 0
+            # own rows (full or partial, from a first run or a crashed
+            # append) must never kill their own batch on re-execution
+            state = state.where(
+                F.col("b").isNull() | (F.col("b") != int(batch_id))
             )
-            if applied:
-                state = state.where(F.col("b") != int(batch_id))
+        _raw = dot(F.col("_v"), F.col("v")) / (F.col("_n") * F.col("n"))
         pair_cos = F.round(
             F.when(
-                F.col("_n") * F.col("n") > 0,
-                dot(F.col("_v"), F.col("v")) / (F.col("_n") * F.col("n")),
+                (F.col("_n") * F.col("n") > 0) & ~F.isnan(_raw), _raw
             ).otherwise(F.lit(0.0)),
             6,
         )
@@ -127,6 +131,10 @@ def semantic_batch_against_corpus(
             F.lit(-1 if batch_id is None else int(batch_id)).alias("b"),
             "cluster",
         ).write.mode("append").partitionBy("cluster").parquet(state_path)
+        if marker is not None:
+            # manifest-last: the marker's directory entry is the
+            # atomic "this batch's exemplars are all durable" event
+            fs.create_text(marker, str(int(batch_id)))
     out = survivors.select(
         F.col("_id").alias(id_col), "cluster", "centroid_cosine"
     )

@@ -72,11 +72,16 @@ def substring_batch_against_corpus(
     scrub its first occurrences), and the replayed output equals the
     original. Without a batch_id every call merges — correct only for
     calls that genuinely happen once."""
-    from cod_stats_spark.streaming._state import find_version_by_note
+    from cod_stats_spark.streaming._state import _fs_for, find_version_by_note
 
     note = None if batch_id is None else f"b{int(batch_id)}"
+    # the marker lookup must go through the SAME filesystem the commit
+    # wrote to (local os only for plain paths — a schemed census_dir
+    # would otherwise never detect its replays)
     applied_v = (
-        find_version_by_note(census_dir, note) if note is not None else None
+        find_version_by_note(census_dir, note, fs=_fs_for(spark, census_dir))
+        if note is not None
+        else None
     )
     sites = gram_sites(batch, text_col, id_col, n, base_hash)
     batch_census = sites.groupBy("gh").agg(

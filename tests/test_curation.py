@@ -383,6 +383,48 @@ def test_append_semantic_stage_shipped_wins(spark, tmp_path):
     assert got == {1, 3}
 
 
+def test_replayed_append_epoch_is_idempotent(spark, tmp_path):
+    """r10: foreachBatch is at-least-once — replaying an epoch through
+    curate_corpus_append must reproduce the SAME survivors and shard
+    fragments, not collide with its own first-run index rows, come
+    back empty, and overwrite the fragment tree with nothing."""
+    from cod_stats_spark.plans.curation import (
+        compact_curated_shards,
+        curate_corpus_append,
+    )
+
+    docs = _corpus(spark)
+    bench = spark.createDataFrame(
+        [(100, "benchmark secret passage that must not leak into training "
+               "at all")],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "state")
+    kw = dict(min_quality=0.5, token_budget=64, decontam_ngram_n=8)
+    from pyspark.sql import functions as F
+
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    _, s1 = curate_corpus_append(spark, b1, bench, state, batch_id=1, **kw)
+    # replay epoch 1 (same batch, same id)
+    _, s1r = curate_corpus_append(spark, b1, bench, state, batch_id=1, **kw)
+    assert s1r["after_dedup"] == s1["after_dedup"] == 1
+    assert s1r["shards"] == s1["shards"] >= 1
+    # the fragment tree still carries the survivors
+    frag = spark.read.parquet(f"{state}/shards_frag/batch=1")
+    assert {r["doc_id"] for r in frag.select("doc_id").collect()} == {1}
+    # the index was not doubled: a LATER batch still dedups correctly
+    _, s2 = curate_corpus_append(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), bench, state,
+        batch_id=2, **kw,
+    )
+    assert s2["after_dedup"] == 2              # exact dup 2 dies vs state
+    got = {
+        r["doc_id"]
+        for r in compact_curated_shards(spark, state).select("doc_id").collect()
+    }
+    assert got == {1, 4}
+
+
 def test_stream_curate_to_corpus(spark, tmp_path):
     """The streaming wrapper drives the full incremental funnel per
     micro-batch: quality junk, near-dups (within and across batches),

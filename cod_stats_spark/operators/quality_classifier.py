@@ -258,6 +258,48 @@ def quality_classifier_fit(
     )
 
 
+def save_classifier(spark, model: QualityClassifierModel, path: str) -> None:
+    """Persist the trained model as a two-table parquet dir — the
+    artifact a pipeline ships so every later batch (and every other
+    engine reading the same layout) scores identically: ``weights/``
+    holds (fid, w) for the NONZERO weights, ``meta/`` one row of
+    hyperparameters + bias (the BPE save_merges discipline)."""
+    nz = [(i, float(w)) for i, w in enumerate(model.weights) if w != 0.0]
+    spark.createDataFrame(
+        nz or [], "fid int, w double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/weights")
+    spark.createDataFrame(
+        [
+            (
+                model.dim,
+                model.ngrams,
+                model.base_hash,
+                model.lowercase,
+                float(model.bias),
+            )
+        ],
+        "dim int, ngrams int, base_hash string, lowercase boolean, "
+        "bias double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_classifier(spark, path: str) -> QualityClassifierModel:
+    """Load a persisted model; weights restore dense (absent fids are
+    exact zeros, the representation fit produced)."""
+    m = spark.read.parquet(f"{path}/meta").first()
+    w = [0.0] * int(m["dim"])
+    for r in spark.read.parquet(f"{path}/weights").collect():
+        w[int(r["fid"])] = float(r["w"])
+    return QualityClassifierModel(
+        dim=int(m["dim"]),
+        ngrams=int(m["ngrams"]),
+        base_hash=m["base_hash"],
+        lowercase=bool(m["lowercase"]),
+        bias=float(m["bias"]),
+        weights=w,
+    )
+
+
 def quality_classifier_expr(
     model: QualityClassifierModel, text_col: str = "text"
 ) -> Column:

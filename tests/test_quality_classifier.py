@@ -109,6 +109,31 @@ class TestFit:
         assert a.weights == b.weights
         assert a.loss_history == b.loss_history
 
+    def test_save_load_roundtrip_scores_identically(self, spark, tmp_path):
+        """The shipped artifact must restore the EXACT model: same
+        hyperparameters, same bias, bit-identical scores."""
+        from cod_stats_spark.operators.quality_classifier import (
+            load_classifier,
+            quality_classifier_fit,
+            quality_classifier_score,
+            save_classifier,
+        )
+
+        train = _labeled(spark, n=10)
+        a = quality_classifier_fit(train, dim=256, ngrams=2, iters=4)
+        save_classifier(spark, a, str(tmp_path / "model"))
+        b = load_classifier(spark, str(tmp_path / "model"))
+        assert (b.dim, b.ngrams, b.base_hash, b.lowercase, b.bias) == (
+            a.dim, a.ngrams, a.base_hash, a.lowercase, a.bias
+        )
+        assert b.weights == a.weights
+        probe = train.limit(5)
+        sa = {r["doc_id"]: r["qc_score"]
+              for r in quality_classifier_score(probe, a).collect()}
+        sb = {r["doc_id"]: r["qc_score"]
+              for r in quality_classifier_score(probe, b).collect()}
+        assert sa == sb
+
     def test_guards(self, spark):
         from cod_stats_spark.operators.quality_classifier import (
             QualityClassifierModel,

@@ -268,6 +268,11 @@ def save_classifier(spark, model: QualityClassifierModel, path: str) -> None:
     spark.createDataFrame(
         nz or [], "fid int, w double"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/weights")
+    # meta is written LAST and carries a weights fingerprint: a crash
+    # between the two overwrites (re-saving over an old artifact)
+    # would otherwise leave a torn hybrid that loads silently —
+    # load_classifier verifies the fingerprint and refuses instead
+    wsum = round(sum(w for _, w in nz), 9)
     spark.createDataFrame(
         [
             (
@@ -276,19 +281,32 @@ def save_classifier(spark, model: QualityClassifierModel, path: str) -> None:
                 model.base_hash,
                 model.lowercase,
                 float(model.bias),
+                len(nz),
+                wsum,
             )
         ],
         "dim int, ngrams int, base_hash string, lowercase boolean, "
-        "bias double",
+        "bias double, n_nonzero int, wsum double",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def load_classifier(spark, path: str) -> QualityClassifierModel:
     """Load a persisted model; weights restore dense (absent fids are
-    exact zeros, the representation fit produced)."""
+    exact zeros, the representation fit produced). Raises if the
+    weights don't match the meta fingerprint (torn re-save)."""
     m = spark.read.parquet(f"{path}/meta").first()
     w = [0.0] * int(m["dim"])
-    for r in spark.read.parquet(f"{path}/weights").collect():
+    rows = spark.read.parquet(f"{path}/weights").collect()
+    # tolerance, not equality: the checksum is a float sum whose
+    # read-back order may differ from the save order by an ulp
+    if len(rows) != int(m["n_nonzero"]) or abs(
+        sum(float(r["w"]) for r in rows) - float(m["wsum"])
+    ) > 1e-6:
+        raise ValueError(
+            f"load_classifier: {path} is torn — weights don't match the "
+            "meta fingerprint (crashed mid re-save?); re-save the model"
+        )
+    for r in rows:
         w[int(r["fid"])] = float(r["w"])
     return QualityClassifierModel(
         dim=int(m["dim"]),

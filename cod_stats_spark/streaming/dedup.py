@@ -49,6 +49,7 @@ from cod_stats_spark.operators.dedup import (
     minhash_band_keys,
     ngram_jaccard_pairs,
 )
+from cod_stats_spark.streaming._state import _fs_for
 
 # the trailing `b` (batch id, r10) makes at-least-once replays safe:
 # probes exclude the replaying batch's own first-run rows, and a
@@ -61,8 +62,6 @@ BANDS_SCHEMA = "id long, band int, band_hash long, b long"
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    from cod_stats_spark.streaming._state import _fs_for
-
     # existence through the path's own filesystem (local os for plain
     # paths, Hadoop FS for schemed ones) — a driver-local isdir would
     # silently treat an hdfs://s3a:// index as forever-absent (r10)
@@ -166,6 +165,14 @@ def dedup_batch_against_corpus(
     layer's key contract). Callable directly for batch backfills; the
     streaming wrapper below feeds it micro-batches.
 
+    Epoch-id scope: batch ids are only stable within ONE streaming
+    checkpoint lineage. Restarting a stream WITHOUT its checkpoint
+    (epoch ids reset to 0) against an existing state dir would make
+    new batches look like replays of old ones — pair each state dir
+    with exactly one checkpoint for its lifetime, or start a fresh
+    state dir with a fresh checkpoint.
+
+
     ``batch_id`` (r10): pass the stable epoch id from an at-least-once
     loop. Index probes then exclude rows tagged with this batch id —
     a replayed batch would otherwise collide with its own first-run
@@ -179,8 +186,6 @@ def dedup_batch_against_corpus(
     re-appends on retry; duplicate index rows are probe-harmless,
     duplicate corpus rows are the documented residual window.
     """
-    from cod_stats_spark.streaming._state import _fs_for
-
     fp_path = os.path.join(index_path, "fingerprints")
     bands_path = os.path.join(index_path, "bands")
     fs = _fs_for(spark, index_path)
@@ -238,8 +243,6 @@ def dedup_batch_against_corpus(
     )
 
     # near, vs corpus: probe the band index with the batch's band keys
-    from cod_stats_spark.streaming._state import _fs_for
-
     if _fs_for(spark, corpus_path).exists(corpus_path):
         band_index = _not_own(_read_or_empty(spark, bands_path, BANDS_SCHEMA))
         near_bands = batch_bands.join(

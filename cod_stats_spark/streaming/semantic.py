@@ -65,7 +65,14 @@ def semantic_batch_against_corpus(
     the pre-batch state instead of being killed by their own former
     selves at cosine 1.0. A crashed-then-retried append can leave
     duplicate exemplar rows in the state — harmless (the same vector
-    twice makes the same kill decisions)."""
+    twice makes the same kill decisions).
+    Epoch-id scope: batch ids are only stable within ONE streaming
+    checkpoint lineage. Restarting a stream WITHOUT its checkpoint
+    (epoch ids reset to 0) against an existing state dir would make
+    new batches look like replays of old ones — pair each state dir
+    with exactly one checkpoint for its lifetime, or start a fresh
+    state dir with a fresh checkpoint.
+    """
     # 1. within-batch one-shot SemDeDup (worse-side drop, exact)
     local = semantic_dedup(batch, vec_col, id_col, centroids, threshold)
 
@@ -123,7 +130,11 @@ def semantic_batch_against_corpus(
     # streaming/dedup.py lesson)
     survivors = survivors.localCheckpoint(eager=True)
     if not applied:
-        survivors.select(
+        # null-cluster (null-embedding) survivors are returned to the
+        # caller but NEVER enter the state: they can't participate in
+        # any future probe, and appending them every batch would grow
+        # dead state without bound
+        survivors.where(F.col("cluster").isNotNull()).select(
             F.col("_id").alias("id"),
             F.col("_v").alias("v"),
             F.col("_n").alias("n"),

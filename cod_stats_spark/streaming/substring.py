@@ -71,7 +71,14 @@ def substring_batch_against_corpus(
     otherwise see the batch's own counts as 'already shipped' and
     scrub its first occurrences), and the replayed output equals the
     original. Without a batch_id every call merges — correct only for
-    calls that genuinely happen once."""
+    calls that genuinely happen once.
+    Epoch-id scope: batch ids are only stable within ONE streaming
+    checkpoint lineage. Restarting a stream WITHOUT its checkpoint
+    (epoch ids reset to 0) against an existing state dir would make
+    new batches look like replays of old ones — pair each state dir
+    with exactly one checkpoint for its lifetime, or start a fresh
+    state dir with a fresh checkpoint.
+    """
     from cod_stats_spark.streaming._state import _fs_for, find_version_by_note
 
     note = None if batch_id is None else f"b{int(batch_id)}"

@@ -104,6 +104,56 @@ class TestSemanticDedup:
         assert got == want
         assert len(got) < len(rows)  # drops actually happened
 
+    def test_null_embeddings_pass_through(self, spark):
+        """A null embedding can't make a cosine decision: the row must
+        PASS THROUGH with null cluster/score, never silently vanish in
+        the assignment/centroid joins (r10 review)."""
+        from cod_stats_spark.operators.semantic import semantic_dedup
+
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.95, 0.05, 0.0, 0.0]),   # near-dup: the pair still dedups
+            (3, None),                      # embedder failure
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        got = {
+            r["vec_id"]: (r["cluster"], r["centroid_cosine"])
+            for r in semantic_dedup(
+                df, "embedding", "vec_id", CENTROIDS, threshold=0.99
+            ).collect()
+        }
+        assert set(got) == {2, 3}
+        assert got[3] == (None, None)
+
+    def test_nan_components_never_pair_or_outrank(self, spark):
+        """Spark's NaN ordering makes NaN >= threshold TRUE: without
+        the isnan guards a NaN vector would pair with every cluster
+        member and drop rows spuriously (r10 review). It must survive
+        with score 0 and leave the others' decisions unchanged."""
+        from cod_stats_spark.operators.semantic import semantic_dedup
+
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.95, 0.05, 0.0, 0.0]),          # real pair with 1
+            (3, [float("nan"), 1.0, 0.0, 0.0]),   # poisoned vector
+            (4, [0.0, 0.0, 1.0, 0.0]),            # unrelated
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        got = {
+            r["vec_id"]: r["centroid_cosine"]
+            for r in semantic_dedup(
+                df, "embedding", "vec_id", CENTROIDS, threshold=0.99
+            ).collect()
+        }
+        # 1 dies to 2 as usual; the NaN row survives with score 0;
+        # 4 untouched — the NaN row dropped nobody
+        assert set(got) == {2, 3, 4}
+        assert got[3] == 0.0
+
     def test_guards_and_empty(self, spark):
         from cod_stats_spark.operators.semantic import semantic_dedup
 

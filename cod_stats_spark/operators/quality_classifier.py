@@ -43,6 +43,8 @@ fit is property-tested in pytest, the forward pass is oracle-gated.
 from __future__ import annotations
 
 import math
+import struct
+import zlib
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -258,6 +260,20 @@ def quality_classifier_fit(
     )
 
 
+def _weights_fingerprint(pairs) -> int:
+    """Order-independent EXACT fingerprint of (fid, w) weight rows:
+    sum (mod 2**63) of a CRC over each pair's (fid, IEEE-754 bits of
+    w). Integer arithmetic only — parquet read-back order cannot
+    perturb it, unlike a float sum whose reorder error scales with
+    n and sum(|w|) at large dims."""
+    acc = 0
+    for fid, w in pairs:
+        acc = (acc + zlib.crc32(struct.pack("<qd", int(fid), float(w)))) % (
+            2**63
+        )
+    return acc
+
+
 def save_classifier(spark, model: QualityClassifierModel, path: str) -> None:
     """Persist the trained model as a two-table parquet dir — the
     artifact a pipeline ships so every later batch (and every other
@@ -272,7 +288,7 @@ def save_classifier(spark, model: QualityClassifierModel, path: str) -> None:
     # between the two overwrites (re-saving over an old artifact)
     # would otherwise leave a torn hybrid that loads silently —
     # load_classifier verifies the fingerprint and refuses instead
-    wsum = round(sum(w for _, w in nz), 9)
+    wfp = _weights_fingerprint(nz)
     spark.createDataFrame(
         [
             (
@@ -282,11 +298,11 @@ def save_classifier(spark, model: QualityClassifierModel, path: str) -> None:
                 model.lowercase,
                 float(model.bias),
                 len(nz),
-                wsum,
+                wfp,
             )
         ],
         "dim int, ngrams int, base_hash string, lowercase boolean, "
-        "bias double, n_nonzero int, wsum double",
+        "bias double, n_nonzero int, wfp long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -297,11 +313,13 @@ def load_classifier(spark, path: str) -> QualityClassifierModel:
     m = spark.read.parquet(f"{path}/meta").first()
     w = [0.0] * int(m["dim"])
     rows = spark.read.parquet(f"{path}/weights").collect()
-    # tolerance, not equality: the checksum is a float sum whose
-    # read-back order may differ from the save order by an ulp
-    if len(rows) != int(m["n_nonzero"]) or abs(
-        sum(float(r["w"]) for r in rows) - float(m["wsum"])
-    ) > 1e-6:
+    # exact equality: the fingerprint is an integer accumulation of
+    # (fid, weight-bits) pairs, so it is order-independent — a float
+    # sum would accrue reorder error scaling with n and sum(|w|) and
+    # could spuriously reject an intact large-dim artifact
+    if len(rows) != int(m["n_nonzero"]) or _weights_fingerprint(
+        [(int(r["fid"]), float(r["w"])) for r in rows]
+    ) != int(m["wfp"]):
         raise ValueError(
             f"load_classifier: {path} is torn — weights don't match the "
             "meta fingerprint (crashed mid re-save?); re-save the model"

@@ -109,10 +109,16 @@ def stateful_anomaly(
             ts_hist, v_hist = [], []
         head = 0  # expiry cursor — O(1) amortized, no per-event list shift
         out_ts, out_v, out_z, out_flag = [], [], [], []
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values("_ts_us")
+        # one global sort over the whole micro-batch for this key: a
+        # key spanning multiple Arrow chunks (~10k+ rows) with
+        # cross-chunk time disorder would otherwise advance the
+        # monotonic expiry cursor past entries still inside a later
+        # chunk's earlier window, and break the sortedness the
+        # appended history relies on for future expiry
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            pdf = pdf.sort_values("_ts_us", kind="mergesort")
             for ts_us, v in zip(pdf["_ts_us"], pdf["_v"]):
                 ts_us = int(ts_us)
                 if pd.isna(v):

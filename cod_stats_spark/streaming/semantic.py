@@ -38,6 +38,23 @@ from cod_stats_spark.streaming._state import _fs_for
 _STATE_SCHEMA = "id long, v array<double>, n double, cc double, b long, cluster int"
 
 
+def _pruned_state(
+    spark: SparkSession, state_path: str, clusters: list[int]
+) -> DataFrame:
+    """The probe-side state scan, STATICALLY pruned to the batch's
+    cluster set as a literal isin over the Hive partition column —
+    provable partition pruning (PartitionFilters in the plan,
+    asserted in tests/test_streaming_semantic.py), not the
+    DPP-dependent semi join the r10 cut relied on (dynamic pruning
+    Spark may or may not insert; if it didn't, the probe silently
+    read the whole state)."""
+    return (
+        spark.read.schema(_STATE_SCHEMA)
+        .parquet(state_path)
+        .where(F.col("cluster").isin([int(c) for c in clusters]))
+    )
+
+
 def semantic_batch_against_corpus(
     spark: SparkSession,
     batch: DataFrame,
@@ -94,8 +111,19 @@ def semantic_batch_against_corpus(
         else os.path.join(state_path, f"_APPLIED.b{int(batch_id)}")
     )
     applied = marker is not None and fs.exists(marker)
+    probe = probe.persist()  # collected once for pruning, joined below
     if fs.exists(state_path):
-        state = spark.read.schema(_STATE_SCHEMA).parquet(state_path)
+        # the batch's distinct cluster set is micro-batch-bounded
+        # (≤ min(|batch|, k) values) — collect it and prune the state
+        # scan with a LITERAL partition predicate (static, provable)
+        clusters = [
+            r[0]
+            for r in probe.select("cluster")
+            .where(F.col("cluster").isNotNull())
+            .distinct()
+            .collect()
+        ]
+        state = _pruned_state(spark, state_path, clusters)
         if batch_id is not None:
             # own rows (full or partial, from a first run or a crashed
             # append) must never kill their own batch on re-execution
@@ -109,15 +137,8 @@ def semantic_batch_against_corpus(
             ).otherwise(F.lit(0.0)),
             6,
         )
-        # prune the state scan to the batch's clusters (partition
-        # pruning via the broadcast semi join on the partition column)
-        touched = state.join(
-            F.broadcast(probe.select("cluster").distinct()),
-            "cluster",
-            "left_semi",
-        )
         dead = (
-            probe.join(touched, "cluster")
+            probe.join(state, "cluster")
             .where(pair_cos >= F.lit(float(threshold)))
             .select("_id")
             .distinct()
@@ -129,6 +150,7 @@ def semantic_batch_against_corpus(
     # append below would refreshByPath-invalidate a mere cache (the
     # streaming/dedup.py lesson)
     survivors = survivors.localCheckpoint(eager=True)
+    probe.unpersist()
     if not applied:
         # null-cluster (null-embedding) survivors are returned to the
         # caller but NEVER enter the state: they can't participate in
@@ -163,8 +185,13 @@ def stream_semantic_dedup(
     checkpoint_path: str | None = None,
 ):
     """foreachBatch wrapper: each micro-batch dedups within itself,
-    probes shipped history, and appends its survivors (+ batch id) to
-    ``out_path``. Returns the StreamingQuery."""
+    probes shipped history, and writes its survivors to
+    ``out_path/batch=<epoch>`` (the curation fragment pattern: a
+    deterministic per-epoch location overwritten on replay, so an
+    at-least-once re-execution rewrites its own rows instead of
+    double-appending them to a shared path). Readers take the tree
+    root — ``batch`` comes back as the partition column. Returns the
+    StreamingQuery."""
 
     def batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -179,9 +206,9 @@ def stream_semantic_dedup(
             threshold,
             batch_id=int(epoch_id),
         )
-        kept.withColumn("batch", F.lit(int(epoch_id))).write.mode(
-            "append"
-        ).parquet(out_path)
+        kept.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={int(epoch_id)}")
+        )
 
     writer = docs_stream.writeStream.foreachBatch(batch_fn).outputMode(
         "append"

@@ -30,6 +30,8 @@ argmin then coincides with first-in-time.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -163,8 +165,12 @@ def stream_substring_dedup(
     checkpoint_path: str | None = None,
 ):
     """foreachBatch wrapper: each micro-batch scrubs against shipped
-    history and appends its cleaned rows (+ batch id) to
-    ``out_path``. Returns the StreamingQuery."""
+    history and writes its cleaned rows to ``out_path/batch=<epoch>``
+    (deterministic per-epoch location, overwritten on replay — an
+    at-least-once re-execution rewrites its own rows instead of
+    double-appending to a shared path; the curation fragment pattern).
+    Readers take the tree root — ``batch`` comes back as the
+    partition column. Returns the StreamingQuery."""
 
     def batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -174,9 +180,9 @@ def stream_substring_dedup(
             text_col, id_col, n, min_count, base_hash,
             batch_id=int(epoch_id),
         )
-        cleaned.withColumn("batch", F.lit(int(epoch_id))).write.mode(
-            "append"
-        ).parquet(out_path)
+        cleaned.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={int(epoch_id)}")
+        )
 
     writer = docs_stream.writeStream.foreachBatch(batch_fn).outputMode(
         "append"

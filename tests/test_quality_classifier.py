@@ -134,6 +134,45 @@ class TestFit:
               for r in quality_classifier_score(probe, b).collect()}
         assert sa == sb
 
+    def test_torn_save_rejected_exactly(self, spark, tmp_path):
+        """A weights/ tree from one save under a meta/ from another
+        (crash between the two overwrites) must refuse to load; the
+        fingerprint is integer-exact and order-independent, so an
+        INTACT artifact never trips it however parquet reorders the
+        read-back (r10 advice: the old float-sum tolerance could
+        spuriously reject large-dim models)."""
+        import shutil
+
+        from cod_stats_spark.operators.quality_classifier import (
+            QualityClassifierModel,
+            _weights_fingerprint,
+            load_classifier,
+            save_classifier,
+        )
+
+        w1 = [0.0] * 256
+        w2 = [0.0] * 256
+        for i in range(0, 256, 3):
+            w1[i] = (i - 128) / 7.0
+            w2[i] = (i - 128) / 7.0 + 1e-9  # sub-float-tolerance tear
+        m1 = QualityClassifierModel(dim=256, ngrams=2, weights=w1, bias=0.1)
+        m2 = QualityClassifierModel(dim=256, ngrams=2, weights=w2, bias=0.1)
+        save_classifier(spark, m1, str(tmp_path / "a"))
+        save_classifier(spark, m2, str(tmp_path / "b"))
+        # intact artifacts load
+        assert load_classifier(spark, str(tmp_path / "a")).weights == w1
+        # tear: a's meta over b's weights — same n_nonzero, weight
+        # values differing below any float-sum tolerance
+        shutil.rmtree(tmp_path / "b" / "meta")
+        shutil.copytree(tmp_path / "a" / "meta", tmp_path / "b" / "meta")
+        with pytest.raises(ValueError, match="torn"):
+            load_classifier(spark, str(tmp_path / "b"))
+        # the fingerprint itself is order-independent
+        pairs = [(i, w) for i, w in enumerate(w1) if w != 0.0]
+        assert _weights_fingerprint(pairs) == _weights_fingerprint(
+            list(reversed(pairs))
+        )
+
     def test_guards(self, spark):
         from cod_stats_spark.operators.quality_classifier import (
             QualityClassifierModel,

@@ -851,6 +851,49 @@ class TestStatefulAnomaly:
         assert got[1_700_000_000 + 6][1] is True       # the spike
         assert got[1_700_000_000 + 10_000] == (None, False)  # pruned
 
+    def test_cross_chunk_disorder_one_global_sort(self, spark, tmp_path):
+        """A key whose micro-batch spans multiple Arrow chunks with
+        cross-chunk time disorder must still score every event against
+        its full strictly-earlier window: the fold concatenates and
+        sorts ONCE per key (r10 advice — a per-chunk sort let the
+        monotonic expiry cursor skip history still in range for a
+        later chunk's earlier events)."""
+        import datetime as dt
+
+        from cod_stats_spark.operators.anomaly import flag_anomalies
+
+        t0 = dt.datetime(2026, 1, 1, 10, 0)
+        sec = dt.timedelta(seconds=10)
+        vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 100.0, 10.2, 9.8]
+        rows = [(1, t0 + i * sec, v) for i, v in enumerate(vals)]
+        # write DESCENDING in time: chunk 1 then holds the latest
+        # events, chunk 2 earlier ones — the disorder the advice names
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        try:
+            got = self._run_batches(
+                spark, tmp_path, [list(reversed(rows))],
+                window_seconds=3600, min_points=5,
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        )
+        want = {
+            (r["user_id"], r["ts"]): (
+                None if r["zscore"] is None else round(r["zscore"], 9),
+                r["is_anomaly"],
+            )
+            for r in flag_anomalies(
+                ev, "value", ["user_id"], "ts", 3600, min_points=5
+            ).collect()
+        }
+        assert got == want
+        assert got[(1, t0 + 6 * sec)][1] is True  # the spike
+
     def test_guards(self, spark):
         import pytest
 

@@ -25,11 +25,24 @@ Per micro-batch (foreachBatch):
    ever rewritten or re-sketched.
 
 Scale shape: the batch side of every join is one micro-batch
-(broadcastable); the index sides are append-only tables that a real
-deployment buckets by fp / (band, band_hash) so the probes are
-co-located joins with partition pruning. Candidate verification reads
-only the corpus rows whose ids collided — a semi-join-restricted scan,
-never the whole corpus.
+(broadcastable); the index sides are append-only trees HIVE-
+PARTITIONED by a stable key bucket — ``fingerprints/pb=K`` with
+``K = pmod(xxhash64(fp), fp_buckets)`` and ``bands/pb=K`` with
+``K = pmod(band_hash, band_buckets)`` — and every probe first filters
+on the batch's own (micro-batch-bounded) bucket set as a LITERAL
+partition predicate, so the scan reads only the matching directories
+(PartitionFilters in the plan, asserted in
+tests/test_incremental_dedup_layout.py) instead of the whole index.
+Per-batch probe cost is then ~ index_size × |batch buckets| /
+n_buckets: the bucket counts are the scale knob (64 default; size a
+100 TB deployment at ≳ corpus_rows/batch_rows so a batch's bucket set
+stays a small fraction). Counts are FIXED for an index's lifetime —
+recorded in a ``_LAYOUT.fp{N}.bh{M}`` marker at creation and
+validated on every later call (re-bucketing history would silently
+hide it from probes). Pre-r11 FLAT index trees are detected and read
+without pruning (the legacy shape; rebuild the index to upgrade).
+Candidate verification reads only the corpus rows whose ids collided
+— a semi-join-restricted scan, never the whole corpus.
 
 Reference: the reference has no near-dup machinery (its dedup is the
 INSERT OR IGNORE natural key, parse_matches.sh:613) — this extends the
@@ -39,6 +52,7 @@ same incremental contract to content-level duplicates.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -60,14 +74,96 @@ from cod_stats_spark.streaming._state import _fs_for
 FP_SCHEMA = "id long, fp string, b long"
 BANDS_SCHEMA = "id long, band int, band_hash long, b long"
 
+#: default bucket counts for a NEW index tree (the scale knob — fixed
+#: at creation, recorded in the _LAYOUT marker; see module docstring)
+DEFAULT_FP_BUCKETS = 64
+DEFAULT_BAND_BUCKETS = 64
 
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+_LAYOUT_RE = re.compile(r"^_LAYOUT\.fp(\d+)\.bh(\d+)$")
+
+
+def _index_layout(
+    fs,
+    index_path: str,
+    fp_buckets: int | None,
+    band_buckets: int | None,
+) -> tuple[int, int]:
+    """Resolve (and on first use, record) the index tree's bucket
+    layout. Returns (fp_buckets, band_buckets); (0, 0) means a
+    pre-layout FLAT tree (read without pruning, append flat — mixing
+    partitioned and flat files under one root would break partition
+    discovery; rebuild to upgrade, or run compact_dedup_index).
+
+    The ``_LAYOUT.fp{N}.bh{M}`` marker is authoritative once written:
+    a caller passing DIFFERENT explicit counts gets a ValueError —
+    bucketing history under one count and probing under another would
+    silently hide index rows from every probe."""
+    names = fs.list_names(index_path) if fs.exists(index_path) else []
+    marker = next((m for m in map(_LAYOUT_RE.match, names) if m), None)
+    if marker is not None:
+        nf, nb = int(marker.group(1)), int(marker.group(2))
+        for want, got, knob in (
+            (fp_buckets, nf, "fp_buckets"),
+            (band_buckets, nb, "band_buckets"),
+        ):
+            if want is not None and int(want) != got:
+                raise ValueError(
+                    f"dedup index {index_path} was created with "
+                    f"{knob}={got}; got {want} — bucket counts are "
+                    "fixed for an index's lifetime (rebuild to change)"
+                )
+        return nf, nb
+    if any(
+        fs.exists(os.path.join(index_path, d))
+        for d in ("fingerprints", "bands")
+    ):
+        return 0, 0  # legacy flat tree
+    nf = DEFAULT_FP_BUCKETS if fp_buckets is None else int(fp_buckets)
+    nb = DEFAULT_BAND_BUCKETS if band_buckets is None else int(band_buckets)
+    if nf < 1 or nb < 1:
+        raise ValueError("bucket counts must be >= 1")
+    # marker FIRST: a crash between marker and first append leaves an
+    # empty-but-described tree, never bucketed dirs misread as flat
+    fs.mkdirs(index_path)
+    fs.create_text(
+        os.path.join(index_path, f"_LAYOUT.fp{nf}.bh{nb}"), f"{nf} {nb}"
+    )
+    return nf, nb
+
+
+def _fp_bucket(fp, n: int):
+    return F.pmod(F.xxhash64(fp), F.lit(int(n))).cast("int")
+
+
+def _band_bucket(band_hash, n: int):
+    return F.pmod(band_hash, F.lit(int(n))).cast("int")
+
+
+def _read_or_empty(
+    spark: SparkSession, path: str, schema: str, buckets: int = 0
+) -> DataFrame:
     # existence through the path's own filesystem (local os for plain
     # paths, Hadoop FS for schemed ones) — a driver-local isdir would
     # silently treat an hdfs://s3a:// index as forever-absent (r10)
+    if buckets:
+        schema = schema + ", pb int"  # the Hive partition column
     if _fs_for(spark, path).exists(path):
         return spark.read.schema(schema).parquet(path)
     return spark.createDataFrame([], schema)
+
+
+def _pruned_index(
+    spark: SparkSession, path: str, schema: str, buckets: int, pbs: list[int]
+) -> DataFrame:
+    """The probe-side index scan: pruned to the batch's bucket set as
+    a LITERAL predicate over the Hive partition column when the tree
+    is bucketed (PartitionFilters in the plan — asserted in
+    tests/test_incremental_dedup_layout.py), the full scan on a
+    legacy flat tree (buckets == 0)."""
+    df = _read_or_empty(spark, path, schema, buckets)
+    if buckets:
+        df = df.where(F.col("pb").isin([int(p) for p in pbs]))
+    return df
 
 
 def stream_dedup_by_key(
@@ -157,9 +253,17 @@ def dedup_batch_against_corpus(
     bands: int = 16,
     shingle_n: int = 3,
     batch_id: int | None = None,
+    fp_buckets: int | None = None,
+    band_buckets: int | None = None,
 ) -> DataFrame:
     """One incremental-dedup step: returns the batch's surviving rows
     and appends them (plus their index entries) to corpus/index.
+
+    ``fp_buckets`` / ``band_buckets``: partition counts for a NEW
+    index tree (None = the defaults; recorded in the _LAYOUT marker
+    and validated thereafter — the module-docstring scale knob).
+    Probes against an existing tree always follow the tree's own
+    recorded layout.
 
     Ids must be globally unique across batches and corpus (the ingest
     layer's key contract). Callable directly for batch backfills; the
@@ -189,6 +293,7 @@ def dedup_batch_against_corpus(
     fp_path = os.path.join(index_path, "fingerprints")
     bands_path = os.path.join(index_path, "bands")
     fs = _fs_for(spark, index_path)
+    nf, nb = _index_layout(fs, index_path, fp_buckets, band_buckets)
     marker = (
         None
         if batch_id is None
@@ -209,8 +314,23 @@ def dedup_batch_against_corpus(
     batch = batch.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") == 1
     ).drop("_rn")
-    # exact, vs corpus: anti-join the fingerprint index
-    fp_index = _not_own(_read_or_empty(spark, fp_path, FP_SCHEMA))
+    # exact, vs corpus: anti-join the fingerprint index. The batch's
+    # fingerprint bucket set is micro-batch-bounded (≤ min(|batch|,
+    # nf) values); as a literal isin over the partition column it
+    # statically prunes the index scan to the matching pb=
+    # directories — the probe reads ~|touched buckets|/nf of the
+    # index, not all of it
+    pbs = (
+        [
+            r[0]
+            for r in batch.select(_fp_bucket(F.col("_fp"), nf).alias("pb"))
+            .distinct()
+            .collect()
+        ]
+        if nf
+        else []
+    )
+    fp_index = _not_own(_pruned_index(spark, fp_path, FP_SCHEMA, nf, pbs))
     # lazy persist, no count barrier: the consumers below run as
     # sequential jobs, so the first one (the band-key checkpoint)
     # populates the cache and the rest read it
@@ -244,9 +364,26 @@ def dedup_batch_against_corpus(
 
     # near, vs corpus: probe the band index with the batch's band keys
     if _fs_for(spark, corpus_path).exists(corpus_path):
-        band_index = _not_own(_read_or_empty(spark, bands_path, BANDS_SCHEMA))
         near_bands = batch_bands.join(
             batch_near.select(F.col(id_col).alias("id")), "id", "left_semi"
+        )
+        # same static pruning as the fingerprint probe: the batch's
+        # band-hash bucket set (≤ min(batch keys, nb)) as a literal
+        # partition predicate
+        bpbs = (
+            [
+                r[0]
+                for r in near_bands.select(
+                    _band_bucket(F.col("band_hash"), nb).alias("pb")
+                )
+                .distinct()
+                .collect()
+            ]
+            if nb
+            else []
+        )
+        band_index = _not_own(
+            _pruned_index(spark, bands_path, BANDS_SCHEMA, nb, bpbs)
         )
         candidates = (
             band_index.join(
@@ -284,12 +421,24 @@ def dedup_batch_against_corpus(
     if not applied:
         _b = F.lit(-1 if batch_id is None else int(batch_id)).alias("b")
         survivors.drop("_fp").write.mode("append").parquet(corpus_path)
-        survivors.select(
+        fp_rows = survivors.select(
             F.col(id_col).alias("id"), F.col("_fp").alias("fp"), _b
-        ).write.mode("append").parquet(fp_path)
-        batch_bands.join(
+        )
+        band_rows = batch_bands.join(
             survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
-        ).withColumn("b", _b).write.mode("append").parquet(bands_path)
+        ).withColumn("b", _b)
+        if nf:
+            fp_rows.withColumn("pb", _fp_bucket(F.col("fp"), nf)).write.mode(
+                "append"
+            ).partitionBy("pb").parquet(fp_path)
+        else:  # legacy flat tree: keep its shape (no mixed layouts)
+            fp_rows.write.mode("append").parquet(fp_path)
+        if nb:
+            band_rows.withColumn(
+                "pb", _band_bucket(F.col("band_hash"), nb)
+            ).write.mode("append").partitionBy("pb").parquet(bands_path)
+        else:
+            band_rows.write.mode("append").parquet(bands_path)
         if marker is not None:
             fs.create_text(marker, str(int(batch_id)))
     return survivors.drop("_fp")
@@ -307,6 +456,8 @@ def stream_dedup_to_corpus(
     num_hashes: int = 32,
     bands: int = 16,
     shingle_n: int = 3,
+    fp_buckets: int | None = None,
+    band_buckets: int | None = None,
 ):
     """Structured-Streaming wrapper: each micro-batch is deduped against
     itself and the corpus-so-far, survivors append to corpus + index.
@@ -317,6 +468,7 @@ def stream_dedup_to_corpus(
             spark, batch_df, text_col, id_col, corpus_path, index_path,
             threshold, num_hashes, bands, shingle_n,
             batch_id=int(epoch_id),
+            fp_buckets=fp_buckets, band_buckets=band_buckets,
         )
 
     writer = docs_stream.writeStream.foreachBatch(batch_fn).outputMode("append")

@@ -1,0 +1,215 @@
+"""Bucketed layout for the incremental lexical dedup index
+(streaming/dedup.py, r11): Hive-partitioned fingerprint/band trees,
+statically pruned probes (PartitionFilters), the _LAYOUT marker
+contract, legacy flat-tree fallback, and replay idempotence over the
+partitioned layout."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far "
+    "away into the deep green forest to hide from the hunters"
+)
+NOVEL = (
+    "a genuinely novel document mentioning broadcast joins bloom "
+    "filters and partition pruning tricks at terabyte scale"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestBucketedIndexLayout:
+    def test_index_trees_are_hive_partitioned(self, spark, tmp_path):
+        """Appends land under pb= directories; the _LAYOUT marker
+        records the bucket counts chosen at creation."""
+        from cod_stats_spark.streaming.dedup import dedup_batch_against_corpus
+
+        corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+        dedup_batch_against_corpus(
+            spark, _docs(spark, [(1, BASE), (2, NOVEL)]),
+            "text", "doc_id", corpus, index,
+            threshold=0.6, fp_buckets=8, band_buckets=16,
+        ).collect()
+        assert os.path.exists(os.path.join(index, "_LAYOUT.fp8.bh16"))
+        fp_dirs = [
+            n for n in os.listdir(os.path.join(index, "fingerprints"))
+            if n.startswith("pb=")
+        ]
+        band_dirs = [
+            n for n in os.listdir(os.path.join(index, "bands"))
+            if n.startswith("pb=")
+        ]
+        assert fp_dirs and band_dirs
+        assert all(0 <= int(n[3:]) < 8 for n in fp_dirs)
+        assert all(0 <= int(n[3:]) < 16 for n in band_dirs)
+        # the partition column reads back and matches the bucket rule
+        fps = spark.read.parquet(os.path.join(index, "fingerprints"))
+        bad = fps.where(
+            F.col("pb")
+            != F.pmod(F.xxhash64(F.col("fp")), F.lit(8)).cast("int")
+        )
+        assert bad.count() == 0
+
+    def test_probe_plan_has_partition_filters(self, spark, tmp_path):
+        """The probe-side scan prunes on the partition column as a
+        PartitionFilter (static, provable), not a post-scan row
+        filter — the write_lsh_index assertion template."""
+        from cod_stats_spark.streaming.dedup import (
+            BANDS_SCHEMA,
+            FP_SCHEMA,
+            _pruned_index,
+            dedup_batch_against_corpus,
+        )
+
+        corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+        dedup_batch_against_corpus(
+            spark, _docs(spark, [(1, BASE), (2, NOVEL)]),
+            "text", "doc_id", corpus, index,
+            threshold=0.6, fp_buckets=8, band_buckets=16,
+        ).collect()
+        fp_probe = _pruned_index(
+            spark, os.path.join(index, "fingerprints"), FP_SCHEMA, 8, [1, 3]
+        )
+        plan = fp_probe._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "pb" in plan.split("PartitionFilters", 1)[1][:200]
+        band_probe = _pruned_index(
+            spark, os.path.join(index, "bands"), BANDS_SCHEMA, 16, [2]
+        )
+        plan = band_probe._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "pb" in plan.split("PartitionFilters", 1)[1][:200]
+
+    def test_bucketed_results_match_contract(self, spark, tmp_path):
+        """Same dedup decisions as the flat layout: exact + near dups
+        of the corpus die, novel docs survive, across batches."""
+        from cod_stats_spark.streaming.dedup import dedup_batch_against_corpus
+
+        corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+        out1 = {
+            r["doc_id"]
+            for r in dedup_batch_against_corpus(
+                spark, _docs(spark, [(1, BASE), (2, BASE), (3, NOVEL)]),
+                "text", "doc_id", corpus, index,
+                threshold=0.6, fp_buckets=4, band_buckets=4,
+            ).collect()
+        }
+        assert out1 == {1, 3}
+        out2 = {
+            r["doc_id"]
+            for r in dedup_batch_against_corpus(
+                spark,
+                _docs(
+                    spark,
+                    [
+                        (10, BASE),  # exact dup of corpus 1
+                        (11, BASE.replace("hunters", "wolves")),  # near dup
+                        (12, "entirely fresh words about watermarks and "
+                             "stateful streaming aggregation semantics"),
+                    ],
+                ),
+                "text", "doc_id", corpus, index, threshold=0.6,
+            ).collect()
+        }
+        assert out2 == {12}
+        kept = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+        assert kept == {1, 3, 12}
+
+    def test_bucket_count_mismatch_rejected(self, spark, tmp_path):
+        """Probing under a different bucket count than the tree was
+        built with would silently hide history — refuse it."""
+        from cod_stats_spark.streaming.dedup import dedup_batch_against_corpus
+
+        corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+        dedup_batch_against_corpus(
+            spark, _docs(spark, [(1, BASE)]), "text", "doc_id",
+            corpus, index, fp_buckets=8, band_buckets=8,
+        ).collect()
+        with pytest.raises(ValueError, match="fp_buckets"):
+            dedup_batch_against_corpus(
+                spark, _docs(spark, [(2, NOVEL)]), "text", "doc_id",
+                corpus, index, fp_buckets=16, band_buckets=8,
+            )
+        # None = follow the tree's own layout — allowed
+        dedup_batch_against_corpus(
+            spark, _docs(spark, [(2, NOVEL)]), "text", "doc_id",
+            corpus, index,
+        ).collect()
+
+    def test_legacy_flat_tree_still_probes_and_appends(self, spark, tmp_path):
+        """A pre-r11 flat index (no _LAYOUT marker, files at the tree
+        root) keeps working: full-scan probes, flat appends, correct
+        decisions — no mixed layout is ever written."""
+        from cod_stats_spark.functions.text import fingerprint
+        from cod_stats_spark.operators.dedup import minhash_band_keys
+        from cod_stats_spark.streaming.dedup import dedup_batch_against_corpus
+
+        corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+        seed = _docs(spark, [(1, BASE)])
+        seed.write.parquet(corpus)
+        seed.select(
+            F.col("doc_id").alias("id"),
+            fingerprint(F.col("text")).alias("fp"),
+            F.lit(None).cast("long").alias("b"),
+        ).write.parquet(os.path.join(index, "fingerprints"))
+        minhash_band_keys(seed, "text", "doc_id", 32, 16, 3).withColumn(
+            "b", F.lit(None).cast("long")
+        ).write.parquet(os.path.join(index, "bands"))
+
+        out = {
+            r["doc_id"]
+            for r in dedup_batch_against_corpus(
+                spark,
+                _docs(
+                    spark,
+                    [(10, BASE), (11, BASE.replace("hunters", "wolves")),
+                     (12, NOVEL)],
+                ),
+                "text", "doc_id", corpus, index, threshold=0.6,
+            ).collect()
+        }
+        assert out == {12}
+        # appends stayed flat: no pb= dirs, no layout marker appeared
+        assert not any(
+            n.startswith("pb=")
+            for n in os.listdir(os.path.join(index, "fingerprints"))
+        )
+        assert not any(n.startswith("_LAYOUT") for n in os.listdir(index))
+
+    def test_replay_idempotent_over_partitioned_layout(self, spark, tmp_path):
+        """The r10 at-least-once guard holds over pb= partitions: a
+        replayed batch id recomputes the same survivors and does not
+        double the index."""
+        from cod_stats_spark.streaming.dedup import dedup_batch_against_corpus
+
+        corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+        dedup_batch_against_corpus(
+            spark, _docs(spark, [(1, BASE)]), "text", "doc_id",
+            corpus, index, threshold=0.6, batch_id=0,
+            fp_buckets=4, band_buckets=4,
+        ).collect()
+        b2 = _docs(spark, [(10, BASE), (12, NOVEL)])
+        first = {
+            r["doc_id"]
+            for r in dedup_batch_against_corpus(
+                spark, b2, "text", "doc_id", corpus, index,
+                threshold=0.6, batch_id=1,
+            ).collect()
+        }
+        replay = {
+            r["doc_id"]
+            for r in dedup_batch_against_corpus(
+                spark, b2, "text", "doc_id", corpus, index,
+                threshold=0.6, batch_id=1,
+            ).collect()
+        }
+        assert first == replay == {12}
+        fps = spark.read.parquet(os.path.join(index, "fingerprints"))
+        assert sorted(r["id"] for r in fps.collect()) == [1, 12]

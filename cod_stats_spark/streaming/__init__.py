@@ -25,6 +25,11 @@ from cod_stats_spark.streaming.sessions import (
     streaming_session_rollup,
     stateful_sessionize,
 )
+from cod_stats_spark.streaming.compaction import (
+    compact_dedup_index,
+    compact_semantic_state,
+    compact_state_tree,
+)
 
 __all__ = [
     "stream_events",
@@ -43,4 +48,7 @@ __all__ = [
     "apply_scd2_batch",
     "read_scd2_dim",
     "stream_scd2_apply",
+    "compact_state_tree",
+    "compact_dedup_index",
+    "compact_semantic_state",
 ]

@@ -65,6 +65,21 @@ class _LocalStateFS:
         with open(p, "w") as f:
             f.write(s)
 
+    def list_files(self, d: str) -> list[str]:
+        """All regular files under ``d``, recursively (full paths)."""
+        out = []
+        for root, _dirs, names in os.walk(d):
+            out.extend(os.path.join(root, n) for n in names)
+        return out
+
+    def delete(self, p: str) -> None:
+        if os.path.isdir(p):
+            import shutil
+
+            shutil.rmtree(p, ignore_errors=True)
+        elif os.path.exists(p):
+            os.remove(p)
+
 
 class _HadoopStateFS:
     """Schemed-path backend through the JVM Hadoop FileSystem —
@@ -107,6 +122,20 @@ class _HadoopStateFS:
             out.write(bytearray(s.encode()))
         finally:
             out.close()
+
+    def list_files(self, d: str) -> list[str]:
+        """All regular files under ``d``, recursively (full paths)."""
+        jp = self._jPath(d)
+        if not self._fs.exists(jp):
+            return []
+        it = self._fs.listFiles(jp, True)
+        out = []
+        while it.hasNext():
+            out.append(it.next().getPath().toString())
+        return out
+
+    def delete(self, p: str) -> None:
+        self._fs.delete(self._jPath(p), True)
 
 
 def _fs_for(spark: SparkSession, path: str):

@@ -1,0 +1,143 @@
+"""In-place compaction for append-only streaming state trees.
+
+Every append-only state this package maintains — the lexical dedup
+index (``fingerprints/pb=K``, ``bands/pb=K``), the semantic-dedup
+state (``cluster=K``), per-batch output fragments — accrues one small
+parquet file per micro-batch per partition, forever. Probe cost then
+grows with FILE COUNT even when partition pruning keeps the read
+row-bounded (listing + per-file open dominates; the r11
+probe-flatness audit shows the scan task count climbing batch over
+batch). This module is the maintenance half of the bargain: rewrite a
+tree's partitions down to one file each, in place, without breaking
+the replay contract.
+
+Crash-safety WITHOUT renames (the _state.py doctrine — no atomic
+rename on object stores): compaction
+
+1. snapshots the tree's current data-file list,
+2. reads the tree, drops exact-duplicate rows, and APPENDS the
+   compacted rows as new files (one per partition, via a repartition
+   on the partition column),
+3. deletes exactly the snapshotted old files.
+
+A crash between (2) and (3) leaves rows duplicated across old and new
+files — harmless by the replay doctrine these trees already obey
+(duplicate index/state rows make the same probe decisions; the next
+compaction's dropDuplicates collapses them). A crash mid-(3) likewise.
+The ``b`` replay tags are ordinary data columns and survive verbatim;
+``_APPLIED`` / ``_LAYOUT`` markers are untouched (only data files are
+snapshotted and deleted).
+
+Single-writer contract (same as the appends themselves): run
+compaction from the serialized maintenance loop that owns the state
+dir — foreachBatch between batches, or a paused stream. A probe
+scanning the tree concurrently with step (3) could hit a deleted
+file; the owner loop never does.
+
+Exact-duplicate-row collapse is SAFE for these trees by construction:
+two distinct documents never share a full row (ids differ), so the
+only full-row duplicates are replay/compaction residue. It would NOT
+be safe for trees whose row multiplicity is meaningful — don't point
+this at an event log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from cod_stats_spark.streaming._state import _fs_for
+
+
+def _data_files(fs, path: str) -> list[str]:
+    """Parquet data files under ``path`` — markers (_APPLIED, _LAYOUT,
+    _SUCCESS, _COMMIT) and hidden staging files are never touched."""
+    out = []
+    for p in fs.list_files(path):
+        name = p.rsplit("/", 1)[-1]
+        if name.startswith(("_", ".")):
+            continue
+        out.append(p)
+    return out
+
+
+def compact_state_tree(
+    spark: SparkSession,
+    path: str,
+    partition_col: str | None = None,
+    target_files: int = 1,
+) -> dict:
+    """Compact one append-only parquet tree in place. Returns counts
+    ``{"files_before": n, "files_after": m}``; a missing, empty, or
+    already-compact tree is a no-op.
+
+    ``partition_col``: the tree's Hive partition column (``pb`` for
+    the dedup index, ``cluster`` for semantic state, ``batch`` for
+    per-epoch fragment trees) — compacted rows land back in their own
+    partition directory, ``target_files`` files per partition (1
+    default). None = an unpartitioned tree, compacted to
+    ``target_files`` files total.
+    """
+    fs = _fs_for(spark, path)
+    if not fs.exists(path):
+        return {"files_before": 0, "files_after": 0, "rows": 0}
+    old = _data_files(fs, path)
+    if len(old) <= max(int(target_files), 1):
+        return {"files_before": len(old), "files_after": len(old)}
+    df = spark.read.parquet(path).dropDuplicates()
+    if partition_col is not None:
+        if partition_col not in df.columns:
+            raise ValueError(
+                f"compact_state_tree: {path} has no partition column "
+                f"{partition_col!r} (columns: {df.columns})"
+            )
+        # all rows of one partition value in one task -> exactly
+        # target_files file(s) per pb=/cluster=/batch= directory
+        writer = (
+            df.repartition(F.col(partition_col))
+            if target_files == 1
+            else df.repartition(int(target_files), F.col(partition_col))
+        ).write.mode("append").partitionBy(partition_col)
+    else:
+        writer = df.coalesce(int(target_files)).write.mode("append")
+    # the append is an action: every old file is fully read and the
+    # compacted files are durable BEFORE any delete below
+    writer.parquet(path)
+    for p in old:
+        fs.delete(p)
+    new = _data_files(fs, path)
+    return {"files_before": len(old), "files_after": len(new)}
+
+
+def compact_dedup_index(spark: SparkSession, index_path: str) -> dict:
+    """Compact both halves of an incremental lexical dedup index
+    (streaming/dedup.py), following the tree's own recorded layout —
+    bucketed trees keep their pb= partitioning, legacy flat trees
+    compact flat. _LAYOUT and _APPLIED markers are preserved."""
+    import os
+
+    from cod_stats_spark.streaming.dedup import _LAYOUT_RE, _index_layout
+
+    fs = _fs_for(spark, index_path)
+    if not fs.exists(index_path):
+        return {}
+    names = fs.list_names(index_path)
+    if not any(_LAYOUT_RE.match(n) for n in names) and not any(
+        n in ("fingerprints", "bands") for n in names
+    ):
+        return {}  # nothing indexed yet; don't create a layout marker
+    nf, nb = _index_layout(fs, index_path, None, None)
+    out = {}
+    for sub, buckets in (("fingerprints", nf), ("bands", nb)):
+        out[sub] = compact_state_tree(
+            spark,
+            os.path.join(index_path, sub),
+            partition_col="pb" if buckets else None,
+        )
+    return out
+
+
+def compact_semantic_state(spark: SparkSession, state_path: str) -> dict:
+    """Compact a semantic-dedup state tree (streaming/semantic.py) —
+    cluster-partitioned, ``b`` replay tags preserved."""
+    return compact_state_tree(spark, state_path, partition_col="cluster")

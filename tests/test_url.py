@@ -1,0 +1,203 @@
+"""URL/domain curation operators (functions/url.py): host extraction
+and canonicalization, eTLD+1 registered domain (multi-part + platform
+suffixes), blocklist/allowlist matching, per-domain rollup, and the
+funnel gate stage in both postures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _urls(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+
+CASES = [
+    (1, "https://www.Example.COM/path?q=1", "alpha"),
+    (2, "http://sub.news.example.co.uk/a", "bravo"),
+    (3, "https://blog.someone.blogspot.com/", "charlie"),
+    (4, "https://api.service.io:8443/v2", "delta"),
+    (5, "not a url", "echo"),
+    (6, None, "foxtrot"),
+    (7, "https://localhost/x", "golf"),
+    (8, "https://user:pw@secret.example.com/private", "hotel"),
+]
+
+
+class TestHostAndDomain:
+    def test_host_extraction_and_canonicalization(self, spark):
+        from cod_stats_spark.functions.url import url_host
+
+        got = {
+            r["doc_id"]: r["h"]
+            for r in _urls(spark, CASES)
+            .select("doc_id", url_host("url").alias("h"))
+            .collect()
+        }
+        assert got[1] == "example.com"          # lowered, www-stripped
+        assert got[2] == "sub.news.example.co.uk"
+        assert got[3] == "blog.someone.blogspot.com"
+        assert got[4] == "api.service.io"       # port excluded
+        assert got[5] is None                   # schemeless
+        assert got[6] is None
+        assert got[7] == "localhost"
+        assert got[8] == "secret.example.com"   # userinfo excluded
+
+    def test_registered_domain_rules(self, spark):
+        from cod_stats_spark.functions.url import registered_domain, url_host
+
+        got = {
+            r["doc_id"]: r["d"]
+            for r in _urls(spark, CASES)
+            .select(
+                "doc_id", registered_domain(url_host("url")).alias("d")
+            )
+            .collect()
+        }
+        assert got[1] == "example.com"
+        assert got[2] == "example.co.uk"          # multi-part ccTLD
+        assert got[3] == "someone.blogspot.com"   # platform suffix
+        assert got[4] == "service.io"
+        assert got[7] == "localhost"              # dotless -> itself
+        assert got[6] is None
+
+    def test_domain_matches_subdomain_semantics(self, spark):
+        from cod_stats_spark.functions.url import domain_matches, url_host
+
+        block = ["example.co.uk", "blogspot.com"]
+        got = {
+            r["doc_id"]: r["b"]
+            for r in _urls(spark, CASES)
+            .select(
+                "doc_id",
+                domain_matches(url_host("url"), block).alias("b"),
+            )
+            .collect()
+        }
+        assert got[2] is True    # subdomain of example.co.uk
+        assert got[3] is True    # subdomain of blogspot.com
+        assert got[1] is False
+        assert got[6] is False   # null host never matches
+        # empty list matches nothing
+        empty = _urls(spark, CASES).select(
+            domain_matches(url_host("url"), []).alias("b")
+        )
+        assert all(r["b"] is False for r in empty.collect())
+
+    def test_sql_builders_replay_in_duckdb(self, spark):
+        """The generated DuckDB SQL must agree with the Spark columns
+        row for row — the single-source contract the stat_aggregates
+        'dom:' arm relies on."""
+        import duckdb
+        import pandas as pd
+
+        from cod_stats_spark.functions.url import (
+            domain_matches,
+            domain_matches_sql,
+            registered_domain,
+            registered_domain_sql,
+            url_host,
+            url_host_sql,
+        )
+
+        block = ["example.co.uk", "blogspot.com"]
+        spark_rows = (
+            _urls(spark, CASES)
+            .select(
+                "doc_id",
+                url_host("url").alias("host"),
+                registered_domain(url_host("url")).alias("dom"),
+                domain_matches(url_host("url"), block).alias("blk"),
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        pdf = pd.DataFrame(
+            [(i, u) for i, u, _ in CASES], columns=["doc_id", "url"]
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        h = url_host_sql("url")
+        duck = con.sql(
+            f"SELECT doc_id, {h} AS host, "
+            f"{registered_domain_sql(h)} AS dom, "
+            f"{domain_matches_sql(h, block)} AS blk "
+            "FROM t ORDER BY doc_id"
+        ).fetchall()
+        got_spark = [(r["doc_id"], r["host"], r["dom"], r["blk"]) for r in spark_rows]
+        assert got_spark == [tuple(r) for r in duck]
+
+
+class TestDomainStatsAndGate:
+    def test_domain_stats_rollup(self, spark):
+        from cod_stats_spark.functions.url import domain_stats
+
+        got = {
+            r["domain"]: (r["n_docs"], r["n_hosts"])
+            for r in domain_stats(_urls(spark, CASES)).collect()
+        }
+        assert got["example.com"] == (2, 2)  # example.com + secret.
+        assert got["example.co.uk"] == (1, 1)
+        assert got[None][0] == 2             # unparseable rolls up visible
+
+    def test_domain_gate_block_and_allow(self, spark):
+        from cod_stats_spark.functions.url import domain_gate
+
+        docs = _urls(spark, CASES)
+        blocked = domain_gate(docs, "url", blocklist=["example.co.uk"])
+        assert {r["doc_id"] for r in blocked.collect()} == {1, 3, 4, 5, 6, 7, 8}
+        allowed = domain_gate(docs, "url", allowlist=["example.com"])
+        # null-host docs pass by default; only listed domains otherwise
+        assert {r["doc_id"] for r in allowed.collect()} == {1, 5, 6, 8}
+        strict = domain_gate(
+            docs, "url", allowlist=["example.com"], keep_null_host=False
+        )
+        assert {r["doc_id"] for r in strict.collect()} == {1, 8}
+
+    def test_domain_gate_broadcast_relation_path(self, spark):
+        from cod_stats_spark.functions.url import domain_gate
+
+        docs = _urls(spark, CASES)
+        big = spark.createDataFrame(
+            [("example.co.uk",), ("BLOGSPOT.COM",)], "domain string"
+        )
+        # registered-domain key: someone.blogspot.com's registered
+        # domain IS someone.blogspot.com (platform suffix), so the
+        # literal 'blogspot.com' entry does NOT match it — exact-domain
+        # semantics, as documented
+        out = domain_gate(docs, "url", broadcast_list=big)
+        assert {r["doc_id"] for r in out.collect()} == {1, 3, 4, 5, 6, 7, 8}
+
+    def test_funnel_domain_stage_both_postures(self, spark, tmp_path):
+        """curate_corpus and curate_corpus_append drop the same
+        blocked docs in their first stage; stateless, so append ==
+        rebuild is unaffected."""
+        from cod_stats_spark.plans.curation import (
+            curate_corpus,
+            curate_corpus_append,
+        )
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog in the park "
+            "and then sleeps for a while near the big warm rock",
+            "a completely different story about spark plans and the "
+            "catalyst optimizer working through a long adaptive query",
+        ]
+        rows = [
+            (i, f"https://w{i}.example.co.uk/a" if i % 2 == 0
+             else f"https://ok{i}.example.com/a", texts[i % 2] + f" v{i}")
+            for i in range(6)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, url string, text string"
+        )
+        _, stats = curate_corpus(
+            docs, None, str(tmp_path / "out"),
+            url_col="url", domain_blocklist=["example.co.uk"],
+        )
+        assert stats["after_domain_gate"] == 3
+        _, stats2 = curate_corpus_append(
+            spark, docs, None, str(tmp_path / "state"), batch_id=0,
+            url_col="url", domain_blocklist=["example.co.uk"],
+        )
+        assert stats2["after_domain_gate"] == 3

@@ -76,6 +76,11 @@ HEADLINE = [
     # counts -> driver merge training -> memoized mapInPandas encode;
     # new entry, new scope; BENCH_NOTES.md "New entries")
     "bpe_encode",
+    # round-11 addition: trained unigram-LM (SentencePiece-style)
+    # tokenization, whole job (word counts -> driver EM + pruning ->
+    # memoized Viterbi mapInPandas encode; new entry, new scope;
+    # BENCH_NOTES.md "New entries (round 11)")
+    "unigram_encode",
     # round-10 addition: trained hashed-bigram logistic quality
     # classifier, whole job (label synthesis -> 5 distributed-gradient
     # GD iterations -> relation-path scoring; new entry, new scope;
@@ -110,6 +115,12 @@ HEADLINE = [
     # round-6 addition: BLAS-scored batch KNN (new entry, new scope —
     # the scale-audit answer to knn_join's |Q|x|C| interpreted scoring)
     "knn_join_gemm",
+    # round-11 addition: SemDeDup embedding near-dup removal, whole
+    # job (new entry, new scope — deterministic centroid sample,
+    # zero-shuffle assignment, within-cluster pairing + worse-side
+    # drop; same parameterization as the tools/audit_olap.py rows so
+    # sf10eq cross-checks; BENCH_NOTES.md "New entries (round 11)")
+    "semantic_dedup",
     # round-7 addition: the capstone curation funnel end to end
     # (quality -> dedup -> decontaminate -> pack -> shard WRITE +
     # manifest read-back) — the whole-job number cross-round funnels

@@ -4804,6 +4804,73 @@ def json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select("o_custkey", doc.alias("doc"))
 
 
+#: blocklist for the 'dom:' arm — first entry matches every
+#: *.example.co.uk document (subdomain semantics through a multi-part
+#: suffix), second matches nothing (negative coverage)
+_DOM_BLOCK = ["example.co.uk", "spam.example.net"]
+
+
+def _dom_url_expr():
+    """Synthetic absolute URL per document, built by identical
+    arithmetic in both engines (the pii_redact convention — the
+    testdata corpus has no URL column). Shape exercises every branch
+    of functions/url.py: a www. prefix to strip (doc_id % 7), a
+    subdomain label, and three suffix families — a multi-part ccTLD
+    (example.co.uk), a platform suffix where every subdomain is its
+    own registered domain (blogspot.com), and a plain .com."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("https://"),
+        F.when(did % 7 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("sub"), (did % 5).cast("string"), F.lit("."),
+        F.col("source"), F.lit("-"), (did % 23).cast("string"),
+        F.when(did % 3 == 0, F.lit(".example.co.uk"))
+        .when(did % 3 == 1, F.lit(".blogspot.com"))
+        .otherwise(F.lit(".example.com")),
+        F.lit("/p/"), did.cast("string"),
+    )
+
+
+def _dom_url_sql() -> str:
+    return (
+        "'https://' || CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END"
+        " || 'sub' || (doc_id % 5)::VARCHAR || '.' || source || '-'"
+        " || (doc_id % 23)::VARCHAR"
+        " || CASE WHEN doc_id % 3 = 0 THEN '.example.co.uk'"
+        " WHEN doc_id % 3 = 1 THEN '.blogspot.com'"
+        " ELSE '.example.com' END || '/p/' || doc_id::VARCHAR"
+    )
+
+
+def _dom_oracle_sql() -> str:
+    """'dom:' rows: host extraction + canonicalization + registered
+    domain + subdomain blocklist matching + the per-domain rollup,
+    all regenerated from functions/url.py's own SQL builders (single
+    source of truth — suffix-list drift fails the gate loudly)."""
+    from cod_stats_spark.functions.url import (
+        domain_matches_sql,
+        registered_domain_sql,
+        url_host_sql,
+    )
+
+    return f"""
+SELECT 'dom:' || coalesce(domain, '~') AS grp,
+       n_chars::DOUBLE AS m1, n_blocked::DOUBLE AS m2,
+       n_hosts::DOUBLE AS m3, NULL::DOUBLE AS m4, n_docs AS n
+FROM (
+  SELECT {registered_domain_sql('host')} AS domain,
+         count(*) AS n_docs, sum(len) AS n_chars,
+         count(DISTINCT host) AS n_hosts,
+         sum({domain_matches_sql('host', _DOM_BLOCK)}::INT) AS n_blocked
+  FROM (
+    SELECT length(text) AS len, {url_host_sql('url')} AS host
+    FROM (SELECT doc_id, text, source, {_dom_url_sql()} AS url
+          FROM documents)
+  )
+  GROUP BY 1
+)"""
+
+
 def _stat_gate_extras() -> dict[str, str]:
     from cod_stats_spark.operators.funnel import (
         cohort_oracle_sql,
@@ -4816,12 +4883,13 @@ def _stat_gate_extras() -> dict[str, str]:
             _FUNNEL_STEPS, max_gap_seconds=_FUNNEL_GAP_S
         ),
         "cohort": cohort_oracle_sql(period="week"),
+        "dom": _dom_oracle_sql(),
     }
 
 
 @query(
     "stat_aggregates",
-    covers="EXT-olap EXT-analytics (statistical aggregates: stddev/variance/corr/covar + fixed-width bucketed histogram + exact interpolated quantiles per group; r7: + operators/profiling.profile_table's per-column count/null/mean/stddev/min/max rows, recomputed from scratch in SQL; r9: + operators/funnel.py — strict-sequential funnel over the event stream ['funnel:'], the 7-day-max-gap variant ['funnelgap:'], and weekly cohort retention triangles ['cohort:'], each replayed as chained CTEs in SQL; r9: + operators/expectations.py ['dq:'] — declarative data-quality checks (not_null/range/accepted_values/regex/unique/referential) incl. a genuinely FAILING unique on the synthetic lineitem PK, every violation count recomputed from scratch in SQL)",
+    covers="EXT-olap EXT-analytics (statistical aggregates: stddev/variance/corr/covar + fixed-width bucketed histogram + exact interpolated quantiles per group; r7: + operators/profiling.profile_table's per-column count/null/mean/stddev/min/max rows, recomputed from scratch in SQL; r9: + operators/funnel.py — strict-sequential funnel over the event stream ['funnel:'], the 7-day-max-gap variant ['funnelgap:'], and weekly cohort retention triangles ['cohort:'], each replayed as chained CTEs in SQL; r9: + operators/expectations.py ['dq:'] — declarative data-quality checks (not_null/range/accepted_values/regex/unique/referential) incl. a genuinely FAILING unique on the synthetic lineitem PK, every violation count recomputed from scratch in SQL; r11: + functions/url.py ['dom:'] — URL host extraction/canonicalization, eTLD+1 registered domain incl. multi-part and platform suffixes, subdomain blocklist matching, and the per-domain corpus rollup [domain_stats], every row recomputed from the same suffix constants in SQL over synthetic per-doc URLs)",
     oracle="""
 WITH prof AS (
   SELECT 'l_quantity' AS c, count(*) AS n_rows,
@@ -4959,6 +5027,8 @@ FROM (
           AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
          (SELECT count(*) FROM orders)
 )
+UNION ALL
+{dom}
 """.format(**_stat_gate_extras()),
 )
 def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5108,6 +5178,41 @@ def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_m.alias("m4"),
         F.col("n_rows").alias("n"),
     )
+    # r11: URL/domain curation arm (functions/url.py) — host
+    # extraction + canonicalization + registered domain + subdomain
+    # blocklist + the domain_stats rollup, over synthetic per-doc
+    # URLs (identical construction in the oracle)
+    from cod_stats_spark.functions.url import (
+        domain_matches,
+        domain_stats,
+        registered_domain,
+        url_host,
+    )
+
+    docs_url = t["documents"].withColumn("url", _dom_url_expr())
+    host = url_host(F.col("url"))
+    blk = (
+        docs_url.select(
+            registered_domain(host).alias("domain"),
+            domain_matches(host, _DOM_BLOCK).cast("int").alias("_blk"),
+        )
+        .groupBy("domain")
+        .agg(F.sum("_blk").alias("_nblk"))
+    )
+    dom = (
+        domain_stats(docs_url)
+        .join(blk, "domain", "left")
+        .select(
+            F.concat(
+                F.lit("dom:"), F.coalesce(F.col("domain"), F.lit("~"))
+            ).alias("grp"),
+            F.col("n_chars").cast("double").alias("m1"),
+            F.col("_nblk").cast("double").alias("m2"),
+            F.col("n_hosts").cast("double").alias("m3"),
+            null_m.alias("m4"),
+            F.col("n_docs").alias("n"),
+        )
+    )
     return (
         stats.unionByName(hist).unionByName(quant)
         .unionByName(prof).unionByName(prange)
@@ -5115,6 +5220,7 @@ def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(funnel_arm("funnelgap:", _FUNNEL_GAP_S))
         .unionByName(coh)
         .unionByName(dq)
+        .unionByName(dom)
     )
 
 
@@ -5992,6 +6098,81 @@ def quality_classifier_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("qc_score").alias("score_checksum"),
     ).where(F.col("score_checksum") > F.lit(-1))
+
+
+@_bench_only("unigram_encode")
+def unigram_encode_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed unigram-LM (SentencePiece-style) tokenization, whole job
+    (r11, new entry — BENCH_NOTES.md "New entries"): distributed word
+    counts (one explode + shuffle, the BPE trainer's corpus-sized
+    step, capped at 20k distinct words — the bounded driver-state
+    contract), driver-side EM training (seed substring vocabulary →
+    EM + mass-pruning rounds down to 512 pieces), then Viterbi
+    encoding the WHOLE corpus through the Arrow-batched memoized
+    mapInPandas path (operators/unigram_lm.py). Ends in the filtered
+    checksum aggregate referencing the token counts so bench.py's
+    count() cannot prune the encode (the lm_score count-pruning
+    hazard)."""
+    from cod_stats_spark.operators.unigram_lm import (
+        unigram_encode,
+        unigram_fit,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    vocab = unigram_fit(
+        docs,
+        vocab_size=512,
+        seed_size=4096,
+        max_words=20_000,
+        em_iters=1,
+        shrink_factor=0.5,
+    )
+    encoded = unigram_encode(docs, vocab)
+    return encoded.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ulm_n_tokens").alias("token_checksum"),
+    ).where(F.col("token_checksum") > F.lit(-1))
+
+
+@_bench_only("semantic_dedup")
+def semantic_dedup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed SemDeDup (operators/semantic.py — Abbas et al. 2023),
+    whole job (r11, new entry — BENCH_NOTES.md "New entries"):
+    md5-sample k = max(8, n/128) deterministic centroids (clusters
+    bounded to ~128 members, the paper's posture and the SAME
+    parameterization as tools/audit_olap.py's semantic_dedup case, so
+    the recorded sf0.1/1eq/10eq audit rows cross-check this entry),
+    zero-shuffle literal-centroid assignment, within-cluster n²/k
+    pairing, worse-side drop keeping the farthest-from-centroid
+    exemplar. Ends in the filtered checksum aggregate referencing the
+    survivor cosines so bench.py's count() cannot prune the pairing
+    join (the lm_score count-pruning hazard,
+    tests/test_plan_audit.py)."""
+    from cod_stats_spark.operators.semantic import semantic_dedup
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n = emb.count()
+    k = max(8, n // 128)
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")),
+            F.col("vec_id"),
+        )
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in sample]
+    out = semantic_dedup(emb, "embedding", "vec_id", cents, threshold=0.9)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.round(F.sum("centroid_cosine"), 4).alias("cos_checksum"),
+    ).where(
+        # data-dependent predicate: count() cannot column-prune a
+        # filter, so the aggregate — and the pairing plan under it —
+        # must evaluate
+        F.col("cos_checksum") > F.lit(-1e18)
+    )
 
 
 @_bench_only("knn_join_gemm")

@@ -93,8 +93,8 @@ class TestRealTableFormatMerge:
             "delta",
             reason="delta-spark not installed: io.delta:delta-spark_2.13 jar "
             "+ python package absent from image. Resolution re-attempted "
-            "2026-08-15 (r6–r9, and again in r10: curl rc=6 / http_code "
-            "000 to repo1.maven.org) — the "
+            "2026-08-15 (r6–r10, and again in r11: find_spec('delta') is "
+            "None, curl rc=6 / http_code 000 to repo1.maven.org) — the "
             "container is verifiably offline, "
             "so spark.jars.packages cannot fetch. Parquet emulation in "
             "operators/merge.py covers the semantics until the jar appears, "

@@ -22,8 +22,11 @@ which the bucket-count knob divides down (size n_buckets ≳
 corpus_rows/batch_rows at deployment scale).
 
 Usage:
-  python tools/probe_flatness.py [n_batches] [batch_size] [fp_buckets] [band_buckets]
-Defaults: 20 batches x 500 docs, 1024/1024 buckets.
+  python tools/probe_flatness.py [n_batches] [batch_size] [fp_buckets] [band_buckets] [compact_every]
+Defaults: 20 batches x 500 docs, 1024/1024 buckets, compaction every
+8 batches (0 = never) — compaction bounds the per-partition FILE
+count, the other axis probe cost grows along (one small file per
+batch per touched partition).
 Prints one JSON line per batch and a summary line.
 """
 
@@ -69,6 +72,7 @@ def main() -> None:
     batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 500
     fp_buckets = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
     band_buckets = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
+    compact_every = int(sys.argv[5]) if len(sys.argv) > 5 else 8
 
     from pyspark.sql import functions as F
 
@@ -125,6 +129,18 @@ def main() -> None:
             "kept": n_kept,
             **({"scope": scope} if scope else {}),
         }
+        if compact_every and (b + 1) % compact_every == 0:
+            from cod_stats_spark.streaming.compaction import (
+                compact_dedup_index,
+            )
+
+            t0 = time.monotonic()
+            cc = compact_dedup_index(spark, index)
+            rec["compact_sec"] = round(time.monotonic() - t0, 3)
+            rec["compact"] = {
+                k: f"{v['files_before']}->{v['files_after']}"
+                for k, v in cc.items()
+            }
         results.append(rec)
         print(json.dumps(rec), flush=True)
     timed = [r["sec"] for r in results[1:]]  # batch 0 builds the tree

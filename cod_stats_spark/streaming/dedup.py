@@ -428,15 +428,25 @@ def dedup_batch_against_corpus(
             survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
         ).withColumn("b", _b)
         if nf:
-            fp_rows.withColumn("pb", _fp_bucket(F.col("fp"), nf)).write.mode(
-                "append"
-            ).partitionBy("pb").parquet(fp_path)
+            # repartition on the partition column first: without it,
+            # every shuffle task writes a sliver into every touched
+            # pb= dir (tasks × buckets files PER BATCH — the r11
+            # flatness audit measured 9k files after 5 batches); with
+            # it, one file per touched dir per batch. The extra
+            # shuffle is micro-batch-sized.
+            fp_rows.withColumn(
+                "pb", _fp_bucket(F.col("fp"), nf)
+            ).repartition(F.col("pb")).write.mode("append").partitionBy(
+                "pb"
+            ).parquet(fp_path)
         else:  # legacy flat tree: keep its shape (no mixed layouts)
             fp_rows.write.mode("append").parquet(fp_path)
         if nb:
             band_rows.withColumn(
                 "pb", _band_bucket(F.col("band_hash"), nb)
-            ).write.mode("append").partitionBy("pb").parquet(bands_path)
+            ).repartition(F.col("pb")).write.mode("append").partitionBy(
+                "pb"
+            ).parquet(bands_path)
         else:
             band_rows.write.mode("append").parquet(bands_path)
         if marker is not None:

@@ -156,6 +156,10 @@ def semantic_batch_against_corpus(
         # caller but NEVER enter the state: they can't participate in
         # any future probe, and appending them every batch would grow
         # dead state without bound
+        # repartition on the partition column first — one file per
+        # touched cluster dir per batch instead of one per (task,
+        # cluster); state file count then grows with batches, not
+        # batches × tasks (the streaming/dedup.py append discipline)
         survivors.where(F.col("cluster").isNotNull()).select(
             F.col("_id").alias("id"),
             F.col("_v").alias("v"),
@@ -163,7 +167,9 @@ def semantic_batch_against_corpus(
             F.col("centroid_cosine").alias("cc"),
             F.lit(-1 if batch_id is None else int(batch_id)).alias("b"),
             "cluster",
-        ).write.mode("append").partitionBy("cluster").parquet(state_path)
+        ).repartition(F.col("cluster")).write.mode("append").partitionBy(
+            "cluster"
+        ).parquet(state_path)
         if marker is not None:
             # manifest-last: the marker's directory entry is the
             # atomic "this batch's exemplars are all durable" event

@@ -59,24 +59,30 @@ _MULTI_ALT = "|".join(s.replace(".", "[.]") for s in MULTI_SUFFIXES)
 PAT_MULTI = f"([^.]+[.](?:{_MULTI_ALT}))$"
 #: plain two-label tail
 PAT_TWO = "([^.]+[.][^.]+)$"
-#: host = authority of an absolute http(s) URL, minus userinfo/port
-_HOST_SQL_PAT = "^https?://(?:[^/@]*@)?([^/:?#]+)"
+#: host = authority of an absolute http(s) URL, minus userinfo/port.
+#: Scheme is case-insensitive ((?i) — Java and RE2 both honor the
+#: inline flag); any other scheme yields null. BOTH engines run this
+#: exact pattern (Spark regexp_extract, not parse_url, precisely so
+#: the oracle replay is the same extraction by construction —
+#: parse_url accepts non-http schemes and is case-sensitive, which
+#: made Spark and DuckDB disagree on 'HTTPS://…' and 'ftp://…').
+_HOST_PAT = "(?i)^https?://(?:[^/@]*@)?([^/:?#]+)"
 
 
 def url_host(url: Column | str) -> Column:
     """Canonical host: lowercase, no leading ``www.``, no trailing
     dot. Null when the URL has no parseable http(s) host."""
     u = F.col(url) if isinstance(url, str) else url
-    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    host = F.lower(F.regexp_extract(u, _HOST_PAT, 1))
     host = F.regexp_replace(host, r"^www\.", "")
     host = F.regexp_replace(host, r"\.$", "")
     return F.when(host != "", host)
 
 
 def url_host_sql(expr: str) -> str:
-    """DuckDB replay of :func:`url_host` (DuckDB has no parse_url —
-    the authority regex implements the same extraction)."""
-    h = f"regexp_replace(regexp_replace(lower(regexp_extract({expr}, '{_HOST_SQL_PAT}', 1)), '^www\\.', ''), '\\.$', '')"
+    """DuckDB replay of :func:`url_host` — the identical regex (the
+    module's single-source discipline)."""
+    h = f"regexp_replace(regexp_replace(lower(regexp_extract({expr}, '{_HOST_PAT}', 1)), '^www\\.', ''), '\\.$', '')"
     return f"nullif({h}, '')"
 
 
@@ -177,7 +183,6 @@ def domain_stats(
     docs: DataFrame,
     url_col: str = "url",
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """(domain, n_docs, n_chars, n_hosts) per registered domain — one
     groupBy shuffle over pure projections; the mixture/sampling key

@@ -313,13 +313,27 @@ def load_classifier(spark, path: str) -> QualityClassifierModel:
     m = spark.read.parquet(f"{path}/meta").first()
     w = [0.0] * int(m["dim"])
     rows = spark.read.parquet(f"{path}/weights").collect()
-    # exact equality: the fingerprint is an integer accumulation of
-    # (fid, weight-bits) pairs, so it is order-independent — a float
-    # sum would accrue reorder error scaling with n and sum(|w|) and
-    # could spuriously reject an intact large-dim artifact
-    if len(rows) != int(m["n_nonzero"]) or _weights_fingerprint(
-        [(int(r["fid"]), float(r["w"])) for r in rows]
-    ) != int(m["wfp"]):
+    meta_fields = set(m.asDict().keys())
+    if "wfp" in meta_fields:
+        # exact equality: the fingerprint is an integer accumulation
+        # of (fid, weight-bits) pairs, so it is order-independent — a
+        # float sum would accrue reorder error scaling with n and
+        # sum(|w|) and could spuriously reject an intact large-dim
+        # artifact
+        torn = len(rows) != int(m["n_nonzero"]) or _weights_fingerprint(
+            [(int(r["fid"]), float(r["w"])) for r in rows]
+        ) != int(m["wfp"])
+    else:
+        # legacy artifact (saved with the float-sum 'wsum' check):
+        # verify with the old semantics at a relative tolerance so an
+        # intact old model still loads — crashing on the field lookup
+        # would strand every previously shipped artifact
+        wsum = sum(float(r["w"]) for r in rows)
+        tol = 1e-6 + 1e-12 * sum(abs(float(r["w"])) for r in rows)
+        torn = len(rows) != int(m["n_nonzero"]) or abs(
+            wsum - float(m["wsum"])
+        ) > tol
+    if torn:
         raise ValueError(
             f"load_classifier: {path} is torn — weights don't match the "
             "meta fingerprint (crashed mid re-save?); re-save the model"

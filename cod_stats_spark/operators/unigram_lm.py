@@ -44,6 +44,8 @@ bit-identity.
 from __future__ import annotations
 
 import math
+import struct
+import zlib
 from collections import defaultdict
 from dataclasses import dataclass, field
 from typing import Iterator
@@ -294,31 +296,50 @@ def viterbi_encode_word(word: str, vocab: UnigramVocab) -> list[str]:
     return out
 
 
+def _vocab_fingerprint(pairs) -> int:
+    """Order-independent exact fingerprint of (piece, logp) rows:
+    sum (mod 2**63) of a CRC over each pair's (utf-8 piece, IEEE-754
+    bits of logp). A piece COUNT alone cannot detect the common torn
+    re-save — same vocab_size, different pieces/probabilities — which
+    would otherwise load new pieces under stale meta silently."""
+    acc = 0
+    for piece, lp in pairs:
+        acc = (
+            acc
+            + zlib.crc32(piece.encode("utf-8") + struct.pack("<d", float(lp)))
+        ) % (2**63)
+    return acc
+
+
 def save_unigram_vocab(spark, vocab: UnigramVocab, path: str) -> None:
     """Persist the model as a (piece, logp) parquet table plus a
-    one-row meta table (max_piece_len + piece-count fingerprint) —
-    meta written LAST, the torn-save discipline shared with the
-    quality classifier artifact."""
+    one-row meta table (max_piece_len + a value fingerprint of the
+    pieces) — meta written LAST, the torn-save discipline shared with
+    the quality classifier artifact."""
     rows = sorted(vocab.logp.items())
     spark.createDataFrame(
         rows, "piece string, logp double"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pieces")
     spark.createDataFrame(
-        [(int(vocab.max_piece_len), len(rows))],
-        "max_piece_len int, n_pieces int",
+        [(int(vocab.max_piece_len), len(rows), _vocab_fingerprint(rows))],
+        "max_piece_len int, n_pieces int, vfp long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def load_unigram_vocab(spark, path: str) -> UnigramVocab:
     m = spark.read.parquet(f"{path}/meta").first()
     rows = spark.read.parquet(f"{path}/pieces").collect()
-    if len(rows) != int(m["n_pieces"]):
+    pairs = [(r["piece"], float(r["logp"])) for r in rows]
+    torn = len(rows) != int(m["n_pieces"])
+    if not torn and "vfp" in set(m.asDict().keys()):
+        torn = _vocab_fingerprint(pairs) != int(m["vfp"])
+    if torn:
         raise ValueError(
-            f"load_unigram_vocab: {path} is torn — piece count doesn't "
-            "match meta (crashed mid re-save?); re-save the model"
+            f"load_unigram_vocab: {path} is torn — pieces don't match "
+            "meta (crashed mid re-save?); re-save the model"
         )
     return UnigramVocab(
-        logp={r["piece"]: float(r["logp"]) for r in rows},
+        logp=dict(pairs),
         max_piece_len=int(m["max_piece_len"]),
     )
 

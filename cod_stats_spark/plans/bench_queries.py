@@ -5199,12 +5199,19 @@ def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("domain")
         .agg(F.sum("_blk").alias("_nblk"))
     )
+    # null-safe join key: the no-parseable-host group is domain NULL
+    # on BOTH sides; a plain equi-join would leave its _nblk NULL
+    # while the oracle computes 0
     dom = (
-        domain_stats(docs_url)
-        .join(blk, "domain", "left")
+        domain_stats(docs_url).alias("ds")
+        .join(
+            blk.alias("blk"),
+            F.col("ds.domain").eqNullSafe(F.col("blk.domain")),
+            "left",
+        )
         .select(
             F.concat(
-                F.lit("dom:"), F.coalesce(F.col("domain"), F.lit("~"))
+                F.lit("dom:"), F.coalesce(F.col("ds.domain"), F.lit("~"))
             ).alias("grp"),
             F.col("n_chars").cast("double").alias("m1"),
             F.col("_nblk").cast("double").alias("m2"),

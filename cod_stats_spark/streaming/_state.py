@@ -191,6 +191,22 @@ def find_version_by_note(state_dir: str, note: str, fs=None) -> int | None:
     return max(hits) if hits else None
 
 
+def legacy_flat_output(spark: SparkSession, out_path: str, fs=None) -> bool:
+    """True when ``out_path`` already holds a pre-r11 flat output
+    tree: data files directly at the root instead of ``batch=<id>``
+    subdirs. Mixing the per-epoch partition dirs into such a tree
+    breaks partition discovery ("conflicting directory structures" —
+    leaf files at different depths), so streaming writers that find
+    one fall back to the flat append for the tree's lifetime (with
+    the pre-r11 at-least-once double-append caveat that layout always
+    had). Root-listing only — O(root entries), checked once per
+    stream."""
+    fs = fs or _fs_for(spark, out_path)
+    if not fs.exists(out_path):
+        return False
+    return any(n.startswith("part-") for n in fs.list_names(out_path))
+
+
 def write_state(
     df: DataFrame, state_dir: str, fs=None, note: str | None = None
 ) -> None:

@@ -82,24 +82,57 @@ def compact_state_tree(
     if not fs.exists(path):
         return {"files_before": 0, "files_after": 0, "rows": 0}
     old = _data_files(fs, path)
-    if len(old) <= max(int(target_files), 1):
+    # no-op check is PER LEAF DIR, not total: an already-compact
+    # 64-bucket tree has 64 files — comparing the total to
+    # target_files would re-read, re-write, and re-delete the whole
+    # index every maintenance cycle for zero net change
+    per_dir: dict[str, int] = {}
+    for p in old:
+        d = p.rsplit("/", 1)[0]
+        per_dir[d] = per_dir.get(d, 0) + 1
+    tgt = max(int(target_files), 1)
+    if not old or max(per_dir.values()) <= tgt:
         return {"files_before": len(old), "files_after": len(old)}
-    df = spark.read.parquet(path).dropDuplicates()
+    # mergeSchema: a legacy mixed-schema tree (pre-replay-tag files
+    # without the 'b' column under newer tagged files) must not let
+    # one b-less footer win schema inference — the rewrite would
+    # silently drop every replay tag. Merged, legacy rows read
+    # b=null (foreign history, exactly how the probes treat them).
+    df = spark.read.option("mergeSchema", "true").parquet(path).dropDuplicates()
     if partition_col is not None:
         if partition_col not in df.columns:
             raise ValueError(
                 f"compact_state_tree: {path} has no partition column "
                 f"{partition_col!r} (columns: {df.columns})"
             )
-        # all rows of one partition value in one task -> exactly
-        # target_files file(s) per pb=/cluster=/batch= directory
-        writer = (
-            df.repartition(F.col(partition_col))
-            if target_files == 1
-            else df.repartition(int(target_files), F.col(partition_col))
-        ).write.mode("append").partitionBy(partition_col)
+        if tgt == 1:
+            # all rows of one partition value in one task -> exactly
+            # one file per pb=/cluster=/batch= directory
+            shuffled = df.repartition(F.col(partition_col))
+        else:
+            # deterministic content salt (no rand — replay-safe):
+            # up to target_files tasks, hence files, per directory.
+            # Explicit numPartitions: without it AQE coalesces the
+            # small post-shuffle partitions back into one task and
+            # the salt never splits anything
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.lit(tgt),
+            )
+            # hash partitioning guarantees the UPPER bound (a salt
+            # group never splits across tasks); two groups hashing to
+            # the same task merge into one file, so keep the task
+            # count well above the group count to make that rare
+            n_shuffle = max(
+                int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+                64 * tgt,
+            )
+            shuffled = df.repartition(
+                n_shuffle, F.col(partition_col), salt
+            )
+        writer = shuffled.write.mode("append").partitionBy(partition_col)
     else:
-        writer = df.coalesce(int(target_files)).write.mode("append")
+        writer = df.coalesce(tgt).write.mode("append")
     # the append is an action: every old file is fully read and the
     # compacted files are durable BEFORE any delete below
     writer.parquet(path)

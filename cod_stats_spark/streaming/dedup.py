@@ -320,10 +320,15 @@ def dedup_batch_against_corpus(
     # statically prunes the index scan to the matching pb=
     # directories — the probe reads ~|touched buckets|/nf of the
     # index, not all of it
+    # persist the deduped batch BEFORE the bucket-set collect: the
+    # collect is its own job, and without the cache the fingerprint +
+    # window-dedup lineage would execute once for the collect and a
+    # second time when the anti-joined frame below first materializes
+    _pre = batch.persist()
     pbs = (
         [
             r[0]
-            for r in batch.select(_fp_bucket(F.col("_fp"), nf).alias("pb"))
+            for r in _pre.select(_fp_bucket(F.col("_fp"), nf).alias("pb"))
             .distinct()
             .collect()
         ]
@@ -334,7 +339,7 @@ def dedup_batch_against_corpus(
     # lazy persist, no count barrier: the consumers below run as
     # sequential jobs, so the first one (the band-key checkpoint)
     # populates the cache and the rest read it
-    batch = batch.join(
+    batch = _pre.join(
         fp_index.select(F.col("fp").alias("_fp")), "_fp", "left_anti"
     ).persist()
 
@@ -347,6 +352,10 @@ def dedup_batch_against_corpus(
     batch_bands = minhash_band_keys(
         batch, text_col, id_col, num_hashes, bands, shingle_n
     ).localCheckpoint(eager=True)
+    # the eager checkpoint above materialized the anti-join into the
+    # post-anti-join cache; the pre-anti-join cache has served both
+    # its consumers (the pbs collect and that materialization)
+    _pre.unpersist()
 
     # near, within batch: bucket the precomputed keys, verify, drop the
     # higher id of each confirmed pair

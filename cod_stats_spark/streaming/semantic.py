@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from cod_stats_spark.operators.semantic import semantic_dedup
 from cod_stats_spark.operators.similarity import dot, norm
-from cod_stats_spark.streaming._state import _fs_for
+from cod_stats_spark.streaming._state import _fs_for, legacy_flat_output
 
 _STATE_SCHEMA = "id long, v array<double>, n double, cc double, b long, cluster int"
 
@@ -196,8 +196,15 @@ def stream_semantic_dedup(
     deterministic per-epoch location overwritten on replay, so an
     at-least-once re-execution rewrites its own rows instead of
     double-appending them to a shared path). Readers take the tree
-    root — ``batch`` comes back as the partition column. Returns the
-    StreamingQuery."""
+    root — ``batch`` comes back as the partition column. A tree
+    created by the pre-r11 flat-append layout keeps that shape (and
+    its double-append-on-replay caveat) — mixed layouts don't read.
+    Returns the StreamingQuery."""
+
+    # decided on the first non-empty batch, then cached: a pre-r11
+    # flat out tree must keep its flat shape (mixing batch=<id> dirs
+    # in breaks partition discovery for readers of the root)
+    _legacy: list[bool] = []
 
     def batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -212,9 +219,16 @@ def stream_semantic_dedup(
             threshold,
             batch_id=int(epoch_id),
         )
-        kept.write.mode("overwrite").parquet(
-            os.path.join(out_path, f"batch={int(epoch_id)}")
-        )
+        if not _legacy:
+            _legacy.append(
+                legacy_flat_output(batch_df.sparkSession, out_path)
+            )
+        if _legacy[0]:
+            kept.write.mode("append").parquet(out_path)
+        else:
+            kept.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch={int(epoch_id)}")
+            )
 
     writer = docs_stream.writeStream.foreachBatch(batch_fn).outputMode(
         "append"

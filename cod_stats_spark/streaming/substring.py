@@ -170,7 +170,13 @@ def stream_substring_dedup(
     at-least-once re-execution rewrites its own rows instead of
     double-appending to a shared path; the curation fragment pattern).
     Readers take the tree root — ``batch`` comes back as the
-    partition column. Returns the StreamingQuery."""
+    partition column. A tree created by the pre-r11 flat-append
+    layout keeps that shape (and its double-append-on-replay caveat)
+    — mixed layouts don't read. Returns the StreamingQuery."""
+    from cod_stats_spark.streaming._state import legacy_flat_output
+
+    # decided on the first non-empty batch, then cached
+    _legacy: list[bool] = []
 
     def batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -180,9 +186,16 @@ def stream_substring_dedup(
             text_col, id_col, n, min_count, base_hash,
             batch_id=int(epoch_id),
         )
-        cleaned.write.mode("overwrite").parquet(
-            os.path.join(out_path, f"batch={int(epoch_id)}")
-        )
+        if not _legacy:
+            _legacy.append(
+                legacy_flat_output(batch_df.sparkSession, out_path)
+            )
+        if _legacy[0]:
+            cleaned.write.mode("append").parquet(out_path)
+        else:
+            cleaned.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch={int(epoch_id)}")
+            )
 
     writer = docs_stream.writeStream.foreachBatch(batch_fn).outputMode(
         "append"

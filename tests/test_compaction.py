@@ -145,6 +145,76 @@ class TestCompactDedupIndex:
         out = compact_state_tree(spark, str(tmp_path / "nope2"))
         assert out["files_before"] == 0
 
+    def test_already_compact_partitioned_tree_is_noop(self, spark, tmp_path):
+        """The no-op check is per leaf dir: a compacted 4-bucket tree
+        has 4 files total, and a second maintenance pass must NOT
+        re-read and re-write the whole index for zero net change."""
+        from cod_stats_spark.streaming import compact_state_tree
+
+        p = str(tmp_path / "t")
+        spark.range(100).withColumn("pb", F.col("id") % 4).repartition(
+            F.col("pb")
+        ).write.partitionBy("pb").parquet(p)
+        names_before = sorted(_parquet_files(p))
+        assert len(names_before) == 4
+        out = compact_state_tree(spark, p, partition_col="pb")
+        assert out == {"files_before": 4, "files_after": 4}
+        # identical FILE NAMES — proof nothing was rewritten
+        assert sorted(_parquet_files(p)) == names_before
+
+    def test_mixed_schema_tree_keeps_replay_tags(self, spark, tmp_path):
+        """A legacy tree whose older files lack the 'b' replay column
+        must compact WITH the tags: schema inference from one b-less
+        footer would silently drop the column for every row."""
+        from cod_stats_spark.streaming import compact_state_tree
+
+        p = str(tmp_path / "t")
+        # legacy files first (no b), then tagged files
+        spark.createDataFrame(
+            [(1, "x", 0), (2, "y", 1)], "id long, fp string, pb int"
+        ).repartition(F.col("pb")).write.partitionBy("pb").parquet(p)
+        spark.createDataFrame(
+            [(3, "z", 7, 0), (4, "w", 7, 1)],
+            "id long, fp string, b long, pb int",
+        ).repartition(F.col("pb")).write.mode("append").partitionBy(
+            "pb"
+        ).parquet(p)
+        compact_state_tree(spark, p, partition_col="pb")
+        rows = {
+            r["id"]: r["b"]
+            for r in spark.read.option("mergeSchema", "true")
+            .parquet(p).collect()
+        }
+        assert rows == {1: None, 2: None, 3: 7, 4: 7}
+
+    def test_target_files_gt_one_splits_partitions(self, spark, tmp_path):
+        """target_files=N must produce up to N files per partition dir
+        (deterministic content salt), not 1 giant file."""
+        from cod_stats_spark.streaming import compact_state_tree
+
+        p = str(tmp_path / "t")
+        for _ in range(3):  # 3 appends -> 3 files per dir
+            spark.range(600).withColumn(
+                "pb", F.col("id") % 2
+            ).repartition(F.col("pb")).write.mode("append").partitionBy(
+                "pb"
+            ).parquet(p)
+        # distinct: the 3 identical appends are exactly the duplicate
+        # residue compaction collapses
+        before = sorted({tuple(r) for r in spark.read.parquet(p).collect()})
+        compact_state_tree(spark, p, partition_col="pb", target_files=2)
+        for d in os.listdir(p):
+            if d.startswith("pb="):
+                files = [
+                    n
+                    for n in os.listdir(os.path.join(p, d))
+                    if not n.startswith(("_", "."))
+                ]
+                assert 1 <= len(files) <= 2, (d, files)
+        assert len(_parquet_files(p)) > 2  # genuinely split, not 1 total
+        after = sorted(tuple(r) for r in spark.read.parquet(p).collect())
+        assert after == before  # deduped exactly, no rows lost
+
     def test_partition_col_validation(self, spark, tmp_path):
         from cod_stats_spark.streaming import compact_state_tree
 

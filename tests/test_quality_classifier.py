@@ -173,6 +173,43 @@ class TestFit:
             list(reversed(pairs))
         )
 
+    def test_legacy_wsum_artifact_loads(self, spark, tmp_path):
+        """A pre-r11 artifact (meta with the float-sum 'wsum' column,
+        no 'wfp') must still load — crashing on the missing field
+        would strand every previously shipped model (r11 review)."""
+        from cod_stats_spark.operators.quality_classifier import (
+            QualityClassifierModel,
+            load_classifier,
+        )
+
+        w = [0.0] * 64
+        for i in range(0, 64, 5):
+            w[i] = (i - 32) / 11.0
+        m = QualityClassifierModel(dim=64, ngrams=2, weights=w, bias=0.25)
+        nz = [(i, float(v)) for i, v in enumerate(w) if v != 0.0]
+        path = str(tmp_path / "legacy")
+        spark.createDataFrame(nz, "fid int, w double").coalesce(
+            1
+        ).write.parquet(f"{path}/weights")
+        # the r10 meta shape: wsum = round(sum(w), 9)
+        spark.createDataFrame(
+            [(64, 2, "xxhash64", True, 0.25, len(nz),
+              round(sum(v for _, v in nz), 9))],
+            "dim int, ngrams int, base_hash string, lowercase boolean, "
+            "bias double, n_nonzero int, wsum double",
+        ).coalesce(1).write.parquet(f"{path}/meta")
+        got = load_classifier(spark, path)
+        assert got.weights == m.weights and got.bias == m.bias
+        # and a genuinely torn legacy artifact still refuses
+        spark.createDataFrame(
+            [(64, 2, "xxhash64", True, 0.25, len(nz),
+              round(sum(v for _, v in nz), 9) + 0.5)],
+            "dim int, ngrams int, base_hash string, lowercase boolean, "
+            "bias double, n_nonzero int, wsum double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        with pytest.raises(ValueError, match="torn"):
+            load_classifier(spark, path)
+
     def test_guards(self, spark):
         from cod_stats_spark.operators.quality_classifier import (
             QualityClassifierModel,

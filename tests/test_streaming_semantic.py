@@ -141,6 +141,52 @@ class TestSemanticBatchAgainstCorpus:
         }
         assert len(batches) == 2
 
+    def test_legacy_flat_out_tree_keeps_its_shape(self, spark, tmp_path):
+        """A pre-r11 out tree holds data files at the root; writing
+        batch=<id> subdirs next to them breaks partition discovery
+        for every reader of the root. The wrapper detects the flat
+        shape and falls back to the flat append (r11 review)."""
+        import os
+
+        from cod_stats_spark.streaming import stream_semantic_dedup
+        from cod_stats_spark.streaming._state import legacy_flat_output
+
+        out = str(tmp_path / "out")
+        # the pre-r11 layout: kept rows appended flat at the root
+        _df(spark, [(100, [0.0, 1.0, 0.0, 0.0])]).coalesce(
+            1
+        ).write.parquet(out)
+        assert legacy_flat_output(spark, out)
+        assert not legacy_flat_output(spark, str(tmp_path / "missing"))
+
+        src = tmp_path / "in"
+        _df(spark, [(1, [1.0, 0.0, 0.0, 0.0])]).coalesce(1).write.parquet(
+            f"{src}/b0"
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, embedding array<double>")
+            .parquet(f"{src}/*")
+        )
+        q = stream_semantic_dedup(
+            stream,
+            str(tmp_path / "state"),
+            out,
+            CENTROIDS,
+            threshold=0.99,
+            checkpoint_path=str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # no batch= dirs appeared, and the whole tree still reads
+        assert not any(n.startswith("batch=") for n in os.listdir(out))
+        got = {
+            r["doc_id"]
+            for r in spark.read.parquet(out).select("doc_id").collect()
+        }
+        assert got == {1, 100}
+
     def test_state_probe_plan_has_partition_filters(self, spark, tmp_path):
         """The probe's state scan prunes on the cluster partition
         column as a static PartitionFilter (literal isin over the

@@ -187,6 +187,67 @@ class TestSparkSurface:
         with pytest.raises(ValueError, match="torn"):
             load_unigram_vocab(spark, str(tmp_path / "b"))
 
+    def test_same_count_tear_rejected(self, spark, tmp_path):
+        """The common torn re-save: retrain with the SAME vocab_size
+        (so the piece count matches) but different pieces or a raised
+        max_piece_len. A count-only guard passes this silently and
+        Viterbi then scans with stale meta; the value fingerprint
+        catches it (r11 review)."""
+        import shutil
+
+        from cod_stats_spark.operators.unigram_lm import (
+            learn_unigram,
+            load_unigram_vocab,
+            save_unigram_vocab,
+        )
+
+        a = learn_unigram([("banana", 10), ("cabana", 4)], vocab_size=12)
+        b = learn_unigram([("bandana", 9), ("bananas", 5)], vocab_size=12)
+        save_unigram_vocab(spark, a, str(tmp_path / "a"))
+        save_unigram_vocab(spark, b, str(tmp_path / "b"))
+        na = len(a.logp)
+        nb = len(b.logp)
+        if na != nb:  # force equal counts via direct construction
+            from cod_stats_spark.operators.unigram_lm import UnigramVocab
+
+            k = min(na, nb)
+            a = UnigramVocab(
+                logp=dict(sorted(a.logp.items())[:k]),
+                max_piece_len=a.max_piece_len,
+            )
+            b = UnigramVocab(
+                logp=dict(sorted(b.logp.items())[:k]),
+                max_piece_len=b.max_piece_len,
+            )
+            save_unigram_vocab(spark, a, str(tmp_path / "a"))
+            save_unigram_vocab(spark, b, str(tmp_path / "b"))
+        shutil.rmtree(tmp_path / "b" / "meta")
+        shutil.copytree(tmp_path / "a" / "meta", tmp_path / "b" / "meta")
+        with pytest.raises(ValueError, match="torn"):
+            load_unigram_vocab(spark, str(tmp_path / "b"))
+
+    def test_legacy_count_only_meta_loads(self, spark, tmp_path):
+        """A pre-fingerprint artifact (meta without 'vfp') still
+        loads via the count check — intact old artifacts must not be
+        stranded."""
+        from cod_stats_spark.operators.unigram_lm import (
+            learn_unigram,
+            load_unigram_vocab,
+            save_unigram_vocab,
+        )
+
+        v = learn_unigram([("banana", 10)], vocab_size=8)
+        save_unigram_vocab(spark, v, str(tmp_path / "m"))
+        # rewrite meta in the legacy shape (no vfp column)
+        spark.createDataFrame(
+            [(int(v.max_piece_len), len(v.logp))],
+            "max_piece_len int, n_pieces int",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "m" / "meta")
+        )
+        w = load_unigram_vocab(spark, str(tmp_path / "m"))
+        assert w.logp == v.logp
+
     def test_null_and_empty_text(self, spark):
         from cod_stats_spark.operators.unigram_lm import (
             learn_unigram,

@@ -23,6 +23,16 @@ CASES = [
     (8, "https://user:pw@secret.example.com/private", "hotel"),
 ]
 
+#: engine-parity traps (r11 review): uppercase scheme must parse,
+#: non-http schemes must NOT, and a space in the authority behaves
+#: identically in both engines (same regex by construction — the
+#: parse_url-based extraction disagreed with the SQL replay on all 3)
+PARITY_CASES = [
+    (9, "HTTPS://WWW.Example.CO.UK/p/1", "india"),
+    (10, "ftp://files.example.com/x", "juliet"),
+    (11, "https://exa mple.com/x", "kilo"),
+]
+
 
 class TestHostAndDomain:
     def test_host_extraction_and_canonicalization(self, spark):
@@ -30,7 +40,7 @@ class TestHostAndDomain:
 
         got = {
             r["doc_id"]: r["h"]
-            for r in _urls(spark, CASES)
+            for r in _urls(spark, CASES + PARITY_CASES)
             .select("doc_id", url_host("url").alias("h"))
             .collect()
         }
@@ -42,6 +52,9 @@ class TestHostAndDomain:
         assert got[6] is None
         assert got[7] == "localhost"
         assert got[8] == "secret.example.com"   # userinfo excluded
+        assert got[9] == "example.co.uk"        # scheme case-blind
+        assert got[10] is None                  # non-http scheme
+        assert got[11] == "exa mple.com"        # regex-defined, both engines
 
     def test_registered_domain_rules(self, spark):
         from cod_stats_spark.functions.url import registered_domain, url_host
@@ -102,7 +115,7 @@ class TestHostAndDomain:
 
         block = ["example.co.uk", "blogspot.com"]
         spark_rows = (
-            _urls(spark, CASES)
+            _urls(spark, CASES + PARITY_CASES)
             .select(
                 "doc_id",
                 url_host("url").alias("host"),
@@ -113,7 +126,8 @@ class TestHostAndDomain:
             .collect()
         )
         pdf = pd.DataFrame(
-            [(i, u) for i, u, _ in CASES], columns=["doc_id", "url"]
+            [(i, u) for i, u, _ in CASES + PARITY_CASES],
+            columns=["doc_id", "url"],
         )
         con = duckdb.connect()
         con.register("t", pdf)

@@ -522,6 +522,7 @@ def stream_curate_to_corpus(
     benchmark: DataFrame | None,
     state_dir: str,
     checkpoint_path: str | None = None,
+    compact_every: int | None = None,
     **append_kwargs,
 ):
     """Structured-Streaming wrapper for :func:`curate_corpus_append`:
@@ -533,13 +534,35 @@ def stream_curate_to_corpus(
     whatever cadence the deployment compacts on. Returns the
     StreamingQuery. The exactly-once contract is the file source's +
     the checkpoint's, same as streaming/dedup.stream_dedup_to_corpus;
-    kwargs pass through to curate_corpus_append."""
+    kwargs pass through to curate_corpus_append.
+
+    ``compact_every``: after every Nth epoch, run the funnel's whole
+    maintenance pass in-loop (single-writer by construction): compact
+    the dedup index, the semantic state tree if the funnel maintains
+    one, and the fragment shard tree (:func:`compact_curated_shards`).
+    A replayed epoch re-running maintenance is a no-op — index/state
+    compaction has the per-leaf-dir check, and the shard compactor
+    tolerates an empty fragment tree."""
 
     def batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
+        import os as _os
+
         curate_corpus_append(
             spark, batch_df, benchmark, state_dir,
             batch_id=int(epoch_id), **append_kwargs,
         )
+        if compact_every and (int(epoch_id) + 1) % int(compact_every) == 0:
+            from cod_stats_spark.streaming.compaction import (
+                compact_dedup_index,
+                compact_semantic_state,
+            )
+            from cod_stats_spark.streaming._state import _fs_for
+
+            compact_dedup_index(spark, _os.path.join(state_dir, "index"))
+            sem = _os.path.join(state_dir, "semantic_state")
+            if _fs_for(spark, sem).exists(sem):
+                compact_semantic_state(spark, sem)
+            compact_curated_shards(spark, state_dir)
 
     writer = docs_stream.writeStream.foreachBatch(batch_fn).outputMode("append")
     if checkpoint_path:

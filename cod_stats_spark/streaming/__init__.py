@@ -12,7 +12,13 @@ from cod_stats_spark.streaming.substring import (
     stream_substring_dedup,
     substring_batch_against_corpus,
 )
+from cod_stats_spark.streaming.dedup import (
+    build_dedup_index,
+    dedup_batch_against_corpus,
+    stream_dedup_to_corpus,
+)
 from cod_stats_spark.streaming.semantic import (
+    build_semantic_state,
     semantic_batch_against_corpus,
     stream_semantic_dedup,
 )
@@ -43,6 +49,10 @@ __all__ = [
     "stream_expectations",
     "substring_batch_against_corpus",
     "stream_substring_dedup",
+    "build_dedup_index",
+    "dedup_batch_against_corpus",
+    "stream_dedup_to_corpus",
+    "build_semantic_state",
     "semantic_batch_against_corpus",
     "stream_semantic_dedup",
     "apply_scd2_batch",

@@ -180,6 +180,86 @@ def semantic_batch_against_corpus(
     return batch.join(out, id_col)
 
 
+def build_semantic_state(
+    spark: SparkSession,
+    corpus: DataFrame,
+    state_path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> int:
+    """Bootstrap the semantic-dedup state from an EXISTING corpus —
+    the backfill companion of :func:`streaming.dedup.build_dedup_index`
+    (run once before incremental ingestion starts). The corpus is
+    registered AS-IS (run :func:`operators.semantic.semantic_dedup`
+    first if it still holds near-duplicates); every non-null-embedding
+    row becomes a state exemplar with ``b = -1`` (pre-stream history —
+    a real epoch id is never negative, so replay exclusion never
+    touches bootstrap rows).
+
+    Assignment + centroid cosine mirror ``operators/semantic.py``'s
+    ranked projection exactly (same NaN guard, same 6-decimal
+    rounding) so a bootstrap row is bit-identical to the row the
+    incremental path would have written for the same document.
+
+    Crash-safe by rerun (state written with OVERWRITE); refuses a
+    LIVE state tree (``_APPLIED`` markers present) for the same
+    reason the index bootstrap does. Returns the exemplar count."""
+    import math
+
+    from cod_stats_spark.operators.clustering import kmeans_assign
+
+    if not centroids:
+        raise ValueError("build_semantic_state: centroids must be non-empty")
+    fs = _fs_for(spark, state_path)
+    if fs.exists(state_path) and any(
+        n.startswith("_APPLIED.") for n in fs.list_names(state_path)
+    ):
+        raise ValueError(
+            f"build_semantic_state: {state_path} is a LIVE state tree "
+            "(_APPLIED markers present) — bootstrapping would erase "
+            "ingested batches' exemplars; use a fresh state path"
+        )
+    v = F.col(vec_col).cast("array<double>")
+    assigned = kmeans_assign(
+        corpus.select(F.col(id_col).alias("_id"), v.alias("_v")),
+        "_v",
+        centroids,
+    ).where(F.col("cluster").isNotNull())
+    cent_rows = [
+        (j, [float(x) for x in c], math.sqrt(sum(float(x) ** 2 for x in c)))
+        for j, c in enumerate(centroids)
+    ]
+    cent = F.broadcast(
+        spark.createDataFrame(
+            cent_rows, "cluster int, _cv array<double>, _cn double"
+        )
+    )
+    _raw_cc = dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn"))
+    state_rows = (
+        assigned.join(cent, "cluster")
+        .withColumn("_n", norm(F.col("_v")))
+        .select(
+            F.col("_id").alias("id"),
+            F.col("_v").alias("v"),
+            F.col("_n").alias("n"),
+            F.round(
+                F.when(
+                    (F.col("_n") * F.col("_cn") > 0) & ~F.isnan(_raw_cc),
+                    _raw_cc,
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("cc"),
+            F.lit(-1).cast("long").alias("b"),
+            "cluster",
+        )
+    )
+    state_rows.repartition(F.col("cluster")).write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(state_path)
+    return spark.read.schema(_STATE_SCHEMA).parquet(state_path).count()
+
+
 def stream_semantic_dedup(
     docs_stream: DataFrame,
     state_path: str,
@@ -189,6 +269,7 @@ def stream_semantic_dedup(
     id_col: str = "doc_id",
     threshold: float = 0.95,
     checkpoint_path: str | None = None,
+    compact_every: int | None = None,
 ):
     """foreachBatch wrapper: each micro-batch dedups within itself,
     probes shipped history, and writes its survivors to
@@ -199,7 +280,9 @@ def stream_semantic_dedup(
     root — ``batch`` comes back as the partition column. A tree
     created by the pre-r11 flat-append layout keeps that shape (and
     its double-append-on-replay caveat) — mixed layouts don't read.
-    Returns the StreamingQuery."""
+    ``compact_every``: compact the state tree after every Nth epoch
+    (single-writer by construction inside foreachBatch; a replayed
+    epoch's re-run is a no-op). Returns the StreamingQuery."""
 
     # decided on the first non-empty batch, then cached: a pre-r11
     # flat out tree must keep its flat shape (mixing batch=<id> dirs
@@ -229,6 +312,12 @@ def stream_semantic_dedup(
             kept.write.mode("overwrite").parquet(
                 os.path.join(out_path, f"batch={int(epoch_id)}")
             )
+        if compact_every and (int(epoch_id) + 1) % int(compact_every) == 0:
+            from cod_stats_spark.streaming.compaction import (
+                compact_semantic_state,
+            )
+
+            compact_semantic_state(batch_df.sparkSession, state_path)
 
     writer = docs_stream.writeStream.foreachBatch(batch_fn).outputMode(
         "append"

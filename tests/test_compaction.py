@@ -230,6 +230,85 @@ class TestCompactDedupIndex:
             compact_state_tree(spark, p, partition_col="wrong")
 
 
+class TestScheduledCompaction:
+    def test_stream_dedup_compact_every(self, spark, tmp_path):
+        """compact_every=1 on the stream wrapper keeps the index at
+        ≤1 file per partition dir after every epoch — the in-loop
+        maintenance schedule the append-only trees need."""
+        from cod_stats_spark.streaming import stream_dedup_to_corpus
+
+        src = tmp_path / "in"
+        for b in range(3):
+            spark.createDataFrame(
+                [(b * 2 + i, _novel(b * 2 + i)) for i in range(2)],
+                "doc_id long, text string",
+            ).coalesce(1).write.parquet(f"{src}/b{b}")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+        q = stream_dedup_to_corpus(
+            spark, stream, "text", "doc_id", corpus, index,
+            checkpoint_path=str(tmp_path / "ckpt"),
+            threshold=0.6, fp_buckets=4, band_buckets=4,
+            compact_every=1,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert spark.read.parquet(corpus).count() == 6
+        for sub in ("fingerprints", "bands"):
+            root = os.path.join(index, sub)
+            for d in os.listdir(root):
+                if d.startswith("pb="):
+                    files = [
+                        n for n in os.listdir(os.path.join(root, d))
+                        if not n.startswith(("_", "."))
+                    ]
+                    assert len(files) <= 1, (sub, d, files)
+
+    def test_stream_semantic_compact_every(self, spark, tmp_path):
+        from cod_stats_spark.streaming import stream_semantic_dedup
+
+        src = tmp_path / "in"
+        vecs = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0, 0.0]),
+            (3, [0.7, 0.7, 0.0, 0.0]),
+        ]
+        for i, row in enumerate(vecs):
+            spark.createDataFrame(
+                [row], "doc_id long, embedding array<double>"
+            ).coalesce(1).write.parquet(f"{src}/b{i}")
+        stream = (
+            spark.readStream.schema("doc_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        state = str(tmp_path / "state")
+        q = stream_semantic_dedup(
+            stream, state, str(tmp_path / "out"),
+            [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]],
+            threshold=0.99,
+            checkpoint_path=str(tmp_path / "ckpt"),
+            compact_every=1,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        for d in os.listdir(state):
+            if d.startswith("cluster="):
+                files = [
+                    n for n in os.listdir(os.path.join(state, d))
+                    if not n.startswith(("_", "."))
+                ]
+                assert len(files) <= 1, (d, files)
+
+
 class TestCompactSemanticState:
     def test_semantic_state_compacts_and_shipped_wins_holds(
         self, spark, tmp_path

@@ -462,6 +462,7 @@ def test_stream_curate_to_corpus(spark, tmp_path):
     )
     q = stream_curate_to_corpus(
         spark, stream, bench, state, str(tmp_path / "ckpt"),
+        compact_every=2,  # in-loop maintenance fires after epoch 1
         min_quality=0.5, token_budget=64, decontam_ngram_n=8,
     )
     try:
@@ -478,6 +479,21 @@ def test_stream_curate_to_corpus(spark, tmp_path):
         for p in glob.glob(os.path.join(state, "shards_frag", "batch=*"))
     )
     assert len(frag_batches) == 2
+    # compact_every=2 ran the whole maintenance pass in-loop after
+    # epoch 1: the global shard table already exists, and the dedup
+    # index trees are at ≤1 file per partition dir
+    inloop = spark.read.parquet(os.path.join(state, "shards"))
+    assert {r["doc_id"] for r in inloop.select("doc_id").collect()} == {1, 4}
+    for sub in ("fingerprints", "bands"):
+        root = os.path.join(state, "index", sub)
+        for d in os.listdir(root):
+            if d.startswith("pb="):
+                files = [
+                    n for n in os.listdir(os.path.join(root, d))
+                    if not n.startswith(("_", "."))
+                ]
+                assert len(files) <= 1, (sub, d, files)
+    # the manual maintenance call stays idempotent after the in-loop one
     compacted = compact_curated_shards(spark, state)
     assert {r["doc_id"] for r in compacted.select("doc_id").collect()} == {1, 4}
     shard_ids = sorted(

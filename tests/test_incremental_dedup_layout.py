@@ -183,6 +183,86 @@ class TestBucketedIndexLayout:
         )
         assert not any(n.startswith("_LAYOUT") for n in os.listdir(index))
 
+    def test_bootstrap_equals_sequential_ingestion(self, spark, tmp_path):
+        """build_dedup_index over an existing corpus must leave a
+        probe-equivalent index to having driven the same docs through
+        incremental batches: an identical follow-up batch gets the
+        same survivors against either history."""
+        from cod_stats_spark.streaming.dedup import (
+            build_dedup_index,
+            dedup_batch_against_corpus,
+        )
+
+        docs = [(1, BASE), (2, NOVEL)]
+        # history A: sequential ingestion
+        ca, ia = str(tmp_path / "ca"), str(tmp_path / "ia")
+        for i, (did, txt) in enumerate(docs):
+            dedup_batch_against_corpus(
+                spark, _docs(spark, [(did, txt)]),
+                "text", "doc_id", ca, ia,
+                threshold=0.6, batch_id=i,
+                fp_buckets=8, band_buckets=8,
+            ).collect()
+        # history B: the same corpus written by a batch job, bootstrapped
+        cb, ib = str(tmp_path / "cb"), str(tmp_path / "ib")
+        _docs(spark, docs).write.parquet(cb)
+        counts = build_dedup_index(
+            spark, cb, "text", "doc_id", ib,
+            fp_buckets=8, band_buckets=8,
+        )
+        assert counts["fingerprints"] == 2 and counts["bands"] > 0
+        probe = _docs(
+            spark,
+            [(10, BASE),                       # exact dup of shipped 1
+             (11, BASE + " slightly changed"),  # near dup of shipped 1
+             (12, "completely different words about maritime law and "
+                  "container shipping logistics in the baltic sea")],
+        )
+        got = []
+        for c, i in ((ca, ia), (cb, ib)):
+            got.append({
+                r["doc_id"]
+                for r in dedup_batch_against_corpus(
+                    spark, probe, "text", "doc_id", c, i,
+                    threshold=0.6, batch_id=50,
+                ).collect()
+            })
+        assert got[0] == got[1] == {12}
+
+    def test_bootstrap_guards(self, spark, tmp_path):
+        """Refuses a LIVE index (ingested batches would be erased) and
+        a legacy flat tree; a rerun over a partial bootstrap repairs
+        it (overwrite semantics, no duplicated rows)."""
+        from cod_stats_spark.streaming.dedup import (
+            build_dedup_index,
+            dedup_batch_against_corpus,
+        )
+
+        corpus = str(tmp_path / "c")
+        _docs(spark, [(1, BASE), (2, NOVEL)]).write.parquet(corpus)
+        idx = str(tmp_path / "i")
+        first = build_dedup_index(spark, corpus, "text", "doc_id", idx)
+        again = build_dedup_index(spark, corpus, "text", "doc_id", idx)
+        assert first == again  # rerun = repair, not double
+        # live index: one incremental batch with a batch id
+        live_c, live_i = str(tmp_path / "lc"), str(tmp_path / "li")
+        dedup_batch_against_corpus(
+            spark, _docs(spark, [(5, NOVEL)]), "text", "doc_id",
+            live_c, live_i, threshold=0.6, batch_id=0,
+        ).collect()
+        with pytest.raises(ValueError, match="LIVE"):
+            build_dedup_index(spark, corpus, "text", "doc_id", live_i)
+        # legacy flat tree: fingerprints/ without a _LAYOUT marker
+        flat = str(tmp_path / "flat")
+        os.makedirs(os.path.join(flat, "fingerprints"))
+        spark.createDataFrame(
+            [(1, "aa", None)], "id long, fp string, b long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(flat, "fingerprints")
+        )
+        with pytest.raises(ValueError, match="legacy flat"):
+            build_dedup_index(spark, corpus, "text", "doc_id", flat)
+
     def test_replay_idempotent_over_partitioned_layout(self, spark, tmp_path):
         """The r10 at-least-once guard holds over pb= partitions: a
         replayed batch id recomputes the same survivors and does not

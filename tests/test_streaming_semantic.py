@@ -141,6 +141,70 @@ class TestSemanticBatchAgainstCorpus:
         }
         assert len(batches) == 2
 
+    def test_bootstrap_equals_incremental_rows(self, spark, tmp_path):
+        """build_semantic_state over an existing corpus writes rows
+        bit-identical (id, v, n, cc, cluster) to what the incremental
+        path ships for the same documents, and a follow-up batch makes
+        the same shipped-wins decisions against either state."""
+        from cod_stats_spark.streaming import (
+            build_semantic_state,
+            semantic_batch_against_corpus,
+        )
+
+        docs = [(1, [1.0, 0.0, 0.0, 0.0]), (3, [0.0, 0.0, 1.0, 0.0])]
+        sa = str(tmp_path / "sa")  # incremental history
+        semantic_batch_against_corpus(
+            spark, _df(spark, docs), sa, CENTROIDS, threshold=0.99
+        ).collect()
+        sb = str(tmp_path / "sb")  # bootstrapped from the same corpus
+        n = build_semantic_state(spark, _df(spark, docs), sb, CENTROIDS)
+        assert n == 2
+        cols = ["id", "v", "n", "cc", "cluster"]
+        rows_a = sorted(
+            tuple(r) for r in spark.read.parquet(sa).select(*cols).collect()
+        )
+        rows_b = sorted(
+            tuple(r) for r in spark.read.parquet(sb).select(*cols).collect()
+        )
+        assert rows_a == rows_b
+        probe = _df(
+            spark,
+            [(10, [0.99, 0.01, 0.0, 0.0]),  # near-dup of shipped 1
+             (11, [0.0, 1.0, 0.0, 0.0])],   # novel direction
+        )
+        got = []
+        for s in (sa, sb):
+            got.append({
+                r["doc_id"]
+                for r in semantic_batch_against_corpus(
+                    spark, probe, s, CENTROIDS, threshold=0.99, batch_id=7
+                ).collect()
+            })
+        assert got[0] == got[1] == {11}
+
+    def test_bootstrap_guards_and_rerun(self, spark, tmp_path):
+        from cod_stats_spark.streaming import (
+            build_semantic_state,
+            semantic_batch_against_corpus,
+        )
+
+        corpus = _df(spark, [(1, [1.0, 0.0, 0.0, 0.0]),
+                             (2, None)])  # null embedding: no exemplar
+        s = str(tmp_path / "s")
+        assert build_semantic_state(spark, corpus, s, CENTROIDS) == 1
+        assert build_semantic_state(spark, corpus, s, CENTROIDS) == 1
+        live = str(tmp_path / "live")
+        semantic_batch_against_corpus(
+            spark, _df(spark, [(5, [0.0, 0.0, 1.0, 0.0])]),
+            live, CENTROIDS, threshold=0.99, batch_id=0,
+        ).collect()
+        import pytest
+
+        with pytest.raises(ValueError, match="LIVE"):
+            build_semantic_state(spark, corpus, live, CENTROIDS)
+        with pytest.raises(ValueError, match="non-empty"):
+            build_semantic_state(spark, corpus, str(tmp_path / "x"), [])
+
     def test_legacy_flat_out_tree_keeps_its_shape(self, spark, tmp_path):
         """A pre-r11 out tree holds data files at the root; writing
         batch=<id> subdirs next to them breaks partition discovery

@@ -90,6 +90,207 @@ def pack_sequences(
     )
 
 
+def training_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+    salt: str = "pack",
+    num_buckets: int = 256,
+    drop_last: bool = True,
+    pad_value=None,
+) -> DataFrame:
+    """The final training artifact: every document's token array laid
+    on the deterministic md5 tape (the :func:`pack_sequences` order)
+    and split into consecutive windows of EXACTLY ``seq_len`` tokens —
+    concatenate-then-split, the pre-training loader semantics, but
+    materialized distributed instead of replayed at load time.
+
+    Returns (seq_id, input_ids, n_docs, n_tokens): ``input_ids`` is
+    the window's token slice in tape order (same element type as the
+    input arrays — works on tokenizer piece strings or mapped integer
+    ids, see :func:`encode_ids`); ``n_docs`` counts the documents
+    contributing to the window. ``drop_last`` drops the trailing
+    partial window (the pre-training convention); ``pad_value`` keeps
+    and right-pads it instead. Empty/null token arrays contribute
+    nothing (no zero-length docs on the tape).
+
+    Scale shape: the same two-phase prefix scan as
+    :func:`pack_sequences` (per-bucket window + O(num_buckets) driver
+    prefix-sum) places each doc at a global offset; each doc then
+    emits one SLICE row per window its span intersects — row count is
+    n_docs + total_tokens/seq_len, never token-level explode — and one
+    shuffle on seq_id assembles the windows (per-group payload bounded
+    by seq_len tokens). Everything is JVM Column arithmetic.
+    """
+    L = int(seq_len)
+    if L < 1:
+        raise ValueError("training_sequences: seq_len must be >= 1")
+    if drop_last and pad_value is not None:
+        raise ValueError(
+            "training_sequences: pad_value requires drop_last=False"
+        )
+    toks = F.col(tokens_col)
+    keyed = (
+        df.select(
+            F.col(id_col).alias("id"),
+            toks.alias("_toks"),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            _order_key(id_col, salt).alias("_key"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .withColumn(
+            "_bkt",
+            F.conv(F.substring("_key", 1, 2), 16, 10).cast("int")
+            % num_buckets,
+        )
+    )
+    w_in = Window.partitionBy("_bkt").orderBy("_key", "id")
+    within = keyed.withColumn("_cum_incl", F.sum("n_tokens").over(w_in))
+    totals = (
+        keyed.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot")).collect()
+    )
+    by_bucket = {r["_bkt"]: r["_tot"] for r in totals}
+    offsets, running = [], 0
+    for b in range(num_buckets):
+        offsets.append((b, running))
+        running += by_bucket.get(b, 0)
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "_bkt int, _off bigint")
+    placed = within.join(F.broadcast(off_df), "_bkt").withColumn(
+        "start", F.col("_off") + F.col("_cum_incl") - F.col("n_tokens")
+    )
+    # one row per (doc, window-it-intersects): windows-per-doc is
+    # 1 + n_tokens/L, so total slice rows ~ n_docs + total_tokens/L
+    spans = placed.select(
+        "_toks",
+        "n_tokens",
+        "start",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {L}"),
+                F.expr(f"(start + n_tokens - 1) div {L}"),
+            )
+        ).alias("seq_id"),
+    )
+    lo = F.greatest(F.lit(0), F.col("seq_id") * L - F.col("start"))
+    hi = F.least(F.col("n_tokens"), (F.col("seq_id") + 1) * L - F.col("start"))
+    pieces = spans.select(
+        "seq_id",
+        F.col("start").alias("_ord"),  # unique per doc -> stable sort key
+        F.slice(
+            "_toks", (lo + 1).cast("int"), (hi - lo).cast("int")
+        ).alias("_piece"),
+    )
+    seqs = pieces.groupBy("seq_id").agg(
+        F.flatten(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_ord"), F.col("_piece")))
+                ),
+                lambda x: x["_piece"],
+            )
+        ).alias("input_ids"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    seqs = seqs.withColumn("n_tokens", F.size("input_ids"))
+    if drop_last:
+        return seqs.where(F.col("n_tokens") == L)
+    if pad_value is not None:
+        return seqs.withColumn(
+            "input_ids",
+            F.concat(
+                F.col("input_ids"),
+                F.slice(
+                    F.array_repeat(F.lit(pad_value), L),
+                    1,
+                    (F.lit(L) - F.col("n_tokens")).cast("int"),
+                ),
+            ),
+        )
+    return seqs
+
+
+#: codegen ceiling for the literal-map vocabulary path (the
+#: quality_classifier _EXPR_DIM_LIMIT convention)
+_VOCAB_LITERAL_LIMIT = 4096
+
+
+def encode_ids(
+    df: DataFrame,
+    pieces_col: str,
+    vocab: list[str],
+    id_col: str = "doc_id",
+    unk_id: int | None = None,
+    out_col: str = "input_ids",
+) -> DataFrame:
+    """Map tokenizer piece strings to integer ids (id = position in
+    ``vocab`` — ship the SAME list everywhere and the mapping is
+    engine-independent). Out-of-vocabulary pieces map to ``unk_id``,
+    or are DROPPED when ``unk_id`` is None (byte-/char-complete
+    vocabularies like the unigram/BPE trainers' never produce OOV on
+    text they can encode, so the default costs nothing there).
+
+    Vocab ≤ 4096: a literal map lookup inside codegen — zero shuffle,
+    zero extra jobs. Bigger vocabularies switch to a broadcast-joined
+    (piece, id) relation over a posexplode (order restored by
+    position) — the quality-classifier relation-path convention; the
+    vocab stays driver-bounded either way (the BPE/PQ factoring)."""
+    if not vocab:
+        raise ValueError("encode_ids: vocab must be non-empty")
+    pieces = F.col(pieces_col)
+    if len(vocab) <= _VOCAB_LITERAL_LIMIT:
+        m = F.map_from_arrays(
+            F.array(*[F.lit(p) for p in vocab]),
+            F.array(*[F.lit(i) for i in range(len(vocab))]),
+        )
+        mapped = F.transform(pieces, lambda t: m[t])
+        if unk_id is None:
+            mapped = F.filter(mapped, lambda x: x.isNotNull())
+        else:
+            mapped = F.transform(
+                mapped, lambda x: F.coalesce(x, F.lit(int(unk_id)))
+            )
+        return df.withColumn(out_col, mapped)
+    spark = df.sparkSession
+    rel = F.broadcast(
+        spark.createDataFrame(
+            list(enumerate(vocab)), "tid int, _piece string"
+        )
+    )
+    exploded = df.select(
+        F.col(id_col).alias("_eid"),
+        F.posexplode_outer(pieces).alias("_pos", "_piece"),
+    ).join(rel, "_piece", "left")
+    # the empty/null-array marker row from posexplode_outer has a
+    # null _pos — it must stay null (dropped below), not become unk
+    tid = (
+        F.col("tid")
+        if unk_id is None
+        else F.when(
+            F.col("_pos").isNotNull(),
+            F.coalesce(F.col("tid"), F.lit(int(unk_id))),
+        )
+    )
+    ids = exploded.groupBy("_eid").agg(
+        F.flatten(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_pos"), tid.alias("t")))
+                ),
+                lambda x: F.when(
+                    x["t"].isNotNull(), F.array(x["t"])
+                ).otherwise(F.array().cast("array<int>")),
+            )
+        ).alias(out_col)
+    )
+    return df.join(
+        ids.withColumnRenamed("_eid", id_col), id_col, "left"
+    ).withColumn(
+        out_col, F.coalesce(F.col(out_col), F.array().cast("array<int>"))
+    )
+
+
 def shard_manifest(packed: DataFrame) -> DataFrame:
     """Shard-level rollup of a pack_sequences result: doc count and
     token mass per shard (only the last doc of a shard may straddle)."""

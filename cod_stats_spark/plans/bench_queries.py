@@ -1850,6 +1850,42 @@ FROM tok
 """
 
 
+#: the 'seq:' arm's window length (small enough that sf0.001 has
+#: full windows, big enough that windows span multiple docs)
+_SEQ_LEN = 64
+
+# r11: concatenate-then-split training windows (training_sequences)
+# replayed literally — global tape via the same md5 order + running
+# sum, token-level positions via unnest + generate_subscripts, every
+# window's CONTENT verified through an md5_60 of the joined tokens
+SEQ_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_sql_tokens('text')} AS toks,
+         md5('pack' || doc_id::VARCHAR) AS k
+  FROM documents
+  WHERE len({_sql_tokens('text')}) > 0
+), placed AS (
+  SELECT doc_id, toks,
+         (sum(len(toks)) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING)
+          - len(toks))::BIGINT AS start
+  FROM tok
+), expl AS (
+  SELECT doc_id,
+         start + generate_subscripts(toks, 1) - 1 AS gpos,
+         unnest(toks) AS t
+  FROM placed
+), win AS (
+  SELECT gpos // {_SEQ_LEN} AS seq_id,
+         string_agg(t, ' ' ORDER BY gpos) AS text_w,
+         count(*)::BIGINT AS n_tokens,
+         count(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM expl GROUP BY 1
+)
+SELECT seq_id, text_w, n_tokens, n_docs
+FROM win WHERE n_tokens = {_SEQ_LEN}
+"""
+
+
 def _pack_gate_oracle() -> str:
     from cod_stats_spark.operators.chunking import chunk_oracle_sql
 
@@ -1861,6 +1897,10 @@ def _pack_gate_oracle() -> str:
         " n_tokens::BIGINT AS n_tokens, chunk_start::BIGINT AS start_offset,"
         " chunk_id::BIGINT AS seq FROM ("
         + chunk_oracle_sql("documents", max_tokens=32, stride=24)
+        + ")\nUNION ALL\nSELECT 'seq' AS tag, seq_id AS doc_id, n_tokens, ("
+        + _HEX60_SQL.format(col="text_w")
+        + ")::BIGINT AS start_offset, n_docs AS seq FROM ("
+        + SEQ_ORACLE
         + ")"
     )
 
@@ -1873,15 +1913,23 @@ def _pack_gate_oracle() -> str:
     "'chunk': operators/chunking.py token-window boundaries — start "
     "offset, length, and window ordinal of every 32-token/stride-24 "
     "chunk replayed in SQL; chunk CONTENT md5s are oracled in the "
-    "dedup_exact gate's 'chunk_fp' arm)",
+    "dedup_exact gate's 'chunk_fp' arm. r11 'seq': "
+    "packing.training_sequences — concatenate-then-split fixed-length "
+    "training windows over the same tape; every window's token count, "
+    "contributing-doc count, and full CONTENT [md5_60 of the joined "
+    "tokens] replayed against a naive global-window + token-unnest "
+    "oracle)",
     oracle=_pack_gate_oracle(),
 )
 def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget packing + chunk windowing boundaries. The TIMED
-    `pack_sequences` entry keeps the r1-r8 pack-only plan via its
-    BENCH_ONLY override (BENCH_NOTES.md)."""
+    """Token-budget packing + chunk windowing boundaries + training
+    windows. The TIMED `pack_sequences` entry keeps the r1-r8
+    pack-only plan via its BENCH_ONLY override (BENCH_NOTES.md)."""
     from cod_stats_spark.operators.chunking import chunk_documents
-    from cod_stats_spark.operators.packing import pack_sequences
+    from cod_stats_spark.operators.packing import (
+        pack_sequences,
+        training_sequences,
+    )
 
     docs = load_tables(spark, sf_dir)["documents"]
     toks = docs.select(
@@ -1901,7 +1949,22 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_start").cast("long").alias("start_offset"),
         F.col("chunk_id").cast("long").alias("seq"),
     )
-    return packed.unionByName(chunks)
+    wins = training_sequences(
+        docs.select("doc_id", T.words(F.col("text")).alias("_w")),
+        "_w",
+        "doc_id",
+        seq_len=_SEQ_LEN,
+    ).select(
+        F.lit("seq").alias("tag"),
+        F.col("seq_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr(
+            "cast(conv(substring(md5(concat_ws(' ', input_ids)), 1, 15),"
+            " 16, 10) as bigint)"
+        ).alias("start_offset"),
+        F.col("n_docs").cast("long").alias("seq"),
+    )
+    return packed.unionByName(chunks).unionByName(wins)
 
 
 KNN_JOIN_ORACLE = """

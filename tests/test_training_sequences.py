@@ -1,0 +1,235 @@
+"""training_sequences + encode_ids (operators/packing.py, r11): the
+final training artifact — concatenate-then-split token windows over
+the deterministic md5 tape — checked against a literal Python replay
+of the same semantics, plus the piece→id mapping in both paths."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _md5(salt: str, doc_id: int) -> str:
+    return hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()
+
+
+def _reference(rows, seq_len, salt="pack", drop_last=True, pad_value=None):
+    """The loader semantics, literally: sort docs by md5 key, build
+    the tape, split at seq_len."""
+    tape = []
+    order = sorted(
+        (r for r in rows if r[1]), key=lambda r: (_md5(salt, r[0]), r[0])
+    )
+    for _did, toks in order:
+        tape.extend(toks)
+    out = {}
+    for w in range(0, (len(tape) + seq_len - 1) // seq_len):
+        ids = tape[w * seq_len:(w + 1) * seq_len]
+        if len(ids) < seq_len:
+            if drop_last:
+                continue
+            if pad_value is not None:
+                ids = ids + [pad_value] * (seq_len - len(ids))
+        out[w] = ids
+    return out
+
+
+ROWS = [
+    (1, [10, 11, 12, 13, 14]),
+    (2, [20, 21]),
+    (3, []),                 # empty: contributes nothing
+    (4, [40, 41, 42, 43, 44, 45, 46, 47, 48]),  # straddles windows
+    (5, [50]),
+    (6, None),               # null: contributes nothing
+    (7, [70, 71, 72]),
+]
+
+
+def _df(spark, rows=ROWS):
+    return spark.createDataFrame(rows, "doc_id long, toks array<int>")
+
+
+class TestTrainingSequences:
+    @pytest.mark.parametrize("seq_len", [4, 7, 64])
+    def test_matches_reference_loader(self, spark, seq_len):
+        from cod_stats_spark.operators.packing import training_sequences
+
+        got = {
+            r["seq_id"]: list(r["input_ids"])
+            for r in training_sequences(
+                _df(spark), "toks", seq_len=seq_len
+            ).collect()
+        }
+        assert got == _reference(ROWS, seq_len)
+
+    def test_keep_last_and_padding(self, spark):
+        from cod_stats_spark.operators.packing import training_sequences
+
+        got = {
+            r["seq_id"]: list(r["input_ids"])
+            for r in training_sequences(
+                _df(spark), "toks", seq_len=6, drop_last=False
+            ).collect()
+        }
+        assert got == _reference(ROWS, 6, drop_last=False)
+        padded = {
+            r["seq_id"]: list(r["input_ids"])
+            for r in training_sequences(
+                _df(spark), "toks", seq_len=6,
+                drop_last=False, pad_value=-1,
+            ).collect()
+        }
+        assert padded == _reference(ROWS, 6, drop_last=False, pad_value=-1)
+        assert all(len(v) == 6 for v in padded.values())
+
+    def test_window_invariants_and_doc_counts(self, spark):
+        from cod_stats_spark.operators.packing import training_sequences
+
+        out = training_sequences(_df(spark), "toks", seq_len=4).collect()
+        assert all(r["n_tokens"] == 4 for r in out)
+        # doc count per window: replay from the reference tape spans
+        ref = _reference(ROWS, 4, drop_last=False)
+        tape_docs = []
+        for did, toks in sorted(
+            (r for r in ROWS if r[1]), key=lambda r: (_md5("pack", r[0]), r[0])
+        ):
+            tape_docs.extend([did] * len(toks))
+        for r in out:
+            w = r["seq_id"]
+            expect = len(set(tape_docs[w * 4:(w + 1) * 4]))
+            assert r["n_docs"] == expect, (w, r["n_docs"], expect)
+        assert {r["seq_id"] for r in out} <= set(ref)
+
+    def test_deterministic_under_partitioning(self, spark):
+        from cod_stats_spark.operators.packing import training_sequences
+
+        a = {
+            r["seq_id"]: list(r["input_ids"])
+            for r in training_sequences(
+                _df(spark), "toks", seq_len=5
+            ).collect()
+        }
+        b = {
+            r["seq_id"]: list(r["input_ids"])
+            for r in training_sequences(
+                _df(spark).repartition(7), "toks", seq_len=5
+            ).collect()
+        }
+        assert a == b
+
+    def test_string_pieces_supported(self, spark):
+        from cod_stats_spark.operators.packing import training_sequences
+
+        df = spark.createDataFrame(
+            [(1, ["a", "b", "c"]), (2, ["d", "e", "f"])],
+            "doc_id long, toks array<string>",
+        )
+        out = training_sequences(df, "toks", seq_len=3).collect()
+        assert len(out) == 2
+        assert sorted(
+            tuple(r["input_ids"]) for r in out
+        ) == [("a", "b", "c"), ("d", "e", "f")]
+
+    def test_guards(self, spark):
+        from cod_stats_spark.operators.packing import training_sequences
+
+        with pytest.raises(ValueError, match="seq_len"):
+            training_sequences(_df(spark), "toks", seq_len=0)
+        with pytest.raises(ValueError, match="drop_last"):
+            training_sequences(_df(spark), "toks", pad_value=0)
+
+
+class TestEncodeIds:
+    VOCAB = ["<unk>", "an", "ban", "a", "b", "n"]
+
+    def _pieces(self, spark):
+        return spark.createDataFrame(
+            [(1, ["ban", "an", "a"]), (2, ["b", "zzz", "n"]), (3, [])],
+            "doc_id long, pieces array<string>",
+        )
+
+    def test_literal_path_maps_and_handles_oov(self, spark):
+        from cod_stats_spark.operators.packing import encode_ids
+
+        got = {
+            r["doc_id"]: list(r["input_ids"])
+            for r in encode_ids(
+                self._pieces(spark), "pieces", self.VOCAB, unk_id=0
+            ).collect()
+        }
+        assert got == {1: [2, 1, 3], 2: [4, 0, 5], 3: []}
+        dropped = {
+            r["doc_id"]: list(r["input_ids"])
+            for r in encode_ids(
+                self._pieces(spark), "pieces", self.VOCAB
+            ).collect()
+        }
+        assert dropped == {1: [2, 1, 3], 2: [4, 5], 3: []}
+
+    def test_relation_path_parity(self, spark, monkeypatch):
+        """Vocab above the codegen ceiling takes the broadcast-join
+        path — same answers, order preserved."""
+        from cod_stats_spark.operators import packing
+
+        want = {
+            r["doc_id"]: list(r["input_ids"])
+            for r in packing.encode_ids(
+                self._pieces(spark), "pieces", self.VOCAB, unk_id=0
+            ).collect()
+        }
+        monkeypatch.setattr(packing, "_VOCAB_LITERAL_LIMIT", 2)
+        got = {
+            r["doc_id"]: list(r["input_ids"])
+            for r in packing.encode_ids(
+                self._pieces(spark), "pieces", self.VOCAB, unk_id=0
+            ).collect()
+        }
+        assert got == want
+        monkeypatch.setattr(packing, "_VOCAB_LITERAL_LIMIT", 2)
+        drop = {
+            r["doc_id"]: list(r["input_ids"])
+            for r in packing.encode_ids(
+                self._pieces(spark), "pieces", self.VOCAB
+            ).collect()
+        }
+        assert drop == {1: [2, 1, 3], 2: [4, 5], 3: []}
+
+    def test_empty_vocab_rejected(self, spark):
+        from cod_stats_spark.operators.packing import encode_ids
+
+        with pytest.raises(ValueError, match="non-empty"):
+            encode_ids(self._pieces(spark), "pieces", [])
+
+
+class TestTokenizerToSequencesEndToEnd:
+    def test_unigram_pieces_to_training_windows(self, spark):
+        """The full final mile: trained tokenizer -> piece ids ->
+        fixed-length windows; flattened windows equal the tape prefix."""
+        from cod_stats_spark.operators.packing import (
+            encode_ids,
+            training_sequences,
+        )
+        from cod_stats_spark.operators.unigram_lm import (
+            learn_unigram,
+            unigram_encode,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "banana bandana ban " * (i + 1)) for i in range(6)],
+            "doc_id long, text string",
+        )
+        vocab = learn_unigram(
+            [("banana", 30), ("bandana", 20), ("ban", 10)], vocab_size=16
+        )
+        pieces = unigram_encode(docs, vocab, "text")
+        vocab_list = sorted(vocab.logp)
+        with_ids = encode_ids(pieces, "ulm_tokens", vocab_list)
+        seqs = training_sequences(with_ids, "input_ids", seq_len=8)
+        rows = seqs.collect()
+        assert rows, "expected at least one full window"
+        assert all(r["n_tokens"] == 8 for r in rows)
+        # every id is a valid vocab index
+        mx = len(vocab_list)
+        assert all(0 <= t < mx for r in rows for t in r["input_ids"])

@@ -110,6 +110,11 @@ HEADLINE = [
     "pii_redact",
     "repetition_metrics",
     "pack_sequences",
+    # round-11 addition: concatenate-then-split training-window
+    # assembly over the md5 tape, whole job incl. the window-content
+    # checksum (new entry, new scope; BENCH_NOTES.md "New entries
+    # (round 11)")
+    "training_sequences",
     "shard_assign",
     "knn_join",
     # round-6 addition: BLAS-scored batch KNN (new entry, new scope —

@@ -6245,6 +6245,36 @@ def semantic_dedup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_bench_only("training_sequences")
+def training_sequences_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed concatenate-then-split training-window assembly
+    (packing.training_sequences, r11, new entry — BENCH_NOTES.md "New
+    entries"): whitespace-tokenize the whole documents table, place
+    every doc on the md5 tape (two-phase prefix scan), emit the slice
+    rows, and assemble every exactly-2048-token window through the
+    seq_id shuffle. Ends in the filtered checksum aggregate over the
+    window CONTENT (md5_60 of the joined tokens) — without it count()
+    would prune the collect_list/flatten aggregation down to a row
+    count (the lm_score hazard)."""
+    from cod_stats_spark.operators.packing import training_sequences
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    wins = training_sequences(
+        docs.select("doc_id", T.words(F.col("text")).alias("_w")),
+        "_w",
+        "doc_id",
+        seq_len=2048,
+    )
+    content = F.expr(
+        "cast(conv(substring(md5(concat_ws(' ', input_ids)), 1, 15),"
+        " 16, 10) as bigint)"
+    )
+    return wins.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(content).alias("content_checksum"),
+    ).where(F.col("content_checksum") > F.lit(-1))
+
+
 @_bench_only("knn_join_gemm")
 def knn_join_gemm_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLAS-scored batch KNN (same query set as the knn_join gate; the

@@ -143,6 +143,9 @@ def test_timed_bodies_survive_count_pruning(spark):
         "quality_classifier": ["Join", "Generate"],  # weight join + feature
                                                      # explode in the scoring
                                                      # pass (r10)
+        "training_sequences": ["Generate", "Aggregate"],  # slice-row explode
+                                                          # + window assembly
+                                                          # (r11)
     }
     queries = {**QUERIES, **BENCH_ONLY}
     offenders: list[str] = []

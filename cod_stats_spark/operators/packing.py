@@ -38,6 +38,25 @@ def _order_key(id_col: str, salt: str):
     return F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
 
 
+def _check_buckets(num_buckets: int) -> int:
+    """The tape operators' bucket = conv(first-2-hex) % num_buckets,
+    and buckets are concatenated in bucket order — which equals the
+    documented global md5 order only when the mod is MONOTONE in the
+    0..255 prefix: num_buckets == 1 or >= 256 (identity). Any value
+    in 2..255 would silently interleave the tape bucket-major, i.e.
+    produce different shard assignments / window contents than the
+    concatenate-then-split loader the oracles replay. Refuse instead."""
+    n = int(num_buckets)
+    if 1 < n < 256:
+        raise ValueError(
+            f"num_buckets={n}: values in 2..255 are not order-preserving "
+            "for the 2-hex-char bucket key (use 1 or >= 256)"
+        )
+    if n < 1:
+        raise ValueError("num_buckets must be >= 1")
+    return n
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,
@@ -54,6 +73,7 @@ def pack_sequences(
     in (concatenate-then-split semantics). Deterministic under any
     partitioning: the order key is md5(salt ‖ id).
     """
+    num_buckets = _check_buckets(num_buckets)
     keyed = df.select(
         F.col(id_col).alias("id"),
         F.col(token_col).cast("bigint").alias("n_tokens"),
@@ -130,6 +150,7 @@ def training_sequences(
         raise ValueError(
             "training_sequences: pad_value requires drop_last=False"
         )
+    num_buckets = _check_buckets(num_buckets)
     toks = F.col(tokens_col)
     keyed = (
         df.select(
@@ -251,6 +272,10 @@ def encode_ids(
             mapped = F.transform(
                 mapped, lambda x: F.coalesce(x, F.lit(int(unk_id)))
             )
+        # null pieces array -> EMPTY ids, matching the relation path's
+        # contract exactly — the output must not change shape when the
+        # vocabulary grows past the literal ceiling
+        mapped = F.coalesce(mapped, F.array().cast("array<int>"))
         return df.withColumn(out_col, mapped)
     spark = df.sparkSession
     rel = F.broadcast(

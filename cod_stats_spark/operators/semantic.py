@@ -46,42 +46,27 @@ from cod_stats_spark.operators.clustering import kmeans_assign
 from cod_stats_spark.operators.similarity import dot, norm
 
 
-def semantic_dedup(
-    df: DataFrame,
-    vec_col: str,
-    id_col: str,
-    centroids: list[list[float]],
-    threshold: float = 0.95,
+def centroid_ranked(
+    spark, assigned: DataFrame, centroids: list[list[float]]
 ) -> DataFrame:
-    """Survivor rows of ``df`` + (cluster, centroid_cosine).
+    """(_id, _v, _n, cluster, centroid_cosine) for the non-null-
+    cluster rows of a ``kmeans_assign`` output — the keeper-rank
+    projection shared by :func:`semantic_dedup` and the incremental
+    state bootstrap (``streaming.semantic.build_semantic_state``).
+    ONE definition on purpose: the bootstrap's contract is that its
+    state rows are bit-identical to what the incremental path writes,
+    which only a shared formula can guarantee.
 
-    ``centroids``: the trained k-means centers (list of float lists —
-    the kmeans_fit output; fixed centroids keep the whole operator
-    exactly replayable). ``threshold`` compares against the pair
-    cosine ROUNDED to 6 decimals, the gate discipline that makes the
-    boundary engine-independent."""
+    Cosine to the OWN centroid — one broadcast join on the k-row
+    centroid relation; centroid norms fold in as driver-computed
+    literals (bit-identical to a left-to-right SQL fold over the
+    same doubles). NaN components make every comparison against
+    them TRUE under Spark's NaN ordering (the anomaly-clamp
+    lesson): a NaN cosine would pair with everything and rank above
+    everything, so the rank is guarded explicitly — NaN vectors
+    fall to score 0."""
     import math
 
-    if not centroids:
-        raise ValueError("semantic_dedup: centroids must be non-empty")
-    spark = df.sparkSession
-    v = F.col(vec_col).cast("array<double>")
-    assigned = kmeans_assign(
-        df.select(F.col(id_col).alias("_id"), v.alias("_v")), "_v", centroids
-    )
-    # null embeddings can't participate in a cosine decision — they
-    # PASS THROUGH (null cluster/score); silently deleting them (the
-    # inner joins below would) is data loss, not a dedup decision
-    null_part = assigned.where(F.col("cluster").isNull()).select(
-        "_id",
-        F.col("cluster"),
-        F.lit(None).cast("double").alias("centroid_cosine"),
-    )
-    assigned = assigned.where(F.col("cluster").isNotNull())
-    # keeper rank: cosine to the OWN centroid — one broadcast join on
-    # the k-row centroid relation; norms of the centroids fold in as
-    # driver-computed literals (bit-identical to a left-to-right SQL
-    # fold over the same doubles)
     cent_rows = [
         (j, [float(x) for x in c], math.sqrt(sum(float(x) ** 2 for x in c)))
         for j, c in enumerate(centroids)
@@ -91,13 +76,8 @@ def semantic_dedup(
             cent_rows, "cluster int, _cv array<double>, _cn double"
         )
     )
-    # NaN components make every comparison against them TRUE under
-    # Spark's NaN ordering (the anomaly-clamp lesson): a NaN cosine
-    # would pair with everything and rank above everything. Guard the
-    # rank and (below) the pair filter explicitly — NaN vectors fall
-    # to score 0 and never form pairs, so they survive untouched.
     _raw_cc = dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn"))
-    ranked = (
+    return (
         assigned.join(cent, "cluster")
         .withColumn("_n", norm(F.col("_v")))
         .select(
@@ -114,6 +94,39 @@ def semantic_dedup(
             ).alias("centroid_cosine"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Survivor rows of ``df`` + (cluster, centroid_cosine).
+
+    ``centroids``: the trained k-means centers (list of float lists —
+    the kmeans_fit output; fixed centroids keep the whole operator
+    exactly replayable). ``threshold`` compares against the pair
+    cosine ROUNDED to 6 decimals, the gate discipline that makes the
+    boundary engine-independent."""
+    if not centroids:
+        raise ValueError("semantic_dedup: centroids must be non-empty")
+    spark = df.sparkSession
+    v = F.col(vec_col).cast("array<double>")
+    assigned = kmeans_assign(
+        df.select(F.col(id_col).alias("_id"), v.alias("_v")), "_v", centroids
+    )
+    # null embeddings can't participate in a cosine decision — they
+    # PASS THROUGH (null cluster/score); silently deleting them (the
+    # inner joins below would) is data loss, not a dedup decision
+    null_part = assigned.where(F.col("cluster").isNull()).select(
+        "_id",
+        F.col("cluster"),
+        F.lit(None).cast("double").alias("centroid_cosine"),
+    )
+    assigned = assigned.where(F.col("cluster").isNotNull())
+    ranked = centroid_ranked(spark, assigned, centroids)
     a, b = ranked.alias("a"), ranked.alias("b")
     pair_cos = F.round(
         F.when(

@@ -6253,9 +6253,11 @@ def training_sequences_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     every doc on the md5 tape (two-phase prefix scan), emit the slice
     rows, and assemble every exactly-2048-token window through the
     seq_id shuffle. Ends in the filtered checksum aggregate over the
-    window CONTENT (md5_60 of the joined tokens) — without it count()
-    would prune the collect_list/flatten aggregation down to a row
-    count (the lm_score hazard)."""
+    window CONTENT (crc32 of the joined tokens — 32-bit summands, so
+    the bigint sum cannot wrap negative and trip the guard the way a
+    sum of 60-bit md5 values would after a handful of windows) —
+    without it count() would prune the collect_list/flatten
+    aggregation down to a row count (the lm_score hazard)."""
     from cod_stats_spark.operators.packing import training_sequences
 
     docs = load_tables(spark, sf_dir)["documents"]
@@ -6265,10 +6267,7 @@ def training_sequences_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         seq_len=2048,
     )
-    content = F.expr(
-        "cast(conv(substring(md5(concat_ws(' ', input_ids)), 1, 15),"
-        " 16, 10) as bigint)"
-    )
+    content = F.crc32(F.concat_ws(" ", "input_ids").cast("binary"))
     return wins.agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum(content).alias("content_checksum"),

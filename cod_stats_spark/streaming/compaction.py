@@ -93,12 +93,40 @@ def compact_state_tree(
     tgt = max(int(target_files), 1)
     if not old or max(per_dir.values()) <= tgt:
         return {"files_before": len(old), "files_after": len(old)}
+    # scope the rewrite to the OVER-TARGET directories only: a
+    # scheduled in-loop compaction (compact_every) would otherwise
+    # re-read and re-write the WHOLE tree every cycle because one
+    # freshly appended dir has 2 files — per-cycle cost must be
+    # proportional to the touched partitions, not the total state.
+    # Duplicate rows can only ever coexist WITHIN one directory (a
+    # row's partition value is a function of the row), so per-dir
+    # dropDuplicates collapses exactly what whole-tree would.
+    n_before = len(old)
+    over = sorted(d for d, c in per_dir.items() if c > tgt)
+    partial = (
+        partition_col is not None
+        and len(over) < len(per_dir)
+        and all(d.rsplit("/", 1)[-1].count("=") == 1 for d in over)
+    )
+    if partial:
+        # `old` (the files to delete after the rewrite) narrows to the
+        # touched dirs; the before/after counts stay whole-tree
+        read_from, old = over, [
+            p for p in old if p.rsplit("/", 1)[0] in set(over)
+        ]
+    else:
+        read_from = [path]
     # mergeSchema: a legacy mixed-schema tree (pre-replay-tag files
     # without the 'b' column under newer tagged files) must not let
     # one b-less footer win schema inference — the rewrite would
     # silently drop every replay tag. Merged, legacy rows read
     # b=null (foreign history, exactly how the probes treat them).
-    df = spark.read.option("mergeSchema", "true").parquet(path).dropDuplicates()
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", path)  # keep the partition column when
+        .parquet(*read_from)       # reading leaf dirs directly
+        .dropDuplicates()
+    )
     if partition_col is not None:
         if partition_col not in df.columns:
             raise ValueError(
@@ -139,7 +167,7 @@ def compact_state_tree(
     for p in old:
         fs.delete(p)
     new = _data_files(fs, path)
-    return {"files_before": len(old), "files_after": len(new)}
+    return {"files_before": n_before, "files_after": len(new)}
 
 
 def compact_dedup_index(spark: SparkSession, index_path: str) -> dict:

@@ -131,6 +131,46 @@ def _index_layout(
     return nf, nb
 
 
+_SKETCH_RE = re.compile(r"^_SKETCH\.h(\d+)\.b(\d+)\.s(\d+)$")
+
+
+def _sketch_params(
+    fs, index_path: str, num_hashes: int, bands: int, shingle_n: int
+) -> None:
+    """Record (on first use) / validate the index's MinHash sketch
+    parameters — the same fixed-for-lifetime contract as the bucket
+    counts: band keys computed under one (num_hashes, bands,
+    shingle_n) never collide with keys from another, so probing a
+    bootstrapped or previously ingested history with a different
+    sketch silently readmits every near-duplicate of it. Trees
+    created before the marker existed get it stamped with the
+    CURRENT call's parameters on first post-upgrade use (callers
+    that never changed their defaults — the overwhelming case — are
+    recorded correctly; a tree whose history genuinely mixes sketch
+    params was already silently broken)."""
+    names = fs.list_names(index_path) if fs.exists(index_path) else []
+    m = next((x for x in map(_SKETCH_RE.match, names) if x), None)
+    if m is not None:
+        got = tuple(int(m.group(i)) for i in (1, 2, 3))
+        want = (int(num_hashes), int(bands), int(shingle_n))
+        if got != want:
+            raise ValueError(
+                f"dedup index {index_path} was built with (num_hashes, "
+                f"bands, shingle_n)={got}; got {want} — sketch "
+                "parameters are fixed for an index's lifetime (rebuild "
+                "to change)"
+            )
+        return
+    fs.mkdirs(index_path)
+    fs.create_text(
+        os.path.join(
+            index_path,
+            f"_SKETCH.h{int(num_hashes)}.b{int(bands)}.s{int(shingle_n)}",
+        ),
+        f"{num_hashes} {bands} {shingle_n}",
+    )
+
+
 def _fp_bucket(fp, n: int):
     return F.pmod(F.xxhash64(fp), F.lit(int(n))).cast("int")
 
@@ -195,28 +235,46 @@ def build_dedup_index(
     will probe with (same contract as the bucket counts).
 
     Crash-safe by rerun: both subtrees are written with OVERWRITE, so
-    a partial bootstrap is repaired by running it again. Refuses to
-    touch a LIVE index (one with ``_APPLIED`` batch markers) —
-    overwriting it would erase every incrementally ingested batch's
-    index rows while their documents stay in the corpus, silently
-    readmitting future duplicates of them. Returns row counts per
-    subtree."""
+    a partial bootstrap is repaired by running it again (a
+    ``_BOOTSTRAP`` marker written before the first data write records
+    that the tree's contents are bootstrap output, hence safely
+    overwritable). Refuses to touch a LIVE index — one with
+    ``_APPLIED`` batch markers, OR one holding data files without the
+    ``_BOOTSTRAP`` marker (an index populated by direct batch-mode
+    ``dedup_batch_against_corpus`` calls writes no markers at all) —
+    overwriting either would erase ingested documents' index rows
+    while the documents stay in the corpus, silently readmitting
+    future duplicates of them. Returns row counts per subtree."""
     fs = _fs_for(spark, index_path)
-    if fs.exists(index_path) and any(
-        n.startswith("_APPLIED.") for n in fs.list_names(index_path)
-    ):
-        raise ValueError(
-            f"build_dedup_index: {index_path} is a LIVE index "
-            "(_APPLIED markers present) — bootstrapping would erase "
-            "ingested batches' index rows; use a fresh index path"
+    if fs.exists(index_path):
+        names = fs.list_names(index_path)
+        if any(n.startswith("_APPLIED.") for n in names):
+            raise ValueError(
+                f"build_dedup_index: {index_path} is a LIVE index "
+                "(_APPLIED markers present) — bootstrapping would erase "
+                "ingested batches' index rows; use a fresh index path"
+            )
+        has_data = any(
+            fs.list_files(os.path.join(index_path, sub))
+            for sub in ("fingerprints", "bands")
         )
+        if has_data and "_BOOTSTRAP" not in names:
+            raise ValueError(
+                f"build_dedup_index: {index_path} is a LIVE index "
+                "(holds index rows not written by a bootstrap — e.g. "
+                "batch-mode ingestion, which writes no markers); "
+                "bootstrapping would erase them; use a fresh index path"
+            )
     nf, nb = _index_layout(fs, index_path, fp_buckets, band_buckets)
-    if not nf:
+    if not nf:  # refuse BEFORE stamping markers on a rejected tree
         raise ValueError(
             f"build_dedup_index: {index_path} holds a legacy flat "
             "tree; the bootstrap writes the bucketed layout only — "
             "point it at a fresh path"
         )
+    _sketch_params(fs, index_path, num_hashes, bands, shingle_n)
+    if not fs.exists(os.path.join(index_path, "_BOOTSTRAP")):
+        fs.create_text(os.path.join(index_path, "_BOOTSTRAP"), "1")
     corpus = spark.read.parquet(corpus_path)
     _b = F.lit(-1).cast("long").alias("b")  # pre-stream history tag
     fp_rows = corpus.select(
@@ -375,6 +433,7 @@ def dedup_batch_against_corpus(
     bands_path = os.path.join(index_path, "bands")
     fs = _fs_for(spark, index_path)
     nf, nb = _index_layout(fs, index_path, fp_buckets, band_buckets)
+    _sketch_params(fs, index_path, num_hashes, bands, shingle_n)
     marker = (
         None
         if batch_id is None

@@ -197,17 +197,17 @@ def build_semantic_state(
     a real epoch id is never negative, so replay exclusion never
     touches bootstrap rows).
 
-    Assignment + centroid cosine mirror ``operators/semantic.py``'s
-    ranked projection exactly (same NaN guard, same 6-decimal
-    rounding) so a bootstrap row is bit-identical to the row the
-    incremental path would have written for the same document.
+    Assignment + centroid cosine run through the SAME
+    :func:`operators.semantic.centroid_ranked` projection the
+    incremental path uses, so a bootstrap row is bit-identical to
+    the row it would have written for the same document — a shared
+    formula, not a synchronized copy.
 
     Crash-safe by rerun (state written with OVERWRITE); refuses a
     LIVE state tree (``_APPLIED`` markers present) for the same
     reason the index bootstrap does. Returns the exemplar count."""
-    import math
-
     from cod_stats_spark.operators.clustering import kmeans_assign
+    from cod_stats_spark.operators.semantic import centroid_ranked
 
     if not centroids:
         raise ValueError("build_semantic_state: centroids must be non-empty")
@@ -226,33 +226,13 @@ def build_semantic_state(
         "_v",
         centroids,
     ).where(F.col("cluster").isNotNull())
-    cent_rows = [
-        (j, [float(x) for x in c], math.sqrt(sum(float(x) ** 2 for x in c)))
-        for j, c in enumerate(centroids)
-    ]
-    cent = F.broadcast(
-        spark.createDataFrame(
-            cent_rows, "cluster int, _cv array<double>, _cn double"
-        )
-    )
-    _raw_cc = dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn"))
-    state_rows = (
-        assigned.join(cent, "cluster")
-        .withColumn("_n", norm(F.col("_v")))
-        .select(
-            F.col("_id").alias("id"),
-            F.col("_v").alias("v"),
-            F.col("_n").alias("n"),
-            F.round(
-                F.when(
-                    (F.col("_n") * F.col("_cn") > 0) & ~F.isnan(_raw_cc),
-                    _raw_cc,
-                ).otherwise(F.lit(0.0)),
-                6,
-            ).alias("cc"),
-            F.lit(-1).cast("long").alias("b"),
-            "cluster",
-        )
+    state_rows = centroid_ranked(spark, assigned, centroids).select(
+        F.col("_id").alias("id"),
+        F.col("_v").alias("v"),
+        F.col("_n").alias("n"),
+        F.col("centroid_cosine").alias("cc"),
+        F.lit(-1).cast("long").alias("b"),
+        "cluster",
     )
     state_rows.repartition(F.col("cluster")).write.mode(
         "overwrite"
@@ -290,28 +270,30 @@ def stream_semantic_dedup(
     _legacy: list[bool] = []
 
     def batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        kept = semantic_batch_against_corpus(
-            batch_df.sparkSession,
-            batch_df,
-            state_path,
-            centroids,
-            vec_col,
-            id_col,
-            threshold,
-            batch_id=int(epoch_id),
-        )
-        if not _legacy:
-            _legacy.append(
-                legacy_flat_output(batch_df.sparkSession, out_path)
+        if not batch_df.isEmpty():
+            kept = semantic_batch_against_corpus(
+                batch_df.sparkSession,
+                batch_df,
+                state_path,
+                centroids,
+                vec_col,
+                id_col,
+                threshold,
+                batch_id=int(epoch_id),
             )
-        if _legacy[0]:
-            kept.write.mode("append").parquet(out_path)
-        else:
-            kept.write.mode("overwrite").parquet(
-                os.path.join(out_path, f"batch={int(epoch_id)}")
-            )
+            if not _legacy:
+                _legacy.append(
+                    legacy_flat_output(batch_df.sparkSession, out_path)
+                )
+            if _legacy[0]:
+                kept.write.mode("append").parquet(out_path)
+            else:
+                kept.write.mode("overwrite").parquet(
+                    os.path.join(out_path, f"batch={int(epoch_id)}")
+                )
+        # maintenance keeps its cadence on EMPTY epochs too (a sparse
+        # source must not defer compaction a full extra cycle); a
+        # missing state tree is a no-op inside compact_state_tree
         if compact_every and (int(epoch_id) + 1) % int(compact_every) == 0:
             from cod_stats_spark.streaming.compaction import (
                 compact_semantic_state,

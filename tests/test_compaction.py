@@ -215,6 +215,41 @@ class TestCompactDedupIndex:
         after = sorted(tuple(r) for r in spark.read.parquet(p).collect())
         assert after == before  # deduped exactly, no rows lost
 
+    def test_partial_compaction_leaves_compact_dirs_untouched(
+        self, spark, tmp_path
+    ):
+        """When only SOME partition dirs exceed the target, the
+        rewrite must scope to them — in-loop scheduled compaction
+        would otherwise pay a whole-tree read+write every epoch
+        (r11 review). Proof = file identity on the untouched dir."""
+        from cod_stats_spark.streaming import compact_state_tree
+
+        p = str(tmp_path / "t")
+        # pb=0 compact (1 file), pb=1 fragmented (3 files)
+        spark.createDataFrame(
+            [(i, 0) for i in range(10)], "id long, pb int"
+        ).repartition(F.col("pb")).write.partitionBy("pb").parquet(p)
+        for k in range(3):
+            spark.createDataFrame(
+                [(100 + 10 * k + i, 1) for i in range(10)],
+                "id long, pb int",
+            ).repartition(F.col("pb")).write.mode("append").partitionBy(
+                "pb"
+            ).parquet(p)
+        untouched = sorted(_parquet_files(os.path.join(p, "pb=0")))
+        before_rows = sorted(
+            tuple(r) for r in spark.read.parquet(p).collect()
+        )
+        out = compact_state_tree(spark, p, partition_col="pb")
+        assert out == {"files_before": 4, "files_after": 2}
+        # pb=0's file is bit-identical (same name -> never rewritten)
+        assert sorted(_parquet_files(os.path.join(p, "pb=0"))) == untouched
+        assert len(_parquet_files(os.path.join(p, "pb=1"))) == 1
+        after_rows = sorted(
+            tuple(r) for r in spark.read.parquet(p).collect()
+        )
+        assert after_rows == before_rows
+
     def test_partition_col_validation(self, spark, tmp_path):
         from cod_stats_spark.streaming import compact_state_tree
 

@@ -252,7 +252,8 @@ class TestBucketedIndexLayout:
         ).collect()
         with pytest.raises(ValueError, match="LIVE"):
             build_dedup_index(spark, corpus, "text", "doc_id", live_i)
-        # legacy flat tree: fingerprints/ without a _LAYOUT marker
+        # legacy flat tree WITH data: the live-data guard fires first
+        # (flat rows are ingested history too — r11 review)
         flat = str(tmp_path / "flat")
         os.makedirs(os.path.join(flat, "fingerprints"))
         spark.createDataFrame(
@@ -260,8 +261,62 @@ class TestBucketedIndexLayout:
         ).write.mode("overwrite").parquet(
             os.path.join(flat, "fingerprints")
         )
-        with pytest.raises(ValueError, match="legacy flat"):
+        with pytest.raises(ValueError, match="LIVE"):
             build_dedup_index(spark, corpus, "text", "doc_id", flat)
+        # data-free legacy dirs (no _LAYOUT marker): the layout
+        # refusal names the real problem
+        empty_flat = str(tmp_path / "empty_flat")
+        os.makedirs(os.path.join(empty_flat, "fingerprints"))
+        with pytest.raises(ValueError, match="legacy flat"):
+            build_dedup_index(spark, corpus, "text", "doc_id", empty_flat)
+
+    def test_sketch_params_fixed_for_index_lifetime(self, spark, tmp_path):
+        """The _SKETCH marker records (num_hashes, bands, shingle_n)
+        at creation; probing under DIFFERENT sketch params would
+        silently never collide with history (the bucket-count hazard
+        class, r11 review) — refuse instead."""
+        from cod_stats_spark.streaming.dedup import (
+            build_dedup_index,
+            dedup_batch_against_corpus,
+        )
+
+        corpus = str(tmp_path / "c")
+        _docs(spark, [(1, BASE)]).write.parquet(corpus)
+        idx = str(tmp_path / "i")
+        build_dedup_index(
+            spark, corpus, "text", "doc_id", idx, num_hashes=32, bands=16
+        )
+        assert any(
+            n.startswith("_SKETCH.h32.b16.s3") for n in os.listdir(idx)
+        )
+        with pytest.raises(ValueError, match="sketch"):
+            dedup_batch_against_corpus(
+                spark, _docs(spark, [(9, NOVEL)]), "text", "doc_id",
+                corpus, idx, num_hashes=16, bands=8, batch_id=0,
+            )
+        # matching params proceed
+        dedup_batch_against_corpus(
+            spark, _docs(spark, [(9, NOVEL)]), "text", "doc_id",
+            corpus, idx, num_hashes=32, bands=16, batch_id=0,
+        ).collect()
+
+    def test_bootstrap_refuses_batch_populated_index(self, spark, tmp_path):
+        """batch_id=None ingestion writes no markers at all — the
+        bootstrap must still detect the data files and refuse to
+        overwrite them (r11 review: the _APPLIED-only guard missed
+        this path)."""
+        from cod_stats_spark.streaming.dedup import (
+            build_dedup_index,
+            dedup_batch_against_corpus,
+        )
+
+        corpus, idx = str(tmp_path / "c"), str(tmp_path / "i")
+        dedup_batch_against_corpus(
+            spark, _docs(spark, [(1, BASE)]), "text", "doc_id",
+            corpus, idx, threshold=0.6,  # no batch_id -> no markers
+        ).collect()
+        with pytest.raises(ValueError, match="LIVE"):
+            build_dedup_index(spark, corpus, "text", "doc_id", idx)
 
     def test_replay_idempotent_over_partitioned_layout(self, spark, tmp_path):
         """The r10 at-least-once guard holds over pb= partitions: a

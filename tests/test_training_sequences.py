@@ -133,12 +133,36 @@ class TestTrainingSequences:
         ) == [("a", "b", "c"), ("d", "e", "f")]
 
     def test_guards(self, spark):
-        from cod_stats_spark.operators.packing import training_sequences
+        from cod_stats_spark.operators.packing import (
+            pack_sequences,
+            training_sequences,
+        )
 
         with pytest.raises(ValueError, match="seq_len"):
             training_sequences(_df(spark), "toks", seq_len=0)
         with pytest.raises(ValueError, match="drop_last"):
             training_sequences(_df(spark), "toks", pad_value=0)
+        # num_buckets in 2..255 is NOT order-preserving for the
+        # 2-hex-char bucket key: the tape would silently go
+        # bucket-major instead of global md5 order (r11 review)
+        for bad in (2, 128, 255):
+            with pytest.raises(ValueError, match="order-preserving"):
+                training_sequences(_df(spark), "toks", num_buckets=bad)
+            with pytest.raises(ValueError, match="order-preserving"):
+                pack_sequences(
+                    spark.createDataFrame(
+                        [(1, 3)], "doc_id long, n long"
+                    ),
+                    "n", num_buckets=bad,
+                )
+        # 1 and >=256 stay legal (1 = single bucket, >=256 = identity)
+        got = {
+            r["seq_id"]: list(r["input_ids"])
+            for r in training_sequences(
+                _df(spark), "toks", seq_len=4, num_buckets=1
+            ).collect()
+        }
+        assert got == _reference(ROWS, 4)
 
 
 class TestEncodeIds:
@@ -146,7 +170,8 @@ class TestEncodeIds:
 
     def _pieces(self, spark):
         return spark.createDataFrame(
-            [(1, ["ban", "an", "a"]), (2, ["b", "zzz", "n"]), (3, [])],
+            [(1, ["ban", "an", "a"]), (2, ["b", "zzz", "n"]), (3, []),
+             (4, None)],
             "doc_id long, pieces array<string>",
         )
 
@@ -159,14 +184,16 @@ class TestEncodeIds:
                 self._pieces(spark), "pieces", self.VOCAB, unk_id=0
             ).collect()
         }
-        assert got == {1: [2, 1, 3], 2: [4, 0, 5], 3: []}
+        # null pieces array -> EMPTY ids on BOTH paths (the contract
+        # must not flip when the vocab crosses the literal ceiling)
+        assert got == {1: [2, 1, 3], 2: [4, 0, 5], 3: [], 4: []}
         dropped = {
             r["doc_id"]: list(r["input_ids"])
             for r in encode_ids(
                 self._pieces(spark), "pieces", self.VOCAB
             ).collect()
         }
-        assert dropped == {1: [2, 1, 3], 2: [4, 5], 3: []}
+        assert dropped == {1: [2, 1, 3], 2: [4, 5], 3: [], 4: []}
 
     def test_relation_path_parity(self, spark, monkeypatch):
         """Vocab above the codegen ceiling takes the broadcast-join
@@ -194,7 +221,7 @@ class TestEncodeIds:
                 self._pieces(spark), "pieces", self.VOCAB
             ).collect()
         }
-        assert drop == {1: [2, 1, 3], 2: [4, 5], 3: []}
+        assert drop == {1: [2, 1, 3], 2: [4, 5], 3: [], 4: []}
 
     def test_empty_vocab_rejected(self, spark):
         from cod_stats_spark.operators.packing import encode_ids

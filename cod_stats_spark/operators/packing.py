@@ -119,6 +119,7 @@ def training_sequences(
     num_buckets: int = 256,
     drop_last: bool = True,
     pad_value=None,
+    with_spans: bool = False,
 ) -> DataFrame:
     """The final training artifact: every document's token array laid
     on the deterministic md5 tape (the :func:`pack_sequences` order)
@@ -134,6 +135,13 @@ def training_sequences(
     partial window (the pre-training convention); ``pad_value`` keeps
     and right-pads it instead. Empty/null token arrays contribute
     nothing (no zero-length docs on the tape).
+
+    ``with_spans`` adds ``doc_spans array<struct<off int, len int>>``
+    — each contributing document's slice as (offset-in-window,
+    length), in tape order, covering the window exactly. This is what
+    a loader needs to build the block-diagonal attention mask /
+    cross-document loss mask over packed sequences; padding (if any)
+    is the uncovered tail.
 
     Scale shape: the same two-phase prefix scan as
     :func:`pack_sequences` (per-bucket window + O(num_buckets) driver
@@ -196,14 +204,14 @@ def training_sequences(
     )
     lo = F.greatest(F.lit(0), F.col("seq_id") * L - F.col("start"))
     hi = F.least(F.col("n_tokens"), (F.col("seq_id") + 1) * L - F.col("start"))
-    pieces = spans.select(
+    piece_cols = [
         "seq_id",
         F.col("start").alias("_ord"),  # unique per doc -> stable sort key
         F.slice(
             "_toks", (lo + 1).cast("int"), (hi - lo).cast("int")
         ).alias("_piece"),
-    )
-    seqs = pieces.groupBy("seq_id").agg(
+    ]
+    aggs = [
         F.flatten(
             F.transform(
                 F.sort_array(
@@ -213,7 +221,26 @@ def training_sequences(
             )
         ).alias("input_ids"),
         F.count(F.lit(1)).alias("n_docs"),
-    )
+    ]
+    if with_spans:
+        # slice offset within the window + slice length, in tape order
+        piece_cols.append(
+            F.struct(
+                (F.greatest(F.col("start"), F.col("seq_id") * L)
+                 - F.col("seq_id") * L).cast("int").alias("off"),
+                (hi - lo).cast("int").alias("len"),
+            ).alias("_span")
+        )
+        aggs.append(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_ord"), F.col("_span")))
+                ),
+                lambda x: x["_span"],
+            ).alias("doc_spans")
+        )
+    pieces = spans.select(*piece_cols)
+    seqs = pieces.groupBy("seq_id").agg(*aggs)
     seqs = seqs.withColumn("n_tokens", F.size("input_ids"))
     if drop_last:
         return seqs.where(F.col("n_tokens") == L)

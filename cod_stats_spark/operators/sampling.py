@@ -199,3 +199,58 @@ def mixture_sample(
         ).otherwise(thr)
     key = F.concat(F.col(key_col).cast("string"), F.lit(salt))
     return df.filter(_hash_bucket(key) < thr)
+
+
+def epoch_expand(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    epochs: Mapping[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-domain UPSAMPLING — the half of mixture
+    reweighting :func:`mixture_sample` cannot do: repeat a domain's
+    documents ``w`` "epochs" (pretraining runs routinely take
+    high-quality sources 2-5 times while the crawl runs once).
+
+    Returns the input rows replicated with an ``epoch`` int column:
+    every row of domain d appears floor(w_d) times (epochs
+    0..floor(w_d)-1), and the md5-selected ``frac(w_d)`` fraction of
+    its rows once more (epoch floor(w_d)) — expected mass w_d ×
+    size_d, and the EXACT copy set reproduces in any engine (the
+    stratified-sample threshold arithmetic, fraction rounded to 9 dp).
+    w < 1 therefore degrades to deterministic thinning, and a domain
+    absent from ``epochs`` keeps its single epoch 0 (weight 1.0 —
+    upsampling must not silently drop unlisted domains; pass an
+    explicit 0.0 to drop one).
+
+    Plan: a codegen projection (literal when-chains over the bounded
+    domain map) + one explode of a ≤ceil(w)-element array — zero
+    shuffles, no joins; downstream consumers key on
+    (key_col, epoch) for replica-aware dedup/packing."""
+    weights = {str(d): float(w) for d, w in epochs.items()}
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("epoch_expand: epoch weights must be >= 0")
+    buckets = 1 << 20
+    n_full = F.lit(1)  # unlisted domains: one epoch, no fraction
+    thr = F.lit(0)
+    for domain, w in sorted(weights.items()):
+        full = int(w)
+        frac = round(w - full, 9)
+        n_full = F.when(F.col(domain_col) == domain, F.lit(full)).otherwise(
+            n_full
+        )
+        thr = F.when(
+            F.col(domain_col) == domain, F.lit(int(frac * buckets))
+        ).otherwise(thr)
+    key = F.concat(F.col(key_col).cast("string"), F.lit(salt), F.lit("ep"))
+    base = F.when(
+        n_full > 0, F.sequence(F.lit(0), n_full - 1)
+    ).otherwise(F.array().cast("array<int>"))  # sequence(0,-1) would
+    #                                            count DOWN, not empty
+    extra = F.when(
+        _hash_bucket(key) < thr, F.array(n_full)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn(
+        "epoch", F.explode(F.concat(base, extra))
+    )

@@ -5294,9 +5294,42 @@ def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the 'ep' arm's per-language epoch weights — exercises integer
+#: replication (zh 2×+fraction), plain doubling (es), explicit single
+#: epoch (en), and the unlisted-domain default (fr/de keep epoch 0)
+_EP_WEIGHTS = {"zh": 2.5, "es": 2.0, "en": 1.0}
+
+
+def _ep_oracle_arm() -> str:
+    """DuckDB replay of sampling.epoch_expand over the same weight
+    map — epoch arrays built per domain from the SAME constants
+    (full copies + the md5-threshold fractional extra copy)."""
+    cases = []
+    for d, w in sorted(_EP_WEIGHTS.items()):
+        full = int(w)
+        thr = int(round(w - full, 9) * (1 << 20))
+        base = "[" + ", ".join(str(i) for i in range(full)) + "]"
+        if full == 0:
+            base = "[]::INT[]"
+        arr = base
+        if thr > 0:
+            arr = (
+                f"list_concat({base}, CASE WHEN ('0x' || "
+                f"substr(md5(doc_id::VARCHAR || 'ep'), 1, 5))::BIGINT "
+                f"< {thr} THEN [{full}] ELSE []::INT[] END)"
+            )
+        cases.append(f"WHEN '{d}' THEN {arr}")
+    return (
+        "SELECT 'ep' AS tag, doc_id AS id, lang || ':' || e::VARCHAR AS info"
+        " FROM (SELECT doc_id, lang, unnest(CASE lang "
+        + " ".join(cases)
+        + " ELSE [0] END) AS e FROM documents)"
+    )
+
+
 @query(
     "stratified_sample",
-    covers="EXT-sampling (deterministic md5-threshold stratified sampling + Efraimidis-Spirakis weighted sampling w/o replacement + train/val/test split assignment with group-level leakage guard + domain-mixture sampling — the exact samples reproduce in any engine)",
+    covers="EXT-sampling (deterministic md5-threshold stratified sampling + Efraimidis-Spirakis weighted sampling w/o replacement + train/val/test split assignment with group-level leakage guard + domain-mixture sampling — the exact samples reproduce in any engine; r11 'ep': sampling.epoch_expand per-domain UPSAMPLING — integer epoch replication + md5-selected fractional extra copies, the exact copy set replayed in SQL)",
     oracle=f"""
 SELECT 'strat' AS tag, event_id AS id, event_type AS info
 FROM events
@@ -5342,18 +5375,22 @@ JOIN (
   FROM sizes JOIN w USING (d)
 ) t ON d.lang = t.d
 WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 5))::BIGINT < t.thr
+UNION ALL
+{_ep_oracle_arm()}
 """,
 )
 def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Four deterministic-sampling shapes, tagged (widened r6, r7):
-    'strat' downsamples high-volume event types (view→10%, click→25%,
-    rest whole) by md5 threshold; 'wes' draws a 400-row
+    """Five deterministic-sampling shapes, tagged (widened r6, r7,
+    r11): 'strat' downsamples high-volume event types (view→10%,
+    click→25%, rest whole) by md5 threshold; 'wes' draws a 400-row
     importance-weighted sample (weight = value) via Efraimidis-
     Spirakis keys; 'split' assigns 90/5/5 train/val/test hashed on the
     SOURCE column (the leakage guard: every doc of a source lands in
     one split); 'mix' thins the corpus to a 40/20/20/20 en/zh/es/fr
     char mixture ('de' outside the target drops, the scarcest domain
-    is kept whole). All four are pure functions of the data, so the
+    is kept whole); 'ep' (r11) UPSAMPLES per domain — zh 2.5 epochs,
+    es 2, en 1, unlisted keep their single epoch, fractional copies
+    md5-selected. All five are pure functions of the data, so the
     oracle engine draws IDENTICAL rows."""
     from cod_stats_spark.operators.sampling import (
         assign_splits,
@@ -5394,7 +5431,19 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         F.col("lang").alias("info"),
     )
-    return strat.unionByName(wes).unionByName(split).unionByName(mix)
+    from cod_stats_spark.operators.sampling import epoch_expand
+
+    ep = epoch_expand(docs, "doc_id", "lang", _EP_WEIGHTS).select(
+        F.lit("ep").alias("tag"),
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.col("lang"), F.lit(":"), F.col("epoch").cast("string")
+        ).alias("info"),
+    )
+    return (
+        strat.unionByName(wes).unionByName(split)
+        .unionByName(mix).unionByName(ep)
+    )
 
 
 _BM25_SQL_BODY = """

@@ -165,6 +165,110 @@ class TestTrainingSequences:
         assert got == _reference(ROWS, 4)
 
 
+class TestDocSpans:
+    def test_spans_cover_windows_and_match_reference(self, spark):
+        from cod_stats_spark.operators.packing import training_sequences
+
+        out = training_sequences(
+            _df(spark), "toks", seq_len=4, with_spans=True
+        ).collect()
+        assert out
+        # reference tape of (doc_id, token) pairs
+        tape = []
+        for did, toks in sorted(
+            (r for r in ROWS if r[1]), key=lambda r: (_md5("pack", r[0]), r[0])
+        ):
+            tape.extend((did, t) for t in toks)
+        for r in out:
+            w = r["seq_id"]
+            window = tape[w * 4:(w + 1) * 4]
+            # spans tile the window exactly, in order, one per doc run
+            runs = []
+            for did, _t in window:
+                if runs and runs[-1][0] == did:
+                    runs[-1][1] += 1
+                else:
+                    runs.append([did, 1])
+            got = [(s["off"], s["len"]) for s in r["doc_spans"]]
+            expect, off = [], 0
+            for _did, ln in runs:
+                expect.append((off, ln))
+                off += ln
+            assert got == expect, (w, got, expect)
+            assert sum(s["len"] for s in r["doc_spans"]) == 4
+            assert len(r["doc_spans"]) == r["n_docs"]
+
+    def test_spans_with_padding_leave_tail_uncovered(self, spark):
+        from cod_stats_spark.operators.packing import training_sequences
+
+        out = training_sequences(
+            _df(spark), "toks", seq_len=6,
+            drop_last=False, pad_value=-1, with_spans=True,
+        ).collect()
+        last = max(out, key=lambda r: r["seq_id"])
+        covered = sum(s["len"] for s in last["doc_spans"])
+        assert covered == last["n_tokens"]       # pre-pad token count
+        assert len(last["input_ids"]) == 6       # padded to seq_len
+
+
+class TestEpochExpand:
+    DOCS = [(i, ["web", "wiki", "code"][i % 3]) for i in range(60)]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.DOCS, "doc_id long, domain string")
+
+    def test_integer_and_fractional_epochs(self, spark):
+        from cod_stats_spark.operators.sampling import epoch_expand
+
+        out = epoch_expand(
+            self._df(spark), "doc_id", "domain",
+            {"wiki": 3.0, "code": 1.5, "web": 1.0},
+        )
+        rows = out.collect()
+        by_dom: dict[str, list] = {}
+        for r in rows:
+            by_dom.setdefault(r["domain"], []).append(r)
+        n_wiki = len([d for d in self.DOCS if d[1] == "wiki"])
+        n_code = len([d for d in self.DOCS if d[1] == "code"])
+        n_web = len([d for d in self.DOCS if d[1] == "web"])
+        assert len(by_dom["wiki"]) == 3 * n_wiki
+        assert {r["epoch"] for r in by_dom["wiki"]} == {0, 1, 2}
+        assert len(by_dom["web"]) == n_web
+        assert {r["epoch"] for r in by_dom["web"]} == {0}
+        # fractional: every code doc once, plus a strict subset again
+        extra = [r for r in by_dom["code"] if r["epoch"] == 1]
+        assert n_code <= len(by_dom["code"]) < 2 * n_code
+        assert 0 < len(extra) < n_code
+        # the extra-copy set is deterministic
+        again = {
+            (r["doc_id"], r["epoch"])
+            for r in epoch_expand(
+                self._df(spark).repartition(5), "doc_id", "domain",
+                {"wiki": 3.0, "code": 1.5, "web": 1.0},
+            ).collect()
+        }
+        assert again == {(r["doc_id"], r["epoch"]) for r in rows}
+
+    def test_unlisted_kept_once_zero_drops_and_thinning(self, spark):
+        from cod_stats_spark.operators.sampling import epoch_expand
+
+        out = epoch_expand(
+            self._df(spark), "doc_id", "domain", {"wiki": 0.0, "code": 0.5}
+        ).collect()
+        doms = {r["domain"] for r in out}
+        assert "wiki" not in doms                 # explicit 0 drops
+        web = [r for r in out if r["domain"] == "web"]
+        assert len(web) == len([d for d in self.DOCS if d[1] == "web"])
+        code = [r for r in out if r["domain"] == "code"]
+        n_code = len([d for d in self.DOCS if d[1] == "code"])
+        assert 0 < len(code) < n_code             # w<1 == thinning
+        assert all(r["epoch"] == 0 for r in code)
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match=">= 0"):
+            epoch_expand(self._df(spark), "doc_id", "domain", {"web": -1})
+
+
 class TestEncodeIds:
     VOCAB = ["<unk>", "an", "ban", "a", "b", "n"]
 

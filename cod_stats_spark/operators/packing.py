@@ -211,19 +211,11 @@ def training_sequences(
             "_toks", (lo + 1).cast("int"), (hi - lo).cast("int")
         ).alias("_piece"),
     ]
-    aggs = [
-        F.flatten(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("_ord"), F.col("_piece")))
-                ),
-                lambda x: x["_piece"],
-            )
-        ).alias("input_ids"),
-        F.count(F.lit(1)).alias("n_docs"),
-    ]
     if with_spans:
-        # slice offset within the window + slice length, in tape order
+        # slice offset within the window + slice length, in tape
+        # order; collected ALONGSIDE the piece in ONE struct so the
+        # assembly pays a single collect_list + sort per window, and
+        # both outputs derive from the same sorted list
         piece_cols.append(
             F.struct(
                 (F.greatest(F.col("start"), F.col("seq_id") * L)
@@ -231,16 +223,39 @@ def training_sequences(
                 (hi - lo).cast("int").alias("len"),
             ).alias("_span")
         )
-        aggs.append(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("_ord"), F.col("_span")))
-                ),
-                lambda x: x["_span"],
-            ).alias("doc_spans")
+        pieces = spans.select(*piece_cols)
+        seqs = pieces.groupBy("seq_id").agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("_ord"), F.col("_piece"), F.col("_span"))
+                )
+            ).alias("_sorted"),
+            F.count(F.lit(1)).alias("n_docs"),
+        ).select(
+            "seq_id",
+            F.flatten(
+                F.transform(F.col("_sorted"), lambda x: x["_piece"])
+            ).alias("input_ids"),
+            "n_docs",
+            F.transform(F.col("_sorted"), lambda x: x["_span"]).alias(
+                "doc_spans"
+            ),
         )
-    pieces = spans.select(*piece_cols)
-    seqs = pieces.groupBy("seq_id").agg(*aggs)
+    else:
+        pieces = spans.select(*piece_cols)
+        seqs = pieces.groupBy("seq_id").agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(F.col("_ord"), F.col("_piece"))
+                        )
+                    ),
+                    lambda x: x["_piece"],
+                )
+            ).alias("input_ids"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
     seqs = seqs.withColumn("n_tokens", F.size("input_ids"))
     if drop_last:
         return seqs.where(F.col("n_tokens") == L)

@@ -226,8 +226,15 @@ def epoch_expand(
 
     Plan: a codegen projection (literal when-chains over the bounded
     domain map) + one explode of a ≤ceil(w)-element array — zero
-    shuffles, no joins; downstream consumers key on
-    (key_col, epoch) for replica-aware dedup/packing."""
+    shuffles, no joins.
+
+    Replicas share ``key_col``, so the output also carries
+    ``epoch_key`` = ``key:epoch`` — the UNIQUE per-copy key downstream
+    single-key operators must use. In particular
+    ``pack_sequences``/``training_sequences`` tape placement breaks
+    on duplicate ids (colliding order keys put both replicas at one
+    offset while bucket totals count both — silent token loss): feed
+    them ``id_col="epoch_key"``, never the original key."""
     weights = {str(d): float(w) for d, w in epochs.items()}
     if any(w < 0 for w in weights.values()):
         raise ValueError("epoch_expand: epoch weights must be >= 0")
@@ -253,4 +260,11 @@ def epoch_expand(
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn(
         "epoch", F.explode(F.concat(base, extra))
+    ).withColumn(
+        "epoch_key",
+        F.concat(
+            F.col(key_col).cast("string"),
+            F.lit(":"),
+            F.col("epoch").cast("string"),
+        ),
     )

@@ -5394,6 +5394,7 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle engine draws IDENTICAL rows."""
     from cod_stats_spark.operators.sampling import (
         assign_splits,
+        epoch_expand,
         mixture_sample,
         stratified_sample,
         weighted_sample,
@@ -5431,8 +5432,6 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         F.col("lang").alias("info"),
     )
-    from cod_stats_spark.operators.sampling import epoch_expand
-
     ep = epoch_expand(docs, "doc_id", "lang", _EP_WEIGHTS).select(
         F.lit("ep").alias("tag"),
         F.col("doc_id").alias("id"),

@@ -249,6 +249,31 @@ class TestEpochExpand:
         }
         assert again == {(r["doc_id"], r["epoch"]) for r in rows}
 
+    def test_epoch_key_feeds_packing(self, spark):
+        """Replicas share doc_id, which breaks single-key tape
+        placement (colliding order keys); epoch_key is the unique
+        per-copy key and must compose with training_sequences — all
+        replicated tokens appear, none silently lost (r11 review)."""
+        from cod_stats_spark.operators.packing import training_sequences
+        from cod_stats_spark.operators.sampling import epoch_expand
+
+        docs = spark.createDataFrame(
+            [(i, "wiki", list(range(i * 10, i * 10 + 5)))
+             for i in range(8)],
+            "doc_id long, domain string, toks array<int>",
+        )
+        up = epoch_expand(docs, "doc_id", "domain", {"wiki": 2.0})
+        assert up.select("epoch_key").distinct().count() == 16
+        wins = training_sequences(
+            up, "toks", id_col="epoch_key", seq_len=5,
+            drop_last=False,
+        ).collect()
+        got = sorted(t for r in wins for t in r["input_ids"])
+        expect = sorted(
+            t for i in range(8) for t in range(i * 10, i * 10 + 5)
+        ) * 2
+        assert got == sorted(expect)
+
     def test_unlisted_kept_once_zero_drops_and_thinning(self, spark):
         from cod_stats_spark.operators.sampling import epoch_expand
 
@@ -263,9 +288,7 @@ class TestEpochExpand:
         n_code = len([d for d in self.DOCS if d[1] == "code"])
         assert 0 < len(code) < n_code             # w<1 == thinning
         assert all(r["epoch"] == 0 for r in code)
-        import pytest as _pt
-
-        with _pt.raises(ValueError, match=">= 0"):
+        with pytest.raises(ValueError, match=">= 0"):
             epoch_expand(self._df(spark), "doc_id", "domain", {"web": -1})
 
 

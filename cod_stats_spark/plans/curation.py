@@ -583,6 +583,18 @@ def compact_curated_shards(spark, state_dir: str) -> "DataFrame | None":
     the rewrite is one clustering shuffle regardless of corpus size.
     Returns the compacted table.
 
+    Cost shape, stated plainly: this is a FULL REBUILD — every call
+    re-reads all retained fragments and rewrites the whole compacted
+    tree, O(corpus) per maintenance cycle (unlike the r11 scoped
+    state-tree compaction, which pays only for touched partitions).
+    That is the right trade while the global sequence must stay
+    contiguous from zero and fragments are retained as the source of
+    truth; a deployment compacting on a daily/weekly cadence
+    amortizes it. An incremental variant (offsets continuing from the
+    existing table + consumed-fragment markers under the replay
+    contract) is the known follow-up if compaction cadence must
+    exceed corpus growth.
+
     Empty fragment tree (scheduled compaction firing before the first
     batch lands, or right after a compaction already consumed the
     fragments) is a NO-OP: returns the existing compacted table if

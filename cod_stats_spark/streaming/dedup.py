@@ -295,12 +295,14 @@ def build_dedup_index(
     ).repartition(F.col("pb")).write.mode("overwrite").partitionBy(
         "pb"
     ).parquet(os.path.join(index_path, "bands"))
+    # explicit schemas (the probe convention): an empty corpus writes
+    # data-less partition dirs that schema inference cannot read
     return {
-        "fingerprints": spark.read.parquet(
-            os.path.join(index_path, "fingerprints")
+        "fingerprints": _read_or_empty(
+            spark, os.path.join(index_path, "fingerprints"), FP_SCHEMA, nf
         ).count(),
-        "bands": spark.read.parquet(
-            os.path.join(index_path, "bands")
+        "bands": _read_or_empty(
+            spark, os.path.join(index_path, "bands"), BANDS_SCHEMA, nb
         ).count(),
     }
 

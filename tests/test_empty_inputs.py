@@ -289,3 +289,94 @@ def test_r10_ops_empty_inputs(spark, tmp_path):
     from cod_stats_spark.operators.anomaly import flag_anomalies
 
     assert flag_anomalies(ev, "value", ["user_id"], "ts", 60).count() == 0
+
+
+def test_r11_ops_empty_inputs(spark, tmp_path):
+    """The r11 surface: tokenizer-to-windows final mile, upsampling,
+    URL curation, and the state bootstraps all degrade to empty
+    outputs (or refuse with a clear message) on empty frames."""
+    import pytest as _pytest
+
+    from cod_stats_spark.functions.url import domain_gate, domain_stats
+    from cod_stats_spark.operators.packing import (
+        encode_ids,
+        training_sequences,
+    )
+    from cod_stats_spark.operators.sampling import epoch_expand
+    from cod_stats_spark.operators.unigram_lm import (
+        unigram_encode,
+        unigram_fit,
+    )
+    from cod_stats_spark.streaming import (
+        build_dedup_index,
+        build_semantic_state,
+        semantic_batch_against_corpus,
+    )
+
+    docs = _empty_docs(spark)
+
+    # unigram tokenizer: fitting on an empty corpus is a clear error
+    # (no counts to train on, the BPE precedent); encoding an empty
+    # frame with a real vocab is an empty frame
+    with _pytest.raises(ValueError):
+        unigram_fit(docs, vocab_size=16)
+    from cod_stats_spark.operators.unigram_lm import learn_unigram
+
+    v = learn_unigram([("banana", 3)], vocab_size=8)
+    assert unigram_encode(docs, v, "text").count() == 0
+
+    # training windows + id mapping over empty/all-empty-token frames
+    toks = spark.createDataFrame([], "doc_id long, toks array<int>")
+    assert training_sequences(toks, "toks", seq_len=8).count() == 0
+    assert training_sequences(
+        toks, "toks", seq_len=8, drop_last=False, pad_value=0,
+        with_spans=True,
+    ).count() == 0
+    pieces = spark.createDataFrame([], "doc_id long, pieces array<string>")
+    assert encode_ids(pieces, "pieces", ["a", "b"]).count() == 0
+
+    # upsampling an empty frame is an empty frame (with the columns)
+    up = epoch_expand(docs, "doc_id", "lang", {"en": 2.5})
+    assert up.count() == 0
+    assert "epoch" in up.columns and "epoch_key" in up.columns
+
+    # URL curation over empty docs
+    url_docs = spark.createDataFrame([], "doc_id long, url string, text string")
+    assert domain_gate(url_docs, "url", blocklist=["x.com"]).count() == 0
+    assert domain_stats(url_docs).count() == 0
+
+    # bootstraps from an EMPTY corpus: a consistent empty state that
+    # a later real batch ingests against normally
+    cdir = str(tmp_path / "corpus")
+    docs.select("doc_id", "text").write.parquet(cdir)
+    counts = build_dedup_index(
+        spark, cdir, "text", "doc_id", str(tmp_path / "idx"),
+        fp_buckets=4, band_buckets=4,
+    )
+    assert counts == {"fingerprints": 0, "bands": 0}
+    from cod_stats_spark.streaming.dedup import dedup_batch_against_corpus
+
+    kept = dedup_batch_against_corpus(
+        spark,
+        spark.createDataFrame(
+            [(1, "a genuinely real document with words in it")],
+            "doc_id long, text string",
+        ),
+        "text", "doc_id", cdir + "2", str(tmp_path / "idx"),
+        threshold=0.6, batch_id=0, fp_buckets=4, band_buckets=4,
+    )
+    assert kept.count() == 1
+
+    emb = spark.createDataFrame([], "doc_id long, embedding array<double>")
+    n = build_semantic_state(
+        spark, emb, str(tmp_path / "sem"), [[1.0, 0.0]]
+    )
+    assert n == 0
+    out = semantic_batch_against_corpus(
+        spark,
+        spark.createDataFrame(
+            [(7, [1.0, 0.0])], "doc_id long, embedding array<double>"
+        ),
+        str(tmp_path / "sem"), [[1.0, 0.0]], batch_id=0,
+    )
+    assert out.count() == 1

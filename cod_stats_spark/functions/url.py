@@ -131,10 +131,16 @@ def domain_matches(host: Column | str, domains: list[str]) -> Column:
 def domain_matches_sql(expr: str, domains: list[str]) -> str:
     if not domains:
         return "FALSE"
-    parts = [
-        f"({expr} = '{d}' OR {expr} LIKE '%.{d}')"
-        for d in sorted(set(d.lower() for d in domains))
-    ]
+    # right()-equality instead of LIKE: a domain entry containing a
+    # LIKE metacharacter (_ or %) must match LITERALLY, exactly as
+    # the Column side's endswith does; single quotes are doubled so
+    # an entry can never break out of the generated literal
+    parts = []
+    for d in sorted(set(d.lower() for d in domains)):
+        lit = d.replace("'", "''")
+        parts.append(
+            f"({expr} = '{lit}' OR right({expr}, {len(d) + 1}) = '.{lit}')"
+        )
     return f"(CASE WHEN {expr} IS NULL THEN FALSE ELSE ({' OR '.join(parts)}) END)"
 
 

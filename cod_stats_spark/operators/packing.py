@@ -301,6 +301,12 @@ def encode_ids(
     vocab stays driver-bounded either way (the BPE/PQ factoring)."""
     if not vocab:
         raise ValueError("encode_ids: vocab must be non-empty")
+    if len(set(vocab)) != len(vocab):
+        # without this, the two paths fail DIFFERENTLY on the same
+        # bad input: the literal map raises at runtime (duplicate
+        # map key) while the relation join silently emits extra
+        # tokens — fail fast and identically instead
+        raise ValueError("encode_ids: vocab contains duplicate pieces")
     pieces = F.col(pieces_col)
     if len(vocab) <= _VOCAB_LITERAL_LIMIT:
         m = F.map_from_arrays(

@@ -286,7 +286,13 @@ def stream_semantic_dedup(
                     legacy_flat_output(batch_df.sparkSession, out_path)
                 )
             if _legacy[0]:
-                kept.write.mode("append").parquet(out_path)
+                # the flat layout always carried batch as a DATA
+                # column (the partitioned layout gets it from the
+                # dir name) — appending without it would leave a
+                # mixed-schema tree that reads null provenance
+                kept.withColumn(
+                    "batch", F.lit(int(epoch_id))
+                ).write.mode("append").parquet(out_path)
             else:
                 kept.write.mode("overwrite").parquet(
                     os.path.join(out_path, f"batch={int(epoch_id)}")

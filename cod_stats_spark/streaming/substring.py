@@ -191,7 +191,11 @@ def stream_substring_dedup(
                 legacy_flat_output(batch_df.sparkSession, out_path)
             )
         if _legacy[0]:
-            cleaned.write.mode("append").parquet(out_path)
+            # the flat layout always carried batch as a DATA column
+            # (the partitioned layout gets it from the dir name)
+            cleaned.withColumn(
+                "batch", F.lit(int(epoch_id))
+            ).write.mode("append").parquet(out_path)
         else:
             cleaned.write.mode("overwrite").parquet(
                 os.path.join(out_path, f"batch={int(epoch_id)}")

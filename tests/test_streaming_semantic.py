@@ -4,6 +4,8 @@ foreachBatch wrapper."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 CENTROIDS = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
 
 
@@ -216,10 +218,11 @@ class TestSemanticBatchAgainstCorpus:
         from cod_stats_spark.streaming._state import legacy_flat_output
 
         out = str(tmp_path / "out")
-        # the pre-r11 layout: kept rows appended flat at the root
-        _df(spark, [(100, [0.0, 1.0, 0.0, 0.0])]).coalesce(
-            1
-        ).write.parquet(out)
+        # the pre-r11 layout: kept rows appended flat at the root,
+        # batch provenance carried as a DATA column
+        _df(spark, [(100, [0.0, 1.0, 0.0, 0.0])]).withColumn(
+            "batch", F.lit(7)
+        ).coalesce(1).write.parquet(out)
         assert legacy_flat_output(spark, out)
         assert not legacy_flat_output(spark, str(tmp_path / "missing"))
 
@@ -246,10 +249,14 @@ class TestSemanticBatchAgainstCorpus:
         # no batch= dirs appeared, and the whole tree still reads
         assert not any(n.startswith("batch=") for n in os.listdir(out))
         got = {
-            r["doc_id"]
-            for r in spark.read.parquet(out).select("doc_id").collect()
+            (r["doc_id"], r["batch"])
+            for r in spark.read.parquet(out)
+            .select("doc_id", "batch")
+            .collect()
         }
-        assert got == {1, 100}
+        # the appended row carries its epoch id as a DATA column —
+        # the flat layout's provenance convention (ADVICE r11)
+        assert got == {(1, 0), (100, 7)}
 
     def test_state_probe_plan_has_partition_filters(self, spark, tmp_path):
         """The probe's state scan prunes on the cluster partition

@@ -322,6 +322,19 @@ class TestEncodeIds:
         }
         assert dropped == {1: [2, 1, 3], 2: [4, 5], 3: [], 4: []}
 
+    def test_duplicate_vocab_rejected_up_front(self, spark):
+        """Both paths must fail the SAME way on a duplicate piece —
+        the literal map would raise at runtime while the relation
+        join would silently emit extra tokens (ADVICE r11)."""
+        import pytest
+
+        from cod_stats_spark.operators.packing import encode_ids
+
+        with pytest.raises(ValueError, match="duplicate"):
+            encode_ids(
+                self._pieces(spark), "pieces", ["a", "b", "a"]
+            )
+
     def test_relation_path_parity(self, spark, monkeypatch):
         """Vocab above the codegen ceiling takes the broadcast-join
         path — same answers, order preserved."""

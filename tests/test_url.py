@@ -141,6 +141,51 @@ class TestHostAndDomain:
         got_spark = [(r["doc_id"], r["host"], r["dom"], r["blk"]) for r in spark_rows]
         assert got_spark == [tuple(r) for r in duck]
 
+    def test_sql_builder_escapes_like_metachars_and_quotes(self, spark):
+        """A blocklist entry containing LIKE metacharacters must match
+        LITERALLY in the generated SQL (the Column side's endswith is
+        literal), and a quote must not break the statement (ADVICE
+        r11)."""
+        import duckdb
+        import pandas as pd
+
+        from cod_stats_spark.functions.url import (
+            domain_matches,
+            domain_matches_sql,
+        )
+
+        # a_b.com would be a wildcard under LIKE; o'x.com tests quoting
+        block = ["a_b.com", "o'x.com"]
+        rows = [
+            (0, "axb.com"),   # matches a_b.com under LIKE, not literal
+            (1, "a_b.com"),   # literal match
+            (2, "x.a_b.com"),  # literal subdomain match
+            (3, "o'x.com"),   # quoted entry, literal match
+            (4, "oxx.com"),   # no match
+        ]
+        sdf = spark.createDataFrame(rows, "doc_id long, host string")
+        got_spark = [
+            (r["doc_id"], r["blk"])
+            for r in sdf.select(
+                "doc_id",
+                domain_matches(F.col("host"), block).alias("blk"),
+            )
+            .orderBy("doc_id")
+            .collect()
+        ]
+        assert got_spark == [
+            (0, False), (1, True), (2, True), (3, True), (4, False)
+        ]
+        con = duckdb.connect()
+        con.register(
+            "t", pd.DataFrame(rows, columns=["doc_id", "host"])
+        )
+        duck = con.sql(
+            f"SELECT doc_id, {domain_matches_sql('host', block)} AS blk "
+            "FROM t ORDER BY doc_id"
+        ).fetchall()
+        assert got_spark == [tuple(r) for r in duck]
+
 
 class TestDomainStatsAndGate:
     def test_domain_stats_rollup(self, spark):

@@ -4627,7 +4627,11 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 token_budget=2048,
                 salt="curate",
             )
-        compacted = compact_curated_shards(spark, state)
+            # compact INSIDE the loop (r12): cycle 2 must continue the
+            # global shard sequence from cycle 1's _APPLIED markers and
+            # rewrite only batch 2's dirs — the oracle then value-
+            # verifies the incremental consumption, not just the merge
+            compacted = compact_curated_shards(spark, state)
         curate_rows = (
             compacted.select("doc_id")
             .join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
@@ -4672,7 +4676,8 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 salt="curate",
                 substring_n=8,
             )
-        compacted_ss = compact_curated_shards(spark, state_ss)
+            # same in-loop incremental compaction as the 'curate' arm
+            compacted_ss = compact_curated_shards(spark, state_ss)
         arrival_ss = (
             F.when(F.col("doc_id") * 2 <= mx, F.lit(1))
             .otherwise(F.lit(2))

@@ -30,6 +30,7 @@ writes between stages anyway. 100 TB changes the sizes, not the plan.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Mapping
 
 from pyspark.sql import DataFrame
@@ -542,7 +543,12 @@ def stream_curate_to_corpus(
     one, and the fragment shard tree (:func:`compact_curated_shards`).
     A replayed epoch re-running maintenance is a no-op — index/state
     compaction has the per-leaf-dir check, and the shard compactor
-    tolerates an empty fragment tree."""
+    consumes each fragment batch exactly once (``_APPLIED`` markers),
+    so a cycle with nothing new — or an empty fragment tree — costs a
+    root listing. Since r12 the shard pass is incremental: per cycle
+    it reads only the unconsumed fragments and writes only their
+    shard dirs, so in-loop maintenance cost tracks batch size, not
+    corpus lifetime."""
 
     def batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
         import os as _os
@@ -570,64 +576,134 @@ def stream_curate_to_corpus(
     return writer.start()
 
 
-def compact_curated_shards(spark, state_dir: str) -> "DataFrame | None":
+_APPLIED = re.compile(r"^_APPLIED\.b(\d+)\.o(\d+)\.n(\d+)$")
+
+
+def compact_curated_shards(
+    spark,
+    state_dir: str,
+    full_rebuild: bool = False,
+    prune_fragments: bool = False,
+) -> "DataFrame | None":
     """Maintenance pass for the append path: renumber the per-batch
     fragment shard sequences (``shards_frag/batch=N/shard_id=M``)
-    into ONE contiguous global sequence and rewrite the tree at
-    ``state_dir/shards`` clustered one file per shard — the
-    compact_shards contract applied across batches.
+    into ONE contiguous global sequence at ``state_dir/shards``
+    clustered one file per shard — the compact_shards contract
+    applied across batches.
 
-    Driver state is one (batch, shard_count) row per ingest cycle —
-    the same bounded prefix-sum trick pack_sequences uses for its
-    bucket totals; the renumbering itself is a codegen map lookup, so
-    the rewrite is one clustering shuffle regardless of corpus size.
-    Returns the compacted table.
+    INCREMENTAL by default (r11 verdict's top next item): each
+    fragment batch is consumed exactly once. A consumed batch is
+    recorded by an atomic ``_APPLIED.b{batch}.o{offset}.n{count}``
+    marker at the destination root (name-encoded like the
+    ``_COMMIT.v{N}`` protocol — creation is the atomic event, content
+    never read; parquet readers ignore ``_``-prefixed files). A cycle
+    reads ONLY the unconsumed ``batch=`` dirs, assigns offsets
+    continuing from the recorded tail (max ``o+n`` over markers), and
+    writes ONLY the new shard dirs via dynamic partition overwrite —
+    per-cycle cost is proportional to NEW fragments, not corpus size.
 
-    Cost shape, stated plainly: this is a FULL REBUILD — every call
-    re-reads all retained fragments and rewrites the whole compacted
-    tree, O(corpus) per maintenance cycle (unlike the r11 scoped
-    state-tree compaction, which pays only for touched partitions).
-    That is the right trade while the global sequence must stay
-    contiguous from zero and fragments are retained as the source of
-    truth; a deployment compacting on a daily/weekly cadence
-    amortizes it. An incremental variant (offsets continuing from the
-    existing table + consumed-fragment markers under the replay
-    contract) is the known follow-up if compaction cadence must
-    exceed corpus growth.
+    Replay contract: markers are created AFTER the batch's shard dirs
+    land, in increasing batch order. A crash between write and marker
+    leaves the batch unconsumed; the rerun recomputes the SAME tail
+    offset (markers didn't advance) and dynamic overwrite rewrites a
+    superset of the crashed dirs, so reruns converge. A funnel epoch
+    replay that rewrites an already-consumed ``batch=`` fragment dir
+    is ignored outright (the marker, not the dir, is the consumption
+    record) — fragment content is deterministic given the dedup
+    state, so the consumed copy is identical.
 
-    Empty fragment tree (scheduled compaction firing before the first
-    batch lands, or right after a compaction already consumed the
-    fragments) is a NO-OP: returns the existing compacted table if
-    one exists, else ``None`` — never an error, so the maintenance
-    pass is safe to run on any schedule."""
-    import glob
+    Incremental == one-shot rebuild whenever batch ids increase
+    across consumption cycles (the streaming epoch counter does; the
+    same ids-increase contract the substring census documents). A
+    late-arriving SMALLER batch id still compacts correctly —
+    contiguous, nothing lost — but its shards sort after the already
+    frozen ones instead of interleaving where a rebuild would put
+    them.
+
+    ``full_rebuild=True`` is the repair path: re-derive the whole
+    tree from ALL retained fragments from offset zero (the pre-r12
+    behavior), clearing and re-recording the markers to match. Use it
+    if fragments were edited in place or marker state is suspect.
+
+    ``prune_fragments=True``: delete each fragment ``batch=`` dir
+    after its marker commits (marker-first, so a replayed epoch that
+    recreates the dir is still seen as consumed). Default keeps
+    fragments as the rebuild source of truth.
+
+    A tree compacted by the pre-r12 full rebuild has no markers; the
+    first incremental call treats every fragment as unconsumed and
+    effectively rebuilds once (fragments were never pruned before
+    markers existed, so the set is complete), recording markers from
+    then on.
+
+    Empty / fully-consumed fragment tree (scheduled compaction firing
+    before the first batch lands, or again right after a cycle) is a
+    NO-OP: returns the existing compacted table if one exists, else
+    ``None`` — never an error, so the pass is safe on any schedule.
+
+    Driver state is one (batch, shard_count) row per NEW ingest cycle
+    plus one parsed marker per lifetime batch — the same bounded
+    prefix-sum shape pack_sequences uses; the renumbering itself is a
+    codegen map lookup, so each cycle is one clustering shuffle over
+    the new fragments only. Returns the compacted table."""
     import os
 
-    from cod_stats_spark.operators.sharding import write_shards
+    from cod_stats_spark.streaming._state import _fs_for
 
     frag_dir = os.path.join(state_dir, "shards_frag")
     dest = os.path.join(state_dir, "shards")
+    fs = _fs_for(spark, state_dir)
 
     def _has_parquet(d: str) -> bool:
-        return bool(glob.glob(os.path.join(d, "**", "*.parquet"),
-                              recursive=True))
+        return any(
+            f.endswith(".parquet") for f in fs.list_files(d)
+        ) if fs.exists(d) else False
 
-    if not _has_parquet(frag_dir):
+    def _existing() -> "DataFrame | None":
         return spark.read.parquet(dest) if _has_parquet(dest) else None
-    frag = spark.read.parquet(frag_dir)
-    counts = (
-        frag.groupBy("batch")
-        .agg((F.max("shard_id") + 1).alias("n"))
-        .orderBy("batch")
-        .collect()
+
+    # consumption record: marker names at the destination root
+    markers = [
+        (int(m.group(1)), int(m.group(2)), int(m.group(3)), name)
+        for name, m in (
+            (n, _APPLIED.match(n)) for n in fs.list_names(dest)
+        )
+        if m
+    ]
+    if full_rebuild:
+        for _b, _o, _n, name in markers:
+            fs.delete(os.path.join(dest, name))
+        markers = []
+    consumed = {b for b, _o, _n, _name in markers}
+    offset = max((o + n for _b, o, n, _name in markers), default=0)
+
+    # unconsumed fragment batches, increasing batch id
+    new_batches = sorted(
+        b
+        for b in (
+            int(name.split("=", 1)[1])
+            for name in fs.list_names(frag_dir)
+            if name.startswith("batch=")
+        )
+        if b not in consumed
+        and _has_parquet(os.path.join(frag_dir, f"batch={b}"))
     )
-    if not counts:
-        return spark.read.parquet(dest) if _has_parquet(dest) else None
+    if not new_batches:
+        return _existing()
+
+    frag = spark.read.option("basePath", frag_dir).parquet(
+        *[os.path.join(frag_dir, f"batch={b}") for b in new_batches]
+    )
+    counts = {
+        int(r["batch"]): int(r["n"])
+        for r in frag.groupBy("batch")
+        .agg((F.max("shard_id") + 1).alias("n"))
+        .collect()
+    }
     offsets: dict[int, int] = {}
-    offset = 0
-    for r in counts:
-        offsets[int(r["batch"])] = offset
-        offset += int(r["n"])
+    for b in new_batches:
+        offsets[b] = offset
+        offset += counts.get(b, 0)
     omap = F.map_from_arrays(
         F.array(*[F.lit(int(b)) for b in offsets]),
         F.array(*[F.lit(int(v)) for v in offsets.values()]),
@@ -635,6 +711,22 @@ def compact_curated_shards(spark, state_dir: str) -> "DataFrame | None":
     renum = frag.withColumn(
         "shard_id", F.col("shard_id") + omap[F.col("batch").cast("int")]
     ).drop("batch")
-    dest = os.path.join(state_dir, "shards")
-    write_shards(renum, dest, shard_col="shard_id")
+    (
+        renum.repartition(F.col("shard_id"))
+        .write.partitionBy("shard_id")
+        # dynamic: replace only the shard dirs this cycle writes —
+        # the frozen prefix of the tree is never touched or re-read
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(dest)
+    )
+    for b in new_batches:
+        fs.create_text(
+            os.path.join(
+                dest, f"_APPLIED.b{b}.o{offsets[b]}.n{counts.get(b, 0)}"
+            ),
+            "",
+        )
+        if prune_fragments:
+            fs.delete(os.path.join(frag_dir, f"batch={b}"))
     return spark.read.parquet(dest)

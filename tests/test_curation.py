@@ -556,3 +556,250 @@ def test_substring_stage_scrubs_cross_doc_boilerplate(spark, tmp_path):
     assert len(survivors_with_boiler) == 1          # exactly one copy kept
     assert "original research" in kept[1]
     assert "columnar storage internals" in kept[2]
+
+
+class TestIncrementalShardCompaction:
+    """r12: compact_curated_shards consumes each fragment batch
+    exactly once (``_APPLIED.b{b}.o{o}.n{n}`` markers), continues the
+    global shard sequence from the recorded tail, and rewrites only
+    the NEW shard dirs — per-cycle cost proportional to new
+    fragments, not corpus size."""
+
+    KW = dict(min_quality=0.5, token_budget=64, decontam_ngram_n=8)
+
+    def _bench(self, spark):
+        return spark.createDataFrame(
+            [(100, "benchmark secret passage that must not leak into "
+                   "training at all")],
+            "doc_id long, text string",
+        )
+
+    def _snapshot(self, root):
+        """(relative path -> (size, mtime_ns)) for every parquet file."""
+        import os
+
+        out = {}
+        for r, _d, names in os.walk(root):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(r, n)
+                    st = os.stat(p)
+                    out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    def _markers(self, dest):
+        import os
+
+        return sorted(
+            n for n in os.listdir(dest) if n.startswith("_APPLIED.")
+        )
+
+    def test_compaction_boundary_append_equals_rebuild(self, spark, tmp_path):
+        """Compact after EACH batch; the two-cycle result must equal
+        the one-shot compaction of both batches (same docs, same
+        contiguous sequence), and cycle 2 must not touch cycle 1's
+        frozen shard dirs."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from cod_stats_spark.plans.curation import (
+            compact_curated_shards,
+            curate_corpus_append,
+        )
+
+        docs = _corpus(spark)
+        bench = self._bench(spark)
+
+        # two-cycle incremental posture
+        state = str(tmp_path / "state_inc")
+        dest = os.path.join(state, "shards")
+        curate_corpus_append(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), bench, state,
+            batch_id=1, **self.KW,
+        )
+        t1 = compact_curated_shards(spark, state)
+        ids1 = {r["doc_id"] for r in t1.select("doc_id").collect()}
+        assert ids1 == {1}
+        frozen = self._snapshot(dest)
+        m1 = self._markers(dest)
+        assert len(m1) == 1 and m1[0].startswith("_APPLIED.b1.o0.")
+
+        curate_corpus_append(
+            spark, docs.filter(F.col("doc_id") % 2 == 0), bench, state,
+            batch_id=2, **self.KW,
+        )
+        t2 = compact_curated_shards(spark, state)
+        got = {
+            (r["doc_id"], r["shard_id"])
+            for r in t2.select("doc_id", "shard_id").collect()
+        }
+
+        # one-shot posture: same batches, single compaction at the end
+        state_one = str(tmp_path / "state_one")
+        for b, parity in ((1, 1), (2, 0)):
+            curate_corpus_append(
+                spark, docs.filter(F.col("doc_id") % 2 == parity), bench,
+                state_one, batch_id=b, **self.KW,
+            )
+        want = {
+            (r["doc_id"], r["shard_id"])
+            for r in compact_curated_shards(spark, state_one)
+            .select("doc_id", "shard_id")
+            .collect()
+        }
+        assert got == want and {d for d, _s in got} == {1, 4}
+
+        # contiguous global sequence from zero
+        sids = sorted({s for _d, s in got})
+        assert sids == list(range(len(sids)))
+
+        # cycle 2 consumed ONLY batch 2: cycle-1 dirs byte-untouched
+        after = self._snapshot(dest)
+        for rel, sig in frozen.items():
+            assert after[rel] == sig, f"frozen shard file rewritten: {rel}"
+        assert len(self._markers(dest)) == 2
+
+    def test_noop_rerun_and_consumed_fragments_ignored(self, spark, tmp_path):
+        """A cycle with nothing new is a no-op (no marker, no file
+        touched); a replayed epoch rewriting an already-consumed
+        fragment dir is ignored — the marker is the consumption
+        record."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from cod_stats_spark.plans.curation import (
+            compact_curated_shards,
+            curate_corpus_append,
+        )
+
+        docs = _corpus(spark)
+        state = str(tmp_path / "state")
+        dest = os.path.join(state, "shards")
+        curate_corpus_append(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), self._bench(spark),
+            state, batch_id=1, **self.KW,
+        )
+        t1 = compact_curated_shards(spark, state)
+        snap = self._snapshot(dest)
+        markers = self._markers(dest)
+
+        # no new fragments -> no-op returning the existing table
+        t2 = compact_curated_shards(spark, state)
+        assert {r["doc_id"] for r in t2.collect()} == {
+            r["doc_id"] for r in t1.collect()
+        }
+        assert self._snapshot(dest) == snap
+        assert self._markers(dest) == markers
+
+        # replayed epoch: fragment batch=1 rewritten (identical
+        # content by the funnel's replay contract) -> still ignored
+        curate_corpus_append(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), self._bench(spark),
+            state, batch_id=1, **self.KW,
+        )
+        compact_curated_shards(spark, state)
+        assert self._snapshot(dest) == snap
+        assert self._markers(dest) == markers
+
+    def test_crash_residue_converges(self, spark, tmp_path):
+        """Shard dirs written but markers missing (crash between the
+        write and the marker) must converge on rerun: same offsets
+        recomputed, dynamic overwrite rewrites the same dirs."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from cod_stats_spark.plans.curation import (
+            compact_curated_shards,
+            curate_corpus_append,
+        )
+
+        docs = _corpus(spark)
+        state = str(tmp_path / "state")
+        dest = os.path.join(state, "shards")
+        curate_corpus_append(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), self._bench(spark),
+            state, batch_id=1, **self.KW,
+        )
+        compact_curated_shards(spark, state)
+        curate_corpus_append(
+            spark, docs.filter(F.col("doc_id") % 2 == 0), self._bench(spark),
+            state, batch_id=2, **self.KW,
+        )
+        t = compact_curated_shards(spark, state)
+        want = {
+            (r["doc_id"], r["shard_id"])
+            for r in t.select("doc_id", "shard_id").collect()
+        }
+        # simulate the crash: batch-2 shards landed, marker did not
+        b2 = [m for m in self._markers(dest) if m.startswith("_APPLIED.b2.")]
+        assert len(b2) == 1
+        os.remove(os.path.join(dest, b2[0]))
+
+        got = {
+            (r["doc_id"], r["shard_id"])
+            for r in compact_curated_shards(spark, state)
+            .select("doc_id", "shard_id")
+            .collect()
+        }
+        assert got == want
+        assert [
+            m for m in self._markers(dest) if m.startswith("_APPLIED.b2.")
+        ] == b2
+
+    def test_prune_fragments_and_full_rebuild(self, spark, tmp_path):
+        """prune_fragments deletes consumed fragment dirs marker-first;
+        full_rebuild=True re-derives the tree from retained fragments
+        and refreshes the markers to match."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from cod_stats_spark.plans.curation import (
+            compact_curated_shards,
+            curate_corpus_append,
+        )
+
+        docs = _corpus(spark)
+        state = str(tmp_path / "state")
+        frag = os.path.join(state, "shards_frag")
+        dest = os.path.join(state, "shards")
+        for b, parity in ((1, 1), (2, 0)):
+            curate_corpus_append(
+                spark, docs.filter(F.col("doc_id") % 2 == parity),
+                self._bench(spark), state, batch_id=b, **self.KW,
+            )
+        t = compact_curated_shards(spark, state, prune_fragments=True)
+        want = {
+            (r["doc_id"], r["shard_id"])
+            for r in t.select("doc_id", "shard_id").collect()
+        }
+        assert not any(
+            n.startswith("batch=") for n in os.listdir(frag)
+        ), "consumed fragment dirs not pruned"
+        # pruned state still no-ops cleanly
+        t2 = compact_curated_shards(spark, state, prune_fragments=True)
+        assert {
+            (r["doc_id"], r["shard_id"])
+            for r in t2.select("doc_id", "shard_id").collect()
+        } == want
+
+        # full_rebuild needs the fragments: fresh state, keep them
+        state_fr = str(tmp_path / "state_fr")
+        for b, parity in ((1, 1), (2, 0)):
+            curate_corpus_append(
+                spark, docs.filter(F.col("doc_id") % 2 == parity),
+                self._bench(spark), state_fr, batch_id=b, **self.KW,
+            )
+            compact_curated_shards(spark, state_fr)
+        before = self._markers(os.path.join(state_fr, "shards"))
+        assert len(before) == 2
+        tr = compact_curated_shards(spark, state_fr, full_rebuild=True)
+        assert {
+            (r["doc_id"], r["shard_id"])
+            for r in tr.select("doc_id", "shard_id").collect()
+        } == want
+        after = self._markers(os.path.join(state_fr, "shards"))
+        assert len(after) == 2 and all(m.startswith("_APPLIED.b") for m in after)

@@ -4939,6 +4939,87 @@ FROM (
 )"""
 
 
+def _html_doc_expr():
+    """Synthetic HTML page per document, built by identical
+    arithmetic in both engines (the pii_redact convention — the
+    testdata corpus is plain text). Shape exercises every extraction
+    step: a script body containing a bare ``<``, a style block, an
+    HTML comment, a heading too short to keep, a ``<br>`` block
+    break, a min-words casualty, a boilerplate-phrase casualty, and
+    (every 4th doc) an entity-decode line — so per-doc kept-line
+    counts VARY and the md5-packed group key verifies every cleaned
+    byte."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit(
+            '<html><head><title>Doc</title><script type="text/javascript">'
+            "var x = 1 < 2;</script><style>.a { color: red }</style>"
+            "</head><body><h1>Heading</h1><p>"
+        ),
+        F.substring("text", 1, 120),
+        F.lit(
+            ".</p><br><p>tiny line.</p><p>Footer: all rights reserved.</p>"
+            "<!-- tracking comment -->"
+        ),
+        F.when(
+            did % 4 == 0,
+            F.lit(
+                "<p>Entity check: 1 &lt; 2 &amp; 3 &gt; 2, a &quot;quoted"
+                "&quot; claim holds.</p>"
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+
+
+def _html_doc_sql() -> str:
+    return (
+        "'<html><head><title>Doc</title><script type=\"text/javascript\">"
+        "var x = 1 < 2;</script><style>.a { color: red }</style>"
+        "</head><body><h1>Heading</h1><p>'"
+        " || substr(text, 1, 120) || "
+        "'.</p><br><p>tiny line.</p><p>Footer: all rights reserved.</p>"
+        "<!-- tracking comment -->'"
+        " || CASE WHEN doc_id % 4 = 0 THEN "
+        "'<p>Entity check: 1 &lt; 2 &amp; 3 &gt; 2, a &quot;quoted&quot; "
+        "claim holds.</p>' ELSE '' END"
+        " || '</body></html>'"
+    )
+
+
+def _html_oracle_sql() -> str:
+    """'html:' rows: the whole extraction + C4 cleaning stage
+    (functions/html.py) replayed from the SAME pattern constants —
+    the group key carries an md5 over every doc's cleaned text, so
+    the gate verifies the extraction byte for byte, not just counts."""
+    from cod_stats_spark.functions.html import (
+        extract_text_sql,
+        html_to_text_sql,
+        kept_lines_sql,
+        normalized_lines_sql,
+    )
+
+    return f"""
+SELECT 'html:' || bucket::VARCHAR || ':'
+         || substr(md5(string_agg(dct, '|' ORDER BY dct)), 1, 12) AS grp,
+       sum(length(ct))::DOUBLE AS m1,
+       sum(n_all)::DOUBLE AS m2,
+       sum(n_kept)::DOUBLE AS m3,
+       NULL::DOUBLE AS m4,
+       sum(CASE WHEN length(ct) > 0 THEN 1 ELSE 0 END)::BIGINT AS n
+FROM (
+  SELECT doc_id % 13 AS bucket,
+         doc_id::VARCHAR || '#' || ct AS dct,
+         ct,
+         len({normalized_lines_sql("raw")}) AS n_all,
+         len({kept_lines_sql("raw")}) AS n_kept
+  FROM (SELECT doc_id, {extract_text_sql("h")} AS ct,
+               {html_to_text_sql("h")} AS raw
+        FROM (SELECT doc_id, {_html_doc_sql()} AS h FROM documents))
+)
+GROUP BY bucket"""
+
+
 def _stat_gate_extras() -> dict[str, str]:
     from cod_stats_spark.operators.funnel import (
         cohort_oracle_sql,
@@ -4952,12 +5033,13 @@ def _stat_gate_extras() -> dict[str, str]:
         ),
         "cohort": cohort_oracle_sql(period="week"),
         "dom": _dom_oracle_sql(),
+        "html": _html_oracle_sql(),
     }
 
 
 @query(
     "stat_aggregates",
-    covers="EXT-olap EXT-analytics (statistical aggregates: stddev/variance/corr/covar + fixed-width bucketed histogram + exact interpolated quantiles per group; r7: + operators/profiling.profile_table's per-column count/null/mean/stddev/min/max rows, recomputed from scratch in SQL; r9: + operators/funnel.py — strict-sequential funnel over the event stream ['funnel:'], the 7-day-max-gap variant ['funnelgap:'], and weekly cohort retention triangles ['cohort:'], each replayed as chained CTEs in SQL; r9: + operators/expectations.py ['dq:'] — declarative data-quality checks (not_null/range/accepted_values/regex/unique/referential) incl. a genuinely FAILING unique on the synthetic lineitem PK, every violation count recomputed from scratch in SQL; r11: + functions/url.py ['dom:'] — URL host extraction/canonicalization, eTLD+1 registered domain incl. multi-part and platform suffixes, subdomain blocklist matching, and the per-domain corpus rollup [domain_stats], every row recomputed from the same suffix constants in SQL over synthetic per-doc URLs)",
+    covers="EXT-olap EXT-analytics (statistical aggregates: stddev/variance/corr/covar + fixed-width bucketed histogram + exact interpolated quantiles per group; r7: + operators/profiling.profile_table's per-column count/null/mean/stddev/min/max rows, recomputed from scratch in SQL; r9: + operators/funnel.py — strict-sequential funnel over the event stream ['funnel:'], the 7-day-max-gap variant ['funnelgap:'], and weekly cohort retention triangles ['cohort:'], each replayed as chained CTEs in SQL; r9: + operators/expectations.py ['dq:'] — declarative data-quality checks (not_null/range/accepted_values/regex/unique/referential) incl. a genuinely FAILING unique on the synthetic lineitem PK, every violation count recomputed from scratch in SQL; r11: + functions/url.py ['dom:'] — URL host extraction/canonicalization, eTLD+1 registered domain incl. multi-part and platform suffixes, subdomain blocklist matching, and the per-domain corpus rollup [domain_stats], every row recomputed from the same suffix constants in SQL over synthetic per-doc URLs; r12: + functions/html.py ['html:'] — HTML→text extraction with script/style/comment stripping, block-break line structure, entity decode, and C4 line cleaning over synthetic pages, the cleaned text md5-packed into the group key so every byte is value-verified from the same pattern constants in SQL)",
     oracle="""
 WITH prof AS (
   SELECT 'l_quantity' AS c, count(*) AS n_rows,
@@ -5097,6 +5179,8 @@ FROM (
 )
 UNION ALL
 {dom}
+UNION ALL
+{html}
 """.format(**_stat_gate_extras()),
 )
 def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5288,6 +5372,52 @@ def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").alias("n"),
         )
     )
+    # r12: HTML→text extraction arm (functions/html.py) — the whole
+    # markup-strip + entity-decode + C4 line-cleaning stage over
+    # synthetic pages (identical construction in the oracle); the
+    # group key packs an md5 of every doc's cleaned text, so the
+    # extraction is value-verified byte for byte
+    from cod_stats_spark.functions.html import (
+        extract_text,
+        html_to_text,
+        kept_lines,
+        normalized_lines,
+    )
+
+    docs_html = t["documents"].withColumn("h", _html_doc_expr())
+    raw_h = html_to_text(F.col("h"))
+    html_per_doc = docs_html.select(
+        (F.col("doc_id") % 13).alias("bucket"),
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"), extract_text(F.col("h"))
+        ).alias("dct"),
+        extract_text(F.col("h")).alias("ct"),
+        F.size(normalized_lines(raw_h)).alias("n_all"),
+        F.size(kept_lines(raw_h)).alias("n_kept"),
+    )
+    html_arm = (
+        html_per_doc.groupBy("bucket")
+        .agg(
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("dct")), "|")
+            ).alias("h32"),
+            F.sum(F.length("ct")).cast("double").alias("m1"),
+            F.sum("n_all").cast("double").alias("m2"),
+            F.sum("n_kept").cast("double").alias("m3"),
+            F.sum(F.when(F.length("ct") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n"),
+        )
+        .select(
+            F.concat(
+                F.lit("html:"),
+                F.col("bucket").cast("string"),
+                F.lit(":"),
+                F.substring("h32", 1, 12),
+            ).alias("grp"),
+            "m1", "m2", "m3", null_m.alias("m4"), "n",
+        )
+    )
     return (
         stats.unionByName(hist).unionByName(quant)
         .unionByName(prof).unionByName(prange)
@@ -5296,6 +5426,7 @@ def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(coh)
         .unionByName(dq)
         .unionByName(dom)
+        .unionByName(html_arm)
     )
 
 

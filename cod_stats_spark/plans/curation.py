@@ -106,6 +106,9 @@ def curate_corpus(
     url_col: str | None = None,
     domain_blocklist: list[str] | None = None,
     domain_allowlist: list[str] | None = None,
+    html_input: bool = False,
+    html_min_words: int = 5,
+    html_boilerplate: list[str] | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation funnel; write shards to ``out_path``.
 
@@ -162,8 +165,32 @@ def curate_corpus(
     most-known-bad mass before anything is scored or sketched).
     Stateless string arithmetic — append == rebuild is preserved.
     Stats gains ``after_domain_gate``.
+
+    ``html_input``: when True, ``text_col`` holds raw MARKUP and the
+    funnel's stage zero is HTML→text extraction + C4 line cleaning
+    (functions/html.extract_text — pure Column regex, the stage every
+    public crawl pipeline starts with); documents whose every line
+    dies are dropped. Stats gains ``after_html``. Written declaratively
+    BEFORE the URL gate (the crawl's logical order), but both stages
+    are stateless codegen filters with no dependency between them, so
+    Catalyst pushes the cheap domain filter below the byte-scanning
+    extraction in the physical plan — logical order costs nothing.
+    Stateless — append == rebuild is preserved.
     """
     stats: dict[str, int] = {"input": docs.count()}
+
+    if html_input:
+        from cod_stats_spark.functions.html import extract_text
+
+        docs = docs.withColumn(
+            text_col,
+            extract_text(
+                F.col(text_col),
+                min_words=html_min_words,
+                blocklist=html_boilerplate,
+            ),
+        ).where(F.length(F.col(text_col)) > 0)
+        stats["after_html"] = docs.count()
 
     if url_col is not None and (domain_blocklist or domain_allowlist):
         from cod_stats_spark.functions.url import domain_gate
@@ -336,10 +363,17 @@ def curate_corpus_append(
     url_col: str | None = None,
     domain_blocklist: list[str] | None = None,
     domain_allowlist: list[str] | None = None,
+    html_input: bool = False,
+    html_min_words: int = 5,
+    html_boilerplate: list[str] | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Incremental curation — the production posture `curate_corpus`
     lacks: append ONE new document batch against the EXISTING curated
     corpus state instead of rebuilding the funnel over the union.
+
+    ``html_input``: HTML→text extraction + C4 line cleaning as stage
+    zero, same slot and semantics as the one-shot funnel. Stateless —
+    append == rebuild holds. Stats gains ``after_html``.
 
     ``url_col`` + ``domain_blocklist``/``domain_allowlist``: the
     provenance gate in the same FIRST slot as the one-shot funnel
@@ -402,6 +436,18 @@ def curate_corpus_append(
     import os
 
     stats: dict[str, int] = {"input": new_docs.count()}
+    if html_input:
+        from cod_stats_spark.functions.html import extract_text
+
+        new_docs = new_docs.withColumn(
+            text_col,
+            extract_text(
+                F.col(text_col),
+                min_words=html_min_words,
+                blocklist=html_boilerplate,
+            ),
+        ).where(F.length(F.col(text_col)) > 0)
+        stats["after_html"] = new_docs.count()
     if url_col is not None and (domain_blocklist or domain_allowlist):
         from cod_stats_spark.functions.url import domain_gate
 

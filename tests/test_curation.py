@@ -803,3 +803,62 @@ class TestIncrementalShardCompaction:
         } == want
         after = self._markers(os.path.join(state_fr, "shards"))
         assert len(after) == 2 and all(m.startswith("_APPLIED.b") for m in after)
+
+
+def test_html_stage_zero_both_postures(spark, tmp_path):
+    """r12: html_input=True runs HTML→text extraction + C4 line
+    cleaning as the funnel's stage zero in BOTH postures — the same
+    docs survive with the same extracted text, markup-only docs die
+    at the stage, and append == rebuild holds (the stage is
+    stateless)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cod_stats_spark.plans.curation import (
+        compact_curated_shards,
+        curate_corpus,
+        curate_corpus_append,
+    )
+
+    body1 = ("the quick brown fox jumps over the lazy dog while the "
+             "curious cat watches from a warm windowsill in the sun.")
+    body2 = ("distributed query engines shuffle partition and aggregate "
+             "large tables across many executor cores with columnar files.")
+    rows = [
+        (1, "<html><head><script>var x = 1;</script></head><body><p>"
+            + body1 + "</p><p>All rights reserved.</p></body></html>"),
+        (2, "<div><p>" + body2 + "</p><!-- tracking pixel --></div>"),
+        (3, "<body><p>too short.</p><p>Subscribe now</p></body>"),  # dies
+        (4, "<style>.x{}</style><ul><li>a plain markup shell with no "
+            "sentences at all and no terminal marks</li></ul>"),    # dies
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = str(tmp_path / "one_shot")
+    _, stats = curate_corpus(
+        docs, None, out, min_quality=0.25, token_budget=64,
+        html_input=True,
+    )
+    assert stats["input"] == 4 and stats["after_html"] == 2
+    one_shot = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+    assert {d for d, _t in one_shot} == {1, 2}
+    by_id = dict(one_shot)
+    assert by_id[1] == body1              # script + boilerplate line gone
+    assert by_id[2] == body2              # comment gone, tags stripped
+
+    state = str(tmp_path / "state")
+    for b, pred in ((1, "doc_id <= 2"), (2, "doc_id > 2")):
+        curate_corpus_append(
+            spark, docs.filter(pred), None, state, batch_id=b,
+            min_quality=0.25, token_budget=64, html_input=True,
+        )
+    compacted = compact_curated_shards(spark, state)
+    appended = {
+        (r["doc_id"], r["text"])
+        for r in compacted.select("doc_id", "text").collect()
+    }
+    assert appended == one_shot

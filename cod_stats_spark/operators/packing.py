@@ -120,6 +120,7 @@ def training_sequences(
     drop_last: bool = True,
     pad_value=None,
     with_spans: bool = False,
+    segment_col: str | None = None,
 ) -> DataFrame:
     """The final training artifact: every document's token array laid
     on the deterministic md5 tape (the :func:`pack_sequences` order)
@@ -150,6 +151,13 @@ def training_sequences(
     n_docs + total_tokens/seq_len, never token-level explode — and one
     shuffle on seq_id assembles the windows (per-group payload bounded
     by seq_len tokens). Everything is JVM Column arithmetic.
+
+    ``segment_col`` (integer-typed): SEGMENT-major tape — docs order
+    by (segment, md5 key) instead of the global md5 key. This is the
+    one-shot replay of sequential
+    :func:`streaming.packing.training_sequences_append` batches (one
+    segment per batch id) — the append-equals-rebuild contract's
+    rebuild side.
     """
     L = int(seq_len)
     if L < 1:
@@ -158,15 +166,67 @@ def training_sequences(
         raise ValueError(
             "training_sequences: pad_value requires drop_last=False"
         )
+    pieces = tape_piece_rows(
+        df, tokens_col, id_col, L, salt, num_buckets,
+        with_spans=with_spans, segment_col=segment_col,
+    )
+    seqs = assemble_windows(pieces, with_spans=with_spans)
+    if drop_last:
+        return seqs.where(F.col("n_tokens") == L)
+    if pad_value is not None:
+        return seqs.withColumn(
+            "input_ids",
+            F.concat(
+                F.col("input_ids"),
+                F.slice(
+                    F.array_repeat(F.lit(pad_value), L),
+                    1,
+                    (F.lit(L) - F.col("n_tokens")).cast("int"),
+                ),
+            ),
+        )
+    return seqs
+
+
+def tape_piece_rows(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    L: int,
+    salt: str,
+    num_buckets: int,
+    with_spans: bool = False,
+    base_offset: int = 0,
+    segment_col: str | None = None,
+) -> DataFrame:
+    """The tape machinery shared by :func:`training_sequences` and the
+    incremental :func:`streaming.packing.training_sequences_append`:
+    place every doc at its global tape offset (two-phase prefix scan)
+    and emit one SLICE row per (doc, window-it-intersects) —
+    (seq_id, _ord, _piece[, _span]).
+
+    ``base_offset`` shifts the whole tape (folded into the driver's
+    literal offset table — the zero case is plan-identical to no
+    parameter at all, keeping the timed entry's signature frozen).
+    ``segment_col`` (integer-typed) makes the tape SEGMENT-major:
+    docs order by (segment, md5 key) instead of md5 key alone — the
+    one-shot equivalent of sequential per-segment appends, and the
+    rebuild contract the append path is tested against. Driver state
+    grows to n_segments × num_buckets offset rows (segments = ingest
+    batches; bounded like the census version count).
+    """
     num_buckets = _check_buckets(num_buckets)
     toks = F.col(tokens_col)
+    sel = [
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        _order_key(id_col, salt).alias("_key"),
+    ]
+    if segment_col is not None:
+        sel.append(F.col(segment_col).cast("bigint").alias("_seg"))
     keyed = (
-        df.select(
-            F.col(id_col).alias("id"),
-            toks.alias("_toks"),
-            F.size(toks).cast("bigint").alias("n_tokens"),
-            _order_key(id_col, salt).alias("_key"),
-        )
+        df.select(*sel)
         .where(F.col("n_tokens") > 0)
         .withColumn(
             "_bkt",
@@ -174,21 +234,47 @@ def training_sequences(
             % num_buckets,
         )
     )
-    w_in = Window.partitionBy("_bkt").orderBy("_key", "id")
-    within = keyed.withColumn("_cum_incl", F.sum("n_tokens").over(w_in))
-    totals = (
-        keyed.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot")).collect()
-    )
-    by_bucket = {r["_bkt"]: r["_tot"] for r in totals}
-    offsets, running = [], 0
-    for b in range(num_buckets):
-        offsets.append((b, running))
-        running += by_bucket.get(b, 0)
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "_bkt int, _off bigint")
-    placed = within.join(F.broadcast(off_df), "_bkt").withColumn(
-        "start", F.col("_off") + F.col("_cum_incl") - F.col("n_tokens")
-    )
+    if segment_col is None:
+        w_in = Window.partitionBy("_bkt").orderBy("_key", "id")
+        within = keyed.withColumn("_cum_incl", F.sum("n_tokens").over(w_in))
+        totals = (
+            keyed.groupBy("_bkt")
+            .agg(F.sum("n_tokens").alias("_tot"))
+            .collect()
+        )
+        by_bucket = {r["_bkt"]: r["_tot"] for r in totals}
+        offsets, running = [], int(base_offset)
+        for b in range(num_buckets):
+            offsets.append((b, running))
+            running += by_bucket.get(b, 0)
+        off_df = spark.createDataFrame(offsets, "_bkt int, _off bigint")
+        placed = within.join(F.broadcast(off_df), "_bkt").withColumn(
+            "start", F.col("_off") + F.col("_cum_incl") - F.col("n_tokens")
+        )
+    else:
+        w_in = Window.partitionBy("_seg", "_bkt").orderBy("_key", "id")
+        within = keyed.withColumn("_cum_incl", F.sum("n_tokens").over(w_in))
+        totals = (
+            keyed.groupBy("_seg", "_bkt")
+            .agg(F.sum("n_tokens").alias("_tot"))
+            .collect()
+        )
+        by_pair = {(r["_seg"], r["_bkt"]): r["_tot"] for r in totals}
+        segs = sorted({s for s, _b in by_pair})
+        offsets, running = [], int(base_offset)
+        for s in segs:
+            for b in range(num_buckets):
+                offsets.append((s, b, running))
+                running += by_pair.get((s, b), 0)
+        off_df = spark.createDataFrame(
+            offsets, "_seg bigint, _bkt int, _off bigint"
+        )
+        placed = within.join(
+            F.broadcast(off_df), ["_seg", "_bkt"]
+        ).withColumn(
+            "start", F.col("_off") + F.col("_cum_incl") - F.col("n_tokens")
+        )
     # one row per (doc, window-it-intersects): windows-per-doc is
     # 1 + n_tokens/L, so total slice rows ~ n_docs + total_tokens/L
     spans = placed.select(
@@ -223,7 +309,14 @@ def training_sequences(
                 (hi - lo).cast("int").alias("len"),
             ).alias("_span")
         )
-        pieces = spans.select(*piece_cols)
+    return spans.select(*piece_cols)
+
+
+def assemble_windows(pieces: DataFrame, with_spans: bool) -> DataFrame:
+    """Group slice rows into windows: one seq_id shuffle with
+    ≤ seq_len payload per group (the other half of the shared tape
+    machinery — see :func:`tape_piece_rows`)."""
+    if with_spans:
         seqs = pieces.groupBy("seq_id").agg(
             F.sort_array(
                 F.collect_list(
@@ -242,7 +335,6 @@ def training_sequences(
             ),
         )
     else:
-        pieces = spans.select(*piece_cols)
         seqs = pieces.groupBy("seq_id").agg(
             F.flatten(
                 F.transform(
@@ -256,22 +348,7 @@ def training_sequences(
             ).alias("input_ids"),
             F.count(F.lit(1)).alias("n_docs"),
         )
-    seqs = seqs.withColumn("n_tokens", F.size("input_ids"))
-    if drop_last:
-        return seqs.where(F.col("n_tokens") == L)
-    if pad_value is not None:
-        return seqs.withColumn(
-            "input_ids",
-            F.concat(
-                F.col("input_ids"),
-                F.slice(
-                    F.array_repeat(F.lit(pad_value), L),
-                    1,
-                    (F.lit(L) - F.col("n_tokens")).cast("int"),
-                ),
-            ),
-        )
-    return seqs
+    return seqs.withColumn("n_tokens", F.size("input_ids"))
 
 
 #: codegen ceiling for the literal-map vocabulary path (the

@@ -1886,6 +1886,39 @@ FROM win WHERE n_tokens = {_SEQ_LEN}
 """
 
 
+#: 'seqinc' rows: the INCREMENTAL tape (streaming/packing.py) driven
+#: on a two-batch odd/even split — the oracle replays the
+#: segment-major tape (ORDER BY batch, md5 key), which sequential
+#: appends must equal window for window, content included
+SEQINC_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_sql_tokens('text')} AS toks,
+         md5('pack' || doc_id::VARCHAR) AS k,
+         CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS b
+  FROM documents
+  WHERE len({_sql_tokens('text')}) > 0
+), placed AS (
+  SELECT doc_id, toks,
+         (sum(len(toks)) OVER (ORDER BY b, k, doc_id ROWS UNBOUNDED PRECEDING)
+          - len(toks))::BIGINT AS start
+  FROM tok
+), expl AS (
+  SELECT doc_id,
+         start + generate_subscripts(toks, 1) - 1 AS gpos,
+         unnest(toks) AS t
+  FROM placed
+), win AS (
+  SELECT gpos // {_SEQ_LEN} AS seq_id,
+         string_agg(t, ' ' ORDER BY gpos) AS text_w,
+         count(*)::BIGINT AS n_tokens,
+         count(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM expl GROUP BY 1
+)
+SELECT seq_id, text_w, n_tokens, n_docs
+FROM win WHERE n_tokens = {_SEQ_LEN}
+"""
+
+
 def _pack_gate_oracle() -> str:
     from cod_stats_spark.operators.chunking import chunk_oracle_sql
 
@@ -1901,6 +1934,11 @@ def _pack_gate_oracle() -> str:
         + _HEX60_SQL.format(col="text_w")
         + ")::BIGINT AS start_offset, n_docs AS seq FROM ("
         + SEQ_ORACLE
+        + ")\nUNION ALL\nSELECT 'seqinc' AS tag, seq_id AS doc_id,"
+        " n_tokens, ("
+        + _HEX60_SQL.format(col="text_w")
+        + ")::BIGINT AS start_offset, n_docs AS seq FROM ("
+        + SEQINC_ORACLE
         + ")"
     )
 
@@ -1918,7 +1956,13 @@ def _pack_gate_oracle() -> str:
     "training windows over the same tape; every window's token count, "
     "contributing-doc count, and full CONTENT [md5_60 of the joined "
     "tokens] replayed against a naive global-window + token-unnest "
-    "oracle)",
+    "oracle. r12 'seqinc': streaming/packing.training_sequences_append "
+    "— the INCREMENTAL tape, driven as two sequential odd/even "
+    "appends against a fresh cursor state dir; every completed "
+    "window's count, doc count, and full content replayed against the "
+    "segment-major [ORDER BY batch, md5 key] one-shot oracle — the "
+    "append-equals-rebuild contract value-verified, cursor handoff "
+    "included)",
     oracle=_pack_gate_oracle(),
 )
 def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1964,7 +2008,52 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("start_offset"),
         F.col("n_docs").cast("long").alias("seq"),
     )
-    return packed.unionByName(chunks).unionByName(wins)
+    # r12 'seqinc': sequential incremental appends over a fresh tape
+    # cursor — batch 1 odd ids, batch 2 even — emitting each batch's
+    # completed windows; must reproduce the segment-major one-shot
+    # oracle exactly (window content md5'd like the 'seq' arm). The
+    # append op localCheckpoints its output, so the scratch state dir
+    # can be deleted before the caller collects.
+    import os
+    import shutil
+    import tempfile
+
+    from cod_stats_spark.streaming.packing import training_sequences_append
+
+    tape_tmp = tempfile.mkdtemp(prefix="tapegate_")
+    try:
+        inc_parts = []
+        for b, parity in ((1, 1), (2, 0)):
+            inc_parts.append(
+                training_sequences_append(
+                    spark,
+                    docs.filter(F.col("doc_id") % 2 == parity).select(
+                        "doc_id", T.words(F.col("text")).alias("_w")
+                    ),
+                    "_w",
+                    os.path.join(tape_tmp, "tape"),
+                    batch_id=b,
+                    seq_len=_SEQ_LEN,
+                )
+            )
+    finally:
+        shutil.rmtree(tape_tmp, ignore_errors=True)
+    seqinc = (
+        inc_parts[0].unionByName(inc_parts[1])
+        .select(
+            F.lit("seqinc").alias("tag"),
+            F.col("seq_id").cast("long").alias("doc_id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.expr(
+                "cast(conv(substring(md5(concat_ws(' ', input_ids)), 1, 15),"
+                " 16, 10) as bigint)"
+            ).alias("start_offset"),
+            F.col("n_docs").cast("long").alias("seq"),
+        )
+    )
+    return (
+        packed.unionByName(chunks).unionByName(wins).unionByName(seqinc)
+    )
 
 
 KNN_JOIN_ORACLE = """

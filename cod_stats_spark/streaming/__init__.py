@@ -31,6 +31,10 @@ from cod_stats_spark.streaming.sessions import (
     streaming_session_rollup,
     stateful_sessionize,
 )
+from cod_stats_spark.streaming.packing import (
+    finalize_training_tape,
+    training_sequences_append,
+)
 from cod_stats_spark.streaming.compaction import (
     compact_dedup_index,
     compact_semantic_state,
@@ -59,6 +63,8 @@ __all__ = [
     "read_scd2_dim",
     "stream_scd2_apply",
     "compact_state_tree",
+    "training_sequences_append",
+    "finalize_training_tape",
     "compact_dedup_index",
     "compact_semantic_state",
 ]

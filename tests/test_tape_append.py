@@ -1,0 +1,209 @@
+"""Incremental training-sequence packing (streaming/packing.py):
+append == segmented rebuild, shipped windows frozen, cross-batch
+window completion with doc identity, replay idempotence, and the
+frozen-tape-parameter marker."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    """rows: (doc_id, n_tokens) — tokens are readable strings
+    't<doc>_<i>' so window content mistakes are visible."""
+    data = [
+        (d, [f"t{d}_{i}" for i in range(n)]) for d, n in rows
+    ]
+    return spark.createDataFrame(data, "doc_id long, toks array<string>")
+
+
+BATCHES = [
+    [(1, 7), (2, 5), (3, 9)],          # 21 tokens
+    [(4, 3), (5, 11)],                 # 14 tokens
+    [(6, 2), (7, 8), (8, 1), (9, 6)],  # 17 tokens
+]
+L = 8  # 52 tokens total -> 6 full windows + 4-token remainder
+
+
+class TestAppendEqualsRebuild:
+    def test_sequential_appends_match_segmented_oneshot(
+        self, spark, tmp_path
+    ):
+        from cod_stats_spark.operators.packing import training_sequences
+        from cod_stats_spark.streaming.packing import (
+            training_sequences_append,
+        )
+
+        state = str(tmp_path / "tape")
+        got = {}
+        for b, rows in enumerate(BATCHES, start=1):
+            out = training_sequences_append(
+                spark, _docs(spark, rows), "toks", state,
+                batch_id=b, seq_len=L, with_spans=True,
+            )
+            for r in out.collect():
+                assert r["seq_id"] not in got, "window re-emitted"
+                got[r["seq_id"]] = (
+                    tuple(r["input_ids"]),
+                    r["n_docs"],
+                    tuple((s["off"], s["len"]) for s in r["doc_spans"]),
+                )
+
+        union = None
+        for b, rows in enumerate(BATCHES, start=1):
+            part = _docs(spark, rows).withColumn("batch", F.lit(b))
+            union = part if union is None else union.unionByName(part)
+        want = {
+            r["seq_id"]: (
+                tuple(r["input_ids"]),
+                r["n_docs"],
+                tuple((s["off"], s["len"]) for s in r["doc_spans"]),
+            )
+            for r in training_sequences(
+                union, "toks", seq_len=L, with_spans=True,
+                segment_col="batch",
+            ).collect()
+        }
+        assert got == want
+        assert sorted(got) == list(range(len(got)))  # contiguous seq_ids
+
+    def test_cross_batch_window_keeps_doc_identity(self, spark, tmp_path):
+        """A window completed by batch 2 carries batch 1's remainder
+        docs as REAL spans (n_docs counts them, offsets cover the
+        window)."""
+        from cod_stats_spark.streaming.packing import (
+            training_sequences_append,
+        )
+
+        state = str(tmp_path / "tape")
+        # batch 1: 5 tokens -> no full window, remainder = [d1(3), d2(2)]
+        out1 = training_sequences_append(
+            spark, _docs(spark, [(1, 3), (2, 2)]), "toks", state,
+            batch_id=1, seq_len=L, with_spans=True,
+        )
+        assert out1.count() == 0
+        # batch 2: 4 tokens -> completes window 0 (5 + 3), remainder 1
+        out2 = training_sequences_append(
+            spark, _docs(spark, [(3, 4)]), "toks", state,
+            batch_id=2, seq_len=L, with_spans=True,
+        )
+        rows = out2.collect()
+        assert len(rows) == 1 and rows[0]["seq_id"] == 0
+        assert rows[0]["n_docs"] == 3
+        spans = [(s["off"], s["len"]) for s in rows[0]["doc_spans"]]
+        # remainder docs keep their slots; batch doc fills the tail
+        assert spans[0][0] == 0 and sum(ln for _o, ln in spans) == L
+        # the first 5 tokens are batch 1's docs (md5 order WITHIN the
+        # batch — doc-contiguous, but not doc-id order), the tail is
+        # the batch-2 doc's prefix
+        prefix = [t.split("_")[0] for t in rows[0]["input_ids"][:5]]
+        assert sorted(prefix) == ["t1"] * 3 + ["t2"] * 2
+        assert len(set(prefix[:spans[0][1]])) == 1  # doc-contiguous
+        assert [t.split("_")[0] for t in rows[0]["input_ids"][5:]] == (
+            ["t3"] * 3
+        )
+
+    def test_finalize_flushes_partial_without_consuming(
+        self, spark, tmp_path
+    ):
+        from cod_stats_spark.streaming.packing import (
+            finalize_training_tape,
+            training_sequences_append,
+        )
+
+        state = str(tmp_path / "tape")
+        training_sequences_append(
+            spark, _docs(spark, [(1, 11)]), "toks", state,
+            batch_id=1, seq_len=L,
+        )
+        tail = finalize_training_tape(spark, state, pad_value="<pad>")
+        row = tail.first()
+        assert row["seq_id"] == 1 and row["n_tokens"] == 3
+        assert list(row["input_ids"]) == [
+            "t1_8", "t1_9", "t1_10", "<pad>", "<pad>", "<pad>", "<pad>",
+            "<pad>",
+        ]
+        # read-only: appending after finalize continues the tape
+        out = training_sequences_append(
+            spark, _docs(spark, [(2, 5)]), "toks", state,
+            batch_id=2, seq_len=L,
+        )
+        assert [r["seq_id"] for r in out.collect()] == [1]
+
+
+class TestReplayAndMarkers:
+    def test_replayed_batch_recomputes_without_advancing(
+        self, spark, tmp_path
+    ):
+        from cod_stats_spark.streaming._state import current_version
+        from cod_stats_spark.streaming.packing import (
+            training_sequences_append,
+        )
+
+        state = str(tmp_path / "tape")
+        training_sequences_append(
+            spark, _docs(spark, [(1, 7), (2, 5)]), "toks", state,
+            batch_id=1, seq_len=L,
+        )
+        first = {
+            r["seq_id"]: tuple(r["input_ids"])
+            for r in training_sequences_append(
+                spark, _docs(spark, [(3, 9)]), "toks", state,
+                batch_id=2, seq_len=L,
+            ).collect()
+        }
+        v = current_version(state)
+        replay = {
+            r["seq_id"]: tuple(r["input_ids"])
+            for r in training_sequences_append(
+                spark, _docs(spark, [(3, 9)]), "toks", state,
+                batch_id=2, seq_len=L,
+            ).collect()
+        }
+        assert replay == first
+        assert current_version(state) == v  # state did not advance
+
+    def test_tape_params_frozen_by_marker(self, spark, tmp_path):
+        from cod_stats_spark.streaming.packing import (
+            training_sequences_append,
+        )
+
+        state = str(tmp_path / "tape")
+        training_sequences_append(
+            spark, _docs(spark, [(1, 7)]), "toks", state,
+            batch_id=1, seq_len=L,
+        )
+        with pytest.raises(ValueError, match="frozen"):
+            training_sequences_append(
+                spark, _docs(spark, [(2, 7)]), "toks", state,
+                batch_id=2, seq_len=L + 1,
+            )
+        with pytest.raises(ValueError, match="frozen"):
+            training_sequences_append(
+                spark, _docs(spark, [(2, 7)]), "toks", state,
+                batch_id=2, seq_len=L, salt="other",
+            )
+
+    def test_empty_batch_commits_and_preserves_cursor(
+        self, spark, tmp_path
+    ):
+        from cod_stats_spark.streaming.packing import (
+            training_sequences_append,
+        )
+
+        state = str(tmp_path / "tape")
+        training_sequences_append(
+            spark, _docs(spark, [(1, 5)]), "toks", state,
+            batch_id=1, seq_len=L,
+        )
+        empty = training_sequences_append(
+            spark, _docs(spark, []), "toks", state, batch_id=2, seq_len=L,
+        )
+        assert empty.count() == 0
+        out = training_sequences_append(
+            spark, _docs(spark, [(2, 3)]), "toks", state,
+            batch_id=3, seq_len=L,
+        )
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0]["n_docs"] == 2

@@ -54,9 +54,36 @@ MULTI_SUFFIXES = sorted(
     ]
 )
 
-_MULTI_ALT = "|".join(s.replace(".", "[.]") for s in MULTI_SUFFIXES)
+def _suffix_alt(s: str) -> str:
+    """One alternation branch per suffix rule: dots become ``[.]``;
+    a leading ``*.`` (PSL wildcard — every label at that position is
+    its own suffix) becomes a label matcher."""
+    if s.startswith("*."):
+        return "[^.]+[.]" + s[2:].replace(".", "[.]")
+    return s.replace(".", "[.]")
+
+
+def multi_suffix_pattern(suffixes: list[str]) -> str:
+    """The registered-domain capture for multi-part suffix tails,
+    built from any suffix rule list (embedded subset or a loaded
+    PSL). Longer rules first so a 3-label rule wins over a 2-label
+    prefix of it (regex alternation is first-match)."""
+    ordered = sorted(
+        set(suffixes), key=lambda s: (-s.count("."), s)
+    )
+    alt = "|".join(_suffix_alt(s) for s in ordered)
+    return f"([^.]+[.](?:{alt}))$"
+
+
+def exception_pattern(exceptions: list[str]) -> str:
+    """PSL exception rules (``!www.ck``): the rule itself IS the
+    registered domain for any host at or under it."""
+    alt = "|".join(s.replace(".", "[.]") for s in sorted(set(exceptions)))
+    return f"(?:^|[.])((?:{alt}))$"
+
+
 #: capture the registered domain when the tail is a multi-part suffix
-PAT_MULTI = f"([^.]+[.](?:{_MULTI_ALT}))$"
+PAT_MULTI = multi_suffix_pattern(MULTI_SUFFIXES)
 #: plain two-label tail
 PAT_TWO = "([^.]+[.][^.]+)$"
 #: host = authority of an absolute http(s) URL, minus userinfo/port.
@@ -86,27 +113,109 @@ def url_host_sql(expr: str) -> str:
     return f"nullif({h}, '')"
 
 
-def registered_domain(host: Column | str) -> Column:
-    """eTLD+1 under the embedded suffix subset (see module doc). A
-    dotless host (``localhost``) maps to itself; null stays null."""
+def load_public_suffixes(
+    src: str, include_private: bool = True
+) -> tuple[list[str], list[str]]:
+    """Parse the published Public Suffix List (the
+    ``public_suffix_list.dat`` format: ``//`` comment lines, blank
+    lines, one rule per line, ``*.`` wildcards, ``!`` exceptions,
+    ICANN and PRIVATE sections) into the constants
+    :func:`registered_domain` consumes: ``(multi_suffixes,
+    exceptions)``.
+
+    ``src`` is a file path or the list text itself. Single-label
+    rules (``com``) are dropped — the two-label fallback already
+    implements them, and the PSL's implicit ``*`` default rule is the
+    same fallback. ``include_private=False`` stops at the PRIVATE
+    section marker (ICANN-only semantics — platform suffixes like
+    blogspot.com no longer split).
+
+    Scale note: a full-PSL alternation is a ~10⁴-branch regex — built
+    once, codegen'd once; RE2 compiles it to a DFA and Java regex
+    scans alternatives, so the per-row cost is bounded by host length
+    either way. The embedded :data:`MULTI_SUFFIXES` subset stays the
+    default; this loader is the documented swap seam, now a function
+    instead of a hand edit."""
+    import os
+
+    text = src
+    if "\n" not in src and os.path.exists(src):
+        with open(src, encoding="utf-8") as f:
+            text = f.read()
+    suffixes: list[str] = []
+    exceptions: list[str] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith("//"):
+            if not include_private and "===BEGIN PRIVATE DOMAINS===" in line:
+                break
+            continue
+        rule = line.split()[0].lower()
+        if rule.startswith("!"):
+            exceptions.append(rule[1:])
+            continue
+        core = rule[2:] if rule.startswith("*.") else rule
+        # defensive: a malformed rule with regex metacharacters would
+        # corrupt the generated alternation — skip, never splice
+        if not all(c.isalnum() or c in ".-" for c in core.replace(".", "")):
+            continue
+        if "." in rule:
+            suffixes.append(rule)
+    return suffixes, exceptions
+
+
+def registered_domain(
+    host: Column | str,
+    suffixes: list[str] | None = None,
+    exceptions: list[str] | None = None,
+) -> Column:
+    """eTLD+1 under the embedded suffix subset (see module doc), or
+    under a full rule set from :func:`load_public_suffixes`. PSL
+    exception rules are checked first (the rule itself is the
+    registered domain), then multi-part suffixes (longest rule wins),
+    then the two-label fallback. A dotless host (``localhost``) maps
+    to itself; null stays null."""
     h = F.col(host) if isinstance(host, str) else host
-    multi = F.regexp_extract(h, PAT_MULTI, 1)
+    pat_multi = (
+        PAT_MULTI if suffixes is None else multi_suffix_pattern(suffixes)
+    )
+    multi = F.regexp_extract(h, pat_multi, 1)
     two = F.regexp_extract(h, PAT_TWO, 1)
+    out = F.when(h.isNull(), F.lit(None).cast("string"))
+    if exceptions:
+        exc = F.regexp_extract(h, exception_pattern(exceptions), 1)
+        out = out.when(exc != "", exc)
     return (
-        F.when(h.isNull(), F.lit(None).cast("string"))
-        .when(multi != "", multi)
+        out.when(multi != "", multi)
         .when(two != "", two)
         .otherwise(h)
     )
 
 
-def registered_domain_sql(expr: str) -> str:
+def registered_domain_sql(
+    expr: str,
+    suffixes: list[str] | None = None,
+    exceptions: list[str] | None = None,
+) -> str:
     """DuckDB replay of :func:`registered_domain` — generated from the
     same suffix constants (single source of truth)."""
-    multi = f"regexp_extract({expr}, '{PAT_MULTI}', 1)"
+    pat_multi = (
+        PAT_MULTI if suffixes is None else multi_suffix_pattern(suffixes)
+    )
+    multi = f"regexp_extract({expr}, '{pat_multi}', 1)"
     two = f"regexp_extract({expr}, '{PAT_TWO}', 1)"
+    branches = ""
+    if exceptions:
+        exc = (
+            f"regexp_extract({expr}, "
+            f"'{exception_pattern(exceptions)}', 1)"
+        )
+        branches = f"WHEN {exc} <> '' THEN {exc} "
     return (
         f"CASE WHEN {expr} IS NULL THEN NULL "
+        f"{branches}"
         f"WHEN {multi} <> '' THEN {multi} "
         f"WHEN {two} <> '' THEN {two} "
         f"ELSE {expr} END"

@@ -260,3 +260,105 @@ class TestDomainStatsAndGate:
             url_col="url", domain_blocklist=["example.co.uk"],
         )
         assert stats2["after_domain_gate"] == 3
+
+
+class TestPublicSuffixLoader:
+    PSL = """\
+// ===BEGIN ICANN DOMAINS===
+// il : https://example
+co.il
+ac.il
+// ck : wildcard — every label under ck is its own suffix…
+*.ck
+// …except www.ck, which is a registrable domain
+!www.ck
+// uk
+co.uk
+// three-label explicit rule
+k12.ak.us
+com
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+blogspot.com
+// ===END PRIVATE DOMAINS===
+"""
+
+    def test_parse_shapes(self):
+        from cod_stats_spark.functions.url import load_public_suffixes
+
+        suf, exc = load_public_suffixes(self.PSL)
+        assert "co.il" in suf and "*.ck" in suf and "k12.ak.us" in suf
+        assert "blogspot.com" in suf
+        assert "com" not in suf          # single-label = fallback
+        assert exc == ["www.ck"]
+        suf_icann, _ = load_public_suffixes(
+            self.PSL, include_private=False
+        )
+        assert "blogspot.com" not in suf_icann and "co.il" in suf_icann
+
+    def test_non_embedded_suffix_through_both_engines(self, spark):
+        """co.il is NOT in the embedded subset — with the loaded PSL
+        both engines must split it one label deeper, and agree on
+        wildcard, exception, and 3-label rules (ADVICE/verdict r11:
+        Missing #4)."""
+        import duckdb
+        import pandas as pd
+
+        from cod_stats_spark.functions.url import (
+            load_public_suffixes,
+            registered_domain,
+            registered_domain_sql,
+        )
+
+        suf, exc = load_public_suffixes(self.PSL)
+        rows = [
+            (0, "shop.example.co.il"),   # loaded 2-label rule
+            (1, "example.co.il"),
+            (2, "foo.bar.anything.ck"),  # wildcard: *.ck
+            (3, "sub.www.ck"),           # exception: !www.ck
+            (4, "www.ck"),
+            (5, "district.k12.ak.us"),   # 3-label explicit rule
+            (6, "plain.example.com"),    # two-label fallback
+            (7, "localhost"),            # dotless
+            (8, None),
+        ]
+        sdf = spark.createDataFrame(rows, "doc_id long, host string")
+        got = [
+            (r["doc_id"], r["dom"])
+            for r in sdf.select(
+                "doc_id",
+                registered_domain("host", suf, exc).alias("dom"),
+            )
+            .orderBy("doc_id")
+            .collect()
+        ]
+        assert dict(got) == {
+            0: "example.co.il",
+            1: "example.co.il",
+            2: "bar.anything.ck",
+            3: "www.ck",
+            4: "www.ck",
+            5: "district.k12.ak.us",
+            6: "example.com",
+            7: "localhost",
+            8: None,
+        }
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(rows, columns=["doc_id", "host"]))
+        duck = con.sql(
+            f"SELECT doc_id, {registered_domain_sql('host', suf, exc)} "
+            "AS dom FROM t ORDER BY doc_id"
+        ).fetchall()
+        assert got == [tuple(r) for r in duck]
+
+    def test_default_pattern_unchanged(self):
+        """The loader must not perturb the embedded default — the
+        stat_aggregates 'dom:' oracle replays PAT_MULTI verbatim."""
+        from cod_stats_spark.functions.url import (
+            MULTI_SUFFIXES,
+            PAT_MULTI,
+            multi_suffix_pattern,
+        )
+
+        assert multi_suffix_pattern(MULTI_SUFFIXES) == PAT_MULTI
+        assert PAT_MULTI.startswith("([^.]+[.](?:")

@@ -1,0 +1,177 @@
+"""Tokenizer artifact interop: the Hugging Face ``tokenizer.json``
+shape for the repo's trained BPE merges and unigram-LM vocabularies.
+
+The parquet artifacts (operators/bpe.save_merges,
+operators/unigram_lm.save_unigram_vocab) are the pipeline-internal
+form — torn-save-guarded, Spark-readable. This module serializes the
+SAME bit-stable models into the single-file JSON layout the
+``tokenizers`` library ships (`model.type: "BPE"` with vocab+merges /
+`model.type: "Unigram"` with [piece, logprob] rows), so a trained
+tokenizer can move between this engine and the public ecosystem
+without re-training.
+
+Fidelity notes, stated plainly:
+
+- BPE here is the subword-nmt posture: the end-of-word marker
+  (``bpe.EOW``) rides as an ORDINARY symbol at the end of each word's
+  symbol sequence, not as HF's fused ``end_of_word_suffix``. The
+  emitted file records ``end_of_word_suffix: null`` and includes the
+  marker in the vocab; round-tripping through THIS module reproduces
+  the exact merge list (and therefore identical encodes). A foreign
+  HF tokenizer consuming the file sees a well-formed BPE model whose
+  marker is an explicit token.
+- Unigram log-probabilities serialize through Python ``json`` float
+  repr, which round-trips IEEE-754 doubles exactly — the reloaded
+  model is bit-identical (asserted via the artifact fingerprint).
+- ``max_piece_len`` (a runtime lattice cap, not part of the HF
+  schema) is recomputed on load as the longest piece — exact, since
+  the cap only has to dominate every real piece.
+
+Serialization is deterministic (sorted keys, fixed separators,
+trailing newline) so artifact bytes are reproducible and diffable.
+"""
+
+from __future__ import annotations
+
+import json
+
+from cod_stats_spark.operators.bpe import EOW
+from cod_stats_spark.operators.unigram_lm import UnigramVocab
+
+__all__ = [
+    "bpe_to_tokenizer_json",
+    "tokenizer_json_to_bpe",
+    "unigram_to_tokenizer_json",
+    "tokenizer_json_to_unigram",
+    "write_tokenizer_json",
+    "read_tokenizer_json",
+]
+
+_SHELL = {
+    "version": "1.0",
+    "truncation": None,
+    "padding": None,
+    "added_tokens": [],
+    "normalizer": None,
+    "pre_tokenizer": {"type": "WhitespaceSplit"},
+    "post_processor": None,
+    "decoder": None,
+}
+
+
+def bpe_to_tokenizer_json(
+    merges: list[tuple[str, str]], unk_token: str | None = None
+) -> dict:
+    """Rank-ordered merges → the HF BPE model document. The vocab is
+    derived deterministically: base symbols (every merge constituent
+    that is not itself a merge product, plus the EOW marker) sorted,
+    then merge products in rank order — id = position."""
+    for a, b in merges:
+        if " " in a or " " in b:
+            # the classic merges serialization is the space-joined
+            # "a b" line; a space inside a symbol would be unparseable
+            raise ValueError(
+                f"bpe_to_tokenizer_json: symbol contains a space: "
+                f"{(a, b)!r}"
+            )
+    products = [a + b for a, b in merges]
+    produced = set(products)
+    base = {EOW}
+    for a, b in merges:
+        if a not in produced:
+            base.add(a)
+        if b not in produced:
+            base.add(b)
+    symbols = sorted(base) + products
+    vocab = {s: i for i, s in enumerate(symbols)}
+    if unk_token is not None and unk_token not in vocab:
+        vocab[unk_token] = len(vocab)
+    return {
+        **_SHELL,
+        "model": {
+            "type": "BPE",
+            "dropout": None,
+            "unk_token": unk_token,
+            "continuing_subword_prefix": None,
+            "end_of_word_suffix": None,
+            "fuse_unk": False,
+            "byte_fallback": False,
+            "vocab": vocab,
+            "merges": [f"{a} {b}" for a, b in merges],
+        },
+    }
+
+
+def tokenizer_json_to_bpe(doc: dict) -> list[tuple[str, str]]:
+    """The inverse: rank-ordered merge pairs from a BPE tokenizer
+    document. Accepts both public merge spellings — ``"a b"`` strings
+    and ``["a", "b"]`` pairs."""
+    model = doc.get("model") or {}
+    if model.get("type") != "BPE":
+        raise ValueError(
+            f"tokenizer_json_to_bpe: model.type is {model.get('type')!r},"
+            " expected 'BPE'"
+        )
+    out: list[tuple[str, str]] = []
+    for m in model.get("merges", []):
+        if isinstance(m, str):
+            a, sep, b = m.partition(" ")
+            if not sep or not a or not b or " " in b:
+                raise ValueError(
+                    f"tokenizer_json_to_bpe: unparseable merge {m!r}"
+                )
+            out.append((a, b))
+        else:
+            a, b = m
+            out.append((str(a), str(b)))
+    return out
+
+
+def unigram_to_tokenizer_json(
+    vocab: UnigramVocab, unk_id: int | None = None
+) -> dict:
+    """Piece → log-prob map → the HF Unigram model document
+    (``vocab: [[piece, logprob], …]``, canonical piece order)."""
+    return {
+        **_SHELL,
+        "model": {
+            "type": "Unigram",
+            "unk_id": unk_id,
+            "byte_fallback": False,
+            "vocab": [
+                [p, float(vocab.logp[p])] for p in vocab.pieces
+            ],
+        },
+    }
+
+
+def tokenizer_json_to_unigram(doc: dict) -> UnigramVocab:
+    model = doc.get("model") or {}
+    if model.get("type") != "Unigram":
+        raise ValueError(
+            f"tokenizer_json_to_unigram: model.type is "
+            f"{model.get('type')!r}, expected 'Unigram'"
+        )
+    pairs = [(str(p), float(lp)) for p, lp in model.get("vocab", [])]
+    if not pairs:
+        raise ValueError("tokenizer_json_to_unigram: empty vocab")
+    if len({p for p, _ in pairs}) != len(pairs):
+        raise ValueError("tokenizer_json_to_unigram: duplicate pieces")
+    return UnigramVocab(
+        logp=dict(pairs),
+        max_piece_len=max(len(p) for p, _ in pairs),
+    )
+
+
+def write_tokenizer_json(path: str, doc: dict) -> None:
+    """Deterministic bytes: sorted keys, fixed separators, trailing
+    newline — rewriting an unchanged model is a byte no-op."""
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(doc, f, ensure_ascii=False, sort_keys=True,
+                  separators=(",", ":"))
+        f.write("\n")
+
+
+def read_tokenizer_json(path: str) -> dict:
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)

@@ -93,8 +93,9 @@ class TestRealTableFormatMerge:
             "delta",
             reason="delta-spark not installed: io.delta:delta-spark_2.13 jar "
             "+ python package absent from image. Resolution re-attempted "
-            "2026-08-15 (r6–r10, and again in r11: find_spec('delta') is "
-            "None, curl rc=6 / http_code 000 to repo1.maven.org) — the "
+            "2026-08-15 (r6–r11, and again in r12: import delta fails, "
+            "curl rc=6 / http_code 000 to repo1.maven.org, no "
+            "delta-spark*.jar anywhere on disk) — the "
             "container is verifiably offline, "
             "so spark.jars.packages cannot fetch. Parquet emulation in "
             "operators/merge.py covers the semantics until the jar appears, "

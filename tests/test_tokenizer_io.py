@@ -1,0 +1,139 @@
+"""tokenizer.json interop (operators/tokenizer_io.py): round-trips
+must reproduce identical encodes through reloaded artifacts, bytes
+must be deterministic, and malformed documents must fail loudly."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _train_bpe():
+    from cod_stats_spark.operators.bpe import learn_bpe
+
+    counts = [
+        ("low", 5), ("lower", 2), ("lowest", 6), ("newer", 6),
+        ("wider", 3), ("new", 2), ("slow", 4), ("slower", 3),
+    ]
+    return learn_bpe(counts, vocab_size=24)
+
+
+def _train_unigram():
+    from cod_stats_spark.operators.unigram_lm import learn_unigram
+
+    counts = [
+        ("low", 5), ("lower", 2), ("lowest", 6), ("newer", 6),
+        ("wider", 3), ("new", 2), ("slow", 4), ("slower", 3),
+    ]
+    return learn_unigram(counts, vocab_size=24)
+
+
+class TestBpeRoundTrip:
+    def test_identical_encodes_through_reloaded_artifact(self, tmp_path):
+        from cod_stats_spark.operators.bpe import encode_word
+        from cod_stats_spark.operators.tokenizer_io import (
+            bpe_to_tokenizer_json,
+            read_tokenizer_json,
+            tokenizer_json_to_bpe,
+            write_tokenizer_json,
+        )
+
+        merges = _train_bpe()
+        p = str(tmp_path / "tokenizer.json")
+        write_tokenizer_json(p, bpe_to_tokenizer_json(merges))
+        back = tokenizer_json_to_bpe(read_tokenizer_json(p))
+        assert back == merges
+        ranks_a = {m: i for i, m in enumerate(merges)}
+        ranks_b = {m: i for i, m in enumerate(back)}
+        for w in ("lowest", "newest", "slower", "unseen", "q"):
+            assert encode_word(w, ranks_a) == encode_word(w, ranks_b)
+
+    def test_vocab_covers_every_producible_symbol(self, tmp_path):
+        from cod_stats_spark.operators.bpe import EOW, encode_word
+        from cod_stats_spark.operators.tokenizer_io import (
+            bpe_to_tokenizer_json,
+        )
+
+        merges = _train_bpe()
+        doc = bpe_to_tokenizer_json(merges, unk_token="<unk>")
+        vocab = doc["model"]["vocab"]
+        assert EOW in vocab and "<unk>" in vocab
+        assert sorted(vocab.values()) == list(range(len(vocab)))
+        ranks = {m: i for i, m in enumerate(merges)}
+        for w in ("lowest", "newer", "slow"):
+            for sym in encode_word(w, ranks):
+                assert sym in vocab, f"{sym!r} not in serialized vocab"
+
+    def test_pair_spelling_accepted(self):
+        from cod_stats_spark.operators.tokenizer_io import (
+            bpe_to_tokenizer_json,
+            tokenizer_json_to_bpe,
+        )
+
+        merges = _train_bpe()
+        doc = bpe_to_tokenizer_json(merges)
+        doc["model"]["merges"] = [m.split(" ") for m in doc["model"]["merges"]]
+        assert tokenizer_json_to_bpe(doc) == merges
+
+    def test_wrong_model_type_rejected(self):
+        from cod_stats_spark.operators.tokenizer_io import (
+            tokenizer_json_to_bpe,
+        )
+
+        with pytest.raises(ValueError, match="model.type"):
+            tokenizer_json_to_bpe({"model": {"type": "Unigram"}})
+
+
+class TestUnigramRoundTrip:
+    def test_bit_identical_model_and_encodes(self, tmp_path):
+        from cod_stats_spark.operators.tokenizer_io import (
+            read_tokenizer_json,
+            tokenizer_json_to_unigram,
+            unigram_to_tokenizer_json,
+            write_tokenizer_json,
+        )
+        from cod_stats_spark.operators.unigram_lm import (
+            _vocab_fingerprint,
+            viterbi_encode_word,
+        )
+
+        vocab = _train_unigram()
+        p = str(tmp_path / "tokenizer.json")
+        write_tokenizer_json(p, unigram_to_tokenizer_json(vocab))
+        back = tokenizer_json_to_unigram(read_tokenizer_json(p))
+        # bit-identity via the artifact fingerprint (IEEE doubles
+        # round-trip exactly through json float repr)
+        assert _vocab_fingerprint(sorted(back.logp.items())) == (
+            _vocab_fingerprint(sorted(vocab.logp.items()))
+        )
+        assert back.max_piece_len >= max(len(x) for x in back.logp)
+        for w in ("lowest", "newest", "slower", "unseen"):
+            assert viterbi_encode_word(w, back) == (
+                viterbi_encode_word(w, vocab)
+            )
+
+    def test_deterministic_bytes(self, tmp_path):
+        from cod_stats_spark.operators.tokenizer_io import (
+            unigram_to_tokenizer_json,
+            write_tokenizer_json,
+        )
+
+        vocab = _train_unigram()
+        a, b = str(tmp_path / "a.json"), str(tmp_path / "b.json")
+        write_tokenizer_json(a, unigram_to_tokenizer_json(vocab))
+        write_tokenizer_json(b, unigram_to_tokenizer_json(vocab))
+        assert open(a, "rb").read() == open(b, "rb").read()
+
+    def test_malformed_documents_rejected(self):
+        from cod_stats_spark.operators.tokenizer_io import (
+            tokenizer_json_to_unigram,
+        )
+
+        with pytest.raises(ValueError, match="empty"):
+            tokenizer_json_to_unigram(
+                {"model": {"type": "Unigram", "vocab": []}}
+            )
+        with pytest.raises(ValueError, match="duplicate"):
+            tokenizer_json_to_unigram(
+                {"model": {"type": "Unigram",
+                           "vocab": [["a", -1.0], ["a", -2.0]]}}
+            )

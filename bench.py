@@ -109,6 +109,10 @@ HEADLINE = [
     # round-3 training-pipeline additions
     "pii_redact",
     "repetition_metrics",
+    # round-12 addition: HTML→text extraction + C4 line cleaning over
+    # synthetic pages wrapping every document, checksum-agg tail (new
+    # entry, new scope; BENCH_NOTES.md "New entries (round 12)")
+    "html_extract",
     "pack_sequences",
     # round-11 addition: concatenate-then-split training-window
     # assembly over the md5 tape, whole job incl. the window-content

@@ -6083,6 +6083,32 @@ def bpe_encode_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges).select("doc_id", "bpe_n_tokens")
 
 
+@_bench_only("html_extract")
+def html_extract_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed HTML→text extraction + C4 line cleaning (r12 — new
+    entry, new scope; BENCH_NOTES.md "New entries (round 12)"): the
+    whole functions/html.py stage over synthetic pages wrapping every
+    document (the stat_aggregates 'html:' construction at gate scale;
+    real markup byte-mass is what the regex chain's cost tracks).
+    Pure projection, so it ends in a crc32 checksum aggregate with a
+    data-dependent filter — bench.py's count() would otherwise prune
+    the extraction entirely (the lm_score pattern; crc32 so the sum
+    stays in 32-bit values and never wraps the guard, r11 review)."""
+    from cod_stats_spark.functions.html import extract_text
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    ct = extract_text(_html_doc_expr())
+    return (
+        docs.select(ct.alias("ct"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.crc32(F.col("ct"))).alias("checksum"),
+            F.sum(F.length("ct")).alias("n_chars"),
+        )
+        .where(F.col("checksum") > F.lit(-1))
+    )
+
+
 @_bench_only("quantiles")
 def quantiles_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timed `quantiles` entry — same plan as the r1–r5 gate; the

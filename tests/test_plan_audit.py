@@ -146,6 +146,10 @@ def test_timed_bodies_survive_count_pruning(spark):
         "training_sequences": ["Generate", "Aggregate"],  # slice-row explode
                                                           # + window assembly
                                                           # (r11)
+        "html_extract": ["Aggregate", "Filter"],  # checksum agg + guard —
+                                                  # without them count()
+                                                  # prunes the regex chain
+                                                  # to a bare scan (r12)
     }
     queries = {**QUERIES, **BENCH_ONLY}
     offenders: list[str] = []

@@ -153,15 +153,18 @@ def load_public_suffixes(
                 break
             continue
         rule = line.split()[0].lower()
-        if rule.startswith("!"):
-            exceptions.append(rule[1:])
-            continue
-        core = rule[2:] if rule.startswith("*.") else rule
+        is_exc = rule.startswith("!")
+        core = rule[1:] if is_exc else rule
+        if core.startswith("*."):
+            core = core[2:]
         # defensive: a malformed rule with regex metacharacters would
         # corrupt the generated alternation — skip, never splice
+        # (exception rules splice into exception_pattern the same way)
         if not all(c.isalnum() or c in ".-" for c in core.replace(".", "")):
             continue
-        if "." in rule:
+        if is_exc:
+            exceptions.append(rule[1:])
+        elif "." in rule:
             suffixes.append(rule)
     return suffixes, exceptions
 

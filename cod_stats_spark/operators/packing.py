@@ -261,6 +261,14 @@ def tape_piece_rows(
             .collect()
         )
         by_pair = {(r["_seg"], r["_bkt"]): r["_tot"] for r in totals}
+        if any(s is None for s, _b in by_pair):
+            # a null segment would TypeError in sorted() with other
+            # segments present, or silently drop every doc at the
+            # null-never-equals-null offset join when alone — the
+            # caller's segment column is broken either way, say so
+            raise ValueError(
+                "tape_piece_rows: segment_col contains nulls"
+            )
         segs = sorted({s for s, _b in by_pair})
         offsets, running = [], int(base_offset)
         for s in segs:

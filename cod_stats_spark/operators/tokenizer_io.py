@@ -47,25 +47,40 @@ __all__ = [
     "read_tokenizer_json",
 ]
 
-_SHELL = {
-    "version": "1.0",
-    "truncation": None,
-    "padding": None,
-    "added_tokens": [],
-    "normalizer": None,
-    "pre_tokenizer": {"type": "WhitespaceSplit"},
-    "post_processor": None,
-    "decoder": None,
-}
+def _shell() -> dict:
+    """A FRESH document shell per export — a module-level constant's
+    ``added_tokens`` list would be shared by reference into every
+    returned document, so a caller appending a special token to one
+    export would silently mutate all later ones."""
+    return {
+        "version": "1.0",
+        "truncation": None,
+        "padding": None,
+        "added_tokens": [],
+        "normalizer": None,
+        "pre_tokenizer": {"type": "WhitespaceSplit"},
+        "post_processor": None,
+        "decoder": None,
+    }
 
 
 def bpe_to_tokenizer_json(
-    merges: list[tuple[str, str]], unk_token: str | None = None
+    merges: list[tuple[str, str]],
+    unk_token: str | None = None,
+    alphabet: "set[str] | None" = None,
 ) -> dict:
     """Rank-ordered merges → the HF BPE model document. The vocab is
-    derived deterministically: base symbols (every merge constituent
-    that is not itself a merge product, plus the EOW marker) sorted,
-    then merge products in rank order — id = position."""
+    derived deterministically: base symbols sorted, then merge
+    products in rank order — id = position.
+
+    ``alphabet``: the training corpus's character set (e.g.
+    ``{c for w, _ in counts for c in w}``). Merges alone cannot see a
+    character that never participated in a merge — yet
+    ``encode_word`` emits such characters as standalone symbols, so
+    WITHOUT the alphabet the exported vocab cannot cover every
+    producible token and a consumer encoding rare words hits unknown
+    symbols. Pass it whenever the counts are available; the
+    merge-derived base remains for artifacts where they are not."""
     for a, b in merges:
         if " " in a or " " in b:
             # the classic merges serialization is the space-joined
@@ -82,12 +97,21 @@ def bpe_to_tokenizer_json(
             base.add(a)
         if b not in produced:
             base.add(b)
+    if alphabet:
+        for ch in alphabet:
+            if " " in ch:
+                raise ValueError(
+                    f"bpe_to_tokenizer_json: alphabet symbol contains a "
+                    f"space: {ch!r}"
+                )
+            if ch not in produced:
+                base.add(ch)
     symbols = sorted(base) + products
     vocab = {s: i for i, s in enumerate(symbols)}
     if unk_token is not None and unk_token not in vocab:
         vocab[unk_token] = len(vocab)
     return {
-        **_SHELL,
+        **_shell(),
         "model": {
             "type": "BPE",
             "dropout": None,
@@ -133,7 +157,7 @@ def unigram_to_tokenizer_json(
     """Piece → log-prob map → the HF Unigram model document
     (``vocab: [[piece, logprob], …]``, canonical piece order)."""
     return {
-        **_SHELL,
+        **_shell(),
         "model": {
             "type": "Unigram",
             "unk_id": unk_id,

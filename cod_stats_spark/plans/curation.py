@@ -668,8 +668,13 @@ def compact_curated_shards(
 
     ``full_rebuild=True`` is the repair path: re-derive the whole
     tree from ALL retained fragments from offset zero (the pre-r12
-    behavior), clearing and re-recording the markers to match. Use it
-    if fragments were edited in place or marker state is suspect.
+    behavior), deleting the destination tree first — dynamic
+    overwrite alone would leave stale shard dirs beyond the rebuilt
+    range — and re-recording the markers to match. Use it if
+    fragments were edited in place or marker state is suspect. It
+    REFUSES when a consumed batch's fragments are gone (pruned):
+    those shards exist only in the tree it is about to delete, so a
+    rebuild would silently lose them.
 
     ``prune_fragments=True``: delete each fragment ``batch=`` dir
     after its marker commits (marker-first, so a replayed epoch that
@@ -717,8 +722,24 @@ def compact_curated_shards(
         if m
     ]
     if full_rebuild:
-        for _b, _o, _n, name in markers:
-            fs.delete(os.path.join(dest, name))
+        missing = [
+            b
+            for b, _o, _n, _name in markers
+            if not _has_parquet(os.path.join(frag_dir, f"batch={b}"))
+        ]
+        if missing:
+            raise ValueError(
+                "compact_curated_shards: full_rebuild=True but consumed "
+                f"batches {sorted(missing)} have no fragments on disk "
+                "(pruned?) — their shards exist only in the compacted "
+                "tree, which a rebuild would delete; restore the "
+                "fragments or stay incremental"
+            )
+        # delete the WHOLE tree (markers + shard dirs): dynamic
+        # overwrite below only replaces dirs the rebuild writes, so
+        # stale dirs beyond the rebuilt range would otherwise survive
+        # and the returned table would mix old and new rows
+        fs.delete(dest)
         markers = []
     consumed = {b for b, _o, _n, _name in markers}
     offset = max((o + n for _b, o, n, _name in markers), default=0)

@@ -862,3 +862,79 @@ def test_html_stage_zero_both_postures(spark, tmp_path):
         for r in compacted.select("doc_id", "text").collect()
     }
     assert appended == one_shot
+
+
+def test_full_rebuild_clears_stale_dirs_and_guards_pruned(spark, tmp_path):
+    """r12 review: full_rebuild must DELETE the destination tree
+    first — dynamic overwrite alone leaves shard dirs beyond the
+    rebuilt range (stale rows mixed into the returned table) — and
+    must refuse when a consumed batch's fragments were pruned (its
+    shards exist only in the tree the rebuild deletes)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cod_stats_spark.plans.curation import (
+        compact_curated_shards,
+        curate_corpus_append,
+    )
+
+    docs = _corpus(spark)
+    bench = spark.createDataFrame(
+        [(100, "benchmark secret passage that must not leak into "
+               "training at all")],
+        "doc_id long, text string",
+    )
+    kw = dict(min_quality=0.5, token_budget=8, decontam_ngram_n=8)
+    state = str(tmp_path / "state")
+    for b, parity in ((1, 1), (2, 0)):
+        curate_corpus_append(
+            spark, docs.filter(F.col("doc_id") % 2 == parity), bench,
+            state, batch_id=b, **kw,
+        )
+    before = compact_curated_shards(spark, state)
+    n_shards_before = before.select("shard_id").distinct().count()
+    # shrink batch 2's fragments in place (the docstring's stated
+    # full_rebuild use case), then rebuild: no stale dirs may survive
+    frag2 = os.path.join(state, "shards_frag", "batch=2")
+    import shutil
+
+    shutil.rmtree(frag2)
+    curate_corpus_append(
+        spark,
+        docs.filter(F.col("doc_id") == 4),
+        bench,
+        str(tmp_path / "scratch"),
+        batch_id=2,
+        **kw,
+    )
+    # write a smaller batch-2 fragment tree under the original state
+    shutil.move(
+        os.path.join(str(tmp_path / "scratch"), "shards_frag", "batch=2"),
+        frag2,
+    )
+    rebuilt = compact_curated_shards(spark, state, full_rebuild=True)
+    shard_ids = sorted(
+        r["shard_id"]
+        for r in rebuilt.select("shard_id").distinct().collect()
+    )
+    assert shard_ids == list(range(len(shard_ids)))
+    assert len(shard_ids) <= n_shards_before
+    dirs = sorted(
+        int(n.split("=")[1])
+        for n in os.listdir(os.path.join(state, "shards"))
+        if n.startswith("shard_id=")
+    )
+    assert dirs == shard_ids, f"stale shard dirs survived: {dirs}"
+
+    # pruned fragments -> full_rebuild refuses instead of losing data
+    state2 = str(tmp_path / "state2")
+    for b, parity in ((1, 1), (2, 0)):
+        curate_corpus_append(
+            spark, docs.filter(F.col("doc_id") % 2 == parity), bench,
+            state2, batch_id=b, **kw,
+        )
+    compact_curated_shards(spark, state2, prune_fragments=True)
+    with pytest.raises(ValueError, match="no fragments"):
+        compact_curated_shards(spark, state2, full_rebuild=True)

@@ -22,7 +22,14 @@ needs_testdata = pytest.mark.skipif(
 
 # Gates whose callables EXECUTE work at build time (streaming runs,
 # temp-dir pipelines) — plan shape covered by their own tests.
-SKIP = {"streaming_daily_counts", "stateful_sessions", "incremental_dedup"}
+SKIP = {
+    "streaming_daily_counts",
+    "stateful_sessions",
+    "incremental_dedup",
+    # r12: the 'seqinc' arm runs two incremental tape appends (state
+    # writes + eager checkpoints) when the plan is merely BUILT
+    "pack_sequences",
+}
 
 # BroadcastNestedLoopJoin is legitimate ONLY with a bounded broadcast
 # side: the interval dim (≤ handful of rows), ANN/KNN query sets, and

@@ -207,3 +207,18 @@ class TestReplayAndMarkers:
         )
         rows = out.collect()
         assert len(rows) == 1 and rows[0]["n_docs"] == 2
+
+
+def test_null_segment_rejected(spark):
+    """r12 review: a null segment value must raise, not TypeError in
+    the driver sort or silently drop docs at the offset join."""
+    import pytest
+
+    from cod_stats_spark.operators.packing import training_sequences
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], 1), (2, ["c", "d"], None)],
+        "doc_id long, toks array<string>, batch int",
+    )
+    with pytest.raises(ValueError, match="nulls"):
+        training_sequences(df, "toks", seq_len=2, segment_col="batch")

@@ -137,3 +137,39 @@ class TestUnigramRoundTrip:
                 {"model": {"type": "Unigram",
                            "vocab": [["a", -1.0], ["a", -2.0]]}}
             )
+
+
+class TestReviewRegressions:
+    def test_alphabet_param_covers_unmerged_chars(self, tmp_path):
+        """r12 review: a character that never participates in a merge
+        (rare word) is still emitted by encode_word — the export must
+        be able to cover it via the training alphabet."""
+        from cod_stats_spark.operators.bpe import encode_word, learn_bpe
+        from cod_stats_spark.operators.tokenizer_io import (
+            bpe_to_tokenizer_json,
+        )
+
+        counts = [("low", 50), ("lower", 20), ("lowest", 60), ("quiz", 1)]
+        merges = learn_bpe(counts, vocab_size=8)
+        alphabet = {c for w, _ in counts for c in w}
+        doc = bpe_to_tokenizer_json(merges, alphabet=alphabet)
+        vocab = doc["model"]["vocab"]
+        ranks = {m: i for i, m in enumerate(merges)}
+        for w, _ in counts:
+            for sym in encode_word(w, ranks):
+                assert sym in vocab, f"{sym!r} missing from vocab"
+        assert sorted(vocab.values()) == list(range(len(vocab)))
+
+    def test_shell_not_shared_between_exports(self):
+        """r12 review: mutating one exported document's added_tokens
+        must not leak into later exports (the module constant was
+        shared by reference)."""
+        from cod_stats_spark.operators.tokenizer_io import (
+            unigram_to_tokenizer_json,
+        )
+
+        v = _train_unigram()
+        a = unigram_to_tokenizer_json(v)
+        a["added_tokens"].append({"id": 999, "content": "<special>"})
+        b = unigram_to_tokenizer_json(v)
+        assert b["added_tokens"] == []

@@ -362,3 +362,21 @@ blogspot.com
 
         assert multi_suffix_pattern(MULTI_SUFFIXES) == PAT_MULTI
         assert PAT_MULTI.startswith("([^.]+[.](?:")
+
+
+def test_malformed_exception_rule_skipped():
+    """r12 review: a malformed '!' rule must be skipped like a
+    malformed suffix rule — splicing it would corrupt the generated
+    exception pattern (unterminated group)."""
+    from cod_stats_spark.functions.url import (
+        exception_pattern,
+        load_public_suffixes,
+    )
+
+    suf, exc = load_public_suffixes(
+        "co.il\n!bad(rule.ck\n!www.ck\n*.ck\n"
+    )
+    assert exc == ["www.ck"]
+    import re
+
+    re.compile(exception_pattern(exc))  # must stay compilable

@@ -380,3 +380,82 @@ def test_r11_ops_empty_inputs(spark, tmp_path):
         str(tmp_path / "sem"), [[1.0, 0.0]], batch_id=0,
     )
     assert out.count() == 1
+
+
+def test_r12_ops_empty_inputs(spark, tmp_path):
+    """r12 surface: HTML extraction, the html funnel stage in both
+    postures, the incremental shard compactor with no fragments, the
+    segmented tape, a FIRST tape batch that is empty, the PSL loader
+    on empty/comment-only input, and empty-merge interop."""
+    from cod_stats_spark.functions.html import extract_text
+    from cod_stats_spark.functions.url import (
+        load_public_suffixes,
+        registered_domain,
+    )
+    from cod_stats_spark.operators.packing import training_sequences
+    from cod_stats_spark.operators.tokenizer_io import (
+        bpe_to_tokenizer_json,
+        tokenizer_json_to_bpe,
+    )
+    from cod_stats_spark.plans.curation import (
+        compact_curated_shards,
+        curate_corpus,
+        curate_corpus_append,
+    )
+    from cod_stats_spark.streaming.packing import (
+        finalize_training_tape,
+        training_sequences_append,
+    )
+
+    e = spark.createDataFrame([], "doc_id long, text string")
+    assert e.select(extract_text("text").alias("ct")).count() == 0
+
+    _, stats = curate_corpus(
+        e, None, str(tmp_path / "o"), html_input=True, token_budget=32
+    )
+    assert stats["input"] == 0 and stats["after_html"] == 0
+
+    state = str(tmp_path / "s")
+    _, s2 = curate_corpus_append(
+        spark, e, None, state, batch_id=1, html_input=True,
+        token_budget=32,
+    )
+    assert s2["after_html"] == 0
+    assert compact_curated_shards(spark, state) is None
+
+    e2 = spark.createDataFrame(
+        [], "doc_id long, toks array<string>, batch int"
+    )
+    assert (
+        training_sequences(e2, "toks", seq_len=4, segment_col="batch")
+        .count() == 0
+    )
+
+    tstate = str(tmp_path / "t")
+    assert (
+        training_sequences_append(
+            spark, e2.drop("batch"), "toks", tstate, batch_id=1, seq_len=4
+        ).count() == 0
+    )
+    assert finalize_training_tape(spark, tstate) is None
+    out = training_sequences_append(
+        spark,
+        spark.createDataFrame(
+            [(1, ["a", "b", "c", "d", "e"])],
+            "doc_id long, toks array<string>",
+        ),
+        "toks", tstate, batch_id=2, seq_len=4,
+    )
+    assert out.count() == 1
+
+    assert load_public_suffixes("") == ([], [])
+    assert load_public_suffixes("// only comments\n") == ([], [])
+    d = spark.createDataFrame([(1, "a.b.co.il")], "i long, h string")
+    assert (
+        d.select(registered_domain("h", [], []).alias("d")).first()["d"]
+        == "co.il"
+    )
+
+    assert tokenizer_json_to_bpe(
+        bpe_to_tokenizer_json([], alphabet={"a", "b"})
+    ) == []

@@ -59,7 +59,11 @@ from cod_stats_spark.streaming._state import (
     write_state,
 )
 
-__all__ = ["training_sequences_append", "finalize_training_tape"]
+__all__ = [
+    "training_sequences_append",
+    "finalize_training_tape",
+    "stream_pack_to_tape",
+]
 
 
 def _tape_marker(L: int, salt: str, num_buckets: int) -> str:
@@ -271,3 +275,59 @@ def finalize_training_tape(
     if with_spans:
         schema += ", doc_spans array<struct<off:int,len:int>>"
     return spark.createDataFrame(cols, schema)
+
+
+def stream_pack_to_tape(
+    docs_stream: DataFrame,
+    tokens_col: str,
+    state_dir: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+    salt: str = "pack",
+    num_buckets: int = 256,
+    with_spans: bool = False,
+    checkpoint_path: str | None = None,
+):
+    """Structured-Streaming wrapper: each micro-batch packs onto the
+    persistent tape with the epoch id as the batch id, and the
+    windows it completes land at ``out_path/batch=<epoch>`` —
+    deterministic per-epoch location, OVERWRITTEN on replay, so an
+    at-least-once re-execution rewrites its own rows instead of
+    double-appending (the r11 streaming-sink convention; the append
+    op itself recomputes a replayed epoch from the pre-commit cursor,
+    so the rewritten content is identical). Readers take the tree
+    root; ``seq_id`` stays globally absolute across epochs, so the
+    union of all ``batch=`` dirs IS the tape prefix. Drain the
+    trailing partial window at end of corpus with
+    :func:`finalize_training_tape`. Returns the StreamingQuery.
+
+    Epoch-id scope: as with every stateful wrapper here, pair ONE
+    checkpoint with ONE state dir for their lifetime — restarting
+    without the checkpoint resets epoch ids and makes new batches
+    look like replays."""
+    import os
+
+    def batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
+        out = training_sequences_append(
+            batch_df.sparkSession,
+            batch_df,
+            tokens_col,
+            state_dir,
+            batch_id=int(epoch_id),
+            id_col=id_col,
+            seq_len=seq_len,
+            salt=salt,
+            num_buckets=num_buckets,
+            with_spans=with_spans,
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={int(epoch_id)}")
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(batch_fn).outputMode(
+        "append"
+    )
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

@@ -222,3 +222,57 @@ def test_null_segment_rejected(spark):
     )
     with pytest.raises(ValueError, match="nulls"):
         training_sequences(df, "toks", seq_len=2, segment_col="batch")
+
+
+def test_stream_pack_to_tape(spark, tmp_path):
+    """The streaming wrapper: per-epoch batch=<id> window dirs whose
+    union equals the segmented one-shot tape's completed windows;
+    seq_ids stay globally absolute across epochs."""
+    import os
+
+    from cod_stats_spark.operators.packing import training_sequences
+    from cod_stats_spark.streaming.packing import stream_pack_to_tape
+
+    src = tmp_path / "in"
+    for b, rows in enumerate(BATCHES, start=1):
+        _docs(spark, rows).coalesce(1).write.parquet(f"{src}/b{b}")
+    stream = spark.readStream.schema(
+        "doc_id long, toks array<string>"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    out = str(tmp_path / "out")
+    q = stream_pack_to_tape(
+        stream, "toks", str(tmp_path / "tape"), out,
+        seq_len=L, checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert any(
+        n.startswith("batch=") for n in os.listdir(out)
+    )
+    got = {
+        r["seq_id"]: tuple(r["input_ids"])
+        for r in spark.read.parquet(out)
+        .select("seq_id", "input_ids")
+        .collect()
+    }
+    # reference: the segmented one-shot over the files in epoch order
+    # (maxFilesPerTrigger=1 + glob order: epoch e consumed file b{e+1})
+    epochs = sorted(
+        int(n.split("=")[1]) for n in os.listdir(out)
+        if n.startswith("batch=")
+    )
+    union = None
+    for e in epochs:
+        part = spark.read.parquet(f"{src}/b{e + 1}").withColumn(
+            "batch", F.lit(e)
+        )
+        union = part if union is None else union.unionByName(part)
+    want = {
+        r["seq_id"]: tuple(r["input_ids"])
+        for r in training_sequences(
+            union, "toks", seq_len=L, segment_col="batch"
+        ).collect()
+    }
+    assert got == want and len(got) == 6

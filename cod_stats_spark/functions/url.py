@@ -263,6 +263,8 @@ def domain_gate(
     allowlist: list[str] | None = None,
     broadcast_list: DataFrame | None = None,
     keep_null_host: bool = True,
+    suffixes: list[str] | None = None,
+    exceptions: list[str] | None = None,
 ) -> DataFrame:
     """The curation gate stage: drop documents whose host matches the
     blocklist; when an allowlist is given, ALSO require a match there
@@ -274,7 +276,11 @@ def domain_gate(
 
     ``keep_null_host``: documents with no parseable URL pass by
     default (content filters downstream judge them); False drops them
-    — a provenance-required pipeline."""
+    — a provenance-required pipeline.
+
+    ``suffixes``/``exceptions``: a loaded rule set
+    (:func:`load_public_suffixes`) for the broadcast path's
+    registered-domain key; the embedded subset otherwise."""
     host = url_host(F.col(url_col))
     out = docs
     if not keep_null_host:
@@ -284,7 +290,7 @@ def domain_gate(
     if allowlist:
         out = out.where(host.isNull() | domain_matches(host, allowlist))
     if broadcast_list is not None:
-        dom = registered_domain(host)
+        dom = registered_domain(host, suffixes, exceptions)
         out = out.withColumn("_rd", dom).join(
             F.broadcast(
                 broadcast_list.select(
@@ -301,15 +307,19 @@ def domain_stats(
     docs: DataFrame,
     url_col: str = "url",
     text_col: str = "text",
+    suffixes: list[str] | None = None,
+    exceptions: list[str] | None = None,
 ) -> DataFrame:
     """(domain, n_docs, n_chars, n_hosts) per registered domain — one
     groupBy shuffle over pure projections; the mixture/sampling key
     table. Documents without a parseable host roll up under domain
-    NULL (kept visible — silent drops would skew mixture weights)."""
+    NULL (kept visible — silent drops would skew mixture weights).
+    ``suffixes``/``exceptions``: a loaded PSL rule set; embedded
+    subset otherwise."""
     host = url_host(F.col(url_col))
     return (
         docs.select(
-            registered_domain(host).alias("domain"),
+            registered_domain(host, suffixes, exceptions).alias("domain"),
             host.alias("_h"),
             F.length(F.col(text_col)).alias("_len"),
         )

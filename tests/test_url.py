@@ -380,3 +380,38 @@ def test_malformed_exception_rule_skipped():
     import re
 
     re.compile(exception_pattern(exc))  # must stay compilable
+
+
+def test_gate_and_stats_accept_loaded_rules(spark):
+    """The relation-path gate and the rollup key on a LOADED rule set:
+    a co.il platform entry must split subdomains one label deeper in
+    both, so the broadcast anti-join key and the mixture key agree
+    with the loaded registered_domain."""
+    from cod_stats_spark.functions.url import (
+        domain_gate,
+        domain_stats,
+        load_public_suffixes,
+    )
+
+    suf, exc = load_public_suffixes("co.il\n")
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.shop.co.il/x", "t1"),
+            (2, "https://b.shop.co.il/y", "t2"),
+            (3, "https://c.other.co.il/z", "t3"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    stats = {
+        r["domain"]: r["n_docs"]
+        for r in domain_stats(docs, suffixes=suf, exceptions=exc).collect()
+    }
+    assert stats == {"shop.co.il": 2, "other.co.il": 1}
+    block = spark.createDataFrame([("shop.co.il",)], "domain string")
+    kept = {
+        r["doc_id"]
+        for r in domain_gate(
+            docs, broadcast_list=block, suffixes=suf, exceptions=exc
+        ).collect()
+    }
+    assert kept == {3}

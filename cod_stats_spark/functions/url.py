@@ -96,20 +96,31 @@ PAT_TWO = "([^.]+[.][^.]+)$"
 _HOST_PAT = "(?i)^https?://(?:[^/@]*@)?([^/:?#]+)"
 
 
-def url_host(url: Column | str) -> Column:
+def url_host(url: Column | str, strip_www: bool = True) -> Column:
     """Canonical host: lowercase, no leading ``www.``, no trailing
-    dot. Null when the URL has no parseable http(s) host."""
+    dot. Null when the URL has no parseable http(s) host.
+
+    ``strip_www=False`` keeps the ``www.`` label — required when the
+    host feeds :func:`registered_domain` with a loaded PSL whose
+    exception rules are www-anchored (the real list's ``!www.ck``):
+    the default canonicalization erases the label the exception
+    matches on, so ``https://www.ck/x`` would key to the bare public
+    suffix instead of the registrable ``www.ck``."""
     u = F.col(url) if isinstance(url, str) else url
     host = F.lower(F.regexp_extract(u, _HOST_PAT, 1))
-    host = F.regexp_replace(host, r"^www\.", "")
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
     host = F.regexp_replace(host, r"\.$", "")
     return F.when(host != "", host)
 
 
-def url_host_sql(expr: str) -> str:
+def url_host_sql(expr: str, strip_www: bool = True) -> str:
     """DuckDB replay of :func:`url_host` — the identical regex (the
     module's single-source discipline)."""
-    h = f"regexp_replace(regexp_replace(lower(regexp_extract({expr}, '{_HOST_PAT}', 1)), '^www\\.', ''), '\\.$', '')"
+    h = f"lower(regexp_extract({expr}, '{_HOST_PAT}', 1))"
+    if strip_www:
+        h = f"regexp_replace({h}, '^www\\.', '')"
+    h = f"regexp_replace({h}, '\\.$', '')"
     return f"nullif({h}, '')"
 
 
@@ -155,6 +166,11 @@ def load_public_suffixes(
         rule = line.split()[0].lower()
         is_exc = rule.startswith("!")
         core = rule[1:] if is_exc else rule
+        if is_exc and "*" in core:
+            # a wildcard EXCEPTION has no published semantics (the PSL
+            # spec's exceptions are literal) and its '*' would splice a
+            # dangling metacharacter into exception_pattern — skip
+            continue
         if core.startswith("*."):
             core = core[2:]
         # defensive: a malformed rule with regex metacharacters would

@@ -1969,6 +1969,17 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget packing + chunk windowing boundaries + training
     windows. The TIMED `pack_sequences` entry keeps the r1-r8
     pack-only plan via its BENCH_ONLY override (BENCH_NOTES.md)."""
+    return pack_gate_static_arms(spark, sf_dir).unionByName(
+        _pack_gate_seqinc_arm(spark, sf_dir)
+    )
+
+
+def pack_gate_static_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate's three lazily-planned arms (pack/chunk/seq) — split
+    out so test_plan_audit can inspect their plans without triggering
+    the 'seqinc' arm, which EXECUTES two tape appends at build time
+    (r12 review: skipping the whole gate would have dropped the
+    cartesian/BNLJ audit for these arms too)."""
     from cod_stats_spark.operators.chunking import chunk_documents
     from cod_stats_spark.operators.packing import (
         pack_sequences,
@@ -2008,18 +2019,24 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("start_offset"),
         F.col("n_docs").cast("long").alias("seq"),
     )
+    return packed.unionByName(chunks).unionByName(wins)
+
+
+def _pack_gate_seqinc_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12 'seqinc': sequential incremental appends over a fresh tape
     # cursor — batch 1 odd ids, batch 2 even — emitting each batch's
     # completed windows; must reproduce the segment-major one-shot
     # oracle exactly (window content md5'd like the 'seq' arm). The
     # append op localCheckpoints its output, so the scratch state dir
-    # can be deleted before the caller collects.
+    # can be deleted before the caller collects. EXECUTES at plan
+    # build — see pack_gate_static_arms.
     import os
     import shutil
     import tempfile
 
     from cod_stats_spark.streaming.packing import training_sequences_append
 
+    docs = load_tables(spark, sf_dir)["documents"]
     tape_tmp = tempfile.mkdtemp(prefix="tapegate_")
     try:
         inc_parts = []
@@ -2038,7 +2055,7 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         shutil.rmtree(tape_tmp, ignore_errors=True)
-    seqinc = (
+    return (
         inc_parts[0].unionByName(inc_parts[1])
         .select(
             F.lit("seqinc").alias("tag"),
@@ -2050,9 +2067,6 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("start_offset"),
             F.col("n_docs").cast("long").alias("seq"),
         )
-    )
-    return (
-        packed.unionByName(chunks).unionByName(wins).unionByName(seqinc)
     )
 
 

@@ -738,8 +738,17 @@ def compact_curated_shards(
         # delete the WHOLE tree (markers + shard dirs): dynamic
         # overwrite below only replaces dirs the rebuild writes, so
         # stale dirs beyond the rebuilt range would otherwise survive
-        # and the returned table would mix old and new rows
+        # and the returned table would mix old and new rows. The
+        # delete MUST be verified — a silent failure would both
+        # resurrect that bug and leave two marker generations whose
+        # max(o+n) poisons every later incremental offset
         fs.delete(dest)
+        if fs.exists(dest):
+            raise IOError(
+                f"compact_curated_shards: could not delete {dest} for "
+                "the full rebuild — aborting rather than mixing stale "
+                "shard dirs and duplicate markers into the new tree"
+            )
         markers = []
     consumed = {b for b, _o, _n, _name in markers}
     offset = max((o + n for _b, o, n, _name in markers), default=0)

@@ -309,6 +309,11 @@ def stream_pack_to_tape(
     import os
 
     def batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
+        # sibling-wrapper convention: an empty epoch does nothing — a
+        # long-lived sparse stream must not accrete a state-snapshot
+        # version, a commit marker, and an empty batch= dir per tick
+        if batch_df.isEmpty():
+            return
         out = training_sequences_append(
             batch_df.sparkSession,
             batch_df,

@@ -236,6 +236,13 @@ def test_stream_pack_to_tape(spark, tmp_path):
     src = tmp_path / "in"
     for b, rows in enumerate(BATCHES, start=1):
         _docs(spark, rows).coalesce(1).write.parquet(f"{src}/b{b}")
+        # the file source orders by modification time with no
+        # tie-break — force strictly increasing mtimes so epoch e
+        # deterministically consumes file b{e+1} (r12 review)
+        t = 1_700_000_000 + b
+        for root, _dirs, names in os.walk(f"{src}/b{b}"):
+            for n in names:
+                os.utime(os.path.join(root, n), (t, t))
     stream = spark.readStream.schema(
         "doc_id long, toks array<string>"
     ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")

@@ -415,3 +415,68 @@ def test_gate_and_stats_accept_loaded_rules(spark):
         ).collect()
     }
     assert kept == {3}
+
+
+def test_wildcard_exception_rule_skipped_and_www_anchored_exceptions():
+    """r12 review #2: a '!*.x' wildcard exception must be skipped (no
+    published semantics; its '*' is a dangling regex metacharacter),
+    and www-anchored exceptions need strip_www=False upstream — the
+    default canonicalization erases the label the rule matches on."""
+    import re
+
+    from cod_stats_spark.functions.url import (
+        exception_pattern,
+        load_public_suffixes,
+    )
+
+    suf, exc = load_public_suffixes("*.ck\n!*.bad\n!www.ck\n")
+    assert exc == ["www.ck"]
+    re.compile(exception_pattern(exc))
+
+
+def test_strip_www_false_preserves_psl_exception_host(spark):
+    """r12 review #3: with the real PSL's '!www.ck', the registrable
+    domain of https://www.ck/x is www.ck itself — reachable only when
+    url_host keeps the www. label. Both engines must agree."""
+    import duckdb
+    import pandas as pd
+
+    from cod_stats_spark.functions.url import (
+        load_public_suffixes,
+        registered_domain,
+        registered_domain_sql,
+        url_host,
+        url_host_sql,
+    )
+
+    suf, exc = load_public_suffixes("*.ck\n!www.ck\n")
+    rows = [
+        (1, "https://www.ck/x"),
+        (2, "https://sub.www.ck/y"),
+        (3, "https://www.example.com/z"),   # www kept -> 2-label tail
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, url string")
+    got = [
+        (r["doc_id"], r["dom"])
+        for r in sdf.select(
+            "doc_id",
+            registered_domain(
+                url_host("url", strip_www=False), suf, exc
+            ).alias("dom"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert dict(got) == {
+        1: "www.ck",
+        2: "www.ck",
+        3: "example.com",
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "url"]))
+    h = url_host_sql("url", strip_www=False)
+    duck = con.sql(
+        f"SELECT doc_id, {registered_domain_sql(h, suf, exc)} AS dom "
+        "FROM t ORDER BY doc_id"
+    ).fetchall()
+    assert got == [tuple(r) for r in duck]

@@ -30,6 +30,10 @@ def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 15
     per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
     per_doc = int(sys.argv[3]) if len(sys.argv) > 3 else 120
+    if n_batches < 2:
+        raise SystemExit(
+            "tape_audit: need >= 2 batches for a drift comparison"
+        )
 
     from cod_stats_spark.session import get_spark
     from cod_stats_spark.streaming.packing import training_sequences_append

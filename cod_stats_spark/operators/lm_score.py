@@ -407,3 +407,81 @@ LEFT JOIN (
   GROUP BY tkn.doc_id
 ) s ON s.doc_id = d.{id_sql}
 """
+
+
+def perplexity_partition(
+    scored: DataFrame,
+    nll_col: str = "lm_nll",
+    buckets: int = 3,
+    by: str | None = None,
+    out_col: str = "ppl_bucket",
+    round_dp: int = 6,
+) -> DataFrame:
+    """CCNet-style perplexity partitioning (Wenzek et al. 2020): split
+    documents into ``buckets`` tiers by LM score — bucket 1 = lowest
+    NLL (most in-distribution, the "head"), rising from there —
+    optionally per group (``by``; CCNet partitions per language, which
+    is also what keeps the quantiles comparable across differently-
+    distributed groups).
+
+    Scale shape: exact quantile CUT POINTS via one aggregate
+    (``percentile``) broadcast-joined back, then a pure-Column bucket
+    comparison — NOT a global ``ntile`` window, whose single-task sort
+    is exactly the shape that dies at 100 TB. Value-based semantics
+    fall out: equal scores land in the same bucket regardless of
+    partitioning (ntile would split ties arbitrarily), at the price of
+    only-approximately-equal bucket sizes on tied data.
+
+    Both sides of the comparison are rounded to ``round_dp`` so the
+    DuckDB replay (``quantile_cont`` — the same linear interpolation
+    as Spark's ``percentile``) buckets boundary documents
+    identically."""
+    if buckets < 2:
+        raise ValueError("perplexity_partition: need >= 2 buckets")
+    fr = [i / buckets for i in range(1, buckets)]
+    v = F.round(F.col(nll_col), round_dp)
+    cuts = F.percentile(v, F.array(*[F.lit(c) for c in fr])).alias("_cuts")
+    if by is None:
+        joined = scored.crossJoin(F.broadcast(scored.agg(cuts)))
+    else:
+        joined = scored.join(
+            F.broadcast(scored.groupBy(by).agg(cuts)), by
+        )
+    bucket = F.lit(1) + F.aggregate(
+        F.transform(
+            F.col("_cuts"),
+            lambda c: (v > F.round(c, round_dp)).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return joined.withColumn(out_col, bucket).drop("_cuts")
+
+
+def perplexity_partition_oracle_sql(
+    lm_src: str,
+    group_src: str,
+    by: str = "lang",
+    buckets: int = 3,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB replay of :func:`perplexity_partition` over a scored
+    relation ``lm_src`` (doc_id, lm_nll), grouped by ``by`` from
+    ``group_src`` — same rounding, same cut-point quantiles, same
+    strict-greater bucket rule."""
+    fr = [i / buckets for i in range(1, buckets)]
+    cut_cols = ", ".join(
+        f"round(quantile_cont(v, {c!r}), {round_dp}) AS c{i}"
+        for i, c in enumerate(fr)
+    )
+    add = " + ".join(f"(lmr.v > cuts.c{i})::INT" for i in range(len(fr)))
+    return f"""
+WITH lmr AS (
+  SELECT lm.doc_id, g.{by} AS grp, round(lm.lm_nll, {round_dp}) AS v
+  FROM ({lm_src}) lm JOIN {group_src} g ON g.doc_id = lm.doc_id
+), cuts AS (
+  SELECT grp, {cut_cols} FROM lmr GROUP BY grp
+)
+SELECT lmr.doc_id, 1 + {add} AS ppl_bucket
+FROM lmr JOIN cuts ON lmr.grp = cuts.grp
+"""

@@ -32,6 +32,7 @@ from cod_stats_spark.operators.funnel import funnel_steps_oracle_sql
 from cod_stats_spark.operators.interval_join import interval_join
 from cod_stats_spark.operators.lm_score import (
     bigram_lm_oracle_sql,
+    perplexity_partition_oracle_sql,
     unigram_lm_oracle_sql,
 )
 from cod_stats_spark.operators.sketches import (
@@ -1624,11 +1625,14 @@ SELECT m.doc_id, n_chars_calc, n_tokens_ws,
        md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp,
        lm.lm_tokens, round(lm.lm_nll, 6) AS lm_nll,
        lm2.lm2_tokens, round(lm2.lm2_nll, 6) AS lm2_nll,
-       qc.qc_score
+       qc.qc_score,
+       ppl.ppl_bucket
 FROM m JOIN documents d ON m.doc_id = d.doc_id
 JOIN ({unigram_lm_oracle_sql("documents")}) lm ON lm.doc_id = m.doc_id
 JOIN ({bigram_lm_oracle_sql("documents")}) lm2 ON lm2.doc_id = m.doc_id
 JOIN ({_qc_oracle_join()}) qc ON qc.doc_id = m.doc_id
+JOIN ({perplexity_partition_oracle_sql(unigram_lm_oracle_sql("documents"), "documents", by="lang")}) ppl
+  ON ppl.doc_id = m.doc_id
 """
 
 
@@ -1644,7 +1648,11 @@ JOIN ({_qc_oracle_join()}) qc ON qc.doc_id = m.doc_id
         "and the no-context first-token term all replayed in SQL; r10: "
         "trained hashed-bigram logistic quality classifier [qc_score] — "
         "operators/quality_classifier.py, fixed-literal-weight forward "
-        "pass: md5_60 bucket hash, mean pooling, sigmoid all in SQL)"
+        "pass: md5_60 bucket hash, mean pooling, sigmoid all in SQL; "
+        "r12: CCNet perplexity partitioning [ppl_bucket] — per-language "
+        "head/middle/tail split by exact quantile CUT POINTS broadcast "
+        "back [no global ntile window], cuts + strict-greater bucket "
+        "rule replayed via quantile_cont in SQL)"
     ),
     oracle=QUALITY_ORACLE,
 )
@@ -1692,7 +1700,21 @@ def quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             quality_classifier_expr(_qc_gate_model(), "text"), 6
         ).alias("qc_score"),
     )
-    return base.join(lm, "doc_id").join(lm2, "doc_id").join(qc, "doc_id")
+    # r12: CCNet perplexity partitioning per language — quantile cut
+    # points (one agg, broadcast back), never a global ntile window
+    from cod_stats_spark.operators.lm_score import perplexity_partition
+
+    ppl = perplexity_partition(
+        lm.join(docs.select("doc_id", "lang"), "doc_id"),
+        nll_col="lm_nll",
+        by="lang",
+    ).select("doc_id", "ppl_bucket")
+    return (
+        base.join(lm, "doc_id")
+        .join(lm2, "doc_id")
+        .join(qc, "doc_id")
+        .join(ppl, "doc_id")
+    )
 
 
 def _pii_oracle() -> str:

@@ -266,3 +266,94 @@ class TestBigramLm:
             for r in bigram_lm_score(probe, uni, bi).collect()
         )
         assert a == clean
+
+
+class TestPerplexityPartition:
+    """CCNet head/middle/tail split (r12): value-based quantile-cut
+    bucketing, per-group cuts, no global window in the plan."""
+
+    def _scored(self, spark):
+        rows = [
+            # lang en: nll 1..6 -> buckets 1,1,2,2,3,3
+            (1, "en", 1.0), (2, "en", 2.0), (3, "en", 3.0),
+            (4, "en", 4.0), (5, "en", 5.0), (6, "en", 6.0),
+            # lang fr: different scale — cuts are per group
+            (7, "fr", 100.0), (8, "fr", 200.0), (9, "fr", 300.0),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, lm_nll double"
+        )
+
+    def test_buckets_monotone_and_per_group(self, spark):
+        from cod_stats_spark.operators.lm_score import perplexity_partition
+
+        got = {
+            r["doc_id"]: r["ppl_bucket"]
+            for r in perplexity_partition(
+                self._scored(spark), by="lang"
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3,
+                       7: 1, 8: 2, 9: 3}
+
+    def test_ties_share_a_bucket(self, spark):
+        from cod_stats_spark.operators.lm_score import perplexity_partition
+
+        df = spark.createDataFrame(
+            [(i, 1.0 if i <= 4 else 9.0) for i in range(1, 7)],
+            "doc_id long, lm_nll double",
+        )
+        got = {
+            r["doc_id"]: r["ppl_bucket"]
+            for r in perplexity_partition(df).collect()
+        }
+        # equal values never split across buckets (ntile would)
+        assert len({got[i] for i in (1, 2, 3, 4)}) == 1
+        assert got[5] == got[6] and got[5] > got[1]
+
+    def test_no_window_in_plan(self, spark):
+        """The 100 TB contract: quantile cuts + broadcast join, never
+        a global ntile window (single-task sort)."""
+        from cod_stats_spark.operators.lm_score import perplexity_partition
+
+        plan = (
+            perplexity_partition(self._scored(spark), by="lang")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    def test_bad_buckets_rejected(self, spark):
+        import pytest
+
+        from cod_stats_spark.operators.lm_score import perplexity_partition
+
+        with pytest.raises(ValueError, match="buckets"):
+            perplexity_partition(self._scored(spark), buckets=1)
+
+    def test_duckdb_replay(self, spark):
+        """The oracle builder agrees row for row on a synthetic scored
+        relation (the quality_tokens gate replays the real one)."""
+        import duckdb
+
+        from cod_stats_spark.operators.lm_score import (
+            perplexity_partition,
+            perplexity_partition_oracle_sql,
+        )
+
+        sdf = self._scored(spark)
+        got = sorted(
+            (r["doc_id"], r["ppl_bucket"])
+            for r in perplexity_partition(sdf, by="lang").collect()
+        )
+        con = duckdb.connect()
+        con.register("scored", sdf.toPandas())
+        sql = perplexity_partition_oracle_sql(
+            "SELECT doc_id, lm_nll FROM scored", "scored", by="lang"
+        )
+        duck = sorted(
+            tuple(r) for r in con.sql(sql).fetchall()
+        )
+        assert got == duck

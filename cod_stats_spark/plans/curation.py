@@ -78,6 +78,39 @@ def _model_gate(
     return kept
 
 
+def _lm_gate(
+    gated: DataFrame,
+    lm_model: DataFrame,
+    max_lm_nll: float,
+    text_col: str,
+    id_col: str,
+    stats: dict[str, int],
+) -> DataFrame:
+    """Shared LM-perplexity gate (the CCNet stage): score each doc's
+    mean NLL under a FIXED reference model and drop everything above
+    the threshold. The model must be fixed for the corpus's lifetime —
+    CCNet fits it on a reference corpus, not the data being gated —
+    which is also what keeps the stage stateless (append == rebuild:
+    a per-batch refit would move the threshold's meaning batch to
+    batch). Threshold values come from a reference run of
+    :func:`operators.lm_score.perplexity_partition`'s cut points."""
+    from cod_stats_spark.operators.lm_score import unigram_lm_score
+
+    keep_ids = (
+        unigram_lm_score(
+            gated, lm_model, text_col=text_col, id_cols=[id_col]
+        )
+        .where(F.col("lm_nll") <= float(max_lm_nll))
+        .select(id_col)
+    )
+    kept = gated.join(keep_ids, id_col, "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    stats["after_lm_gate"] = kept.count()
+    gated.unpersist()
+    return kept
+
+
 def curate_corpus(
     docs: DataFrame,
     benchmark: DataFrame | None,
@@ -100,6 +133,8 @@ def curate_corpus(
     substring_n: int | None = None,
     qc_model=None,
     min_qc_score: float = 0.5,
+    lm_model: DataFrame | None = None,
+    max_lm_nll: float | None = None,
     semantic_centroids: list[list[float]] | None = None,
     semantic_threshold: float = 0.95,
     embedding_col: str = "embedding",
@@ -158,6 +193,13 @@ def curate_corpus(
     relation otherwise), so the stage adds no state and preserves the
     append-equals-rebuild contract.
 
+    ``lm_model`` + ``max_lm_nll``: the CCNet LM-perplexity gate in the
+    same model-gate slot (after the classifier when both are set):
+    docs whose mean NLL under the FIXED reference model exceeds the
+    threshold drop; stats gains ``after_lm_gate``. Fixed model +
+    fixed threshold ⇒ stateless ⇒ append == rebuild holds (see
+    :func:`_lm_gate`).
+
     ``url_col`` + ``domain_blocklist``/``domain_allowlist``: when set,
     a provenance gate (functions/url.domain_gate — subdomain-matching
     blocklist, optional allowlist) runs FIRST, before any content
@@ -209,6 +251,9 @@ def curate_corpus(
     if qc_model is not None:
         gated = _model_gate(gated, qc_model, min_qc_score, text_col,
                             id_col, stats)
+    if lm_model is not None and max_lm_nll is not None:
+        gated = _lm_gate(gated, lm_model, max_lm_nll, text_col,
+                         id_col, stats)
 
     # exact + near dedup — the dedup_pipeline gate's shape: shingle
     # once, share the projection across LSH and the Jaccard verify.
@@ -357,6 +402,8 @@ def curate_corpus_append(
     substring_min_count: int = 2,
     qc_model=None,
     min_qc_score: float = 0.5,
+    lm_model: DataFrame | None = None,
+    max_lm_nll: float | None = None,
     semantic_centroids: list[list[float]] | None = None,
     semantic_threshold: float = 0.95,
     embedding_col: str = "embedding",
@@ -392,6 +439,11 @@ def curate_corpus_append(
     the same slot as the one-shot funnel (right after the heuristic
     quality gate). The forward pass is stateless, so the stage cannot
     break append-equals-rebuild.
+
+    ``lm_model`` + ``max_lm_nll``: the CCNet LM-perplexity gate in the
+    same slot as the one-shot funnel (after the classifier). The
+    reference model and threshold are FIXED inputs, so the stage is
+    stateless and append == rebuild holds.
 
     ``substring_n``: when set, the ExactSubstr span scrub runs between
     the dedup stage and decontamination — the same slot it occupies in
@@ -464,6 +516,9 @@ def curate_corpus_append(
     if qc_model is not None:
         gated = _model_gate(gated, qc_model, min_qc_score, text_col,
                             id_col, stats)
+    if lm_model is not None and max_lm_nll is not None:
+        gated = _lm_gate(gated, lm_model, max_lm_nll, text_col,
+                         id_col, stats)
 
     from cod_stats_spark.streaming.dedup import dedup_batch_against_corpus
 

@@ -938,3 +938,57 @@ def test_full_rebuild_clears_stale_dirs_and_guards_pruned(spark, tmp_path):
     compact_curated_shards(spark, state2, prune_fragments=True)
     with pytest.raises(ValueError, match="no fragments"):
         compact_curated_shards(spark, state2, full_rebuild=True)
+
+
+def test_lm_gate_both_postures(spark, tmp_path):
+    """r12: the CCNet LM-perplexity gate — a FIXED reference model +
+    threshold drops out-of-distribution docs identically in the
+    one-shot and append postures (stateless, so append == rebuild)."""
+    from pyspark.sql import functions as F
+
+    from cod_stats_spark.operators.lm_score import unigram_lm_fit
+    from cod_stats_spark.plans.curation import (
+        compact_curated_shards,
+        curate_corpus,
+        curate_corpus_append,
+    )
+
+    # reference model fitted on in-distribution english (the CCNet
+    # posture: the model comes from a REFERENCE corpus, not the data)
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again and "
+             "again while the curious cat watches the quiet field")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    model = unigram_lm_fit(ref)
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog while the cat "
+            "watches the field"),                      # in-distribution
+        (2, "the curious cat watches the quiet field while the fox "
+            "jumps again"),                            # in-distribution
+        (3, "zxqv flrm wqpt gkjh bnmd zzzz qqqq wwww rrrr tttt yyyy "
+            "uuuu iiii oooo"),                         # OOV junk: dies
+        (4, "the lazy dog jumps over the quick brown fox again and "
+            "again while the cat watches"),            # in-distribution
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(min_quality=0.0, token_budget=64,
+              lm_model=model, max_lm_nll=3.5)
+
+    out = str(tmp_path / "one")
+    _, stats = curate_corpus(docs, None, out, **kw)
+    assert stats["after_lm_gate"] == 3
+    one = {
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert one == {1, 2, 4}
+
+    state = str(tmp_path / "state")
+    for b, pred in ((1, "doc_id <= 2"), (2, "doc_id > 2")):
+        _, s = curate_corpus_append(
+            spark, docs.filter(pred), None, state, batch_id=b, **kw
+        )
+    compacted = compact_curated_shards(spark, state)
+    appended = {r["doc_id"] for r in compacted.select("doc_id").collect()}
+    assert appended == one

@@ -141,12 +141,17 @@ def load_public_suffixes(
     section marker (ICANN-only semantics — platform suffixes like
     blogspot.com no longer split).
 
-    Scale note: a full-PSL alternation is a ~10⁴-branch regex — built
-    once, codegen'd once; RE2 compiles it to a DFA and Java regex
-    scans alternatives, so the per-row cost is bounded by host length
-    either way. The embedded :data:`MULTI_SUFFIXES` subset stays the
-    default; this loader is the documented swap seam, now a function
-    instead of a hand edit."""
+    Scale note, MEASURED (r12): a full-PSL alternation is a
+    ~10⁴-branch regex. RE2 (the DuckDB oracle side) compiles it to a
+    DFA, but Java regex scans branches linearly — ~1.7 ms/host at
+    9,500 rules on this box — so the Column path
+    (:func:`registered_domain`) is for the embedded subset and
+    SQL-replayable oracles; feed a full loaded rule set to
+    :func:`with_registered_domain`, whose broadcast-join lookup costs
+    a few hash probes per row instead. The embedded
+    :data:`MULTI_SUFFIXES` subset stays the default; this loader is
+    the documented swap seam, now a function instead of a hand
+    edit."""
     import os
 
     text = src
@@ -345,4 +350,99 @@ def domain_stats(
             F.sum("_len").alias("n_chars"),
             F.countDistinct("_h").alias("n_hosts"),
         )
+    )
+
+
+def with_registered_domain(
+    df: DataFrame,
+    host_col: str,
+    suffixes: list[str],
+    exceptions: list[str] | None = None,
+    out_col: str = "domain",
+) -> DataFrame:
+    """eTLD+1 via broadcast-join rule lookup — the AT-SCALE form of
+    :func:`registered_domain` for full-PSL rule sets.
+
+    Motivation, measured (r12): Java regex scans alternation branches
+    linearly (no DFA), so the Column path's generated pattern costs
+    ~1.7 ms/host at 9,500 rules — fine for the embedded subset and
+    the SQL-replayable oracles, unusable against a crawl. This
+    operator replaces the alternation with per-depth broadcast hash
+    joins: each host's last-d-label tails (d = the distinct rule
+    depths, ≤4 in the real PSL) join a (tail → suffix length)
+    relation, the longest match wins, and the registered domain is
+    sliced out by label count. Exceptions stay a literal regex branch
+    (the real list has single digits of them). Cost: a few broadcast
+    hash joins + codegen string ops per row — no giant pattern, no
+    shuffle.
+
+    Semantics match :func:`registered_domain` exactly (parity-tested):
+    exceptions first, then the longest suffix rule with one extra
+    label present, then the two-label fallback, then the host itself;
+    null hosts stay null."""
+    spark = df.sparkSession
+    h = F.col(host_col)
+    rules: dict[int, list[tuple[str, int]]] = {}
+    for s in set(x.lower() for x in suffixes):
+        if s.startswith("*."):
+            key = s[2:]
+            slen = key.count(".") + 2  # any label + the named tail
+        else:
+            key = s
+            slen = key.count(".") + 1
+        if not key:
+            continue
+        rules.setdefault(key.count(".") + 1, []).append((key, slen))
+    nl = F.size(F.split(h, "[.]"))
+    out = df.withColumn("_nl", nl)
+    slen_cols = []
+    for d, pairs in sorted(rules.items()):
+        # one rule key per (depth, tail): a wildcard and an explicit
+        # rule can share a tail — keep the LONGER suffix (PSL rule:
+        # most specific wins)
+        best: dict[str, int] = {}
+        for k, s in pairs:
+            best[k] = max(best.get(k, 0), s)
+        rd = spark.createDataFrame(
+            sorted(best.items()), f"_k{d} string, _s{d} int"
+        )
+        out = out.join(
+            F.broadcast(rd),
+            F.substring_index(h, ".", -d) == F.col(f"_k{d}"),
+            "left",
+        ).drop(f"_k{d}")
+        # a rule only applies when the host has a label BEYOND the
+        # suffix (a bare suffix has no registrable domain under it)
+        slen_cols.append(
+            F.when(
+                F.col("_nl") >= F.col(f"_s{d}") + 1, F.col(f"_s{d}")
+            )
+        )
+    if slen_cols:
+        best_len = F.greatest(*slen_cols) if len(slen_cols) > 1 else slen_cols[0]
+    else:
+        best_len = F.lit(None).cast("int")
+    out = out.withColumn("_slen", best_len)
+    dom = F.when(h.isNull(), F.lit(None).cast("string"))
+    if exceptions:
+        exc = F.regexp_extract(h, exception_pattern(exceptions), 1)
+        dom = dom.when(exc != "", exc)
+    dom = (
+        dom.when(
+            F.col("_slen").isNotNull(),
+            F.array_join(
+                F.slice(
+                    F.split(h, "[.]"),
+                    -(F.col("_slen") + 1),
+                    F.col("_slen") + 1,
+                ),
+                ".",
+            ),
+        )
+        .when(F.col("_nl") >= 2, F.substring_index(h, ".", -2))
+        .otherwise(h)
+    )
+    return (
+        out.withColumn(out_col, dom)
+        .drop("_nl", "_slen", *[f"_s{d}" for d in sorted(rules)])
     )

@@ -480,3 +480,101 @@ def test_strip_www_false_preserves_psl_exception_host(spark):
         "FROM t ORDER BY doc_id"
     ).fetchall()
     assert got == [tuple(r) for r in duck]
+
+
+class TestRelationRegisteredDomain:
+    """with_registered_domain (r12): the broadcast-join at-scale form
+    must agree with the Column regex form rule for rule — exceptions,
+    wildcards, 3-label rules, bare suffixes, dotless hosts, nulls."""
+
+    PSL = "co.il\nac.il\n*.ck\n!www.ck\nco.uk\nk12.ak.us\nblogspot.com\n"
+
+    def _hosts(self, spark):
+        rows = [
+            (0, "shop.example.co.il"),
+            (1, "example.co.il"),
+            (2, "co.il"),                 # bare suffix -> itself (2-label)
+            (3, "foo.bar.anything.ck"),   # wildcard
+            (4, "bar.anything.ck"),       # exactly label+wildcard-suffix
+            (5, "anything.ck"),           # bare wildcard suffix
+            (6, "sub.www.ck"),            # exception
+            (7, "www.ck"),                # exception, exact
+            (8, "district.k12.ak.us"),    # 3-label rule
+            (9, "k12.ak.us"),             # bare 3-label suffix
+            (10, "plain.example.com"),
+            (11, "someone.blogspot.com"),
+            (12, "localhost"),
+            (13, None),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, host string")
+
+    def test_parity_with_regex_path(self, spark):
+        from cod_stats_spark.functions.url import (
+            load_public_suffixes,
+            registered_domain,
+            with_registered_domain,
+        )
+
+        suf, exc = load_public_suffixes(self.PSL)
+        df = self._hosts(spark)
+        want = {
+            r["doc_id"]: r["d"]
+            for r in df.select(
+                "doc_id", registered_domain("host", suf, exc).alias("d")
+            ).collect()
+        }
+        got = {
+            r["doc_id"]: r["domain"]
+            for r in with_registered_domain(
+                df, "host", suf, exc
+            ).select("doc_id", "domain").collect()
+        }
+        assert got == want
+        # spot-check the semantics themselves, not just parity
+        assert got[0] == "example.co.il" and got[3] == "bar.anything.ck"
+        assert got[6] == got[7] == "www.ck"
+        assert got[2] == "co.il" and got[12] == "localhost"
+        assert got[13] is None
+
+    def test_embedded_subset_parity(self, spark):
+        """Default rule set: same answers as the Column path over the
+        canonical host cases."""
+        from cod_stats_spark.functions.url import (
+            MULTI_SUFFIXES,
+            registered_domain,
+            url_host,
+            with_registered_domain,
+        )
+
+        docs = _urls(spark, CASES).select(
+            "doc_id", url_host("url").alias("host")
+        )
+        want = {
+            r["doc_id"]: r["d"]
+            for r in docs.select(
+                "doc_id", registered_domain("host").alias("d")
+            ).collect()
+        }
+        got = {
+            r["doc_id"]: r["domain"]
+            for r in with_registered_domain(
+                docs, "host", MULTI_SUFFIXES
+            ).select("doc_id", "domain").collect()
+        }
+        assert got == want
+
+    def test_broadcast_join_plan(self, spark):
+        """The at-scale contract: broadcast hash joins, no giant
+        regex, no shuffle."""
+        from cod_stats_spark.functions.url import with_registered_domain
+
+        plan = (
+            with_registered_domain(
+                self._hosts(spark), "host", ["co.uk", "*.ck", "k12.ak.us"]
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan

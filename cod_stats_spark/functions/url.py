@@ -82,6 +82,12 @@ def exception_pattern(exceptions: list[str]) -> str:
     return f"(?:^|[.])((?:{alt}))$"
 
 
+#: rule-set size past which DataFrame-level operators derive the
+#: registered domain via the broadcast-join lookup instead of the
+#: generated alternation (Java regex scans branches linearly —
+#: SCALING.md r12; the encode_ids dual-path convention)
+_REGEX_RULE_LIMIT = 64
+
 #: capture the registered domain when the tail is a multi-part suffix
 PAT_MULTI = multi_suffix_pattern(MULTI_SUFFIXES)
 #: plain two-label tail
@@ -301,7 +307,11 @@ def domain_gate(
 
     ``suffixes``/``exceptions``: a loaded rule set
     (:func:`load_public_suffixes`) for the broadcast path's
-    registered-domain key; the embedded subset otherwise."""
+    registered-domain key; the embedded subset otherwise. Rule sets
+    past :data:`_REGEX_RULE_LIMIT` switch the key derivation to the
+    :func:`with_registered_domain` broadcast-join lookup — Java regex
+    scans a big alternation linearly, ~1.7 ms/host at full-PSL size
+    (SCALING.md r12) — same semantics either way (parity-tested)."""
     host = url_host(F.col(url_col))
     out = docs
     if not keep_null_host:
@@ -311,16 +321,25 @@ def domain_gate(
     if allowlist:
         out = out.where(host.isNull() | domain_matches(host, allowlist))
     if broadcast_list is not None:
-        dom = registered_domain(host, suffixes, exceptions)
-        out = out.withColumn("_rd", dom).join(
-            F.broadcast(
-                broadcast_list.select(
-                    F.lower(F.col(broadcast_list.columns[0])).alias("_rd")
-                ).distinct()
-            ),
-            "_rd",
-            "left_anti",
-        ).drop("_rd")
+        block = F.broadcast(
+            broadcast_list.select(
+                F.lower(F.col(broadcast_list.columns[0])).alias("_rd")
+            ).distinct()
+        )
+        if suffixes is not None and len(suffixes) > _REGEX_RULE_LIMIT:
+            out = (
+                with_registered_domain(
+                    out.withColumn("_h", host), "_h", suffixes,
+                    exceptions, out_col="_rd",
+                )
+                .join(block, "_rd", "left_anti")
+                .drop("_rd", "_h")
+            )
+        else:
+            dom = registered_domain(host, suffixes, exceptions)
+            out = out.withColumn("_rd", dom).join(
+                block, "_rd", "left_anti"
+            ).drop("_rd")
     return out
 
 
@@ -336,15 +355,25 @@ def domain_stats(
     table. Documents without a parseable host roll up under domain
     NULL (kept visible — silent drops would skew mixture weights).
     ``suffixes``/``exceptions``: a loaded PSL rule set; embedded
-    subset otherwise."""
+    subset otherwise (past :data:`_REGEX_RULE_LIMIT` rules the key
+    derives via the broadcast-join lookup, as in
+    :func:`domain_gate`)."""
     host = url_host(F.col(url_col))
-    return (
-        docs.select(
+    if suffixes is not None and len(suffixes) > _REGEX_RULE_LIMIT:
+        keyed = with_registered_domain(
+            docs.select(
+                host.alias("_h"), F.length(F.col(text_col)).alias("_len")
+            ),
+            "_h", suffixes, exceptions, out_col="domain",
+        )
+    else:
+        keyed = docs.select(
             registered_domain(host, suffixes, exceptions).alias("domain"),
             host.alias("_h"),
             F.length(F.col(text_col)).alias("_len"),
         )
-        .groupBy("domain")
+    return (
+        keyed.groupBy("domain")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("_len").alias("n_chars"),

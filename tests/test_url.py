@@ -578,3 +578,41 @@ class TestRelationRegisteredDomain:
         )
         assert "BroadcastHashJoin" in plan
         assert "Exchange hashpartitioning" not in plan
+
+
+def test_dual_path_switch_for_large_rule_sets(spark):
+    """Past _REGEX_RULE_LIMIT rules, domain_gate and domain_stats
+    derive the registered-domain key via the broadcast-join lookup —
+    answers identical to the small-set regex path."""
+    from cod_stats_spark.functions.url import (
+        domain_gate,
+        domain_stats,
+    )
+
+    # 70 filler rules push past the 64-rule limit; co.il is the live one
+    big = ["co.il"] + [f"fake{i}.zz" for i in range(69)]
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.shop.co.il/x", "t1"),
+            (2, "https://b.shop.co.il/y", "t2"),
+            (3, "https://c.other.co.il/z", "t3"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    small = {
+        r["domain"]: r["n_docs"]
+        for r in domain_stats(docs, suffixes=["co.il"]).collect()
+    }
+    large = {
+        r["domain"]: r["n_docs"]
+        for r in domain_stats(docs, suffixes=big).collect()
+    }
+    assert small == large == {"shop.co.il": 2, "other.co.il": 1}
+    block = spark.createDataFrame([("shop.co.il",)], "domain string")
+    kept = {
+        r["doc_id"]
+        for r in domain_gate(
+            docs, broadcast_list=block, suffixes=big
+        ).collect()
+    }
+    assert kept == {3}

@@ -326,21 +326,34 @@ def domain_gate(
                 F.lower(F.col(broadcast_list.columns[0])).alias("_rd")
             ).distinct()
         )
-        if suffixes is not None and len(suffixes) > _REGEX_RULE_LIMIT:
-            out = (
-                with_registered_domain(
-                    out.withColumn("_h", host), "_h", suffixes,
-                    exceptions, out_col="_rd",
-                )
-                .join(block, "_rd", "left_anti")
-                .drop("_rd", "_h")
-            )
-        else:
-            dom = registered_domain(host, suffixes, exceptions)
-            out = out.withColumn("_rd", dom).join(
-                block, "_rd", "left_anti"
-            ).drop("_rd")
+        out = (
+            _with_domain_key(out, host, suffixes, exceptions, "_rd")
+            .join(block, "_rd", "left_anti")
+            .drop("_rd")
+        )
     return out
+
+
+def _with_domain_key(
+    df: DataFrame,
+    host: Column,
+    suffixes: list[str] | None,
+    exceptions: list[str] | None,
+    out_col: str,
+) -> DataFrame:
+    """ONE dispatch site for registered-domain key derivation (r12
+    review: the gate and the rollup each carried a copy): small rule
+    sets take the codegen regex, anything past
+    :data:`_REGEX_RULE_LIMIT` takes the broadcast-join lookup —
+    identical answers either way (parity-tested)."""
+    if suffixes is not None and len(suffixes) > _REGEX_RULE_LIMIT:
+        return with_registered_domain(
+            df.withColumn("_wh", host), "_wh", suffixes, exceptions,
+            out_col=out_col,
+        ).drop("_wh")
+    return df.withColumn(
+        out_col, registered_domain(host, suffixes, exceptions)
+    )
 
 
 def domain_stats(
@@ -359,19 +372,12 @@ def domain_stats(
     derives via the broadcast-join lookup, as in
     :func:`domain_gate`)."""
     host = url_host(F.col(url_col))
-    if suffixes is not None and len(suffixes) > _REGEX_RULE_LIMIT:
-        keyed = with_registered_domain(
-            docs.select(
-                host.alias("_h"), F.length(F.col(text_col)).alias("_len")
-            ),
-            "_h", suffixes, exceptions, out_col="domain",
-        )
-    else:
-        keyed = docs.select(
-            registered_domain(host, suffixes, exceptions).alias("domain"),
-            host.alias("_h"),
-            F.length(F.col(text_col)).alias("_len"),
-        )
+    keyed = _with_domain_key(
+        docs.select(
+            host.alias("_h"), F.length(F.col(text_col)).alias("_len")
+        ),
+        F.col("_h"), suffixes, exceptions, "domain",
+    )
     return (
         keyed.groupBy("domain")
         .agg(
@@ -411,40 +417,59 @@ def with_registered_domain(
     null hosts stay null."""
     spark = df.sparkSession
     h = F.col(host_col)
-    rules: dict[int, list[tuple[str, int]]] = {}
+    # per (depth, tail): does an EXPLICIT rule exist, does a WILDCARD
+    # rule exist — both can (PSL allows 'X' alongside '*.X'), and
+    # collapsing them to one length would lose the explicit rule
+    # (r12 review: host at exactly wildcard depth fell through to the
+    # two-label fallback)
+    rules: dict[int, dict[str, list[bool]]] = {}
     for s in set(x.lower() for x in suffixes):
-        if s.startswith("*."):
-            key = s[2:]
-            slen = key.count(".") + 2  # any label + the named tail
-        else:
-            key = s
-            slen = key.count(".") + 1
+        wild = s.startswith("*.")
+        key = s[2:] if wild else s
         if not key:
             continue
-        rules.setdefault(key.count(".") + 1, []).append((key, slen))
-    nl = F.size(F.split(h, "[.]"))
+        d = key.count(".") + 1
+        flags = rules.setdefault(d, {}).setdefault(key, [False, False])
+        flags[1 if wild else 0] = True
+    arr = F.split(h, "[.]")
+    nl = F.size(arr)
+
+    def _clean_tail(k: int):
+        # the regex path's [^.]+ labels: the chosen tail must contain
+        # no EMPTY label (hosts with consecutive dots fall through,
+        # exactly as the alternation does)
+        return ~F.exists(
+            F.slice(arr, -k, k), lambda x: x == F.lit("")
+        )
+
     out = df.withColumn("_nl", nl)
     slen_cols = []
-    for d, pairs in sorted(rules.items()):
-        # one rule key per (depth, tail): a wildcard and an explicit
-        # rule can share a tail — keep the LONGER suffix (PSL rule:
-        # most specific wins)
-        best: dict[str, int] = {}
-        for k, s in pairs:
-            best[k] = max(best.get(k, 0), s)
+    for d, keyed in sorted(rules.items()):
         rd = spark.createDataFrame(
-            sorted(best.items()), f"_k{d} string, _s{d} int"
+            sorted(
+                (k, flags[0], flags[1]) for k, flags in keyed.items()
+            ),
+            f"_k{d} string, _we{d} boolean, _ww{d} boolean",
         )
         out = out.join(
             F.broadcast(rd),
             F.substring_index(h, ".", -d) == F.col(f"_k{d}"),
             "left",
         ).drop(f"_k{d}")
-        # a rule only applies when the host has a label BEYOND the
-        # suffix (a bare suffix has no registrable domain under it)
+        # wildcard (suffix = d+1 labels) outranks explicit (d) at the
+        # same tail — the alternation's longer-rules-first order; each
+        # needs one extra NON-EMPTY label beyond its suffix
         slen_cols.append(
             F.when(
-                F.col("_nl") >= F.col(f"_s{d}") + 1, F.col(f"_s{d}")
+                F.col(f"_ww{d}")
+                & (F.col("_nl") >= d + 2)
+                & _clean_tail(d + 2),
+                F.lit(d + 1),
+            ).when(
+                F.col(f"_we{d}")
+                & (F.col("_nl") >= d + 1)
+                & _clean_tail(d + 1),
+                F.lit(d),
             )
         )
     if slen_cols:
@@ -456,6 +481,7 @@ def with_registered_domain(
     if exceptions:
         exc = F.regexp_extract(h, exception_pattern(exceptions), 1)
         dom = dom.when(exc != "", exc)
+    two = F.regexp_extract(h, PAT_TWO, 1)
     dom = (
         dom.when(
             F.col("_slen").isNotNull(),
@@ -468,10 +494,16 @@ def with_registered_domain(
                 ".",
             ),
         )
-        .when(F.col("_nl") >= 2, F.substring_index(h, ".", -2))
+        # the SAME two-label regex as the Column path — a split-based
+        # fallback would accept empty labels ('a..b' -> '.b') where
+        # the alternation's [^.]+ does not
+        .when(two != "", two)
         .otherwise(h)
     )
     return (
         out.withColumn(out_col, dom)
-        .drop("_nl", "_slen", *[f"_s{d}" for d in sorted(rules)])
+        .drop(
+            "_nl", "_slen",
+            *[c for d in sorted(rules) for c in (f"_we{d}", f"_ww{d}")],
+        )
     )

@@ -444,9 +444,19 @@ def perplexity_partition(
     if by is None:
         joined = scored.crossJoin(F.broadcast(scored.agg(cuts)))
     else:
-        joined = scored.join(
-            F.broadcast(scored.groupBy(by).agg(cuts)), by
+        # null-safe key: the null group's cuts row exists (groupBy
+        # emits it), but a plain equi-join would silently DROP every
+        # null-group document — the exact skew hazard domain_stats
+        # documents (r12 review)
+        cut_rows = (
+            scored.groupBy(by)
+            .agg(cuts)
+            .withColumnRenamed(by, "_ppl_grp")
         )
+        joined = scored.join(
+            F.broadcast(cut_rows),
+            F.col(by).eqNullSafe(F.col("_ppl_grp")),
+        ).drop("_ppl_grp")
     bucket = F.lit(1) + F.aggregate(
         F.transform(
             F.col("_cuts"),
@@ -483,5 +493,5 @@ WITH lmr AS (
   SELECT grp, {cut_cols} FROM lmr GROUP BY grp
 )
 SELECT lmr.doc_id, 1 + {add} AS ppl_bucket
-FROM lmr JOIN cuts ON lmr.grp = cuts.grp
+FROM lmr JOIN cuts ON lmr.grp IS NOT DISTINCT FROM cuts.grp
 """

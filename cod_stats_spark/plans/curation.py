@@ -100,7 +100,13 @@ def _lm_gate(
         unigram_lm_score(
             gated, lm_model, text_col=text_col, id_cols=[id_col]
         )
-        .where(F.col("lm_nll") <= float(max_lm_nll))
+        # zero-token docs score (0, 0.0) — the BEST possible NLL — so
+        # without this they'd sail through the gate as maximally
+        # in-distribution; a doc with no tokens has no perplexity
+        .where(
+            (F.col("lm_tokens") > 0)
+            & (F.col("lm_nll") <= float(max_lm_nll))
+        )
         .select(id_col)
     )
     kept = gated.join(keep_ids, id_col, "left_semi").persist(
@@ -251,7 +257,13 @@ def curate_corpus(
     if qc_model is not None:
         gated = _model_gate(gated, qc_model, min_qc_score, text_col,
                             id_col, stats)
-    if lm_model is not None and max_lm_nll is not None:
+    if (lm_model is None) != (max_lm_nll is None):
+        # half a gate is a silent no-op the caller would misread as
+        # "the CCNet gate ran" — refuse instead (r12 review)
+        raise ValueError(
+            "curate: lm_model and max_lm_nll must be set together"
+        )
+    if lm_model is not None:
         gated = _lm_gate(gated, lm_model, max_lm_nll, text_col,
                          id_col, stats)
 
@@ -516,7 +528,13 @@ def curate_corpus_append(
     if qc_model is not None:
         gated = _model_gate(gated, qc_model, min_qc_score, text_col,
                             id_col, stats)
-    if lm_model is not None and max_lm_nll is not None:
+    if (lm_model is None) != (max_lm_nll is None):
+        # half a gate is a silent no-op the caller would misread as
+        # "the CCNet gate ran" — refuse instead (r12 review)
+        raise ValueError(
+            "curate: lm_model and max_lm_nll must be set together"
+        )
+    if lm_model is not None:
         gated = _lm_gate(gated, lm_model, max_lm_nll, text_col,
                          id_col, stats)
 

@@ -992,3 +992,40 @@ def test_lm_gate_both_postures(spark, tmp_path):
     compacted = compact_curated_shards(spark, state)
     appended = {r["doc_id"] for r in compacted.select("doc_id").collect()}
     assert appended == one
+
+
+def test_lm_gate_drops_tokenless_docs_and_rejects_half_config(spark, tmp_path):
+    """r12 review (3rd pass): zero-token docs score a perfect 0.0 NLL
+    and must NOT pass the gate; lm_model without max_lm_nll raises
+    instead of silently skipping the stage."""
+    import pytest
+
+    from cod_stats_spark.operators.lm_score import unigram_lm_fit
+    from cod_stats_spark.plans.curation import curate_corpus
+
+    ref = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    model = unigram_lm_fit(ref)
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "   ")],          # whitespace-only: zero tokens
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "o")
+    _, stats = curate_corpus(
+        docs, None, out, min_quality=0.0,
+        lm_model=model, max_lm_nll=3.0, token_budget=64,
+    )
+    assert stats["after_lm_gate"] == 1
+    kept = {
+        r["doc_id"] for r in
+        spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert kept == {1}
+    with pytest.raises(ValueError, match="together"):
+        curate_corpus(
+            docs, None, str(tmp_path / "x"), min_quality=0.0,
+            lm_model=model, token_budget=64,
+        )

@@ -357,3 +357,32 @@ class TestPerplexityPartition:
             tuple(r) for r in con.sql(sql).fetchall()
         )
         assert got == duck
+
+    def test_null_group_rows_survive(self, spark):
+        """r12 review (3rd pass): a null group key must keep its rows
+        (null-safe join) — an inner equi-join silently dropped them."""
+        import duckdb
+
+        from cod_stats_spark.operators.lm_score import (
+            perplexity_partition,
+            perplexity_partition_oracle_sql,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None, 1.0), (2, None, 2.0), (3, None, 3.0),
+             (4, "en", 5.0)],
+            "doc_id long, lang string, lm_nll double",
+        )
+        got = {
+            r["doc_id"]: r["ppl_bucket"]
+            for r in perplexity_partition(df, by="lang").collect()
+        }
+        assert set(got) == {1, 2, 3, 4}          # nothing dropped
+        assert got[1] == 1 and got[3] == 3 and got[4] in (1, 2, 3)
+        con = duckdb.connect()
+        con.register("scored", df.toPandas())
+        sql = perplexity_partition_oracle_sql(
+            "SELECT doc_id, lm_nll FROM scored", "scored", by="lang"
+        )
+        duck = dict(con.sql(sql).fetchall())
+        assert duck == got

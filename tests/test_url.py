@@ -616,3 +616,40 @@ def test_dual_path_switch_for_large_rule_sets(spark):
         ).collect()
     }
     assert kept == {3}
+
+
+def test_relation_domain_wildcard_plus_explicit_and_empty_labels(spark):
+    """r12 review (3rd pass): (1) 'X' alongside '*.X' — the explicit
+    rule must still apply at exactly wildcard depth; (2) hosts with
+    consecutive dots must fall through exactly as the regex path's
+    [^.]+ labels do. Parity on both, plus the expected values."""
+    from cod_stats_spark.functions.url import (
+        registered_domain,
+        with_registered_domain,
+    )
+
+    suf = ["k12.ak.us", "*.k12.ak.us"]
+    rows = [
+        (0, "district.k12.ak.us"),      # explicit rule at wildcard depth
+        (1, "school.district.k12.ak.us"),  # wildcard one deeper
+        (2, "a..b"),                    # empty label: host itself
+        (3, "a.b..ck"),                 # empty label inside a tail
+        (4, "x.district.k12.ak.us"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    want = {
+        r["doc_id"]: r["d"]
+        for r in df.select(
+            "doc_id", registered_domain("host", suf).alias("d")
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["domain"]
+        for r in with_registered_domain(df, "host", suf)
+        .select("doc_id", "domain")
+        .collect()
+    }
+    assert got == want
+    assert got[0] == "district.k12.ak.us"
+    assert got[1] == "school.district.k12.ak.us"
+    assert got[2] == "a..b" and got[3] == "a.b..ck"

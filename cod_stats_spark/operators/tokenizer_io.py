@@ -43,6 +43,7 @@ __all__ = [
     "tokenizer_json_to_bpe",
     "unigram_to_tokenizer_json",
     "tokenizer_json_to_unigram",
+    "special_tokens_from_json",
     "write_tokenizer_json",
     "read_tokenizer_json",
 ]
@@ -64,10 +65,47 @@ def _shell() -> dict:
     }
 
 
+def _added_tokens(
+    special_tokens: "list[str] | None", next_id: int
+) -> list[dict]:
+    """The ``added_tokens`` section: one entry per special token with
+    ids continuing past the model vocab (the HF convention —
+    ``<pad>``/``<bos>``/``<eos>`` live OUTSIDE the trained model, so
+    a retrained model with a different vocab size renumbers them but
+    never collides with them)."""
+    out = []
+    for i, tok in enumerate(special_tokens or []):
+        out.append(
+            {
+                "id": next_id + i,
+                "content": tok,
+                "single_word": False,
+                "lstrip": False,
+                "rstrip": False,
+                "normalized": False,
+                "special": True,
+            }
+        )
+    return out
+
+
+def special_tokens_from_json(doc: dict) -> dict[str, int]:
+    """content → id for the document's special tokens — what a loader
+    needs to reserve rows in an embedding table and what
+    ``encode_ids`` callers append to their vocab (the packer treats
+    them as ordinary pieces once ids are assigned)."""
+    return {
+        t["content"]: int(t["id"])
+        for t in doc.get("added_tokens", [])
+        if t.get("special")
+    }
+
+
 def bpe_to_tokenizer_json(
     merges: list[tuple[str, str]],
     unk_token: str | None = None,
     alphabet: "set[str] | None" = None,
+    special_tokens: "list[str] | None" = None,
 ) -> dict:
     """Rank-ordered merges → the HF BPE model document. The vocab is
     derived deterministically: base symbols sorted, then merge
@@ -110,8 +148,10 @@ def bpe_to_tokenizer_json(
     vocab = {s: i for i, s in enumerate(symbols)}
     if unk_token is not None and unk_token not in vocab:
         vocab[unk_token] = len(vocab)
+    shell = _shell()
+    shell["added_tokens"] = _added_tokens(special_tokens, len(vocab))
     return {
-        **_shell(),
+        **shell,
         "model": {
             "type": "BPE",
             "dropout": None,
@@ -152,12 +192,18 @@ def tokenizer_json_to_bpe(doc: dict) -> list[tuple[str, str]]:
 
 
 def unigram_to_tokenizer_json(
-    vocab: UnigramVocab, unk_id: int | None = None
+    vocab: UnigramVocab,
+    unk_id: int | None = None,
+    special_tokens: "list[str] | None" = None,
 ) -> dict:
     """Piece → log-prob map → the HF Unigram model document
     (``vocab: [[piece, logprob], …]``, canonical piece order)."""
+    shell = _shell()
+    shell["added_tokens"] = _added_tokens(
+        special_tokens, len(vocab.logp)
+    )
     return {
-        **_shell(),
+        **shell,
         "model": {
             "type": "Unigram",
             "unk_id": unk_id,

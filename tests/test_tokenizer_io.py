@@ -173,3 +173,28 @@ class TestReviewRegressions:
         a["added_tokens"].append({"id": 999, "content": "<special>"})
         b = unigram_to_tokenizer_json(v)
         assert b["added_tokens"] == []
+
+    def test_special_tokens_section(self, tmp_path):
+        """Special tokens ride added_tokens with ids past the model
+        vocab; encode_ids consumes them as appended vocab pieces end
+        to end."""
+        from cod_stats_spark.operators.tokenizer_io import (
+            read_tokenizer_json,
+            special_tokens_from_json,
+            unigram_to_tokenizer_json,
+            write_tokenizer_json,
+        )
+
+        v = _train_unigram()
+        doc = unigram_to_tokenizer_json(
+            v, special_tokens=["<pad>", "<bos>", "<eos>"]
+        )
+        p = str(tmp_path / "t.json")
+        write_tokenizer_json(p, doc)
+        back = read_tokenizer_json(p)
+        got = special_tokens_from_json(back)
+        n = len(v.logp)
+        assert got == {"<pad>": n, "<bos>": n + 1, "<eos>": n + 2}
+        assert all(t["special"] for t in back["added_tokens"])
+        # model vocab untouched
+        assert len(back["model"]["vocab"]) == n

@@ -66,15 +66,30 @@ def _shell() -> dict:
 
 
 def _added_tokens(
-    special_tokens: "list[str] | None", next_id: int
+    special_tokens: "list[str] | None",
+    next_id: int,
+    model_vocab: "set[str] | None" = None,
 ) -> list[dict]:
     """The ``added_tokens`` section: one entry per special token with
     ids continuing past the model vocab (the HF convention —
     ``<pad>``/``<bos>``/``<eos>`` live OUTSIDE the trained model, so
     a retrained model with a different vocab size renumbers them but
-    never collides with them)."""
+    never collides with them). A special token duplicated in the list
+    or colliding with a model piece would give one content string two
+    ids — rejected loudly, the module's malformed-shape posture."""
+    toks = special_tokens or []
+    if len(set(toks)) != len(toks):
+        raise ValueError(
+            "tokenizer_io: duplicate special tokens"
+        )
+    clash = sorted(set(toks) & (model_vocab or set()))
+    if clash:
+        raise ValueError(
+            f"tokenizer_io: special tokens collide with model vocab "
+            f"pieces: {clash}"
+        )
     out = []
-    for i, tok in enumerate(special_tokens or []):
+    for i, tok in enumerate(toks):
         out.append(
             {
                 "id": next_id + i,
@@ -149,7 +164,9 @@ def bpe_to_tokenizer_json(
     if unk_token is not None and unk_token not in vocab:
         vocab[unk_token] = len(vocab)
     shell = _shell()
-    shell["added_tokens"] = _added_tokens(special_tokens, len(vocab))
+    shell["added_tokens"] = _added_tokens(
+        special_tokens, len(vocab), set(vocab)
+    )
     return {
         **shell,
         "model": {
@@ -200,7 +217,7 @@ def unigram_to_tokenizer_json(
     (``vocab: [[piece, logprob], …]``, canonical piece order)."""
     shell = _shell()
     shell["added_tokens"] = _added_tokens(
-        special_tokens, len(vocab.logp)
+        special_tokens, len(vocab.logp), set(vocab.logp)
     )
     return {
         **shell,

@@ -78,6 +78,19 @@ def _model_gate(
     return kept
 
 
+def _validate_lm_gate_args(lm_model, max_lm_nll) -> None:
+    """Argument validation shared by both postures, run at FUNCTION
+    ENTRY — half a gate is a silent no-op the caller would misread as
+    "the CCNet gate ran", and raising only after the upstream stages
+    executed would burn hours of funnel work on a crawl-scale corpus
+    before surfacing a pure configuration error (r12 review)."""
+    if (lm_model is None) != (max_lm_nll is None):
+        raise ValueError(
+            "curate_corpus/curate_corpus_append: lm_model and "
+            "max_lm_nll must be set together"
+        )
+
+
 def _lm_gate(
     gated: DataFrame,
     lm_model: DataFrame,
@@ -225,6 +238,7 @@ def curate_corpus(
     extraction in the physical plan — logical order costs nothing.
     Stateless — append == rebuild is preserved.
     """
+    _validate_lm_gate_args(lm_model, max_lm_nll)
     stats: dict[str, int] = {"input": docs.count()}
 
     if html_input:
@@ -257,12 +271,6 @@ def curate_corpus(
     if qc_model is not None:
         gated = _model_gate(gated, qc_model, min_qc_score, text_col,
                             id_col, stats)
-    if (lm_model is None) != (max_lm_nll is None):
-        # half a gate is a silent no-op the caller would misread as
-        # "the CCNet gate ran" — refuse instead (r12 review)
-        raise ValueError(
-            "curate: lm_model and max_lm_nll must be set together"
-        )
     if lm_model is not None:
         gated = _lm_gate(gated, lm_model, max_lm_nll, text_col,
                          id_col, stats)
@@ -499,6 +507,7 @@ def curate_corpus_append(
     """
     import os
 
+    _validate_lm_gate_args(lm_model, max_lm_nll)
     stats: dict[str, int] = {"input": new_docs.count()}
     if html_input:
         from cod_stats_spark.functions.html import extract_text
@@ -528,12 +537,6 @@ def curate_corpus_append(
     if qc_model is not None:
         gated = _model_gate(gated, qc_model, min_qc_score, text_col,
                             id_col, stats)
-    if (lm_model is None) != (max_lm_nll is None):
-        # half a gate is a silent no-op the caller would misread as
-        # "the CCNet gate ran" — refuse instead (r12 review)
-        raise ValueError(
-            "curate: lm_model and max_lm_nll must be set together"
-        )
     if lm_model is not None:
         gated = _lm_gate(gated, lm_model, max_lm_nll, text_col,
                          id_col, stats)

@@ -198,3 +198,25 @@ class TestReviewRegressions:
         assert all(t["special"] for t in back["added_tokens"])
         # model vocab untouched
         assert len(back["model"]["vocab"]) == n
+
+    def test_special_token_collisions_rejected(self):
+        """r12 review (4th pass): a special token duplicated or equal
+        to a model piece would give one content two ids — raise."""
+        from cod_stats_spark.operators.tokenizer_io import (
+            bpe_to_tokenizer_json,
+            unigram_to_tokenizer_json,
+        )
+
+        merges = _train_bpe()
+        with pytest.raises(ValueError, match="duplicate special"):
+            bpe_to_tokenizer_json(
+                merges, special_tokens=["<pad>", "<pad>"]
+            )
+        with pytest.raises(ValueError, match="collide"):
+            bpe_to_tokenizer_json(
+                merges, unk_token="<unk>", special_tokens=["<unk>"]
+            )
+        v = _train_unigram()
+        piece = sorted(v.logp)[0]
+        with pytest.raises(ValueError, match="collide"):
+            unigram_to_tokenizer_json(v, special_tokens=[piece])

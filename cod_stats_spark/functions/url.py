@@ -292,6 +292,7 @@ def domain_gate(
     keep_null_host: bool = True,
     suffixes: list[str] | None = None,
     exceptions: list[str] | None = None,
+    strip_www: bool | None = None,
 ) -> DataFrame:
     """The curation gate stage: drop documents whose host matches the
     blocklist; when an allowlist is given, ALSO require a match there
@@ -311,8 +312,16 @@ def domain_gate(
     past :data:`_REGEX_RULE_LIMIT` switch the key derivation to the
     :func:`with_registered_domain` broadcast-join lookup — Java regex
     scans a big alternation linearly, ~1.7 ms/host at full-PSL size
-    (SCALING.md r12) — same semantics either way (parity-tested)."""
-    host = url_host(F.col(url_col))
+    (SCALING.md r12) — same semantics either way (parity-tested).
+
+    ``strip_www``: forwarded to :func:`url_host`. Default (None)
+    resolves to False whenever ``exceptions`` are supplied — the real
+    PSL's exception rules are www-anchored (``!www.ck``), and the
+    default canonicalization would erase exactly the label they match
+    on — and to True otherwise (the historical behavior)."""
+    if strip_www is None:
+        strip_www = not exceptions
+    host = url_host(F.col(url_col), strip_www=strip_www)
     out = docs
     if not keep_null_host:
         out = out.where(host.isNotNull())
@@ -362,6 +371,7 @@ def domain_stats(
     text_col: str = "text",
     suffixes: list[str] | None = None,
     exceptions: list[str] | None = None,
+    strip_www: bool | None = None,
 ) -> DataFrame:
     """(domain, n_docs, n_chars, n_hosts) per registered domain — one
     groupBy shuffle over pure projections; the mixture/sampling key
@@ -370,8 +380,12 @@ def domain_stats(
     ``suffixes``/``exceptions``: a loaded PSL rule set; embedded
     subset otherwise (past :data:`_REGEX_RULE_LIMIT` rules the key
     derives via the broadcast-join lookup, as in
-    :func:`domain_gate`)."""
-    host = url_host(F.col(url_col))
+    :func:`domain_gate`). ``strip_www``: as in :func:`domain_gate` —
+    None resolves to False when ``exceptions`` are supplied (www-
+    anchored exception rules need the label kept), True otherwise."""
+    if strip_www is None:
+        strip_www = not exceptions
+    host = url_host(F.col(url_col), strip_www=strip_www)
     keyed = _with_domain_key(
         docs.select(
             host.alias("_h"), F.length(F.col(text_col)).alias("_len")

@@ -28,10 +28,12 @@ detected, recomputes its output from the snapshot it originally read
 (tagged version − 1), and skips the state advance — replayed output
 == original output, state never double-advances (the census replay
 discipline, streaming/substring.py). Tape parameters (seq_len, salt,
-num_buckets, spans on/off) are frozen per state dir by a ``_TAPE``
-marker validated on every call — a mismatch would silently misalign
-every subsequent window (the ``_SKETCH`` marker discipline,
-streaming/dedup.py).
+num_buckets) are frozen per state dir by a ``_TAPE`` marker validated
+on every call — a mismatch would silently misalign every subsequent
+window (the ``_SKETCH`` marker discipline, streaming/dedup.py).
+``with_spans`` is deliberately NOT in the marker: the cursor always
+stores the remainder's spans, so spans on/off is a per-call OUTPUT
+option, not a tape-lifetime parameter.
 
 Scale shape per batch: the shared tape machinery
 (operators/packing.tape_piece_rows) over the BATCH only — slice rows

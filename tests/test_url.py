@@ -482,6 +482,50 @@ def test_strip_www_false_preserves_psl_exception_host(spark):
     assert got == [tuple(r) for r in duck]
 
 
+def test_gate_and_stats_default_strip_www_off_with_exceptions(spark):
+    """r12 advice: domain_gate/domain_stats hard-coded url_host's
+    default strip_www=True, so a www-anchored PSL exception rule
+    ('!www.ck') could never match through those entry points. The
+    default now resolves to False whenever exceptions are supplied
+    (and stays True otherwise); an explicit strip_www overrides."""
+    from cod_stats_spark.functions.url import (
+        domain_gate,
+        domain_stats,
+        load_public_suffixes,
+    )
+
+    suf, exc = load_public_suffixes("*.ck\n!www.ck\n")
+    docs = spark.createDataFrame(
+        [(1, "https://www.ck/x", "aa"), (2, "https://www.example.com/y", "bb")],
+        "doc_id long, url string, text string",
+    )
+    doms = {
+        r["domain"]
+        for r in domain_stats(docs, suffixes=suf, exceptions=exc).collect()
+    }
+    assert "www.ck" in doms          # exception matched (www kept)
+    assert "example.com" in doms     # two-label fallback unaffected
+    # explicit override reproduces the historical canonicalization
+    doms_t = {
+        r["domain"]
+        for r in domain_stats(
+            docs, suffixes=suf, exceptions=exc, strip_www=True
+        ).collect()
+    }
+    assert "www.ck" not in doms_t
+    # the gate's broadcast path keys on the same exception domain
+    import pandas as pd
+
+    block = spark.createDataFrame(pd.DataFrame({"d": ["www.ck"]}))
+    kept = domain_gate(
+        docs, broadcast_list=block, suffixes=suf, exceptions=exc
+    ).collect()
+    assert [r["doc_id"] for r in kept] == [2]
+    # no exceptions -> default unchanged (www stripped)
+    doms_plain = {r["domain"] for r in domain_stats(docs).collect()}
+    assert doms_plain == {"ck", "example.com"}
+
+
 class TestRelationRegisteredDomain:
     """with_registered_domain (r12): the broadcast-join at-scale form
     must agree with the Column regex form rule for rule — exceptions,

@@ -68,14 +68,23 @@ def word_counts(
 
 
 def learn_bpe(
-    counts: list[tuple[str, int]], vocab_size: int = 512
+    counts: list[tuple[str, int]],
+    vocab_size: int = 512,
+    eow: str | None = EOW,
 ) -> list[tuple[str, str]]:
     """Driver-side BPE training with incremental pair statistics
     (the subword-nmt scheme): each word is a symbol sequence ending in
     the EOW marker; repeatedly merge the most frequent adjacent symbol
     pair until ``vocab_size`` merges are learned or no pair repeats.
-    Ties break lexicographically for cross-run determinism."""
-    words: list[list[str]] = [list(w) + [EOW] for w, _ in counts]
+    Ties break lexicographically for cross-run determinism.
+
+    ``eow=None`` drops the end-of-word marker — the byte-level (GPT-2/
+    tiktoken) posture, where the pretokenizer's leading-space
+    convention carries the boundary signal instead
+    (operators/byte_bpe.py)."""
+    words: list[list[str]] = [
+        list(w) + ([eow] if eow is not None else []) for w, _ in counts
+    ]
     freqs = [c for _, c in counts]
     pair_counts: dict[tuple[str, str], int] = defaultdict(int)
     pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
@@ -134,10 +143,15 @@ def load_merges(spark, path: str) -> list[tuple[str, str]]:
     return [(r["left"], r["right"]) for r in rows]
 
 
-def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+def encode_word(
+    word: str,
+    ranks: dict[tuple[str, str], int],
+    eow: str | None = EOW,
+) -> list[str]:
     """Greedy lowest-rank merging of one word (reference encoder —
-    also the per-word kernel the distributed encode memoizes)."""
-    syms = list(word) + [EOW]
+    also the per-word kernel the distributed encode memoizes).
+    ``eow=None``: no end-of-word marker (the byte-level posture)."""
+    syms = list(word) + ([eow] if eow is not None else [])
     while len(syms) > 1:
         best_rank, best_j = None, None
         for j, p in enumerate(zip(syms, syms[1:])):

@@ -12,14 +12,21 @@ without re-training.
 
 Fidelity notes, stated plainly:
 
-- BPE here is the subword-nmt posture: the end-of-word marker
-  (``bpe.EOW``) rides as an ORDINARY symbol at the end of each word's
-  symbol sequence, not as HF's fused ``end_of_word_suffix``. The
-  emitted file records ``end_of_word_suffix: null`` and includes the
-  marker in the vocab; round-tripping through THIS module reproduces
-  the exact merge list (and therefore identical encodes). A foreign
-  HF tokenizer consuming the file sees a well-formed BPE model whose
-  marker is an explicit token.
+- ``bpe_to_tokenizer_json`` is the subword-nmt posture: the
+  end-of-word marker (``bpe.EOW``) rides as an ORDINARY symbol at the
+  end of each word's symbol sequence, not as HF's fused
+  ``end_of_word_suffix``. The emitted file records
+  ``end_of_word_suffix: null`` and includes the marker in the vocab;
+  round-tripping through THIS module reproduces the exact merge list
+  (and therefore identical encodes). A foreign HF tokenizer consuming
+  the file sees a well-formed BPE model whose marker is an explicit
+  token.
+- ``byte_bpe_to_tokenizer_json`` / ``tokenizer_json_to_byte_bpe``
+  (r13) carry the byte-level GPT-2/tiktoken family
+  (operators/byte_bpe.py): ``ByteLevel`` pre_tokenizer + decoder, no
+  UNK, no EOW, the artifact's vocab ids preserved VERBATIM on import
+  (a published file's id assignment is the model — re-deriving ids
+  from position would silently re-map every token).
 - Unigram log-probabilities serialize through Python ``json`` float
   repr, which round-trips IEEE-754 doubles exactly — the reloaded
   model is bit-identical (asserted via the artifact fingerprint).
@@ -41,6 +48,8 @@ from cod_stats_spark.operators.unigram_lm import UnigramVocab
 __all__ = [
     "bpe_to_tokenizer_json",
     "tokenizer_json_to_bpe",
+    "byte_bpe_to_tokenizer_json",
+    "tokenizer_json_to_byte_bpe",
     "unigram_to_tokenizer_json",
     "tokenizer_json_to_unigram",
     "special_tokens_from_json",
@@ -143,6 +152,21 @@ def bpe_to_tokenizer_json(
                 f"{(a, b)!r}"
             )
     products = [a + b for a, b in merges]
+    if len(set(products)) != len(products):
+        # distinct merges can yield the same product string — ('a','bc')
+        # and ('ab','c') both make 'abc'; real BPE training can emit
+        # this. Position-derived ids would then leave a GAP in the
+        # vocab (max id == len(vocab)), so a special/unk token appended
+        # at next_id silently shares an id with the last model piece —
+        # exactly the two-strings-one-id malformation this module
+        # promises to reject loudly.
+        seen: set[str] = set()
+        dups = sorted({p for p in products if p in seen or seen.add(p)})
+        raise ValueError(
+            f"bpe_to_tokenizer_json: duplicate merge products {dups} — "
+            "two merge rules yield the same symbol string, so "
+            "position-derived ids cannot be bijective"
+        )
     produced = set(products)
     base = {EOW}
     for a, b in merges:
@@ -160,6 +184,16 @@ def bpe_to_tokenizer_json(
             if ch not in produced:
                 base.add(ch)
     symbols = sorted(base) + products
+    if len(set(symbols)) != len(symbols):
+        # base excludes merge products by construction, so the only
+        # way here is a product colliding with the unconditional EOW
+        # base symbol (e.g. merges ('</', 'w>')) — same bijectivity
+        # hazard as duplicate products
+        raise ValueError(
+            "bpe_to_tokenizer_json: a merge product collides with a "
+            "base symbol — the position-derived vocab would give one "
+            "string two ids"
+        )
     vocab = {s: i for i, s in enumerate(symbols)}
     if unk_token is not None and unk_token not in vocab:
         vocab[unk_token] = len(vocab)
@@ -193,19 +227,100 @@ def tokenizer_json_to_bpe(doc: dict) -> list[tuple[str, str]]:
             f"tokenizer_json_to_bpe: model.type is {model.get('type')!r},"
             " expected 'BPE'"
         )
-    out: list[tuple[str, str]] = []
-    for m in model.get("merges", []):
-        if isinstance(m, str):
-            a, sep, b = m.partition(" ")
-            if not sep or not a or not b or " " in b:
-                raise ValueError(
-                    f"tokenizer_json_to_bpe: unparseable merge {m!r}"
-                )
-            out.append((a, b))
-        else:
-            a, b = m
-            out.append((str(a), str(b)))
-    return out
+    return [_parse_merge(m) for m in model.get("merges", [])]
+
+
+def _parse_merge(m) -> tuple[str, str]:
+    """One merge entry in either public spelling — the space-joined
+    ``"a b"`` string or the ``["a", "b"]`` pair."""
+    if isinstance(m, str):
+        a, sep, b = m.partition(" ")
+        if not sep or not a or not b or " " in b:
+            raise ValueError(f"tokenizer_io: unparseable merge {m!r}")
+        return a, b
+    a, b = m
+    return str(a), str(b)
+
+
+def byte_bpe_to_tokenizer_json(
+    tok, special_tokens: "list[str] | None" = None
+) -> dict:
+    """A :class:`operators.byte_bpe.ByteBPETokenizer` → the HF
+    document the GPT-2/tiktoken family publishes: ``pre_tokenizer``
+    and ``decoder`` of type ``ByteLevel``, no UNK (the byte alphabet
+    is total), no EOW, the tokenizer's OWN vocab ids verbatim (never
+    re-derived — the file's id assignment is the model)."""
+    shell = _shell()
+    shell["pre_tokenizer"] = {
+        "type": "ByteLevel",
+        "add_prefix_space": False,
+        "trim_offsets": True,
+        "use_regex": True,
+    }
+    shell["decoder"] = {"type": "ByteLevel"}
+    shell["added_tokens"] = _added_tokens(
+        special_tokens,
+        (max(tok.vocab.values()) + 1) if tok.vocab else 0,
+        set(tok.vocab),
+    )
+    return {
+        **shell,
+        "model": {
+            "type": "BPE",
+            "dropout": None,
+            "unk_token": None,
+            "continuing_subword_prefix": None,
+            "end_of_word_suffix": None,
+            "fuse_unk": False,
+            "byte_fallback": False,
+            "vocab": dict(tok.vocab),
+            "merges": [f"{a} {b}" for a, b in tok.merges],
+        },
+    }
+
+
+def _has_byte_level(pre) -> bool:
+    if not isinstance(pre, dict):
+        return False
+    if pre.get("type") == "ByteLevel":
+        return True
+    if pre.get("type") == "Sequence":
+        return any(
+            _has_byte_level(p) for p in pre.get("pretokenizers", [])
+        )
+    return False
+
+
+def tokenizer_json_to_byte_bpe(doc: dict):
+    """The inverse: a GPT-2-shaped document →
+    :class:`operators.byte_bpe.ByteBPETokenizer`, preserving the
+    file's vocab ids. Requires a ``ByteLevel`` pre_tokenizer (direct
+    or inside a Sequence) — importing a whitespace-family file here
+    would silently change tokenization semantics; that family goes
+    through :func:`tokenizer_json_to_bpe`. The constructor validates
+    byte-alphabet coverage and merge-symbol closure (no-UNK total
+    encodability)."""
+    from cod_stats_spark.operators.byte_bpe import ByteBPETokenizer
+
+    model = doc.get("model") or {}
+    if model.get("type") != "BPE":
+        raise ValueError(
+            f"tokenizer_json_to_byte_bpe: model.type is "
+            f"{model.get('type')!r}, expected 'BPE'"
+        )
+    if not _has_byte_level(doc.get("pre_tokenizer")):
+        raise ValueError(
+            "tokenizer_json_to_byte_bpe: document has no ByteLevel "
+            "pre_tokenizer — use tokenizer_json_to_bpe for the "
+            "whitespace/EOW family"
+        )
+    merges = [_parse_merge(m) for m in model.get("merges", [])]
+    vocab = {str(s): int(i) for s, i in (model.get("vocab") or {}).items()}
+    return ByteBPETokenizer(
+        merges=merges,
+        vocab=vocab,
+        special_tokens=special_tokens_from_json(doc),
+    )
 
 
 def unigram_to_tokenizer_json(

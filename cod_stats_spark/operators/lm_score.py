@@ -416,6 +416,8 @@ def perplexity_partition(
     by: str | None = None,
     out_col: str = "ppl_bucket",
     round_dp: int = 6,
+    cuts_method: str = "exact",
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """CCNet-style perplexity partitioning (Wenzek et al. 2020): split
     documents into ``buckets`` tiers by LM score — bucket 1 = lowest
@@ -435,12 +437,35 @@ def perplexity_partition(
     Both sides of the comparison are rounded to ``round_dp`` so the
     DuckDB replay (``quantile_cont`` — the same linear interpolation
     as Spark's ``percentile``) buckets boundary documents
-    identically."""
+    identically.
+
+    ``cuts_method`` — the dual-path convention (encode_ids,
+    _with_domain_key): ``'exact'`` (default, what the oracle replays)
+    derives cut points with ``percentile``, whose aggregation buffer
+    is a value→count map — bounded here by the ``round_dp`` rounding
+    (≤ range/10^-round_dp distinct entries), but RANGE-dependent: a
+    100 TB corpus with heavy-tailed NLL makes that a per-group memory
+    liability. ``'approx'`` uses ``approx_percentile`` (Greenwald-
+    Khanna, buffer bounded by ``approx_accuracy`` regardless of value
+    range; rank error ≤ n/accuracy). Same downstream bucket rule; the
+    two paths disagree only on documents whose score falls between an
+    exact and an approx cut point (parity-tested with that bound)."""
     if buckets < 2:
         raise ValueError("perplexity_partition: need >= 2 buckets")
+    if cuts_method not in ("exact", "approx"):
+        raise ValueError(
+            f"perplexity_partition: unknown cuts_method {cuts_method!r}"
+        )
     fr = [i / buckets for i in range(1, buckets)]
     v = F.round(F.col(nll_col), round_dp)
-    cuts = F.percentile(v, F.array(*[F.lit(c) for c in fr])).alias("_cuts")
+    if cuts_method == "approx":
+        cuts = F.approx_percentile(
+            v,
+            F.array(*[F.lit(c) for c in fr]),
+            F.lit(int(approx_accuracy)),
+        ).alias("_cuts")
+    else:
+        cuts = F.percentile(v, F.array(*[F.lit(c) for c in fr])).alias("_cuts")
     if by is None:
         joined = scored.crossJoin(F.broadcast(scored.agg(cuts)))
     else:

@@ -1591,6 +1591,46 @@ def _qc_oracle_join() -> str:
     return quality_classifier_oracle_sql(_qc_gate_model())
 
 
+def _lang_gate_model():
+    """Fixed-weight multiclass lang-id for the gate's lang_pred/
+    lang_margin columns (r13): the FORWARD pass — padded char-n-grams,
+    md5_60 bucket hash, integer micro-unit weight sums, greatest/CASE
+    ascending-code argmax — is what the oracle replays exactly
+    (operators/lang_classifier.py quantizes weights to 6-dp micro-
+    units, so both engines sum INTEGERS: bit-identical margins, exact
+    argmax, no rounding fuzz). TRAINING is the iterative optimizer,
+    property-tested in tests/test_lang_classifier.py (the qc_score
+    factoring). Seeded so Spark body and oracle embed identical
+    literals."""
+    import random
+
+    from cod_stats_spark.operators.lang_classifier import (
+        LangClassifierModel,
+    )
+
+    classes = sorted(T.LANG_MARKERS)
+    rng = random.Random(20260817)
+    return LangClassifierModel(
+        dim=64,
+        classes=classes,
+        orders=(1, 2, 3),
+        base_hash="md5_60",
+        biases=[round(rng.uniform(-0.5, 0.5), 6) for _ in classes],
+        weights=[
+            [round(rng.uniform(-1.0, 1.0), 6) for _ in range(64)]
+            for _ in classes
+        ],
+    )
+
+
+def _lang_oracle_join() -> str:
+    from cod_stats_spark.operators.lang_classifier import (
+        lang_classifier_oracle_sql,
+    )
+
+    return lang_classifier_oracle_sql(_lang_gate_model())
+
+
 _SQL_TOKS = _sql_tokens("text")
 QUALITY_ORACLE = f"""
 WITH tok AS (
@@ -1626,13 +1666,15 @@ SELECT m.doc_id, n_chars_calc, n_tokens_ws,
        lm.lm_tokens, round(lm.lm_nll, 6) AS lm_nll,
        lm2.lm2_tokens, round(lm2.lm2_nll, 6) AS lm2_nll,
        qc.qc_score,
-       ppl.ppl_bucket
+       ppl.ppl_bucket,
+       lc.lang_pred, lc.lang_margin
 FROM m JOIN documents d ON m.doc_id = d.doc_id
 JOIN ({unigram_lm_oracle_sql("documents")}) lm ON lm.doc_id = m.doc_id
 JOIN ({bigram_lm_oracle_sql("documents")}) lm2 ON lm2.doc_id = m.doc_id
 JOIN ({_qc_oracle_join()}) qc ON qc.doc_id = m.doc_id
 JOIN ({perplexity_partition_oracle_sql(unigram_lm_oracle_sql("documents"), "documents", by="lang")}) ppl
   ON ppl.doc_id = m.doc_id
+JOIN ({_lang_oracle_join()}) lc ON lc.doc_id = m.doc_id
 """
 
 
@@ -1652,7 +1694,12 @@ JOIN ({perplexity_partition_oracle_sql(unigram_lm_oracle_sql("documents"), "docu
         "r12: CCNet perplexity partitioning [ppl_bucket] — per-language "
         "head/middle/tail split by exact quantile CUT POINTS broadcast "
         "back [no global ntile window], cuts + strict-greater bucket "
-        "rule replayed via quantile_cont in SQL)"
+        "rule replayed via quantile_cont in SQL; r13: trained multiclass "
+        "lang-id [lang_pred, lang_margin] — operators/lang_classifier.py "
+        "RELATION path (broadcast wide weight table, integer micro-unit "
+        "sums -> bit-identical margins), padded char-n-grams, md5_60 "
+        "bucket hash, greatest/CASE ascending-code argmax all replayed "
+        "in SQL)"
     ),
     oracle=QUALITY_ORACLE,
 )
@@ -1709,11 +1756,26 @@ def quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         nll_col="lm_nll",
         by="lang",
     ).select("doc_id", "ppl_bucket")
+    # r13: trained multiclass lang-id — the RELATION forward pass
+    # (as_expression=False: broadcast wide weight table + one doc
+    # shuffle), the at-scale form, value-verified end to end; integer
+    # micro-unit sums make margins bit-identical across engines
+    from cod_stats_spark.operators.lang_classifier import (
+        lang_classifier_score,
+    )
+
+    lc = lang_classifier_score(
+        docs.select("doc_id", "text"),
+        _lang_gate_model(),
+        as_expression=False,
+        margin_col="lang_margin",
+    ).select("doc_id", "lang_pred", "lang_margin")
     return (
         base.join(lm, "doc_id")
         .join(lm2, "doc_id")
         .join(qc, "doc_id")
         .join(ppl, "doc_id")
+        .join(lc, "doc_id")
     )
 
 
@@ -5064,6 +5126,92 @@ FROM (
 )"""
 
 
+#: >64-rule loaded PSL fixture for the 'dompsl:' arm — forces
+#: _with_domain_key past _REGEX_RULE_LIMIT so the SPARK side derives
+#: the registered domain via the with_registered_domain broadcast-join
+#: RELATION path, while the ORACLE replays the full-rule-count regex
+#: alternation (RE2 compiles it to a DFA — affordable there, measured
+#: unusable in Java regex: SCALING.md r12). Shapes covered: plain
+#: 2-label rule, explicit + wildcard on the SAME tail (the r12 review
+#: subtlety), a wildcard-protected exception, and a www-anchored
+#: exception (exercising the r13 strip_www default flip).
+_PSL_GATE_SUFFIXES = sorted(
+    ["alpha.zz", "wild.zz", "*.wild.zz", "*.k.zz", "*.ck.zz"]
+    + [f"pad{i}.qq" for i in range(72)]
+)
+_PSL_GATE_EXC = ["exempt.k.zz", "www.ck.zz"]
+
+
+def _dompsl_url_expr():
+    """Synthetic URL per document hitting every rule class of the
+    loaded-PSL fixture (identical arithmetic in the oracle)."""
+    did = F.col("doc_id")
+    branch = did % 6
+    s = F.concat(F.lit("s"), (did % 5).cast("string"))
+    m = F.concat(F.lit("m"), (did % 23).cast("string"))
+    host = (
+        F.when(branch == 0, F.concat(s, F.lit("."), m, F.lit(".alpha.zz")))
+        .when(branch == 1, F.concat(s, F.lit("."), m, F.lit(".wild.zz")))
+        .when(branch == 2, F.concat(m, F.lit(".wild.zz")))
+        .when(branch == 3, F.lit("x.exempt.k.zz"))
+        .when(branch == 4, F.lit("www.ck.zz"))
+        .otherwise(
+            F.concat(s, F.lit(".plain"), (did % 23).cast("string"),
+                     F.lit(".com"))
+        )
+    )
+    return F.concat(F.lit("https://"), host, F.lit("/p/"),
+                    did.cast("string"))
+
+
+def _dompsl_url_sql() -> str:
+    return (
+        "'https://' || CASE doc_id % 6"
+        " WHEN 0 THEN 's' || (doc_id % 5)::VARCHAR || '.m'"
+        " || (doc_id % 23)::VARCHAR || '.alpha.zz'"
+        " WHEN 1 THEN 's' || (doc_id % 5)::VARCHAR || '.m'"
+        " || (doc_id % 23)::VARCHAR || '.wild.zz'"
+        " WHEN 2 THEN 'm' || (doc_id % 23)::VARCHAR || '.wild.zz'"
+        " WHEN 3 THEN 'x.exempt.k.zz'"
+        " WHEN 4 THEN 'www.ck.zz'"
+        " ELSE 's' || (doc_id % 5)::VARCHAR || '.plain'"
+        " || (doc_id % 23)::VARCHAR || '.com'"
+        " END || '/p/' || doc_id::VARCHAR"
+    )
+
+
+def _dompsl_oracle_sql() -> str:
+    """'dompsl:' rows: the loaded->64-rule registered-domain rollup —
+    the oracle runs the SAME rule set through the generated full
+    alternation (registered_domain_sql at full rule count) over the
+    strip_www=False host; the Spark body's relation path must agree
+    domain for domain."""
+    from cod_stats_spark.functions.url import (
+        registered_domain_sql,
+        url_host_sql,
+    )
+
+    rd = registered_domain_sql(
+        "host", _PSL_GATE_SUFFIXES, _PSL_GATE_EXC
+    )
+    return f"""
+SELECT 'dompsl:' || coalesce(domain, '~') AS grp,
+       n_chars::DOUBLE AS m1, n_hosts::DOUBLE AS m2,
+       NULL::DOUBLE AS m3, NULL::DOUBLE AS m4, n_docs AS n
+FROM (
+  SELECT {rd} AS domain,
+         count(*) AS n_docs, sum(len) AS n_chars,
+         count(DISTINCT host) AS n_hosts
+  FROM (
+    SELECT length(text) AS len,
+           {url_host_sql('url', strip_www=False)} AS host
+    FROM (SELECT doc_id, text, {_dompsl_url_sql()} AS url
+          FROM documents)
+  )
+  GROUP BY 1
+)"""
+
+
 def _html_doc_expr():
     """Synthetic HTML page per document, built by identical
     arithmetic in both engines (the pii_redact convention — the
@@ -5159,12 +5307,13 @@ def _stat_gate_extras() -> dict[str, str]:
         "cohort": cohort_oracle_sql(period="week"),
         "dom": _dom_oracle_sql(),
         "html": _html_oracle_sql(),
+        "dompsl": _dompsl_oracle_sql(),
     }
 
 
 @query(
     "stat_aggregates",
-    covers="EXT-olap EXT-analytics (statistical aggregates: stddev/variance/corr/covar + fixed-width bucketed histogram + exact interpolated quantiles per group; r7: + operators/profiling.profile_table's per-column count/null/mean/stddev/min/max rows, recomputed from scratch in SQL; r9: + operators/funnel.py — strict-sequential funnel over the event stream ['funnel:'], the 7-day-max-gap variant ['funnelgap:'], and weekly cohort retention triangles ['cohort:'], each replayed as chained CTEs in SQL; r9: + operators/expectations.py ['dq:'] — declarative data-quality checks (not_null/range/accepted_values/regex/unique/referential) incl. a genuinely FAILING unique on the synthetic lineitem PK, every violation count recomputed from scratch in SQL; r11: + functions/url.py ['dom:'] — URL host extraction/canonicalization, eTLD+1 registered domain incl. multi-part and platform suffixes, subdomain blocklist matching, and the per-domain corpus rollup [domain_stats], every row recomputed from the same suffix constants in SQL over synthetic per-doc URLs; r12: + functions/html.py ['html:'] — HTML→text extraction with script/style/comment stripping, block-break line structure, entity decode, and C4 line cleaning over synthetic pages, the cleaned text md5-packed into the group key so every byte is value-verified from the same pattern constants in SQL)",
+    covers="EXT-olap EXT-analytics (statistical aggregates: stddev/variance/corr/covar + fixed-width bucketed histogram + exact interpolated quantiles per group; r7: + operators/profiling.profile_table's per-column count/null/mean/stddev/min/max rows, recomputed from scratch in SQL; r9: + operators/funnel.py — strict-sequential funnel over the event stream ['funnel:'], the 7-day-max-gap variant ['funnelgap:'], and weekly cohort retention triangles ['cohort:'], each replayed as chained CTEs in SQL; r9: + operators/expectations.py ['dq:'] — declarative data-quality checks (not_null/range/accepted_values/regex/unique/referential) incl. a genuinely FAILING unique on the synthetic lineitem PK, every violation count recomputed from scratch in SQL; r11: + functions/url.py ['dom:'] — URL host extraction/canonicalization, eTLD+1 registered domain incl. multi-part and platform suffixes, subdomain blocklist matching, and the per-domain corpus rollup [domain_stats], every row recomputed from the same suffix constants in SQL over synthetic per-doc URLs; r12: + functions/html.py ['html:'] — HTML→text extraction with script/style/comment stripping, block-break line structure, entity decode, and C4 line cleaning over synthetic pages, the cleaned text md5-packed into the group key so every byte is value-verified from the same pattern constants in SQL; r13: + ['dompsl:'] — a loaded >64-rule PSL set driven through the with_registered_domain broadcast-join RELATION path [the at-scale form; strip_www auto-off under www-anchored exceptions], the oracle replaying the SAME rules as the full regex alternation: explicit+wildcard same-tail, wildcard-protected exception, www-anchored exception, and the two-label fallback all value-verified)",
     oracle="""
 WITH prof AS (
   SELECT 'l_quantity' AS c, count(*) AS n_rows,
@@ -5306,6 +5455,8 @@ UNION ALL
 {dom}
 UNION ALL
 {html}
+UNION ALL
+{dompsl}
 """.format(**_stat_gate_extras()),
 )
 def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5497,6 +5648,26 @@ def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").alias("n"),
         )
     )
+    # r13: loaded->64-rule PSL arm — the Spark side dispatches through
+    # _with_domain_key to the with_registered_domain broadcast-join
+    # RELATION path (rule count > _REGEX_RULE_LIMIT), strip_www
+    # auto-resolves to False (www-anchored exception present); the
+    # oracle replays the same rules as the full regex alternation
+    docs_psl = t["documents"].withColumn("url", _dompsl_url_expr())
+    dompsl = domain_stats(
+        docs_psl,
+        suffixes=_PSL_GATE_SUFFIXES,
+        exceptions=_PSL_GATE_EXC,
+    ).select(
+        F.concat(
+            F.lit("dompsl:"), F.coalesce(F.col("domain"), F.lit("~"))
+        ).alias("grp"),
+        F.col("n_chars").cast("double").alias("m1"),
+        F.col("n_hosts").cast("double").alias("m2"),
+        null_m.alias("m3"),
+        null_m.alias("m4"),
+        F.col("n_docs").alias("n"),
+    )
     # r12: HTML→text extraction arm (functions/html.py) — the whole
     # markup-strip + entity-decode + C4 line-cleaning stage over
     # synthetic pages (identical construction in the oracle); the
@@ -5551,6 +5722,7 @@ def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(coh)
         .unionByName(dq)
         .unionByName(dom)
+        .unionByName(dompsl)
         .unionByName(html_arm)
     )
 

@@ -86,6 +86,11 @@ HEADLINE = [
     # GD iterations -> relation-path scoring; new entry, new scope;
     # BENCH_NOTES.md "New entries (round 10)")
     "quality_classifier",
+    # round-13 addition: DSIR importance resampling, whole job (target
+    # + raw hashed-bigram distribution fits -> relation-path scoring ->
+    # Gumbel top-k selection; new entry, new scope; BENCH_NOTES.md
+    # "New entries (round 13)")
+    "dsir_select",
     "multimodal_decode",
     "asof_join_orders",
     # round-9 addition: funnel + cohort retention over the event

@@ -5760,9 +5760,44 @@ def _ep_oracle_arm() -> str:
     )
 
 
+def _dsir_gate_model():
+    """Fixed-λ DSIR model for the gate's 'dsir' arm: the SCORING and
+    SELECTION passes (hashed bag-of-bigrams integer micro-unit sums,
+    md5-derived Gumbel top-k) are what the oracle replays exactly —
+    fixed literal log-ratios make them bit-identical in SQL (the
+    qc_score/lang_pred precedent); FITTING is counting + driver-side
+    ln(), property-tested in tests/test_dsir.py and timed by the
+    `dsir_select` bench entry. Seeded so Spark body and oracle embed
+    identical literals."""
+    import random
+
+    from cod_stats_spark.operators.dsir import DsirModel
+
+    rng = random.Random(20260816)
+    return DsirModel(
+        dim=64,
+        ngrams=2,
+        base_hash="md5_60",
+        log_ratio6=[rng.randint(-2_000_000, 2_000_000) for _ in range(64)],
+    )
+
+
+def _dsir_oracle_arm() -> str:
+    """DuckDB replay of dsir_select over the documents corpus: exact
+    integer micro-unit log weights (info column — integer formatting
+    is engine-independent) and the exact Gumbel-top-300 sample."""
+    from cod_stats_spark.operators.dsir import dsir_select_oracle_sql
+
+    inner = dsir_select_oracle_sql(_dsir_gate_model(), n=300, salt="r13")
+    return (
+        "SELECT 'dsir' AS tag, doc_id AS id, dsir_micro::VARCHAR AS info"
+        f" FROM ({inner})"
+    )
+
+
 @query(
     "stratified_sample",
-    covers="EXT-sampling (deterministic md5-threshold stratified sampling + Efraimidis-Spirakis weighted sampling w/o replacement + train/val/test split assignment with group-level leakage guard + domain-mixture sampling — the exact samples reproduce in any engine; r11 'ep': sampling.epoch_expand per-domain UPSAMPLING — integer epoch replication + md5-selected fractional extra copies, the exact copy set replayed in SQL)",
+    covers="EXT-sampling (deterministic md5-threshold stratified sampling + Efraimidis-Spirakis weighted sampling w/o replacement + train/val/test split assignment with group-level leakage guard + domain-mixture sampling — the exact samples reproduce in any engine; r11 'ep': sampling.epoch_expand per-domain UPSAMPLING — integer epoch replication + md5-selected fractional extra copies, the exact copy set replayed in SQL; r13 'dsir': operators/dsir.py DSIR importance resampling [Xie et al. 2023] — hashed bag-of-bigrams log p̂_target−log q̂_raw in integer micro-units + Gumbel top-k resampling, scoring AND the exact selected sample replayed in SQL)",
     oracle=f"""
 SELECT 'strat' AS tag, event_id AS id, event_type AS info
 FROM events
@@ -5810,11 +5845,13 @@ JOIN (
 WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 5))::BIGINT < t.thr
 UNION ALL
 {_ep_oracle_arm()}
+UNION ALL
+{_dsir_oracle_arm()}
 """,
 )
 def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five deterministic-sampling shapes, tagged (widened r6, r7,
-    r11): 'strat' downsamples high-volume event types (view→10%,
+    """Six deterministic-sampling shapes, tagged (widened r6, r7,
+    r11, r13): 'strat' downsamples high-volume event types (view→10%,
     click→25%, rest whole) by md5 threshold; 'wes' draws a 400-row
     importance-weighted sample (weight = value) via Efraimidis-
     Spirakis keys; 'split' assigns 90/5/5 train/val/test hashed on the
@@ -5823,8 +5860,11 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     char mixture ('de' outside the target drops, the scarcest domain
     is kept whole); 'ep' (r11) UPSAMPLES per domain — zh 2.5 epochs,
     es 2, en 1, unlisted keep their single epoch, fractional copies
-    md5-selected. All five are pure functions of the data, so the
-    oracle engine draws IDENTICAL rows."""
+    md5-selected; 'dsir' (r13) resamples 300 docs by DSIR importance
+    weight (fixed-λ hashed-bigram micro-unit sums, Gumbel top-k —
+    info carries the exact INTEGER micro-unit log weight). All six
+    are pure functions of the data, so the oracle engine draws
+    IDENTICAL rows."""
     from cod_stats_spark.operators.sampling import (
         assign_splits,
         epoch_expand,
@@ -5872,9 +5912,18 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang"), F.lit(":"), F.col("epoch").cast("string")
         ).alias("info"),
     )
+    from cod_stats_spark.operators.dsir import dsir_select
+
+    dsir = dsir_select(
+        docs, _dsir_gate_model(), n=300, salt="r13", micro_col="_m"
+    ).select(
+        F.lit("dsir").alias("tag"),
+        F.col("doc_id").alias("id"),
+        F.col("_m").cast("string").alias("info"),
+    )
     return (
         strat.unionByName(wes).unionByName(split)
-        .unionByName(mix).unionByName(ep)
+        .unionByName(mix).unionByName(ep).unionByName(dsir)
     )
 
 
@@ -6631,6 +6680,35 @@ def dedup_substring_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_dup_tokens").alias("dup_tokens"),
         F.sum(F.crc32(F.col("clean_text"))).alias("clean_checksum"),
     ).where(F.col("clean_checksum") > F.lit(-1))
+
+
+@_bench_only("dsir_select")
+def dsir_select_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed DSIR selection, whole job (r13, new entry —
+    BENCH_NOTES.md "New entries"): fit the importance model at the
+    production posture (dim 2^14 hashed bigram buckets, xxhash64 —
+    two explode→fid count shuffles, one per corpus, ≤dim collected
+    rows each) with the English documents as the TARGET and the whole
+    corpus as RAW (the DSIR paper's domain-match shape), then
+    Gumbel-top-k resample 20% of the corpus — dim 2^14 exceeds the
+    4096 codegen-literal cap, so scoring runs the RELATION path
+    (broadcast λ join + one id shuffle) into the top-k heap merge
+    (the 100 TB posture). Ends in a checksum aggregate
+    referencing the micro-unit weights so bench.py's count() cannot
+    prune the scoring join (the lm_score count-pruning hazard,
+    tests/test_plan_audit.py)."""
+    from cod_stats_spark.operators.dsir import dsir_fit, dsir_select
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    n = max(1, int(docs.count() * 0.2))
+    model = dsir_fit(
+        docs.where(F.col("lang") == "en"), docs, dim=1 << 14, ngrams=2
+    )
+    picked = dsir_select(docs, model, n=n, micro_col="_m")
+    return picked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_m").alias("weight_checksum"),
+    ).where(F.col("weight_checksum").isNotNull())
 
 
 @_bench_only("quality_classifier")

@@ -201,6 +201,119 @@ def mixture_sample(
     return df.filter(_hash_bucket(key) < thr)
 
 
+def temperature_weights(
+    sizes: Mapping[str, float], alpha: float, max_weight: float | None = None
+) -> dict[str, float]:
+    """Per-domain epoch weights for temperature sampling (the
+    mC4/XLM-R posture — Xue et al. 2021, Conneau et al. 2020):
+    target share p_d = m_d^α / Σ m_k^α, weight w_d = p_d · M / m_d
+    rounded to 9 dp (the mixture_sample quantization, so an oracle
+    recomputing the same formula agrees). α=1 is the identity (every
+    w_d = 1); α→0 approaches uniform across domains — low-resource
+    domains upsample (w>1), high-resource thin (w<1), total expected
+    mass stays M by construction. ``max_weight`` caps tiny domains'
+    replication. Pure driver arithmetic over O(#domains) state."""
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (α=1 natural, α→0 uniform)")
+    ms = {d: float(m) for d, m in sizes.items() if float(m) > 0}
+    if not ms:
+        raise ValueError("temperature_weights: no positive-mass domains")
+    total = sum(ms.values())
+    denom = sum(m**alpha for m in ms.values())
+    out = {}
+    for d, m in ms.items():
+        w = round(m**alpha * total / denom / m, 9)
+        if max_weight is not None:
+            w = min(w, float(max_weight))
+        out[d] = w
+    return out
+
+
+def temperature_mixture(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    alpha: float,
+    size_col: str | None = None,
+    salt: str = "",
+    max_weight: float | None = None,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing in one deterministic op —
+    the multilingual-pretraining standard (mC4/XLM-R: sample language
+    l with probability ∝ m_l^α): measure per-domain mass (row count
+    or ``size_col``), derive :func:`temperature_weights`, and apply
+    them through :func:`epoch_expand` — so high-resource domains THIN
+    (w<1 keeps an md5-selected fraction) and low-resource domains
+    UPSAMPLE (w>1 replicates with epoch ids) in the same pass, and
+    the exact output reproduces in any engine. Null domains keep
+    their single epoch 0 (they never match a weight literal).
+
+    Output carries ``epoch``/``epoch_key`` (the epoch_expand
+    contract — feed downstream single-key operators ``epoch_key``).
+    Plan: one O(#domains) groupBy collect + a codegen projection +
+    one bounded explode — zero joins, zero extra shuffles."""
+    mass = (
+        F.count(F.lit(1)) if size_col is None
+        else F.sum(F.col(size_col).cast("double"))
+    )
+    sizes = {
+        r["d"]: float(r["m"])
+        for r in df.groupBy(F.col(domain_col).alias("d")).agg(mass.alias("m")).collect()
+        if r["d"] is not None and r["m"] is not None and float(r["m"]) > 0
+    }
+    w = temperature_weights(sizes, alpha, max_weight=max_weight)
+    return epoch_expand(df, key_col, domain_col, w, salt=salt)
+
+
+def temperature_mixture_oracle_sql(
+    src: str,
+    key_expr: str,
+    domain_expr: str,
+    alpha: float,
+    size_expr: str | None = None,
+    salt: str = "",
+    max_weight: float | None = None,
+) -> str:
+    """DuckDB replay of :func:`temperature_mixture` — (id, domain,
+    epoch) of the exact expanded rows: recomputes the per-domain
+    masses, the 9-dp-rounded temperature weights (same operation
+    order as the Python formula, so the rounding sees the same
+    double), and epoch_expand's integer replication + md5-threshold
+    fractional copy."""
+    mass = "COUNT(*)::DOUBLE" if size_expr is None else f"SUM(CAST({size_expr} AS DOUBLE))"
+    w = f"pow(m, {alpha!r}) * mtot / denom / m"
+    if max_weight is not None:
+        w = f"least({w}, {float(max_weight)!r})"
+    return f"""
+WITH sizes AS (
+  SELECT {domain_expr} AS d, {mass} AS m
+  FROM {src}
+  WHERE {domain_expr} IS NOT NULL
+  GROUP BY {domain_expr}
+  HAVING {mass} > 0
+),
+tot AS (
+  SELECT SUM(m) AS mtot, SUM(pow(m, {alpha!r})) AS denom FROM sizes
+),
+w AS (
+  SELECT d, round({w}, 9) AS wt FROM sizes CROSS JOIN tot
+)
+SELECT id, domain, unnest(list_concat(
+         list_transform(range(full_e), i -> i::INT),
+         CASE WHEN ('0x' || substr(md5(id::VARCHAR || '{salt}' || 'ep'), 1, 5))::BIGINT
+                   < CAST(floor(round(wt - full_e, 9) * {1 << 20}) AS BIGINT)
+              THEN [full_e::INT] ELSE []::INT[] END)) AS epoch
+FROM (
+  -- domains outside the weight map (null / zero-mass) keep their
+  -- single epoch 0: epoch_expand's unlisted-domain default (w=1)
+  SELECT {key_expr} AS id, {domain_expr} AS domain,
+         COALESCE(w.wt, 1.0) AS wt,
+         CAST(floor(COALESCE(w.wt, 1.0)) AS INT) AS full_e
+  FROM {src} t LEFT JOIN w ON {domain_expr} = w.d
+)
+"""
+
+
 def epoch_expand(
     df: DataFrame,
     key_col: str,

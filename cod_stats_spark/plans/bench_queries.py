@@ -5782,6 +5782,26 @@ def _dsir_gate_model():
     )
 
 
+def _tmix_oracle_arm() -> str:
+    """DuckDB replay of sampling.temperature_mixture (α=0.4 over
+    char mass, upsampling capped at 4 epochs): per-language masses,
+    the 9-dp temperature weights, and epoch_expand's replication +
+    md5-threshold fractional copy all recomputed in SQL."""
+    from cod_stats_spark.operators.sampling import (
+        temperature_mixture_oracle_sql,
+    )
+
+    inner = temperature_mixture_oracle_sql(
+        "documents", "doc_id", "lang", alpha=0.4,
+        size_expr="n_chars", salt="tm13", max_weight=4.0,
+    )
+    return (
+        "SELECT 'tmix' AS tag, id,"
+        " domain || ':' || epoch::VARCHAR AS info"
+        f" FROM ({inner})"
+    )
+
+
 def _dsir_oracle_arm() -> str:
     """DuckDB replay of dsir_select over the documents corpus: exact
     integer micro-unit log weights (info column — integer formatting
@@ -5797,7 +5817,7 @@ def _dsir_oracle_arm() -> str:
 
 @query(
     "stratified_sample",
-    covers="EXT-sampling (deterministic md5-threshold stratified sampling + Efraimidis-Spirakis weighted sampling w/o replacement + train/val/test split assignment with group-level leakage guard + domain-mixture sampling — the exact samples reproduce in any engine; r11 'ep': sampling.epoch_expand per-domain UPSAMPLING — integer epoch replication + md5-selected fractional extra copies, the exact copy set replayed in SQL; r13 'dsir': operators/dsir.py DSIR importance resampling [Xie et al. 2023] — hashed bag-of-bigrams log p̂_target−log q̂_raw in integer micro-units + Gumbel top-k resampling, scoring AND the exact selected sample replayed in SQL)",
+    covers="EXT-sampling (deterministic md5-threshold stratified sampling + Efraimidis-Spirakis weighted sampling w/o replacement + train/val/test split assignment with group-level leakage guard + domain-mixture sampling — the exact samples reproduce in any engine; r11 'ep': sampling.epoch_expand per-domain UPSAMPLING — integer epoch replication + md5-selected fractional extra copies, the exact copy set replayed in SQL; r13 'dsir': operators/dsir.py DSIR importance resampling [Xie et al. 2023] — hashed bag-of-bigrams log p̂_target−log q̂_raw in integer micro-units + Gumbel top-k resampling, scoring AND the exact selected sample replayed in SQL; r13 'tmix': sampling.temperature_mixture — mC4/XLM-R p_d∝m_d^α temperature rebalancing, thinning AND upsampling in one epoch_expand pass with masses→9-dp weights→exact copy set all recomputed in SQL)",
     oracle=f"""
 SELECT 'strat' AS tag, event_id AS id, event_type AS info
 FROM events
@@ -5847,10 +5867,12 @@ UNION ALL
 {_ep_oracle_arm()}
 UNION ALL
 {_dsir_oracle_arm()}
+UNION ALL
+{_tmix_oracle_arm()}
 """,
 )
 def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Six deterministic-sampling shapes, tagged (widened r6, r7,
+    """Seven deterministic-sampling shapes, tagged (widened r6, r7,
     r11, r13): 'strat' downsamples high-volume event types (view→10%,
     click→25%, rest whole) by md5 threshold; 'wes' draws a 400-row
     importance-weighted sample (weight = value) via Efraimidis-
@@ -5862,9 +5884,12 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     es 2, en 1, unlisted keep their single epoch, fractional copies
     md5-selected; 'dsir' (r13) resamples 300 docs by DSIR importance
     weight (fixed-λ hashed-bigram micro-unit sums, Gumbel top-k —
-    info carries the exact INTEGER micro-unit log weight). All six
-    are pure functions of the data, so the oracle engine draws
-    IDENTICAL rows."""
+    info carries the exact INTEGER micro-unit log weight); 'tmix'
+    (r13) temperature-rebalances the language mixture (α=0.4 over
+    char mass, cap 4 epochs — en thins, scarce languages replicate,
+    the weights DERIVED FROM THE DATA and recomputed by the oracle,
+    unlike 'ep''s fixed map). All seven are pure functions of the
+    data, so the oracle engine draws IDENTICAL rows."""
     from cod_stats_spark.operators.sampling import (
         assign_splits,
         epoch_expand,
@@ -5913,6 +5938,7 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("info"),
     )
     from cod_stats_spark.operators.dsir import dsir_select
+    from cod_stats_spark.operators.sampling import temperature_mixture
 
     dsir = dsir_select(
         docs, _dsir_gate_model(), n=300, salt="r13", micro_col="_m"
@@ -5921,9 +5947,20 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         F.col("_m").cast("string").alias("info"),
     )
+    tmix = temperature_mixture(
+        docs, "doc_id", "lang", alpha=0.4,
+        size_col="n_chars", salt="tm13", max_weight=4.0,
+    ).select(
+        F.lit("tmix").alias("tag"),
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.col("lang"), F.lit(":"), F.col("epoch").cast("string")
+        ).alias("info"),
+    )
     return (
         strat.unionByName(wes).unionByName(split)
         .unionByName(mix).unionByName(ep).unionByName(dsir)
+        .unionByName(tmix)
     )
 
 

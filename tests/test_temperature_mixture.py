@@ -1,0 +1,139 @@
+"""Temperature-based mixture rebalancing (operators/sampling.py
+temperature_weights/temperature_mixture): the mC4/XLM-R p_d ∝ m_d^α
+posture — α=1 is the identity, α<1 upsamples low-resource domains and
+thins high-resource ones with total expected mass preserved, the
+exact output is a pure function of the data, and the DuckDB oracle
+replays weights + expansion end to end. SQL value verification on the
+real tables lives in the stratified_sample gate's 'tmix' arm."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _docs(spark):
+    rows = (
+        [(i, "en", 100) for i in range(40)]
+        + [(100 + i, "fr", 100) for i in range(10)]
+        + [(200 + i, "sw", 100) for i in range(2)]
+        + [(300, None, 100)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+
+class TestWeights:
+    def test_alpha_one_is_identity(self):
+        from cod_stats_spark.operators.sampling import temperature_weights
+
+        w = temperature_weights({"en": 4000.0, "fr": 1000.0, "sw": 200.0}, 1.0)
+        assert w == {"en": 1.0, "fr": 1.0, "sw": 1.0}
+
+    def test_alpha_below_one_rebalances_and_preserves_mass(self):
+        from cod_stats_spark.operators.sampling import temperature_weights
+
+        sizes = {"en": 4000.0, "fr": 1000.0, "sw": 200.0}
+        w = temperature_weights(sizes, 0.5)
+        assert w["en"] < 1.0 < w["sw"]
+        assert w["sw"] > w["fr"] > w["en"]
+        total = sum(sizes.values())
+        assert sum(w[d] * m for d, m in sizes.items()) == pytest.approx(
+            total, rel=1e-6
+        )
+
+    def test_max_weight_caps_tiny_domains(self):
+        from cod_stats_spark.operators.sampling import temperature_weights
+
+        sizes = {"en": 100_000.0, "sw": 10.0}
+        uncapped = temperature_weights(sizes, 0.2)
+        assert uncapped["sw"] > 4.0
+        capped = temperature_weights(sizes, 0.2, max_weight=3.0)
+        assert capped["sw"] == 3.0
+
+    def test_validation(self):
+        from cod_stats_spark.operators.sampling import temperature_weights
+
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_weights({"en": 1.0}, 0.0)
+        with pytest.raises(ValueError, match="no positive-mass"):
+            temperature_weights({"en": 0.0}, 0.5)
+
+
+class TestMixture:
+    def test_alpha_one_keeps_every_row_once(self, spark):
+        from cod_stats_spark.operators.sampling import temperature_mixture
+
+        out = temperature_mixture(
+            _docs(spark), "doc_id", "lang", alpha=1.0, size_col="n_chars"
+        )
+        rows = out.collect()
+        assert len(rows) == 53
+        assert all(r["epoch"] == 0 for r in rows)
+
+    def test_rebalances_counts_and_is_partitioning_independent(self, spark):
+        from cod_stats_spark.operators.sampling import temperature_mixture
+
+        docs = _docs(spark)
+        a = sorted(
+            (r["doc_id"], r["epoch"])
+            for r in temperature_mixture(
+                docs, "doc_id", "lang", alpha=0.3
+            ).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["epoch"])
+            for r in temperature_mixture(
+                docs.repartition(13), "doc_id", "lang", alpha=0.3
+            ).collect()
+        )
+        assert a == b
+        by_lang = {"en": 0, "fr": 0, "sw": 0}
+        for doc_id, _ in a:
+            if doc_id < 100:
+                by_lang["en"] += 1
+            elif doc_id < 200:
+                by_lang["fr"] += 1
+            elif doc_id < 300:
+                by_lang["sw"] += 1
+        # sw (2 docs) must replicate; en (40 docs) must thin
+        assert by_lang["sw"] > 2
+        assert by_lang["en"] < 40
+        assert "epoch_key" in (
+            temperature_mixture(docs, "doc_id", "lang", alpha=0.3).columns
+        )
+
+    def test_null_domain_rows_keep_single_epoch(self, spark):
+        from cod_stats_spark.operators.sampling import temperature_mixture
+
+        out = temperature_mixture(
+            _docs(spark), "doc_id", "lang", alpha=0.3
+        ).where("doc_id = 300").collect()
+        assert [(r["doc_id"], r["epoch"]) for r in out] == [(300, 0)]
+
+    def test_oracle_replays_exact_expansion(self, spark):
+        import duckdb
+
+        from cod_stats_spark.operators.sampling import (
+            temperature_mixture,
+            temperature_mixture_oracle_sql,
+        )
+
+        docs = _docs(spark)
+        got = sorted(
+            (r["doc_id"], r["lang"], r["epoch"])
+            for r in temperature_mixture(
+                docs, "doc_id", "lang", alpha=0.4,
+                size_col="n_chars", salt="t", max_weight=4.0,
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        want = sorted(
+            (int(i), d, int(e))
+            for i, d, e in con.execute(
+                temperature_mixture_oracle_sql(
+                    "documents", "doc_id", "lang", alpha=0.4,
+                    size_expr="n_chars", salt="t", max_weight=4.0,
+                )
+            ).fetchall()
+        )
+        assert got == want

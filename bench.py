@@ -81,6 +81,11 @@ HEADLINE = [
     # memoized Viterbi mapInPandas encode; new entry, new scope;
     # BENCH_NOTES.md "New entries (round 11)")
     "unigram_encode",
+    # round-13 addition: trained-WordPiece tokenization, whole job
+    # (word counts -> driver likelihood-gain merge training -> memoized
+    # greedy longest-match mapInPandas encode; new entry, new scope;
+    # BENCH_NOTES.md "New entries (round 13)")
+    "wordpiece_encode",
     # round-10 addition: trained hashed-bigram logistic quality
     # classifier, whole job (label synthesis -> 5 distributed-gradient
     # GD iterations -> relation-path scoring; new entry, new scope;

@@ -30,6 +30,14 @@ Fidelity notes, stated plainly:
 - Unigram log-probabilities serialize through Python ``json`` float
   repr, which round-trips IEEE-754 doubles exactly — the reloaded
   model is bit-identical (asserted via the artifact fingerprint).
+- ``wordpiece_to_tokenizer_json`` / ``tokenizer_json_to_wordpiece``
+  (r13) carry the BERT family (operators/wordpiece.py): model.type
+  "WordPiece" with unk_token / continuing_subword_prefix /
+  max_input_chars_per_word, ids verbatim both ways; BERT's bracket
+  specials live inside the model vocab, so ``added_tokens`` is only
+  for extras. The lowercase flag is encode-time (a normalizer
+  concern in HF files), not model schema — stated at the import
+  signature.
 - ``max_piece_len`` (a runtime lattice cap, not part of the HF
   schema) is recomputed on load as the longest piece — exact, since
   the cap only has to dominate every real piece.
@@ -52,6 +60,8 @@ __all__ = [
     "tokenizer_json_to_byte_bpe",
     "unigram_to_tokenizer_json",
     "tokenizer_json_to_unigram",
+    "wordpiece_to_tokenizer_json",
+    "tokenizer_json_to_wordpiece",
     "special_tokens_from_json",
     "write_tokenizer_json",
     "read_tokenizer_json",
@@ -362,6 +372,63 @@ def tokenizer_json_to_unigram(doc: dict) -> UnigramVocab:
     return UnigramVocab(
         logp=dict(pairs),
         max_piece_len=max(len(p) for p, _ in pairs),
+    )
+
+
+def wordpiece_to_tokenizer_json(
+    vocab, special_tokens: "list[str] | None" = None
+) -> dict:
+    """A :class:`operators.wordpiece.WordPieceVocab` → the HF
+    WordPiece model document (the BERT family: ``unk_token``,
+    ``continuing_subword_prefix``, ``max_input_chars_per_word``,
+    ``vocab`` token→id). The vocab's OWN ids ride verbatim (the
+    byte-BPE discipline); BERT's [PAD]/[UNK]/[CLS]/[SEP]/[MASK] live
+    INSIDE the model vocab, so ``special_tokens`` here is only for
+    EXTRA added tokens beyond it (collision-checked)."""
+    shell = _shell()
+    next_id = max(vocab.vocab.values()) + 1
+    shell["added_tokens"] = _added_tokens(
+        special_tokens, next_id, set(vocab.vocab)
+    )
+    return {
+        **shell,
+        "model": {
+            "type": "WordPiece",
+            "unk_token": vocab.unk_token,
+            "continuing_subword_prefix": vocab.continuing_prefix,
+            "max_input_chars_per_word": int(vocab.max_input_chars),
+            "vocab": dict(vocab.vocab),
+        },
+    }
+
+
+def tokenizer_json_to_wordpiece(doc: dict, lowercase: bool = True):
+    """The inverse: a published WordPiece file's vocab with its ids
+    PRESERVED VERBATIM (re-deriving ids from position would silently
+    re-map every token). ``lowercase`` is an encode-time choice, not
+    part of the HF model schema — BERT uncased files pair with a
+    lowercasing normalizer; pass False for cased artifacts.
+    Malformed shapes (wrong type, empty vocab, duplicate ids, an
+    unk_token missing from the vocab) are rejected loudly."""
+    from cod_stats_spark.operators.wordpiece import WordPieceVocab
+
+    model = doc.get("model") or {}
+    if model.get("type") != "WordPiece":
+        raise ValueError(
+            f"tokenizer_json_to_wordpiece: model.type is "
+            f"{model.get('type')!r}, expected 'WordPiece'"
+        )
+    v = {str(p): int(i) for p, i in (model.get("vocab") or {}).items()}
+    if not v:
+        raise ValueError("tokenizer_json_to_wordpiece: empty vocab")
+    return WordPieceVocab(
+        vocab=v,
+        unk_token=str(model.get("unk_token") or "[UNK]"),
+        continuing_prefix=str(
+            model.get("continuing_subword_prefix") or "##"
+        ),
+        max_input_chars=int(model.get("max_input_chars_per_word") or 100),
+        lowercase=lowercase,
     )
 
 

@@ -6377,6 +6377,28 @@ def bpe_encode_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges).select("doc_id", "bpe_n_tokens")
 
 
+@_bench_only("wordpiece_encode")
+def wordpiece_encode_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed trained-WordPiece tokenization, whole job (r13 — new
+    entry, new scope; BENCH_NOTES.md "New entries (round 13)"):
+    corpus word counts (the shared bounded-dictionary shuffle),
+    driver-side likelihood-gain merge training (vocab 512), and the
+    Arrow-batched memoized greedy longest-match encode over every
+    document (operators/wordpiece.py — the BERT posture next to the
+    bpe_encode/unigram_encode entries). Not SQL-expressible
+    (iterative trainer, greedy loop): correctness is pinned by
+    tests/test_wordpiece.py rather than an oracle slot."""
+    from cod_stats_spark.operators.bpe import word_counts
+    from cod_stats_spark.operators.wordpiece import (
+        learn_wordpiece,
+        wordpiece_encode,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    vocab = learn_wordpiece(word_counts(docs), vocab_size=512)
+    return wordpiece_encode(docs, vocab).select("doc_id", "wp_n_tokens")
+
+
 @_bench_only("html_extract")
 def html_extract_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timed HTML→text extraction + C4 line cleaning (r12 — new

@@ -190,3 +190,166 @@ def decontaminate(
     return corpus.join(
         flagged.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space (semantic) decontamination — the complement of the
+# n-gram family above: a training document is contaminated when its
+# EMBEDDING is within a cosine threshold of any benchmark embedding,
+# catching paraphrased/reformatted eval material the word-n-gram match
+# cannot see (the SemDeDup observation, operators/semantic.py, applied
+# across datasets instead of within one).
+
+
+def semantic_contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str,
+    id_col: str,
+    bench_vec_col: str | None = None,
+    threshold: float = 0.95,
+    method: str = "pairs",
+    max_bench_rows: int = 100_000,
+) -> DataFrame:
+    """(doc_id, max_cosine) for corpus docs whose embedding reaches
+    ``>= threshold`` cosine against ANY benchmark embedding. Per-pair
+    cosines round to 6 dp BEFORE the max/threshold (engine- and
+    path-identical decisions); zero-norm or NaN vectors score 0 on
+    either side (the semantic.py guard — they can never flag).
+
+    Eval suites are small BY CONTRACT (thousands of rows, not a
+    corpus) — both methods ship the benchmark to the tasks and scan
+    the corpus once, |corpus|·|bench| comparisons with no shuffle:
+
+    - ``method="pairs"``: broadcast nested-loop join, pure Column
+      cosine — fully SQL-replayable (the ann_topk 'semdecon' arm).
+    - ``method="gemm"``: the at-scale path (the knn_join_gemm
+      precedent) — the benchmark collects into ONE normalized numpy
+      matrix (guarded by ``max_bench_rows``) and each Arrow batch
+      scores against it as a single BLAS matmul; parity-tested
+      against "pairs" on the rounded values.
+    """
+    from cod_stats_spark.operators.similarity import dot, norm
+
+    bench_vec_col = bench_vec_col or vec_col
+    if method == "pairs":
+        b = F.broadcast(
+            benchmark.select(
+                F.col(bench_vec_col).cast("array<double>").alias("_bv")
+            )
+        )
+        v, bv = F.col("_v"), F.col("_bv")
+        raw = dot(v, bv) / (norm(v) * norm(bv))
+        cos = F.round(
+            F.when(
+                (norm(v) * norm(bv) > 0) & ~F.isnan(raw), raw
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+        return (
+            corpus.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(vec_col).cast("array<double>").alias("_v"),
+            )
+            .crossJoin(b)
+            .select("doc_id", cos.alias("_c"))
+            .groupBy("doc_id")
+            .agg(F.max("_c").alias("max_cosine"))
+            .filter(F.col("max_cosine") >= F.lit(float(threshold)))
+        )
+    if method != "gemm":
+        raise ValueError(f"unknown method: {method!r} (pairs|gemm)")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = benchmark.select(
+        F.col(bench_vec_col).cast("array<double>").alias("_bv")
+    ).limit(max_bench_rows + 1).collect()
+    if len(rows) > max_bench_rows:
+        raise ValueError(
+            f"semantic_contaminated_docs: benchmark exceeds "
+            f"max_bench_rows={max_bench_rows} — an eval suite this "
+            "large should be chunked, not silently truncated"
+        )
+    bm = np.array([r["_bv"] for r in rows], dtype=np.float64)
+    bn = np.linalg.norm(bm, axis=1)
+    bn[bn == 0] = np.inf  # zero-norm bench rows score 0 against all
+    bm = bm / bn[:, None]
+    np.nan_to_num(bm, copy=False)
+    thr = float(threshold)
+
+    id_field = corpus.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_field.dataType),
+            T.StructField("max_cosine", T.DoubleType()),
+        ]
+    )
+    src = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = np.inf
+            m = m / n[:, None]
+            np.nan_to_num(m, copy=False)
+            mx = np.round((m @ bm.T).max(axis=1), 6) if len(bm) else (
+                np.zeros(len(m))
+            )
+            out = pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "max_cosine": mx}
+            )
+            yield out[out["max_cosine"] >= thr]
+
+    return src.mapInPandas(score_batches, schema)
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str,
+    id_col: str,
+    **kwargs,
+) -> DataFrame:
+    """Corpus rows with embedding-contaminated documents removed
+    (left-anti against :func:`semantic_contaminated_docs` — same
+    write-path contract as :func:`decontaminate`)."""
+    flagged = semantic_contaminated_docs(
+        corpus, benchmark, vec_col, id_col, **kwargs
+    )
+    return corpus.join(
+        flagged.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )
+
+
+def semantic_contamination_oracle_sql(
+    threshold: float,
+    corpus_src: str,
+    bench_src: str,
+    vec_expr: str = "embedding",
+    id_expr: str = "vec_id",
+) -> str:
+    """DuckDB replay of the "pairs" method — (doc_id, max_cosine)
+    with the same round-6-before-max rule."""
+    return f"""
+SELECT doc_id, max(c) AS max_cosine
+FROM (
+  SELECT t.{id_expr} AS doc_id,
+         round(CASE WHEN list_dot_product(t.v, t.v) > 0
+                     AND list_dot_product(b.bv, b.bv) > 0
+               THEN list_cosine_similarity(t.v, b.bv)
+               ELSE 0.0 END, 6) AS c
+  FROM (SELECT {id_expr}, {vec_expr}::DOUBLE[] AS v FROM {corpus_src}) t
+  CROSS JOIN (SELECT {vec_expr}::DOUBLE[] AS bv FROM {bench_src}) b
+)
+GROUP BY doc_id
+HAVING max(c) >= {float(threshold)!r}
+"""

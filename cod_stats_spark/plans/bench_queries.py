@@ -3288,11 +3288,58 @@ def ann_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDECON_BENCH_N = 15  # md5-ordered deterministic "eval set" split
+_SEMDECON_T = 0.3       # random embeddings: ~50 of 485 docs flag
+
+
+def ann_semdecon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination arm (r13): the first
+    ``_SEMDECON_BENCH_N`` embeddings in md5-id order play the eval
+    set (the IVF centroid-sample rule — reproducible in SQL), the
+    rest are the corpus; flagged = max benchmark cosine >= threshold
+    via the broadcast "pairs" path (operators/decontaminate.py
+    semantic_contaminated_docs)."""
+    from cod_stats_spark.operators.decontaminate import (
+        semantic_contaminated_docs,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    bench = emb.orderBy(
+        F.md5(F.col("vec_id").cast("string").cast("binary")),
+        F.col("vec_id"),
+    ).limit(_SEMDECON_BENCH_N)
+    bids = [int(r["vec_id"]) for r in bench.select("vec_id").collect()]
+    rest = emb.filter(~F.col("vec_id").isin(bids))
+    return semantic_contaminated_docs(
+        rest, bench, "embedding", "vec_id", threshold=_SEMDECON_T
+    ).select(
+        F.col("doc_id").alias("id"), F.col("max_cosine").alias("cosine")
+    )
+
+
+def _semdecon_oracle_sql() -> str:
+    from cod_stats_spark.operators.decontaminate import (
+        semantic_contamination_oracle_sql,
+    )
+
+    bench = (
+        "(SELECT vec_id, embedding FROM embeddings"
+        f" ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_SEMDECON_BENCH_N})"
+    )
+    corpus = (
+        "(SELECT vec_id, embedding FROM embeddings WHERE vec_id NOT IN"
+        f" (SELECT vec_id FROM {bench} b))"
+    )
+    inner = semantic_contamination_oracle_sql(_SEMDECON_T, corpus, bench)
+    return f"SELECT doc_id AS id, max_cosine AS cosine FROM ({inner})"
+
+
 def _ann_merged_oracle() -> str:
     """Union of the FULL ANN/clustering/quantization oracles (brute /
     LSH / IVF / k-means assignment / PQ encode+ADC / JL random
-    projection / SemDeDup survivors), each tagged with its method —
-    every approximation stays value-verified."""
+    projection / SemDeDup survivors / semantic decontamination), each
+    tagged with its method — every approximation stays
+    value-verified."""
     from cod_stats_spark.operators.semantic import semantic_dedup_oracle_sql
 
     parts = [
@@ -3307,6 +3354,7 @@ def _ann_merged_oracle() -> str:
                 KMEANS_FOLD_K, _SEMDEDUP_T, pts_src=_semdedup_pts_sql()
             ),
         ),
+        ("semdecon", _semdecon_oracle_sql()),
     ]
     tagged = "\nUNION ALL\n".join(
         f"SELECT '{m}' AS method, id, cosine FROM ({sql})" for m, sql in parts
@@ -3336,7 +3384,12 @@ def _ann_merged_oracle() -> str:
         "SQL); r10: + SemDeDup (operators/semantic.py — cluster-restricted "
         "embedding near-dup removal keeping the farthest-from-centroid "
         "member; assignment, centroid-cosine ranks, pair decisions, and "
-        "survivors replayed in SQL over synthetic near-dup copies). FULL "
+        "survivors replayed in SQL over synthetic near-dup copies); r13: "
+        "+ semantic decontamination (operators/decontaminate.py "
+        "semantic_contaminated_docs — flag corpus docs within a cosine "
+        "threshold of ANY eval-set embedding, the cross-dataset SemDeDup "
+        "posture; md5-split eval set, broadcast pairs path, "
+        "round-6-before-max rule replayed in SQL). FULL "
         "oracle incl. bucketing/assignment/quantization — "
         "merged from the former ann_cosine_topk / ann_lsh_topk / ann_ivf_topk "
         "gates, registry ≤ 50)"
@@ -3353,9 +3406,13 @@ def ann_topk_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = ann_semdedup_q(spark, sf_dir).select(
         F.lit("semdedup").alias("method"), "id", "cosine"
     )
+    sdc = ann_semdecon_q(spark, sf_dir).select(
+        F.lit("semdecon").alias("method"), "id", "cosine"
+    )
     return (
         brute.unionByName(lsh).unionByName(ivf).unionByName(km)
         .unionByName(pq).unionByName(rp).unionByName(sd)
+        .unionByName(sdc)
     )
 
 

@@ -130,6 +130,44 @@ def _lm_gate(
     return kept
 
 
+def _validate_dsir_gate_args(dsir_model, min_dsir_logw) -> None:
+    """Same entry-time contract as the LM gate: half a gate is a
+    silent no-op the caller would misread as 'the DSIR gate ran'."""
+    if (dsir_model is None) != (min_dsir_logw is None):
+        raise ValueError(
+            "curate_corpus/curate_corpus_append: dsir_model and "
+            "min_dsir_logw must be set together"
+        )
+
+
+def _dsir_gate(
+    gated: DataFrame,
+    dsir_model,
+    min_dsir_logw: float,
+    text_col: str,
+    id_col: str,
+    stats: dict[str, int],
+) -> DataFrame:
+    """DSIR domain-match gate in the model-gate slot: score every doc
+    against the FIXED importance model (operators/dsir.py — hashed
+    bag-of-n-grams log p̂_target − log q̂_raw) and drop below the
+    threshold. The THRESHOLD form, not the Gumbel top-k resample: a
+    fixed model + fixed cut is stateless, so append == rebuild holds
+    (a global top-k would re-rank on every append — use the
+    standalone ``dsir_select`` for one-shot corpus construction)."""
+    from cod_stats_spark.operators.dsir import dsir_score
+
+    kept = (
+        dsir_score(gated, dsir_model, text_col=text_col, id_col=id_col)
+        .where(F.col("dsir_logw") >= float(min_dsir_logw))
+        .drop("dsir_logw")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats["after_dsir_gate"] = kept.count()
+    gated.unpersist()
+    return kept
+
+
 def curate_corpus(
     docs: DataFrame,
     benchmark: DataFrame | None,
@@ -154,9 +192,17 @@ def curate_corpus(
     min_qc_score: float = 0.5,
     lm_model: DataFrame | None = None,
     max_lm_nll: float | None = None,
+    dsir_model=None,
+    min_dsir_logw: float | None = None,
     semantic_centroids: list[list[float]] | None = None,
     semantic_threshold: float = 0.95,
     embedding_col: str = "embedding",
+    semantic_benchmark: DataFrame | None = None,
+    semantic_decon_threshold: float = 0.95,
+    semantic_decon_method: str = "gemm",
+    mixture_alpha: float | None = None,
+    mixture_domain_col: str = "lang",
+    mixture_max_weight: float | None = None,
     url_col: str | None = None,
     domain_blocklist: list[str] | None = None,
     domain_allowlist: list[str] | None = None,
@@ -219,6 +265,38 @@ def curate_corpus(
     fixed threshold ⇒ stateless ⇒ append == rebuild holds (see
     :func:`_lm_gate`).
 
+    ``dsir_model`` + ``min_dsir_logw``: the DSIR domain-match gate in
+    the same model-gate slot (last of the three when all are set —
+    fluency first, then domain match): docs whose log importance
+    weight under the FIXED target/raw model (operators/dsir.py) falls
+    below the cut drop; stats gains ``after_dsir_gate``. The
+    THRESHOLD posture — stateless, append == rebuild; the paper's
+    exact Gumbel top-k resample is the standalone ``dsir_select``
+    (a global k re-ranks on every append, so it belongs to one-shot
+    corpus construction, not the funnel).
+
+    ``semantic_benchmark``: embedding-space decontamination right
+    after the n-gram decontamination (the same stage-4 slot): any
+    surviving doc within ``semantic_decon_threshold`` cosine of ANY
+    benchmark embedding drops (paraphrased eval material n-grams
+    cannot see). ``semantic_decon_method`` defaults to the BLAS
+    "gemm" path (42× the Column path at the 2 GB stratum —
+    SCALING.md); both share the round-6-before-max decision rule.
+    Stateless vs a fixed benchmark — append == rebuild holds. Stats
+    gains ``after_semantic_decon``.
+
+    ``mixture_alpha``: temperature-based mixture rebalancing
+    (sampling.temperature_mixture, the mC4/XLM-R p_d ∝ m_d^α
+    posture) over ``mixture_domain_col`` AFTER cleaning, before
+    packing: high-resource domains thin, low-resource domains
+    replicate (epochs). Stats gains ``after_mixture`` (output rows
+    incl. replicas). Replicas share the original id, so packing and
+    the shard write key on ``epoch_key`` and split assignment hashes
+    the ORIGINAL id (a doc's replicas can never straddle
+    train/eval). ONE-SHOT ONLY: the weights derive from the corpus
+    masses, so an append would re-weigh every earlier batch —
+    curate_corpus_append deliberately has no such stage.
+
     ``url_col`` + ``domain_blocklist``/``domain_allowlist``: when set,
     a provenance gate (functions/url.domain_gate — subdomain-matching
     blocklist, optional allowlist) runs FIRST, before any content
@@ -239,6 +317,7 @@ def curate_corpus(
     Stateless — append == rebuild is preserved.
     """
     _validate_lm_gate_args(lm_model, max_lm_nll)
+    _validate_dsir_gate_args(dsir_model, min_dsir_logw)
     stats: dict[str, int] = {"input": docs.count()}
 
     if html_input:
@@ -274,6 +353,9 @@ def curate_corpus(
     if lm_model is not None:
         gated = _lm_gate(gated, lm_model, max_lm_nll, text_col,
                          id_col, stats)
+    if dsir_model is not None:
+        gated = _dsir_gate(gated, dsir_model, min_dsir_logw, text_col,
+                           id_col, stats)
 
     # exact + near dedup — the dedup_pipeline gate's shape: shingle
     # once, share the projection across LSH and the Jaccard verify.
@@ -355,6 +437,40 @@ def curate_corpus(
     else:
         clean = deduped
     stats["after_decontamination"] = clean.count()
+    clean_persisted = benchmark is not None
+
+    if semantic_benchmark is not None:
+        from cod_stats_spark.operators.decontaminate import (
+            semantic_decontaminate,
+        )
+
+        sclean = semantic_decontaminate(
+            clean, semantic_benchmark, embedding_col, id_col,
+            threshold=semantic_decon_threshold,
+            method=semantic_decon_method,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        stats["after_semantic_decon"] = sclean.count()
+        if clean_persisted:
+            clean.unpersist()
+        clean, clean_persisted = sclean, True
+
+    # packing/splits key on the doc id — unless the mixture stage
+    # replicated docs, in which case epoch_key is the unique per-copy
+    # key (the epoch_expand contract) and split assignment hashes the
+    # ORIGINAL id so replicas can never straddle train/eval
+    export_id, split_group = id_col, None
+    if mixture_alpha is not None:
+        from cod_stats_spark.operators.sampling import temperature_mixture
+
+        mixed = temperature_mixture(
+            clean, id_col, mixture_domain_col, alpha=mixture_alpha,
+            salt=f"{salt}|tmix", max_weight=mixture_max_weight,
+        ).drop("epoch").persist(StorageLevel.MEMORY_AND_DISK)
+        stats["after_mixture"] = mixed.count()
+        if clean_persisted:
+            clean.unpersist()
+        clean, clean_persisted = mixed, True
+        export_id, split_group = "epoch_key", id_col
 
     # min_quality already applied — the export's gate must not drop
     # more (quality_score is [0,1], so 0.0 passes everything)
@@ -363,9 +479,9 @@ def curate_corpus(
 
         from cod_stats_spark.operators.sampling import assign_splits
 
-        assigned = assign_splits(clean, id_col, splits, salt=salt).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        assigned = assign_splits(
+            clean, export_id, splits, salt=salt, group_col=split_group
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         parts = []
         for name in splits:
             part = assigned.filter(F.col("split") == name).drop("split")
@@ -374,7 +490,7 @@ def curate_corpus(
                 part,
                 os.path.join(out_path, f"split={name}"),
                 text_col=text_col,
-                id_col=id_col,
+                id_col=export_id,
                 token_budget=token_budget,
                 min_quality=0.0,
                 salt=f"{salt}|{name}",
@@ -389,7 +505,7 @@ def curate_corpus(
             clean,
             out_path,
             text_col=text_col,
-            id_col=id_col,
+            id_col=export_id,
             token_budget=token_budget,
             min_quality=0.0,
             salt=salt,
@@ -397,7 +513,7 @@ def curate_corpus(
     stats["shards"] = manifest.count()
     for df in (gated, keepers, deduped):
         df.unpersist()
-    if benchmark is not None:
+    if clean_persisted:
         clean.unpersist()
     return manifest, stats
 
@@ -424,9 +540,14 @@ def curate_corpus_append(
     min_qc_score: float = 0.5,
     lm_model: DataFrame | None = None,
     max_lm_nll: float | None = None,
+    dsir_model=None,
+    min_dsir_logw: float | None = None,
     semantic_centroids: list[list[float]] | None = None,
     semantic_threshold: float = 0.95,
     embedding_col: str = "embedding",
+    semantic_benchmark: DataFrame | None = None,
+    semantic_decon_threshold: float = 0.95,
+    semantic_decon_method: str = "gemm",
     url_col: str | None = None,
     domain_blocklist: list[str] | None = None,
     domain_allowlist: list[str] | None = None,
@@ -464,6 +585,19 @@ def curate_corpus_append(
     same slot as the one-shot funnel (after the classifier). The
     reference model and threshold are FIXED inputs, so the stage is
     stateless and append == rebuild holds.
+
+    ``dsir_model`` + ``min_dsir_logw``: the DSIR domain-match gate in
+    the same model-gate slot as the one-shot funnel (after the LM
+    gate). Fixed model + fixed cut — stateless, append == rebuild
+    holds (the threshold posture; see :func:`_dsir_gate`).
+
+    ``semantic_benchmark`` (+ ``semantic_decon_threshold``,
+    ``semantic_decon_method``): embedding-space decontamination in
+    the same stage-4 slot as the one-shot funnel, against a FIXED
+    eval-embedding set — stateless, append == rebuild holds. Stats
+    gains ``after_semantic_decon``. There is deliberately NO
+    ``mixture_alpha`` here: temperature weights derive from corpus
+    masses, so an append would re-weigh every earlier batch.
 
     ``substring_n``: when set, the ExactSubstr span scrub runs between
     the dedup stage and decontamination — the same slot it occupies in
@@ -508,6 +642,7 @@ def curate_corpus_append(
     import os
 
     _validate_lm_gate_args(lm_model, max_lm_nll)
+    _validate_dsir_gate_args(dsir_model, min_dsir_logw)
     stats: dict[str, int] = {"input": new_docs.count()}
     if html_input:
         from cod_stats_spark.functions.html import extract_text
@@ -540,6 +675,9 @@ def curate_corpus_append(
     if lm_model is not None:
         gated = _lm_gate(gated, lm_model, max_lm_nll, text_col,
                          id_col, stats)
+    if dsir_model is not None:
+        gated = _dsir_gate(gated, dsir_model, min_dsir_logw, text_col,
+                           id_col, stats)
 
     from cod_stats_spark.streaming.dedup import dedup_batch_against_corpus
 
@@ -617,6 +755,22 @@ def curate_corpus_append(
     else:
         clean = deduped
     stats["after_decontamination"] = clean.count()
+    clean_persisted = benchmark is not None
+
+    if semantic_benchmark is not None:
+        from cod_stats_spark.operators.decontaminate import (
+            semantic_decontaminate,
+        )
+
+        sclean = semantic_decontaminate(
+            clean, semantic_benchmark, embedding_col, id_col,
+            threshold=semantic_decon_threshold,
+            method=semantic_decon_method,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        stats["after_semantic_decon"] = sclean.count()
+        if clean_persisted:
+            clean.unpersist()
+        clean, clean_persisted = sclean, True
 
     manifest = export_training_shards(
         clean,
@@ -634,7 +788,7 @@ def curate_corpus_append(
         # loop calls this per micro-batch, and an unpersisted stage
         # cache per epoch would accumulate until eviction thrashing
         deduped.unpersist()
-    if benchmark is not None:
+    if clean_persisted:
         clean.unpersist()
     return manifest, stats
 

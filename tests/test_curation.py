@@ -1029,3 +1029,182 @@ def test_lm_gate_drops_tokenless_docs_and_rejects_half_config(spark, tmp_path):
             docs, None, str(tmp_path / "x"), min_quality=0.0,
             lm_model=model, token_budget=64,
         )
+
+
+def test_dsir_gate_both_postures(spark, tmp_path):
+    """r13: the DSIR domain-match gate — a FIXED importance model +
+    threshold drops off-target docs identically in the one-shot and
+    append postures (the threshold form is stateless, so
+    append == rebuild); half a config raises at entry."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cod_stats_spark.operators.dsir import dsir_fit
+    from cod_stats_spark.plans.curation import (
+        compact_curated_shards,
+        curate_corpus,
+        curate_corpus_append,
+    )
+
+    sci = ("the experiment measured the electron energy spectrum while "
+           "the detector recorded the particle decay in the chamber")
+    spam = ("click here winner free prize casino jackpot buy now limited "
+            "offer click click prize winner casino")
+    target = spark.createDataFrame(
+        [(100 + i, sci + f" run {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = target.unionByName(
+        spark.createDataFrame(
+            [(200 + i, spam + f" deal {i}") for i in range(5)],
+            "doc_id long, text string",
+        )
+    )
+    model = dsir_fit(target, raw, dim=1 << 10, ngrams=1)
+    rows = [
+        (1, sci + " with calibration notes appended for the archive"),
+        (2, sci + " and the second detector confirmed the measurement"),
+        (3, spam + " unbeatable deal ends tonight"),       # off-target: dies
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(min_quality=0.0, token_budget=64,
+              dsir_model=model, min_dsir_logw=0.0)
+
+    out = str(tmp_path / "one")
+    _, stats = curate_corpus(docs, None, out, **kw)
+    assert stats["after_dsir_gate"] == 2
+    one = {
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert one == {1, 2}
+
+    state = str(tmp_path / "state")
+    for b, pred in ((1, "doc_id <= 1"), (2, "doc_id > 1")):
+        curate_corpus_append(
+            spark, docs.filter(pred), None, state, batch_id=b, **kw
+        )
+    compacted = compact_curated_shards(spark, state)
+    appended = {r["doc_id"] for r in compacted.select("doc_id").collect()}
+    assert appended == one
+
+    with pytest.raises(ValueError, match="min_dsir_logw"):
+        curate_corpus(docs, None, str(tmp_path / "half"), dsir_model=model)
+
+
+def test_semantic_decon_stage_both_postures(spark, tmp_path):
+    """r13: embedding-space decontamination — a doc whose embedding
+    sits on an eval-set embedding dies in BOTH postures even though
+    its WORDS share nothing with the benchmark (the case n-gram
+    decontamination cannot see); stateless vs the fixed benchmark,
+    so append == rebuild."""
+    from cod_stats_spark.plans.curation import (
+        compact_curated_shards,
+        curate_corpus,
+        curate_corpus_append,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the barn",
+         [1.0, 0.0, 0.0, 0.0]),
+        (2, "distributed query engines shuffle and aggregate large tables",
+         [0.0, 1.0, 0.0, 0.0]),
+        # paraphrased eval item: zero word overlap with the benchmark
+        # text below, embedding within the cosine threshold
+        (3, "a swift russet animal vaults an idle hound beside stables",
+         [0.0, 0.0, 0.99, 0.01]),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>"
+    )
+    bench = spark.createDataFrame(
+        [(900, "benchmark phrasing entirely different words",
+          [0.0, 0.0, 1.0, 0.0])],
+        "doc_id long, text string, embedding array<double>",
+    )
+    kw = dict(min_quality=0.0, token_budget=64,
+              semantic_benchmark=bench, semantic_decon_threshold=0.95)
+
+    out = str(tmp_path / "one")
+    _, stats = curate_corpus(docs, None, out, **kw)
+    assert stats["after_decontamination"] == 3
+    assert stats["after_semantic_decon"] == 2
+    one = {
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert one == {1, 2}
+
+    # the "pairs" method must make the identical decision
+    out2 = str(tmp_path / "one_pairs")
+    _, stats2 = curate_corpus(
+        docs, None, out2, semantic_decon_method="pairs", **{
+            k: v for k, v in kw.items() if k != "semantic_decon_method"
+        }
+    )
+    assert stats2["after_semantic_decon"] == 2
+
+    state = str(tmp_path / "state")
+    for b, pred in ((1, "doc_id <= 2"), (2, "doc_id > 2")):
+        curate_corpus_append(
+            spark, docs.filter(pred), None, state, batch_id=b, **kw
+        )
+    compacted = compact_curated_shards(spark, state)
+    appended = {r["doc_id"] for r in compacted.select("doc_id").collect()}
+    assert appended == one
+
+
+def test_mixture_stage_rebalances_and_guards_split_leakage(spark, tmp_path):
+    """r13: the temperature-mixture stage replicates low-resource
+    domains after cleaning (stats gains after_mixture, shards key on
+    epoch_key), and with splits every replica of a doc lands in ONE
+    split (assignment hashes the original id)."""
+    from collections import defaultdict
+
+    from cod_stats_spark.plans.curation import curate_corpus
+
+    # lexically DISTINCT docs (rotated content words) — one-token
+    # variations of a template would collapse at the near-dup stage
+    # and leave nothing for the mixture to rebalance
+    w = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+         "golf", "hotel", "india", "juliet", "kilo", "lima"]
+    rows = [
+        (i, f"the {w[i]} report covers {w[(i+3) % 12]} metrics while "
+            f"the {w[(i+5) % 12]} pipeline stage runs {w[(i+7) % 12]} "
+            f"checks over the {w[(i+9) % 12]} cluster nodes", "en")
+        for i in range(12)
+    ] + [
+        (100, "der schnelle braune fuchs springt ueber den faulen hund "
+              "waehrend die graue katze vom fenster aus zuschaut", "de"),
+        (101, "die alte muehle am fluss mahlt das korn des dorfes seit "
+              "vielen jahren ohne eine einzige pause", "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = str(tmp_path / "mixed")
+    _, stats = curate_corpus(
+        docs, None, out,
+        min_quality=0.0, token_budget=64,
+        mixture_alpha=0.3, mixture_domain_col="lang", mixture_max_weight=4.0,
+        splits={"train": 0.6, "val": 0.4},
+    )
+    # de (2 docs) must replicate, en (12) must thin — and the totals
+    # must match what the written shards carry
+    assert stats["after_mixture"] > 0
+    written = []
+    for split in ("train", "val"):
+        p = f"{out}/split={split}"
+        import glob
+        import os
+
+        if os.path.isdir(p) and glob.glob(f"{p}/**/*.parquet", recursive=True):
+            for r in spark.read.parquet(p).select("epoch_key").collect():
+                written.append((split, r["epoch_key"]))
+    assert len(written) == stats["after_mixture"]
+    de_copies = [k for _, k in written if k.startswith("1")
+                 and int(k.split(":")[0]) >= 100]
+    assert len(de_copies) > 2            # upsampled
+    en_copies = [k for _, k in written if int(k.split(":")[0]) < 100]
+    assert len(en_copies) < 12           # thinned
+    # leakage guard: all replicas of one doc share a split
+    by_doc = defaultdict(set)
+    for split, k in written:
+        by_doc[k.split(":")[0]].add(split)
+    assert all(len(s) == 1 for s in by_doc.values())

@@ -181,23 +181,34 @@ def dsir_fit(
             "dsir_fit: empty feature stream "
             f"(target={tt}, raw={tr} occurrences)"
         )
-    denom_t = math.log(tt + a * dim)
-    denom_r = math.log(tr + a * dim)
-    lam6 = [
-        round(
-            (math.log(ct.get(b, 0) + a) - denom_t
-             - math.log(cr.get(b, 0) + a) + denom_r) * _W6
-        )
-        for b in range(dim)
-    ]
     return DsirModel(
         dim=dim,
         ngrams=ngrams,
         base_hash=base_hash,
         lowercase=lowercase,
         smoothing=a,
-        log_ratio6=lam6,
+        log_ratio6=_lam6_from_counts(ct, cr, dim, a),
     )
+
+
+def _lam6_from_counts(
+    target: dict[int, int], raw: dict[int, int], dim: int, smoothing: float
+) -> list[int]:
+    """The λ6 arithmetic, ONE definition on purpose: the incremental
+    path (streaming/dsir.py) refits from merged count snapshots and
+    must produce bit-identical micro-units to a from-scratch fit over
+    the union — only a shared formula (same op order, same doubles)
+    can guarantee that."""
+    a = float(smoothing)
+    denom_t = math.log(sum(target.values()) + a * dim)
+    denom_r = math.log(sum(raw.values()) + a * dim)
+    return [
+        round(
+            (math.log(target.get(b, 0) + a) - denom_t
+             - math.log(raw.get(b, 0) + a) + denom_r) * _W6
+        )
+        for b in range(dim)
+    ]
 
 
 def dsir_logweight_expr(

@@ -103,7 +103,17 @@ class WordPieceVocab:
         self.max_piece_len = max(len(p) for p in self.vocab)
 
     def pieces(self) -> list[str]:
-        """Tokens in id order (the export layout)."""
+        """``pieces()[id] = token`` — the position-ordered list
+        operators/packing.encode_ids consumes. Requires contiguous
+        ids 0..N-1 (true of learn_wordpiece output and standard BERT
+        files); raises otherwise rather than silently re-mapping an
+        imported artifact's gapped ids (the byte_bpe.id_list rule)."""
+        n = len(self.vocab)
+        if sorted(self.vocab.values()) != list(range(n)):
+            raise ValueError(
+                "pieces: vocab ids are not contiguous 0..N-1 — map ids "
+                "through the vocab dict directly"
+            )
         return [p for p, _ in sorted(self.vocab.items(), key=lambda kv: kv[1])]
 
 

@@ -268,6 +268,10 @@ class TestInterop:
         assert v.vocab == {"[UNK]": 100, "play": 7, "##ing": 42}
         assert v.max_input_chars == 50
         assert v.lowercase is False
+        # gapped ids must refuse the position-ordered list rather
+        # than silently re-map (encode_ids treats position as id)
+        with pytest.raises(ValueError, match="contiguous"):
+            v.pieces()
 
     def test_malformed_documents_rejected(self):
         from cod_stats_spark.operators.tokenizer_io import (

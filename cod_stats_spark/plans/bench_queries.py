@@ -5350,6 +5350,39 @@ FROM (
 GROUP BY bucket"""
 
 
+def _fert_oracle_sql() -> str:
+    """DuckDB replay of operators/tokenizer_eval.fertility_stats over
+    the documents corpus: per-language corpus-level compression
+    (chars/token) and fertility (sub-word tokens per whitespace word)
+    from the SAME two SQL-replayable counters (ws split; the
+    sub-word-ish regex family, functions/text.BPE_ISH_PATTERN)."""
+    from cod_stats_spark.functions.text import BPE_ISH_PATTERN
+
+    # DuckDB string literals are standard-SQL (backslash is literal),
+    # so the RE2 pattern rides verbatim — doubling the backslash would
+    # turn [^\\sA-Za-z0-9]'s \\s into an escaped-backslash + literal
+    # 's' and match every SPACE as a token (caught at gate bring-up)
+    ws = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+    pat = BPE_ISH_PATTERN
+    return f"""
+SELECT 'fert:' || lang AS grp,
+       round(CASE WHEN tws > 0 THEN ch::DOUBLE / tws END, 6) AS m1,
+       round(CASE WHEN tsub > 0 THEN ch::DOUBLE / tsub END, 6) AS m2,
+       round(CASE WHEN tws > 0 THEN tsub::DOUBLE / tws END, 6) AS m3,
+       round(tws::DOUBLE / nd, 6) AS m4,
+       nd AS n
+FROM (
+  SELECT lang, count(*) AS nd,
+         sum(length(text))::BIGINT AS ch,
+         sum(len({ws}))::BIGINT AS tws,
+         sum(len(regexp_extract_all(text, '{pat}')))::BIGINT AS tsub
+  FROM (SELECT lang,
+               text || ' #' || doc_id::VARCHAR || '%, ok!' AS text
+        FROM documents)
+  GROUP BY lang
+)"""
+
+
 def _stat_gate_extras() -> dict[str, str]:
     from cod_stats_spark.operators.funnel import (
         cohort_oracle_sql,
@@ -5365,12 +5398,13 @@ def _stat_gate_extras() -> dict[str, str]:
         "dom": _dom_oracle_sql(),
         "html": _html_oracle_sql(),
         "dompsl": _dompsl_oracle_sql(),
+        "fert": _fert_oracle_sql(),
     }
 
 
 @query(
     "stat_aggregates",
-    covers="EXT-olap EXT-analytics (statistical aggregates: stddev/variance/corr/covar + fixed-width bucketed histogram + exact interpolated quantiles per group; r7: + operators/profiling.profile_table's per-column count/null/mean/stddev/min/max rows, recomputed from scratch in SQL; r9: + operators/funnel.py — strict-sequential funnel over the event stream ['funnel:'], the 7-day-max-gap variant ['funnelgap:'], and weekly cohort retention triangles ['cohort:'], each replayed as chained CTEs in SQL; r9: + operators/expectations.py ['dq:'] — declarative data-quality checks (not_null/range/accepted_values/regex/unique/referential) incl. a genuinely FAILING unique on the synthetic lineitem PK, every violation count recomputed from scratch in SQL; r11: + functions/url.py ['dom:'] — URL host extraction/canonicalization, eTLD+1 registered domain incl. multi-part and platform suffixes, subdomain blocklist matching, and the per-domain corpus rollup [domain_stats], every row recomputed from the same suffix constants in SQL over synthetic per-doc URLs; r12: + functions/html.py ['html:'] — HTML→text extraction with script/style/comment stripping, block-break line structure, entity decode, and C4 line cleaning over synthetic pages, the cleaned text md5-packed into the group key so every byte is value-verified from the same pattern constants in SQL; r13: + ['dompsl:'] — a loaded >64-rule PSL set driven through the with_registered_domain broadcast-join RELATION path [the at-scale form; strip_www auto-off under www-anchored exceptions], the oracle replaying the SAME rules as the full regex alternation: explicit+wildcard same-tail, wildcard-protected exception, www-anchored exception, and the two-label fallback all value-verified)",
+    covers="EXT-olap EXT-analytics (statistical aggregates: stddev/variance/corr/covar + fixed-width bucketed histogram + exact interpolated quantiles per group; r7: + operators/profiling.profile_table's per-column count/null/mean/stddev/min/max rows, recomputed from scratch in SQL; r9: + operators/funnel.py — strict-sequential funnel over the event stream ['funnel:'], the 7-day-max-gap variant ['funnelgap:'], and weekly cohort retention triangles ['cohort:'], each replayed as chained CTEs in SQL; r9: + operators/expectations.py ['dq:'] — declarative data-quality checks (not_null/range/accepted_values/regex/unique/referential) incl. a genuinely FAILING unique on the synthetic lineitem PK, every violation count recomputed from scratch in SQL; r11: + functions/url.py ['dom:'] — URL host extraction/canonicalization, eTLD+1 registered domain incl. multi-part and platform suffixes, subdomain blocklist matching, and the per-domain corpus rollup [domain_stats], every row recomputed from the same suffix constants in SQL over synthetic per-doc URLs; r12: + functions/html.py ['html:'] — HTML→text extraction with script/style/comment stripping, block-break line structure, entity decode, and C4 line cleaning over synthetic pages, the cleaned text md5-packed into the group key so every byte is value-verified from the same pattern constants in SQL; r13: + ['dompsl:'] — a loaded >64-rule PSL set driven through the with_registered_domain broadcast-join RELATION path [the at-scale form; strip_www auto-off under www-anchored exceptions], the oracle replaying the SAME rules as the full regex alternation: explicit+wildcard same-tail, wildcard-protected exception, www-anchored exception, and the two-label fallback all value-verified; r13: + operators/tokenizer_eval.py ['fert:'] — per-language tokenizer fertility/compression eval: corpus-level chars-per-token for the ws and sub-word-regex counters, sub-tokens-per-word fertility, and mean words/doc, ratios of SUMS recomputed from the same counters in SQL)",
     oracle="""
 WITH prof AS (
   SELECT 'l_quantity' AS c, count(*) AS n_rows,
@@ -5514,6 +5548,8 @@ UNION ALL
 {html}
 UNION ALL
 {dompsl}
+UNION ALL
+{fert}
 """.format(**_stat_gate_extras()),
 )
 def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5771,6 +5807,29 @@ def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m1", "m2", "m3", null_m.alias("m4"), "n",
         )
     )
+    # r13: per-language tokenizer fertility/compression eval — ratios
+    # of corpus-level SUMS over the two SQL-replayable counters. The
+    # synthetic corpus is pure lowercase words (sub == ws trivially),
+    # so the arm decorates each doc with deterministic digits +
+    # punctuation — the counters must genuinely diverge for the
+    # fertility column to verify anything
+    from cod_stats_spark.operators.tokenizer_eval import fertility_stats
+
+    fert_docs = t["documents"].withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" #"),
+            F.col("doc_id").cast("string"), F.lit("%, ok!"),
+        ),
+    )
+    fert = fertility_stats(fert_docs, "text", "lang").select(
+        F.concat(F.lit("fert:"), F.col("lang")).alias("grp"),
+        F.col("chars_per_ws").alias("m1"),
+        F.col("chars_per_sub").alias("m2"),
+        F.col("fert_sub").alias("m3"),
+        F.round(F.col("toks_ws") / F.col("n_docs"), 6).alias("m4"),
+        F.col("n_docs").alias("n"),
+    )
     return (
         stats.unionByName(hist).unionByName(quant)
         .unionByName(prof).unionByName(prange)
@@ -5781,6 +5840,7 @@ def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dom)
         .unionByName(dompsl)
         .unionByName(html_arm)
+        .unionByName(fert)
     )
 
 

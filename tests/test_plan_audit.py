@@ -48,6 +48,12 @@ BNLJ_ALLOWED = {
                           # ONE-ROW n_rows aggregate to the one-row
                           # violation count via a broadcast cross join
                           # (r9 'dq:' arms) — 1×1, size-independent
+    "ann_topk",           # the 'semdecon' arm's "pairs" method IS a
+                          # broadcast nested loop BY CONTRACT (corpus ×
+                          # md5-split 15-row eval set, the SQL-replayable
+                          # oracle form; decontaminate.py docstring) —
+                          # the at-scale path is the GEMM method, which
+                          # the funnel and SCALING.md measurements use
 }
 
 

@@ -409,6 +409,318 @@ LEFT JOIN (
 """
 
 
+def trigram_lm_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(w1, w2, w3, cnt) — adjacent-token trigram counts, the bigram
+    fit's shape one order up: one explode + one shuffle on the
+    triple. Merge incrementally by summing cnt."""
+    tk = _tokens(text_col, lowercase)
+    src = docs.select(tk.alias("_tk"))
+    triples = F.expr(
+        "filter(transform(_tk, (w, i) ->"
+        " struct(if(i > 1, element_at(_tk, i - 1), null) as w1,"
+        " if(i > 0, element_at(_tk, i), null) as w2, w as w3)),"
+        " t -> t.w1 is not null)"
+    )
+    return (
+        src.select(F.explode(triples).alias("t"))
+        .select("t.w1", "t.w2", "t.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def kn_lm_score(
+    docs: DataFrame,
+    uni_model: DataFrame,
+    bi_model: DataFrame,
+    tri_model: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    discount: float = 0.75,
+    alpha: float = 1.0,
+    lowercase: bool = True,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document mean NLL under an interpolated Kneser-Ney TRIGRAM
+    model (Kneser & Ney 1995; the Chen & Goodman 1999 interpolated
+    form with one fixed discount D — the model family KenLM, and
+    therefore CCNet's published scorer, builds on):
+    (id..., lm3_tokens, lm3_nll).
+
+    Layers, each backing off into the next on an unseen context:
+
+    - P₁(w)      = (N₁₊(·w) + α) / (N₁₊(··) + α·V) — the CONTINUATION
+      unigram ("how many contexts does w complete"), add-α-floored so
+      out-of-vocabulary tokens score the floor (the family's
+      convention; pure KN would give them zero). V is the unigram
+      model's vocabulary size.
+    - P₂(w|v)    = max(N₁₊(·vw) − D, 0)/N₁₊(·v·)
+                   + D·N₁₊(v·)/N₁₊(·v·) · P₁(w); contexts v with no
+      trigram through them (N₁₊(·v·) = 0) back off wholly to P₁(w).
+    - P₃(w|u,v)  = max(c(uvw) − D, 0)/c(uv)
+                   + D·N₁₊(uv·)/c(uv) · P₂(w|v); unseen (u,v)
+      contexts back off wholly to P₂(w|v).
+
+    Positions 1 and 2 of each document score P₁ and P₂ (no padding
+    symbols — the no-context convention the bigram scorer set).
+
+    Every derived statistic is a count-distinct or sum over the model
+    tables — ONE code path builds them as DataFrames (bounded aggs;
+    the only driver values are the three totals), with
+    ``broadcast_model`` controlling only the join hint: True ships
+    the relations broadcast (gate scale), False leaves them to
+    shuffled joins + AQE (the 100 TB posture — trigram support grows
+    far past broadcast size long before the corpus does). All
+    probabilities are exact integer ratios in double arithmetic —
+    identical in any engine; only ln() risks 1 ulp, so gates round
+    the mean to 6 dp (:func:`kn_lm_oracle_sql` replays everything).
+    Zero-token documents score (0, 0.0)."""
+    if not (0.0 < discount < 1.0):
+        raise ValueError("kn_lm_score: discount must be in (0, 1)")
+    id_cols = id_cols or ["doc_id"]
+    hint = F.broadcast if broadcast_model else (lambda df: df)
+    d = float(discount)
+
+    totals = uni_model.agg(F.count(F.lit(1)).alias("v")).first()
+    v_size = float(totals["v"] or 0)
+    cont = bi_model.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("_n1w")  # N1+(·w): distinct v per w
+    )
+    cont_tot = cont.agg(F.sum("_n1w").alias("t")).first()
+    n_cc = float(cont_tot["t"] or 0)  # N1+(··): distinct bigram types
+    denom1 = n_cc + alpha * v_size
+    if denom1 <= 0:
+        raise ValueError("kn_lm_score: empty model")
+    floor1 = alpha / denom1
+    rel_p1 = hint(
+        cont.select(
+            F.col("w2").alias("_p1w"),
+            ((F.col("_n1w") + F.lit(alpha)) / F.lit(denom1)).alias("_p1"),
+        )
+    )
+
+    # middle layer: N1+(·vw) per (v,w); N1+(·v·) per v; N1+(v·) per v
+    n1_vw = tri_model.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("_nvw")  # distinct u per (v, w)
+    )
+    n1_vdot = n1_vw.groupBy("w2").agg(
+        F.sum("_nvw").alias("_nvd")  # distinct (u, w) through v
+    )
+    fanout_v = bi_model.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("_fv")  # N1+(v·): distinct w after v
+    )
+    rel_mid = hint(
+        n1_vw.join(n1_vdot, "w2").select(
+            F.col("w2").alias("_mv"),
+            F.col("w3").alias("_mw"),
+            (
+                F.greatest(F.col("_nvw") - F.lit(d), F.lit(0.0))
+                / F.col("_nvd")
+            ).alias("_mmain"),
+        )
+    )
+    rel_midlam = hint(
+        n1_vdot.join(fanout_v, n1_vdot["w2"] == fanout_v["w1"]).select(
+            F.col("w2").alias("_lv"),
+            (F.lit(d) * F.col("_fv") / F.col("_nvd")).alias("_mlam"),
+        )
+    )
+
+    # top layer: c(uvw), c(uv), N1+(uv·)
+    fanout_uv = tri_model.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("_fuv")  # distinct w after (u, v)
+    )
+    c_uv = bi_model.select(
+        F.col("w1").alias("_cu"), F.col("w2").alias("_cv"),
+        F.col("cnt").alias("_cuv"),
+    )
+    rel_top = hint(
+        tri_model.join(
+            c_uv,
+            (tri_model["w1"] == c_uv["_cu"]) & (tri_model["w2"] == c_uv["_cv"]),
+        ).select(
+            F.col("w1").alias("_tu"), F.col("w2").alias("_tv"),
+            F.col("w3").alias("_tw"),
+            (
+                F.greatest(F.col("cnt") - F.lit(d), F.lit(0.0))
+                / F.col("_cuv")
+            ).alias("_tmain"),
+        )
+    )
+    rel_toplam = hint(
+        fanout_uv.join(
+            c_uv,
+            (fanout_uv["w1"] == c_uv["_cu"]) & (fanout_uv["w2"] == c_uv["_cv"]),
+        ).select(
+            F.col("w1").alias("_gu"), F.col("w2").alias("_gv"),
+            (F.lit(d) * F.col("_fuv") / F.col("_cuv")).alias("_tlam"),
+        )
+    )
+
+    tk = _tokens(text_col, lowercase)
+    ent = F.expr(
+        "transform(_tk, (w, i) -> struct("
+        " if(i > 1, element_at(_tk, i - 1), null) as wpp,"
+        " if(i > 0, element_at(_tk, i), null) as wp, w as w))"
+    )
+    pos = (
+        docs.select(*id_cols, tk.alias("_tk"))
+        .select(*id_cols, F.explode(ent).alias("_e"))
+        .select(
+            *id_cols,
+            F.col("_e.wpp").alias("_wpp"),
+            F.col("_e.wp").alias("_wp"),
+            F.col("_e.w").alias("_w"),
+        )
+    )
+    joined = (
+        pos.join(rel_p1, pos["_w"] == rel_p1["_p1w"], "left")
+        .join(
+            rel_mid,
+            (pos["_wp"] == rel_mid["_mv"]) & (pos["_w"] == rel_mid["_mw"]),
+            "left",
+        )
+        .join(rel_midlam, pos["_wp"] == rel_midlam["_lv"], "left")
+        .join(
+            rel_top,
+            (pos["_wpp"] == rel_top["_tu"])
+            & (pos["_wp"] == rel_top["_tv"])
+            & (pos["_w"] == rel_top["_tw"]),
+            "left",
+        )
+        .join(
+            rel_toplam,
+            (pos["_wpp"] == rel_toplam["_gu"])
+            & (pos["_wp"] == rel_toplam["_gv"]),
+            "left",
+        )
+    )
+    p1 = F.coalesce(F.col("_p1"), F.lit(floor1))
+    p2 = F.when(
+        F.col("_mlam").isNotNull(),
+        F.coalesce(F.col("_mmain"), F.lit(0.0)) + F.col("_mlam") * p1,
+    ).otherwise(p1)
+    p3 = F.when(
+        F.col("_tlam").isNotNull(),
+        F.coalesce(F.col("_tmain"), F.lit(0.0)) + F.col("_tlam") * p2,
+    ).otherwise(p2)
+    prob = (
+        F.when(F.col("_wp").isNull(), p1)
+        .when(F.col("_wpp").isNull(), p2)
+        .otherwise(p3)
+    )
+    per_doc = joined.groupBy(*id_cols).agg(
+        F.count(F.lit(1)).alias("lm3_tokens"),
+        (-F.sum(F.log(prob)) / F.count(F.lit(1))).alias("lm3_nll"),
+    )
+    return (
+        docs.select(*id_cols)
+        .join(per_doc, id_cols, "left")
+        .select(
+            *id_cols,
+            F.coalesce(F.col("lm3_tokens"), F.lit(0)).alias("lm3_tokens"),
+            F.coalesce(F.col("lm3_nll"), F.lit(0.0)).alias("lm3_nll"),
+        )
+    )
+
+
+def kn_lm_oracle_sql(
+    src: str,
+    text_sql: str = "text",
+    id_sql: str = "doc_id",
+    discount: float = 0.75,
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB replica of trigram-KN fit∘score over the same corpus:
+    identical tokens, counts, continuation statistics, discounting,
+    and backoff — (doc_id, lm3_tokens, lm3_nll) unrounded. Training ==
+    scoring corpus, so every position's token is in-vocabulary and
+    every (u,v) context of positions ≥ 3 is an observed bigram (the
+    Spark path's unseen-context/OOV branches are unit-test
+    territory, the lm2 convention)."""
+    toks = (
+        f"list_filter(string_split_regex(trim(lower({text_sql})), '\\s+'),"
+        " t -> t <> '')"
+    )
+    dd = float(discount)
+    return f"""
+SELECT d.{id_sql} AS doc_id,
+       coalesce(s.lm3_tokens, 0) AS lm3_tokens,
+       coalesce(s.lm3_nll, 0.0) AS lm3_nll
+FROM {src} d
+LEFT JOIN (
+  WITH tok AS (
+    SELECT {id_sql} AS doc_id, {toks} AS tk FROM {src}
+  ), pr AS (
+    SELECT doc_id, i, tk[i + 1] AS w,
+           CASE WHEN i > 0 THEN tk[i] END AS wp,
+           CASE WHEN i > 1 THEN tk[i - 1] END AS wpp
+    FROM tok, UNNEST(CASE WHEN len(tk) = 0 THEN []
+                     ELSE generate_series(0, len(tk) - 1) END) AS u(i)
+  ), uni AS (
+    SELECT t, count(*) AS c
+    FROM (SELECT unnest(tk) AS t FROM tok) GROUP BY t
+  ), big AS (
+    SELECT wp AS w1, w AS w2, count(*) AS c12
+    FROM pr WHERE wp IS NOT NULL GROUP BY 1, 2
+  ), tri AS (
+    SELECT wpp AS w1, wp AS w2, w AS w3, count(*) AS c123
+    FROM pr WHERE wpp IS NOT NULL GROUP BY 1, 2, 3
+  ), cont AS (SELECT w2 AS w, count(*) AS n1w FROM big GROUP BY w2),
+  tot AS (
+    SELECT (SELECT sum(n1w)::DOUBLE FROM cont) AS ncc,
+           (SELECT count(*)::DOUBLE FROM uni) AS v
+  ), nvw AS (
+    SELECT w2, w3, count(*) AS c FROM tri GROUP BY w2, w3
+  ), nvd AS (SELECT w2, sum(c)::DOUBLE AS c FROM nvw GROUP BY w2),
+  fv AS (SELECT w1, count(*) AS c FROM big GROUP BY w1),
+  fuv AS (SELECT w1, w2, count(*) AS c FROM tri GROUP BY w1, w2),
+  terms AS (
+    SELECT p.doc_id,
+           CASE
+             WHEN p.wp IS NULL THEN
+               (coalesce(cont.n1w, 0) + {alpha!r}) / (tot.ncc + {alpha!r} * tot.v)
+             WHEN p.wpp IS NULL THEN
+               CASE WHEN nvd.c IS NOT NULL THEN
+                 coalesce(greatest(nvw.c - {dd!r}, 0.0) / nvd.c, 0.0)
+                 + {dd!r} * fv.c / nvd.c
+                   * (coalesce(cont.n1w, 0) + {alpha!r}) / (tot.ncc + {alpha!r} * tot.v)
+               ELSE
+                 (coalesce(cont.n1w, 0) + {alpha!r}) / (tot.ncc + {alpha!r} * tot.v)
+               END
+             ELSE
+               coalesce(greatest(tri.c123 - {dd!r}, 0.0) / big2.c12, 0.0)
+               + {dd!r} * fuv.c / big2.c12
+                 * (CASE WHEN nvd.c IS NOT NULL THEN
+                      coalesce(greatest(nvw.c - {dd!r}, 0.0) / nvd.c, 0.0)
+                      + {dd!r} * fv.c / nvd.c
+                        * (coalesce(cont.n1w, 0) + {alpha!r})
+                          / (tot.ncc + {alpha!r} * tot.v)
+                    ELSE
+                      (coalesce(cont.n1w, 0) + {alpha!r}) / (tot.ncc + {alpha!r} * tot.v)
+                    END)
+           END AS prob
+    FROM pr p
+    CROSS JOIN tot
+    LEFT JOIN cont ON cont.w = p.w
+    LEFT JOIN nvw ON nvw.w2 = p.wp AND nvw.w3 = p.w
+    LEFT JOIN nvd ON nvd.w2 = p.wp
+    LEFT JOIN fv ON fv.w1 = p.wp
+    LEFT JOIN tri ON tri.w1 = p.wpp AND tri.w2 = p.wp AND tri.w3 = p.w
+    LEFT JOIN big big2 ON big2.w1 = p.wpp AND big2.w2 = p.wp
+    LEFT JOIN fuv ON fuv.w1 = p.wpp AND fuv.w2 = p.wp
+  )
+  SELECT doc_id, count(*) AS lm3_tokens,
+         -sum(ln(prob)) / count(*) AS lm3_nll
+  FROM terms GROUP BY doc_id
+) s ON s.doc_id = d.{id_sql}
+"""
+
+
 def perplexity_partition(
     scored: DataFrame,
     nll_col: str = "lm_nll",

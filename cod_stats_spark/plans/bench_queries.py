@@ -32,6 +32,7 @@ from cod_stats_spark.operators.funnel import funnel_steps_oracle_sql
 from cod_stats_spark.operators.interval_join import interval_join
 from cod_stats_spark.operators.lm_score import (
     bigram_lm_oracle_sql,
+    kn_lm_oracle_sql,
     perplexity_partition_oracle_sql,
     unigram_lm_oracle_sql,
 )
@@ -1665,12 +1666,14 @@ SELECT m.doc_id, n_chars_calc, n_tokens_ws,
        md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp,
        lm.lm_tokens, round(lm.lm_nll, 6) AS lm_nll,
        lm2.lm2_tokens, round(lm2.lm2_nll, 6) AS lm2_nll,
+       lm3.lm3_tokens, round(lm3.lm3_nll, 6) AS lm3_nll,
        qc.qc_score,
        ppl.ppl_bucket,
        lc.lang_pred, lc.lang_margin
 FROM m JOIN documents d ON m.doc_id = d.doc_id
 JOIN ({unigram_lm_oracle_sql("documents")}) lm ON lm.doc_id = m.doc_id
 JOIN ({bigram_lm_oracle_sql("documents")}) lm2 ON lm2.doc_id = m.doc_id
+JOIN ({kn_lm_oracle_sql("documents")}) lm3 ON lm3.doc_id = m.doc_id
 JOIN ({_qc_oracle_join()}) qc ON qc.doc_id = m.doc_id
 JOIN ({perplexity_partition_oracle_sql(unigram_lm_oracle_sql("documents"), "documents", by="lang")}) ppl
   ON ppl.doc_id = m.doc_id
@@ -1691,6 +1694,11 @@ JOIN ({_lang_oracle_join()}) lc ON lc.doc_id = m.doc_id
         "trained hashed-bigram logistic quality classifier [qc_score] — "
         "operators/quality_classifier.py, fixed-literal-weight forward "
         "pass: md5_60 bucket hash, mean pooling, sigmoid all in SQL; "
+        "r13: interpolated Kneser-Ney TRIGRAM mean NLL [lm3_*] — "
+        "operators/lm_score.kn_lm_score, the KenLM/CCNet model family "
+        "one order up: continuation counts N1+(·w)/N1+(·vw)/N1+(v·)/"
+        "N1+(uv·), fixed-discount absolute discounting, and the "
+        "two-layer backoff all recomputed from scratch in SQL; "
         "r12: CCNet perplexity partitioning [ppl_bucket] — per-language "
         "head/middle/tail split by exact quantile CUT POINTS broadcast "
         "back [no global ntile window], cuts + strict-greater bucket "
@@ -1734,8 +1742,21 @@ def quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = unigram_lm_score(docs, uni).select(
         "doc_id", "lm_tokens", F.round("lm_nll", 6).alias("lm_nll")
     )
-    lm2 = bigram_lm_score(docs, uni, bigram_lm_fit(docs)).select(
+    bi_fit = bigram_lm_fit(docs)
+    lm2 = bigram_lm_score(docs, uni, bi_fit).select(
         "doc_id", "lm2_tokens", F.round("lm2_nll", 6).alias("lm2_nll")
+    )
+    # r13: interpolated Kneser-Ney TRIGRAM mean NLL — the KenLM/CCNet
+    # model family one order up from the r9 bigram; continuation
+    # counts, discounting, and the two backoff layers all replayed in
+    # SQL (operators/lm_score.kn_lm_score docstring)
+    from cod_stats_spark.operators.lm_score import (
+        kn_lm_score,
+        trigram_lm_fit,
+    )
+
+    lm3 = kn_lm_score(docs, uni, bi_fit, trigram_lm_fit(docs)).select(
+        "doc_id", "lm3_tokens", F.round("lm3_nll", 6).alias("lm3_nll")
     )
     from cod_stats_spark.operators.quality_classifier import (
         quality_classifier_expr,
@@ -1773,6 +1794,7 @@ def quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.join(lm, "doc_id")
         .join(lm2, "doc_id")
+        .join(lm3, "doc_id")
         .join(qc, "doc_id")
         .join(ppl, "doc_id")
         .join(lc, "doc_id")

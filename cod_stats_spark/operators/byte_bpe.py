@@ -23,11 +23,14 @@ hitting the EOW mismatch.
 Fidelity notes, stated plainly:
 
 - The pretoken regex is GPT-2's pattern re-expressed in std-``re``
-  terms: ``[^\\W\\d_]`` for ``\\p{L}`` (unicode letters — exact),
-  ``\\d`` for ``\\p{N}`` (a SUBSET: ``\\p{N}`` also covers letterlike
-  numerals such as roman-numeral codepoints; those fall to the
-  punctuation branch here), underscore moved from the word class to
-  the punctuation class to match ``\\p{L}``'s behavior. Documented,
+  terms: ``[^\\W\\d_]`` for ``\\p{L}`` and ``\\d`` for ``\\p{N}``.
+  Neither substitution is exact for letterlike numerals
+  (roman-numeral codepoints, category Nl/No): GPT-2's ``\\p{N}``
+  branch takes them, while here they match the LETTER branch —
+  Python's ``\\w`` includes Nl/No, so ``[^\\W\\d_]`` admits them and
+  that alternative runs first (verified: 'Ⅻ' tokenizes with the
+  letters). Underscore is moved from the word class to the
+  punctuation class to match ``\\p{L}``'s behavior. Documented,
   deterministic, and preserved byte-for-byte through the artifact
   (``pre_tokenizer.type: "ByteLevel"`` + this module on both ends).
 - ``bytes_to_unicode`` is the published GPT-2 table: the three

@@ -273,11 +273,32 @@ def semantic_contaminated_docs(
             f"max_bench_rows={max_bench_rows} — an eval suite this "
             "large should be chunked, not silently truncated"
         )
-    bm = np.array([r["_bv"] for r in rows], dtype=np.float64)
-    bn = np.linalg.norm(bm, axis=1)
-    bn[bn == 0] = np.inf  # zero-norm bench rows score 0 against all
-    bm = bm / bn[:, None]
-    np.nan_to_num(bm, copy=False)
+    def _matrix(vecs, dim: int | None):
+        """Rows → a dense (n, dim) float matrix; NULL or wrong-length
+        vectors become zero rows (they score 0, the pairs-path guard)
+        instead of raising numpy's ragged-sequence error mid-task."""
+        clean = []
+        for v in vecs:
+            if v is not None and (dim is None or len(v) == dim):
+                if dim is None:
+                    dim = len(v)
+                clean.append(np.asarray(v, dtype=np.float64))
+            else:
+                clean.append(None)
+        if dim is None:  # every row NULL — nothing can score
+            return np.zeros((len(clean), 0)), 0
+        out = np.zeros((len(clean), dim))
+        for i, v in enumerate(clean):
+            if v is not None:
+                out[i] = v
+        return out, dim
+
+    bm, bdim = _matrix([r["_bv"] for r in rows], None)
+    if len(bm) and bdim:
+        bn = np.linalg.norm(bm, axis=1)
+        bn[bn == 0] = np.inf  # zero-norm bench rows score 0 vs all
+        bm = bm / bn[:, None]
+        np.nan_to_num(bm, copy=False)
     thr = float(threshold)
 
     id_field = corpus.schema[id_col]
@@ -296,14 +317,15 @@ def semantic_contaminated_docs(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            m = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            if not len(bm) or not bdim:
+                # empty eval suite: a no-op, exactly like "pairs"
+                continue
+            m, _ = _matrix(pdf["_v"], bdim)
             n = np.linalg.norm(m, axis=1)
             n[n == 0] = np.inf
             m = m / n[:, None]
             np.nan_to_num(m, copy=False)
-            mx = np.round((m @ bm.T).max(axis=1), 6) if len(bm) else (
-                np.zeros(len(m))
-            )
+            mx = np.round((m @ bm.T).max(axis=1), 6)
             out = pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "max_cosine": mx}
             )

@@ -363,24 +363,15 @@ def dsir_select(
 
 
 def _duck_feats(src: str, text_expr: str, id_expr: str, model: DsirModel) -> str:
-    """DuckDB CTE body producing (doc_id, feats) — the
-    quality_classifier oracle's feature construction verbatim."""
-    src_txt = f"lower({text_expr})" if model.lowercase else text_expr
-    bigram_part = (
-        " || (CASE WHEN len(tk) >= 2 THEN list_transform("
-        "range(len(tk) - 1), i -> tk[i+1] || ' ' || tk[i+2])"
-        " ELSE []::VARCHAR[] END)"
-        if model.ngrams == 2
-        else ""
+    """DuckDB CTE body producing (doc_id, feats) — the SHARED
+    quality_classifier oracle feature construction (one tokenization
+    definition on the oracle side, mirroring the shared Spark-side
+    ``_feats_sql``)."""
+    from cod_stats_spark.operators.quality_classifier import _duck_feats_sql
+
+    return _duck_feats_sql(
+        src, text_expr, id_expr, model.ngrams, model.lowercase
     )
-    return f"""
-  SELECT {id_expr} AS doc_id, tk{bigram_part} AS feats
-  FROM (
-    SELECT {id_expr},
-           list_filter(string_split(trim(regexp_replace({src_txt}, '\\s+', ' ', 'g')), ' '),
-                       t -> t <> '') AS tk
-    FROM {src}
-  )"""
 
 
 def dsir_oracle_sql(

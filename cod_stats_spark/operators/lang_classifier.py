@@ -353,10 +353,16 @@ def _margins_array_sql(
     margins = []
     for j in range(len(model.classes)):
         arr = "array(" + ", ".join(str(v) for v in w6[j]) + ")"
+        # zero-gram guard: a doc too short for every order (possible
+        # when min(orders) > 2 — the two padding spaces cover 1/2-
+        # grams) must score the bias alone, matching the relation
+        # path's fallback, not divide by size(fids) = 0 (an ANSI
+        # crash; r13 review)
         margins.append(
-            f"(cast(aggregate(fids, cast(0 as bigint),"
+            f"if(size(fids) > 0, (cast(aggregate(fids, cast(0 as bigint),"
             f" (acc, i) -> acc + element_at({arr}, i + 1)) as double)"
-            f" / {float(_W6)!r}) / size(fids) + ({model.biases[j]!r})"
+            f" / {float(_W6)!r}) / size(fids), cast(0.0 as double))"
+            f" + ({model.biases[j]!r})"
         )
     return (
         f"transform(array(transform({grams}, f -> {fid})), fids -> "
@@ -411,18 +417,32 @@ def lang_classifier_score(
         as_expression = model.dim * len(model.classes) <= _EXPR_DIM_LIMIT
     k = len(model.classes)
     if as_expression:
-        out = docs.withColumn(out_col, lang_classifier_expr(model, text_col))
-        if margin_col is not None:
-            out = out.withColumn(
-                margin_col,
-                F.round(
-                    F.expr(
-                        f"array_max({_margins_array_sql(model, text_col)})"
-                    ),
-                    6,
-                ),
+        if margin_col is None:
+            return docs.withColumn(
+                out_col, lang_classifier_expr(model, text_col)
             )
-        return out
+        # label + margin in ONE evaluation: the margins array feeds a
+        # struct built inside the lambda binding, and the struct rides
+        # through an explode (a Generate node — project collapsing
+        # cannot inline the expression into each field extraction, so
+        # the grams/hash/weight work runs once per row, not twice;
+        # r13 review)
+        case = " ".join(
+            f"WHEN element_at(ms, {j + 1}) = array_max(ms) "
+            f"THEN '{model.classes[j]}'"
+            for j in range(k)
+        )
+        struct_sql = (
+            f"transform(array({_margins_array_sql(model, text_col)}), "
+            f"ms -> struct(CASE {case} END AS label, "
+            f"array_max(ms) AS margin))[0]"
+        )
+        return (
+            docs.withColumn("_lc", F.explode(F.array(F.expr(struct_sql))))
+            .withColumn(out_col, F.col("_lc.label"))
+            .withColumn(margin_col, F.round(F.col("_lc.margin"), 6))
+            .drop("_lc")
+        )
     import pandas as pd
 
     spark = docs.sparkSession
@@ -502,7 +522,15 @@ def lang_classifier_score(
         )
     ]
     if margin_col is not None:
-        cols.append(F.col(margin_col))
+        # zero-gram docs (min(orders) > 2 on too-short text) have no
+        # per_doc row: their margin is the winning bias, matching the
+        # expression path's guarded form (r13 review)
+        cols.append(
+            F.coalesce(
+                F.col(margin_col),
+                F.round(F.lit(max(model.biases)), 6),
+            ).alias(margin_col)
+        )
     return joined.select(*cols)
 
 
@@ -528,9 +556,11 @@ def lang_classifier_oracle_sql(
     for j in range(k):
         arr = "[" + ", ".join(str(v) for v in w6[j]) + "]"
         margins.append(
-            f"(list_sum(list_transform(fids, i ->"
+            f"(CASE WHEN len(fids) > 0 THEN"
+            f" (list_sum(list_transform(fids, i ->"
             f" ({arr}::BIGINT[])[i + 1]))::DOUBLE"
-            f" / {float(_W6)!r}) / len(fids) + ({model.biases[j]!r})"
+            f" / {float(_W6)!r}) / len(fids) ELSE 0.0 END)"
+            f" + ({model.biases[j]!r})"
         )
     g = f"greatest({', '.join(margins)})" if k > 1 else margins[0]
     case = " ".join(

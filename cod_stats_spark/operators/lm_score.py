@@ -481,6 +481,12 @@ def kn_lm_score(
     Zero-token documents score (0, 0.0)."""
     if not (0.0 < discount < 1.0):
         raise ValueError("kn_lm_score: discount must be in (0, 1)")
+    if alpha <= 0:
+        # α=0 passes the denom>0 check but floors OOV probability at
+        # exactly 0 — ln(0) then NULLs out of the sum (understating
+        # the mean NLL) or crashes under ANSI; the docstring's whole
+        # point is that the floor EXISTS (r13 review)
+        raise ValueError("kn_lm_score: alpha must be > 0")
     id_cols = id_cols or ["doc_id"]
     hint = F.broadcast if broadcast_model else (lambda df: df)
     d = float(discount)

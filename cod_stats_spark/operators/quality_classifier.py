@@ -449,6 +449,32 @@ def quality_classifier_score(
     )
 
 
+def _duck_feats_sql(
+    src: str, text_expr: str, id_expr: str, ngrams: int, lowercase: bool
+) -> str:
+    """DuckDB subquery body producing (doc_id, feats) — the ONE
+    definition of the hashed-feature tokenization on the oracle side,
+    shared by this classifier's oracle and the DSIR oracle
+    (operators/dsir.py): a tokenization fix must land in one place or
+    the two replays silently drift apart (r13 review)."""
+    src_txt = f"lower({text_expr})" if lowercase else text_expr
+    bigram_part = (
+        " || (CASE WHEN len(tk) >= 2 THEN list_transform("
+        "range(len(tk) - 1), i -> tk[i+1] || ' ' || tk[i+2])"
+        " ELSE []::VARCHAR[] END)"
+        if ngrams == 2
+        else ""
+    )
+    return f"""
+  SELECT {id_expr} AS doc_id, tk{bigram_part} AS feats
+  FROM (
+    SELECT {id_expr},
+           list_filter(string_split(trim(regexp_replace({src_txt}, '\\s+', ' ', 'g')), ' '),
+                       t -> t <> '') AS tk
+    FROM {src}
+  )"""
+
+
 def quality_classifier_oracle_sql(
     model: QualityClassifierModel,
     src: str = "documents",
@@ -462,28 +488,17 @@ def quality_classifier_oracle_sql(
     if model.base_hash != "md5_60":
         raise ValueError("oracle replay requires base_hash='md5_60'")
     warr = "[" + ", ".join(repr(float(v)) for v in model.weights) + "]"
-    src_txt = f"lower({text_expr})" if model.lowercase else text_expr
     h = _DUCK_MD5_60.format(x="f")
-    bigram_part = (
-        " || (CASE WHEN len(tk) >= 2 THEN list_transform("
-        "range(len(tk) - 1), i -> tk[i+1] || ' ' || tk[i+2])"
-        " ELSE []::VARCHAR[] END)"
-        if model.ngrams == 2
-        else ""
+    feats = _duck_feats_sql(
+        src, text_expr, id_expr, model.ngrams, model.lowercase
     )
     return f"""
-SELECT {id_expr} AS doc_id,
+SELECT doc_id,
        round(1.0 / (1.0 + exp(-(CASE WHEN len(feats) > 0
              THEN list_sum(list_transform(feats, f -> ({warr}::DOUBLE[])[(({h}) % {model.dim} + 1)::BIGINT]))
                   / len(feats)
              ELSE 0.0 END + ({model.bias!r})))), 6) AS qc_score
 FROM (
-  SELECT {id_expr}, tk{bigram_part} AS feats
-  FROM (
-    SELECT {id_expr},
-           list_filter(string_split(trim(regexp_replace({src_txt}, '\\s+', ' ', 'g')), ' '),
-                       t -> t <> '') AS tk
-    FROM {src}
-  )
+{feats}
 )
 """

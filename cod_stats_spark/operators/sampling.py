@@ -222,10 +222,13 @@ def temperature_weights(
     denom = sum(m**alpha for m in ms.values())
     out = {}
     for d, m in ms.items():
-        w = round(m**alpha * total / denom / m, 9)
+        w = m**alpha * total / denom / m
+        # cap BEFORE the 9-dp quantization — the oracle computes
+        # round(least(raw, cap), 9), so capping after the round would
+        # diverge for caps with >9 decimal places (r13 review)
         if max_weight is not None:
             w = min(w, float(max_weight))
-        out[d] = w
+        out[d] = round(w, 9)
     return out
 
 

@@ -259,7 +259,11 @@ def byte_bpe_to_tokenizer_json(
     document the GPT-2/tiktoken family publishes: ``pre_tokenizer``
     and ``decoder`` of type ``ByteLevel``, no UNK (the byte alphabet
     is total), no EOW, the tokenizer's OWN vocab ids verbatim (never
-    re-derived — the file's id assignment is the model)."""
+    re-derived — the file's id assignment is the model). The
+    tokenizer's ``special_tokens`` ride ``added_tokens`` WITH THEIR
+    STORED IDS (same verbatim rule — dropping or renumbering them
+    would break an import→export round trip; r13 review);
+    ``special_tokens`` here appends EXTRA tokens beyond those."""
     shell = _shell()
     shell["pre_tokenizer"] = {
         "type": "ByteLevel",
@@ -268,11 +272,28 @@ def byte_bpe_to_tokenizer_json(
         "use_regex": True,
     }
     shell["decoder"] = {"type": "ByteLevel"}
-    shell["added_tokens"] = _added_tokens(
-        special_tokens,
-        (max(tok.vocab.values()) + 1) if tok.vocab else 0,
-        set(tok.vocab),
+    carried = [
+        {
+            "id": int(i),
+            "content": s,
+            "single_word": False,
+            "lstrip": False,
+            "rstrip": False,
+            "normalized": False,
+            "special": True,
+        }
+        for s, i in sorted(
+            getattr(tok, "special_tokens", {}).items(), key=lambda kv: kv[1]
+        )
+    ]
+    all_ids = list(tok.vocab.values()) + [t["id"] for t in carried]
+    extra = _added_tokens(
+        [t for t in (special_tokens or [])
+         if t not in {c["content"] for c in carried}],
+        (max(all_ids) + 1) if all_ids else 0,
+        set(tok.vocab) | {c["content"] for c in carried},
     )
+    shell["added_tokens"] = carried + extra
     return {
         **shell,
         "model": {
@@ -384,8 +405,14 @@ def wordpiece_to_tokenizer_json(
     ``vocab`` token→id). The vocab's OWN ids ride verbatim (the
     byte-BPE discipline); BERT's [PAD]/[UNK]/[CLS]/[SEP]/[MASK] live
     INSIDE the model vocab, so ``special_tokens`` here is only for
-    EXTRA added tokens beyond it (collision-checked)."""
+    EXTRA added tokens beyond it (collision-checked). The lowercase
+    flag rides the HF ``normalizer`` field (a Lowercase normalizer —
+    how BERT-uncased files actually carry it), so a round trip
+    cannot silently flip a cased model to lowercasing (r13
+    review)."""
     shell = _shell()
+    if vocab.lowercase:
+        shell["normalizer"] = {"type": "Lowercase"}
     next_id = max(vocab.vocab.values()) + 1
     shell["added_tokens"] = _added_tokens(
         special_tokens, next_id, set(vocab.vocab)
@@ -402,14 +429,34 @@ def wordpiece_to_tokenizer_json(
     }
 
 
-def tokenizer_json_to_wordpiece(doc: dict, lowercase: bool = True):
+def _normalizer_lowercases(norm) -> bool:
+    """True when the document's normalizer lowercases: a bare
+    Lowercase, a BertNormalizer with lowercase on (its HF default),
+    or either inside a Sequence."""
+    if not isinstance(norm, dict):
+        return False
+    t = norm.get("type")
+    if t == "Lowercase":
+        return True
+    if t == "BertNormalizer":
+        return bool(norm.get("lowercase", True))
+    if t == "Sequence":
+        return any(
+            _normalizer_lowercases(n) for n in norm.get("normalizers", [])
+        )
+    return False
+
+
+def tokenizer_json_to_wordpiece(doc: dict, lowercase: bool | None = None):
     """The inverse: a published WordPiece file's vocab with its ids
     PRESERVED VERBATIM (re-deriving ids from position would silently
-    re-map every token). ``lowercase`` is an encode-time choice, not
-    part of the HF model schema — BERT uncased files pair with a
-    lowercasing normalizer; pass False for cased artifacts.
-    Malformed shapes (wrong type, empty vocab, duplicate ids, an
-    unk_token missing from the vocab) are rejected loudly."""
+    re-map every token). ``lowercase`` defaults to what the
+    document's NORMALIZER says (Lowercase / BertNormalizer — how
+    BERT-uncased files carry it; cased files have none and get
+    False), so a round trip through the export above preserves the
+    flag; pass an explicit bool to override. Malformed shapes (wrong
+    type, empty vocab, duplicate ids, an unk_token missing from the
+    vocab) are rejected loudly."""
     from cod_stats_spark.operators.wordpiece import WordPieceVocab
 
     model = doc.get("model") or {}
@@ -421,6 +468,8 @@ def tokenizer_json_to_wordpiece(doc: dict, lowercase: bool = True):
     v = {str(p): int(i) for p, i in (model.get("vocab") or {}).items()}
     if not v:
         raise ValueError("tokenizer_json_to_wordpiece: empty vocab")
+    if lowercase is None:
+        lowercase = _normalizer_lowercases(doc.get("normalizer"))
     return WordPieceVocab(
         vocab=v,
         unk_token=str(model.get("unk_token") or "[UNK]"),

@@ -272,3 +272,26 @@ class TestArtifactInterop:
         assert tok.encode("fox")  # encoding still total
         with pytest.raises(ValueError, match="contiguous"):
             tok.id_list()
+
+
+def test_special_tokens_survive_export_import_roundtrip(tiny_tok, tmp_path):
+    """Import→export must carry special tokens WITH their stored ids
+    (the verbatim rule — r13 review: they were silently dropped)."""
+    from cod_stats_spark.operators.tokenizer_io import (
+        byte_bpe_to_tokenizer_json,
+        read_tokenizer_json,
+        tokenizer_json_to_byte_bpe,
+        write_tokenizer_json,
+    )
+
+    doc = byte_bpe_to_tokenizer_json(
+        tiny_tok, special_tokens=["<|pad|>", "<|eos|>"]
+    )
+    p = str(tmp_path / "t.json")
+    write_tokenizer_json(p, doc)
+    back = tokenizer_json_to_byte_bpe(read_tokenizer_json(p))
+    assert back.special_tokens  # populated on import
+    doc2 = byte_bpe_to_tokenizer_json(back)
+    assert doc2["added_tokens"] == doc["added_tokens"]
+    back2 = tokenizer_json_to_byte_bpe(doc2)
+    assert back2.special_tokens == back.special_tokens

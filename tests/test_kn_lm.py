@@ -189,3 +189,13 @@ class TestOracle:
             ).fetchall()
         }
         assert got == want
+
+
+def test_alpha_validation(spark):
+    """α ≤ 0 floors OOV probability at exactly 0 — ln(0) would then
+    silently corrupt the mean; rejected at entry (r13 review)."""
+    from cod_stats_spark.operators.lm_score import kn_lm_score
+
+    docs, uni, bi, tri = _models(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="alpha"):
+        kn_lm_score(docs, uni, bi, tri, alpha=0.0)

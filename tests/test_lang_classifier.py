@@ -314,3 +314,45 @@ class TestFunnelComposition:
             assert sum(per) == 30
             # value-based buckets on continuous scores: near-balanced
             assert all(5 <= c <= 20 for c in per), (lang, per)
+
+
+class TestZeroGramDocs:
+    def test_paths_agree_when_no_order_fits(self, spark):
+        """min(orders) > 2 on empty/NULL text yields ZERO grams (the
+        two padding spaces only cover 1/2-grams): both paths must
+        return the bias-argmax label and the winning bias as the
+        margin — not divide by zero (ANSI crash; r13 review,
+        verified repro)."""
+        import random
+
+        from cod_stats_spark.operators.lang_classifier import (
+            LangClassifierModel,
+            lang_classifier_score,
+        )
+
+        rng = random.Random(3)
+        model = LangClassifierModel(
+            dim=16,
+            classes=["de", "en", "fr"],
+            orders=(3,),
+            biases=[0.1, 0.7, -0.2],
+            weights=[[round(rng.uniform(-1, 1), 6) for _ in range(16)]
+                     for _ in range(3)],
+        )
+        docs = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "hello there friend")],
+            "doc_id long, text string",
+        )
+        results = {}
+        for as_expr in (True, False):
+            results[as_expr] = {
+                r["doc_id"]: (r["lang_pred"], r["lang_margin"])
+                for r in lang_classifier_score(
+                    docs, model, as_expression=as_expr,
+                    margin_col="lang_margin",
+                ).collect()
+            }
+        assert results[True] == results[False]
+        # zero-gram docs take the winning bias (en, 0.7)
+        assert results[True][1] == ("en", 0.7)
+        assert results[True][2] == ("en", 0.7)

@@ -154,3 +154,50 @@ class TestOracle:
             ).fetchall()
         }
         assert got == want
+
+
+class TestGemmRobustness:
+    def test_empty_benchmark_is_a_noop_both_paths(self, spark):
+        from cod_stats_spark.operators.decontaminate import (
+            semantic_contaminated_docs,
+        )
+
+        c, _ = _data(spark)
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        for method in ("pairs", "gemm"):
+            got = semantic_contaminated_docs(
+                c, empty, "embedding", "vec_id",
+                threshold=0.1, method=method,
+            ).collect()
+            assert got == [], method
+
+    def test_null_and_ragged_corpus_vectors_score_zero(self, spark):
+        """A NULL or wrong-length embedding must pass through unflagged
+        (score 0) on BOTH paths — not kill the gemm task with numpy's
+        ragged-sequence error (r13 review, verified repro)."""
+        from cod_stats_spark.operators.decontaminate import (
+            semantic_contaminated_docs,
+        )
+
+        c = spark.createDataFrame(
+            [
+                (1, None),
+                (2, [1.0, 0.0]),          # wrong dim vs bench
+                (3, [1.0, 0.0, 0.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        b = spark.createDataFrame(
+            [(9, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        for method in ("pairs", "gemm"):
+            got = {
+                r["doc_id"]
+                for r in semantic_contaminated_docs(
+                    c, b, "embedding", "vec_id",
+                    threshold=0.5, method=method,
+                ).collect()
+            }
+            assert got == {3}, method

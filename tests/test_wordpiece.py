@@ -312,3 +312,35 @@ class TestInterop:
         assert extras == {"<|endofdoc|>": max(vocab.vocab.values()) + 1}
         with pytest.raises(ValueError, match="collide"):
             wordpiece_to_tokenizer_json(vocab, special_tokens=["[UNK]"])
+
+
+class TestLowercaseRoundTrip:
+    def test_cased_model_stays_cased(self, tmp_path):
+        """The lowercase flag rides the normalizer field: a cased
+        export round-trips cased, an uncased one uncased, and a
+        BertNormalizer in a foreign file is honored (r13 review: the
+        import used to default every file to lowercasing)."""
+        from cod_stats_spark.operators.tokenizer_io import (
+            read_tokenizer_json,
+            tokenizer_json_to_wordpiece,
+            wordpiece_to_tokenizer_json,
+            write_tokenizer_json,
+        )
+        from cod_stats_spark.operators.wordpiece import WordPieceVocab
+
+        for lc in (True, False):
+            v = WordPieceVocab(
+                vocab={"[UNK]": 0, "Hello": 1, "##o": 2}, lowercase=lc
+            )
+            p = str(tmp_path / f"t{lc}.json")
+            write_tokenizer_json(p, wordpiece_to_tokenizer_json(v))
+            back = tokenizer_json_to_wordpiece(read_tokenizer_json(p))
+            assert back.lowercase is lc
+        bert_doc = {
+            "normalizer": {"type": "BertNormalizer", "lowercase": True},
+            "model": {"type": "WordPiece", "unk_token": "[UNK]",
+                      "vocab": {"[UNK]": 0, "a": 1}},
+        }
+        assert tokenizer_json_to_wordpiece(bert_doc).lowercase is True
+        bert_doc["normalizer"]["lowercase"] = False
+        assert tokenizer_json_to_wordpiece(bert_doc).lowercase is False

@@ -72,10 +72,20 @@ HEADLINE = [
     # action + unpersisted scoring join); fixed to a single fit, so
     # the timed plan changed and the entry is renamed (BENCH_NOTES.md)
     "lm_score_v2",
+    # round-13 addition: Kneser-Ney trigram scoring, whole job
+    # (subsample uni/bi/tri fits -> five-relation broadcast forward
+    # pass over the full corpus, checksum tail; new entry, new scope;
+    # BENCH_NOTES.md "New entries (round 13)")
+    "kn_lm_score",
     # round-8 addition: trained-BPE tokenization, whole job (word
     # counts -> driver merge training -> memoized mapInPandas encode;
     # new entry, new scope; BENCH_NOTES.md "New entries")
     "bpe_encode",
+    # round-13 addition: byte-level BPE (GPT-2/tiktoken posture),
+    # whole job (pretoken counts -> driver merge training at eow=None
+    # -> memoized mapInPandas encode; new entry, new scope;
+    # BENCH_NOTES.md "New entries (round 13)")
+    "byte_bpe_encode",
     # round-11 addition: trained unigram-LM (SentencePiece-style)
     # tokenization, whole job (word counts -> driver EM + pruning ->
     # memoized Viterbi mapInPandas encode; new entry, new scope;

@@ -20,8 +20,10 @@ Factoring:
   whitespace, one leading/trailing space so grams see word
   boundaries), hashed into ``dim`` buckets, mean-pooled — per-class
   margin = ``bias_k + mean(weights_k[fid(gram)])``. Null text scores
-  as the empty string (its two padding spaces still produce grams, so
-  every doc gets a deterministic prediction).
+  as the empty string — its two padding spaces cover every order ≤ 2,
+  and a doc too short for EVERY order (possible only when
+  min(orders) > 2) scores the biases alone — so every doc gets a
+  deterministic prediction on every path.
 - **fit**: full-batch softmax gradient descent. Per iteration: one
   broadcast of the nonzero weight rows (WIDE — one row per fid with K
   weight columns, so the exploded feature frame joins once, not K

@@ -6516,6 +6516,54 @@ def bpe_encode_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges).select("doc_id", "bpe_n_tokens")
 
 
+@_bench_only("byte_bpe_encode")
+def byte_bpe_encode_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed byte-level BPE tokenization, whole job (r13 — new entry,
+    new scope; BENCH_NOTES.md "New entries (round 13)"): Arrow-batched
+    pretoken counts (GPT-2 regex + bytes-to-unicode, bounded
+    dictionary), driver-side merge training at eow=None (vocab 512
+    past the 256-byte alphabet), and the memoized encode over every
+    document (operators/byte_bpe.py — the GPT-2/tiktoken posture next
+    to the subword-nmt `bpe_encode` entry). Not SQL-expressible; tests
+    in tests/test_byte_bpe.py."""
+    from cod_stats_spark.operators.byte_bpe import (
+        byte_bpe_encode,
+        train_byte_bpe,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = train_byte_bpe(docs, vocab_size=512)
+    return byte_bpe_encode(docs, tok).select("doc_id", "bpe_n_tokens")
+
+
+@_bench_only("kn_lm_score")
+def kn_lm_score_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed Kneser-Ney trigram scoring, whole job (r13 — new entry,
+    new scope; BENCH_NOTES.md "New entries (round 13)"): uni/bi/tri
+    fits on a 20% subsample (the quality_classifier convention — the
+    reference model comes from a curated slice, and it keeps the
+    timed fit proportionate), then the full corpus scored through the
+    five-relation broadcast forward pass. Ends in a checksum
+    aggregate referencing the NLLs so count() cannot prune the
+    scoring joins (the lm_score count-pruning hazard)."""
+    from cod_stats_spark.operators.lm_score import (
+        bigram_lm_fit,
+        kn_lm_score,
+        trigram_lm_fit,
+        unigram_lm_fit,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    ref = docs.where(F.col("doc_id") % 5 == 0)
+    scored = kn_lm_score(
+        docs, unigram_lm_fit(ref), bigram_lm_fit(ref), trigram_lm_fit(ref)
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("lm3_nll").alias("nll_checksum"),
+    ).where(F.col("nll_checksum") > F.lit(-1))
+
+
 @_bench_only("wordpiece_encode")
 def wordpiece_encode_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timed trained-WordPiece tokenization, whole job (r13 — new

@@ -316,6 +316,58 @@ class TestFunnelComposition:
             assert all(5 <= c <= 20 for c in per), (lang, per)
 
 
+class TestMixtureComposition:
+    def test_temperature_mixture_by_trained_lang(self, spark, trained):
+        """The other half of the CCNet/mC4 chain (r13): trained
+        lang_pred feeds temperature rebalancing — the dominant
+        predicted language thins, the scarce one upsamples, and the
+        output reproduces under repartitioning (the weights derive
+        from the PREDICTED distribution, end to end trained)."""
+        from pyspark.sql import functions as F
+
+        from cod_stats_spark.operators.lang_classifier import (
+            lang_classifier_score,
+        )
+        from cod_stats_spark.operators.sampling import temperature_mixture
+
+        # skewed corpus: lots of en, little zh
+        docs = _corpus_df(spark, n_per_lang=8, seed=11).where(
+            "lang != 'en' OR doc_id % 1 = 0"
+        ).unionByName(
+            _corpus_df(spark, n_per_lang=40, seed=12, doc_id_start=10_000)
+            .where("lang = 'en'")
+        )
+        labeled = lang_classifier_score(docs, trained)
+        mixed = temperature_mixture(
+            labeled, "doc_id", "lang_pred", alpha=0.3, max_weight=4.0
+        )
+        by = {
+            r["lang_pred"]: r["n"]
+            for r in mixed.groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        pre = {
+            r["lang_pred"]: r["n"]
+            for r in labeled.groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert by["en"] < pre["en"]          # dominant thins
+        scarce = min(pre, key=pre.get)
+        assert by[scarce] > pre[scarce]      # scarce upsamples
+        again = sorted(
+            (r["doc_id"], r["epoch"])
+            for r in temperature_mixture(
+                labeled.repartition(9), "doc_id", "lang_pred",
+                alpha=0.3, max_weight=4.0,
+            ).collect()
+        )
+        assert again == sorted(
+            (r["doc_id"], r["epoch"]) for r in mixed.collect()
+        )
+
+
 class TestZeroGramDocs:
     def test_paths_agree_when_no_order_fits(self, spark):
         """min(orders) > 2 on empty/NULL text yields ZERO grams (the

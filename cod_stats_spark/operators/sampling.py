@@ -287,7 +287,7 @@ def temperature_mixture_oracle_sql(
     w = f"pow(m, {alpha!r}) * mtot / denom / m"
     if max_weight is not None:
         w = f"least({w}, {float(max_weight)!r})"
-    return f"""
+    weights_sql = f"""
 WITH sizes AS (
   SELECT {domain_expr} AS d, {mass} AS m
   FROM {src}
@@ -297,24 +297,176 @@ WITH sizes AS (
 ),
 tot AS (
   SELECT SUM(m) AS mtot, SUM(pow(m, {alpha!r})) AS denom FROM sizes
-),
-w AS (
-  SELECT d, round({w}, 9) AS wt FROM sizes CROSS JOIN tot
 )
+SELECT d, round({w}, 9) AS wt FROM sizes CROSS JOIN tot
+"""
+    return _expand_oracle_sql(src, key_expr, domain_expr, salt, weights_sql)
+
+
+def _expand_oracle_sql(
+    src: str, key_expr: str, domain_expr: str, salt: str, weights_sql: str
+) -> str:
+    """Shared DuckDB replay of epoch_expand over a computed (d, wt)
+    weight relation — integer replication + the md5-threshold
+    fractional copy, with epoch_expand's unlisted-domain default
+    (null / zero-mass domains keep their single epoch 0)."""
+    return f"""
 SELECT id, domain, unnest(list_concat(
          list_transform(range(full_e), i -> i::INT),
          CASE WHEN ('0x' || substr(md5(id::VARCHAR || '{salt}' || 'ep'), 1, 5))::BIGINT
                    < CAST(floor(round(wt - full_e, 9) * {1 << 20}) AS BIGINT)
               THEN [full_e::INT] ELSE []::INT[] END)) AS epoch
 FROM (
-  -- domains outside the weight map (null / zero-mass) keep their
-  -- single epoch 0: epoch_expand's unlisted-domain default (w=1)
   SELECT {key_expr} AS id, {domain_expr} AS domain,
          COALESCE(w.wt, 1.0) AS wt,
          CAST(floor(COALESCE(w.wt, 1.0)) AS INT) AS full_e
-  FROM {src} t LEFT JOIN w ON {domain_expr} = w.d
+  FROM {src} t LEFT JOIN ({weights_sql}) w ON {domain_expr} = w.d
 )
 """
+
+
+def unimax_mixture_oracle_sql(
+    src: str,
+    key_expr: str,
+    domain_expr: str,
+    budget: float,
+    max_epochs: float = 1.0,
+    size_expr: str | None = None,
+    salt: str = "",
+) -> str:
+    """DuckDB replay of :func:`unimax_mixture` — (id, domain, epoch)
+    of the exact expanded rows: masses, the closed-form waterfill
+    (capacity order, prefix sums, the FIRST row whose capacity
+    exceeds its greedy share is the breakpoint — exactly the Python
+    scan's break), the one equal share with the same operation order,
+    and epoch_expand's copy-set arithmetic."""
+    mass = "COUNT(*)::DOUBLE" if size_expr is None else f"SUM(CAST({size_expr} AS DOUBLE))"
+    b = float(budget)
+    cap = float(max_epochs)
+    weights_sql = f"""
+WITH sizes AS (
+  SELECT {domain_expr} AS d, {mass} AS m
+  FROM {src}
+  WHERE {domain_expr} IS NOT NULL
+  GROUP BY {domain_expr}
+  HAVING {mass} > 0
+),
+ord AS (
+  SELECT d, m, {cap!r} * m AS c,
+         row_number() OVER (ORDER BY {cap!r} * m, d) AS rn,
+         count(*) OVER () AS n,
+         COALESCE(sum({cap!r} * m) OVER (ORDER BY {cap!r} * m, d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS pre
+  FROM sizes
+),
+brk AS (
+  SELECT COALESCE(min(CASE WHEN c > ({b!r} - pre) / (n - rn + 1)
+                       THEN rn END), max(n) + 1) - 1 AS k,
+         max(n) AS n
+  FROM ord
+),
+pk AS (
+  -- the capped prefix's capacity sum, read from the RUNNING window
+  -- at the breakpoint row: the same sequential left-to-right double
+  -- additions the Python scan performs (a separate SUM could add in
+  -- a different order and flip the 9-dp rounding of the share)
+  SELECT COALESCE(
+    (SELECT ord.pre FROM ord, brk WHERE ord.rn = brk.k + 1), 0.0
+  ) AS pre_k
+)
+SELECT d, CASE WHEN ord.rn <= brk.k THEN round({cap!r}, 9)
+          ELSE round(({b!r} - pk.pre_k) / (brk.n - brk.k) / ord.m, 9)
+          END AS wt
+FROM ord, brk, pk
+"""
+    return _expand_oracle_sql(src, key_expr, domain_expr, salt, weights_sql)
+
+
+def unimax_weights(
+    sizes: Mapping[str, float],
+    budget: float,
+    max_epochs: float = 1.0,
+) -> dict[str, float]:
+    """Per-domain epoch weights for UniMax sampling (Chung et al.,
+    "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining", ICLR 2023) — the
+    temperature-sampling successor: distribute a total training
+    ``budget`` (same unit as ``sizes``) as UNIFORMLY as possible
+    across domains, subject to a per-domain repeat cap
+    (``max_epochs`` · m_d — the paper's insight that low-resource
+    quality degrades past a few epochs, so fairness must stop at the
+    cap, not upsample forever like small-α temperature).
+
+    The published greedy waterfill, in its CLOSED form: visiting
+    domains by capacity (cap·m_d) ascending, a PREFIX of them caps
+    out (the greedy share exceeds their capacity) and everyone after
+    the breakpoint takes the one equal share
+    s = (budget − Σ capped capacities)/(#uncapped). Weights
+    w_d = cap for the capped prefix, round(s/m_d, 9) for the rest
+    (the mixture_sample quantization); capacity ties break by domain
+    name. A budget exceeding total capacity allocates everything AT
+    the cap (total < budget — the paper's posture; upsampling past
+    the cap is the failure mode UniMax exists to prevent). The closed
+    form is exactly the sequential greedy AND replayable in SQL with
+    identical doubles (one prefix-sum, one breakpoint, one division —
+    the 'umax' gate arm), where the loop's per-step remaining would
+    accumulate FP differences."""
+    if budget <= 0:
+        raise ValueError("unimax_weights: budget must be > 0")
+    if max_epochs <= 0:
+        raise ValueError("unimax_weights: max_epochs must be > 0")
+    ms = {d: float(m) for d, m in sizes.items() if float(m) > 0}
+    if not ms:
+        raise ValueError("unimax_weights: no positive-mass domains")
+    b = float(budget)
+    order = sorted(ms, key=lambda d: (max_epochs * ms[d], d))
+    n = len(order)
+    prefix, k = 0.0, 0
+    for i, d in enumerate(order):
+        c = max_epochs * ms[d]
+        if c <= (b - prefix) / (n - i):
+            prefix += c
+            k += 1
+        else:
+            break
+    out: dict[str, float] = {}
+    cap_w = round(float(max_epochs), 9)
+    for i, d in enumerate(order):
+        if i < k:
+            out[d] = cap_w
+        else:
+            out[d] = round((b - prefix) / (n - k) / ms[d], 9)
+    return out
+
+
+def unimax_mixture(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    budget: float,
+    max_epochs: float = 1.0,
+    size_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """UniMax mixture rebalancing in one deterministic op (the
+    temperature_mixture shape with the waterfill allocation):
+    measure per-domain mass (row count or ``size_col``), derive
+    :func:`unimax_weights` for the ``budget``, and apply them through
+    :func:`epoch_expand` — scarce domains repeat up to ``max_epochs``,
+    abundant ones thin to their uniform share. Null domains keep their
+    single epoch 0. Output carries ``epoch``/``epoch_key`` (the
+    epoch_expand contract)."""
+    mass = (
+        F.count(F.lit(1)) if size_col is None
+        else F.sum(F.col(size_col).cast("double"))
+    )
+    sizes = {
+        r["d"]: float(r["m"])
+        for r in df.groupBy(F.col(domain_col).alias("d")).agg(mass.alias("m")).collect()
+        if r["d"] is not None and r["m"] is not None and float(r["m"]) > 0
+    }
+    w = unimax_weights(sizes, budget, max_epochs=max_epochs)
+    return epoch_expand(df, key_col, domain_col, w, salt=salt)
 
 
 def epoch_expand(

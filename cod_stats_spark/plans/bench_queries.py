@@ -5941,6 +5941,24 @@ def _tmix_oracle_arm() -> str:
     )
 
 
+def _umax_oracle_arm() -> str:
+    """DuckDB replay of sampling.unimax_mixture (row-count mass,
+    budget 400 docs, 3-epoch cap): the closed-form waterfill
+    (capacity order, running prefix, breakpoint, one share) and the
+    expansion all recomputed in SQL."""
+    from cod_stats_spark.operators.sampling import unimax_mixture_oracle_sql
+
+    inner = unimax_mixture_oracle_sql(
+        "documents", "doc_id", "lang",
+        budget=400.0, max_epochs=3.0, salt="um13",
+    )
+    return (
+        "SELECT 'umax' AS tag, id,"
+        " domain || ':' || epoch::VARCHAR AS info"
+        f" FROM ({inner})"
+    )
+
+
 def _dsir_oracle_arm() -> str:
     """DuckDB replay of dsir_select over the documents corpus: exact
     integer micro-unit log weights (info column — integer formatting
@@ -5956,7 +5974,7 @@ def _dsir_oracle_arm() -> str:
 
 @query(
     "stratified_sample",
-    covers="EXT-sampling (deterministic md5-threshold stratified sampling + Efraimidis-Spirakis weighted sampling w/o replacement + train/val/test split assignment with group-level leakage guard + domain-mixture sampling — the exact samples reproduce in any engine; r11 'ep': sampling.epoch_expand per-domain UPSAMPLING — integer epoch replication + md5-selected fractional extra copies, the exact copy set replayed in SQL; r13 'dsir': operators/dsir.py DSIR importance resampling [Xie et al. 2023] — hashed bag-of-bigrams log p̂_target−log q̂_raw in integer micro-units + Gumbel top-k resampling, scoring AND the exact selected sample replayed in SQL; r13 'tmix': sampling.temperature_mixture — mC4/XLM-R p_d∝m_d^α temperature rebalancing, thinning AND upsampling in one epoch_expand pass with masses→9-dp weights→exact copy set all recomputed in SQL)",
+    covers="EXT-sampling (deterministic md5-threshold stratified sampling + Efraimidis-Spirakis weighted sampling w/o replacement + train/val/test split assignment with group-level leakage guard + domain-mixture sampling — the exact samples reproduce in any engine; r11 'ep': sampling.epoch_expand per-domain UPSAMPLING — integer epoch replication + md5-selected fractional extra copies, the exact copy set replayed in SQL; r13 'dsir': operators/dsir.py DSIR importance resampling [Xie et al. 2023] — hashed bag-of-bigrams log p̂_target−log q̂_raw in integer micro-units + Gumbel top-k resampling, scoring AND the exact selected sample replayed in SQL; r13 'tmix': sampling.temperature_mixture — mC4/XLM-R p_d∝m_d^α temperature rebalancing, thinning AND upsampling in one epoch_expand pass with masses→9-dp weights→exact copy set all recomputed in SQL; r13 'umax': sampling.unimax_mixture — UniMax [Chung et al. 2023] budget waterfill with a per-domain epoch cap, the closed-form breakpoint/share arithmetic AND the copy set recomputed in SQL)",
     oracle=f"""
 SELECT 'strat' AS tag, event_id AS id, event_type AS info
 FROM events
@@ -6008,10 +6026,12 @@ UNION ALL
 {_dsir_oracle_arm()}
 UNION ALL
 {_tmix_oracle_arm()}
+UNION ALL
+{_umax_oracle_arm()}
 """,
 )
 def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seven deterministic-sampling shapes, tagged (widened r6, r7,
+    """Eight deterministic-sampling shapes, tagged (widened r6, r7,
     r11, r13): 'strat' downsamples high-volume event types (view→10%,
     click→25%, rest whole) by md5 threshold; 'wes' draws a 400-row
     importance-weighted sample (weight = value) via Efraimidis-
@@ -6027,8 +6047,11 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r13) temperature-rebalances the language mixture (α=0.4 over
     char mass, cap 4 epochs — en thins, scarce languages replicate,
     the weights DERIVED FROM THE DATA and recomputed by the oracle,
-    unlike 'ep''s fixed map). All seven are pure functions of the
-    data, so the oracle engine draws IDENTICAL rows."""
+    unlike 'ep''s fixed map); 'umax' (r13) UniMax-allocates a 400-doc
+    budget with a 3-epoch cap (closed-form waterfill — capacity
+    order, running prefix, breakpoint, one equal share — recomputed
+    in SQL). All eight are pure functions of the data, so the oracle
+    engine draws IDENTICAL rows."""
     from cod_stats_spark.operators.sampling import (
         assign_splits,
         epoch_expand,
@@ -6096,10 +6119,21 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang"), F.lit(":"), F.col("epoch").cast("string")
         ).alias("info"),
     )
+    from cod_stats_spark.operators.sampling import unimax_mixture
+
+    umax = unimax_mixture(
+        docs, "doc_id", "lang", budget=400.0, max_epochs=3.0, salt="um13"
+    ).select(
+        F.lit("umax").alias("tag"),
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.col("lang"), F.lit(":"), F.col("epoch").cast("string")
+        ).alias("info"),
+    )
     return (
         strat.unionByName(wes).unionByName(split)
         .unionByName(mix).unionByName(ep).unionByName(dsir)
-        .unionByName(tmix)
+        .unionByName(tmix).unionByName(umax)
     )
 
 

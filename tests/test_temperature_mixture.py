@@ -137,3 +137,119 @@ class TestMixture:
             ).fetchall()
         )
         assert got == want
+
+
+class TestUniMax:
+    def test_waterfill_hand_computed(self):
+        """sizes en=1000, fr=200, sw=50; budget=600, cap=2 epochs.
+        Capacities: sw 100, fr 400, en 2000 (ascending: sw, fr, en).
+        sw: share 200 -> capped at 100 (w=2.0); remaining 500.
+        fr: share 250 -> fits under 400 (w=1.25); remaining 250.
+        en: share 250 (w=0.25)."""
+        from cod_stats_spark.operators.sampling import unimax_weights
+
+        w = unimax_weights(
+            {"en": 1000.0, "fr": 200.0, "sw": 50.0},
+            budget=600, max_epochs=2.0,
+        )
+        assert w == {"sw": 2.0, "fr": 1.25, "en": 0.25}
+        # total allocated mass equals the budget exactly
+        assert sum(w[d] * m for d, m in
+                   {"en": 1000.0, "fr": 200.0, "sw": 50.0}.items()) == 600
+
+    def test_budget_past_capacity_caps_everything(self):
+        from cod_stats_spark.operators.sampling import unimax_weights
+
+        w = unimax_weights({"a": 10.0, "b": 20.0}, budget=1000,
+                           max_epochs=3.0)
+        assert w == {"a": 3.0, "b": 3.0}
+
+    def test_small_budget_is_uniform(self):
+        """Under a tight budget no cap binds: every domain gets the
+        same absolute allocation (the paper's uniform ideal)."""
+        from cod_stats_spark.operators.sampling import unimax_weights
+
+        sizes = {"a": 100.0, "b": 400.0, "c": 1000.0}
+        w = unimax_weights(sizes, budget=150, max_epochs=1.0)
+        allocs = {d: w[d] * m for d, m in sizes.items()}
+        assert all(a == pytest.approx(50.0) for a in allocs.values())
+
+    def test_validation(self):
+        from cod_stats_spark.operators.sampling import unimax_weights
+
+        with pytest.raises(ValueError, match="budget"):
+            unimax_weights({"a": 1.0}, budget=0)
+        with pytest.raises(ValueError, match="max_epochs"):
+            unimax_weights({"a": 1.0}, budget=1, max_epochs=0)
+        with pytest.raises(ValueError, match="no positive-mass"):
+            unimax_weights({"a": 0.0}, budget=1)
+
+    def test_mixture_applies_weights_deterministically(self, spark):
+        from cod_stats_spark.operators.sampling import unimax_mixture
+
+        docs = _docs(spark)  # 40 en, 10 fr, 2 sw, 1 null-lang
+        a = sorted(
+            (r["doc_id"], r["epoch"])
+            for r in unimax_mixture(
+                docs, "doc_id", "lang", budget=30, max_epochs=2.0
+            ).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["epoch"])
+            for r in unimax_mixture(
+                docs.repartition(7), "doc_id", "lang",
+                budget=30, max_epochs=2.0,
+            ).collect()
+        )
+        assert a == b
+        # sw (2 docs) hits its 2-epoch cap -> 4 copies; en thins hard
+        by = {}
+        for doc_id, _ in a:
+            if doc_id == 300:
+                by["null"] = by.get("null", 0) + 1
+            elif doc_id >= 200:
+                by["sw"] = by.get("sw", 0) + 1
+            elif doc_id >= 100:
+                by["fr"] = by.get("fr", 0) + 1
+            else:
+                by["en"] = by.get("en", 0) + 1
+        assert by["sw"] == 4
+        assert by["en"] < 40
+        assert by["null"] == 1  # null domain keeps its single epoch
+
+    def test_unimax_oracle_replays_exact_expansion(self, spark):
+        import duckdb
+
+        from cod_stats_spark.operators.sampling import (
+            unimax_mixture,
+            unimax_mixture_oracle_sql,
+        )
+
+        docs = _docs(spark)
+        kw = dict(budget=30.0, max_epochs=2.0, salt="u")
+        got = sorted(
+            (r["doc_id"], r["lang"], r["epoch"])
+            for r in unimax_mixture(docs, "doc_id", "lang", **kw).collect()
+        )
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        want = sorted(
+            (int(i), d, int(e))
+            for i, d, e in con.execute(
+                unimax_mixture_oracle_sql("documents", "doc_id", "lang", **kw)
+            ).fetchall()
+        )
+        assert got == want
+        # a budget where EVERY domain caps (the k = n edge)
+        kw2 = dict(budget=10_000.0, max_epochs=1.5, salt="u2")
+        got2 = sorted(
+            (r["doc_id"], r["epoch"])
+            for r in unimax_mixture(docs, "doc_id", "lang", **kw2).collect()
+        )
+        want2 = sorted(
+            (int(i), int(e))
+            for i, _, e in con.execute(
+                unimax_mixture_oracle_sql("documents", "doc_id", "lang", **kw2)
+            ).fetchall()
+        )
+        assert got2 == want2

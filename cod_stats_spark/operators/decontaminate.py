@@ -273,33 +273,21 @@ def semantic_contaminated_docs(
             f"max_bench_rows={max_bench_rows} — an eval suite this "
             "large should be chunked, not silently truncated"
         )
-    def _matrix(vecs, dim: int | None):
-        """Rows → a dense (n, dim) float matrix; NULL or wrong-length
-        vectors become zero rows (they score 0, the pairs-path guard)
-        instead of raising numpy's ragged-sequence error mid-task."""
-        clean = []
-        for v in vecs:
-            if v is not None and (dim is None or len(v) == dim):
-                if dim is None:
-                    dim = len(v)
-                clean.append(np.asarray(v, dtype=np.float64))
-            else:
-                clean.append(None)
-        if dim is None:  # every row NULL — nothing can score
-            return np.zeros((len(clean), 0)), 0
-        out = np.zeros((len(clean), dim))
-        for i, v in enumerate(clean):
-            if v is not None:
-                out[i] = v
-        return out, dim
-
-    bm, bdim = _matrix([r["_bv"] for r in rows], None)
-    if len(bm) and bdim:
-        bn = np.linalg.norm(bm, axis=1)
-        bn[bn == 0] = np.inf  # zero-norm bench rows score 0 vs all
-        bm = bm / bn[:, None]
-        np.nan_to_num(bm, copy=False)
-    thr = float(threshold)
+    # NULL benchmark rows drop (they score 0 against everything on
+    # the pairs path — dropping is equivalent); benchmark rows with
+    # DIFFERING lengths are malformed and raise loudly — anchoring
+    # the matrix to whichever length a nondeterministic collect
+    # returned first would silently zero out the rest and let
+    # contaminated docs through (r13 second review)
+    bvecs = [r["_bv"] for r in rows if r["_bv"] is not None]
+    bdims = sorted({len(v) for v in bvecs})
+    if len(bdims) > 1:
+        raise ValueError(
+            "semantic_contaminated_docs: benchmark embeddings have "
+            f"mixed lengths {bdims} — a ragged eval suite is malformed, "
+            "fix it rather than letting one length win arbitrarily"
+        )
+    bdim = bdims[0] if bdims else 0
 
     id_field = corpus.schema[id_col]
     schema = T.StructType(
@@ -308,6 +296,18 @@ def semantic_contaminated_docs(
             T.StructField("max_cosine", T.DoubleType()),
         ]
     )
+    if not bvecs or not bdim:
+        # empty eval suite: a no-op like "pairs" — and no reason to
+        # scan the corpus at all (r13 second review)
+        return corpus.sparkSession.createDataFrame([], schema)
+
+    bm = np.array(bvecs, dtype=np.float64)
+    bn = np.linalg.norm(bm, axis=1)
+    bn[bn == 0] = np.inf  # zero-norm bench rows score 0 vs all
+    bm = bm / bn[:, None]
+    np.nan_to_num(bm, copy=False)
+    thr = float(threshold)
+
     src = corpus.select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -317,10 +317,13 @@ def semantic_contaminated_docs(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if not len(bm) or not bdim:
-                # empty eval suite: a no-op, exactly like "pairs"
-                continue
-            m, _ = _matrix(pdf["_v"], bdim)
+            # corpus rows that are NULL or of the wrong length become
+            # zero rows: they score 0, the pairs-path guard — never
+            # numpy's ragged-sequence task kill
+            m = np.zeros((len(pdf), bdim))
+            for i, v in enumerate(pdf["_v"]):
+                if v is not None and len(v) == bdim:
+                    m[i] = v
             n = np.linalg.norm(m, axis=1)
             n[n == 0] = np.inf
             m = m / n[:, None]

@@ -372,6 +372,26 @@ def _margins_array_sql(
     )
 
 
+def _check_expr_size(model: LangClassifierModel) -> None:
+    k = len(model.classes)
+    if model.dim * k > _EXPR_DIM_LIMIT:
+        raise ValueError(
+            f"K*dim {model.dim * k} > {_EXPR_DIM_LIMIT}: use "
+            "lang_classifier_score's relation path"
+        )
+
+
+def _argmax_case_sql(classes: list[str]) -> str:
+    """The argmax CASE over a lambda-bound margins array ``ms`` —
+    ONE definition shared by the label-only and label+margin
+    expression paths (a tie-break or escaping fix must not have two
+    places to land)."""
+    return " ".join(
+        f"WHEN element_at(ms, {j + 1}) = array_max(ms) THEN '{c}'"
+        for j, c in enumerate(classes)
+    )
+
+
 def lang_classifier_expr(
     model: LangClassifierModel, text_col: str = "text"
 ) -> Column:
@@ -380,20 +400,10 @@ def lang_classifier_expr(
     class order = the tie-break). Allowed up to K*dim <=
     ``_EXPR_DIM_LIMIT`` total literals (codegen method size); bigger
     models take the relation path."""
-    k = len(model.classes)
-    if model.dim * k > _EXPR_DIM_LIMIT:
-        raise ValueError(
-            f"K*dim {model.dim * k} > {_EXPR_DIM_LIMIT}: use "
-            "lang_classifier_score's relation path"
-        )
-    case = " ".join(
-        f"WHEN element_at(ms, {j + 1}) = array_max(ms) "
-        f"THEN '{model.classes[j]}'"
-        for j in range(k)
-    )
+    _check_expr_size(model)
     return F.expr(
         f"transform(array({_margins_array_sql(model, text_col)}), "
-        f"ms -> CASE {case} END)[0]"
+        f"ms -> CASE {_argmax_case_sql(model.classes)} END)[0]"
     )
 
 
@@ -428,16 +438,13 @@ def lang_classifier_score(
         # through an explode (a Generate node — project collapsing
         # cannot inline the expression into each field extraction, so
         # the grams/hash/weight work runs once per row, not twice;
-        # r13 review)
-        case = " ".join(
-            f"WHEN element_at(ms, {j + 1}) = array_max(ms) "
-            f"THEN '{model.classes[j]}'"
-            for j in range(k)
-        )
+        # r13 review). Same literal-size guard as the label-only
+        # branch — this path builds the same weight literals
+        _check_expr_size(model)
         struct_sql = (
             f"transform(array({_margins_array_sql(model, text_col)}), "
-            f"ms -> struct(CASE {case} END AS label, "
-            f"array_max(ms) AS margin))[0]"
+            f"ms -> struct(CASE {_argmax_case_sql(model.classes)} END "
+            f"AS label, array_max(ms) AS margin))[0]"
         )
         return (
             docs.withColumn("_lc", F.explode(F.array(F.expr(struct_sql))))

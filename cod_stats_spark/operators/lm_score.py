@@ -493,9 +493,17 @@ def kn_lm_score(
 
     totals = uni_model.agg(F.count(F.lit(1)).alias("v")).first()
     v_size = float(totals["v"] or 0)
+    # persisted: the N1+(··) totals action below materializes the
+    # cache, which rel_p1 then reads inside the scoring plan — without
+    # it the bigram groupBy would run twice per call (and with
+    # broadcast_model=False that is a full model-table pass; r13
+    # second review). Bounded ≤ vocabulary rows; lives as long as the
+    # returned plan, the unigram_lm_score persist contract.
+    from pyspark.storagelevel import StorageLevel
+
     cont = bi_model.groupBy("w2").agg(
         F.count(F.lit(1)).alias("_n1w")  # N1+(·w): distinct v per w
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cont_tot = cont.agg(F.sum("_n1w").alias("t")).first()
     n_cc = float(cont_tot["t"] or 0)  # N1+(··): distinct bigram types
     denom1 = n_cc + alpha * v_size

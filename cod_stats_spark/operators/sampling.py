@@ -232,6 +232,24 @@ def temperature_weights(
     return out
 
 
+def _domain_masses(
+    df: DataFrame, domain_col: str, size_col: str | None
+) -> dict[str, float]:
+    """Per-domain mass (row count or summed ``size_col``), null and
+    non-positive domains excluded — ONE definition shared by the
+    mixture allocators (temperature / UniMax), so mass semantics
+    cannot silently diverge between them. O(#domains) driver state."""
+    mass = (
+        F.count(F.lit(1)) if size_col is None
+        else F.sum(F.col(size_col).cast("double"))
+    )
+    return {
+        r["d"]: float(r["m"])
+        for r in df.groupBy(F.col(domain_col).alias("d")).agg(mass.alias("m")).collect()
+        if r["d"] is not None and r["m"] is not None and float(r["m"]) > 0
+    }
+
+
 def temperature_mixture(
     df: DataFrame,
     key_col: str,
@@ -255,15 +273,7 @@ def temperature_mixture(
     contract — feed downstream single-key operators ``epoch_key``).
     Plan: one O(#domains) groupBy collect + a codegen projection +
     one bounded explode — zero joins, zero extra shuffles."""
-    mass = (
-        F.count(F.lit(1)) if size_col is None
-        else F.sum(F.col(size_col).cast("double"))
-    )
-    sizes = {
-        r["d"]: float(r["m"])
-        for r in df.groupBy(F.col(domain_col).alias("d")).agg(mass.alias("m")).collect()
-        if r["d"] is not None and r["m"] is not None and float(r["m"]) > 0
-    }
+    sizes = _domain_masses(df, domain_col, size_col)
     w = temperature_weights(sizes, alpha, max_weight=max_weight)
     return epoch_expand(df, key_col, domain_col, w, salt=salt)
 
@@ -456,15 +466,7 @@ def unimax_mixture(
     abundant ones thin to their uniform share. Null domains keep their
     single epoch 0. Output carries ``epoch``/``epoch_key`` (the
     epoch_expand contract)."""
-    mass = (
-        F.count(F.lit(1)) if size_col is None
-        else F.sum(F.col(size_col).cast("double"))
-    )
-    sizes = {
-        r["d"]: float(r["m"])
-        for r in df.groupBy(F.col(domain_col).alias("d")).agg(mass.alias("m")).collect()
-        if r["d"] is not None and r["m"] is not None and float(r["m"]) > 0
-    }
+    sizes = _domain_masses(df, domain_col, size_col)
     w = unimax_weights(sizes, budget, max_epochs=max_epochs)
     return epoch_expand(df, key_col, domain_col, w, salt=salt)
 

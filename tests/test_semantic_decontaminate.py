@@ -201,3 +201,36 @@ class TestGemmRobustness:
                 ).collect()
             }
             assert got == {3}, method
+
+    def test_ragged_benchmark_raises_loudly(self, spark):
+        """Mixed-length benchmark embeddings are malformed: the gemm
+        path must REFUSE rather than let a nondeterministic collect
+        order pick which dimension wins (a contaminated doc could
+        silently ship; r13 second review). NULL bench rows drop."""
+        from cod_stats_spark.operators.decontaminate import (
+            semantic_contaminated_docs,
+        )
+
+        c = spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        ragged = spark.createDataFrame(
+            [(8, [1.0, 0.0]), (9, [1.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="mixed lengths"):
+            semantic_contaminated_docs(
+                c, ragged, "embedding", "vec_id", method="gemm"
+            )
+        with_null = spark.createDataFrame(
+            [(8, None), (9, [1.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r["doc_id"]
+            for r in semantic_contaminated_docs(
+                c, with_null, "embedding", "vec_id",
+                threshold=0.5, method="gemm",
+            ).collect()
+        }
+        assert got == {1}

@@ -388,18 +388,20 @@ def dsir_oracle_sql(
         raise ValueError("oracle replay requires base_hash='md5_60'")
     larr = "[" + ", ".join(str(int(v)) for v in model.log_ratio6) + "]"
     h = _DUCK_MD5_60.format(x="f")
+    # the λ6 literal appears ONCE (inner micro-unit sum); dsir_logw
+    # derives from it in the outer select — at larger dims the array
+    # literal dominates the generated SQL, so inlining it twice would
+    # double the statement size for no behavioral gain (r13 advice)
     return f"""
-SELECT doc_id,
-       CASE WHEN len(feats) > 0
-            THEN list_sum(list_transform(feats, f ->
-                 ({larr}::BIGINT[])[(({h}) % {model.dim} + 1)::BIGINT]))
-            ELSE 0 END AS dsir_micro,
-       CASE WHEN len(feats) > 0
-            THEN list_sum(list_transform(feats, f ->
-                 ({larr}::BIGINT[])[(({h}) % {model.dim} + 1)::BIGINT]))
-                 / 1000000.0
-            ELSE 0.0 END AS dsir_logw
-FROM ({_duck_feats(src, text_expr, id_expr, model)})
+SELECT doc_id, dsir_micro, dsir_micro / 1000000.0 AS dsir_logw
+FROM (
+  SELECT doc_id,
+         CASE WHEN len(feats) > 0
+              THEN list_sum(list_transform(feats, f ->
+                   ({larr}::BIGINT[])[(({h}) % {model.dim} + 1)::BIGINT]))
+              ELSE 0 END AS dsir_micro
+  FROM ({_duck_feats(src, text_expr, id_expr, model)})
+)
 """
 
 

@@ -38,6 +38,14 @@ from pyspark.sql import functions as F
 from cod_stats_spark.functions import text as T
 
 
+#: kn_lm_score's broadcast-default guard: trigram-support rows past
+#: this count refuse the broadcast join hint instead of silently
+#: shipping a corpus-sized model to every executor (~10⁷ rows of
+#: three words + count ≈ several hundred MB serialized — the
+#: docstring's documented crossover to the shuffled posture).
+_KN_BROADCAST_ROW_CAP = 10_000_000
+
+
 def _tokens(text_col: str, lowercase: bool):
     c = F.col(text_col)
     return T.words(F.lower(c) if lowercase else c)
@@ -478,7 +486,16 @@ def kn_lm_score(
     probabilities are exact integer ratios in double arithmetic —
     identical in any engine; only ln() risks 1 ulp, so gates round
     the mean to 6 dp (:func:`kn_lm_oracle_sql` replays everything).
-    Zero-token documents score (0, 0.0)."""
+    Zero-token documents score (0, 0.0).
+
+    Broadcast safety: with ``broadcast_model=True`` the trigram
+    SUPPORT (largest model relation) is counted first and anything
+    past :data:`_KN_BROADCAST_ROW_CAP` raises loudly — a
+    corpus-dependent model table silently shipped to every executor
+    is the one 100 TB failure mode a default must not hide (the
+    dsir_fit dim-cap convention; r13 advice). The count is one
+    bounded agg over the model table; pass ``broadcast_model=False``
+    for big models (same output, shuffled joins + AQE)."""
     if not (0.0 < discount < 1.0):
         raise ValueError("kn_lm_score: discount must be in (0, 1)")
     if alpha <= 0:
@@ -490,6 +507,16 @@ def kn_lm_score(
     id_cols = id_cols or ["doc_id"]
     hint = F.broadcast if broadcast_model else (lambda df: df)
     d = float(discount)
+
+    if broadcast_model:
+        n_tri = tri_model.count()
+        if n_tri > _KN_BROADCAST_ROW_CAP:
+            raise ValueError(
+                f"kn_lm_score: trigram model has {n_tri:,} rows — past "
+                f"the broadcast cap ({_KN_BROADCAST_ROW_CAP:,}); pass "
+                "broadcast_model=False (shuffled joins, identical "
+                "output) for models this size"
+            )
 
     totals = uni_model.agg(F.count(F.lit(1)).alias("v")).first()
     v_size = float(totals["v"] or 0)
@@ -524,8 +551,16 @@ def kn_lm_score(
     n1_vdot = n1_vw.groupBy("w2").agg(
         F.sum("_nvw").alias("_nvd")  # distinct (u, w) through v
     )
-    fanout_v = bi_model.groupBy("w1").agg(
-        F.count(F.lit(1)).alias("_fv")  # N1+(v·): distinct w after v
+    # N1+(v·) for the middle layer's λ(v) counts distinct w with
+    # N1+(·vw) > 0 — i.e. the CONTINUATION distribution's own support
+    # (rows of n1_vw), NOT the raw bigram fanout: with no sentence
+    # padding, a bigram vw occurring only document-initially has
+    # c(vw) > 0 but N1+(·vw) = 0, and the bigram-table fanout would
+    # inflate λ(v) so P₂(·|v) sums above 1 (Chen & Goodman 1999 §3;
+    # r13 advice). Discounted mass D·|support| now exactly equals the
+    # redistributed mass λ(v)·N1+(·v·) modulo the α floor on P₁.
+    fanout_v = n1_vw.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("_fv")  # N1+(v·): distinct w, cont. support
     )
     rel_mid = hint(
         n1_vw.join(n1_vdot, "w2").select(
@@ -538,7 +573,7 @@ def kn_lm_score(
         )
     )
     rel_midlam = hint(
-        n1_vdot.join(fanout_v, n1_vdot["w2"] == fanout_v["w1"]).select(
+        n1_vdot.join(fanout_v, "w2").select(
             F.col("w2").alias("_lv"),
             (F.lit(d) * F.col("_fv") / F.col("_nvd")).alias("_mlam"),
         )
@@ -691,7 +726,9 @@ LEFT JOIN (
   ), nvw AS (
     SELECT w2, w3, count(*) AS c FROM tri GROUP BY w2, w3
   ), nvd AS (SELECT w2, sum(c)::DOUBLE AS c FROM nvw GROUP BY w2),
-  fv AS (SELECT w1, count(*) AS c FROM big GROUP BY w1),
+  -- N1+(v·) = distinct w with N1+(·vw) > 0 (continuation support,
+  -- NOT bigram fanout — the document-initial-bigram case; r13 advice)
+  fv AS (SELECT w2 AS w1, count(*) AS c FROM nvw GROUP BY w2),
   fuv AS (SELECT w1, w2, count(*) AS c FROM tri GROUP BY w1, w2),
   terms AS (
     SELECT p.doc_id,
@@ -846,3 +883,273 @@ WITH lmr AS (
 SELECT lmr.doc_id, 1 + {add} AS ppl_bucket
 FROM lmr JOIN cuts ON lmr.grp IS NOT DISTINCT FROM cuts.grp
 """
+
+
+class ArpaModel:
+    """A backoff LM imported from the published ARPA text format (the
+    artifact KenLM/SRILM/IRSTLM ship — Stolcke 2002; the format every
+    published CCNet-style reference LM is distributed as): per-order
+    relation tables (w1..wk, log10p, backoff), plus the declared
+    header counts. The tokenizer_io discipline applied to the LM
+    family: users score against a REAL published model's numbers
+    verbatim instead of a subsample refit.
+
+    ``grams[k]`` is a DataFrame with columns w1..wk (strings), log10p
+    (double), backoff (double, NULL where the file omits it — ARPA
+    semantics: absent backoff weight = 0.0, applied at score time).
+    Bounded driver state: the declared counts only; the tables stay
+    distributed relations end to end."""
+
+    def __init__(self, grams: dict, counts: dict):
+        self.grams = dict(grams)
+        self.counts = dict(counts)
+
+    @property
+    def order(self) -> int:
+        return max(self.counts)
+
+
+def load_arpa(spark, path: str, lowercase: bool = False) -> ArpaModel:
+    """Parse an ARPA file into relation tables — fully distributed
+    (``spark.read.text`` + projections; no driver-side line loop, so
+    a multi-GB published model loads like any other table).
+
+    The parse keys on the format's line grammar rather than section
+    tracking: every n-gram line is ``log10p<TAB>w1 .. wk[<TAB>backoff]``
+    and its ORDER is the word count of the middle field — so section
+    markers, the ``\\data\\`` header, and blank lines are filtered
+    out structurally and the declared ``ngram k=N`` counts then
+    VALIDATE the parse (a count mismatch, an undeclared order, or an
+    unparseable probability field raises — a silently short table
+    would misscore every document).
+
+    ``lowercase``: fold vocabulary case at load (match it to the
+    scorer's tokenization; published models are usually already
+    lowercased)."""
+    lines = spark.read.text(path)
+    declared = {
+        int(r["k"]): int(r["n"])
+        for r in lines.select(
+            F.regexp_extract("value", r"^ngram (\d+)=(\d+)\s*$", 1).alias("k"),
+            F.regexp_extract("value", r"^ngram (\d+)=(\d+)\s*$", 2).alias("n"),
+        )
+        .filter(F.col("k") != "")
+        .collect()
+    }
+    if not declared:
+        raise ValueError(
+            f"load_arpa: {path!r} has no 'ngram k=N' header — not an "
+            "ARPA file (or a truncated one)"
+        )
+    parts = F.split(F.col("value"), "\t")
+    cand = lines.filter(F.size(parts) >= 2).select(
+        F.element_at(parts, 1).cast("double").alias("log10p"),
+        F.split(F.trim(F.element_at(parts, 2)), " ").alias("ws"),
+        F.when(F.size(parts) >= 3, F.element_at(parts, 3).cast("double"))
+        .alias("backoff"),
+        F.element_at(parts, 1).alias("_raw_p"),
+    )
+    bad = cand.filter(F.col("log10p").isNull()).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"load_arpa: unparseable probability field {bad[0]['_raw_p']!r}"
+        )
+    from pyspark.storagelevel import StorageLevel
+
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        found = {
+            int(r["k"]): int(r["n"])
+            for r in cand.groupBy(F.size("ws").alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if found != declared:
+            raise ValueError(
+                f"load_arpa: header declares {declared} but the file "
+                f"carries {found} n-gram lines"
+            )
+        grams = {}
+        for k in sorted(declared):
+            w = F.col("ws")
+            word = (lambda c: F.lower(c)) if lowercase else (lambda c: c)
+            grams[k] = (
+                cand.filter(F.size("ws") == k)
+                .select(
+                    *[
+                        word(F.element_at(w, i + 1)).alias(f"w{i + 1}")
+                        for i in range(k)
+                    ],
+                    F.col("log10p"),
+                    F.col("backoff"),
+                )
+                # materialized: the parse scans the text file once per
+                # order otherwise, and validation already paid the pass
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        cand.unpersist()
+    return ArpaModel(grams, declared)
+
+
+_LN10 = math.log(10.0)
+
+
+def arpa_lm_score(
+    docs: DataFrame,
+    model: ArpaModel,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    oov_log10p: float | None = None,
+    lowercase: bool = True,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document mean NLL (nats) under an imported ARPA backoff
+    model — (id..., arpa_tokens, arpa_nll): the standard recursive
+    backoff P(w|u,v) = p(uvw) if listed, else 10^b(uv)·P(w|v), with
+    absent backoff weights meaning b=0 (multiplier 1) per the format
+    spec; all arithmetic stays in log10 and converts once at the end
+    (· ln 10), so no underflow at any order. Positions 1 and 2 score
+    the lower orders directly (the kn_lm_score no-padding convention —
+    a published model's <s> entries are simply never looked up;
+    documented deviation from KenLM's sentence-marker scoring).
+
+    OOV tokens take the model's ``<unk>`` probability when the file
+    ships one (real published LMs do), else ``oov_log10p``; neither
+    available raises at entry — a silent OOV floor convention would
+    make scores non-comparable across models. Supports order 1–3
+    models (the family scope); higher-order files load fine but must
+    be scored at their top-3 orders by passing the truncated model.
+
+    Plan: pos explode + ≤5 model-relation left joins (logp and
+    backoff per order), broadcast by default; ``broadcast_model=False``
+    leaves them shuffled for models past broadcast size (the
+    kn_lm_score posture)."""
+    if model.order > 3:
+        raise ValueError(
+            f"arpa_lm_score: order-{model.order} model; score the top-3 "
+            "truncation (build an ArpaModel with orders 1..3)"
+        )
+    id_cols = id_cols or ["doc_id"]
+    hint = F.broadcast if broadcast_model else (lambda df: df)
+    uni = model.grams.get(1)
+    if uni is None:
+        raise ValueError("arpa_lm_score: model has no unigrams")
+    unk = uni.filter(F.col("w1") == "<unk>").select("log10p").collect()
+    floor10 = float(unk[0]["log10p"]) if unk else oov_log10p
+    if floor10 is None:
+        raise ValueError(
+            "arpa_lm_score: model ships no <unk> and no oov_log10p "
+            "given — OOV tokens would have no probability"
+        )
+    floor10 = float(floor10)
+
+    rel_u = hint(
+        uni.select(
+            F.col("w1").alias("_uw"),
+            F.col("log10p").alias("_up"),
+            F.col("backoff").alias("_ub"),
+        )
+    )
+    bi = model.grams.get(2)
+    tri = model.grams.get(3)
+
+    tk = _tokens(text_col, lowercase)
+    ent = F.expr(
+        "transform(_tk, (w, i) -> struct("
+        " if(i > 1, element_at(_tk, i - 1), null) as wpp,"
+        " if(i > 0, element_at(_tk, i), null) as wp, w as w))"
+    )
+    pos = (
+        docs.select(*id_cols, tk.alias("_tk"))
+        .select(*id_cols, F.explode(ent).alias("_e"))
+        .select(
+            *id_cols,
+            F.col("_e.wpp").alias("_wpp"),
+            F.col("_e.wp").alias("_wp"),
+            F.col("_e.w").alias("_w"),
+        )
+    )
+    joined = pos.join(rel_u, pos["_w"] == rel_u["_uw"], "left")
+    # the CONTEXT word's backoff weight b(v): a second unigram join
+    joined = joined.join(
+        hint(
+            uni.select(
+                F.col("w1").alias("_cv"), F.col("backoff").alias("_cb")
+            )
+        ),
+        joined["_wp"] == F.col("_cv"),
+        "left",
+    )
+    p1 = F.coalesce(F.col("_up"), F.lit(floor10))
+    if bi is not None:
+        rel_b = hint(
+            bi.select(
+                F.col("w1").alias("_bv"), F.col("w2").alias("_bw"),
+                F.col("log10p").alias("_bp"),
+            )
+        )
+        joined = joined.join(
+            rel_b,
+            (joined["_wp"] == rel_b["_bv"]) & (joined["_w"] == rel_b["_bw"]),
+            "left",
+        )
+        p2 = F.coalesce(
+            F.col("_bp"), F.coalesce(F.col("_cb"), F.lit(0.0)) + p1
+        )
+    else:
+        p2 = p1
+    if tri is not None:
+        if bi is None:
+            raise ValueError("arpa_lm_score: trigrams without bigrams")
+        # the context PAIR's backoff weight b(u,v): from the bigram table
+        rel_bb = hint(
+            bi.select(
+                F.col("w1").alias("_gu"), F.col("w2").alias("_gv"),
+                F.col("backoff").alias("_gb"),
+            )
+        )
+        rel_t = hint(
+            tri.select(
+                F.col("w1").alias("_tu"), F.col("w2").alias("_tv"),
+                F.col("w3").alias("_tw"), F.col("log10p").alias("_tp"),
+            )
+        )
+        joined = (
+            joined.join(
+                rel_bb,
+                (joined["_wpp"] == rel_bb["_gu"])
+                & (joined["_wp"] == rel_bb["_gv"]),
+                "left",
+            )
+            .join(
+                rel_t,
+                (joined["_wpp"] == rel_t["_tu"])
+                & (joined["_wp"] == rel_t["_tv"])
+                & (joined["_w"] == rel_t["_tw"]),
+                "left",
+            )
+        )
+        p3 = F.coalesce(
+            F.col("_tp"), F.coalesce(F.col("_gb"), F.lit(0.0)) + p2
+        )
+    else:
+        p3 = p2
+    lp10 = (
+        F.when(F.col("_wp").isNull(), p1)
+        .when(F.col("_wpp").isNull(), p2)
+        .otherwise(p3)
+    )
+    per_doc = joined.groupBy(*id_cols).agg(
+        F.count(F.lit(1)).alias("arpa_tokens"),
+        (-F.sum(lp10 * F.lit(_LN10)) / F.count(F.lit(1))).alias("arpa_nll"),
+    )
+    return (
+        docs.select(*id_cols)
+        .join(per_doc, id_cols, "left")
+        .select(
+            *id_cols,
+            F.coalesce(F.col("arpa_tokens"), F.lit(0)).alias("arpa_tokens"),
+            F.coalesce(F.col("arpa_nll"), F.lit(0.0)).alias("arpa_nll"),
+        )
+    )

@@ -18,6 +18,13 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: epoch_expand's when-chain/broadcast-relation dispatch point — the
+#: url.py _REGEX_RULE_LIMIT convention: past this many domains a
+#: literal when-chain bloats codegen (and the collected weight map
+#: stops being meaningfully "bounded"), so the weights ship as a
+#: broadcast-joined relation instead.
+_EXPAND_LITERAL_LIMIT = 64
+
 
 def _hash_bucket(key: Column, buckets: int = 1 << 20) -> Column:
     """Uniform bucket in [0, buckets) from the md5 of the key (first 5
@@ -218,8 +225,17 @@ def temperature_weights(
     ms = {d: float(m) for d, m in sizes.items() if float(m) > 0}
     if not ms:
         raise ValueError("temperature_weights: no positive-mass domains")
-    total = sum(ms.values())
-    denom = sum(m**alpha for m in ms.values())
+    # total/denom accumulate in SORTED-domain order: the sizes dict
+    # comes from a Spark collect whose row order is nondeterministic,
+    # and FP addition order changes the last ulp — a weight landing on
+    # a 9-dp rounding boundary would then flip the exact copy set
+    # run-to-run. The oracle replays the same ordered running sum
+    # (the unimax pk-CTE discipline; r13 advice).
+    total = 0.0
+    denom = 0.0
+    for d in sorted(ms):
+        total += ms[d]
+        denom += ms[d] ** alpha
     out = {}
     for d, m in ms.items():
         w = m**alpha * total / denom / m
@@ -305,8 +321,19 @@ WITH sizes AS (
   GROUP BY {domain_expr}
   HAVING {mass} > 0
 ),
+-- mtot/denom read from RUNNING windows ordered by domain: the same
+-- sequential left-to-right double additions the Python side performs
+-- over sorted(ms) (an unordered SUM could add in a different order
+-- and flip a weight's 9-dp rounding; the unimax pk-CTE discipline)
+run AS (
+  SELECT sum(m) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS rtot,
+         sum(pow(m, {alpha!r})) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS rden,
+         row_number() OVER (ORDER BY d) AS rn,
+         count(*) OVER () AS n
+  FROM sizes
+),
 tot AS (
-  SELECT SUM(m) AS mtot, SUM(pow(m, {alpha!r})) AS denom FROM sizes
+  SELECT rtot AS mtot, rden AS denom FROM run WHERE rn = n
 )
 SELECT d, round({w}, 9) AS wt FROM sizes CROSS JOIN tot
 """
@@ -494,9 +521,17 @@ def epoch_expand(
     upsampling must not silently drop unlisted domains; pass an
     explicit 0.0 to drop one).
 
-    Plan: a codegen projection (literal when-chains over the bounded
-    domain map) + one explode of a ≤ceil(w)-element array — zero
-    shuffles, no joins.
+    Plan: a codegen projection + one explode of a ≤ceil(w)-element
+    array — zero shuffles. Weight dispatch follows the url.py
+    ``_with_domain_key`` convention: maps up to
+    :data:`_EXPAND_LITERAL_LIMIT` domains compile to literal
+    when-chains (pure codegen, zero joins — languages/sources); past
+    it the (domain, full_epochs, fraction-threshold) map ships as a
+    BROADCAST-joined relation instead — a 10⁴–10⁶-domain when-chain
+    (per-registered-domain mixtures over ``url.domain_stats`` keys)
+    would break codegen and stop being "bounded driver state". Both
+    paths carry the SAME precomputed integer (full, threshold) pairs,
+    so the copy set is identical (parity-tested).
 
     Replicas share ``key_col``, so the output also carries
     ``epoch_key`` = ``key:epoch`` — the UNIQUE per-copy key downstream
@@ -509,17 +544,31 @@ def epoch_expand(
     if any(w < 0 for w in weights.values()):
         raise ValueError("epoch_expand: epoch weights must be >= 0")
     buckets = 1 << 20
-    n_full = F.lit(1)  # unlisted domains: one epoch, no fraction
-    thr = F.lit(0)
-    for domain, w in sorted(weights.items()):
-        full = int(w)
-        frac = round(w - full, 9)
-        n_full = F.when(F.col(domain_col) == domain, F.lit(full)).otherwise(
-            n_full
+    # one arithmetic site for both dispatch paths: (domain, floor(w),
+    # md5-bucket threshold of the 9-dp-rounded fraction)
+    rows = [
+        (d, int(w), int(round(w - int(w), 9) * buckets))
+        for d, w in sorted(weights.items())
+    ]
+    if len(rows) > _EXPAND_LITERAL_LIMIT:
+        rel = F.broadcast(
+            df.sparkSession.createDataFrame(
+                rows, "_exp_d string, _exp_full int, _exp_thr int"
+            )
         )
-        thr = F.when(
-            F.col(domain_col) == domain, F.lit(int(frac * buckets))
-        ).otherwise(thr)
+        df = df.join(rel, F.col(domain_col) == F.col("_exp_d"), "left")
+        n_full = F.coalesce(F.col("_exp_full"), F.lit(1))
+        thr = F.coalesce(F.col("_exp_thr"), F.lit(0))
+    else:
+        n_full = F.lit(1)  # unlisted domains: one epoch, no fraction
+        thr = F.lit(0)
+        for domain, full, t in rows:
+            n_full = F.when(
+                F.col(domain_col) == domain, F.lit(full)
+            ).otherwise(n_full)
+            thr = F.when(F.col(domain_col) == domain, F.lit(t)).otherwise(
+                thr
+            )
     key = F.concat(F.col(key_col).cast("string"), F.lit(salt), F.lit("ep"))
     base = F.when(
         n_full > 0, F.sequence(F.lit(0), n_full - 1)
@@ -528,7 +577,7 @@ def epoch_expand(
     extra = F.when(
         _hash_bucket(key) < thr, F.array(n_full)
     ).otherwise(F.array().cast("array<int>"))
-    return df.withColumn(
+    out = df.withColumn(
         "epoch", F.explode(F.concat(base, extra))
     ).withColumn(
         "epoch_key",
@@ -538,3 +587,6 @@ def epoch_expand(
             F.col("epoch").cast("string"),
         ),
     )
+    if len(rows) > _EXPAND_LITERAL_LIMIT:
+        out = out.drop("_exp_d", "_exp_full", "_exp_thr")
+    return out

@@ -48,9 +48,13 @@ def fertility_stats(
     e.g. ``{"wp": F.col("wp_n_tokens"), ...}`` to evaluate a trained
     tokenizer's output). Output per group:
 
-    - ``n_docs``, ``n_chars``
+    - ``n_docs``, ``n_chars``, ``n_bytes`` (UTF-8 octets)
     - ``toks_<name>`` — total tokens under that counter
     - ``chars_per_<name>`` — compression rate, 6 dp
+    - ``bytes_per_<name>`` — UTF-8 bytes per token, 6 dp — the OTHER
+      published compression convention (what byte-level tokenizers
+      are graded on; equals chars_per for pure-ASCII corpora and
+      diverges on any multibyte text)
     - ``fert_<name>`` — tokens per whitespace word, 6 dp (only when a
       ``ws`` counter is present; ``fert_ws`` ≡ 1 by construction and
       is omitted)
@@ -68,6 +72,9 @@ def fertility_stats(
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length(F.col(text_col)).cast("bigint")).alias("n_chars"),
+        F.sum(F.octet_length(F.col(text_col)).cast("bigint")).alias(
+            "n_bytes"
+        ),
     ]
     for name, col in counters.items():
         aggs.append(F.sum(col.cast("bigint")).alias(f"toks_{name}"))
@@ -78,6 +85,11 @@ def fertility_stats(
             f"chars_per_{name}",
             F.round(
                 F.when(toks > 0, F.col("n_chars") / toks), 6
+            ),
+        ).withColumn(
+            f"bytes_per_{name}",
+            F.round(
+                F.when(toks > 0, F.col("n_bytes") / toks), 6
             ),
         )
     if "ws" in counters:

@@ -1592,6 +1592,28 @@ def _qc_oracle_join() -> str:
     return quality_classifier_oracle_sql(_qc_gate_model())
 
 
+def _dsir_gate_model():
+    """Fixed-λ DSIR model for the gate's 'dsir' arm: the SCORING and
+    SELECTION passes (hashed bag-of-bigrams integer micro-unit sums,
+    md5-derived Gumbel top-k) are what the oracle replays exactly —
+    fixed literal log-ratios make them bit-identical in SQL (the
+    qc_score/lang_pred precedent); FITTING is counting + driver-side
+    ln(), property-tested in tests/test_dsir.py and timed by the
+    `dsir_select` bench entry. Seeded so Spark body and oracle embed
+    identical literals."""
+    import random
+
+    from cod_stats_spark.operators.dsir import DsirModel
+
+    rng = random.Random(20260816)
+    return DsirModel(
+        dim=64,
+        ngrams=2,
+        base_hash="md5_60",
+        log_ratio6=[rng.randint(-2_000_000, 2_000_000) for _ in range(64)],
+    )
+
+
 def _lang_gate_model():
     """Fixed-weight multiclass lang-id for the gate's lang_pred/
     lang_margin columns (r13): the FORWARD pass — padded char-n-grams,
@@ -4174,27 +4196,11 @@ WHERE k.doc_id NOT IN (SELECT id FROM removed)
 """
 
 
-def _curation_funnel_oracle_sql(
-    threshold: float = 0.7,
-    min_quality: float = 0.25,
-    ngram_n: int = 3,
-    min_overlap: int = 2,
-    budget: int = 2048,
-    salt: str = "curate",
-    mod: int = 7,
-) -> str:
-    """CTE chain replaying plans/curation.curate_corpus stage by stage
-    (quality gate → exact + near dedup → decontamination → pack) so
-    the funnel's five survivor counts are SQL-verified. Every block
-    reuses an expression already value-proven by its own gate
-    (quality_tokens / dedup_pipeline / decontaminate / pack_sequences);
-    this oracle composes them over the same %-split the decontaminate
-    gate uses (corpus = doc_id %% {mod} != 0, benchmark = the rest)."""
-    sh = _SHINGLES_SQL.format(src="f_keepers_docs")
-    stop_in = ", ".join(f"'{s}'" for s in T.STOPWORDS)
-
-    def grams(rel: str) -> str:
-        return f"""
+def _funnel_grams_sql(rel: str, ngram_n: int) -> str:
+    """(doc_id, ngram) — distinct word n-grams per document, the
+    decontaminate gate's gram expression; shared by both funnel
+    replays (r7 f-chain, r14 g-chain)."""
+    return f"""
     SELECT doc_id, unnest(s) AS ngram
     FROM (
       SELECT doc_id,
@@ -4211,10 +4217,14 @@ def _curation_funnel_oracle_sql(
       )
     )"""
 
+
+def _funnel_quality_sql(src: str) -> str:
+    """(doc_id, quality) — the functions/text.quality_score heuristic
+    (length, mean word length, punctuation ratio, stopword ratio),
+    value-proven by the quality_tokens gate; shared by both funnel
+    replays."""
+    stop_in = ", ".join(f"'{s}'" for s in T.STOPWORDS)
     return f"""
-f_corpus AS (SELECT * FROM documents WHERE doc_id % {mod} <> 0),
-f_bench AS (SELECT * FROM documents WHERE doc_id % {mod} = 0),
-f_qual AS (
   SELECT doc_id,
          round((least(len(toks) / 100.0, 1.0)
               + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)
@@ -4233,8 +4243,36 @@ f_qual AS (
            CASE WHEN len(toks) > 0
                 THEN len(list_filter(toks, t -> t IN ({stop_in})))::DOUBLE / len(toks)
                 ELSE 0.0 END AS sr
-    FROM (SELECT doc_id, text, {_sql_tokens('text')} AS toks FROM f_corpus)
-  )
+    FROM (SELECT doc_id, text, {_sql_tokens('text')} AS toks FROM {src})
+  )"""
+
+
+def _curation_funnel_oracle_sql(
+    threshold: float = 0.7,
+    min_quality: float = 0.25,
+    ngram_n: int = 3,
+    min_overlap: int = 2,
+    budget: int = 2048,
+    salt: str = "curate",
+    mod: int = 7,
+) -> str:
+    """CTE chain replaying plans/curation.curate_corpus stage by stage
+    (quality gate → exact + near dedup → decontamination → pack) so
+    the funnel's five survivor counts are SQL-verified. Every block
+    reuses an expression already value-proven by its own gate
+    (quality_tokens / dedup_pipeline / decontaminate / pack_sequences);
+    this oracle composes them over the same %-split the decontaminate
+    gate uses (corpus = doc_id %% {mod} != 0, benchmark = the rest)."""
+    sh = _SHINGLES_SQL.format(src="f_keepers_docs")
+
+    def grams(rel: str) -> str:
+        return _funnel_grams_sql(rel, ngram_n)
+
+    return f"""
+f_corpus AS (SELECT * FROM documents WHERE doc_id % {mod} <> 0),
+f_bench AS (SELECT * FROM documents WHERE doc_id % {mod} = 0),
+f_qual AS (
+{_funnel_quality_sql('f_corpus')}
 ),
 f_gated AS (
   SELECT c.* FROM f_corpus c JOIN f_qual q USING (doc_id)
@@ -4322,11 +4360,214 @@ SELECT 'funnel_shards', (SELECT count(DISTINCT shard_id) FROM f_packed),
 """
 
 
+# the full-composition funnel's shared parameters (Spark invocation +
+# SQL replay read the SAME dict — a drifting literal would silently
+# fail the gate). Thresholds picked against the sf0.001/sf0.01
+# documents table so every stage KEEPS >0 and (post-quality) DROPS >0
+# rows — incl. near-dup pairs surviving all three model gates so the
+# dedup stage's arithmetic is exercised in composition — and every
+# cut sits ≥ 2.6e-5 from the nearest document's score (FP-boundary
+# safe; probed at both SFs).
+_FUNNEL2 = {
+    "min_quality": 0.25,
+    "min_qc": 0.51,
+    "max_nll": 3.44,
+    "min_dsir": 22.0,
+    "threshold": 0.7,
+    "ngram_n": 8,
+    "min_overlap": 1,
+    "sem_t": 0.40,
+    "alpha": 0.5,
+    "cap": 3.0,
+    "budget": 2048,
+    "salt": "curate2",
+    "mod": 7,
+}
+
+
+def _curation_funnel2_oracle_sql() -> str:
+    """CTE chain replaying the FULL curate_corpus composition — the
+    configuration a real curation run uses: heuristic quality gate →
+    trained-classifier gate → CCNet LM-perplexity gate → DSIR
+    domain-match gate → exact + near dedup → n-gram decontamination →
+    semantic (embedding) decontamination → temperature mixture →
+    epoch_key-keyed packing. Every block is the component's own
+    already-green oracle SQL (quality_classifier_oracle_sql /
+    unigram_lm_oracle_sql / dsir_oracle_sql /
+    semantic_contamination_oracle_sql / temperature_mixture_oracle_sql)
+    composed over the decontaminate %-split, with the corpus joined to
+    its embeddings (the semantic stage's input contract). Stage CTEs
+    are MATERIALIZED: DuckDB otherwise inlines each per reference and
+    the gate-chain nesting multiplies parquet re-opens past the fd
+    limit (and re-runs the model scans)."""
+    p = _FUNNEL2
+    sh = _SHINGLES_SQL.format(src="g_keepers_docs")
+    from cod_stats_spark.operators.decontaminate import (
+        semantic_contamination_oracle_sql,
+    )
+    from cod_stats_spark.operators.dsir import dsir_oracle_sql
+    from cod_stats_spark.operators.lm_score import unigram_lm_oracle_sql
+    from cod_stats_spark.operators.quality_classifier import (
+        quality_classifier_oracle_sql,
+    )
+    from cod_stats_spark.operators.sampling import (
+        temperature_mixture_oracle_sql,
+    )
+
+    qc = quality_classifier_oracle_sql(_qc_gate_model(), src="g_gated")
+    lm = unigram_lm_oracle_sql("g_corpus")
+    ds = dsir_oracle_sql(_dsir_gate_model(), src="g_lmkept")
+    sem = semantic_contamination_oracle_sql(
+        p["sem_t"], "g_clean", "g_bench", id_expr="doc_id"
+    )
+    mix = temperature_mixture_oracle_sql(
+        "g_sclean", "doc_id", "lang", alpha=p["alpha"],
+        salt=p["salt"] + "|tmix", max_weight=p["cap"],
+    )
+    return f"""
+g_corpus AS MATERIALIZED (
+  SELECT d.*, e.embedding FROM documents d
+  JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.doc_id % {p['mod']} <> 0
+),
+g_bench AS MATERIALIZED (
+  SELECT d.*, e.embedding FROM documents d
+  JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.doc_id % {p['mod']} = 0
+),
+g_qual AS (
+{_funnel_quality_sql('g_corpus')}
+),
+g_gated AS MATERIALIZED (
+  SELECT c.* FROM g_corpus c JOIN g_qual q USING (doc_id)
+  WHERE q.quality >= {p['min_quality']}
+),
+g_qc AS ({qc}),
+g_qckept AS MATERIALIZED (
+  SELECT g.* FROM g_gated g JOIN g_qc q USING (doc_id)
+  WHERE q.qc_score >= {p['min_qc']}
+),
+g_lm AS ({lm}),
+g_lmkept AS MATERIALIZED (
+  SELECT g.* FROM g_qckept g JOIN g_lm s USING (doc_id)
+  WHERE s.lm_tokens > 0 AND s.lm_nll <= {p['max_nll']}
+),
+g_ds AS ({ds}),
+g_dskept AS MATERIALIZED (
+  SELECT g.* FROM g_lmkept g JOIN g_ds s USING (doc_id)
+  WHERE s.dsir_logw >= {p['min_dsir']}
+),
+g_keepers AS (
+  SELECT min(doc_id) AS doc_id
+  FROM g_dskept
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+),
+g_keepers_docs AS MATERIALIZED (
+  SELECT g.* FROM g_dskept g JOIN g_keepers k USING (doc_id)
+),
+g_sh AS MATERIALIZED ({sh}),
+g_scored AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s))::DOUBLE AS i,
+         len(a.s) + len(b.s) AS ab
+  FROM g_sh a JOIN g_sh b
+    ON a.doc_id < b.doc_id
+   AND least(len(a.s), len(b.s))::DOUBLE / greatest(len(a.s), len(b.s)) >= {p['threshold']} - 1e-6
+),
+g_confirmed AS (
+  SELECT id_a, id_b FROM g_scored
+  WHERE (ab - i) > 0 AND round(i / (ab - i), 6) >= {p['threshold']}
+),
+g_edges AS (
+  SELECT id_a AS u, id_b AS v FROM g_confirmed
+  UNION SELECT id_b, id_a FROM g_confirmed
+),
+g_reach(id, lab) AS (
+  SELECT u, u FROM g_edges
+  UNION
+  SELECT e.v, r.lab FROM g_reach r JOIN g_edges e ON e.u = r.id
+),
+g_removed AS (
+  SELECT id FROM g_reach GROUP BY id HAVING min(lab) < id
+),
+g_deduped AS MATERIALIZED (
+  SELECT k.* FROM g_keepers_docs k
+  WHERE k.doc_id NOT IN (SELECT id FROM g_removed)
+),
+g_cg AS ({_funnel_grams_sql('g_deduped', p['ngram_n'])}),
+g_bg AS ({_funnel_grams_sql('g_bench', p['ngram_n'])}),
+g_contam AS (
+  SELECT doc_id
+  FROM g_cg
+  WHERE ngram IN (SELECT DISTINCT ngram FROM g_bg)
+  GROUP BY doc_id
+  HAVING count(*) >= {p['min_overlap']}
+),
+g_clean AS MATERIALIZED (
+  SELECT d.* FROM g_deduped d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM g_contam)
+),
+g_semflag AS ({sem}),
+g_sclean AS MATERIALIZED (
+  SELECT c.* FROM g_clean c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM g_semflag)
+),
+g_mix AS MATERIALIZED ({mix}),
+g_packed AS (
+  SELECT epoch_key,
+         ((sum(n_tokens) OVER (ORDER BY kk, epoch_key ROWS UNBOUNDED PRECEDING)
+           - n_tokens)::BIGINT // {p['budget']}) AS shard_id
+  FROM (
+    SELECT m.id::VARCHAR || ':' || m.epoch::VARCHAR AS epoch_key,
+           len({_sql_tokens('s.text')})::BIGINT AS n_tokens,
+           md5('{p['salt']}' || m.id::VARCHAR || ':' || m.epoch::VARCHAR) AS kk
+    FROM g_mix m JOIN g_sclean s ON s.doc_id = m.id
+  )
+)
+"""
+
+
+_FUNNEL2_ROWS_SQL = """
+SELECT 'funnel2_input' AS tag, (SELECT count(*) FROM g_corpus) AS doc_id,
+       NULL::BIGINT AS cluster_id, NULL::VARCHAR AS lang,
+       NULL::VARCHAR AS source, NULL::BIGINT AS n_chars
+UNION ALL
+SELECT 'funnel2_after_quality', (SELECT count(*) FROM g_gated),
+       NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+UNION ALL
+SELECT 'funnel2_after_model_gate', (SELECT count(*) FROM g_qckept),
+       NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+UNION ALL
+SELECT 'funnel2_after_lm_gate', (SELECT count(*) FROM g_lmkept),
+       NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+UNION ALL
+SELECT 'funnel2_after_dsir_gate', (SELECT count(*) FROM g_dskept),
+       NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+UNION ALL
+SELECT 'funnel2_after_dedup', (SELECT count(*) FROM g_deduped),
+       NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+UNION ALL
+SELECT 'funnel2_after_decontamination', (SELECT count(*) FROM g_clean),
+       NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+UNION ALL
+SELECT 'funnel2_after_semantic_decon', (SELECT count(*) FROM g_sclean),
+       NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+UNION ALL
+SELECT 'funnel2_after_mixture', (SELECT count(*) FROM g_mix),
+       NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+UNION ALL
+SELECT 'funnel2_shards', (SELECT count(DISTINCT shard_id) FROM g_packed),
+       NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+"""
+
+
 def _dedup_pipeline_merged_oracle() -> str:
     """Survivor rows (the r1–r6 dedup_pipeline oracle, unchanged) +
-    the curation funnel's five stage counts, as one tagged union. The
-    survivor part's WITH RECURSIVE prefix is reused to host the funnel
-    CTE chain (DuckDB allows several recursive CTEs per clause)."""
+    the r7 curation funnel's five stage counts + the r14
+    FULL-composition funnel's ten stage counts, as one tagged union.
+    The survivor part's WITH RECURSIVE prefix is reused to host both
+    funnel CTE chains (DuckDB allows several recursive CTEs per
+    clause)."""
     base = _dedup_pipeline_oracle_sql()
     head, body = base.split("WITH RECURSIVE", 1)
     # body = "<survivor CTEs> SELECT <survivor select>"
@@ -4336,34 +4577,54 @@ def _dedup_pipeline_merged_oracle() -> str:
         + ctes
         + ",\n"
         + _curation_funnel_oracle_sql().strip().lstrip()
+        + ",\n"
+        + _curation_funnel2_oracle_sql().strip().lstrip()
         + "\nSELECT 'survivor' AS tag, "
         + select
         + "\nUNION ALL\n"
         + _FUNNEL_ROWS_SQL
+        + "\nUNION ALL\n"
+        + _FUNNEL2_ROWS_SQL
     )
 
 
 @query(
     "dedup_pipeline",
-    covers="EXT-dedup (composite pipeline: exact -> MinHash-LSH -> Jaccard verify -> connected-component clusters -> canonical survivors; FULL oracle via recursive-CTE components. r7: + plans/curation.curate_corpus funnel — quality/dedup/decontamination/pack stage counts each replayed in SQL)",
+    covers="EXT-dedup (composite pipeline: exact -> MinHash-LSH -> Jaccard verify -> connected-component clusters -> canonical survivors; FULL oracle via recursive-CTE components. r7: + plans/curation.curate_corpus funnel — quality/dedup/decontamination/pack stage counts each replayed in SQL. r14: + the FULL curate_corpus composition — trained-classifier gate + CCNet LM gate + DSIR gate + semantic decontamination + temperature mixture + epoch_key packing all enabled, every after_* stage count and the epoch_key shard count replayed in SQL from the components' own oracle builders)",
     oracle=_dedup_pipeline_merged_oracle(),
 )
 def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The r1–r6 survivors output (tag='survivor') unioned with the
-    curate_corpus funnel's per-stage survivor counts (tag='funnel_*',
-    count in the doc_id column) — the capstone composition's stage
-    arithmetic is now oracle-verified, not just pytest-planted. The
-    funnel runs on the decontaminate gate's %-split (corpus = doc_id
-    %% 7 != 0, benchmark = the rest) and writes its shards to a
-    throwaway temp dir. The timed bench entry keeps the r1–r6
-    survivors-only plan via a BENCH_ONLY override (BENCH_NOTES.md)."""
+    """The r1–r6 survivors output (tag='survivor') unioned with TWO
+    curate_corpus funnel replays (count in the doc_id column):
+
+    - tag='funnel_*' (r7): the five-stage base configuration.
+    - tag='funnel2_*' (r14): the FULL composition a real curation run
+      configures — heuristic quality + trained classifier + LM
+      perplexity + DSIR gates, lexical dedup, n-gram AND semantic
+      decontamination, temperature mixture, epoch_key-keyed packing —
+      so the composed stage arithmetic (ordering, handoffs, the
+      epoch_key export keying) is oracle-verified end-to-end, not
+      just per-component. Models are the gates' fixed seeded ones
+      (_qc_gate_model/_dsir_gate_model) plus a unigram LM fit on the
+      corpus itself (training == scoring corpus, the lm2 oracle
+      convention); parameters live in _FUNNEL2, shared verbatim with
+      the SQL builder.
+
+    Both funnels run on the decontaminate gate's %-split (corpus =
+    doc_id %% 7 != 0, benchmark = the rest; funnel2's corpus is
+    additionally joined to its embeddings — lossless at gate SFs,
+    replayed by the oracle at any SF) and write shards to throwaway
+    temp dirs. The timed bench entry keeps the r1–r6 survivors-only
+    plan via a BENCH_ONLY override (BENCH_NOTES.md)."""
     import os
     import tempfile
 
+    from cod_stats_spark.operators.lm_score import unigram_lm_fit
     from cod_stats_spark.plans.curation import curate_corpus
 
     survivors = _dedup_pipeline_survivors(spark, sf_dir)
-    docs = load_tables(spark, sf_dir)["documents"]
+    tables = load_tables(spark, sf_dir)
+    docs = tables["documents"]
     corpus = docs.filter(F.col("doc_id") % 7 != 0)
     bench = docs.filter(F.col("doc_id") % 7 == 0)
     out_dir = tempfile.mkdtemp(prefix="curation_gate_")
@@ -4380,8 +4641,48 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_budget=2048,
         salt="curate",
     )
+
+    p = _FUNNEL2
+    docs2 = docs.join(
+        tables["embeddings"].select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        ),
+        "doc_id",
+    )
+    corpus2 = docs2.filter(F.col("doc_id") % p["mod"] != 0)
+    bench2 = docs2.filter(F.col("doc_id") % p["mod"] == 0)
+    out_dir2 = tempfile.mkdtemp(prefix="curation_gate2_")
+    _, stats2 = curate_corpus(
+        corpus2,
+        bench2,
+        os.path.join(out_dir2, "shards"),
+        min_quality=p["min_quality"],
+        jaccard_threshold=p["threshold"],
+        num_hashes=32,
+        bands=8,
+        decontam_ngram_n=p["ngram_n"],
+        decontam_min_overlap=p["min_overlap"],
+        token_budget=p["budget"],
+        salt=p["salt"],
+        qc_model=_qc_gate_model(),
+        min_qc_score=p["min_qc"],
+        lm_model=unigram_lm_fit(corpus2),
+        max_lm_nll=p["max_nll"],
+        dsir_model=_dsir_gate_model(),
+        min_dsir_logw=p["min_dsir"],
+        semantic_benchmark=bench2,
+        semantic_decon_threshold=p["sem_t"],
+        semantic_decon_method="gemm",
+        mixture_alpha=p["alpha"],
+        mixture_domain_col="lang",
+        mixture_max_weight=p["cap"],
+    )
+
+    rows = [(f"funnel_{k}", int(v)) for k, v in stats.items()] + [
+        (f"funnel2_{k}", int(v)) for k, v in stats2.items()
+    ]
     funnel = spark.createDataFrame(
-        [(f"funnel_{k}", int(v)) for k, v in stats.items()],
+        rows,
         "tag string, doc_id long",
     ).select(
         "tag",
@@ -5375,9 +5676,13 @@ GROUP BY bucket"""
 def _fert_oracle_sql() -> str:
     """DuckDB replay of operators/tokenizer_eval.fertility_stats over
     the documents corpus: per-language corpus-level compression
-    (chars/token) and fertility (sub-word tokens per whitespace word)
-    from the SAME two SQL-replayable counters (ws split; the
-    sub-word-ish regex family, functions/text.BPE_ISH_PATTERN)."""
+    (chars/token: 'fert:' rows) and UTF-8 bytes/token (the byte-level
+    tokenizer grading convention: 'fertb:' rows, strlen = octets vs
+    length = codepoints — the decoration's multibyte suffix keeps the
+    two genuinely different), plus fertility (sub-word tokens per
+    whitespace word), all from the SAME two SQL-replayable counters
+    (ws split; the sub-word-ish regex family,
+    functions/text.BPE_ISH_PATTERN)."""
     from cod_stats_spark.functions.text import BPE_ISH_PATTERN
 
     # DuckDB string literals are standard-SQL (backslash is literal),
@@ -5386,22 +5691,36 @@ def _fert_oracle_sql() -> str:
     # 's' and match every SPACE as a token (caught at gate bring-up)
     ws = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
     pat = BPE_ISH_PATTERN
+    # wrapped: the arm splices into the gate oracle after a UNION ALL,
+    # where a bare WITH would not parse
     return f"""
+SELECT * FROM (
+WITH fert_counts AS (
+  SELECT lang, count(*) AS nd,
+         sum(length(text))::BIGINT AS ch,
+         sum(strlen(text))::BIGINT AS by,
+         sum(len({ws}))::BIGINT AS tws,
+         sum(len(regexp_extract_all(text, '{pat}')))::BIGINT AS tsub
+  FROM (SELECT lang,
+               text || ' #' || doc_id::VARCHAR || '%, ok! é™' AS text
+        FROM documents)
+  GROUP BY lang
+)
 SELECT 'fert:' || lang AS grp,
        round(CASE WHEN tws > 0 THEN ch::DOUBLE / tws END, 6) AS m1,
        round(CASE WHEN tsub > 0 THEN ch::DOUBLE / tsub END, 6) AS m2,
        round(CASE WHEN tws > 0 THEN tsub::DOUBLE / tws END, 6) AS m3,
        round(tws::DOUBLE / nd, 6) AS m4,
        nd AS n
-FROM (
-  SELECT lang, count(*) AS nd,
-         sum(length(text))::BIGINT AS ch,
-         sum(len({ws}))::BIGINT AS tws,
-         sum(len(regexp_extract_all(text, '{pat}')))::BIGINT AS tsub
-  FROM (SELECT lang,
-               text || ' #' || doc_id::VARCHAR || '%, ok!' AS text
-        FROM documents)
-  GROUP BY lang
+FROM fert_counts
+UNION ALL
+SELECT 'fertb:' || lang,
+       round(CASE WHEN tws > 0 THEN by::DOUBLE / tws END, 6),
+       round(CASE WHEN tsub > 0 THEN by::DOUBLE / tsub END, 6),
+       round(by::DOUBLE / ch, 6),
+       round(by::DOUBLE / nd, 6),
+       nd
+FROM fert_counts
 )"""
 
 
@@ -5426,7 +5745,7 @@ def _stat_gate_extras() -> dict[str, str]:
 
 @query(
     "stat_aggregates",
-    covers="EXT-olap EXT-analytics (statistical aggregates: stddev/variance/corr/covar + fixed-width bucketed histogram + exact interpolated quantiles per group; r7: + operators/profiling.profile_table's per-column count/null/mean/stddev/min/max rows, recomputed from scratch in SQL; r9: + operators/funnel.py — strict-sequential funnel over the event stream ['funnel:'], the 7-day-max-gap variant ['funnelgap:'], and weekly cohort retention triangles ['cohort:'], each replayed as chained CTEs in SQL; r9: + operators/expectations.py ['dq:'] — declarative data-quality checks (not_null/range/accepted_values/regex/unique/referential) incl. a genuinely FAILING unique on the synthetic lineitem PK, every violation count recomputed from scratch in SQL; r11: + functions/url.py ['dom:'] — URL host extraction/canonicalization, eTLD+1 registered domain incl. multi-part and platform suffixes, subdomain blocklist matching, and the per-domain corpus rollup [domain_stats], every row recomputed from the same suffix constants in SQL over synthetic per-doc URLs; r12: + functions/html.py ['html:'] — HTML→text extraction with script/style/comment stripping, block-break line structure, entity decode, and C4 line cleaning over synthetic pages, the cleaned text md5-packed into the group key so every byte is value-verified from the same pattern constants in SQL; r13: + ['dompsl:'] — a loaded >64-rule PSL set driven through the with_registered_domain broadcast-join RELATION path [the at-scale form; strip_www auto-off under www-anchored exceptions], the oracle replaying the SAME rules as the full regex alternation: explicit+wildcard same-tail, wildcard-protected exception, www-anchored exception, and the two-label fallback all value-verified; r13: + operators/tokenizer_eval.py ['fert:'] — per-language tokenizer fertility/compression eval: corpus-level chars-per-token for the ws and sub-word-regex counters, sub-tokens-per-word fertility, and mean words/doc, ratios of SUMS recomputed from the same counters in SQL)",
+    covers="EXT-olap EXT-analytics (statistical aggregates: stddev/variance/corr/covar + fixed-width bucketed histogram + exact interpolated quantiles per group; r7: + operators/profiling.profile_table's per-column count/null/mean/stddev/min/max rows, recomputed from scratch in SQL; r9: + operators/funnel.py — strict-sequential funnel over the event stream ['funnel:'], the 7-day-max-gap variant ['funnelgap:'], and weekly cohort retention triangles ['cohort:'], each replayed as chained CTEs in SQL; r9: + operators/expectations.py ['dq:'] — declarative data-quality checks (not_null/range/accepted_values/regex/unique/referential) incl. a genuinely FAILING unique on the synthetic lineitem PK, every violation count recomputed from scratch in SQL; r11: + functions/url.py ['dom:'] — URL host extraction/canonicalization, eTLD+1 registered domain incl. multi-part and platform suffixes, subdomain blocklist matching, and the per-domain corpus rollup [domain_stats], every row recomputed from the same suffix constants in SQL over synthetic per-doc URLs; r12: + functions/html.py ['html:'] — HTML→text extraction with script/style/comment stripping, block-break line structure, entity decode, and C4 line cleaning over synthetic pages, the cleaned text md5-packed into the group key so every byte is value-verified from the same pattern constants in SQL; r13: + ['dompsl:'] — a loaded >64-rule PSL set driven through the with_registered_domain broadcast-join RELATION path [the at-scale form; strip_www auto-off under www-anchored exceptions], the oracle replaying the SAME rules as the full regex alternation: explicit+wildcard same-tail, wildcard-protected exception, www-anchored exception, and the two-label fallback all value-verified; r13: + operators/tokenizer_eval.py ['fert:'] — per-language tokenizer fertility/compression eval: corpus-level chars-per-token for the ws and sub-word-regex counters, sub-tokens-per-word fertility, and mean words/doc, ratios of SUMS recomputed from the same counters in SQL; r14: + ['fertb:'] — UTF-8 bytes-per-token (the byte-level-tokenizer grading convention) over a deliberately multibyte-decorated corpus so chars ≠ bytes, bytes/char density and bytes/doc, strlen-octet sums replayed in SQL)",
     oracle="""
 WITH prof AS (
   SELECT 'l_quantity' AS c, count(*) AS n_rows,
@@ -5834,22 +6153,35 @@ def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic corpus is pure lowercase words (sub == ws trivially),
     # so the arm decorates each doc with deterministic digits +
     # punctuation — the counters must genuinely diverge for the
-    # fertility column to verify anything
+    # fertility column to verify anything. r14: the decoration also
+    # appends a MULTIBYTE suffix (é = 2 UTF-8 octets, ™ = 3) so the
+    # 'fertb:' arm's bytes-per-token columns — the compression
+    # convention byte-level tokenizers are graded on — verify against
+    # text where chars ≠ bytes, not a trivially-equal ASCII corpus
     from cod_stats_spark.operators.tokenizer_eval import fertility_stats
 
     fert_docs = t["documents"].withColumn(
         "text",
         F.concat(
             F.col("text"), F.lit(" #"),
-            F.col("doc_id").cast("string"), F.lit("%, ok!"),
+            F.col("doc_id").cast("string"), F.lit("%, ok! é™"),
         ),
     )
-    fert = fertility_stats(fert_docs, "text", "lang").select(
+    fert_base = fertility_stats(fert_docs, "text", "lang")
+    fert = fert_base.select(
         F.concat(F.lit("fert:"), F.col("lang")).alias("grp"),
         F.col("chars_per_ws").alias("m1"),
         F.col("chars_per_sub").alias("m2"),
         F.col("fert_sub").alias("m3"),
         F.round(F.col("toks_ws") / F.col("n_docs"), 6).alias("m4"),
+        F.col("n_docs").alias("n"),
+    )
+    fertb = fert_base.select(
+        F.concat(F.lit("fertb:"), F.col("lang")).alias("grp"),
+        F.col("bytes_per_ws").alias("m1"),
+        F.col("bytes_per_sub").alias("m2"),
+        F.round(F.col("n_bytes") / F.col("n_chars"), 6).alias("m3"),
+        F.round(F.col("n_bytes") / F.col("n_docs"), 6).alias("m4"),
         F.col("n_docs").alias("n"),
     )
     return (
@@ -5863,6 +6195,7 @@ def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dompsl)
         .unionByName(html_arm)
         .unionByName(fert)
+        .unionByName(fertb)
     )
 
 
@@ -5896,28 +6229,6 @@ def _ep_oracle_arm() -> str:
         " FROM (SELECT doc_id, lang, unnest(CASE lang "
         + " ".join(cases)
         + " ELSE [0] END) AS e FROM documents)"
-    )
-
-
-def _dsir_gate_model():
-    """Fixed-λ DSIR model for the gate's 'dsir' arm: the SCORING and
-    SELECTION passes (hashed bag-of-bigrams integer micro-unit sums,
-    md5-derived Gumbel top-k) are what the oracle replays exactly —
-    fixed literal log-ratios make them bit-identical in SQL (the
-    qc_score/lang_pred precedent); FITTING is counting + driver-side
-    ln(), property-tested in tests/test_dsir.py and timed by the
-    `dsir_select` bench entry. Seeded so Spark body and oracle embed
-    identical literals."""
-    import random
-
-    from cod_stats_spark.operators.dsir import DsirModel
-
-    rng = random.Random(20260816)
-    return DsirModel(
-        dim=64,
-        ngrams=2,
-        base_hash="md5_60",
-        log_ratio6=[rng.randint(-2_000_000, 2_000_000) for _ in range(64)],
     )
 
 

@@ -77,6 +77,35 @@ class TestHandComputed:
         want = -sum(math.log(p) for p in probs) / 6
         assert got["lm3_nll"] == pytest.approx(want, abs=1e-12)
 
+    def test_document_initial_bigram_lambda(self, spark):
+        """λ(v) counts the CONTINUATION support N1+(v·) = |{w :
+        N1+(·vw)>0}|, not the bigram-table fanout: corpus doc1 'x y',
+        doc2 'a x z a x z' has bigram xy only document-initially
+        (c(xy)=1 but N1+(·xy)=0, no trigram ends in xy), so the
+        bigram fanout of x is 2 ({xy,xz}) while the continuation
+        support is 1 ({z}) — the old fanout inflated λ(x) to 1.0 and
+        P₂(·|x) summed to 1.5 (r13 advice; Chen & Goodman 1999).
+
+        With D=0.5, α=1: bigram types xy,ax,xz,za → ncc=4, V=4,
+        P1(w)=2/8=0.25 ∀w. For v=x: N1+(·xz)=1 ({a}), N1+(·x·)=1,
+        N1+(x·)=1 ({z}). P2(z|x) = 0.5/1 + 0.5·1/1·0.25 = 0.625
+        (fanout form gave 0.75), and Σ_w P2(w|x) = 0.5 + λ·ΣP1 = 1.0
+        exactly (ΣP1 = (4+4)/8 = 1 here)."""
+        from cod_stats_spark.operators.lm_score import kn_lm_score
+
+        docs, uni, bi, tri = _models(
+            spark, [(1, "x y"), (2, "a x z a x z")]
+        )
+        probe = spark.createDataFrame(
+            [(10, "x z")], "doc_id long, text string"
+        )
+        got = kn_lm_score(
+            probe, uni, bi, tri, discount=0.5, alpha=1.0
+        ).first()
+        assert got["lm3_tokens"] == 2
+        want = -(math.log(0.25) + math.log(0.625)) / 2
+        assert got["lm3_nll"] == pytest.approx(want, abs=1e-12)
+
 
 class TestBehavior:
     _FLUENT = [
@@ -199,3 +228,21 @@ def test_alpha_validation(spark):
     docs, uni, bi, tri = _models(spark, [(1, "a b c")])
     with pytest.raises(ValueError, match="alpha"):
         kn_lm_score(docs, uni, bi, tri, alpha=0.0)
+
+
+def test_broadcast_cap_raises_and_shuffled_path_unchanged(
+    spark, monkeypatch
+):
+    """An oversized trigram model under the broadcast default raises
+    loudly (the dsir_fit dim-cap convention); broadcast_model=False
+    scores it fine with output identical to the small-cap-free run."""
+    import cod_stats_spark.operators.lm_score as L
+
+    docs, uni, bi, tri = _models(spark, [(1, "a b c a b d")])
+    base = L.kn_lm_score(docs, uni, bi, tri).first()
+    monkeypatch.setattr(L, "_KN_BROADCAST_ROW_CAP", 2)
+    with pytest.raises(ValueError, match="broadcast cap"):
+        L.kn_lm_score(docs, uni, bi, tri)
+    got = L.kn_lm_score(docs, uni, bi, tri, broadcast_model=False).first()
+    assert got["lm3_tokens"] == base["lm3_tokens"]
+    assert got["lm3_nll"] == pytest.approx(base["lm3_nll"], abs=1e-12)

@@ -253,3 +253,91 @@ class TestUniMax:
             ).fetchall()
         )
         assert got2 == want2
+
+
+class TestRelationPath:
+    """epoch_expand's >64-domain broadcast-relation dispatch (r14):
+    identical copy set to the literal when-chain, BroadcastHashJoin in
+    the plan, and the DuckDB oracle unchanged across the switch."""
+
+    def _wide(self, spark, n_domains=80, rows_per=3):
+        rows = [
+            (d * 1000 + i, f"d{d:03d}")
+            for d in range(n_domains)
+            for i in range(rows_per)
+        ] + [(999_999, None)]
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def _weights(self, n_domains=80):
+        # spread: thinning, identity, integer epochs, fractional epochs
+        return {
+            f"d{d:03d}": [0.4, 1.0, 2.0, 1.7, 2.35][d % 5]
+            for d in range(n_domains)
+        }
+
+    def test_relation_path_matches_literal_path(self, spark, monkeypatch):
+        import cod_stats_spark.operators.sampling as S
+
+        docs = self._wide(spark)
+        w = self._weights()
+        assert len(w) > S._EXPAND_LITERAL_LIMIT
+        got_rel = {
+            (r["doc_id"], r["epoch"], r["epoch_key"])
+            for r in S.epoch_expand(docs, "doc_id", "lang", w, salt="rp").collect()
+        }
+        monkeypatch.setattr(S, "_EXPAND_LITERAL_LIMIT", 10_000)
+        got_lit = {
+            (r["doc_id"], r["epoch"], r["epoch_key"])
+            for r in S.epoch_expand(docs, "doc_id", "lang", w, salt="rp").collect()
+        }
+        assert got_rel == got_lit
+        # the spread exercises every branch: some thinned away, some
+        # replicated past epoch 0, the null-domain row kept once
+        epochs = {}
+        for _id, ep, _k in got_rel:
+            epochs.setdefault(_id, []).append(ep)
+        assert (999_999, 0, "999999:0") in got_rel
+        assert any(len(v) > 2 for v in epochs.values())
+        assert len({i for i, _, _ in got_rel}) < docs.count() * 1  # some thinned
+        for _id, eps in epochs.items():
+            assert sorted(eps) == list(range(len(eps)))  # contiguous 0..k
+
+    def test_relation_path_is_broadcast_join(self, spark):
+        import cod_stats_spark.operators.sampling as S
+
+        docs = self._wide(spark)
+        out = S.epoch_expand(docs, "doc_id", "lang", self._weights(), salt="rp")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # helper columns must not leak into the output contract
+        assert set(out.columns) == {"doc_id", "lang", "epoch", "epoch_key"}
+
+    def test_oracle_replays_relation_path(self, spark):
+        import duckdb
+
+        from cod_stats_spark.operators.sampling import (
+            temperature_mixture,
+            temperature_mixture_oracle_sql,
+        )
+
+        docs = self._wide(spark, n_domains=70, rows_per=4)
+        got = {
+            (r["doc_id"], r["epoch"])
+            for r in temperature_mixture(
+                docs, "doc_id", "lang", alpha=0.3, salt="rp70",
+                max_weight=3.0,
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register("docs70", docs.toPandas())
+        want = {
+            (int(i), int(e))
+            for i, _d, e in con.execute(
+                temperature_mixture_oracle_sql(
+                    "docs70", "doc_id", "lang", alpha=0.3, salt="rp70",
+                    max_weight=3.0,
+                )
+            ).fetchall()
+        }
+        assert got == want

@@ -97,3 +97,26 @@ def test_validation(spark):
         fertility_stats(docs, by="")
     with pytest.raises(ValueError, match="counter"):
         fertility_stats(docs, counters={})
+
+
+def test_bytes_per_token_diverges_on_multibyte_text(spark):
+    """'héllo wörld ™' (r14): 13 chars but 17 UTF-8 octets (é/ö = 2
+    each, ™ = 3), 3 ws tokens — bytes_per_ws must report octets (the
+    byte-level-tokenizer grading convention), not codepoints."""
+    from cod_stats_spark.operators.tokenizer_eval import fertility_stats
+
+    docs = spark.createDataFrame(
+        [(1, "héllo wörld ™", "de"), (2, "plain ascii", "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["lang"]: r.asDict() for r in fertility_stats(docs).collect()}
+    de = got["de"]
+    assert de["n_chars"] == 13 and de["n_bytes"] == 17
+    assert de["toks_ws"] == 3
+    assert de["chars_per_ws"] == round(13 / 3, 6)
+    assert de["bytes_per_ws"] == round(17 / 3, 6)
+    assert de["bytes_per_ws"] != de["chars_per_ws"]
+    # pure ASCII: the two conventions coincide exactly
+    en = got["en"]
+    assert en["n_chars"] == en["n_bytes"]
+    assert en["bytes_per_ws"] == en["chars_per_ws"]

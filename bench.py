@@ -54,6 +54,10 @@ HEADLINE = [
     # positional-gram census + island merge + cleaned-text rebuild;
     # BENCH_NOTES.md "New entries (round 9)")
     "dedup_substring",
+    # round-14 addition: duplicate-LINE removal (RefinedWeb/Dolma
+    # boilerplate pass — line-hash keep-first + in-order reassembly;
+    # new entry, new scope; BENCH_NOTES.md "New entries (round 14)")
+    "line_dedup",
     "decontaminate",
     # round-7 addition: the doc-level cleaning path (new entry, new
     # scope — linear gram-set match; the `decontaminate` entry keeps
@@ -75,8 +79,12 @@ HEADLINE = [
     # round-13 addition: Kneser-Ney trigram scoring, whole job
     # (subsample uni/bi/tri fits -> five-relation broadcast forward
     # pass over the full corpus, checksum tail; new entry, new scope;
-    # BENCH_NOTES.md "New entries (round 13)")
-    "kn_lm_score",
+    # BENCH_NOTES.md "New entries (round 13)").
+    # _v2 (round 14): the middle layer's lambda numerator changed from
+    # bigram fanout to continuation support (r13 advice fidelity fix),
+    # so the timed plan changed and the entry is renamed (the
+    # lm_score_v2 precedent; BENCH_NOTES.md)
+    "kn_lm_score_v2",
     # round-8 addition: trained-BPE tokenization, whole job (word
     # counts -> driver merge training -> memoized mapInPandas encode;
     # new entry, new scope; BENCH_NOTES.md "New entries")
@@ -245,26 +253,41 @@ def main() -> None:
     # a run with errors skips the errored queries' time, so its summed
     # seconds would look FASTER than a clean run — report null instead
     # (per-query numbers remain; runs with different error sets are
-    # not comparable on the headline metric)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": round(t_total, 3) if n_err == 0 else None,
-                "unit": "sec",
-                "queries": per_query,
-                "errors": n_err,
-                "sf": sf,
-                # drift forensics: raw (both) run times + 1-min loadavg
-                # at each entry's start and at suite start/end — see
-                # BENCH_NOTES.md "Classifying cross-round deltas"
-                "runs": raw_runs,
-                "loadavg": load_at,
-                "loadavg_start": load_start,
-                "loadavg_end": round(os.getloadavg()[0], 2),
-            }
-        )
-    )
+    # not comparable on the headline metric).
+    #
+    # Field ORDER is deliberate (r13 verdict, what's-wrong #2): the
+    # recorder keeps only a bounded TAIL of stdout, so three rounds
+    # running the headline scalars at the FRONT of the line were
+    # truncated away and had to be reconstructed forensically. The big
+    # per-entry dicts now come first and the compact scalars (metric /
+    # value / errors / sf / loadavgs) last — whatever tail survives
+    # carries the headline. The WHOLE payload is also written to
+    # BENCH_LOCAL.json next to this script (committed per round), so
+    # the full per-entry record never depends on the capture at all.
+    payload = {
+        # drift forensics: raw (both) run times + 1-min loadavg
+        # at each entry's start and at suite start/end — see
+        # BENCH_NOTES.md "Classifying cross-round deltas"
+        "queries": per_query,
+        "runs": raw_runs,
+        "loadavg": load_at,
+        "metric": "headline_suite_wall_seconds",
+        "value": round(t_total, 3) if n_err == 0 else None,
+        "unit": "sec",
+        "errors": n_err,
+        "sf": sf,
+        "loadavg_start": load_start,
+        "loadavg_end": round(os.getloadavg()[0], 2),
+    }
+    line = json.dumps(payload)
+    try:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json")
+        with open(out, "w") as fh:
+            fh.write(line + "\n")
+    except OSError as exc:  # the printed line remains the contract
+        print(f"# BENCH_LOCAL.json write failed: {exc}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -177,7 +177,11 @@ def mixture_sample(
     `stratified_sample` uses: a codegen'd projection over the big
     table, zero shuffles, reproducible in any engine. Fractions round
     to 9 dp before bucket-thresholding so two engines computing them
-    independently agree (same protocol as `weighted_sample`).
+    independently agree (same protocol as `weighted_sample`). Target
+    maps past :data:`_EXPAND_LITERAL_LIMIT` domains ship the
+    per-domain thresholds as a broadcast-joined relation instead of a
+    literal when-chain (the epoch_expand dispatch — identical keep
+    set either way, parity-tested).
     """
     mass = F.count(F.lit(1)) if size_col is None else F.sum(F.col(size_col).cast("double"))
     sizes = {
@@ -198,13 +202,28 @@ def mixture_sample(
             if sizes.get(d):
                 fractions[d] = min(1.0, float(budget) * w / sizes[d])
     buckets = 1 << 20
-    thr = F.lit(-1)  # domains outside the target mixture drop
-    for domain, frac in sorted(fractions.items()):
-        thr = F.when(
-            F.col(domain_col) == domain,
-            F.lit(int(round(frac, 9) * buckets)),
-        ).otherwise(thr)
+    # one arithmetic site for both dispatch paths (the epoch_expand
+    # convention): domains outside the target mixture threshold at -1
+    # (every bucket value >= 0, so they drop)
+    rows = [
+        (d, int(round(frac, 9) * buckets))
+        for d, frac in sorted(fractions.items())
+    ]
     key = F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    if len(rows) > _EXPAND_LITERAL_LIMIT:
+        rel = F.broadcast(
+            df.sparkSession.createDataFrame(
+                rows, "_mix_d string, _mix_thr int"
+            )
+        )
+        return (
+            df.join(rel, F.col(domain_col) == F.col("_mix_d"), "left")
+            .filter(_hash_bucket(key) < F.coalesce(F.col("_mix_thr"), F.lit(-1)))
+            .drop("_mix_d", "_mix_thr")
+        )
+    thr = F.lit(-1)
+    for domain, t in rows:
+        thr = F.when(F.col(domain_col) == domain, F.lit(t)).otherwise(thr)
     return df.filter(_hash_bucket(key) < thr)
 
 

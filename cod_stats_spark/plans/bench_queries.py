@@ -1026,8 +1026,37 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- training-data pipeline ops
 
 
+def _lined_docs_sql(width: int = 5) -> str:
+    """(doc_id, text) with the corpus re-laid as ``width``-token LINES
+    joined by newlines — the synthetic multi-line corpus the
+    'line'/'line_all' arms need (the testdata documents carry no
+    newlines; the 'html:' precedent: synthesize structure identically
+    in both engines). Same token array and disjoint-window arithmetic
+    the 'chunk_fp' arm already value-verifies."""
+    tk = (
+        "list_filter(string_split(trim(regexp_replace(lower(text),"
+        " '\\s+', ' ', 'g')), ' '), t -> t <> '')"
+    )
+    return f"""(
+  SELECT doc_id,
+         array_to_string(list(line ORDER BY cid), chr(10)) AS text
+  FROM (
+    SELECT doc_id, chunk_start // {width} AS cid,
+           array_to_string(tk[chunk_start + 1:chunk_start + {width}], ' ') AS line
+    FROM (
+      SELECT doc_id, tk,
+             unnest(CASE WHEN len(tk) = 0 THEN []
+                    ELSE generate_series(0, len(tk) - 1, {width}) END) AS chunk_start
+      FROM (SELECT doc_id, {tk} AS tk FROM documents)
+    )
+  )
+  GROUP BY doc_id
+)"""
+
+
 def _dedup_exact_oracle() -> str:
     from cod_stats_spark.operators.chunking import chunk_oracle_sql
+    from cod_stats_spark.operators.line_dedup import line_dedup_oracle_sql
     from cod_stats_spark.operators.substring import substring_oracle_sql
 
     exact = r"""
@@ -1041,7 +1070,8 @@ GROUP BY fp
     sub = substring_oracle_sql("documents", n=8, min_count=2, keep_first=False)
     sub1 = substring_oracle_sql("documents", n=8, min_count=2, keep_first=True)
     chunk = chunk_oracle_sql("documents", max_tokens=32, stride=24)
-    return (
+    lined = _lined_docs_sql()
+    parts = [
         exact
         + "\nUNION ALL\nSELECT 'substring' AS tag, fp, keep_id,"
         " n_copies::BIGINT AS n_copies FROM ("
@@ -1054,7 +1084,16 @@ GROUP BY fp
         " n_tokens::BIGINT AS n_copies FROM ("
         + chunk
         + ")"
-    )
+    ]
+    for tag, kf in (("line", True), ("line_all", False)):
+        parts.append(
+            f"\nUNION ALL\nSELECT '{tag}' AS tag, md5(clean_text) AS fp,"
+            " doc_id AS keep_id,"
+            " (n_lines - n_kept)::BIGINT AS n_copies FROM ("
+            + line_dedup_oracle_sql(lined, keep_first=kf)
+            + ")"
+        )
+    return "".join(parts)
 
 
 @query(
@@ -1069,17 +1108,25 @@ GROUP BY fp
         "value-verified through one digest. 'chunk_fp': "
         "operators/chunking.py content check — md5 of every 32-token/"
         "stride-24 chunk window (boundary arithmetic is oracled in the "
-        "pack_sequences gate's 'chunk' arm))"
+        "pack_sequences gate's 'chunk' arm. r14 'line'/'line_all': "
+        "operators/line_dedup.py — the RefinedWeb/Dolma duplicate-LINE "
+        "pass over the corpus re-laid as 5-token newline-joined lines "
+        "(synthesized identically in both engines): corpus-wide "
+        "keep-first and drop-all policies, normalization-keyed "
+        "decisions, in-order reassembly — the fp is the md5 of the "
+        "REBUILT text, so every scrub decision and boundary is "
+        "value-verified through one digest; n_copies = scrubbed lines)"
     ),
     oracle=_dedup_exact_oracle(),
 )
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact + substring-span dedup + chunk-content arms. The TIMED
-    `dedup_exact` entry keeps the r1-r8 exact-only plan via its
-    BENCH_ONLY override (BENCH_NOTES.md); the substring pass gets its
-    own timed `dedup_substring` entry with the production xxhash64
-    member."""
+    """Exact + substring-span dedup + chunk-content + duplicate-line
+    arms. The TIMED `dedup_exact` entry keeps the r1-r8 exact-only
+    plan via its BENCH_ONLY override (BENCH_NOTES.md); the substring
+    pass gets its own timed `dedup_substring` entry with the
+    production xxhash64 member."""
     from cod_stats_spark.operators.chunking import chunk_documents
+    from cod_stats_spark.operators.line_dedup import line_dedup
     from cod_stats_spark.operators.substring import substring_dedup
 
     docs = load_tables(spark, sf_dir)["documents"]
@@ -1106,6 +1153,33 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("long").alias("n_copies"),
         )
     )
+    # the corpus re-laid as 5-token lines (the oracle's _lined_docs_sql
+    # twin) — chunk_documents at (5,5) is the disjoint-window form the
+    # 'chunk_fp' arm already value-verifies
+    lined = (
+        chunk_documents(docs, max_tokens=5, stride=5)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "chunk_text"))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+    for tag, kf in (("line", True), ("line_all", False)):
+        arms.append(
+            line_dedup(lined, "text", "doc_id", keep_first=kf).select(
+                F.lit(tag).alias("tag"),
+                F.md5("clean_text").alias("fp"),
+                F.col("doc_id").alias("keep_id"),
+                (F.col("n_lines") - F.col("n_kept")).alias("n_copies"),
+            )
+        )
     out = arms[0]
     for a in arms[1:]:
         out = out.unionByName(a)
@@ -6881,7 +6955,7 @@ def byte_bpe_encode_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_bpe_encode(docs, tok).select("doc_id", "bpe_n_tokens")
 
 
-@_bench_only("kn_lm_score")
+@_bench_only("kn_lm_score_v2")
 def kn_lm_score_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timed Kneser-Ney trigram scoring, whole job (r13 — new entry,
     new scope; BENCH_NOTES.md "New entries (round 13)"): uni/bi/tri
@@ -7300,6 +7374,45 @@ def dsir_select_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_m").alias("weight_checksum"),
     ).where(F.col("weight_checksum").isNotNull())
+
+
+@_bench_only("line_dedup")
+def line_dedup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed duplicate-line removal, whole job (r14, new entry —
+    BENCH_NOTES.md "New entries"): the corpus re-laid as 5-token
+    lines (the gate's synthesis — testdata docs carry no newlines),
+    then the RefinedWeb/Dolma keep-first pass: posexplode → one
+    line-hash shuffle (groupBy min-struct, no global sort) → one
+    doc-id shuffle reassembling survivors in order. Ends in a
+    checksum over the rebuilt text + kept counts so count() cannot
+    prune the reassembly (the lm_score count-pruning hazard)."""
+    from cod_stats_spark.operators.chunking import chunk_documents
+    from cod_stats_spark.operators.line_dedup import line_dedup
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    lined = (
+        chunk_documents(docs, max_tokens=5, stride=5)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "chunk_text"))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+    out = line_dedup(lined, "text", "doc_id")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_kept").alias("kept_checksum"),
+        F.sum(F.crc32(F.col("clean_text").cast("binary"))).alias(
+            "text_checksum"
+        ),
+    ).where(F.col("text_checksum").isNotNull())
 
 
 @_bench_only("quality_classifier")

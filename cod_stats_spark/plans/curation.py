@@ -168,6 +168,33 @@ def _dsir_gate(
     return kept
 
 
+def _replace_text(
+    parent: DataFrame,
+    scrubbed: DataFrame,
+    text_col: str,
+    id_col: str,
+    stats: dict[str, int],
+    key: str,
+) -> DataFrame:
+    """Shared text-rewrite plumbing for the scrubbing stages (line
+    dedup, ExactSubstr): swap the parent's text for the scrubbed
+    ``clean_text``, drop documents scrubbed to empty, persist, count
+    (the materializing action), release the parent's cache."""
+    replaced = (
+        parent.drop(text_col)
+        .join(
+            scrubbed.where(F.length("clean_text") > 0).select(
+                id_col, F.col("clean_text").alias(text_col)
+            ),
+            id_col,
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats[key] = replaced.count()
+    parent.unpersist()
+    return replaced
+
+
 def curate_corpus(
     docs: DataFrame,
     benchmark: DataFrame | None,
@@ -194,6 +221,8 @@ def curate_corpus(
     max_lm_nll: float | None = None,
     dsir_model=None,
     min_dsir_logw: float | None = None,
+    line_sep: str | None = None,
+    line_min_chars: int = 1,
     semantic_centroids: list[list[float]] | None = None,
     semantic_threshold: float = 0.95,
     embedding_col: str = "embedding",
@@ -274,6 +303,17 @@ def curate_corpus(
     exact Gumbel top-k resample is the standalone ``dsir_select``
     (a global k re-ranks on every append, so it belongs to one-shot
     corpus construction, not the funnel).
+
+    ``line_sep``: when set, a duplicate-LINE removal stage
+    (operators/line_dedup.py, keep_first=True — the RefinedWeb/Dolma
+    boilerplate pass) runs after the model gates and BEFORE the
+    document-level dedup (the published ordering: recurring
+    navigation/footer lines removed first sharpen the document
+    fingerprints the dedup stages hash): a normalized line repeated
+    anywhere in the corpus keeps its globally-first occurrence and is
+    scrubbed everywhere else; blank lines and lines shorter than
+    ``line_min_chars`` are exempt. Documents scrubbed to empty drop;
+    stats gains ``after_line_dedup``.
 
     ``semantic_benchmark``: embedding-space decontamination right
     after the n-gram decontamination (the same stage-4 slot): any
@@ -356,6 +396,18 @@ def curate_corpus(
     if dsir_model is not None:
         gated = _dsir_gate(gated, dsir_model, min_dsir_logw, text_col,
                            id_col, stats)
+
+    if line_sep is not None:
+        from cod_stats_spark.operators.line_dedup import line_dedup
+
+        gated = _replace_text(
+            gated,
+            line_dedup(
+                gated, text_col, id_col,
+                sep=line_sep, min_chars=line_min_chars, keep_first=True,
+            ),
+            text_col, id_col, stats, "after_line_dedup",
+        )
 
     # exact + near dedup — the dedup_pipeline gate's shape: shingle
     # once, share the projection across LSH and the Jaccard verify.
@@ -542,6 +594,8 @@ def curate_corpus_append(
     max_lm_nll: float | None = None,
     dsir_model=None,
     min_dsir_logw: float | None = None,
+    line_sep: str | None = None,
+    line_min_chars: int = 1,
     semantic_centroids: list[list[float]] | None = None,
     semantic_threshold: float = 0.95,
     embedding_col: str = "embedding",
@@ -590,6 +644,17 @@ def curate_corpus_append(
     the same model-gate slot as the one-shot funnel (after the LM
     gate). Fixed model + fixed cut — stateless, append == rebuild
     holds (the threshold posture; see :func:`_dsir_gate`).
+
+    ``line_sep`` (+ ``line_min_chars``): the duplicate-line scrub in
+    the same slot as the one-shot funnel (after the model gates,
+    before document dedup), incremental form: a persisted line census
+    under ``state_dir/line_census`` (streaming/line_dedup.py) makes
+    the semantics KEEP-FIRST-IN-TIME — a batch line already shipped
+    (this batch or any earlier one) is scrubbed; batch-id-tagged
+    commits keep at-least-once replays from double-counting. With
+    increasing doc ids across batches, append == rebuild (the
+    substring-census contract, one granularity up). Stats gains
+    ``after_line_dedup``.
 
     ``semantic_benchmark`` (+ ``semantic_decon_threshold``,
     ``semantic_decon_method``): embedding-space decontamination in
@@ -678,6 +743,30 @@ def curate_corpus_append(
     if dsir_model is not None:
         gated = _dsir_gate(gated, dsir_model, min_dsir_logw, text_col,
                            id_col, stats)
+
+    if line_sep is not None:
+        from cod_stats_spark.streaming.line_dedup import (
+            line_batch_against_corpus,
+        )
+
+        gated = _replace_text(
+            gated,
+            line_batch_against_corpus(
+                spark,
+                gated,
+                os.path.join(state_dir, "line_census"),
+                text_col=text_col,
+                id_col=id_col,
+                sep=line_sep,
+                min_chars=line_min_chars,
+                # count-additive census: the batch tag makes an
+                # at-least-once replay re-scrub against its original
+                # snapshot instead of double-merging (the substring
+                # census rule)
+                batch_id=int(batch_id),
+            ),
+            text_col, id_col, stats, "after_line_dedup",
+        )
 
     from cod_stats_spark.streaming.dedup import dedup_batch_against_corpus
 

@@ -1,0 +1,146 @@
+"""Incremental duplicate-line removal — batch-append against a
+persisted line census.
+
+The streaming posture of :mod:`operators.line_dedup` (the
+RefinedWeb/Dolma boilerplate pass): documents already shipped are
+immutable, so the only coherent append semantics is
+KEEP-FIRST-IN-TIME — a line's first-ever shipped occurrence stands,
+and every later occurrence (same batch or any later one) is scrubbed
+before shipping. State is the line census (h, cnt): O(distinct
+lines) rows, merged by count sum per batch under the
+versioned-rewrite protocol (streaming/_state.py) with batch-id-tagged
+commits, so at-least-once replays re-scrub against the snapshot they
+originally read and never double-count (the substring census
+discipline, one granularity up).
+
+Per batch:
+
+1. the batch's line rows (shared :func:`operators.line_dedup.split_lines`
+   — one definition of normalization/eligibility/hash);
+2. census merge: old (h, cnt) ⊎ batch counts, carrying the OLD count
+   per hash (exemption needs it);
+3. a batch line is KEPT iff it is exempt (blank/short) or it is the
+   batch's first occurrence of a line never seen before (old count
+   0) — first-in-shipped-history;
+4. in-order reassembly of the batch docs only (shared
+   :func:`operators.line_dedup.reassemble_lines`);
+5. census state written (new version, atomic repoint, note=b<id>).
+
+Equality contract (tested): when batches arrive with increasing doc
+ids, the sequential outputs equal the one-shot
+``line_dedup(union, keep_first=True)`` — the (doc, pos) global
+min-struct then coincides with first-in-time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cod_stats_spark.operators.line_dedup import (
+    reassemble_lines,
+    split_lines,
+)
+from cod_stats_spark.streaming._state import read_state, write_state
+
+_CENSUS_SCHEMA = "h string, cnt long"
+
+__all__ = ["line_batch_against_corpus"]
+
+
+def line_batch_against_corpus(
+    spark: SparkSession,
+    batch: DataFrame,
+    census_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 1,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """One incremental step: returns the batch's rows as
+    (id, clean_text, n_lines, n_kept) with every
+    already-shipped-or-earlier duplicate line removed, and advances
+    the census state.
+
+    ``batch_id``: pass the stable micro-batch/epoch id from an
+    at-least-once loop — each census commit is tagged with it in the
+    commit-marker name, so a replayed batch re-scrubs against the
+    SNAPSHOT it originally read (tagged version minus one) and skips
+    the merge: output equals the original, the count-additive census
+    never double-counts. Epoch ids are only stable within one
+    checkpoint lineage (the substring census caveat applies
+    verbatim)."""
+    from cod_stats_spark.streaming._state import (
+        _fs_for,
+        find_version_by_note,
+    )
+
+    note = None if batch_id is None else f"b{int(batch_id)}"
+    applied_v = (
+        find_version_by_note(census_dir, note, fs=_fs_for(spark, census_dir))
+        if note is not None
+        else None
+    )
+    lines = split_lines(batch, text_col, id_col, sep, min_chars)
+    batch_census = (
+        lines.filter(F.col("_elig"))
+        .groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_new"),
+            F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_first"),
+        )
+    )
+    if applied_v is not None:
+        # replay: the batch's commit wrote version applied_v, so it
+        # READ applied_v − 1 (single-writer, sequential versions)
+        old = (
+            spark.read.parquet(f"{census_dir}/v={applied_v - 1}")
+            if applied_v >= 1
+            else None
+        )
+    else:
+        old = read_state(spark, census_dir)
+    if old is None:
+        old = spark.createDataFrame([], _CENSUS_SCHEMA)
+    merged = (
+        batch_census.join(
+            old.select(F.col("h").alias("_h"), F.col("cnt").alias("_old")),
+            "_h",
+            "left",
+        )
+        .withColumn("_old", F.coalesce(F.col("_old"), F.lit(0)))
+        .withColumn("_cnt", F.col("_old") + F.col("_new"))
+    )
+    # localCheckpoint: the keep join below must read the census built
+    # against the OLD state even though write_state advances it in
+    # the same call — the downstream action runs on the RETURNED
+    # frame, after that advance (the substring census pin)
+    merged = merged.localCheckpoint(eager=True)
+    joined = lines.join(
+        merged.select("_h", "_old", "_first"), "_h", "left"
+    )
+    kept = ~F.col("_elig") | (
+        (F.col("_old") == 0)
+        & (F.col("_first")[id_col] == F.col(id_col))
+        & (F.col("_first")["_pos"] == F.col("_pos"))
+    )
+    cleaned = reassemble_lines(joined, batch, id_col, sep, kept)
+    if applied_v is None:
+        # new census = hashes untouched by this batch ∪ merged counts
+        # (merged alone would DROP every old hash absent from the
+        # batch); the old snapshot stays on disk, so the lazy
+        # anti-join is safe inside write_state's action
+        untouched = old.join(
+            batch_census.select(F.col("_h").alias("h")), "h", "left_anti"
+        )
+        write_state(
+            untouched.unionByName(
+                merged.select(
+                    F.col("_h").alias("h"), F.col("_cnt").alias("cnt")
+                )
+            ),
+            census_dir,
+            note=note,
+        )
+    return cleaned

@@ -1,0 +1,149 @@
+"""Incremental duplicate-line removal (streaming/line_dedup.py) and
+its curation-funnel slot (r14): keep-first-in-time against the
+persisted line census, append == rebuild under increasing ids,
+at-least-once replay idempotence, and the funnel stage in both
+postures."""
+
+from __future__ import annotations
+
+import pytest
+
+BOILER = "subscribe to our newsletter for updates"
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestCensus:
+    def test_keep_first_in_time_across_batches(self, spark, tmp_path):
+        from cod_stats_spark.streaming.line_dedup import (
+            line_batch_against_corpus,
+        )
+
+        census = str(tmp_path / "census")
+        b1 = _batch(spark, [(1, f"unique one\n{BOILER}"), (2, "unique two")])
+        out1 = {
+            r["doc_id"]: r["clean_text"]
+            for r in line_batch_against_corpus(
+                spark, b1, census, batch_id=1
+            ).collect()
+        }
+        assert out1[1] == f"unique one\n{BOILER}"  # first-ever ships
+        b2 = _batch(spark, [(3, f"{BOILER}\nunique three"), (4, BOILER)])
+        out2 = {
+            r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_kept"])
+            for r in line_batch_against_corpus(
+                spark, b2, census, batch_id=2
+            ).collect()
+        }
+        assert out2[3] == ("unique three", 2, 1)
+        assert out2[4] == ("", 1, 0)  # scrubbed to empty
+
+    def test_append_equals_rebuild(self, spark, tmp_path):
+        from cod_stats_spark.operators.line_dedup import line_dedup
+        from cod_stats_spark.streaming.line_dedup import (
+            line_batch_against_corpus,
+        )
+
+        rows = [
+            (1, f"alpha text\n{BOILER}\nbody one"),
+            (2, "beta text\nbody two"),
+            (3, f"{BOILER}\nbody three\nbeta text"),
+            (4, f"gamma text\n{BOILER}\nbody one"),
+        ]
+        docs = _batch(spark, rows)
+        census = str(tmp_path / "census_ar")
+        got = {}
+        for bid, pred in ((1, "doc_id <= 2"), (2, "doc_id > 2")):
+            for r in line_batch_against_corpus(
+                spark, docs.filter(pred), census, batch_id=bid
+            ).collect():
+                got[r["doc_id"]] = r["clean_text"]
+        want = {
+            r["doc_id"]: r["clean_text"]
+            for r in line_dedup(docs).collect()
+        }
+        assert got == want
+
+    def test_replay_is_idempotent_and_never_double_counts(
+        self, spark, tmp_path
+    ):
+        from cod_stats_spark.streaming._state import current_version
+        from cod_stats_spark.streaming.line_dedup import (
+            line_batch_against_corpus,
+        )
+
+        census = str(tmp_path / "census_rp")
+        b1 = _batch(spark, [(1, f"{BOILER}\nfirst body")])
+        orig = line_batch_against_corpus(
+            spark, b1, census, batch_id=7
+        ).collect()
+        v_after = current_version(census)
+        # replay: same batch id — output equals original, state frozen
+        replay = line_batch_against_corpus(
+            spark, b1, census, batch_id=7
+        ).collect()
+        assert sorted(map(tuple, orig)) == sorted(map(tuple, replay))
+        assert current_version(census) == v_after
+        # the replay must NOT have seen its own counts: the boiler
+        # line's first occurrence still ships
+        assert BOILER in replay[0]["clean_text"]
+
+
+class TestFunnelStage:
+    _ROWS = [
+        (1, f"the quick brown fox jumps over the lazy dog\n{BOILER}"),
+        (2, "a completely different document about distributed query "
+            "engines that shuffle and aggregate large tables"),
+        (3, f"{BOILER}\nthe curious cat watches the quiet field with "
+            "patient eyes"),
+        (4, "another plain english document with enough words to pass "
+            "the quality gate without trouble"),
+    ]
+
+    def test_one_shot_stage_scrubs_and_counts(self, spark, tmp_path):
+        from cod_stats_spark.plans.curation import curate_corpus
+
+        docs = _batch(spark, self._ROWS)
+        _, stats = curate_corpus(
+            docs, None, str(tmp_path / "out1"),
+            min_quality=0.25, token_budget=64, line_sep="\n",
+        )
+        assert stats["after_line_dedup"] == 4  # no doc emptied
+        assert "after_dedup" in stats
+
+    def test_append_equals_rebuild_with_line_stage(self, spark, tmp_path):
+        from cod_stats_spark.plans.curation import (
+            compact_curated_shards,
+            curate_corpus,
+            curate_corpus_append,
+        )
+
+        docs = _batch(spark, self._ROWS)
+        kw = dict(min_quality=0.25, token_budget=64, line_sep="\n")
+        state = str(tmp_path / "state_ld")
+        _, s1 = curate_corpus_append(
+            spark, docs.filter("doc_id <= 2"), None, state, batch_id=1, **kw
+        )
+        _, s2 = curate_corpus_append(
+            spark, docs.filter("doc_id > 2"), None, state, batch_id=2, **kw
+        )
+        assert s1["after_line_dedup"] == 2 and s2["after_line_dedup"] == 2
+        compacted = compact_curated_shards(spark, state)
+        got = {
+            (r["doc_id"], r["text"])
+            for r in compacted.select("doc_id", "text").collect()
+        }
+        out = str(tmp_path / "rebuild_ld")
+        curate_corpus(docs, None, out, **kw)
+        want = {
+            (r["doc_id"], r["text"])
+            for r in spark.read.parquet(out).select("doc_id", "text").collect()
+        }
+        assert got == want
+        by_id = dict(got)
+        # first-in-time boilerplate stands in doc 1, scrubbed in doc 3
+        assert BOILER in by_id[1]
+        assert BOILER not in by_id[3]
+        assert "curious cat" in by_id[3]

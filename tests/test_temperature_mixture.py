@@ -341,3 +341,44 @@ class TestRelationPath:
             ).fetchall()
         }
         assert got == want
+
+
+class TestMixtureSampleRelationPath:
+    """mixture_sample's >64-domain broadcast-threshold dispatch (r14):
+    identical keep set to the literal when-chain, helper columns
+    dropped, out-of-mixture domains still eliminated."""
+
+    def test_relation_matches_literal_and_drops_unlisted(
+        self, spark, monkeypatch
+    ):
+        import cod_stats_spark.operators.sampling as S
+
+        rows = [
+            (d * 1000 + i, f"d{d:03d}")
+            for d in range(80)
+            for i in range(4)
+        ] + [(777_777, "unlisted"), (888_888, None)]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string")
+        # 70 listed target domains (> the 64 dispatch limit), varied
+        # weights; 10 corpus domains + 'unlisted' + null stay outside
+        w = {f"d{d:03d}": 1.0 + (d % 3) for d in range(70)}
+        got_rel = {
+            r["doc_id"]
+            for r in S.mixture_sample(
+                docs, "doc_id", "lang", w, budget=150.0, salt="ms"
+            ).collect()
+        }
+        out = S.mixture_sample(docs, "doc_id", "lang", w, budget=150.0, salt="ms")
+        assert set(out.columns) == {"doc_id", "lang"}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        monkeypatch.setattr(S, "_EXPAND_LITERAL_LIMIT", 10_000)
+        got_lit = {
+            r["doc_id"]
+            for r in S.mixture_sample(
+                docs, "doc_id", "lang", w, budget=150.0, salt="ms"
+            ).collect()
+        }
+        assert got_rel == got_lit
+        assert 777_777 not in got_rel and 888_888 not in got_rel
+        assert 0 < len(got_rel) < docs.count()

@@ -60,15 +60,23 @@ def split_lines(
     id_col: str,
     sep: str,
     min_chars: int,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, _pos, _line, _elig, _h) — one row per line, with the
-    normalized-line hash and the dedup-eligibility flag. ONE
-    definition shared by the one-shot pass and the incremental census
-    (streaming/line_dedup.py), so line semantics cannot diverge."""
+    normalized-line hash (a LONG from the dedup family's base-hash
+    templates: xxhash64 for production — an 8-byte shuffle key instead
+    of a 32-char digest — md5_60 when a DuckDB oracle must replay) and
+    the dedup-eligibility flag. ONE definition shared by the one-shot
+    pass and the incremental census (streaming/line_dedup.py), so
+    line semantics cannot diverge."""
+    from cod_stats_spark.operators.dedup import BASE_HASH_SQL
+
     if min_chars < 0:
         raise ValueError("line_dedup: min_chars must be >= 0")
     if not sep:
         raise ValueError("line_dedup: sep must be non-empty")
+    if base_hash not in ("xxhash64", "md5_60"):
+        raise ValueError(f"line_dedup: unknown base_hash {base_hash!r}")
     lines = docs.select(
         F.col(id_col),
         F.posexplode(
@@ -83,7 +91,7 @@ def split_lines(
     )
     return (
         lines.withColumn("_elig", elig)
-        .withColumn("_h", F.md5(F.col("_norm")))
+        .withColumn("_h", F.expr(BASE_HASH_SQL[base_hash]("_norm")))
         .drop("_norm")
     )
 
@@ -126,16 +134,20 @@ def line_dedup(
     sep: str = "\n",
     min_chars: int = 1,
     keep_first: bool = True,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, clean_text, n_lines, n_kept) — one row per input document.
 
     ``sep`` is a LITERAL separator string (escaped for the split;
     reassembly joins with the same literal). ``min_chars`` exempts
     short normalized lines from dedup (0 would still exempt blank
-    lines — structure, not content). ``clean_text`` may be '' when
-    every line was scrubbed; the caller decides whether empty docs
-    drop (the substring_dedup convention)."""
-    lines = split_lines(docs, text_col, id_col, sep, min_chars)
+    lines — structure, not content). ``base_hash``: xxhash64 (the
+    production default — an 8-byte shuffle key) or md5_60 (the
+    SQL-oracle-replayable member; the dedup-family dual).
+    ``clean_text`` may be '' when every line was scrubbed; the caller
+    decides whether empty docs drop (the substring_dedup
+    convention)."""
+    lines = split_lines(docs, text_col, id_col, sep, min_chars, base_hash)
     stats = (
         lines.filter(F.col("_elig"))
         .groupBy("_h")
@@ -183,10 +195,14 @@ def line_dedup_oracle_sql(
     min_chars: int = 1,
     keep_first: bool = True,
 ) -> str:
-    """DuckDB replica — (doc_id, clean_text, n_lines, n_kept) with the
-    same normalization, eligibility, first-occurrence rule ((doc, pos)
+    """DuckDB replica of the ``base_hash='md5_60'`` member —
+    (doc_id, clean_text, n_lines, n_kept) with the same normalization,
+    eligibility, 60-bit hash, first-occurrence rule ((doc, pos)
     lexicographic; a window rank replays the groupBy min-struct), and
     in-order reassembly."""
+    from cod_stats_spark.operators.quality_classifier import _DUCK_MD5_60
+
+    h60 = _DUCK_MD5_60.format(x="norm")
     s = _sql_str(sep)
     keep_rule = "rn = 1" if keep_first else "c = 1"
     return f"""
@@ -201,7 +217,7 @@ lin AS (
   FROM raw, UNNEST(generate_series(0, len(ls) - 1)) u(i)
 ),
 el AS (
-  SELECT *, md5(norm) AS h,
+  SELECT *, {h60} AS h,
          (norm <> '' AND length(norm) >= {int(min_chars)}) AS elig
   FROM lin
 ),

@@ -1173,7 +1173,9 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for tag, kf in (("line", True), ("line_all", False)):
         arms.append(
-            line_dedup(lined, "text", "doc_id", keep_first=kf).select(
+            line_dedup(
+                lined, "text", "doc_id", keep_first=kf, base_hash="md5_60"
+            ).select(
                 F.lit(tag).alias("tag"),
                 F.md5("clean_text").alias("fp"),
                 F.col("doc_id").alias("keep_id"),

@@ -43,7 +43,7 @@ from cod_stats_spark.operators.line_dedup import (
 )
 from cod_stats_spark.streaming._state import read_state, write_state
 
-_CENSUS_SCHEMA = "h string, cnt long"
+_CENSUS_SCHEMA = "h long, cnt long"
 
 __all__ = ["line_batch_against_corpus"]
 
@@ -57,6 +57,7 @@ def line_batch_against_corpus(
     sep: str = "\n",
     min_chars: int = 1,
     batch_id: int | None = None,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """One incremental step: returns the batch's rows as
     (id, clean_text, n_lines, n_kept) with every
@@ -82,7 +83,7 @@ def line_batch_against_corpus(
         if note is not None
         else None
     )
-    lines = split_lines(batch, text_col, id_col, sep, min_chars)
+    lines = split_lines(batch, text_col, id_col, sep, min_chars, base_hash)
     batch_census = (
         lines.filter(F.col("_elig"))
         .groupBy("_h")

@@ -104,7 +104,9 @@ def test_duckdb_replays_everything(spark):
     for kf in (True, False):
         got = {
             r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_kept"])
-            for r in line_dedup(docs, keep_first=kf).collect()
+            for r in line_dedup(
+                docs, keep_first=kf, base_hash="md5_60"
+            ).collect()
         }
         want = {
             int(i): (c, int(nl), int(nk))

@@ -1026,6 +1026,15 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- training-data pipeline ops
 
 
+# the dedup_exact gate's bloom-arm sizing: 4096 bits / 5 hashes over
+# ~333 inserted fingerprints ≈ 0.4% designed false-positive rate —
+# small enough that the probe arm's TRUE set is essentially the
+# inserted set, nonzero enough that a false positive appearing is
+# still value-verified (both engines compute the same bits)
+_BLOOM_M = 64 * 64
+_BLOOM_K = 5
+
+
 def _lined_docs_sql(width: int = 5) -> str:
     """(doc_id, text) with the corpus re-laid as ``width``-token LINES
     joined by newlines — the synthetic multi-line corpus the
@@ -1093,6 +1102,31 @@ GROUP BY fp
             + line_dedup_oracle_sql(lined, keep_first=kf)
             + ")"
         )
+    # r14 bloom arms: filter built from the %3≠0 docs' normalized-text
+    # fingerprints (the Dolma paragraph-hash posture), probed by ALL
+    # docs — every 64-bit word (bits + popcount) and every membership
+    # answer (incl. the designed-rate false positives) replayed exactly
+    from cod_stats_spark.operators.bloom import bloom_oracle_sql
+
+    fp_rel = (
+        "(SELECT doc_id,"
+        " md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS _fp"
+        " FROM documents{w})"
+    )
+    ins_rel = fp_rel.format(w=" WHERE doc_id % 3 <> 0")
+    all_rel = fp_rel.format(w="")
+    parts.append(
+        "\nUNION ALL\nSELECT 'bloom_word' AS tag, word::VARCHAR AS fp,"
+        " bits AS keep_id, bit_count(bits)::BIGINT AS n_copies FROM ("
+        + bloom_oracle_sql(ins_rel, "_fp", _BLOOM_M, _BLOOM_K)
+        + ")\nUNION ALL\nSELECT 'bloom_probe' AS tag,"
+        " pid::VARCHAR AS fp, maybe_member::BIGINT AS keep_id,"
+        " 0::BIGINT AS n_copies FROM ("
+        + bloom_oracle_sql(
+            ins_rel, "_fp", _BLOOM_M, _BLOOM_K, probe_src=all_rel
+        )
+        + ")"
+    )
     return "".join(parts)
 
 
@@ -1115,7 +1149,14 @@ GROUP BY fp
         "keep-first and drop-all policies, normalization-keyed "
         "decisions, in-order reassembly — the fp is the md5 of the "
         "REBUILT text, so every scrub decision and boundary is "
-        "value-verified through one digest; n_copies = scrubbed lines)"
+        "value-verified through one digest; n_copies = scrubbed lines. "
+        "r14 'bloom_word'/'bloom_probe': operators/bloom.py — Bloom-"
+        "filter membership (the Dolma dedup posture) as relations: "
+        "build = groupBy bit_or over double-hashed positions (both "
+        "base hashes reduced mod m, so no overflow semantics cross "
+        "engines), probe = broadcast word join; every 64-bit word "
+        "(bits + popcount) and every membership answer incl. the "
+        "designed-rate false positives replayed exactly in SQL)"
     ),
     oracle=_dedup_exact_oracle(),
 )
@@ -1182,6 +1223,38 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_lines") - F.col("n_kept")).alias("n_copies"),
             )
         )
+    # bloom arms (operators/bloom.py — the Dolma posture): filter over
+    # the %3≠0 docs' normalized-text fingerprints, probed by all docs
+    from cod_stats_spark.operators.bloom import bloom_build, bloom_probe
+
+    fps = docs.select(
+        "doc_id",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ).alias("_fp"),
+    )
+    bloom = bloom_build(
+        fps.filter(F.col("doc_id") % 3 != 0), "_fp",
+        _BLOOM_M, _BLOOM_K, base_hash="md5_60",
+    )
+    arms.append(
+        bloom.select(
+            F.lit("bloom_word").alias("tag"),
+            F.col("word").cast("string").alias("fp"),
+            F.col("bits").alias("keep_id"),
+            F.bit_count("bits").cast("long").alias("n_copies"),
+        )
+    )
+    arms.append(
+        bloom_probe(
+            fps, "_fp", bloom, _BLOOM_M, _BLOOM_K, base_hash="md5_60"
+        ).select(
+            F.lit("bloom_probe").alias("tag"),
+            F.col("doc_id").cast("string").alias("fp"),
+            F.col("maybe_member").cast("long").alias("keep_id"),
+            F.lit(0).cast("long").alias("n_copies"),
+        )
+    )
     out = arms[0]
     for a in arms[1:]:
         out = out.unionByName(a)

@@ -93,7 +93,7 @@ def _validate_lm_gate_args(lm_model, max_lm_nll) -> None:
 
 def _lm_gate(
     gated: DataFrame,
-    lm_model: DataFrame,
+    lm_model,
     max_lm_nll: float,
     text_col: str,
     id_col: str,
@@ -106,13 +106,35 @@ def _lm_gate(
     which is also what keeps the stage stateless (append == rebuild:
     a per-batch refit would move the threshold's meaning batch to
     batch). Threshold values come from a reference run of
-    :func:`operators.lm_score.perplexity_partition`'s cut points."""
-    from cod_stats_spark.operators.lm_score import unigram_lm_score
+    :func:`operators.lm_score.perplexity_partition`'s cut points.
 
-    keep_ids = (
-        unigram_lm_score(
+    ``lm_model`` is either a unigram count table (DataFrame — the
+    subsample-fit posture) or an :class:`operators.lm_score.ArpaModel`
+    (r14 — a PUBLISHED backoff LM imported by ``load_arpa``: the
+    actual CCNet deployment, which gates on a pre-trained KenLM's
+    scores; threshold then applies to the backoff NLL in nats, the
+    same unit). Both are fixed inputs, so either way the stage stays
+    stateless."""
+    from cod_stats_spark.operators.lm_score import (
+        ArpaModel,
+        arpa_lm_score,
+        unigram_lm_score,
+    )
+
+    if isinstance(lm_model, ArpaModel):
+        scored = arpa_lm_score(
+            gated, lm_model, text_col=text_col, id_cols=[id_col]
+        ).select(
+            id_col,
+            F.col("arpa_tokens").alias("lm_tokens"),
+            F.col("arpa_nll").alias("lm_nll"),
+        )
+    else:
+        scored = unigram_lm_score(
             gated, lm_model, text_col=text_col, id_cols=[id_col]
         )
+    keep_ids = (
+        scored
         # zero-token docs score (0, 0.0) — the BEST possible NLL — so
         # without this they'd sail through the gate as maximally
         # in-distribution; a doc with no tokens has no perplexity

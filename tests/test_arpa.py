@@ -188,3 +188,42 @@ class TestRejection:
         )
         with pytest.raises(ValueError, match="order-4"):
             arpa_lm_score(None, fat)
+
+
+class TestFunnelGate:
+    def test_curation_lm_gate_accepts_arpa_model(self, spark, tmp_path, mini_model):
+        """The CCNet deployment posture: the funnel's LM gate scores
+        against a PUBLISHED backoff model. In-vocabulary fluent docs
+        pass; OOV-heavy docs score near the <unk> floor and die — in
+        BOTH funnel postures (the gate is stateless, so append ==
+        rebuild)."""
+        import math
+
+        from cod_stats_spark.plans.curation import (
+            curate_corpus,
+            curate_corpus_append,
+        )
+
+        rows = [
+            (1, "the quick fox dog the quick fox the quick dog fox"),
+            (2, "zzq qqx wvv zzq qqx wvv zzq qqx wvv zzq qqx wvv"),
+            (3, "the dog the quick fox dog the quick the dog fox"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        # in-vocab docs score well under ~2 nats/token; the OOV doc
+        # sits at the <unk> floor 2.5·ln10 ≈ 5.76
+        cut = 2.5 * math.log(10.0) - 0.5
+        kw = dict(
+            min_quality=0.0, token_budget=64,
+            lm_model=mini_model, max_lm_nll=cut,
+        )
+        _, stats = curate_corpus(docs, None, str(tmp_path / "o"), **kw)
+        assert stats["after_lm_gate"] == 2
+        state = str(tmp_path / "st")
+        _, s1 = curate_corpus_append(
+            spark, docs.filter("doc_id <= 2"), None, state, batch_id=1, **kw
+        )
+        _, s2 = curate_corpus_append(
+            spark, docs.filter("doc_id > 2"), None, state, batch_id=2, **kw
+        )
+        assert s1["after_lm_gate"] == 1 and s2["after_lm_gate"] == 1

@@ -508,6 +508,15 @@ def kn_lm_score(
     hint = F.broadcast if broadcast_model else (lambda df: df)
     d = float(discount)
 
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted: the trigram relation feeds THREE consumers (n1_vw,
+    # fanout_uv, rel_top) — and under the broadcast default the guard
+    # count below is the action that materializes the cache, so the
+    # guard costs no extra model pass (r14 review: an unpersisted
+    # count re-ran the whole trigram fit once per call). Lives as
+    # long as the returned plan, the cont-persist contract.
+    tri_model = tri_model.persist(StorageLevel.MEMORY_AND_DISK)
     if broadcast_model:
         n_tri = tri_model.count()
         if n_tri > _KN_BROADCAST_ROW_CAP:
@@ -526,8 +535,6 @@ def kn_lm_score(
     # broadcast_model=False that is a full model-table pass; r13
     # second review). Bounded ≤ vocabulary rows; lives as long as the
     # returned plan, the unigram_lm_score persist contract.
-    from pyspark.storagelevel import StorageLevel
-
     cont = bi_model.groupBy("w2").agg(
         F.count(F.lit(1)).alias("_n1w")  # N1+(·w): distinct v per w
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -925,7 +932,15 @@ def load_arpa(spark, path: str, lowercase: bool = False) -> ArpaModel:
 
     ``lowercase``: fold vocabulary case at load (match it to the
     scorer's tokenization; published models are usually already
-    lowercased)."""
+    lowercased). A fold that MERGES case-distinct n-grams into one
+    key raises — the scorer's model joins would fan out on the
+    duplicate keys and silently inflate every token count (r14
+    review); load such a model with ``lowercase=False`` and lowercase
+    the corpus side instead, or pick one casing upstream.
+
+    Declared-but-empty orders (``ngram k=0`` — legal in heavily
+    pruned SRILM output) validate fine and get no relation;
+    :attr:`ArpaModel.order` counts populated orders only."""
     lines = spark.read.text(path)
     declared = {
         int(r["k"]): int(r["n"])
@@ -949,28 +964,33 @@ def load_arpa(spark, path: str, lowercase: bool = False) -> ArpaModel:
         .alias("backoff"),
         F.element_at(parts, 1).alias("_raw_p"),
     )
-    bad = cand.filter(F.col("log10p").isNull()).limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"load_arpa: unparseable probability field {bad[0]['_raw_p']!r}"
-        )
     from pyspark.storagelevel import StorageLevel
 
+    # persisted BEFORE the first validation action, so the bad-line
+    # probe is the cache-populating pass instead of an extra full
+    # parse of a potentially multi-GB file (r14 review)
     cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        bad = cand.filter(F.col("log10p").isNull()).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"load_arpa: unparseable probability field"
+                f" {bad[0]['_raw_p']!r}"
+            )
         found = {
             int(r["k"]): int(r["n"])
             for r in cand.groupBy(F.size("ws").alias("k"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        if found != declared:
+        nonzero_declared = {k: n for k, n in declared.items() if n > 0}
+        if found != nonzero_declared:
             raise ValueError(
                 f"load_arpa: header declares {declared} but the file "
                 f"carries {found} n-gram lines"
             )
         grams = {}
-        for k in sorted(declared):
+        for k in sorted(nonzero_declared):
             w = F.col("ws")
             word = (lambda c: F.lower(c)) if lowercase else (lambda c: c)
             grams[k] = (
@@ -987,9 +1007,22 @@ def load_arpa(spark, path: str, lowercase: bool = False) -> ArpaModel:
                 # order otherwise, and validation already paid the pass
                 .localCheckpoint(eager=True)
             )
+            if lowercase:
+                keys = [f"w{i + 1}" for i in range(k)]
+                dup = (
+                    grams[k].groupBy(*keys).count()
+                    .filter(F.col("count") > 1).limit(1).collect()
+                )
+                if dup:
+                    merged = tuple(dup[0][c] for c in keys)
+                    raise ValueError(
+                        "load_arpa: lowercase=True folded case-distinct "
+                        f"{k}-grams into one key {merged!r} — the model "
+                        "joins would fan out; load with lowercase=False"
+                    )
     finally:
         cand.unpersist()
-    return ArpaModel(grams, declared)
+    return ArpaModel(grams, nonzero_declared)
 
 
 _LN10 = math.log(10.0)

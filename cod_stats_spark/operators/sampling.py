@@ -333,26 +333,31 @@ def temperature_mixture_oracle_sql(
     if max_weight is not None:
         w = f"least({w}, {float(max_weight)!r})"
     weights_sql = f"""
-WITH sizes AS (
+WITH RECURSIVE sizes AS (
   SELECT {domain_expr} AS d, {mass} AS m
   FROM {src}
   WHERE {domain_expr} IS NOT NULL
   GROUP BY {domain_expr}
   HAVING {mass} > 0
 ),
--- mtot/denom read from RUNNING windows ordered by domain: the same
--- sequential left-to-right double additions the Python side performs
--- over sorted(ms) (an unordered SUM could add in a different order
--- and flip a weight's 9-dp rounding; the unimax pk-CTE discipline)
-run AS (
-  SELECT sum(m) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS rtot,
-         sum(pow(m, {alpha!r})) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS rden,
-         row_number() OVER (ORDER BY d) AS rn,
-         count(*) OVER () AS n
-  FROM sizes
+-- mtot/denom accumulate through a RECURSIVE chain in domain order:
+-- genuinely sequential left-to-right double additions, matching the
+-- Python loop over sorted(ms) bit for bit. (A windowed running SUM
+-- is NOT sequential — DuckDB's segment-tree window aggregation
+-- combines pairwise past 64 rows and diverges in the last ulp,
+-- which could flip a weight's 9-dp rounding; measured in this
+-- container at n=1000.)
+ordx AS (
+  SELECT d, m, row_number() OVER (ORDER BY d) AS rn FROM sizes
+),
+run(rn, rtot, rden) AS (
+  SELECT rn, m, pow(m, {alpha!r}) FROM ordx WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, r.rtot + o.m, r.rden + pow(o.m, {alpha!r})
+  FROM run r JOIN ordx o ON o.rn = r.rn + 1
 ),
 tot AS (
-  SELECT rtot AS mtot, rden AS denom FROM run WHERE rn = n
+  SELECT rtot AS mtot, rden AS denom FROM run ORDER BY rn DESC LIMIT 1
 )
 SELECT d, round({w}, 9) AS wt FROM sizes CROSS JOIN tot
 """
@@ -400,40 +405,50 @@ def unimax_mixture_oracle_sql(
     b = float(budget)
     cap = float(max_epochs)
     weights_sql = f"""
-WITH sizes AS (
+WITH RECURSIVE sizes AS (
   SELECT {domain_expr} AS d, {mass} AS m
   FROM {src}
   WHERE {domain_expr} IS NOT NULL
   GROUP BY {domain_expr}
   HAVING {mass} > 0
 ),
-ord AS (
+ordx AS (
   SELECT d, m, {cap!r} * m AS c,
          row_number() OVER (ORDER BY {cap!r} * m, d) AS rn,
-         count(*) OVER () AS n,
-         COALESCE(sum({cap!r} * m) OVER (ORDER BY {cap!r} * m, d
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS pre
+         count(*) OVER () AS n
   FROM sizes
 ),
+-- cum(rn) = capacities of rows 1..rn summed through a RECURSIVE
+-- chain: genuinely sequential double additions, matching the Python
+-- scan's `prefix` bit for bit. (The previous RUNNING-window form was
+-- NOT sequential — DuckDB's segment-tree window aggregation combines
+-- pairwise past 64 rows; both the breakpoint DECISION and the share
+-- numerator consumed it, so either could diverge from Python in the
+-- last ulp at >64 domains.)
+runc(rn, cum) AS (
+  SELECT rn, c FROM ordx WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, r.cum + o.c FROM runc r JOIN ordx o ON o.rn = r.rn + 1
+),
+pre_tbl AS (
+  SELECT o.rn, COALESCE(r.cum, 0.0) AS pre
+  FROM ordx o LEFT JOIN runc r ON r.rn = o.rn - 1
+),
 brk AS (
-  SELECT COALESCE(min(CASE WHEN c > ({b!r} - pre) / (n - rn + 1)
-                       THEN rn END), max(n) + 1) - 1 AS k,
-         max(n) AS n
-  FROM ord
+  SELECT COALESCE(min(CASE WHEN o.c > ({b!r} - p.pre) / (o.n - o.rn + 1)
+                       THEN o.rn END), max(o.n) + 1) - 1 AS k,
+         max(o.n) AS n
+  FROM ordx o JOIN pre_tbl p USING (rn)
 ),
 pk AS (
-  -- the capped prefix's capacity sum, read from the RUNNING window
-  -- at the breakpoint row: the same sequential left-to-right double
-  -- additions the Python scan performs (a separate SUM could add in
-  -- a different order and flip the 9-dp rounding of the share)
   SELECT COALESCE(
-    (SELECT ord.pre FROM ord, brk WHERE ord.rn = brk.k + 1), 0.0
+    (SELECT p.pre FROM pre_tbl p, brk WHERE p.rn = brk.k + 1), 0.0
   ) AS pre_k
 )
-SELECT d, CASE WHEN ord.rn <= brk.k THEN round({cap!r}, 9)
-          ELSE round(({b!r} - pk.pre_k) / (brk.n - brk.k) / ord.m, 9)
+SELECT d, CASE WHEN ordx.rn <= brk.k THEN round({cap!r}, 9)
+          ELSE round(({b!r} - pk.pre_k) / (brk.n - brk.k) / ordx.m, 9)
           END AS wt
-FROM ord, brk, pk
+FROM ordx, brk, pk
 """
     return _expand_oracle_sql(src, key_expr, domain_expr, salt, weights_sql)
 

@@ -485,23 +485,13 @@ def curate_corpus(
     if substring_n is not None:
         from cod_stats_spark.operators.substring import substring_dedup
 
-        scrubbed = substring_dedup(
-            deduped, text_col, id_col, n=substring_n, keep_first=True
+        deduped = _replace_text(
+            deduped,
+            substring_dedup(
+                deduped, text_col, id_col, n=substring_n, keep_first=True
+            ),
+            text_col, id_col, stats, "after_substring",
         )
-        replaced = (
-            deduped.drop(text_col)
-            .join(
-                scrubbed.select(
-                    id_col, F.col("clean_text").alias(text_col)
-                ),
-                id_col,
-            )
-            .where(F.length(F.col(text_col)) > 0)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        stats["after_substring"] = replaced.count()
-        deduped.unpersist()
-        deduped = replaced
 
     if benchmark is not None:
         clean = decontaminate(
@@ -831,32 +821,24 @@ def curate_corpus_append(
             substring_batch_against_corpus,
         )
 
-        scrubbed = substring_batch_against_corpus(
-            spark,
+        deduped = _replace_text(
             deduped,
-            os.path.join(state_dir, "substring_census"),
-            text_col=text_col,
-            id_col=id_col,
-            n=substring_n,
-            min_count=substring_min_count,
-            # the census merge is count-additive; tagging the commit
-            # with the batch id makes an at-least-once replay re-scrub
-            # against the original snapshot instead of double-merging
-            batch_id=int(batch_id),
+            substring_batch_against_corpus(
+                spark,
+                deduped,
+                os.path.join(state_dir, "substring_census"),
+                text_col=text_col,
+                id_col=id_col,
+                n=substring_n,
+                min_count=substring_min_count,
+                # the census merge is count-additive; tagging the
+                # commit with the batch id makes an at-least-once
+                # replay re-scrub against the original snapshot
+                # instead of double-merging
+                batch_id=int(batch_id),
+            ),
+            text_col, id_col, stats, "after_substring",
         )
-        replaced = (
-            deduped.drop(text_col)
-            .join(
-                scrubbed.select(
-                    id_col, F.col("clean_text").alias(text_col)
-                ),
-                id_col,
-            )
-            .where(F.length(F.col(text_col)) > 0)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        stats["after_substring"] = replaced.count()
-        deduped = replaced
 
     if benchmark is not None:
         clean = decontaminate(

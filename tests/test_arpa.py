@@ -227,3 +227,35 @@ class TestFunnelGate:
             spark, docs.filter("doc_id > 2"), None, state, batch_id=2, **kw
         )
         assert s1["after_lm_gate"] == 1 and s2["after_lm_gate"] == 1
+
+
+class TestReviewEdges:
+    def test_declared_empty_order_is_legal(self, spark, tmp_path):
+        """'ngram 3=0' with no 3-gram lines (heavily pruned SRILM
+        output) loads fine; order counts populated orders only."""
+        from cod_stats_spark.operators.lm_score import load_arpa
+
+        body = _MINI.replace("ngram 3=2", "ngram 3=0").replace(
+            "-0.2\tthe quick fox\n-0.9\tquick fox dog\n", ""
+        )
+        m = load_arpa(spark, _write(tmp_path, body, "pruned.arpa"))
+        assert m.counts == {1: 5, 2: 4}
+        assert m.order == 2
+        assert 3 not in m.grams
+
+    def test_lowercase_fold_merging_keys_raises(self, spark, tmp_path):
+        """A cased model whose fold would merge 'The' and 'the' into
+        duplicate relation keys must refuse — the scorer's joins would
+        fan out and silently inflate token counts."""
+        from cod_stats_spark.operators.lm_score import load_arpa
+
+        body = _MINI.replace("ngram 1=5", "ngram 1=6").replace(
+            "-0.5\tthe\t-0.30103\n", "-0.5\tthe\t-0.30103\n-0.4\tThe\n"
+        )
+        p = _write(tmp_path, body, "cased.arpa")
+        m = load_arpa(spark, p)  # unfolded: distinct keys, fine
+        assert {r["w1"] for r in m.grams[1].collect()} >= {"the", "The"}
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="folded case-distinct"):
+            load_arpa(spark, p, lowercase=True)

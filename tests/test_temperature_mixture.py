@@ -382,3 +382,127 @@ class TestMixtureSampleRelationPath:
         assert got_rel == got_lit
         assert 777_777 not in got_rel and 888_888 not in got_rel
         assert 0 < len(got_rel) < docs.count()
+
+
+class TestSequentialSumParity:
+    """The mixture oracles' exact-reproducibility claim rests on the
+    SQL accumulating total/denom/prefix in the SAME order as Python's
+    sorted-domain loop. A windowed running SUM is NOT sequential —
+    DuckDB's segment-tree window aggregation combines pairwise past
+    64 rows and diverges in the last ulp (found in r14 review, and
+    measured: 6e-8 absolute at n=1000) — so the oracles use a
+    RECURSIVE chain. These tests pin the mechanism and the parity at
+    cardinalities far past the 64-row leaf."""
+
+    def _masses(self, n):
+        import random
+
+        rng = random.Random(20260816)
+        return {f"d{i:04d}": rng.uniform(1.0, 1e6) for i in range(n)}
+
+    def test_recursive_chain_matches_python_bit_for_bit(self):
+        import duckdb
+
+        ms = self._masses(1000)
+        alpha = 0.37
+        tot = 0.0
+        den = 0.0
+        for d in sorted(ms):
+            tot += ms[d]
+            den += ms[d] ** alpha
+        import pandas as pd
+
+        con = duckdb.connect()
+        # Arrow registration, NOT SQL literals: a VALUES list goes
+        # through a DECIMAL intermediate that truncates the last ulp
+        # of ~200/1000 doubles (measured) — the real oracles never
+        # parse literals, their masses are computed in-engine
+        con.register(
+            "sizes",
+            pd.DataFrame(
+                {"d": sorted(ms), "m": [ms[d] for d in sorted(ms)]}
+            ),
+        )
+        got = con.execute(f"""
+SELECT * FROM (
+  WITH RECURSIVE ordx AS (
+    SELECT d, m, row_number() OVER (ORDER BY d) AS rn FROM sizes
+  ),
+  run(rn, rtot, rden) AS (
+    SELECT rn, m, pow(m, {alpha!r}) FROM ordx WHERE rn = 1
+    UNION ALL
+    SELECT o.rn, r.rtot + o.m, r.rden + pow(o.m, {alpha!r})
+    FROM run r JOIN ordx o ON o.rn = r.rn + 1
+  )
+  SELECT rtot, rden FROM run ORDER BY rn DESC LIMIT 1
+)
+""").fetchone()
+        assert got[0] == tot and got[1] == den  # EXACT, not approx
+
+    def test_tmix_oracle_parity_past_window_leaf(self, spark):
+        import duckdb
+
+        from cod_stats_spark.operators.sampling import (
+            temperature_mixture,
+            temperature_mixture_oracle_sql,
+        )
+
+        ms = self._masses(150)
+        rows = [
+            (i * 1000 + j, d)
+            for i, d in enumerate(sorted(ms))
+            for j in range(1 + i % 4)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string")
+        got = {
+            (r["doc_id"], r["epoch"])
+            for r in temperature_mixture(
+                docs, "doc_id", "lang", alpha=0.37, salt="sq150"
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register("docs150", docs.toPandas())
+        want = {
+            (int(i), int(e))
+            for i, _d, e in con.execute(
+                temperature_mixture_oracle_sql(
+                    "docs150", "doc_id", "lang", alpha=0.37, salt="sq150"
+                )
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_umax_oracle_parity_past_window_leaf(self, spark):
+        import duckdb
+
+        from cod_stats_spark.operators.sampling import (
+            unimax_mixture,
+            unimax_mixture_oracle_sql,
+        )
+
+        ms = self._masses(150)
+        rows = [
+            (i * 1000 + j, d)
+            for i, d in enumerate(sorted(ms))
+            for j in range(1 + i % 5)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string")
+        got = {
+            (r["doc_id"], r["epoch"])
+            for r in unimax_mixture(
+                docs, "doc_id", "lang", budget=250.0, max_epochs=2.0,
+                salt="sq150u",
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register("docs150u", docs.toPandas())
+        want = {
+            (int(i), int(e))
+            for i, _d, e in con.execute(
+                unimax_mixture_oracle_sql(
+                    "docs150u", "doc_id", "lang", budget=250.0,
+                    max_epochs=2.0, salt="sq150u",
+                )
+            ).fetchall()
+        }
+        assert got == want

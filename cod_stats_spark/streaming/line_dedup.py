@@ -30,6 +30,14 @@ Equality contract (tested): when batches arrive with increasing doc
 ids, the sequential outputs equal the one-shot
 ``line_dedup(union, keep_first=True)`` — the (doc, pos) global
 min-struct then coincides with first-in-time.
+
+``state_mode="bloom"`` swaps the census for a FIXED-SIZE Bloom
+filter relation — Dolma's actual published deduper design: constant
+state regardless of corpus size, at an explicit designed
+false-positive rate of never-seen lines wrongly scrubbed (see
+:func:`line_batch_against_corpus`). The funnel's ``line_sep`` stage
+stays on the exact census (its append == rebuild contract is exact);
+the bloom mode is the standalone crawl-scale posture.
 """
 
 from __future__ import annotations
@@ -58,18 +66,40 @@ def line_batch_against_corpus(
     min_chars: int = 1,
     batch_id: int | None = None,
     base_hash: str = "xxhash64",
+    state_mode: str = "exact",
+    bloom_bits: int = 1 << 30,
+    bloom_hashes: int = 7,
 ) -> DataFrame:
     """One incremental step: returns the batch's rows as
     (id, clean_text, n_lines, n_kept) with every
     already-shipped-or-earlier duplicate line removed, and advances
-    the census state.
+    the state.
+
+    ``state_mode``:
+
+    - ``"exact"`` (default): the (h, cnt) census — exact keep-first,
+      state grows O(distinct lines).
+    - ``"bloom"``: Dolma's ACTUAL published posture (Soldaini et al.
+      2024 — their deduper's seen-set IS a Bloom filter): state is a
+      fixed-size (word, bits) filter relation (``bloom_bits``/8 bytes
+      FOREVER, regardless of corpus size); a batch line whose hash is
+      maybe-member is scrubbed. The tradeoff is explicit: at the
+      designed false-positive rate (:func:`operators.bloom.
+      bloom_fp_rate` — size ``bloom_bits`` ≈ 10 bits per expected
+      distinct line for ~1%) a few NEVER-SEEN lines are wrongly
+      scrubbed; every truly-seen line is still always scrubbed (no
+      false negatives). At a 100 TB corpus the census relation is
+      itself corpus-sized while the filter stays broadcastable —
+      that is the whole point of the published design.
 
     ``batch_id``: pass the stable micro-batch/epoch id from an
-    at-least-once loop — each census commit is tagged with it in the
+    at-least-once loop — each state commit is tagged with it in the
     commit-marker name, so a replayed batch re-scrubs against the
     SNAPSHOT it originally read (tagged version minus one) and skips
-    the merge: output equals the original, the count-additive census
-    never double-counts. Epoch ids are only stable within one
+    the merge: output equals the original (in bloom mode the OR merge
+    is even idempotent, but the DECISIONS must still read the
+    pre-batch snapshot — a replay probing its own bits would scrub
+    its own first occurrences). Epoch ids are only stable within one
     checkpoint lineage (the substring census caveat applies
     verbatim)."""
     from cod_stats_spark.streaming._state import (
@@ -77,6 +107,27 @@ def line_batch_against_corpus(
         find_version_by_note,
     )
 
+    if state_mode not in ("exact", "bloom"):
+        raise ValueError(
+            f"line_batch_against_corpus: unknown state_mode {state_mode!r}"
+        )
+    # mode frozen per state dir (the _TAPE/_LAYOUT discipline): the
+    # two modes store different relations under the same versioned
+    # protocol, so probing a census with bloom logic (or vice versa)
+    # would silently mis-scrub instead of failing loudly
+    fs = _fs_for(spark, census_dir)
+    marker = f"_LINESTATE.{state_mode}"
+    fs.mkdirs(census_dir)
+    existing = [
+        n for n in fs.list_names(census_dir) if n.startswith("_LINESTATE.")
+    ]
+    if existing and marker not in existing:
+        raise ValueError(
+            f"line_batch_against_corpus: state dir is {existing[0]}, "
+            f"called with state_mode={state_mode!r}"
+        )
+    if not existing:
+        fs.create_text(f"{census_dir}/{marker}", state_mode)
     note = None if batch_id is None else f"b{int(batch_id)}"
     applied_v = (
         find_version_by_note(census_dir, note, fs=_fs_for(spark, census_dir))
@@ -102,6 +153,11 @@ def line_batch_against_corpus(
         )
     else:
         old = read_state(spark, census_dir)
+    if state_mode == "bloom":
+        return _bloom_step(
+            spark, batch, lines, batch_census, old, census_dir,
+            id_col, sep, note, applied_v, bloom_bits, bloom_hashes,
+        )
     if old is None:
         old = spark.createDataFrame([], _CENSUS_SCHEMA)
     merged = (
@@ -144,4 +200,56 @@ def line_batch_against_corpus(
             census_dir,
             note=note,
         )
+    return cleaned
+
+
+def _bloom_step(
+    spark: SparkSession,
+    batch: DataFrame,
+    lines: DataFrame,
+    batch_census: DataFrame,
+    old_bloom: DataFrame | None,
+    census_dir: str,
+    id_col: str,
+    sep: str,
+    note: str | None,
+    applied_v: int | None,
+    bloom_bits: int,
+    bloom_hashes: int,
+) -> DataFrame:
+    """The Dolma-mode step: probe the batch's line hashes against the
+    fixed-size filter snapshot, scrub maybe-members (plus batch-
+    internal repeats), OR the batch's bits in, commit. The state
+    relation is (word, bits) — at most bloom_bits/64 rows forever."""
+    from cod_stats_spark.operators.bloom import bloom_build, bloom_probe
+
+    if old_bloom is None:
+        old_bloom = spark.createDataFrame([], "word long, bits long")
+    seen = bloom_probe(
+        batch_census.select("_h", "_first"),
+        "_h",
+        old_bloom,
+        bloom_bits,
+        bloom_hashes,
+        out_col="_seen",
+    )
+    joined = lines.join(
+        seen.select("_h", "_seen", "_first"), "_h", "left"
+    )
+    kept = ~F.col("_elig") | (
+        (~F.col("_seen"))
+        & (F.col("_first")[id_col] == F.col(id_col))
+        & (F.col("_first")["_pos"] == F.col("_pos"))
+    )
+    cleaned = reassemble_lines(joined, batch, id_col, sep, kept)
+    if applied_v is None:
+        batch_bits = bloom_build(
+            batch_census, "_h", bloom_bits, bloom_hashes
+        )
+        merged_bloom = (
+            old_bloom.unionByName(batch_bits)
+            .groupBy("word")
+            .agg(F.expr("bit_or(bits)").alias("bits"))
+        )
+        write_state(merged_bloom, census_dir, note=note)
     return cleaned

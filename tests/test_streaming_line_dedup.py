@@ -147,3 +147,103 @@ class TestFunnelStage:
         assert BOILER in by_id[1]
         assert BOILER not in by_id[3]
         assert "curious cat" in by_id[3]
+
+
+class TestBloomMode:
+    """state_mode='bloom' (r14): Dolma's published posture — the
+    seen-set IS a fixed-size Bloom filter relation."""
+
+    _M = 1 << 16  # generous bits for the tiny corpora: FP ~ 0
+
+    def test_matches_exact_mode_when_fp_negligible(self, spark, tmp_path):
+        from cod_stats_spark.streaming.line_dedup import (
+            line_batch_against_corpus,
+        )
+
+        rows = [
+            (1, f"alpha text\n{BOILER}\nbody one"),
+            (2, "beta text\nbody two"),
+            (3, f"{BOILER}\nbody three\nbeta text"),
+            (4, f"gamma text\n{BOILER}\nbody one"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        outs = {}
+        for mode, extra in (("exact", {}), ("bloom", {"bloom_bits": self._M})):
+            st = str(tmp_path / f"st_{mode}")
+            got = {}
+            for bid, pred in ((1, "doc_id <= 2"), (2, "doc_id > 2")):
+                for r in line_batch_against_corpus(
+                    spark, docs.filter(pred), st, batch_id=bid,
+                    state_mode=mode, **extra,
+                ).collect():
+                    got[r["doc_id"]] = r["clean_text"]
+            outs[mode] = got
+        assert outs["bloom"] == outs["exact"]
+
+    def test_state_size_is_bounded_not_growing(self, spark, tmp_path):
+        from cod_stats_spark.streaming._state import read_state
+        from cod_stats_spark.streaming.line_dedup import (
+            line_batch_against_corpus,
+        )
+
+        st = str(tmp_path / "st_sz")
+        cap = self._M // 64  # the hard row bound: one row per word
+        for bid in (1, 2, 3):
+            docs = spark.createDataFrame(
+                [(bid * 100 + i, f"line {bid} {i} unique content")
+                 for i in range(40)],
+                "doc_id long, text string",
+            )
+            line_batch_against_corpus(
+                spark, docs, st, batch_id=bid,
+                state_mode="bloom", bloom_bits=self._M,
+            )
+            assert read_state(spark, st).count() <= cap
+
+    def test_replay_reads_pre_batch_snapshot(self, spark, tmp_path):
+        from cod_stats_spark.streaming._state import current_version
+        from cod_stats_spark.streaming.line_dedup import (
+            line_batch_against_corpus,
+        )
+
+        st = str(tmp_path / "st_rp")
+        b1 = spark.createDataFrame(
+            [(1, f"{BOILER}\nfirst body")], "doc_id long, text string"
+        )
+        orig = line_batch_against_corpus(
+            spark, b1, st, batch_id=9, state_mode="bloom",
+            bloom_bits=self._M,
+        ).collect()
+        v = current_version(st)
+        replay = line_batch_against_corpus(
+            spark, b1, st, batch_id=9, state_mode="bloom",
+            bloom_bits=self._M,
+        ).collect()
+        assert sorted(map(tuple, orig)) == sorted(map(tuple, replay))
+        assert current_version(st) == v
+        # the replay must NOT have probed its own bits
+        assert BOILER in replay[0]["clean_text"]
+
+    def test_mode_marker_freezes_state_dir(self, spark, tmp_path):
+        import pytest as _pt
+
+        from cod_stats_spark.streaming.line_dedup import (
+            line_batch_against_corpus,
+        )
+
+        st = str(tmp_path / "st_mk")
+        docs = spark.createDataFrame(
+            [(1, "some text")], "doc_id long, text string"
+        )
+        line_batch_against_corpus(
+            spark, docs, st, batch_id=1, state_mode="bloom",
+            bloom_bits=self._M,
+        )
+        with _pt.raises(ValueError, match="_LINESTATE.bloom"):
+            line_batch_against_corpus(
+                spark, docs, st, batch_id=2, state_mode="exact"
+            )
+        with _pt.raises(ValueError, match="state_mode"):
+            line_batch_against_corpus(
+                spark, docs, st, batch_id=3, state_mode="census"
+            )

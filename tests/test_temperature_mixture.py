@@ -506,3 +506,67 @@ SELECT * FROM (
             ).fetchall()
         }
         assert got == want
+
+
+class TestDomainFeedIntegration:
+    """The advertised end-to-end feed (r13 verdict remark): per-
+    REGISTERED-DOMAIN mixtures — url.domain_stats keys (hundreds to
+    millions of domains) driving temperature_mixture, with BOTH
+    high-cardinality relation paths engaged (the >64-rule PSL lookup
+    upstream and epoch_expand's >64-domain broadcast weights
+    downstream)."""
+
+    def test_domain_stats_feeds_mixture_at_high_cardinality(self, spark):
+        from pyspark.sql import functions as F
+
+        from cod_stats_spark.functions.url import domain_stats
+        from cod_stats_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        # 90 registered domains (> the 64 dispatch limit), skewed
+        # masses: domain i carries i+1 docs
+        rows = []
+        did = 0
+        for i in range(90):
+            for j in range(i % 7 + 1):
+                rows.append(
+                    (did, f"https://sub.site{i:03d}.com/p/{j}",
+                     f"document body {i} {j} with several plain words")
+                )
+                did += 1
+        docs = spark.createDataFrame(
+            rows, "doc_id long, url string, text string"
+        )
+        stats = domain_stats(docs, "url", "text")
+        sizes = {
+            r["domain"]: float(r["n_docs"])
+            for r in stats.collect()
+            if r["domain"] is not None
+        }
+        assert len(sizes) == 90
+        assert sizes["site000.com"] == 1.0
+        assert sizes["site006.com"] == 7.0
+        # re-key every doc by its registered domain, then rebalance
+        keyed = docs.withColumn(
+            "_dom",
+            F.regexp_extract("url", r"https://sub\.(site\d+\.com)/", 1),
+        )
+        mixed = temperature_mixture(
+            keyed, "doc_id", "_dom", alpha=0.3, salt="domfeed",
+            max_weight=3.0,
+        )
+        # the >64-domain weight map must take the broadcast relation
+        # path, not a 90-branch when-chain
+        plan = mixed._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        out = mixed.groupBy("_dom").count().collect()
+        by_dom = {r["_dom"]: r["count"] for r in out}
+        # low-resource domains upsample (1-doc domain, weight > 1 at
+        # α=0.3); some high-resource (7-doc) domain thins below its
+        # input count
+        assert by_dom["site000.com"] >= 2
+        seven_doc = [f"site{i:03d}.com" for i in range(90) if i % 7 == 6]
+        assert seven_doc and any(
+            by_dom.get(d, 0) < 7 for d in seven_doc
+        )

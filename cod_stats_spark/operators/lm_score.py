@@ -495,7 +495,11 @@ def kn_lm_score(
     is the one 100 TB failure mode a default must not hide (the
     dsir_fit dim-cap convention; r13 advice). The count is one
     bounded agg over the model table; pass ``broadcast_model=False``
-    for big models (same output, shuffled joins + AQE)."""
+    for big models (same output, shuffled joins + AQE). Side effect:
+    ``tri_model`` is persisted for the returned plan's lifetime (it
+    feeds three derived relations; under the broadcast default the
+    guard count doubles as the cache-populating action) — released
+    only on the cap-raise path."""
     if not (0.0 < discount < 1.0):
         raise ValueError("kn_lm_score: discount must be in (0, 1)")
     if alpha <= 0:
@@ -520,6 +524,11 @@ def kn_lm_score(
     if broadcast_model:
         n_tri = tri_model.count()
         if n_tri > _KN_BROADCAST_ROW_CAP:
+            # release the just-materialized cache before raising: the
+            # caller will rebuild/re-pass the model for the
+            # broadcast_model=False retry, and an orphaned >10⁷-row
+            # cache would stay pinned for the session (r14 review)
+            tri_model.unpersist()
             raise ValueError(
                 f"kn_lm_score: trigram model has {n_tri:,} rows — past "
                 f"the broadcast cap ({_KN_BROADCAST_ROW_CAP:,}); pass "
@@ -984,6 +993,14 @@ def load_arpa(spark, path: str, lowercase: bool = False) -> ArpaModel:
             .collect()
         }
         nonzero_declared = {k: n for k, n in declared.items() if n > 0}
+        if not nonzero_declared:
+            # every declared order empty: a later model.order would
+            # die with a bare max()-of-empty instead of a load-time
+            # diagnostic (r14 second review)
+            raise ValueError(
+                f"load_arpa: header {declared} declares no populated "
+                "order — an empty model cannot score anything"
+            )
         if found != nonzero_declared:
             raise ValueError(
                 f"load_arpa: header declares {declared} but the file "

@@ -115,22 +115,33 @@ def line_batch_against_corpus(
     # two modes store different relations under the same versioned
     # protocol, so probing a census with bloom logic (or vice versa)
     # would silently mis-scrub instead of failing loudly
+    from cod_stats_spark.streaming._state import current_version
+
     fs = _fs_for(spark, census_dir)
     marker = f"_LINESTATE.{state_mode}"
     fs.mkdirs(census_dir)
     existing = [
         n for n in fs.list_names(census_dir) if n.startswith("_LINESTATE.")
     ]
-    if existing and marker not in existing:
+    if not existing:
+        if current_version(census_dir, fs) is not None:
+            # marker-less dir with COMMITTED versions = a legacy
+            # pre-marker state, which was always the exact census —
+            # stamping the CALLER's mode here would brick a correct
+            # exact-mode dir the first time someone probes it with
+            # bloom (r14 second review)
+            existing = ["_LINESTATE.exact"]
+        else:
+            existing = [marker]
+        fs.create_text(f"{census_dir}/{existing[0]}", existing[0][11:])
+    if marker not in existing:
         raise ValueError(
             f"line_batch_against_corpus: state dir is {existing[0]}, "
             f"called with state_mode={state_mode!r}"
         )
-    if not existing:
-        fs.create_text(f"{census_dir}/{marker}", state_mode)
     note = None if batch_id is None else f"b{int(batch_id)}"
     applied_v = (
-        find_version_by_note(census_dir, note, fs=_fs_for(spark, census_dir))
+        find_version_by_note(census_dir, note, fs=fs)
         if note is not None
         else None
     )
@@ -225,6 +236,12 @@ def _bloom_step(
 
     if old_bloom is None:
         old_bloom = spark.createDataFrame([], "word long, bits long")
+    # materialized once (bounded: one row per distinct line): the
+    # probe, the keep join, AND write_state's OR-merge all consume it —
+    # unpinned, each action would re-run the full batch split/hash
+    # pass (the exact path's `merged` checkpoint, same reason; r14
+    # second review)
+    batch_census = batch_census.localCheckpoint(eager=True)
     seen = bloom_probe(
         batch_census.select("_h", "_first"),
         "_h",

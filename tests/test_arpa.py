@@ -259,3 +259,10 @@ class TestReviewEdges:
 
         with _pt.raises(ValueError, match="folded case-distinct"):
             load_arpa(spark, p, lowercase=True)
+
+    def test_all_orders_empty_raises_at_load(self, spark, tmp_path):
+        from cod_stats_spark.operators.lm_score import load_arpa
+
+        body = "\\data\\\nngram 1=0\n\n\\1-grams:\n\n\\end\\\n"
+        with pytest.raises(ValueError, match="no populated"):
+            load_arpa(spark, _write(tmp_path, body, "empty.arpa"))

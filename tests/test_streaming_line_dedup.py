@@ -247,3 +247,34 @@ class TestBloomMode:
             line_batch_against_corpus(
                 spark, docs, st, batch_id=3, state_mode="census"
             )
+
+    def test_legacy_markerless_dir_is_exact(self, spark, tmp_path):
+        """A committed state dir from before the mode marker existed
+        holds the exact census: a bloom call must be REFUSED (not
+        stamp its own marker and brick the dir), and a subsequent
+        exact call must keep working."""
+        import pytest as _pt
+
+        from cod_stats_spark.streaming.line_dedup import (
+            line_batch_against_corpus,
+        )
+
+        st = str(tmp_path / "st_legacy")
+        docs = spark.createDataFrame(
+            [(1, "legacy line\nbody")], "doc_id long, text string"
+        )
+        line_batch_against_corpus(spark, docs, st, batch_id=1)
+        # simulate the pre-marker layout
+        import os
+
+        os.remove(os.path.join(st, "_LINESTATE.exact"))
+        with _pt.raises(ValueError, match="_LINESTATE.exact"):
+            line_batch_against_corpus(
+                spark, docs, st, batch_id=2, state_mode="bloom",
+                bloom_bits=self._M,
+            )
+        b2 = spark.createDataFrame(
+            [(2, "legacy line\nnew body")], "doc_id long, text string"
+        )
+        out = line_batch_against_corpus(spark, b2, st, batch_id=2).collect()
+        assert out[0]["clean_text"] == "new body"  # census still live

@@ -931,12 +931,25 @@ def stream_curate_to_corpus(
                 compact_dedup_index,
                 compact_semantic_state,
             )
-            from cod_stats_spark.streaming._state import _fs_for
+            from cod_stats_spark.streaming._state import (
+                _fs_for,
+                prune_state_versions,
+            )
 
             compact_dedup_index(spark, _os.path.join(state_dir, "index"))
             sem = _os.path.join(state_dir, "semantic_state")
             if _fs_for(spark, sem).exists(sem):
                 compact_semantic_state(spark, sem)
+            # the versioned census states keep every snapshot for the
+            # replay window; the maintenance pass bounds retention to
+            # the window the foreachBatch at-least-once source can
+            # actually replay (r14 — unpruned this is O(state ×
+            # batches) forever)
+            for census in ("substring_census", "line_census"):
+                cdir = _os.path.join(state_dir, census)
+                cfs = _fs_for(spark, cdir)
+                if cfs.exists(cdir):
+                    prune_state_versions(cdir, keep_last=2, fs=cfs)
             compact_curated_shards(spark, state_dir)
 
     writer = docs_stream.writeStream.foreachBatch(batch_fn).outputMode("append")

@@ -223,3 +223,43 @@ def write_state(
     df.write.mode("overwrite").parquet(f"{state_dir}/v={nxt}")
     name = f"_COMMIT.v{nxt}" + (f".{note}" if note is not None else "")
     fs.create_text(os.path.join(state_dir, name), str(nxt))
+
+
+def prune_state_versions(
+    state_dir: str, keep_last: int = 2, fs=None
+) -> list[int]:
+    """Delete version snapshots older than the newest ``keep_last`` —
+    the versioned protocol's RETENTION knob (r14): every
+    :func:`write_state` keeps its predecessor on disk, which the
+    batch-tagged replay path needs (a replayed batch reads its
+    original snapshot, tagged-version − 1), but unpruned that is
+    O(state size × batches) forever — at crawl scale a census state
+    written per batch retains thousands of corpus-sized snapshots.
+
+    ``keep_last=2`` (the default) keeps {current, current − 1}:
+    exactly what a replay of the MOST RECENT batch reads. Replays
+    reaching further back than the window fail LOUDLY (the snapshot's
+    parquet path is gone) instead of silently recomputing against the
+    wrong state — pruning trades replay depth for space, and the
+    at-least-once sources this protocol serves (foreachBatch) only
+    ever replay the in-flight epoch. Commit markers are PRESERVED
+    (tiny files — they are the replay-detection record; a pruned
+    replay must still be detected, then fail on the missing read,
+    never re-merge as if new).
+
+    Single-writer contract: run from the state's one writer (the
+    compaction-loop slot). Returns the pruned version numbers."""
+    if keep_last < 1:
+        raise ValueError("prune_state_versions: keep_last must be >= 1")
+    fs = fs or _LocalStateFS()
+    cur = current_version(state_dir, fs)
+    if cur is None:
+        return []
+    cutoff = cur - int(keep_last) + 1
+    pruned = []
+    for name in fs.list_names(state_dir):
+        m = re.match(r"^v=(\d+)$", name)
+        if m and int(m.group(1)) < cutoff:
+            fs.delete(os.path.join(state_dir, name))
+            pruned.append(int(m.group(1)))
+    return sorted(pruned)

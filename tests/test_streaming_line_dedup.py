@@ -278,3 +278,69 @@ class TestBloomMode:
         )
         out = line_batch_against_corpus(spark, b2, st, batch_id=2).collect()
         assert out[0]["clean_text"] == "new body"  # census still live
+
+
+class TestVersionPruning:
+    """prune_state_versions (r14): retention knob for the versioned
+    protocol — keep {current, current−1}, replay-of-latest still
+    works, deeper replays fail LOUDLY, markers preserved."""
+
+    def test_prune_bounds_snapshots_and_latest_replay_survives(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from cod_stats_spark.streaming._state import (
+            current_version,
+            prune_state_versions,
+        )
+        from cod_stats_spark.streaming.line_dedup import (
+            line_batch_against_corpus,
+        )
+
+        st = str(tmp_path / "st_pr")
+        outs = {}
+        for bid in (1, 2, 3):
+            docs = spark.createDataFrame(
+                [(bid * 10, f"{BOILER}\nbody {bid}")],
+                "doc_id long, text string",
+            )
+            outs[bid] = line_batch_against_corpus(
+                spark, docs, st, batch_id=bid
+            ).collect()
+        assert current_version(st) == 2
+        pruned = prune_state_versions(st, keep_last=2)
+        assert pruned == [0]
+        vdirs = sorted(n for n in os.listdir(st) if n.startswith("v="))
+        assert vdirs == ["v=1", "v=2"]
+        # markers survive — replay DETECTION is intact
+        markers = [n for n in os.listdir(st) if n.startswith("_COMMIT")]
+        assert len(markers) == 3
+        # replay of the latest batch reads v=1 (kept) — identical out
+        docs3 = spark.createDataFrame(
+            [(30, f"{BOILER}\nbody 3")], "doc_id long, text string"
+        )
+        replay = line_batch_against_corpus(
+            spark, docs3, st, batch_id=3
+        ).collect()
+        assert sorted(map(tuple, outs[3])) == sorted(map(tuple, replay))
+        # replay beyond the window fails LOUDLY, never silently merges
+        import pytest as _pt
+
+        docs2 = spark.createDataFrame(
+            [(20, f"{BOILER}\nbody 2")], "doc_id long, text string"
+        )
+        with _pt.raises(Exception, match="v=0|PATH_NOT_FOUND|Path does not exist"):
+            line_batch_against_corpus(
+                spark, docs2, st, batch_id=2
+            ).collect()
+        assert current_version(st) == 2  # state untouched by the failure
+
+    def test_validation_and_empty_dir(self, tmp_path):
+        import pytest as _pt
+
+        from cod_stats_spark.streaming._state import prune_state_versions
+
+        assert prune_state_versions(str(tmp_path / "nothing")) == []
+        with _pt.raises(ValueError, match="keep_last"):
+            prune_state_versions(str(tmp_path), keep_last=0)

@@ -219,7 +219,12 @@ def bloom_oracle_sql(
     """DuckDB replay of the ``md5_60`` member. Without ``probe_src``:
     the filter words — (word, bits). With it: per-probe-row
     (``probe_id``, maybe_member) against the filter built from
-    ``src`` (NULL probe values get FALSE, the Spark contract)."""
+    ``src`` (NULL probe values get FALSE, the Spark contract).
+    Hit counts aggregate per DISTINCT probe VALUE and rejoin the
+    probe rows by value — the Spark plan's own shape — so duplicate
+    ``probe_id`` values (or duplicate rows) can never merge counts
+    across rows (r14 advice); ``probe_id`` carries no uniqueness
+    requirement, it is only echoed through."""
     _validate(num_bits, num_hashes)
     pos = _duck_positions(col, num_bits, num_hashes)
     words = f"""
@@ -233,24 +238,27 @@ GROUP BY word
     if probe_src is None:
         return words
     pc = probe_col or col
-    ppos = _duck_positions(pc, num_bits, num_hashes)
+    ppos = _duck_positions("v", num_bits, num_hashes)
     return f"""
 WITH bloom_words AS ({words}),
+probe_vals AS (
+  SELECT DISTINCT {pc} AS v FROM {probe_src} WHERE {pc} IS NOT NULL
+),
 probe_rows AS (
-  SELECT {probe_id} AS pid, unnest({ppos}) AS p
-  FROM {probe_src} WHERE {pc} IS NOT NULL
+  SELECT v, unnest({ppos}) AS p
+  FROM probe_vals
 ),
 hit_counts AS (
-  SELECT pr.pid,
+  SELECT pr.v,
          sum(CASE WHEN (coalesce(w.bits, 0) & ({_duck_mask('pr.p')}))
                        = ({_duck_mask('pr.p')})
                   THEN 1 ELSE 0 END) AS nhit
   FROM probe_rows pr
   LEFT JOIN bloom_words w ON w.word = pr.p // 64
-  GROUP BY pr.pid
+  GROUP BY pr.v
 )
 SELECT s.{probe_id} AS pid,
        coalesce(h.nhit = {int(num_hashes)}, FALSE) AS maybe_member
 FROM {probe_src} s
-LEFT JOIN hit_counts h ON h.pid = s.{probe_id}
+LEFT JOIN hit_counts h ON h.v = s.{pc}
 """

@@ -184,11 +184,20 @@ def mixture_sample(
     set either way, parity-tested).
     """
     mass = F.count(F.lit(1)) if size_col is None else F.sum(F.col(size_col).cast("double"))
+    # domain matching is by STRING form on both dispatch paths (keys
+    # str()'d, the column cast once) — the epoch_expand convention, so
+    # a non-string domain map behaves identically on the literal
+    # when-chain and the broadcast relation instead of hitting a
+    # size-dependent createDataFrame type cliff (r14 advice)
     sizes = {
         r["d"]: float(r["m"])
-        for r in df.groupBy(F.col(domain_col).alias("d")).agg(mass.alias("m")).collect()
+        for r in df.groupBy(
+            F.col(domain_col).cast("string").alias("d")
+        ).agg(mass.alias("m")).collect()
     }
-    weights = {d: float(w) for d, w in target_weights.items() if float(w) > 0}
+    weights = {
+        str(d): float(w) for d, w in target_weights.items() if float(w) > 0
+    }
     fractions: dict[str, float] = {}
     if budget is None:
         s_total = min(
@@ -210,6 +219,7 @@ def mixture_sample(
         for d, frac in sorted(fractions.items())
     ]
     key = F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    dcol = F.col(domain_col).cast("string")
     if len(rows) > _EXPAND_LITERAL_LIMIT:
         rel = F.broadcast(
             df.sparkSession.createDataFrame(
@@ -217,13 +227,13 @@ def mixture_sample(
             )
         )
         return (
-            df.join(rel, F.col(domain_col) == F.col("_mix_d"), "left")
+            df.join(rel, dcol == F.col("_mix_d"), "left")
             .filter(_hash_bucket(key) < F.coalesce(F.col("_mix_thr"), F.lit(-1)))
             .drop("_mix_d", "_mix_thr")
         )
     thr = F.lit(-1)
     for domain, t in rows:
-        thr = F.when(F.col(domain_col) == domain, F.lit(t)).otherwise(thr)
+        thr = F.when(dcol == domain, F.lit(t)).otherwise(thr)
     return df.filter(_hash_bucket(key) < thr)
 
 
@@ -584,25 +594,27 @@ def epoch_expand(
         (d, int(w), int(round(w - int(w), 9) * buckets))
         for d, w in sorted(weights.items())
     ]
+    # domain matching is by STRING form on both dispatch paths (keys
+    # are already str()'d above; the column is cast once) — a
+    # non-string domain column matches identically on the literal
+    # when-chain and the broadcast relation (r14 advice: the relation
+    # path's string schema was a size-dependent behavior cliff)
+    dcol = F.col(domain_col).cast("string")
     if len(rows) > _EXPAND_LITERAL_LIMIT:
         rel = F.broadcast(
             df.sparkSession.createDataFrame(
                 rows, "_exp_d string, _exp_full int, _exp_thr int"
             )
         )
-        df = df.join(rel, F.col(domain_col) == F.col("_exp_d"), "left")
+        df = df.join(rel, dcol == F.col("_exp_d"), "left")
         n_full = F.coalesce(F.col("_exp_full"), F.lit(1))
         thr = F.coalesce(F.col("_exp_thr"), F.lit(0))
     else:
         n_full = F.lit(1)  # unlisted domains: one epoch, no fraction
         thr = F.lit(0)
         for domain, full, t in rows:
-            n_full = F.when(
-                F.col(domain_col) == domain, F.lit(full)
-            ).otherwise(n_full)
-            thr = F.when(F.col(domain_col) == domain, F.lit(t)).otherwise(
-                thr
-            )
+            n_full = F.when(dcol == domain, F.lit(full)).otherwise(n_full)
+            thr = F.when(dcol == domain, F.lit(t)).otherwise(thr)
     key = F.concat(F.col(key_col).cast("string"), F.lit(salt), F.lit("ep"))
     base = F.when(
         n_full > 0, F.sequence(F.lit(0), n_full - 1)

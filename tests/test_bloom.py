@@ -186,3 +186,52 @@ class TestOracle:
             ).fetchall()
         }
         assert got_probe == want_probe
+
+    def test_duplicate_probe_ids_replay_per_row(self, spark):
+        """r14 advice: duplicate probe_id values must not merge hit
+        counts — the oracle aggregates per DISTINCT VALUE (the Spark
+        plan's shape) and echoes probe_id through. Two rows sharing
+        pid=7, one inserted value and one absent value, must come back
+        as one True and one False row."""
+        import duckdb
+
+        from cod_stats_spark.operators.bloom import (
+            bloom_build,
+            bloom_oracle_sql,
+            bloom_probe,
+        )
+
+        ins = spark.createDataFrame(
+            [(i, f"word-{i}") for i in range(40)], "doc_id long, v string"
+        )
+        probe = spark.createDataFrame(
+            [(7, "word-3"), (7, "definitely-absent-a"), (7, "word-3"),
+             (8, "word-5"), (8, "definitely-absent-b")],
+            "doc_id long, v string",
+        )
+        bloom = bloom_build(ins, "v", _M, _K, base_hash="md5_60")
+        got = sorted(
+            (r["doc_id"], r["v"], r["maybe_member"])
+            for r in bloom_probe(
+                probe, "v", bloom, _M, _K, base_hash="md5_60"
+            ).collect()
+        )
+        # per-row answers: the duplicated pid rows keep independent
+        # value-keyed answers (inserted -> True, absent -> False)
+        assert (7, "word-3", True) in got
+        assert (8, "word-5", True) in got
+        assert [g for g in got if g[1].startswith("definitely-absent")] == [
+            (7, "definitely-absent-a", False),
+            (8, "definitely-absent-b", False),
+        ]
+        con = duckdb.connect()
+        con.register("d_ins", ins.toPandas())
+        con.register("d_probe", probe.toPandas())
+        want_pairs = con.execute(
+            bloom_oracle_sql("d_ins", "v", _M, _K, probe_src="d_probe")
+        ).fetchall()
+        # the oracle emits one row per probe ROW; as a (pid, member)
+        # MULTISET it must equal Spark's (a pid-merged hit count would
+        # collapse pid 7's True/False split into garbage)
+        want = sorted((int(i), bool(m)) for i, m in want_pairs)
+        assert want == sorted((i, m) for i, _v, m in got)

@@ -384,6 +384,63 @@ class TestMixtureSampleRelationPath:
         assert 0 < len(got_rel) < docs.count()
 
 
+class TestNonStringDomainDispatch:
+    """Domain matching is by STRING form on BOTH dispatch paths (r14
+    advice): an integer-keyed domain map used to work on the literal
+    when-chain and then fail createDataFrame once the map crossed
+    _EXPAND_LITERAL_LIMIT — a size-dependent behavior cliff. Both
+    functions now str() the keys and cast the column once."""
+
+    def _int_docs(self, spark, n_domains=80, rows_per=3):
+        rows = [
+            (d * 100 + i, d) for d in range(n_domains) for i in range(rows_per)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, dom int")
+
+    def test_epoch_expand_int_domains_relation_equals_literal(
+        self, spark, monkeypatch
+    ):
+        import cod_stats_spark.operators.sampling as S
+
+        docs = self._int_docs(spark)
+        w = {d: [0.5, 1.0, 2.4][d % 3] for d in range(80)}
+        assert len(w) > S._EXPAND_LITERAL_LIMIT
+        got_rel = {
+            (r["doc_id"], r["epoch"])
+            for r in S.epoch_expand(docs, "doc_id", "dom", w, salt="i").collect()
+        }
+        monkeypatch.setattr(S, "_EXPAND_LITERAL_LIMIT", 10_000)
+        got_lit = {
+            (r["doc_id"], r["epoch"])
+            for r in S.epoch_expand(docs, "doc_id", "dom", w, salt="i").collect()
+        }
+        assert got_rel == got_lit
+        assert any(e > 0 for _, e in got_rel)  # some replication happened
+
+    def test_mixture_sample_int_domains_relation_equals_literal(
+        self, spark, monkeypatch
+    ):
+        import cod_stats_spark.operators.sampling as S
+
+        docs = self._int_docs(spark, rows_per=4)
+        w = {d: 1.0 + (d % 3) for d in range(70)}  # 10 domains unlisted
+        got_rel = {
+            r["doc_id"]
+            for r in S.mixture_sample(
+                docs, "doc_id", "dom", w, budget=150.0, salt="im"
+            ).collect()
+        }
+        monkeypatch.setattr(S, "_EXPAND_LITERAL_LIMIT", 10_000)
+        got_lit = {
+            r["doc_id"]
+            for r in S.mixture_sample(
+                docs, "doc_id", "dom", w, budget=150.0, salt="im"
+            ).collect()
+        }
+        assert got_rel == got_lit
+        assert 0 < len(got_rel) < docs.count()  # unlisted domains dropped
+
+
 class TestSequentialSumParity:
     """The mixture oracles' exact-reproducibility claim rests on the
     SQL accumulating total/denom/prefix in the SAME order as Python's

@@ -924,6 +924,27 @@ class ArpaModel:
     def order(self) -> int:
         return max(self.counts)
 
+    def truncate(self, k: int) -> "ArpaModel":
+        """Orders 1..k of this model — the standard way to score a
+        higher-order artifact with a lower-order backoff recursion:
+        drop the tables above k and recurse as usual (the new top
+        order's ``backoff`` column is simply never consulted; lower
+        orders' backoff weights still apply on their hops). The
+        relation DataFrames are SHARED with the parent, not copied —
+        they are immutable lazy plans. Raises if no populated order
+        survives the cut."""
+        k = int(k)
+        if k < 1:
+            raise ValueError("ArpaModel.truncate: k must be >= 1")
+        grams = {o: df for o, df in self.grams.items() if o <= k}
+        counts = {o: n for o, n in self.counts.items() if o <= k}
+        if not grams:
+            raise ValueError(
+                f"ArpaModel.truncate({k}): no populated order survives "
+                f"(model carries orders {sorted(self.grams)})"
+            )
+        return ArpaModel(grams, counts)
+
 
 def load_arpa(spark, path: str, lowercase: bool = False) -> ArpaModel:
     """Parse an ARPA file into relation tables — fully distributed
@@ -936,8 +957,10 @@ def load_arpa(spark, path: str, lowercase: bool = False) -> ArpaModel:
     markers, the ``\\data\\`` header, and blank lines are filtered
     out structurally and the declared ``ngram k=N`` counts then
     VALIDATE the parse (a count mismatch, an undeclared order, or an
-    unparseable probability field raises — a silently short table
-    would misscore every document).
+    unparseable probability or backoff field raises — a silently
+    short table, or a corrupted backoff column scoring as 0.0, would
+    misscore every document). An EMPTY third field (a bare trailing
+    tab) still reads as an omitted backoff.
 
     ``lowercase``: fold vocabulary case at load (match it to the
     scorer's tokenization; published models are usually already
@@ -972,6 +995,7 @@ def load_arpa(spark, path: str, lowercase: bool = False) -> ArpaModel:
         F.when(F.size(parts) >= 3, F.element_at(parts, 3).cast("double"))
         .alias("backoff"),
         F.element_at(parts, 1).alias("_raw_p"),
+        F.when(F.size(parts) >= 3, F.element_at(parts, 3)).alias("_raw_b"),
     )
     from pyspark.storagelevel import StorageLevel
 
@@ -985,6 +1009,20 @@ def load_arpa(spark, path: str, lowercase: bool = False) -> ArpaModel:
             raise ValueError(
                 f"load_arpa: unparseable probability field"
                 f" {bad[0]['_raw_p']!r}"
+            )
+        # same loud posture for the backoff field (r14 advice): a
+        # present, non-empty third field that fails the double cast
+        # would otherwise silently become NULL and score as backoff
+        # 0.0 — a corrupted column misweighting every backoff hop
+        badb = cand.filter(
+            F.col("backoff").isNull()
+            & F.col("_raw_b").isNotNull()
+            & (F.trim(F.col("_raw_b")) != "")
+        ).limit(1).collect()
+        if badb:
+            raise ValueError(
+                f"load_arpa: unparseable backoff field"
+                f" {badb[0]['_raw_b']!r}"
             )
         found = {
             int(r["k"]): int(r["n"])
@@ -1045,6 +1083,55 @@ def load_arpa(spark, path: str, lowercase: bool = False) -> ArpaModel:
 _LN10 = math.log(10.0)
 
 
+_ARPA_MAX_ORDER = 5
+
+
+def _arpa_unk_row(model: ArpaModel):
+    """(has_unk, log10p, backoff-or-0.0) of the model's ``<unk>``
+    unigram — one bounded collect shared by scorer and validation."""
+    unk = (
+        model.grams[1]
+        .filter(F.col("w1") == "<unk>")
+        .select("log10p", "backoff")
+        .collect()
+    )
+    if not unk:
+        return False, None, 0.0
+    b = unk[0]["backoff"]
+    return True, float(unk[0]["log10p"]), (0.0 if b is None else float(b))
+
+
+def _validate_arpa_scoring_model(model: ArpaModel) -> int:
+    """Loud entry-time checks shared by the scorer: order cap,
+    contiguous populated orders 1..K (the backoff recursion consults
+    every lower table), and each relation carrying its w1..wk key
+    columns. Returns K."""
+    K = model.order
+    if K > _ARPA_MAX_ORDER:
+        raise ValueError(
+            f"arpa_lm_score: order-{K} model exceeds the supported "
+            f"order {_ARPA_MAX_ORDER} — score model.truncate("
+            f"{_ARPA_MAX_ORDER}) (lower tables and their backoff "
+            "weights are unchanged by truncation)"
+        )
+    missing = [k for k in range(1, K + 1) if k not in model.grams]
+    if missing:
+        raise ValueError(
+            f"arpa_lm_score: model declares order {K} but orders "
+            f"{missing} carry no table — the backoff recursion needs "
+            f"every lower order; score model.truncate({min(missing) - 1})"
+        )
+    for k in range(1, K + 1):
+        want = {f"w{i}" for i in range(1, k + 1)} | {"log10p"}
+        have = set(model.grams[k].columns)
+        if not want <= have:
+            raise ValueError(
+                f"arpa_lm_score: order-{k} table is missing columns "
+                f"{sorted(want - have)} (has {sorted(have)})"
+            )
+    return K
+
+
 def arpa_lm_score(
     docs: DataFrame,
     model: ArpaModel,
@@ -1056,37 +1143,41 @@ def arpa_lm_score(
 ) -> DataFrame:
     """Per-document mean NLL (nats) under an imported ARPA backoff
     model — (id..., arpa_tokens, arpa_nll): the standard recursive
-    backoff P(w|u,v) = p(uvw) if listed, else 10^b(uv)·P(w|v), with
-    absent backoff weights meaning b=0 (multiplier 1) per the format
-    spec; all arithmetic stays in log10 and converts once at the end
-    (· ln 10), so no underflow at any order. Positions 1 and 2 score
-    the lower orders directly (the kn_lm_score no-padding convention —
-    a published model's <s> entries are simply never looked up;
-    documented deviation from KenLM's sentence-marker scoring).
+    backoff P(w|ctx_k) = p(ctx_k·w) if listed, else
+    10^b(ctx_k)·P(w|ctx_{k-1}), with absent backoff weights meaning
+    b=0 (multiplier 1) per the format spec; all arithmetic stays in
+    log10 and converts once at the end (· ln 10), so no underflow at
+    any order. Supports orders 1–5 (published KenLM/CCNet artifacts
+    are 5-gram); a deeper file scores its ``model.truncate(5)``.
+    Position i uses order min(model order, i+1) — early positions
+    score the lower orders directly (the kn_lm_score no-padding
+    convention: a published model's <s> entries are simply never
+    looked up; documented deviation from KenLM's sentence-marker
+    scoring).
 
-    OOV tokens take the model's ``<unk>`` probability when the file
-    ships one (real published LMs do), else ``oov_log10p``; neither
+    OOV handling (r14 advice): when the model ships ``<unk>`` (real
+    published LMs do), every OOV token — in TARGET and CONTEXT
+    positions alike — is mapped to the literal ``<unk>`` before the
+    model joins, exactly as KenLM substitutes: ``<unk>``-containing
+    n-grams and the file's b(<unk>) are consulted wherever listed.
+    Without ``<unk>``, ``oov_log10p`` floors the target word and OOV
+    context words simply never match (backoff 0 hops); neither
     available raises at entry — a silent OOV floor convention would
-    make scores non-comparable across models. Supports order 1–3
-    models (the family scope); higher-order files load fine but must
-    be scored at their top-3 orders by passing the truncated model.
+    make scores non-comparable across models.
 
-    Plan: pos explode + ≤5 model-relation left joins (logp and
-    backoff per order), broadcast by default; ``broadcast_model=False``
-    leaves them shuffled for models past broadcast size (the
-    kn_lm_score posture)."""
-    if model.order > 3:
-        raise ValueError(
-            f"arpa_lm_score: order-{model.order} model; score the top-3 "
-            "truncation (build an ArpaModel with orders 1..3)"
-        )
+    Plan: pos explode + ≤(3K−2) slim model-relation left joins
+    (target logp, per-context-position vocabulary membership, and
+    logp/backoff per order), broadcast by default;
+    ``broadcast_model=False`` leaves them shuffled for models past
+    broadcast size (the kn_lm_score posture)."""
+    if model.grams.get(1) is None:
+        raise ValueError("arpa_lm_score: model has no unigrams")
+    K = _validate_arpa_scoring_model(model)
     id_cols = id_cols or ["doc_id"]
     hint = F.broadcast if broadcast_model else (lambda df: df)
-    uni = model.grams.get(1)
-    if uni is None:
-        raise ValueError("arpa_lm_score: model has no unigrams")
-    unk = uni.filter(F.col("w1") == "<unk>").select("log10p").collect()
-    floor10 = float(unk[0]["log10p"]) if unk else oov_log10p
+    uni = model.grams[1]
+    has_unk, unk_p, b_unk = _arpa_unk_row(model)
+    floor10 = unk_p if has_unk else oov_log10p
     if floor10 is None:
         raise ValueError(
             "arpa_lm_score: model ships no <unk> and no oov_log10p "
@@ -1094,102 +1185,127 @@ def arpa_lm_score(
         )
     floor10 = float(floor10)
 
-    rel_u = hint(
-        uni.select(
-            F.col("w1").alias("_uw"),
-            F.col("log10p").alias("_up"),
-            F.col("backoff").alias("_ub"),
-        )
-    )
-    bi = model.grams.get(2)
-    tri = model.grams.get(3)
-
+    # position frame: the target word w plus raw context columns
+    # _c1.._c{K-1} (_cj = j tokens back; null before position j)
     tk = _tokens(text_col, lowercase)
-    ent = F.expr(
-        "transform(_tk, (w, i) -> struct("
-        " if(i > 1, element_at(_tk, i - 1), null) as wpp,"
-        " if(i > 0, element_at(_tk, i), null) as wp, w as w))"
-    )
-    pos = (
+    fields = ["w as w"] + [
+        f"if(i > {j - 1}, element_at(_tk, i - {j - 1}), null) as c{j}"
+        for j in range(1, K)
+    ]
+    ent = F.expr("transform(_tk, (w, i) -> struct(" + ", ".join(fields) + "))")
+    joined = (
         docs.select(*id_cols, tk.alias("_tk"))
         .select(*id_cols, F.explode(ent).alias("_e"))
         .select(
             *id_cols,
-            F.col("_e.wpp").alias("_wpp"),
-            F.col("_e.wp").alias("_wp"),
             F.col("_e.w").alias("_w"),
+            *[F.col(f"_e.c{j}").alias(f"_c{j}") for j in range(1, K)],
         )
     )
-    joined = pos.join(rel_u, pos["_w"] == rel_u["_uw"], "left")
-    # the CONTEXT word's backoff weight b(v): a second unigram join
+    # target word's unigram row, then one slim vocabulary probe per
+    # context position (the <unk> mapping needs every context word's
+    # membership, and position 1's probe doubles as b(v))
     joined = joined.join(
         hint(
             uni.select(
-                F.col("w1").alias("_cv"), F.col("backoff").alias("_cb")
+                F.col("w1").alias("_uw"), F.col("log10p").alias("_up")
             )
         ),
-        joined["_wp"] == F.col("_cv"),
+        joined["_w"] == F.col("_uw"),
         "left",
-    )
-    p1 = F.coalesce(F.col("_up"), F.lit(floor10))
-    if bi is not None:
-        rel_b = hint(
-            bi.select(
-                F.col("w1").alias("_bv"), F.col("w2").alias("_bw"),
-                F.col("log10p").alias("_bp"),
-            )
-        )
+    ).drop("_uw")
+    for j in range(1, K):
         joined = joined.join(
-            rel_b,
-            (joined["_wp"] == rel_b["_bv"]) & (joined["_w"] == rel_b["_bw"]),
+            hint(
+                uni.select(
+                    F.col("w1").alias(f"_v{j}w"),
+                    F.lit(True).alias(f"_v{j}m"),
+                    F.col("backoff").alias(f"_v{j}b"),
+                )
+            ),
+            joined[f"_c{j}"] == F.col(f"_v{j}w"),
             "left",
+        ).drop(f"_v{j}w")
+    # effective words: OOV → '<unk>' when the model ships it (KenLM's
+    # substitution), else the raw word (matches nothing; backoff-0 hops)
+    if has_unk:
+        joined = joined.withColumn(
+            "_we",
+            F.when(F.col("_up").isNotNull(), F.col("_w")).otherwise(
+                F.lit("<unk>")
+            ),
         )
-        p2 = F.coalesce(
-            F.col("_bp"), F.coalesce(F.col("_cb"), F.lit(0.0)) + p1
-        )
+        for j in range(1, K):
+            joined = joined.withColumn(
+                f"_e{j}",
+                F.when(F.col(f"_c{j}").isNull(), F.lit(None).cast("string"))
+                .when(F.col(f"_v{j}m"), F.col(f"_c{j}"))
+                .otherwise(F.lit("<unk>")),
+            )
     else:
-        p2 = p1
-    if tri is not None:
-        if bi is None:
-            raise ValueError("arpa_lm_score: trigrams without bigrams")
-        # the context PAIR's backoff weight b(u,v): from the bigram table
-        rel_bb = hint(
-            bi.select(
-                F.col("w1").alias("_gu"), F.col("w2").alias("_gv"),
-                F.col("backoff").alias("_gb"),
+        joined = joined.withColumn("_we", F.col("_w"))
+        for j in range(1, K):
+            joined = joined.withColumn(f"_e{j}", F.col(f"_c{j}"))
+
+    # p_k chain: p1 = unigram (OOV floor = p(<unk>) when shipped);
+    # p_k = p(ctx·w) if listed else b(ctx) + p_{k-1}
+    ps = [F.coalesce(F.col("_up"), F.lit(floor10))]
+    if K >= 2:
+        # unigram backoff of the effective context word: the file's
+        # b(<unk>) when the raw word is OOV and the model ships <unk>
+        b1 = F.when(
+            F.col("_v1m"), F.coalesce(F.col("_v1b"), F.lit(0.0))
+        ).otherwise(F.lit(b_unk if has_unk else 0.0))
+    for k in range(2, K + 1):
+        gk = model.grams[k]
+        relk = hint(
+            gk.select(
+                *[
+                    F.col(f"w{i}").alias(f"_g{k}w{i}")
+                    for i in range(1, k + 1)
+                ],
+                F.col("log10p").alias(f"_p{k}"),
             )
         )
-        rel_t = hint(
-            tri.select(
-                F.col("w1").alias("_tu"), F.col("w2").alias("_tv"),
-                F.col("w3").alias("_tw"), F.col("log10p").alias("_tp"),
-            )
+        # context words furthest-first: w1 = c_{k-1}, …, w_{k-1} = c1
+        cond = F.col(f"_e{k - 1}") == F.col(f"_g{k}w1")
+        for i in range(2, k):
+            cond = cond & (F.col(f"_e{k - i}") == F.col(f"_g{k}w{i}"))
+        cond = cond & (F.col("_we") == F.col(f"_g{k}w{k}"))
+        joined = joined.join(relk, cond, "left").drop(
+            *[f"_g{k}w{i}" for i in range(1, k + 1)]
         )
-        joined = (
-            joined.join(
-                rel_bb,
-                (joined["_wpp"] == rel_bb["_gu"])
-                & (joined["_wp"] == rel_bb["_gv"]),
-                "left",
+        if k == 2:
+            bk = b1
+        else:
+            bg = model.grams[k - 1]
+            relb = hint(
+                bg.select(
+                    *[
+                        F.col(f"w{i}").alias(f"_b{k}w{i}")
+                        for i in range(1, k)
+                    ],
+                    F.col("backoff").alias(f"_bo{k}"),
+                )
             )
-            .join(
-                rel_t,
-                (joined["_wpp"] == rel_t["_tu"])
-                & (joined["_wp"] == rel_t["_tv"])
-                & (joined["_w"] == rel_t["_tw"]),
-                "left",
+            bcond = F.col(f"_e{k - 1}") == F.col(f"_b{k}w1")
+            for i in range(2, k):
+                bcond = bcond & (F.col(f"_e{k - i}") == F.col(f"_b{k}w{i}"))
+            joined = joined.join(relb, bcond, "left").drop(
+                *[f"_b{k}w{i}" for i in range(1, k)]
             )
-        )
-        p3 = F.coalesce(
-            F.col("_tp"), F.coalesce(F.col("_gb"), F.lit(0.0)) + p2
-        )
+            bk = F.coalesce(F.col(f"_bo{k}"), F.lit(0.0))
+        ps.append(F.coalesce(F.col(f"_p{k}"), bk + ps[-1]))
+
+    # position i uses order min(K, i+1): pick p_j where _cj is the
+    # first missing context
+    if K == 1:
+        lp10 = ps[0]
     else:
-        p3 = p2
-    lp10 = (
-        F.when(F.col("_wp").isNull(), p1)
-        .when(F.col("_wpp").isNull(), p2)
-        .otherwise(p3)
-    )
+        sel = F.when(F.col("_c1").isNull(), ps[0])
+        for j in range(2, K):
+            sel = sel.when(F.col(f"_c{j}").isNull(), ps[j - 1])
+        lp10 = sel.otherwise(ps[K - 1])
     per_doc = joined.groupBy(*id_cols).agg(
         F.count(F.lit(1)).alias("arpa_tokens"),
         (-F.sum(lp10 * F.lit(_LN10)) / F.count(F.lit(1))).alias("arpa_nll"),
@@ -1203,3 +1319,172 @@ def arpa_lm_score(
             F.coalesce(F.col("arpa_nll"), F.lit(0.0)).alias("arpa_nll"),
         )
     )
+
+
+def _sql_double(v) -> str:
+    """A double literal rendered as a VARCHAR→DOUBLE cast: DuckDB
+    parses bare float literals through a DECIMAL intermediate that can
+    truncate ulps (the r14 VALUES trap), while the string cast parses
+    straight to the nearest double — the same rounding Python and
+    Spark apply to the source text."""
+    return "NULL::DOUBLE" if v is None else f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def arpa_lm_oracle_sql(
+    grams: dict,
+    src: str = "documents",
+    text_sql: str = "text",
+    id_sql: str = "doc_id",
+    oov_log10p: float | None = None,
+) -> str:
+    """DuckDB replica of :func:`arpa_lm_score` over model rows given
+    VERBATIM as plain Python data — ``grams[k]`` is a list of
+    ``(w1, …, wk, log10p, backoff_or_None)`` tuples (the mini-ARPA
+    fixture's lines) — yielding (doc_id, arpa_tokens, arpa_nll)
+    unrounded; the gate applies its own rounding. Replays the whole
+    recursion: effective-word ``<unk>`` substitution (target and
+    context), logp lookup per order, every backoff hop's weight
+    (present, omitted → 0, and b(<unk>)), the position-order
+    selection, and the mean-NLL arithmetic. Same token expression as
+    the other LM oracles; model doubles enter via VARCHAR→DOUBLE
+    casts so both engines hold bit-identical values."""
+    K = max(grams)
+    if K > _ARPA_MAX_ORDER:
+        raise ValueError(f"arpa_lm_oracle_sql: order {K} > {_ARPA_MAX_ORDER}")
+    if sorted(grams) != list(range(1, K + 1)):
+        raise ValueError(
+            f"arpa_lm_oracle_sql: orders must be contiguous 1..{K}, "
+            f"got {sorted(grams)}"
+        )
+
+    def _q(w: str) -> str:
+        return "'" + str(w).replace("'", "''") + "'"
+
+    unk = [r for r in grams[1] if r[0] == "<unk>"]
+    has_unk = bool(unk)
+    floor10 = float(unk[0][1]) if has_unk else oov_log10p
+    if floor10 is None:
+        raise ValueError(
+            "arpa_lm_oracle_sql: no <unk> row and no oov_log10p"
+        )
+    b_unk = (
+        0.0 if not has_unk or unk[0][2] is None else float(unk[0][2])
+    )
+    rels = []
+    for k in range(1, K + 1):
+        cols = ", ".join([f"w{i}" for i in range(1, k + 1)] + ["p", "b"])
+        vals = ",\n    ".join(
+            "("
+            + ", ".join(
+                [_q(w) for w in r[:k]]
+                + [_sql_double(r[k]), _sql_double(r[k + 1])]
+            )
+            + ")"
+            for r in grams[k]
+        )
+        rels.append(f"arpa_g{k}({cols}) AS (VALUES\n    {vals})")
+    toks = (
+        f"list_filter(string_split_regex(trim(lower({text_sql})), '\\s+'),"
+        " t -> t <> '')"
+    )
+    # position frame: target w + raw contexts c1..c{K-1}
+    ctx_cols = "".join(
+        f",\n         CASE WHEN i >= {j} THEN tk[i + 1 - {j}] END AS c{j}"
+        for j in range(1, K)
+    )
+    # effective words + the unigram-layer backoff of c1
+    if has_unk:
+        we = "CASE WHEN uw.w1 IS NOT NULL THEN pos.w ELSE '<unk>' END"
+        ej = {
+            j: (
+                f"CASE WHEN pos.c{j} IS NULL THEN NULL"
+                f" WHEN v{j}.w1 IS NOT NULL THEN pos.c{j}"
+                " ELSE '<unk>' END"
+            )
+            for j in range(1, K)
+        }
+        b1 = (
+            "CASE WHEN v1.w1 IS NOT NULL THEN coalesce(v1.b, 0.0)"
+            f" ELSE {_sql_double(b_unk)} END"
+        )
+    else:
+        we = "pos.w"
+        ej = {j: f"pos.c{j}" for j in range(1, K)}
+        b1 = (
+            "CASE WHEN v1.w1 IS NOT NULL THEN coalesce(v1.b, 0.0)"
+            " ELSE 0.0 END"
+        )
+    vjoins = "".join(
+        f"\n  LEFT JOIN arpa_g1 v{j} ON v{j}.w1 = pos.c{j}"
+        for j in range(1, K)
+    )
+    eff_cols = "".join(
+        f",\n         {ej[j]} AS e{j}" for j in range(1, K)
+    )
+    raw_cols = "".join(f", pos.c{j}" for j in range(1, K))
+    # per-order logp + context-backoff joins over the effective words
+    sjoins, sel_cols = [], []
+    for k in range(2, K + 1):
+        on = [f"g{k}.w1 = eff.e{k - 1}"] + [
+            f"g{k}.w{i} = eff.e{k - i}" for i in range(2, k)
+        ] + [f"g{k}.w{k} = eff.we"]
+        sjoins.append(
+            f"\n  LEFT JOIN arpa_g{k} g{k} ON " + " AND ".join(on)
+        )
+        sel_cols.append(f"g{k}.p AS p{k}l")
+        if k >= 3:
+            bon = [f"bb{k}.w1 = eff.e{k - 1}"] + [
+                f"bb{k}.w{i} = eff.e{k - i}" for i in range(2, k)
+            ]
+            sjoins.append(
+                f"\n  LEFT JOIN arpa_g{k - 1} bb{k} ON "
+                + " AND ".join(bon)
+            )
+            sel_cols.append(f"bb{k}.b AS bo{k}")
+    # the p-chain as nested expressions, then the position selection
+    p_expr = [f"coalesce(up, {_sql_double(floor10)})"]
+    for k in range(2, K + 1):
+        bk = "b1" if k == 2 else f"coalesce(bo{k}, 0.0)"
+        p_expr.append(f"coalesce(p{k}l, ({bk}) + ({p_expr[-1]}))")
+    if K == 1:
+        lp10 = p_expr[0]
+    else:
+        branches = "".join(
+            f" WHEN c{j} IS NULL THEN ({p_expr[j - 1]})"
+            for j in range(1, K)
+        )
+        lp10 = f"CASE{branches} ELSE ({p_expr[K - 1]}) END"
+    rel_sql = ",\n".join(rels)
+    sel_sql = "".join(f",\n         {c}" for c in sel_cols)
+    return f"""
+SELECT d.{id_sql} AS doc_id,
+       coalesce(s.arpa_tokens, 0) AS arpa_tokens,
+       coalesce(s.arpa_nll, 0.0) AS arpa_nll
+FROM {src} d
+LEFT JOIN (
+  WITH
+{rel_sql},
+tok AS (
+  SELECT {id_sql} AS doc_id, {toks} AS tk FROM {src}
+),
+pos AS (
+  SELECT doc_id, i, tk[i + 1] AS w{ctx_cols}
+  FROM tok, UNNEST(generate_series(0, len(tk) - 1)) u(i)
+  WHERE len(tk) > 0
+),
+eff AS (
+  SELECT pos.doc_id{raw_cols},
+         uw.p AS up,
+         {we} AS we{",%s AS b1" % b1 if K >= 2 else ""}{eff_cols}
+  FROM pos
+  LEFT JOIN arpa_g1 uw ON uw.w1 = pos.w{vjoins}
+),
+sc AS (
+  SELECT eff.*{sel_sql}
+  FROM eff{"".join(sjoins)}
+)
+SELECT doc_id, count(*) AS arpa_tokens,
+       -sum(({lp10}) * ln(10)) / count(*) AS arpa_nll
+FROM sc GROUP BY doc_id
+) s ON s.doc_id = d.{id_sql}
+"""

@@ -176,7 +176,10 @@ class TestRejection:
             (0.5 + 0.8) * _LN10 / 2, abs=1e-12
         )
 
-    def test_order_cap(self, spark, mini_model):
+    def test_order_cap_and_truncate_seam(self, spark, mini_model):
+        """Order > 5 refuses with the truncate remedy (r15 — the cap
+        moved from 3 to 5, the published-artifact order); truncate(5)
+        of a fat model is scoreable."""
         from cod_stats_spark.operators.lm_score import (
             ArpaModel,
             arpa_lm_score,
@@ -184,10 +187,48 @@ class TestRejection:
 
         m = mini_model
         fat = ArpaModel(
-            {**m.grams, 4: m.grams[3]}, {**m.counts, 4: 2}
+            {**m.grams, 4: m.grams[3], 5: m.grams[3], 6: m.grams[3]},
+            {**m.counts, 4: 2, 5: 2, 6: 2},
         )
-        with pytest.raises(ValueError, match="order-4"):
+        with pytest.raises(ValueError, match=r"order-6.*truncate\(5\)"):
             arpa_lm_score(None, fat)
+
+    def test_noncontiguous_orders_raise(self, spark, mini_model):
+        """A declared top order with an empty middle table cannot
+        recurse — refuse with the truncate seam, never a silent skip."""
+        from cod_stats_spark.operators.lm_score import (
+            ArpaModel,
+            arpa_lm_score,
+        )
+
+        m = mini_model
+        holey = ArpaModel(
+            {1: m.grams[1], 3: m.grams[3]}, {1: 5, 3: 2}
+        )
+        with pytest.raises(ValueError, match=r"truncate\(1\)"):
+            arpa_lm_score(None, holey)
+
+    def test_bad_backoff_field_raises(self, spark, tmp_path):
+        """r14 advice: a present non-empty backoff field that fails
+        the double cast must raise like the probability probe — a
+        silent NULL would score as backoff 0.0."""
+        from cod_stats_spark.operators.lm_score import load_arpa
+
+        body = _MINI.replace(
+            "-0.5\tthe\t-0.30103", "-0.5\tthe\tx.y"
+        )
+        with pytest.raises(ValueError, match="backoff"):
+            load_arpa(spark, _write(tmp_path, body, "badb.arpa"))
+
+    def test_trailing_empty_backoff_field_is_omitted(self, spark, tmp_path):
+        """A bare trailing tab (empty third field) still reads as an
+        omitted backoff, not a parse error."""
+        from cod_stats_spark.operators.lm_score import load_arpa
+
+        body = _MINI.replace("-1.2\tdog", "-1.2\tdog\t")
+        m = load_arpa(spark, _write(tmp_path, body, "traildb.arpa"))
+        uni = {r["w1"]: r["backoff"] for r in m.grams[1].collect()}
+        assert uni["dog"] is None
 
 
 class TestFunnelGate:
@@ -227,6 +268,275 @@ class TestFunnelGate:
             spark, docs.filter("doc_id > 2"), None, state, batch_id=2, **kw
         )
         assert s1["after_lm_gate"] == 1 and s2["after_lm_gate"] == 1
+
+
+_FIVE = """\\data\\
+ngram 1=6
+ngram 2=4
+ngram 3=3
+ngram 4=2
+ngram 5=1
+
+\\1-grams:
+-0.5\ta\t-0.1
+-0.625\tb\t-0.2
+-0.75\tc\t-0.25
+-1.0\td
+-1.25\te\t-0.5
+-2.0\t<unk>\t-0.375
+
+\\2-grams:
+-0.25\ta b\t-0.125
+-0.375\tb c\t-0.0625
+-0.5\tc d\t-0.3
+-0.875\t<unk> a\t-0.15
+
+\\3-grams:
+-0.2\ta b c\t-0.05
+-0.3\tb c d\t-0.1
+-0.6\t<unk> a b
+
+\\4-grams:
+-0.15\ta b c d\t-0.025
+-0.45\tb c d e
+
+\\5-grams:
+-0.1\ta b c d e
+
+\\end\\
+"""
+
+_MINI_UNK = """\\data\\
+ngram 1=5
+ngram 2=5
+ngram 3=3
+
+\\1-grams:
+-0.5\tthe\t-0.30103
+-0.7\tquick\t-0.2
+-0.9\tfox\t-0.1
+-1.2\tdog
+-2.5\t<unk>\t-0.4
+
+\\2-grams:
+-0.30103\tthe quick\t-0.15
+-0.5\tquick fox\t-0.05
+-0.8\tthe dog
+-0.6\t<unk> the\t-0.2
+-0.9\tthe <unk>
+
+\\3-grams:
+-0.2\tthe quick fox
+-0.35\t<unk> the quick
+-0.55\tthe <unk> the
+
+\\end\\
+"""
+
+
+class TestFiveGram:
+    """r15: the order cap moved to 5 (published KenLM/CCNet artifacts
+    are 5-gram). Hand-computed scores through the DEEP backoff chain —
+    every hop's weight (present, omitted, and <unk>) applied."""
+
+    @pytest.fixture()
+    def five(self, spark, tmp_path):
+        from cod_stats_spark.operators.lm_score import load_arpa
+
+        return load_arpa(spark, _write(tmp_path, _FIVE, "five.arpa"))
+
+    def _score(self, spark, model, text, **kw):
+        from cod_stats_spark.operators.lm_score import arpa_lm_score
+
+        probe = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        return arpa_lm_score(probe, model, **kw).first()
+
+    def test_loads_five_orders(self, five):
+        assert five.order == 5
+        assert {
+            (r["w1"], r["w2"], r["w3"], r["w4"], r["w5"], r["log10p"])
+            for r in five.grams[5].collect()
+        } == {("a", "b", "c", "d", "e", -0.1)}
+
+    def test_every_order_hits_listed(self, spark, five):
+        """'a b c d e': positions 1..5 hit the listed 1..5-gram."""
+        got = self._score(spark, five, "a b c d e")
+        want = (0.5 + 0.25 + 0.2 + 0.15 + 0.1) * _LN10 / 5
+        assert got["arpa_tokens"] == 5
+        assert got["arpa_nll"] == pytest.approx(want, abs=1e-12)
+
+    def test_deep_backoff_all_weights_apply(self, spark, five):
+        """'a b c d a' position 5: 5-gram absent → b(abcd)=-0.025 +
+        [4-gram absent → b(bcd)=-0.1 + [3-gram absent → b(cd)=-0.3 +
+        [2-gram absent → b(d)=0 omitted + P1(a)=-0.5]]] = -0.925."""
+        got = self._score(spark, five, "a b c d a")
+        want = (0.5 + 0.25 + 0.2 + 0.15 + 0.925) * _LN10 / 5
+        assert got["arpa_nll"] == pytest.approx(want, abs=1e-12)
+
+    def test_deep_backoff_zero_weights(self, spark, five):
+        """'b c d e a' position 5: every context hop absent from the
+        next table down (b=0) until b(e)=-0.5 at the unigram layer."""
+        got = self._score(spark, five, "b c d e a")
+        want = (0.625 + 0.375 + 0.3 + 0.45 + 1.0) * _LN10 / 5
+        assert got["arpa_nll"] == pytest.approx(want, abs=1e-12)
+
+    def test_broadcast_equals_shuffled_at_order5(self, spark, five):
+        a = self._score(spark, five, "a b c d a e b c d e")
+        b = self._score(
+            spark, five, "a b c d a e b c d e", broadcast_model=False
+        )
+        assert a["arpa_nll"] == pytest.approx(b["arpa_nll"], abs=1e-12)
+
+
+class TestTruncate:
+    def test_truncate_drops_higher_orders_and_scores(self, spark, mini_model):
+        from cod_stats_spark.operators.lm_score import arpa_lm_score
+
+        t2 = mini_model.truncate(2)
+        assert t2.order == 2 and set(t2.grams) == {1, 2}
+        probe = spark.createDataFrame(
+            [(1, "the quick fox dog")], "doc_id long, text string"
+        )
+        got = arpa_lm_score(probe, t2).first()
+        # bigrams all listed: -0.5 -0.30103 -0.5 -1.0
+        want = (0.5 + 0.30103 + 0.5 + 1.0) * _LN10 / 4
+        assert got["arpa_nll"] == pytest.approx(want, abs=1e-12)
+        t1 = mini_model.truncate(1)
+        got1 = arpa_lm_score(probe, t1).first()
+        want1 = (0.5 + 0.7 + 0.9 + 1.2) * _LN10 / 4
+        assert got1["arpa_nll"] == pytest.approx(want1, abs=1e-12)
+
+    def test_truncate_validation(self, mini_model):
+        with pytest.raises(ValueError, match=">= 1"):
+            mini_model.truncate(0)
+        # truncating above the order keeps everything
+        assert set(mini_model.truncate(7).grams) == {1, 2, 3}
+
+
+class TestUnkSubstitution:
+    """r14 advice: OOV tokens map to the literal '<unk>' before the
+    model joins (target AND context positions), so <unk>-containing
+    n-grams and b(<unk>) that published models ship are consulted —
+    KenLM's substitution, hand-computed."""
+
+    @pytest.fixture()
+    def munk(self, spark, tmp_path):
+        from cod_stats_spark.operators.lm_score import load_arpa
+
+        return load_arpa(spark, _write(tmp_path, _MINI_UNK, "unk.arpa"))
+
+    def _score(self, spark, model, text, **kw):
+        from cod_stats_spark.operators.lm_score import arpa_lm_score
+
+        probe = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        return arpa_lm_score(probe, model, **kw).first()
+
+    def test_unk_context_consults_unk_ngrams(self, spark, munk):
+        """'zzz the quick': P(<unk>)=-2.5, bigram (<unk>,the)=-0.6,
+        trigram (<unk>,the,quick)=-0.35 — all listed entries."""
+        got = self._score(spark, munk, "zzz the quick")
+        want = (2.5 + 0.6 + 0.35) * _LN10 / 3
+        assert got["arpa_nll"] == pytest.approx(want, abs=1e-12)
+
+    def test_unk_target_consults_unk_ngrams(self, spark, munk):
+        """'the zzz the': bigram (the,<unk>)=-0.9 at position 2,
+        trigram (the,<unk>,the)=-0.55 at position 3."""
+        got = self._score(spark, munk, "the zzz the")
+        want = (0.5 + 0.9 + 0.55) * _LN10 / 3
+        assert got["arpa_nll"] == pytest.approx(want, abs=1e-12)
+
+    def test_unk_backoff_weight_applies(self, spark, munk):
+        """'zzz qqq': both OOV; bigram (<unk>,<unk>) absent →
+        b(<unk>)=-0.4 + P(<unk>)=-2.5 = -2.9."""
+        got = self._score(spark, munk, "zzz qqq")
+        want = (2.5 + 2.9) * _LN10 / 2
+        assert got["arpa_nll"] == pytest.approx(want, abs=1e-12)
+
+    def test_invocab_context_oov_target_backs_off_normally(self, spark, munk):
+        """'the zzz quick' position 3: trigram (the,<unk>,quick)
+        absent → b(the,<unk>)=0 (omitted) + [bigram (<unk>,quick)
+        absent → b(<unk>)=-0.4 + P1(quick)=-0.7] = -1.1."""
+        got = self._score(spark, munk, "the zzz quick")
+        want = (0.5 + 0.9 + 1.1) * _LN10 / 3
+        assert got["arpa_nll"] == pytest.approx(want, abs=1e-12)
+
+
+class TestOracleSql:
+    """arpa_lm_oracle_sql (r15): the recursive backoff forward pass is
+    plain joins + log10 arithmetic — replayed in DuckDB from the model
+    rows verbatim and compared per document against the Spark scorer,
+    through <unk> substitution, deep backoff, and zero-token docs."""
+
+    _FIVE_ROWS = {
+        1: [("a", -0.5, -0.1), ("b", -0.625, -0.2), ("c", -0.75, -0.25),
+            ("d", -1.0, None), ("e", -1.25, -0.5), ("<unk>", -2.0, -0.375)],
+        2: [("a", "b", -0.25, -0.125), ("b", "c", -0.375, -0.0625),
+            ("c", "d", -0.5, -0.3), ("<unk>", "a", -0.875, -0.15)],
+        3: [("a", "b", "c", -0.2, -0.05), ("b", "c", "d", -0.3, -0.1),
+            ("<unk>", "a", "b", -0.6, None)],
+        4: [("a", "b", "c", "d", -0.15, -0.025),
+            ("b", "c", "d", "e", -0.45, None)],
+        5: [("a", "b", "c", "d", "e", -0.1, None)],
+    }
+
+    def test_duckdb_ln10_matches_python(self):
+        """The oracle's · ln(10) conversion assumes both engines hold
+        the same double for ln 10 — pin it."""
+        import duckdb
+
+        (got,) = duckdb.connect().execute("SELECT ln(10)").fetchone()
+        assert got == _LN10
+
+    def test_oracle_matches_spark_order5(self, spark, tmp_path):
+        import duckdb
+
+        from cod_stats_spark.operators.lm_score import (
+            arpa_lm_oracle_sql,
+            arpa_lm_score,
+            load_arpa,
+        )
+
+        model = load_arpa(spark, _write(tmp_path, _FIVE, "f5.arpa"))
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e"),
+                (2, "b c d e a"),
+                (3, "a b c d a"),
+                (4, "zz a b qq c d e zz"),  # OOV target + context
+                (5, "   "),                 # zero tokens
+                (6, "a"),
+                (7, "e d c b a e d c b a"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["arpa_tokens"], r["arpa_nll"])
+            for r in arpa_lm_score(docs, model).collect()
+        }
+        con = duckdb.connect()
+        con.register("adocs", docs.toPandas())
+        want = {
+            int(i): (int(t), float(n))
+            for i, t, n in con.execute(
+                arpa_lm_oracle_sql(self._FIVE_ROWS, src="adocs")
+            ).fetchall()
+        }
+        assert set(got) == set(want)
+        for k in got:
+            assert got[k][0] == want[k][0]
+            assert got[k][1] == pytest.approx(want[k][1], abs=1e-12)
+
+    def test_oracle_validation(self):
+        from cod_stats_spark.operators.lm_score import arpa_lm_oracle_sql
+
+        with pytest.raises(ValueError, match="contiguous"):
+            arpa_lm_oracle_sql({1: self._FIVE_ROWS[1], 3: []})
+        with pytest.raises(ValueError, match="oov_log10p"):
+            arpa_lm_oracle_sql({1: [("a", -0.5, None)]})
 
 
 class TestReviewEdges:

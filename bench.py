@@ -85,6 +85,11 @@ HEADLINE = [
     # so the timed plan changed and the entry is renamed (the
     # lm_score_v2 precedent; BENCH_NOTES.md)
     "kn_lm_score_v2",
+    # round-15 addition: imported order-5 ARPA backoff scoring, whole
+    # job (pos explode -> 13 slim broadcast model joins -> id-shuffle
+    # aggregate; the published KenLM/CCNet artifact posture; new
+    # entry, new scope; BENCH_NOTES.md "New entries (round 15)")
+    "arpa_lm_score",
     # round-8 addition: trained-BPE tokenization, whole job (word
     # counts -> driver merge training -> memoized mapInPandas encode;
     # new entry, new scope; BENCH_NOTES.md "New entries")

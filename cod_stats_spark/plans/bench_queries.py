@@ -31,6 +31,7 @@ from cod_stats_spark.operators.dedup import (
 from cod_stats_spark.operators.funnel import funnel_steps_oracle_sql
 from cod_stats_spark.operators.interval_join import interval_join
 from cod_stats_spark.operators.lm_score import (
+    arpa_lm_oracle_sql,
     bigram_lm_oracle_sql,
     kn_lm_oracle_sql,
     perplexity_partition_oracle_sql,
@@ -1803,6 +1804,64 @@ def _lang_oracle_join() -> str:
     return lang_classifier_oracle_sql(_lang_gate_model())
 
 
+# r15: a FIXED order-5 ARPA backoff model over the corpus vocabulary
+# plus <unk>-rich n-grams — under the ~31-word synthetic vocabulary a
+# 13-word model vocab makes OOV→<unk> substitution constant, so every
+# listed <unk> n-gram, every backoff-weight hop, and the deep 4/5-gram
+# chains are all consulted on real rows. Values are DYADIC rationals
+# (exact in both engines); the same rows feed the Spark ArpaModel and
+# arpa_lm_oracle_sql verbatim (single source of truth).
+_ARPA_GATE_ROWS = {
+    1: [
+        ("the", -0.5, -0.125), ("a", -0.625, -0.25), ("data", -0.75, None),
+        ("join", -0.875, -0.0625), ("table", -1.0, -0.5),
+        ("merge", -1.125, None), ("fast", -1.25, -0.1875),
+        ("row", -0.9375, None), ("scan", -1.375, -0.375),
+        ("key", -1.5, None), ("sort", -1.0625, -0.03125),
+        ("batch", -1.1875, None), ("<unk>", -1.75, -0.15625),
+    ],
+    2: [
+        ("the", "<unk>", -0.5, -0.125), ("<unk>", "the", -0.4375, -0.1875),
+        ("<unk>", "<unk>", -0.375, -0.0625), ("a", "<unk>", -0.5625, None),
+        ("<unk>", "a", -0.46875, -0.09375), ("the", "a", -0.53125, None),
+        ("data", "<unk>", -0.625, -0.28125),
+        ("join", "table", -0.71875, None),
+    ],
+    3: [
+        ("<unk>", "<unk>", "<unk>", -0.34375, -0.046875),
+        ("<unk>", "the", "<unk>", -0.40625, None),
+        ("the", "<unk>", "<unk>", -0.390625, -0.078125),
+        ("<unk>", "<unk>", "the", -0.421875, None),
+        ("<unk>", "<unk>", "a", -0.453125, -0.015625),
+    ],
+    4: [
+        ("<unk>", "<unk>", "<unk>", "<unk>", -0.328125, -0.0234375),
+        ("<unk>", "<unk>", "<unk>", "the", -0.359375, None),
+        ("the", "<unk>", "<unk>", "<unk>", -0.34375, None),
+    ],
+    5: [
+        ("<unk>", "<unk>", "<unk>", "<unk>", "<unk>", -0.3125, None),
+        ("<unk>", "<unk>", "<unk>", "<unk>", "the", -0.296875, None),
+    ],
+}
+
+
+def _arpa_gate_model(spark):
+    """The gate's ArpaModel built from _ARPA_GATE_ROWS verbatim (the
+    file-parse round trip is tested in tests/test_arpa.py; the gate
+    verifies the SCORING recursion against real rows)."""
+    from cod_stats_spark.operators.lm_score import ArpaModel
+
+    grams = {}
+    for k, rows in _ARPA_GATE_ROWS.items():
+        cols = ", ".join(
+            [f"w{i} string" for i in range(1, k + 1)]
+            + ["log10p double", "backoff double"]
+        )
+        grams[k] = spark.createDataFrame(rows, cols)
+    return ArpaModel(grams, {k: len(v) for k, v in _ARPA_GATE_ROWS.items()})
+
+
 _SQL_TOKS = _sql_tokens("text")
 QUALITY_ORACLE = f"""
 WITH tok AS (
@@ -1838,6 +1897,7 @@ SELECT m.doc_id, n_chars_calc, n_tokens_ws,
        lm.lm_tokens, round(lm.lm_nll, 6) AS lm_nll,
        lm2.lm2_tokens, round(lm2.lm2_nll, 6) AS lm2_nll,
        lm3.lm3_tokens, round(lm3.lm3_nll, 6) AS lm3_nll,
+       arpa.arpa_tokens, round(arpa.arpa_nll, 6) AS arpa_nll,
        qc.qc_score,
        ppl.ppl_bucket,
        lc.lang_pred, lc.lang_margin
@@ -1845,6 +1905,8 @@ FROM m JOIN documents d ON m.doc_id = d.doc_id
 JOIN ({unigram_lm_oracle_sql("documents")}) lm ON lm.doc_id = m.doc_id
 JOIN ({bigram_lm_oracle_sql("documents")}) lm2 ON lm2.doc_id = m.doc_id
 JOIN ({kn_lm_oracle_sql("documents")}) lm3 ON lm3.doc_id = m.doc_id
+JOIN ({arpa_lm_oracle_sql(_ARPA_GATE_ROWS, "documents")}) arpa
+  ON arpa.doc_id = m.doc_id
 JOIN ({_qc_oracle_join()}) qc ON qc.doc_id = m.doc_id
 JOIN ({perplexity_partition_oracle_sql(unigram_lm_oracle_sql("documents"), "documents", by="lang")}) ppl
   ON ppl.doc_id = m.doc_id
@@ -1878,7 +1940,13 @@ JOIN ({_lang_oracle_join()}) lc ON lc.doc_id = m.doc_id
         "RELATION path (broadcast wide weight table, integer micro-unit "
         "sums -> bit-identical margins), padded char-n-grams, md5_60 "
         "bucket hash, greatest/CASE ascending-code argmax all replayed "
-        "in SQL)"
+        "in SQL; r15: imported ARPA backoff-LM scoring [arpa_*] — "
+        "operators/lm_score.arpa_lm_score under a FIXED order-5 model "
+        "with <unk>-rich n-grams (model rows verbatim in both engines, "
+        "dyadic values): OOV→<unk> substitution in target AND context "
+        "positions, logp lookup per order, every backoff hop's weight "
+        "incl. b(<unk>) and omitted→0, the position-order selection, "
+        "and the mean-NLL arithmetic all replayed in SQL)"
     ),
     oracle=QUALITY_ORACLE,
 )
@@ -1929,6 +1997,14 @@ def quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm3 = kn_lm_score(docs, uni, bi_fit, trigram_lm_fit(docs)).select(
         "doc_id", "lm3_tokens", F.round("lm3_nll", 6).alias("lm3_nll")
     )
+    # r15: imported-ARPA backoff scoring under the fixed order-5 gate
+    # model — the published-artifact posture (KenLM/CCNet), every
+    # backoff hop and the <unk> substitution value-verified in SQL
+    from cod_stats_spark.operators.lm_score import arpa_lm_score
+
+    arpa = arpa_lm_score(docs, _arpa_gate_model(spark)).select(
+        "doc_id", "arpa_tokens", F.round("arpa_nll", 6).alias("arpa_nll")
+    )
     from cod_stats_spark.operators.quality_classifier import (
         quality_classifier_expr,
     )
@@ -1966,6 +2042,7 @@ def quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.join(lm, "doc_id")
         .join(lm2, "doc_id")
         .join(lm3, "doc_id")
+        .join(arpa, "doc_id")
         .join(qc, "doc_id")
         .join(ppl, "doc_id")
         .join(lc, "doc_id")
@@ -4512,16 +4589,23 @@ SELECT 'funnel_shards', (SELECT count(DISTINCT shard_id) FROM f_packed),
 # the full-composition funnel's shared parameters (Spark invocation +
 # SQL replay read the SAME dict — a drifting literal would silently
 # fail the gate). Thresholds picked against the sf0.001/sf0.01
-# documents table so every stage KEEPS >0 and (post-quality) DROPS >0
-# rows — incl. near-dup pairs surviving all three model gates so the
-# dedup stage's arithmetic is exercised in composition — and every
-# cut sits ≥ 2.6e-5 from the nearest document's score (FP-boundary
+# documents table (re-probed in r15 over the line-decorated corpus)
+# so every stage KEEPS >0 and (post-quality) DROPS >0 rows — incl.
+# near-dup pairs surviving all three model gates so the dedup stage's
+# arithmetic is exercised in composition, and pure-boilerplate pages
+# surviving them so the LINE stage drops whole documents — and every
+# cut sits ≥ 5.1e-5 from the nearest document's score (FP-boundary
 # safe; probed at both SFs).
 _FUNNEL2 = {
     "min_quality": 0.25,
-    "min_qc": 0.51,
+    # r15 re-probe (the decoration shifts every model-gate score):
+    # min_qc/min_dsir sit BELOW the boiler pages' shared scores
+    # (qc 0.47774748, dsir 5.226848) so pure-boilerplate docs reach
+    # the line stage and die THERE — while each gate still drops >0
+    # rows at both SFs (min gaps 5.17e-5 qc / 1.18e-4 lm / 0.67 ds)
+    "min_qc": 0.4771,
     "max_nll": 3.44,
-    "min_dsir": 22.0,
+    "min_dsir": 4.0,
     "threshold": 0.7,
     "ngram_n": 8,
     "min_overlap": 1,
@@ -4531,6 +4615,24 @@ _FUNNEL2 = {
     "budget": 2048,
     "salt": "curate2",
     "mod": 7,
+    # r15: the line-dedup stage (after the model gates, before doc
+    # dedup — the published ordering). The synthetic documents carry
+    # no newlines, so the gate DECORATES the corpus identically in
+    # both engines (the 'fertb:'/_lined_docs_sql precedent): every
+    # doc gains a trailing boilerplate line, and docs with
+    # doc_id % line_mod == line_rem become PURE-boilerplate pages —
+    # the RefinedWeb scenario where the line scrub empties and drops
+    # whole documents in composition. The boiler lines are built from
+    # CORPUS vocabulary: OOV boilerplate scores worst on all three
+    # model gates (probed — min qc, max nll), so out-of-vocab pages
+    # could never both reach the line stage and leave the gates
+    # anything to drop.
+    "line_sep": "\n",
+    "line_min_chars": 1,
+    "line_mod": 11,
+    "line_rem": 3,
+    "boiler1": "the fast data merge join table",
+    "boiler2": "slow query scan filter window group",
 }
 
 
@@ -4563,9 +4665,15 @@ def _curation_funnel2_oracle_sql() -> str:
         temperature_mixture_oracle_sql,
     )
 
+    from cod_stats_spark.operators.line_dedup import line_dedup_oracle_sql
+
     qc = quality_classifier_oracle_sql(_qc_gate_model(), src="g_gated")
     lm = unigram_lm_oracle_sql("g_corpus")
     ds = dsir_oracle_sql(_dsir_gate_model(), src="g_lmkept")
+    ld = line_dedup_oracle_sql(
+        "g_dskept", sep=p["line_sep"], min_chars=p["line_min_chars"],
+        keep_first=True,
+    )
     sem = semantic_contamination_oracle_sql(
         p["sem_t"], "g_clean", "g_bench", id_expr="doc_id"
     )
@@ -4573,14 +4681,24 @@ def _curation_funnel2_oracle_sql() -> str:
         "g_sclean", "doc_id", "lang", alpha=p["alpha"],
         salt=p["salt"] + "|tmix", max_weight=p["cap"],
     )
+    # the decorated text — the gate's Spark invocation applies the
+    # SAME expression before splitting (boilerplate trailer on every
+    # doc; pure-boilerplate pages at line_mod/line_rem)
+    deco = (
+        f"CASE WHEN d.doc_id % {p['line_mod']} = {p['line_rem']}"
+        f" THEN '{p['boiler1']}' || chr(10) || '{p['boiler2']}'"
+        f" ELSE d.text || chr(10) || '{p['boiler1']}' END"
+    )
     return f"""
 g_corpus AS MATERIALIZED (
-  SELECT d.*, e.embedding FROM documents d
+  SELECT d.* EXCLUDE (text), {deco} AS text, e.embedding
+  FROM documents d
   JOIN embeddings e ON e.vec_id = d.doc_id
   WHERE d.doc_id % {p['mod']} <> 0
 ),
 g_bench AS MATERIALIZED (
-  SELECT d.*, e.embedding FROM documents d
+  SELECT d.* EXCLUDE (text), {deco} AS text, e.embedding
+  FROM documents d
   JOIN embeddings e ON e.vec_id = d.doc_id
   WHERE d.doc_id % {p['mod']} = 0
 ),
@@ -4606,13 +4724,19 @@ g_dskept AS MATERIALIZED (
   SELECT g.* FROM g_lmkept g JOIN g_ds s USING (doc_id)
   WHERE s.dsir_logw >= {p['min_dsir']}
 ),
+g_ld AS ({ld}),
+g_lined AS MATERIALIZED (
+  SELECT g.* EXCLUDE (text), l.clean_text AS text
+  FROM g_dskept g JOIN g_ld l USING (doc_id)
+  WHERE length(l.clean_text) > 0
+),
 g_keepers AS (
   SELECT min(doc_id) AS doc_id
-  FROM g_dskept
+  FROM g_lined
   GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
 ),
 g_keepers_docs AS MATERIALIZED (
-  SELECT g.* FROM g_dskept g JOIN g_keepers k USING (doc_id)
+  SELECT g.* FROM g_lined g JOIN g_keepers k USING (doc_id)
 ),
 g_sh AS MATERIALIZED ({sh}),
 g_scored AS (
@@ -4693,6 +4817,9 @@ UNION ALL
 SELECT 'funnel2_after_dsir_gate', (SELECT count(*) FROM g_dskept),
        NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
 UNION ALL
+SELECT 'funnel2_after_line_dedup', (SELECT count(*) FROM g_lined),
+       NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+UNION ALL
 SELECT 'funnel2_after_dedup', (SELECT count(*) FROM g_deduped),
        NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
 UNION ALL
@@ -4739,7 +4866,7 @@ def _dedup_pipeline_merged_oracle() -> str:
 
 @query(
     "dedup_pipeline",
-    covers="EXT-dedup (composite pipeline: exact -> MinHash-LSH -> Jaccard verify -> connected-component clusters -> canonical survivors; FULL oracle via recursive-CTE components. r7: + plans/curation.curate_corpus funnel — quality/dedup/decontamination/pack stage counts each replayed in SQL. r14: + the FULL curate_corpus composition — trained-classifier gate + CCNet LM gate + DSIR gate + semantic decontamination + temperature mixture + epoch_key packing all enabled, every after_* stage count and the epoch_key shard count replayed in SQL from the components' own oracle builders)",
+    covers="EXT-dedup (composite pipeline: exact -> MinHash-LSH -> Jaccard verify -> connected-component clusters -> canonical survivors; FULL oracle via recursive-CTE components. r7: + plans/curation.curate_corpus funnel — quality/dedup/decontamination/pack stage counts each replayed in SQL. r14: + the FULL curate_corpus composition — trained-classifier gate + CCNet LM gate + DSIR gate + semantic decontamination + temperature mixture + epoch_key packing all enabled, every after_* stage count and the epoch_key shard count replayed in SQL from the components' own oracle builders. r15: + the line_sep duplicate-LINE stage in the same full composition — the corpus decorated identically in both engines with a boilerplate trailer + pure-boilerplate pages, the stage's scrub decisions, rebuilt text, and emptied-doc drops replayed via line_dedup_oracle_sql between the DSIR gate and doc dedup, shifting every downstream count)",
     oracle=_dedup_pipeline_merged_oracle(),
 )
 def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4749,15 +4876,19 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     - tag='funnel_*' (r7): the five-stage base configuration.
     - tag='funnel2_*' (r14): the FULL composition a real curation run
       configures — heuristic quality + trained classifier + LM
-      perplexity + DSIR gates, lexical dedup, n-gram AND semantic
-      decontamination, temperature mixture, epoch_key-keyed packing —
-      so the composed stage arithmetic (ordering, handoffs, the
-      epoch_key export keying) is oracle-verified end-to-end, not
-      just per-component. Models are the gates' fixed seeded ones
-      (_qc_gate_model/_dsir_gate_model) plus a unigram LM fit on the
-      corpus itself (training == scoring corpus, the lm2 oracle
-      convention); parameters live in _FUNNEL2, shared verbatim with
-      the SQL builder.
+      perplexity + DSIR gates, duplicate-line scrub (r15), lexical
+      dedup, n-gram AND semantic decontamination, temperature
+      mixture, epoch_key-keyed packing — so the composed stage
+      arithmetic (ordering, handoffs, the epoch_key export keying) is
+      oracle-verified end-to-end, not just per-component. Models are
+      the gates' fixed seeded ones (_qc_gate_model/_dsir_gate_model)
+      plus a unigram LM fit on the corpus itself (training == scoring
+      corpus, the lm2 oracle convention); parameters live in
+      _FUNNEL2, shared verbatim with the SQL builder. r15: the corpus
+      is DECORATED identically in both engines (trailing boilerplate
+      line everywhere, pure-boilerplate pages at line_mod/line_rem)
+      so the line stage both scrubs cross-document boilerplate and
+      drops emptied docs in composition.
 
     Both funnels run on the decontaminate gate's %-split (corpus =
     doc_id %% 7 != 0, benchmark = the rest; funnel2's corpus is
@@ -4792,7 +4923,15 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     p = _FUNNEL2
-    docs2 = docs.join(
+    # r15 decoration (the oracle's g_corpus/g_bench twin): a trailing
+    # boilerplate line on every doc + pure-boilerplate pages at
+    # line_mod/line_rem, so the line stage scrubs cross-document
+    # boilerplate AND drops emptied docs in composition
+    deco = F.when(
+        F.col("doc_id") % p["line_mod"] == p["line_rem"],
+        F.lit(p["boiler1"] + "\n" + p["boiler2"]),
+    ).otherwise(F.concat(F.col("text"), F.lit("\n" + p["boiler1"])))
+    docs2 = docs.withColumn("text", deco).join(
         tables["embeddings"].select(
             F.col("vec_id").alias("doc_id"), "embedding"
         ),
@@ -4819,6 +4958,8 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_lm_nll=p["max_nll"],
         dsir_model=_dsir_gate_model(),
         min_dsir_logw=p["min_dsir"],
+        line_sep=p["line_sep"],
+        line_min_chars=p["line_min_chars"],
         semantic_benchmark=bench2,
         semantic_decon_threshold=p["sem_t"],
         semantic_decon_method="gemm",
@@ -7488,6 +7629,28 @@ def line_dedup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text_checksum"
         ),
     ).where(F.col("text_checksum").isNotNull())
+
+
+@_bench_only("arpa_lm_score")
+def arpa_lm_score_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed imported-ARPA scoring, whole job (r15, new entry —
+    BENCH_NOTES.md "New entries"): score the corpus under the gate's
+    FIXED order-5 backoff model (_ARPA_GATE_ROWS — the published
+    KenLM/CCNet artifact shape) through the broadcast path: pos
+    explode → 13 slim broadcast model joins (target logp, 4 context
+    vocabulary probes, 4 per-order logp, 3 context-backoff) → one
+    id-shuffle aggregate. Ends in a checksum referencing the NLL so
+    bench.py's count() cannot prune the model joins (the lm_score
+    count-pruning hazard, tests/test_plan_audit.py)."""
+    from cod_stats_spark.operators.lm_score import arpa_lm_score
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = arpa_lm_score(docs, _arpa_gate_model(spark))
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("arpa_tokens").alias("token_checksum"),
+        F.round(F.sum("arpa_nll"), 4).alias("nll_checksum"),
+    ).where(F.col("nll_checksum").isNotNull())
 
 
 @_bench_only("quality_classifier")

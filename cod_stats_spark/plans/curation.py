@@ -608,6 +608,9 @@ def curate_corpus_append(
     min_dsir_logw: float | None = None,
     line_sep: str | None = None,
     line_min_chars: int = 1,
+    line_state_mode: str = "exact",
+    line_bloom_bits: int = 1 << 30,
+    line_bloom_hashes: int = 7,
     semantic_centroids: list[list[float]] | None = None,
     semantic_threshold: float = 0.95,
     embedding_col: str = "embedding",
@@ -667,6 +670,18 @@ def curate_corpus_append(
     increasing doc ids across batches, append == rebuild (the
     substring-census contract, one granularity up). Stats gains
     ``after_line_dedup``.
+
+    ``line_state_mode`` (r15): ``"exact"`` (default) keeps the
+    (h, cnt) census — exact decisions, append == rebuild, state
+    O(distinct lines). ``"bloom"`` swaps it for the FIXED-SIZE Bloom
+    filter relation (``line_bloom_bits``/``line_bloom_hashes`` —
+    streaming/line_dedup's Dolma posture): constant state forever,
+    the crawl-scale configuration, at an explicit designed
+    false-positive rate of never-seen lines wrongly scrubbed —
+    meaning append ≠ rebuild by exactly those FP scrubs, which is why
+    the exact census stays the default (its contract is exact). The
+    state dir's ``_LINESTATE`` marker freezes the mode for the
+    state's lifetime; switching modes mid-stream fails loudly.
 
     ``semantic_benchmark`` (+ ``semantic_decon_threshold``,
     ``semantic_decon_method``): embedding-space decontamination in
@@ -776,6 +791,12 @@ def curate_corpus_append(
                 # snapshot instead of double-merging (the substring
                 # census rule)
                 batch_id=int(batch_id),
+                # r15: the crawl-scale posture — a fixed-size Bloom
+                # seen-set instead of the growing census; the state
+                # dir's mode marker freezes the choice
+                state_mode=line_state_mode,
+                bloom_bits=line_bloom_bits,
+                bloom_hashes=line_bloom_hashes,
             ),
             text_col, id_col, stats, "after_line_dedup",
         )

@@ -36,8 +36,10 @@ filter relation — Dolma's actual published deduper design: constant
 state regardless of corpus size, at an explicit designed
 false-positive rate of never-seen lines wrongly scrubbed (see
 :func:`line_batch_against_corpus`). The funnel's ``line_sep`` stage
-stays on the exact census (its append == rebuild contract is exact);
-the bloom mode is the standalone crawl-scale posture.
+DEFAULTS to the exact census (its append == rebuild contract is
+exact); ``curate_corpus_append(line_state_mode="bloom", …)`` (r15)
+selects the crawl-scale posture with the FP-scrub caveat documented
+there.
 """
 
 from __future__ import annotations

@@ -280,6 +280,106 @@ class TestBloomMode:
         assert out[0]["clean_text"] == "new body"  # census still live
 
 
+class TestFunnelBloomMode:
+    """r15: line_state_mode pass-through — the crawl-scale Bloom
+    posture reachable from curate_corpus_append/stream_curate_to_corpus
+    instead of only by hand-calling line_batch_against_corpus. The
+    exact census stays the default."""
+
+    _M = 1 << 16  # FP ~ 0 at these corpus sizes
+
+    _ROWS = [
+        (1, f"the quick brown fox jumps over the lazy dog\n{BOILER}"),
+        (2, "a completely different document about distributed query "
+            "engines that shuffle and aggregate large tables"),
+        (3, f"{BOILER}\nthe curious cat watches the quiet field with "
+            "patient eyes"),
+        (4, "another plain english document with enough words to pass "
+            "the quality gate without trouble"),
+    ]
+
+    def _run(self, spark, tmp_path, mode, **extra):
+        from cod_stats_spark.plans.curation import (
+            compact_curated_shards,
+            curate_corpus_append,
+        )
+
+        docs = _batch(spark, self._ROWS)
+        state = str(tmp_path / f"state_{mode}")
+        kw = dict(
+            min_quality=0.25, token_budget=64, line_sep="\n",
+            line_state_mode=mode, **extra,
+        )
+        stats = []
+        for bid, pred in ((1, "doc_id <= 2"), (2, "doc_id > 2")):
+            _, s = curate_corpus_append(
+                spark, docs.filter(pred), None, state, batch_id=bid, **kw
+            )
+            stats.append(s)
+        compacted = compact_curated_shards(spark, state)
+        return state, stats, {
+            (r["doc_id"], r["text"])
+            for r in compacted.select("doc_id", "text").collect()
+        }
+
+    def test_funnel_parity_at_fp_zero_sizing(self, spark, tmp_path):
+        _, s_ex, out_ex = self._run(spark, tmp_path, "exact")
+        _, s_bl, out_bl = self._run(
+            spark, tmp_path, "bloom", line_bloom_bits=self._M
+        )
+        assert out_bl == out_ex
+        assert [s["after_line_dedup"] for s in s_bl] == [
+            s["after_line_dedup"] for s in s_ex
+        ]
+        by_id = dict(out_bl)
+        assert BOILER in by_id[1] and BOILER not in by_id[3]
+
+    def test_funnel_census_state_is_bounded(self, spark, tmp_path):
+        import os
+
+        from cod_stats_spark.plans.curation import curate_corpus_append
+        from cod_stats_spark.streaming._state import read_state
+
+        state = str(tmp_path / "state_bound")
+        cap = self._M // 64
+        for bid in (1, 2, 3):
+            docs = spark.createDataFrame(
+                [
+                    (bid * 100 + i,
+                     f"unique body {bid} {i} with plenty of words\n{BOILER}")
+                    for i in range(30)
+                ],
+                "doc_id long, text string",
+            )
+            curate_corpus_append(
+                spark, docs, None, state, batch_id=bid,
+                min_quality=0.0, token_budget=64, line_sep="\n",
+                line_state_mode="bloom", line_bloom_bits=self._M,
+            )
+            census = read_state(
+                spark, os.path.join(state, "line_census")
+            )
+            assert census.count() <= cap
+
+    def test_funnel_mode_switch_fails_loudly(self, spark, tmp_path):
+        import pytest as _pt
+
+        from cod_stats_spark.plans.curation import curate_corpus_append
+
+        docs = _batch(spark, self._ROWS)
+        state = str(tmp_path / "state_freeze")
+        kw = dict(min_quality=0.25, token_budget=64, line_sep="\n")
+        curate_corpus_append(
+            spark, docs.filter("doc_id <= 2"), None, state, batch_id=1,
+            line_state_mode="bloom", line_bloom_bits=self._M, **kw,
+        )
+        with _pt.raises(ValueError, match="state dir is _LINESTATE.bloom"):
+            curate_corpus_append(
+                spark, docs.filter("doc_id > 2"), None, state, batch_id=2,
+                line_state_mode="exact", **kw,
+            )
+
+
 class TestVersionPruning:
     """prune_state_versions (r14): retention knob for the versioned
     protocol — keep {current, current−1}, replay-of-latest still

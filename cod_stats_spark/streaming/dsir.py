@@ -168,13 +168,25 @@ def dsir_update(
     base_hash: str = "xxhash64",
     lowercase: bool = True,
     smoothing: float = 1.0,
+    prune_keep_last: int | None = None,
 ) -> DsirModel:
     """Add one raw batch's counts to the state and return the model
     refit over EVERYTHING seen so far — bit-identical to
     ``dsir_fit(target, union_of_batches)`` (integer counts, same ln
     inputs). An at-least-once replay of a batch id recomputes its
     model from the snapshot that batch originally committed and does
-    NOT advance the state."""
+    NOT advance the state.
+
+    ``prune_keep_last`` (r15): bound the raw-count state's version
+    retention to the newest N snapshots after each commit
+    (streaming/_state.prune_state_versions). Each snapshot is ≤dim
+    rows, but a long-lived stream otherwise accretes one per batch
+    forever. A replay of batch N reads the snapshot N itself (its
+    own commit), so ``keep_last=2`` keeps the in-flight epoch
+    replayable with margin; replays past the window fail loudly on
+    the missing snapshot instead of double-adding. The frozen
+    ``target/`` state is never pruned (version 0 is its only
+    version)."""
     _check_marker(spark, state_dir, dim, ngrams, base_hash, lowercase,
                   smoothing, create=False)
     raw_dir = f"{state_dir}/raw"
@@ -198,6 +210,12 @@ def dsir_update(
     for f, c in cb.items():
         raw[f] = raw.get(f, 0) + c
     write_state(_counts_df(spark, raw), raw_dir, note=note)
+    if prune_keep_last is not None:
+        from cod_stats_spark.streaming._state import prune_state_versions
+
+        prune_state_versions(
+            raw_dir, keep_last=max(2, int(prune_keep_last)), fs=fs
+        )
     return _refit(target, raw, dim, ngrams, base_hash, lowercase, smoothing)
 
 

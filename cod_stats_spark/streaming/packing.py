@@ -290,6 +290,7 @@ def stream_pack_to_tape(
     num_buckets: int = 256,
     with_spans: bool = False,
     checkpoint_path: str | None = None,
+    prune_keep_last: int | None = None,
 ):
     """Structured-Streaming wrapper: each micro-batch packs onto the
     persistent tape with the epoch id as the batch id, and the
@@ -303,6 +304,16 @@ def stream_pack_to_tape(
     union of all ``batch=`` dirs IS the tape prefix. Drain the
     trailing partial window at end of corpus with
     :func:`finalize_training_tape`. Returns the StreamingQuery.
+
+    ``prune_keep_last`` (r15): bound the cursor state's version
+    retention to the newest N snapshots per batch
+    (streaming/_state.prune_state_versions — the funnel censuses'
+    maintenance knob applied to this writer). Each cursor version is
+    one tiny row, but a long-lived stream otherwise accretes one
+    snapshot dir per epoch forever. ``2`` is the minimum that keeps
+    the in-flight epoch replayable (a replay of batch N reads
+    version N−1); deeper replays then fail loudly on the missing
+    snapshot instead of recomputing against the wrong cursor.
 
     Epoch-id scope: as with every stateful wrapper here, pair ONE
     checkpoint with ONE state dir for their lifetime — restarting
@@ -331,6 +342,17 @@ def stream_pack_to_tape(
         out.write.mode("overwrite").parquet(
             os.path.join(out_path, f"batch={int(epoch_id)}")
         )
+        if prune_keep_last is not None:
+            from cod_stats_spark.streaming._state import (
+                _fs_for,
+                prune_state_versions,
+            )
+
+            prune_state_versions(
+                state_dir,
+                keep_last=max(2, int(prune_keep_last)),
+                fs=_fs_for(batch_df.sparkSession, state_dir),
+            )
 
     writer = docs_stream.writeStream.foreachBatch(batch_fn).outputMode(
         "append"

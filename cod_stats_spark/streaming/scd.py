@@ -47,11 +47,22 @@ def apply_scd2_batch(
     ts_col: str,
     attr_cols: Sequence[str],
     collapse: bool = False,
+    prune_keep_last: int | None = None,
 ) -> None:
     """Fold one change batch into the persisted dimension (versioned
     state protocol: streaming/_state.py). collapse defaults False —
     the exact apply==rebuild regime for arbitrary batch interleaving
-    (operators/scd.scd2_apply docstring)."""
+    (operators/scd.scd2_apply docstring).
+
+    ``prune_keep_last`` (r15): bound version retention to the newest
+    N snapshots after each apply (streaming/_state.
+    prune_state_versions). Each version is a FULL dimension copy, so
+    an unpruned long-lived stream retains O(dim size × batches).
+    SCD2 replay safety does not depend on old snapshots at all — a
+    re-delivered batch re-applies idempotently against the CURRENT
+    dimension (``dedupe=True`` absorbs the collision) — so even
+    ``keep_last=1`` is replay-safe here; ``2`` keeps one rollback
+    step by convention."""
     if batch.isEmpty():
         return
     dim = read_state(spark, state_dir)
@@ -63,6 +74,16 @@ def apply_scd2_batch(
             collapse=collapse, dedupe=True,
         )
     write_state(new_dim, state_dir)
+    if prune_keep_last is not None:
+        from cod_stats_spark.streaming._state import (
+            _fs_for,
+            prune_state_versions,
+        )
+
+        prune_state_versions(
+            state_dir, keep_last=max(1, int(prune_keep_last)),
+            fs=_fs_for(spark, state_dir),
+        )
 
 
 def stream_scd2_apply(
@@ -73,15 +94,18 @@ def stream_scd2_apply(
     attr_cols: Sequence[str],
     collapse: bool = False,
     checkpoint_path: str | None = None,
+    prune_keep_last: int | None = None,
 ):
     """Run the maintenance loop as a Structured Streaming sink:
-    foreachBatch -> apply_scd2_batch. Returns the StreamingQuery."""
+    foreachBatch -> apply_scd2_batch (``prune_keep_last`` passes
+    through — see there). Returns the StreamingQuery."""
     key_cols, attr_cols = list(key_cols), list(attr_cols)
 
     def batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
         apply_scd2_batch(
             batch_df.sparkSession, batch_df, state_dir,
             key_cols, ts_col, attr_cols, collapse=collapse,
+            prune_keep_last=prune_keep_last,
         )
 
     writer = (

@@ -977,6 +977,35 @@ class TestStreamScd2:
         apply_scd2_batch(spark, empty, state, ["k"], "t", ["attr"])
         assert read_scd2_dim(spark, state) is None
 
+    def test_prune_bounds_dim_versions_replay_still_idempotent(
+        self, spark, tmp_path
+    ):
+        """r15: prune_keep_last bounds the dimension's snapshot set
+        (each version is a FULL dim copy — the O(dim × batches)
+        retention leak). SCD2 replay safety never depended on old
+        snapshots (dedupe=True re-applies against CURRENT), so the
+        pruned state still absorbs a replay unchanged."""
+        import os
+
+        from cod_stats_spark.streaming import apply_scd2_batch, read_scd2_dim
+
+        b1, b2 = self._batches()
+        state = str(tmp_path / "dim")
+        df1 = spark.createDataFrame(b1, "k long, t timestamp, attr string")
+        df2 = spark.createDataFrame(b2, "k long, t timestamp, attr string")
+        kw = dict(prune_keep_last=1)
+        apply_scd2_batch(spark, df1, state, ["k"], "t", ["attr"], **kw)
+        apply_scd2_batch(spark, df2, state, ["k"], "t", ["attr"], **kw)
+        vdirs = [n for n in os.listdir(state) if n.startswith("v=")]
+        assert vdirs == ["v=1"]  # only the live snapshot remains
+        once = sorted(map(tuple, read_scd2_dim(spark, state).collect()))
+        apply_scd2_batch(spark, df2, state, ["k"], "t", ["attr"], **kw)
+        again = sorted(map(tuple, read_scd2_dim(spark, state).collect()))
+        assert once == again
+        assert [
+            n for n in os.listdir(state) if n.startswith("v=")
+        ] == ["v=2"]
+
 
 class TestStatefulFunnelGap(TestStatefulFunnel):
     def test_gap_parity_with_batch(self, spark, tmp_path):

@@ -66,6 +66,43 @@ def test_replay_recomputes_without_double_add(spark, tmp_path):
     )
 
 
+def test_prune_bounds_raw_versions_and_replay_window(spark, tmp_path):
+    """r15: prune_keep_last bounds the raw-count snapshot set; the
+    in-window replay (the newest batch) still refits identically, a
+    beyond-window replay fails LOUDLY on the missing snapshot, and
+    the frozen target/ state is untouched."""
+    import os
+
+    from cod_stats_spark.streaming.dsir import dsir_init_state, dsir_update
+
+    target, b1, b2 = _frames(spark)
+    b3 = spark.createDataFrame(
+        [(9, "the detector recorded another electron zeta")],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "dsir")
+    dsir_init_state(spark, target, state, **_KW)
+    dsir_update(spark, b1, state, batch_id=1, prune_keep_last=2, **_KW)
+    dsir_update(spark, b2, state, batch_id=2, prune_keep_last=2, **_KW)
+    m3 = dsir_update(spark, b3, state, batch_id=3, prune_keep_last=2, **_KW)
+    vdirs = sorted(
+        n for n in os.listdir(os.path.join(state, "raw"))
+        if n.startswith("v=")
+    )
+    assert vdirs == ["v=1", "v=2"]  # newest two of v0..v2
+    # in-window replay: batch 3 committed v=2 (kept) — identical refit
+    r3 = dsir_update(spark, b3, state, batch_id=3, prune_keep_last=2, **_KW)
+    assert r3.log_ratio6 == m3.log_ratio6
+    # beyond-window replay: batch 1's snapshot (v=0) is pruned — loud
+    with pytest.raises(Exception, match="v=0"):
+        dsir_update(spark, b1, state, batch_id=1, **_KW)
+    # the frozen target state still has its single version
+    assert sorted(
+        n for n in os.listdir(os.path.join(state, "target"))
+        if n.startswith("v=")
+    ) == ["v=0"]
+
+
 def test_marker_freezes_parameters(spark, tmp_path):
     from cod_stats_spark.streaming.dsir import (
         dsir_init_state,

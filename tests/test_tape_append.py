@@ -224,6 +224,54 @@ def test_null_segment_rejected(spark):
         training_sequences(df, "toks", seq_len=2, segment_col="batch")
 
 
+def test_stream_pack_prunes_cursor_versions(spark, tmp_path):
+    """r15: prune_keep_last on the stream wrapper bounds the cursor
+    state's version dirs to the newest two (the in-flight epoch's
+    replay reads version N−1, so 2 is the floor the wrapper clamps
+    to) while the packed output stays byte-identical to the unpruned
+    run."""
+    import os
+
+    from cod_stats_spark.streaming.packing import stream_pack_to_tape
+
+    src = tmp_path / "in"
+    for b, rows in enumerate(BATCHES, start=1):
+        _docs(spark, rows).coalesce(1).write.parquet(f"{src}/b{b}")
+        t = 1_700_000_000 + b
+        for root, _dirs, names in os.walk(f"{src}/b{b}"):
+            for n in names:
+                os.utime(os.path.join(root, n), (t, t))
+
+    def run(tag, prune):
+        stream = spark.readStream.schema(
+            "doc_id long, toks array<string>"
+        ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+        out = str(tmp_path / f"out_{tag}")
+        tape = str(tmp_path / f"tape_{tag}")
+        q = stream_pack_to_tape(
+            stream, "toks", tape, out, seq_len=L,
+            checkpoint_path=str(tmp_path / f"ckpt_{tag}"),
+            prune_keep_last=prune,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["seq_id"]: tuple(r["input_ids"])
+            for r in spark.read.parquet(out)
+            .select("seq_id", "input_ids").collect()
+        }
+        vdirs = [n for n in os.listdir(tape) if n.startswith("v=")]
+        return got, sorted(vdirs)
+
+    got_p, v_p = run("pruned", 1)  # clamps to 2
+    got_u, v_u = run("unpruned", None)
+    assert got_p == got_u
+    assert len(v_u) == len(BATCHES)   # one snapshot per epoch, forever
+    assert len(v_p) == 2              # bounded
+
+
 def test_stream_pack_to_tape(spark, tmp_path):
     """The streaming wrapper: per-epoch batch=<id> window dirs whose
     union equals the segmented one-shot tape's completed windows;

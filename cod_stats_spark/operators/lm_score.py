@@ -1062,19 +1062,28 @@ def load_arpa(spark, path: str, lowercase: bool = False) -> ArpaModel:
                 # order otherwise, and validation already paid the pass
                 .localCheckpoint(eager=True)
             )
-            if lowercase:
-                keys = [f"w{i + 1}" for i in range(k)]
-                dup = (
-                    grams[k].groupBy(*keys).count()
-                    .filter(F.col("count") > 1).limit(1).collect()
-                )
-                if dup:
-                    merged = tuple(dup[0][c] for c in keys)
+            # duplicate relation keys fan out EVERY scorer join and
+            # silently inflate token counts — probe on every load, not
+            # just under case folding (r15 review: a count-consistent
+            # file with literal duplicate lines passed before)
+            keys = [f"w{i + 1}" for i in range(k)]
+            dup = (
+                grams[k].groupBy(*keys).count()
+                .filter(F.col("count") > 1).limit(1).collect()
+            )
+            if dup:
+                merged = tuple(dup[0][c] for c in keys)
+                if lowercase:
                     raise ValueError(
                         "load_arpa: lowercase=True folded case-distinct "
                         f"{k}-grams into one key {merged!r} — the model "
                         "joins would fan out; load with lowercase=False"
                     )
+                raise ValueError(
+                    f"load_arpa: the file lists the {k}-gram "
+                    f"{merged!r} more than once — the model joins "
+                    "would fan out and inflate every score"
+                )
     finally:
         cand.unpersist()
     return ArpaModel(grams, nonzero_declared)
@@ -1203,8 +1212,11 @@ def arpa_lm_score(
         )
     )
     # target word's unigram row, then one slim vocabulary probe per
-    # context position (the <unk> mapping needs every context word's
-    # membership, and position 1's probe doubles as b(v))
+    # context position the plan actually consumes: position 1's probe
+    # doubles as b(v); positions ≥2 are only needed for the <unk>
+    # mapping, so a <unk>-less model skips them (r15 review — the
+    # has_unk=False branch never reads their columns, but Spark can't
+    # prune a left join whose right side isn't provably unique)
     joined = joined.join(
         hint(
             uni.select(
@@ -1214,7 +1226,8 @@ def arpa_lm_score(
         joined["_w"] == F.col("_uw"),
         "left",
     ).drop("_uw")
-    for j in range(1, K):
+    probe_js = range(1, K) if has_unk else range(1, min(K, 2))
+    for j in probe_js:
         joined = joined.join(
             hint(
                 uni.select(
@@ -1321,6 +1334,94 @@ def arpa_lm_score(
     )
 
 
+#: write_arpa's driver-stream guard: an export collects the model
+#: tables order by order (the broadcast-scoring size class), so a
+#: model past this row count refuses loudly instead of silently
+#: materializing GBs on the driver — export such models per-order
+#: with DataFrame writers instead.
+_ARPA_EXPORT_ROW_CAP = 10_000_000
+
+
+def write_arpa(model: ArpaModel, path: str) -> None:
+    """Export an :class:`ArpaModel` back to the published ARPA text
+    format (the KenLM/SRILM artifact — the inverse of
+    :func:`load_arpa`), so a model fit or repaired here can feed any
+    external toolchain. Values round-trip EXACTLY: doubles render via
+    ``repr`` (shortest string that re-parses to the same double — the
+    same parse ``load_arpa``'s cast applies), omitted backoffs (NULL)
+    render as the absent third field, and rows sort by their words so
+    the file is deterministic. ``path`` ending in ``.gz`` writes
+    gzip-compressed (published models usually ship as ``.arpa.gz``;
+    ``load_arpa`` reads those natively — ``spark.read.text``
+    decompresses by extension).
+
+    Driver-bounded by design: the export streams each order's rows
+    through the driver (the broadcast-scoring size class), guarded by
+    ``_ARPA_EXPORT_ROW_CAP`` with a loud remedy — a model too large to
+    export this way is also too large to broadcast-score, and its
+    per-order tables are better shipped as parquet relations."""
+    import gzip
+
+    orders = sorted(model.grams)
+    # counts are VALIDATED against the live tables before anything is
+    # collected (r15 review: a hand-assembled model whose counts
+    # understate its tables would otherwise sail past the cap and
+    # materialize the real rows on the driver — the exact OOM the cap
+    # exists to prevent; overstated counts would write a header
+    # load_arpa then rejects, with no error here)
+    actual = {k: int(model.grams[k].count()) for k in orders}
+    declared = {k: int(model.counts.get(k, 0)) for k in orders}
+    if actual != declared:
+        raise ValueError(
+            f"write_arpa: model.counts {declared} disagree with the "
+            f"tables' actual row counts {actual} — the header would "
+            "not validate on reload"
+        )
+    total = sum(actual.values())
+    if total > _ARPA_EXPORT_ROW_CAP:
+        raise ValueError(
+            f"write_arpa: model carries {total} n-gram rows, past the "
+            f"driver-stream cap {_ARPA_EXPORT_ROW_CAP} — export the "
+            "per-order tables as parquet relations instead "
+            "(model.grams[k].write.parquet(...))"
+        )
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "wt", encoding="utf-8") as f:
+        f.write("\\data\\\n")
+        for k in orders:
+            f.write(f"ngram {k}={actual[k]}\n")
+        for k in orders:
+            f.write(f"\n\\{k}-grams:\n")
+            keys = [f"w{i}" for i in range(1, k + 1)]
+            rows = sorted(
+                (
+                    tuple(r[c] for c in keys),
+                    r["log10p"],
+                    r["backoff"],
+                )
+                for r in model.grams[k]
+                .select(*keys, "log10p", "backoff")
+                .collect()
+            )
+            for ws, p, b in rows:
+                if any(
+                    w is None or w == "" or any(c.isspace() for c in w)
+                    for w in ws
+                ):
+                    raise ValueError(
+                        f"write_arpa: {k}-gram {ws!r} carries a NULL, "
+                        "empty, or whitespace-bearing word — "
+                        "unrepresentable in the space/tab-delimited "
+                        "ARPA line grammar (an empty word would change "
+                        "the n-gram's order on reload)"
+                    )
+                line = f"{float(p)!r}\t{' '.join(ws)}"
+                if b is not None:
+                    line += f"\t{float(b)!r}"
+                f.write(line + "\n")
+        f.write("\n\\end\\\n")
+
+
 def _sql_double(v) -> str:
     """A double literal rendered as a VARCHAR→DOUBLE cast: DuckDB
     parses bare float literals through a DECIMAL intermediate that can
@@ -1348,6 +1449,8 @@ def arpa_lm_oracle_sql(
     selection, and the mean-NLL arithmetic. Same token expression as
     the other LM oracles; model doubles enter via VARCHAR→DOUBLE
     casts so both engines hold bit-identical values."""
+    from cod_stats_spark.operators.line_dedup import _sql_str as _q
+
     K = max(grams)
     if K > _ARPA_MAX_ORDER:
         raise ValueError(f"arpa_lm_oracle_sql: order {K} > {_ARPA_MAX_ORDER}")
@@ -1356,9 +1459,15 @@ def arpa_lm_oracle_sql(
             f"arpa_lm_oracle_sql: orders must be contiguous 1..{K}, "
             f"got {sorted(grams)}"
         )
-
-    def _q(w: str) -> str:
-        return "'" + str(w).replace("'", "''") + "'"
+    empty = [k for k in grams if not grams[k]]
+    if empty:
+        # a zero-row order would render 'VALUES ()' — malformed SQL
+        # with a parser error instead of a diagnostic (r15 review)
+        raise ValueError(
+            f"arpa_lm_oracle_sql: orders {empty} carry no rows — drop "
+            "them from the fixture (the Spark scorer needs contiguity "
+            "too; truncate the model instead)"
+        )
 
     unk = [r for r in grams[1] if r[0] == "<unk>"]
     has_unk = bool(unk)

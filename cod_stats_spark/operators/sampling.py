@@ -26,6 +26,26 @@ from pyspark.sql import functions as F
 _EXPAND_LITERAL_LIMIT = 64
 
 
+def _domain_sql_type(key) -> str:
+    """SQL type for a broadcast domain-relation's key column, from the
+    map's own (homogeneous) Python keys — so the relation join sees
+    the SAME analyzer comparison coercion the literal when-chain path
+    applies to raw keys (r15 review: a hardcoded string schema was a
+    type cliff, and casting the data column to string broke bool/float
+    domains whose Python str() differs from Spark's cast rendering)."""
+    if isinstance(key, bool):  # before int: bool is an int subclass
+        return "boolean"
+    if isinstance(key, int):
+        return "bigint"
+    if isinstance(key, float):
+        return "double"
+    if isinstance(key, str):
+        return "string"
+    raise ValueError(
+        f"domain keys must be str/int/float/bool, got {type(key).__name__}"
+    )
+
+
 def _hash_bucket(key: Column, buckets: int = 1 << 20) -> Column:
     """Uniform bucket in [0, buckets) from the md5 of the key (first 5
     hex chars = 20 bits), identical in any engine with md5 + conv."""
@@ -184,20 +204,11 @@ def mixture_sample(
     set either way, parity-tested).
     """
     mass = F.count(F.lit(1)) if size_col is None else F.sum(F.col(size_col).cast("double"))
-    # domain matching is by STRING form on both dispatch paths (keys
-    # str()'d, the column cast once) — the epoch_expand convention, so
-    # a non-string domain map behaves identically on the literal
-    # when-chain and the broadcast relation instead of hitting a
-    # size-dependent createDataFrame type cliff (r14 advice)
     sizes = {
         r["d"]: float(r["m"])
-        for r in df.groupBy(
-            F.col(domain_col).cast("string").alias("d")
-        ).agg(mass.alias("m")).collect()
+        for r in df.groupBy(F.col(domain_col).alias("d")).agg(mass.alias("m")).collect()
     }
-    weights = {
-        str(d): float(w) for d, w in target_weights.items() if float(w) > 0
-    }
+    weights = {d: float(w) for d, w in target_weights.items() if float(w) > 0}
     fractions: dict[str, float] = {}
     if budget is None:
         s_total = min(
@@ -219,21 +230,27 @@ def mixture_sample(
         for d, frac in sorted(fractions.items())
     ]
     key = F.concat(F.col(key_col).cast("string"), F.lit(salt))
-    dcol = F.col(domain_col).cast("string")
     if len(rows) > _EXPAND_LITERAL_LIMIT:
+        # the relation's key column is TYPED from the map's own keys
+        # (r14 advice / r15 review: a hardcoded string schema was a
+        # size-dependent createDataFrame cliff, and casting the COLUMN
+        # to string instead broke bool/float domains whose Python
+        # str() differs from Spark's cast — 'True' vs 'true'). A raw
+        # typed join leaves comparison coercion to the analyzer,
+        # exactly as the literal when-chain below does.
         rel = F.broadcast(
             df.sparkSession.createDataFrame(
-                rows, "_mix_d string, _mix_thr int"
+                rows, f"_mix_d {_domain_sql_type(rows[0][0])}, _mix_thr int"
             )
         )
         return (
-            df.join(rel, dcol == F.col("_mix_d"), "left")
+            df.join(rel, F.col(domain_col) == F.col("_mix_d"), "left")
             .filter(_hash_bucket(key) < F.coalesce(F.col("_mix_thr"), F.lit(-1)))
             .drop("_mix_d", "_mix_thr")
         )
     thr = F.lit(-1)
     for domain, t in rows:
-        thr = F.when(dcol == domain, F.lit(t)).otherwise(thr)
+        thr = F.when(F.col(domain_col) == domain, F.lit(t)).otherwise(thr)
     return df.filter(_hash_bucket(key) < thr)
 
 
@@ -594,27 +611,30 @@ def epoch_expand(
         (d, int(w), int(round(w - int(w), 9) * buckets))
         for d, w in sorted(weights.items())
     ]
-    # domain matching is by STRING form on both dispatch paths (keys
-    # are already str()'d above; the column is cast once) — a
-    # non-string domain column matches identically on the literal
-    # when-chain and the broadcast relation (r14 advice: the relation
-    # path's string schema was a size-dependent behavior cliff)
-    dcol = F.col(domain_col).cast("string")
+    # the keys are str()'d above (this function's historical
+    # contract), so both paths compare the RAW domain column against
+    # string keys and the analyzer's comparison coercion applies
+    # identically (int/float columns coerce; r15 review reverted a
+    # column-side string cast that broke the coercion parity)
     if len(rows) > _EXPAND_LITERAL_LIMIT:
         rel = F.broadcast(
             df.sparkSession.createDataFrame(
                 rows, "_exp_d string, _exp_full int, _exp_thr int"
             )
         )
-        df = df.join(rel, dcol == F.col("_exp_d"), "left")
+        df = df.join(rel, F.col(domain_col) == F.col("_exp_d"), "left")
         n_full = F.coalesce(F.col("_exp_full"), F.lit(1))
         thr = F.coalesce(F.col("_exp_thr"), F.lit(0))
     else:
         n_full = F.lit(1)  # unlisted domains: one epoch, no fraction
         thr = F.lit(0)
         for domain, full, t in rows:
-            n_full = F.when(dcol == domain, F.lit(full)).otherwise(n_full)
-            thr = F.when(dcol == domain, F.lit(t)).otherwise(thr)
+            n_full = F.when(
+                F.col(domain_col) == domain, F.lit(full)
+            ).otherwise(n_full)
+            thr = F.when(F.col(domain_col) == domain, F.lit(t)).otherwise(
+                thr
+            )
     key = F.concat(F.col(key_col).cast("string"), F.lit(salt), F.lit("ep"))
     base = F.when(
         n_full > 0, F.sequence(F.lit(0), n_full - 1)

@@ -4683,11 +4683,17 @@ def _curation_funnel2_oracle_sql() -> str:
     )
     # the decorated text — the gate's Spark invocation applies the
     # SAME expression before splitting (boilerplate trailer on every
-    # doc; pure-boilerplate pages at line_mod/line_rem)
+    # doc; pure-boilerplate pages at line_mod/line_rem). Boiler lines
+    # enter as _sql_str-rendered literals (the r13 escaping trap — a
+    # future re-probe picking a line with an apostrophe must not
+    # silently corrupt the generated SQL)
+    from cod_stats_spark.operators.line_dedup import _sql_str
+
+    b1s, b2s = _sql_str(p["boiler1"]), _sql_str(p["boiler2"])
     deco = (
         f"CASE WHEN d.doc_id % {p['line_mod']} = {p['line_rem']}"
-        f" THEN '{p['boiler1']}' || chr(10) || '{p['boiler2']}'"
-        f" ELSE d.text || chr(10) || '{p['boiler1']}' END"
+        f" THEN {b1s} || chr(10) || {b2s}"
+        f" ELSE d.text || chr(10) || {b1s} END"
     )
     return f"""
 g_corpus AS MATERIALIZED (

@@ -208,6 +208,19 @@ class TestRejection:
         with pytest.raises(ValueError, match=r"truncate\(1\)"):
             arpa_lm_score(None, holey)
 
+    def test_duplicate_ngram_lines_raise_without_folding(self, spark, tmp_path):
+        """r15 review: a count-consistent file with literal duplicate
+        lines must refuse at load even under lowercase=False — the
+        scorer's model joins would fan out and inflate every score."""
+        from cod_stats_spark.operators.lm_score import load_arpa
+
+        body = _MINI.replace("ngram 2=4", "ngram 2=5").replace(
+            "-0.5\tquick fox\t-0.05\n",
+            "-0.5\tquick fox\t-0.05\n-0.6\tquick fox\n",
+        )
+        with pytest.raises(ValueError, match="more than once"):
+            load_arpa(spark, _write(tmp_path, body, "dup.arpa"))
+
     def test_bad_backoff_field_raises(self, spark, tmp_path):
         """r14 advice: a present non-empty backoff field that fails
         the double cast must raise like the probability probe — a
@@ -537,6 +550,84 @@ class TestOracleSql:
             arpa_lm_oracle_sql({1: self._FIVE_ROWS[1], 3: []})
         with pytest.raises(ValueError, match="oov_log10p"):
             arpa_lm_oracle_sql({1: [("a", -0.5, None)]})
+        # a present-but-empty order would render 'VALUES ()' —
+        # malformed SQL with a parser error instead of a diagnostic
+        with pytest.raises(ValueError, match="no rows"):
+            arpa_lm_oracle_sql({1: self._FIVE_ROWS[1], 2: []})
+
+
+class TestWriteArpa:
+    """r15: write_arpa — the inverse of load_arpa, so a model fit or
+    repaired here feeds external KenLM/SRILM tooling. Round-trips are
+    exact (repr doubles, NULL backoff = absent field)."""
+
+    def _tables(self, m):
+        out = {}
+        for k, df in m.grams.items():
+            keys = [f"w{i}" for i in range(1, k + 1)]
+            out[k] = sorted(
+                (tuple(r[c] for c in keys), r["log10p"], r["backoff"])
+                for r in df.collect()
+            )
+        return out
+
+    def test_round_trip_tables_and_scores(self, spark, tmp_path, mini_model):
+        from cod_stats_spark.operators.lm_score import (
+            arpa_lm_score,
+            load_arpa,
+            write_arpa,
+        )
+
+        p2 = str(tmp_path / "rt.arpa")
+        write_arpa(mini_model, p2)
+        m2 = load_arpa(spark, p2)
+        assert m2.counts == mini_model.counts
+        assert self._tables(m2) == self._tables(mini_model)
+        probe = spark.createDataFrame(
+            [(1, "dog the fox zzz quick")], "doc_id long, text string"
+        )
+        a = arpa_lm_score(probe, mini_model).first()["arpa_nll"]
+        b = arpa_lm_score(probe, m2).first()["arpa_nll"]
+        assert a == b  # exact — same doubles end to end
+
+    def test_gzip_round_trip(self, spark, tmp_path, mini_model):
+        """Published models ship as .arpa.gz; write_arpa compresses by
+        extension and load_arpa reads it natively (spark.read.text
+        decompresses by extension)."""
+        from cod_stats_spark.operators.lm_score import load_arpa, write_arpa
+
+        pz = str(tmp_path / "rt.arpa.gz")
+        write_arpa(mini_model, pz)
+        import gzip
+
+        with gzip.open(pz, "rt") as f:
+            assert f.readline() == "\\data\\\n"
+        m2 = load_arpa(spark, pz)
+        assert self._tables(m2) == self._tables(mini_model)
+
+    def test_export_guards(self, spark, tmp_path, mini_model, monkeypatch):
+        import cod_stats_spark.operators.lm_score as L
+
+        # counts validated against the LIVE tables before any collect
+        # (r15 review: understated counts would sail past the cap and
+        # then materialize the real rows on the driver)
+        lying = L.ArpaModel(mini_model.grams, {**mini_model.counts, 1: 2})
+        with pytest.raises(ValueError, match="disagree"):
+            L.write_arpa(lying, str(tmp_path / "lying.arpa"))
+        monkeypatch.setattr(L, "_ARPA_EXPORT_ROW_CAP", 3)
+        with pytest.raises(ValueError, match="driver-stream cap"):
+            L.write_arpa(mini_model, str(tmp_path / "big.arpa"))
+        monkeypatch.undo()
+        for word in ("two words", ""):
+            bad = L.ArpaModel(
+                {1: spark.createDataFrame(
+                    [(word, -0.5, None)],
+                    "w1 string, log10p double, backoff double",
+                )},
+                {1: 1},
+            )
+            with pytest.raises(ValueError, match="unrepresentable"):
+                L.write_arpa(bad, str(tmp_path / "bad.arpa"))
 
 
 class TestReviewEdges:

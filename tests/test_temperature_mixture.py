@@ -385,11 +385,16 @@ class TestMixtureSampleRelationPath:
 
 
 class TestNonStringDomainDispatch:
-    """Domain matching is by STRING form on BOTH dispatch paths (r14
-    advice): an integer-keyed domain map used to work on the literal
-    when-chain and then fail createDataFrame once the map crossed
-    _EXPAND_LITERAL_LIMIT — a size-dependent behavior cliff. Both
-    functions now str() the keys and cast the column once."""
+    """Non-string domain maps behave identically on BOTH dispatch
+    paths (r14 advice): an integer-keyed mixture_sample map used to
+    work on the literal when-chain and then fail createDataFrame once
+    it crossed _EXPAND_LITERAL_LIMIT — a size-dependent behavior
+    cliff. The relation's key column is now TYPED from the map's own
+    keys (epoch_expand keeps its historical str()-key contract), so
+    the analyzer's comparison coercion applies identically to the
+    literal and relation paths — incl. bool domains, where a
+    column-side string cast would render 'true' while Python str()
+    renders 'True' (r15 review)."""
 
     def _int_docs(self, spark, n_domains=80, rows_per=3):
         rows = [
@@ -439,6 +444,33 @@ class TestNonStringDomainDispatch:
         }
         assert got_rel == got_lit
         assert 0 < len(got_rel) < docs.count()  # unlisted domains dropped
+
+    def test_mixture_sample_bool_domains_keep_working(self, spark):
+        """Bool keys: Python str(True)='True' but Spark's cast renders
+        'true' — the literal path must keep its raw-comparison
+        semantics (r15 review; a column string cast silently dropped
+        EVERY row here)."""
+        import cod_stats_spark.operators.sampling as S
+
+        rows = [(i, i % 3 != 0) for i in range(90)]
+        docs = spark.createDataFrame(rows, "doc_id long, is_web boolean")
+        got = {
+            r["doc_id"]
+            for r in S.mixture_sample(
+                docs, "doc_id", "is_web", {True: 0.6, False: 0.4},
+                budget=30.0, salt="b",
+            ).collect()
+        }
+        assert 0 < len(got) < 90  # thinned, NOT emptied
+
+    def test_mixture_sample_rejects_exotic_key_types(self, spark):
+        import cod_stats_spark.operators.sampling as S
+
+        docs = spark.createDataFrame(
+            [(1, "a")], "doc_id long, dom string"
+        )
+        with pytest.raises(ValueError, match="domain keys"):
+            S._domain_sql_type(object())
 
 
 class TestSequentialSumParity:

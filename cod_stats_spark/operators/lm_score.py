@@ -693,6 +693,214 @@ def kn_lm_score(
     )
 
 
+def kn_to_arpa(
+    uni_model: DataFrame,
+    bi_model: DataFrame,
+    tri_model: DataFrame,
+    discount: float = 0.75,
+    alpha: float = 1.0,
+) -> "ArpaModel":
+    """Convert the interpolated-KN trigram model (the
+    :func:`kn_lm_score` statistics) into a standard BACKOFF
+    :class:`ArpaModel` — the SRILM ``ngram -write-lm`` workflow: fit
+    the filter LM on the cluster, :func:`write_arpa` the artifact, and
+    any external KenLM/SRILM consumer loads it.
+
+    The conversion is EXACT, not approximate: an interpolated model
+    P(w|ctx) = main(ctx,w) + λ(ctx)·P(w|ctx′) is a backoff model
+    whose listed entries carry the full interpolated probability and
+    whose backoff weights are b(ctx) = log₁₀ λ(ctx) — an unlisted
+    (ctx,w) then scores 10^b·P(w|ctx′) = λ·P(w|ctx′), exactly the
+    interpolated value (Chen & Goodman 1999 §2: interpolated models
+    are expressible in backoff form). Listings:
+
+    - 1-grams: the WHOLE vocabulary (continuation-floored P₁ — words
+      never seen as a continuation get the α floor), backoff
+      b(v) = log₁₀ λ₂(v) for contexts with trigram statistics (absent
+      = 0: such contexts back off wholesale, the kn_lm_score branch);
+      plus ``<unk>`` at the α floor, so the export carries KN's OOV
+      convention in the format's own mechanism.
+    - 2-grams: the continuation support N₁₊(·vw) > 0 UNION every
+      trigram context (u,v) (the format requires a context's own
+      entry to host its backoff weight), each with the interpolated
+      P₂; backoff b(u,v) = log₁₀ λ₃(u,v) on trigram contexts.
+    - 3-grams: the seen-trigram support with interpolated P₃.
+
+    ``arpa_lm_score(docs, kn_to_arpa(u, b, t))`` equals
+    ``kn_lm_score(docs, u, b, t)`` on EVERY document — seen and
+    unseen n-grams, OOV words and contexts, early positions — up to
+    the log₁₀·ln 10 ulp (parity-tested; the formulas are re-derived
+    here over the model SUPPORT instead of document positions, and
+    that test is the no-divergence pin). All derivations are bounded
+    model-support aggregations; driver state is the three totals plus
+    the per-order counts. The models must come from the same corpus
+    fit (a trigram context must be an observed bigram — the
+    kn_lm_score join contract)."""
+    if not (0.0 < float(discount) < 1.0):
+        raise ValueError("kn_to_arpa: discount must be in (0, 1)")
+    if alpha <= 0:
+        raise ValueError("kn_to_arpa: alpha must be > 0")
+    d = float(discount)
+    spark = uni_model.sparkSession
+    if uni_model.filter(F.col("token") == "<unk>").limit(1).collect():
+        raise ValueError(
+            "kn_to_arpa: the corpus vocabulary contains the literal "
+            "'<unk>' — it would collide with the export's OOV entry"
+        )
+
+    # layer statistics — the kn_lm_score formulas over the model
+    # support (parity with the scorer is pinned by test, see docstring)
+    cont = bi_model.groupBy("w2").agg(F.count(F.lit(1)).alias("_n1w"))
+    n_cc = float(cont.agg(F.sum("_n1w")).first()[0] or 0)
+    v_size = float(uni_model.count())
+    denom1 = n_cc + alpha * v_size
+    if denom1 <= 0:
+        raise ValueError("kn_to_arpa: empty model")
+    floor1 = alpha / denom1
+
+    n1_vw = tri_model.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("_nvw")
+    )
+    n1_vdot = n1_vw.groupBy("w2").agg(F.sum("_nvw").alias("_nvd"))
+    fanout_v = n1_vw.groupBy("w2").agg(F.count(F.lit(1)).alias("_fv"))
+    lam2 = n1_vdot.join(fanout_v, "w2").select(
+        F.col("w2").alias("_lv"),
+        (F.lit(d) * F.col("_fv") / F.col("_nvd")).alias("_lam2"),
+    )
+
+    # 1-grams: whole vocabulary + <unk>
+    p1_expr = (F.coalesce(F.col("_n1w"), F.lit(0.0)) + F.lit(alpha)) / F.lit(
+        denom1
+    )
+    uni_grams = (
+        uni_model.select(F.col("token").alias("w1"))
+        .join(cont.withColumnRenamed("w2", "w1"), "w1", "left")
+        .join(lam2.withColumnRenamed("_lv", "w1"), "w1", "left")
+        .select(
+            "w1",
+            F.log10(p1_expr).alias("log10p"),
+            F.log10(F.col("_lam2")).alias("backoff"),  # NULL stays NULL
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("<unk>", math.log10(floor1), None)],
+                "w1 string, log10p double, backoff double",
+            )
+        )
+    )
+
+    # 2-grams: continuation support ∪ trigram contexts, interpolated P2
+    pairs = (
+        n1_vw.select(F.col("w2").alias("_v"), F.col("w3").alias("_w"))
+        .unionByName(
+            tri_model.select(
+                F.col("w1").alias("_v"), F.col("w2").alias("_w")
+            )
+        )
+        .distinct()
+    )
+    p1_of_w = cont.select(
+        F.col("w2").alias("_w"),
+        ((F.col("_n1w") + F.lit(alpha)) / F.lit(denom1)).alias("_p1w"),
+    )
+    lam3 = (
+        tri_model.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_fuv"))
+        .join(
+            bi_model.select(
+                F.col("w1"), F.col("w2"), F.col("cnt").alias("_cuv")
+            ),
+            ["w1", "w2"],
+        )
+        .select(
+            F.col("w1").alias("_v"), F.col("w2").alias("_w"),
+            (F.lit(d) * F.col("_fuv") / F.col("_cuv")).alias("_lam3"),
+        )
+    )
+    p2_tbl = (
+        pairs.join(
+            n1_vw.select(
+                F.col("w2").alias("_v"), F.col("w3").alias("_w"), "_nvw"
+            ),
+            ["_v", "_w"],
+            "left",
+        )
+        .join(n1_vdot.select(F.col("w2").alias("_v"), "_nvd"), "_v", "left")
+        .join(lam2.select(F.col("_lv").alias("_v"), "_lam2"), "_v", "left")
+        .join(p1_of_w, "_w", "left")
+        .select(
+            "_v",
+            "_w",
+            F.when(
+                F.col("_lam2").isNotNull(),
+                F.coalesce(
+                    F.greatest(F.col("_nvw") - F.lit(d), F.lit(0.0))
+                    / F.col("_nvd"),
+                    F.lit(0.0),
+                )
+                + F.col("_lam2")
+                * F.coalesce(F.col("_p1w"), F.lit(floor1)),
+            )
+            .otherwise(F.coalesce(F.col("_p1w"), F.lit(floor1)))
+            .alias("_p2"),
+        )
+    )
+    bi_grams = p2_tbl.join(lam3, ["_v", "_w"], "left").select(
+        F.col("_v").alias("w1"),
+        F.col("_w").alias("w2"),
+        F.log10(F.col("_p2")).alias("log10p"),
+        F.log10(F.col("_lam3")).alias("backoff"),
+    )
+
+    # 3-grams: seen support with interpolated P3
+    c_uv = bi_model.select(
+        F.col("w1").alias("_tu"), F.col("w2").alias("_tv"),
+        F.col("cnt").alias("_cuv"),
+    )
+    tri_grams = (
+        tri_model.join(
+            c_uv,
+            (tri_model["w1"] == F.col("_tu"))
+            & (tri_model["w2"] == F.col("_tv")),
+        )
+        .join(
+            lam3.select(
+                F.col("_v").alias("_tu2"), F.col("_w").alias("_tv2"),
+                "_lam3",
+            ),
+            (tri_model["w1"] == F.col("_tu2"))
+            & (tri_model["w2"] == F.col("_tv2")),
+        )
+        .join(
+            p2_tbl.select(
+                F.col("_v").alias("_pv"), F.col("_w").alias("_pw"), "_p2"
+            ),
+            (tri_model["w2"] == F.col("_pv"))
+            & (tri_model["w3"] == F.col("_pw")),
+        )
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.log10(
+                F.greatest(F.col("cnt") - F.lit(d), F.lit(0.0))
+                / F.col("_cuv")
+                + F.col("_lam3") * F.col("_p2")
+            ).alias("log10p"),
+            F.lit(None).cast("double").alias("backoff"),
+        )
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    grams = {}
+    counts = {}
+    for k, df in ((1, uni_grams), (2, bi_grams), (3, tri_grams)):
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        counts[k] = df.count()  # the cache-populating action
+        grams[k] = df
+    return ArpaModel(grams, counts)
+
+
 def kn_lm_oracle_sql(
     src: str,
     text_sql: str = "text",

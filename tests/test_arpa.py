@@ -630,6 +630,132 @@ class TestWriteArpa:
                 L.write_arpa(bad, str(tmp_path / "bad.arpa"))
 
 
+class TestKnToArpa:
+    """r15: kn_to_arpa — fit the interpolated-KN trigram on the
+    cluster, convert to the standard BACKOFF form, write_arpa the
+    artifact. The conversion is exact (listed entries carry the
+    interpolated probabilities; b(ctx) = log10 lambda(ctx)), so the
+    exported model scores IDENTICALLY to kn_lm_score — the parity
+    test below is the no-divergence pin for the re-derived formulas."""
+
+    _CORPUS = [
+        (1, "a b c a b d"),
+        (2, "b c a b c e"),
+        (3, "c a a d b c"),
+    ]
+    # probes exercising every branch: seen trigram; unseen trigram
+    # with a seen context; unseen context; OOV target; OOV context;
+    # 1- and 2-token docs; zero tokens
+    _PROBES = [
+        (10, "a b c"), (11, "a b a"), (12, "d d c"), (13, "a b z"),
+        (14, "z a b"), (15, "c a"), (16, "q"), (17, "c c c a b d e"),
+        (18, "   "),
+    ]
+
+    @pytest.fixture()
+    def fits(self, spark):
+        from cod_stats_spark.operators.lm_score import (
+            bigram_lm_fit,
+            trigram_lm_fit,
+            unigram_lm_fit,
+        )
+
+        corpus = spark.createDataFrame(
+            self._CORPUS, "doc_id long, text string"
+        )
+        return (
+            unigram_lm_fit(corpus),
+            bigram_lm_fit(corpus),
+            trigram_lm_fit(corpus),
+        )
+
+    def _probe_df(self, spark):
+        return spark.createDataFrame(
+            self._CORPUS + self._PROBES, "doc_id long, text string"
+        )
+
+    def test_exported_model_scores_equal_kn(self, spark, fits):
+        from cod_stats_spark.operators.lm_score import (
+            arpa_lm_score,
+            kn_lm_score,
+            kn_to_arpa,
+        )
+
+        uni, bi, tri = fits
+        probes = self._probe_df(spark)
+        want = {
+            r["doc_id"]: (r["lm3_tokens"], r["lm3_nll"])
+            for r in kn_lm_score(probes, uni, bi, tri).collect()
+        }
+        model = kn_to_arpa(uni, bi, tri)
+        assert model.order == 3
+        got = {
+            r["doc_id"]: (r["arpa_tokens"], r["arpa_nll"])
+            for r in arpa_lm_score(probes, model).collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0], k
+            assert got[k][1] == pytest.approx(
+                want[k][1], rel=1e-9, abs=1e-12
+            ), k
+
+    def test_file_round_trip_preserves_scores(self, spark, tmp_path, fits):
+        """The full interop chain: fit → convert → write_arpa(.gz) →
+        load_arpa → score. repr doubles make the reload exact."""
+        from cod_stats_spark.operators.lm_score import (
+            arpa_lm_score,
+            kn_to_arpa,
+            load_arpa,
+            write_arpa,
+        )
+
+        uni, bi, tri = fits
+        model = kn_to_arpa(uni, bi, tri)
+        pz = str(tmp_path / "kn.arpa.gz")
+        write_arpa(model, pz)
+        re = load_arpa(spark, pz)
+        assert re.counts == model.counts
+        probes = self._probe_df(spark)
+        a = {
+            r["doc_id"]: r["arpa_nll"]
+            for r in arpa_lm_score(probes, model).collect()
+        }
+        b = {
+            r["doc_id"]: r["arpa_nll"]
+            for r in arpa_lm_score(probes, re).collect()
+        }
+        assert a == b  # exact — same doubles end to end
+
+    def test_unk_in_vocab_rejected(self, spark):
+        from cod_stats_spark.operators.lm_score import (
+            bigram_lm_fit,
+            kn_to_arpa,
+            trigram_lm_fit,
+            unigram_lm_fit,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "the <unk> token appears literally in this text")],
+            "doc_id long, text string",
+        )
+        with pytest.raises(ValueError, match="collide"):
+            kn_to_arpa(
+                unigram_lm_fit(corpus),
+                bigram_lm_fit(corpus),
+                trigram_lm_fit(corpus),
+            )
+
+    def test_validation(self, fits):
+        from cod_stats_spark.operators.lm_score import kn_to_arpa
+
+        uni, bi, tri = fits
+        with pytest.raises(ValueError, match="discount"):
+            kn_to_arpa(uni, bi, tri, discount=1.5)
+        with pytest.raises(ValueError, match="alpha"):
+            kn_to_arpa(uni, bi, tri, alpha=0.0)
+
+
 class TestReviewEdges:
     def test_declared_empty_order_is_legal(self, spark, tmp_path):
         """'ngram 3=0' with no 3-gram lines (heavily pruned SRILM

@@ -748,9 +748,19 @@ def kn_to_arpa(
             "'<unk>' — it would collide with the export's OOV entry"
         )
 
+    from pyspark.storagelevel import StorageLevel
+
     # layer statistics — the kn_lm_score formulas over the model
-    # support (parity with the scorer is pinned by test, see docstring)
-    cont = bi_model.groupBy("w2").agg(F.count(F.lit(1)).alias("_n1w"))
+    # support (parity with the scorer is pinned by test, see
+    # docstring). The shared intermediates are persisted: cont feeds
+    # the n_cc total plus every gram table, n1_vw feeds four derived
+    # relations, and p2_tbl sits in BOTH the bigram and trigram
+    # lineages — unpersisted, the per-order counts below would re-run
+    # each chain 2–4× (r15 second review; the kn_lm_score cont-persist
+    # convention). Released after the gram tables materialize.
+    cont = bi_model.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("_n1w")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     n_cc = float(cont.agg(F.sum("_n1w")).first()[0] or 0)
     v_size = float(uni_model.count())
     denom1 = n_cc + alpha * v_size
@@ -760,7 +770,7 @@ def kn_to_arpa(
 
     n1_vw = tri_model.groupBy("w2", "w3").agg(
         F.count(F.lit(1)).alias("_nvw")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     n1_vdot = n1_vw.groupBy("w2").agg(F.sum("_nvw").alias("_nvd"))
     fanout_v = n1_vw.groupBy("w2").agg(F.count(F.lit(1)).alias("_fv"))
     lam2 = n1_vdot.join(fanout_v, "w2").select(
@@ -844,7 +854,7 @@ def kn_to_arpa(
             .otherwise(F.coalesce(F.col("_p1w"), F.lit(floor1)))
             .alias("_p2"),
         )
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bi_grams = p2_tbl.join(lam3, ["_v", "_w"], "left").select(
         F.col("_v").alias("w1"),
         F.col("_w").alias("w2"),
@@ -890,14 +900,16 @@ def kn_to_arpa(
             F.lit(None).cast("double").alias("backoff"),
         )
     )
-    from pyspark.storagelevel import StorageLevel
-
     grams = {}
     counts = {}
     for k, df in ((1, uni_grams), (2, bi_grams), (3, tri_grams)):
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         counts[k] = df.count()  # the cache-populating action
         grams[k] = df
+    # the gram tables are materialized above; the shared intermediates
+    # only re-run if a gram cache is evicted, so release them now
+    for mid in (cont, n1_vw, p2_tbl):
+        mid.unpersist()
     return ArpaModel(grams, counts)
 
 
@@ -1436,14 +1448,18 @@ def arpa_lm_score(
     ).drop("_uw")
     probe_js = range(1, K) if has_unk else range(1, min(K, 2))
     for j in probe_js:
+        # only position 1's probe carries the backoff column (it
+        # doubles as b(v)); j >= 2 exists solely for the <unk>
+        # membership mapping, so shipping backoff there would inflate
+        # each broadcast relation by a dead double per vocab row
+        cols = [
+            F.col("w1").alias(f"_v{j}w"),
+            F.lit(True).alias(f"_v{j}m"),
+        ]
+        if j == 1:
+            cols.append(F.col("backoff").alias("_v1b"))
         joined = joined.join(
-            hint(
-                uni.select(
-                    F.col("w1").alias(f"_v{j}w"),
-                    F.lit(True).alias(f"_v{j}m"),
-                    F.col("backoff").alias(f"_v{j}b"),
-                )
-            ),
+            hint(uni.select(*cols)),
             joined[f"_c{j}"] == F.col(f"_v{j}w"),
             "left",
         ).drop(f"_v{j}w")
@@ -1601,17 +1617,16 @@ def write_arpa(model: ArpaModel, path: str) -> None:
         for k in orders:
             f.write(f"\n\\{k}-grams:\n")
             keys = [f"w{i}" for i in range(1, k + 1)]
-            rows = sorted(
-                (
-                    tuple(r[c] for c in keys),
-                    r["log10p"],
-                    r["backoff"],
-                )
+            rows = [
+                (tuple(r[c] for c in keys), r["log10p"], r["backoff"])
                 for r in model.grams[k]
                 .select(*keys, "log10p", "backoff")
                 .collect()
-            )
-            for ws, p, b in rows:
+            ]
+            # validate BEFORE sorting: a NULL word would crash the
+            # sort comparator with a bare TypeError instead of this
+            # diagnostic (r15 second review)
+            for ws, _p, _b in rows:
                 if any(
                     w is None or w == "" or any(c.isspace() for c in w)
                     for w in ws
@@ -1623,6 +1638,12 @@ def write_arpa(model: ArpaModel, path: str) -> None:
                         "ARPA line grammar (an empty word would change "
                         "the n-gram's order on reload)"
                     )
+            # None-safe key: a duplicate (words, logp) pair with one
+            # absent backoff must not TypeError mid-write
+            rows.sort(
+                key=lambda r: (r[0], r[1], r[2] is not None, r[2] or 0.0)
+            )
+            for ws, p, b in rows:
                 line = f"{float(p)!r}\t{' '.join(ws)}"
                 if b is not None:
                     line += f"\t{float(b)!r}"

@@ -26,13 +26,24 @@ from pyspark.sql import functions as F
 _EXPAND_LITERAL_LIMIT = 64
 
 
-def _domain_sql_type(key) -> str:
+def _domain_sql_type(keys) -> str:
     """SQL type for a broadcast domain-relation's key column, from the
-    map's own (homogeneous) Python keys — so the relation join sees
-    the SAME analyzer comparison coercion the literal when-chain path
-    applies to raw keys (r15 review: a hardcoded string schema was a
-    type cliff, and casting the data column to string broke bool/float
-    domains whose Python str() differs from Spark's cast rendering)."""
+    map's own Python keys — so the relation join sees the SAME
+    analyzer comparison coercion the literal when-chain path applies
+    to raw keys (r15 review: a hardcoded string schema was a type
+    cliff, and casting the data column to string broke bool/float
+    domains whose Python str() differs from Spark's cast rendering).
+    Validates HOMOGENEITY over ALL keys (r15 second review: typing
+    from the first key alone would re-introduce a works-until-64-
+    domains cliff for mixed-type maps — those fail loudly here on
+    both paths' behalf)."""
+    kinds = {type(k) for k in keys}
+    if len(kinds) != 1:
+        raise ValueError(
+            "domain keys must share one type, got "
+            f"{sorted(t.__name__ for t in kinds)}"
+        )
+    key = next(iter(keys))
     if isinstance(key, bool):  # before int: bool is an int subclass
         return "boolean"
     if isinstance(key, int):
@@ -209,6 +220,11 @@ def mixture_sample(
         for r in df.groupBy(F.col(domain_col).alias("d")).agg(mass.alias("m")).collect()
     }
     weights = {d: float(w) for d, w in target_weights.items() if float(w) > 0}
+    if weights:
+        # entry-time key validation for BOTH dispatch paths: a mixed-
+        # type or exotic-type map must fail loudly at any size, never
+        # only past the 64-domain relation cliff (r15 second review)
+        _domain_sql_type(list(weights))
     fractions: dict[str, float] = {}
     if budget is None:
         s_total = min(
@@ -238,9 +254,10 @@ def mixture_sample(
         # str() differs from Spark's cast — 'True' vs 'true'). A raw
         # typed join leaves comparison coercion to the analyzer,
         # exactly as the literal when-chain below does.
+        ktype = _domain_sql_type([r[0] for r in rows])
         rel = F.broadcast(
             df.sparkSession.createDataFrame(
-                rows, f"_mix_d {_domain_sql_type(rows[0][0])}, _mix_thr int"
+                rows, f"_mix_d {ktype}, _mix_thr int"
             )
         )
         return (

@@ -463,14 +463,21 @@ class TestNonStringDomainDispatch:
         }
         assert 0 < len(got) < 90  # thinned, NOT emptied
 
-    def test_mixture_sample_rejects_exotic_key_types(self, spark):
+    def test_mixture_sample_rejects_exotic_and_mixed_key_types(self, spark):
+        """Entry-time, size-independent: a mixed- or exotic-type map
+        fails loudly on the 2-domain literal path too, never only
+        past the 64-domain relation cliff (r15 second review)."""
         import cod_stats_spark.operators.sampling as S
 
         docs = spark.createDataFrame(
             [(1, "a")], "doc_id long, dom string"
         )
         with pytest.raises(ValueError, match="domain keys"):
-            S._domain_sql_type(object())
+            S._domain_sql_type([object()])
+        with pytest.raises(ValueError, match="one type"):
+            S.mixture_sample(
+                docs, "doc_id", "dom", {1: 0.5, "web": 0.5}, budget=1.0
+            )
 
 
 class TestSequentialSumParity:

@@ -4636,6 +4636,35 @@ _FUNNEL2 = {
 }
 
 
+def _line_deco_col():
+    """The line-stage corpus decoration as a Spark Column — trailing
+    boilerplate line on every doc, pure-boilerplate pages at
+    line_mod/line_rem (see the _FUNNEL2 comment). ONE definition with
+    :func:`_line_deco_sql` so the dedup_pipeline and incremental_dedup
+    gates cannot drift from their oracles."""
+    p = _FUNNEL2
+    return F.when(
+        F.col("doc_id") % p["line_mod"] == p["line_rem"],
+        F.lit(p["boiler1"] + "\n" + p["boiler2"]),
+    ).otherwise(F.concat(F.col("text"), F.lit("\n" + p["boiler1"])))
+
+
+def _line_deco_sql(alias: str = "d") -> str:
+    """The same decoration as a DuckDB expression over ``alias``.
+    Boiler lines enter as _sql_str-rendered literals (the r13
+    escaping trap — a future re-probe picking a line with an
+    apostrophe must not silently corrupt the generated SQL)."""
+    from cod_stats_spark.operators.line_dedup import _sql_str
+
+    p = _FUNNEL2
+    b1s, b2s = _sql_str(p["boiler1"]), _sql_str(p["boiler2"])
+    return (
+        f"CASE WHEN {alias}.doc_id % {p['line_mod']} = {p['line_rem']}"
+        f" THEN {b1s} || chr(10) || {b2s}"
+        f" ELSE {alias}.text || chr(10) || {b1s} END"
+    )
+
+
 def _curation_funnel2_oracle_sql() -> str:
     """CTE chain replaying the FULL curate_corpus composition — the
     configuration a real curation run uses: heuristic quality gate →
@@ -4682,19 +4711,8 @@ def _curation_funnel2_oracle_sql() -> str:
         salt=p["salt"] + "|tmix", max_weight=p["cap"],
     )
     # the decorated text — the gate's Spark invocation applies the
-    # SAME expression before splitting (boilerplate trailer on every
-    # doc; pure-boilerplate pages at line_mod/line_rem). Boiler lines
-    # enter as _sql_str-rendered literals (the r13 escaping trap — a
-    # future re-probe picking a line with an apostrophe must not
-    # silently corrupt the generated SQL)
-    from cod_stats_spark.operators.line_dedup import _sql_str
-
-    b1s, b2s = _sql_str(p["boiler1"]), _sql_str(p["boiler2"])
-    deco = (
-        f"CASE WHEN d.doc_id % {p['line_mod']} = {p['line_rem']}"
-        f" THEN {b1s} || chr(10) || {b2s}"
-        f" ELSE d.text || chr(10) || {b1s} END"
-    )
+    # SAME expression before splitting (one definition: _line_deco_*)
+    deco = _line_deco_sql("d")
     return f"""
 g_corpus AS MATERIALIZED (
   SELECT d.* EXCLUDE (text), {deco} AS text, e.embedding
@@ -4933,11 +4951,7 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boilerplate line on every doc + pure-boilerplate pages at
     # line_mod/line_rem, so the line stage scrubs cross-document
     # boilerplate AND drops emptied docs in composition
-    deco = F.when(
-        F.col("doc_id") % p["line_mod"] == p["line_rem"],
-        F.lit(p["boiler1"] + "\n" + p["boiler2"]),
-    ).otherwise(F.concat(F.col("text"), F.lit("\n" + p["boiler1"])))
-    docs2 = docs.withColumn("text", deco).join(
+    docs2 = docs.withColumn("text", _line_deco_col()).join(
         tables["embeddings"].select(
             F.col("vec_id").alias("doc_id"), "embedding"
         ),
@@ -5062,6 +5076,151 @@ def _dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id", "cluster_id", "lang", "source", "n_chars")
 
 
+def _incremental_curate_line_ctes(
+    threshold: float,
+    mod: int = 7,
+    min_quality: float = 0.25,
+    ngram_n: int = 3,
+    min_overlap: int = 2,
+) -> str:
+    """CTE block replaying curate_corpus_append WITH the duplicate-
+    LINE census stage ON (r15 — the r10 'curate_ss' pattern applied to
+    the round-14 stage): the corpus is DECORATED identically in both
+    engines (_line_deco_sql — trailing boilerplate + pure-boilerplate
+    pages), the two arrival batches are a RANGE split on doc_id (ids
+    increase across batches, so the incremental keep-FIRST-IN-TIME
+    census equals the one-shot keep_first (doc, pos) argmin — the
+    contract streaming/line_dedup.py proves), the scrub replays as the
+    already-verified one-shot line oracle over the quality-gated
+    corpus, and the sequential two-batch dedup + decontamination run
+    over the SCRUBBED text exactly as the funnel does. ln_scrub
+    carries md5(clean_text), so the gate value-verifies every line
+    decision and the rebuilt text through the census state
+    maintenance, fragment shard write, and compaction."""
+    from cod_stats_spark.operators.line_dedup import line_dedup_oracle_sql
+
+    p = _FUNNEL2
+    sh = _SHINGLES_SQL.format(src="ln_scrubdocs")
+    prune = (
+        "least(len(a.s), len(b.s))::DOUBLE / greatest(len(a.s), len(b.s))"
+        f" >= {threshold} - 1e-6"
+    )
+    jac = (
+        "round(len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s)"
+        f" - len(list_intersect(a.s, b.s))), 6) >= {threshold}"
+    )
+    ld = line_dedup_oracle_sql(
+        "ln_gated", sep=p["line_sep"], min_chars=p["line_min_chars"],
+        keep_first=True,
+    )
+
+    def grams(rel: str, text: str) -> str:
+        return f"""
+    SELECT doc_id, unnest(s) AS ngram
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(
+                         generate_series(0, greatest(len(tk)-{ngram_n}, 0)),
+                         i -> array_to_string(tk[i+1:i+{ngram_n}], ' ')))
+             END AS s
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower({text}), '\\s+', ' ', 'g')), ' '),
+                           t -> t <> '') AS tk
+        FROM {rel}
+      )
+    )"""
+
+    return f"""
+ln_corpus AS (
+  SELECT d.* EXCLUDE (text), {_line_deco_sql('d')} AS text
+  FROM documents d WHERE d.doc_id % {mod} <> 0
+),
+ln_bench AS (
+  SELECT d.* EXCLUDE (text), {_line_deco_sql('d')} AS text
+  FROM documents d WHERE d.doc_id % {mod} = 0
+),
+ln_qual AS (
+{_funnel_quality_sql('ln_corpus')}
+),
+ln_gated AS (
+  SELECT c.* FROM ln_corpus c JOIN ln_qual q USING (doc_id)
+  WHERE q.quality >= {min_quality}
+),
+ln_ld AS ({ld}),
+ln_scrubdocs AS (
+  SELECT g.* EXCLUDE (text), l.clean_text AS text
+  FROM ln_gated g JOIN ln_ld l USING (doc_id)
+  WHERE length(l.clean_text) > 0
+),
+ln_sh AS ({sh}),
+ln_fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM ln_scrubdocs
+),
+ln_b1e AS (
+  SELECT min(doc_id) AS doc_id FROM ln_fp
+  WHERE doc_id * 2 <= (SELECT mx FROM r_mx) GROUP BY fp
+),
+ln_p1 AS (
+  SELECT b.doc_id AS id_b
+  FROM ln_sh a JOIN ln_sh b ON a.doc_id < b.doc_id
+  JOIN ln_b1e ka ON ka.doc_id = a.doc_id
+  JOIN ln_b1e kb ON kb.doc_id = b.doc_id
+  WHERE {prune} AND {jac}
+),
+ln_s1 AS (
+  SELECT doc_id FROM ln_b1e WHERE doc_id NOT IN (SELECT id_b FROM ln_p1)
+),
+ln_b2e AS (
+  SELECT min(doc_id) AS doc_id FROM ln_fp
+  WHERE doc_id * 2 > (SELECT mx FROM r_mx) GROUP BY fp
+),
+ln_e2 AS (
+  SELECT b.doc_id FROM ln_b2e b JOIN ln_fp f USING (doc_id)
+  WHERE f.fp NOT IN (SELECT f1.fp FROM ln_s1 JOIN ln_fp f1 USING (doc_id))
+),
+ln_p2 AS (
+  SELECT b.doc_id AS id_b
+  FROM ln_sh a JOIN ln_sh b ON a.doc_id < b.doc_id
+  JOIN ln_e2 ka ON ka.doc_id = a.doc_id
+  JOIN ln_e2 kb ON kb.doc_id = b.doc_id
+  WHERE {prune} AND {jac}
+),
+ln_n2 AS (
+  SELECT doc_id FROM ln_e2 WHERE doc_id NOT IN (SELECT id_b FROM ln_p2)
+),
+ln_px AS (
+  SELECT b.doc_id AS id_b
+  FROM ln_sh a JOIN ln_sh b ON true
+  JOIN ln_s1 ON ln_s1.doc_id = a.doc_id
+  JOIN ln_n2 ON ln_n2.doc_id = b.doc_id
+  WHERE {prune} AND {jac}
+),
+ln_kept AS (
+  SELECT doc_id FROM ln_s1
+  UNION ALL
+  SELECT doc_id FROM ln_n2 WHERE doc_id NOT IN (SELECT id_b FROM ln_px)
+),
+ln_keptdocs AS (
+  SELECT s.* FROM ln_scrubdocs s JOIN ln_kept USING (doc_id)
+),
+ln_cg AS ({grams('ln_keptdocs', 'text')}),
+ln_bg AS ({grams('ln_bench', 'text')}),
+ln_contam AS (
+  SELECT doc_id
+  FROM ln_cg
+  WHERE ngram IN (SELECT DISTINCT ngram FROM ln_bg)
+  GROUP BY doc_id
+  HAVING count(*) >= {min_overlap}
+),
+ln_scrub AS (
+  SELECT doc_id, md5(text) AS fp FROM ln_keptdocs
+)"""
+
+
 def _incremental_dedup_oracle_sql(threshold: float = 0.7) -> str:
     """Sequential replay of the streaming incremental dedup in SQL.
 
@@ -5126,7 +5285,8 @@ kept AS (
   SELECT doc_id FROM n2 WHERE doc_id NOT IN (SELECT id_b FROM px)
 ),
 {_incremental_curate_ctes(threshold)},
-{_incremental_curate_ss_ctes(threshold)}
+{_incremental_curate_ss_ctes(threshold)},
+{_incremental_curate_line_ctes(threshold)}
 SELECT 'dedup' AS tag, d.doc_id,
        CASE WHEN d.doc_id % 2 = 1 THEN 1 ELSE 2 END::INT AS arrival_batch,
        d.lang, d.source, d.n_chars, NULL::VARCHAR AS fp
@@ -5144,6 +5304,13 @@ SELECT 'curate_ss' AS tag, d.doc_id,
        d.lang, d.source, d.n_chars, s.fp
 FROM documents d JOIN r_scrub s USING (doc_id)
 WHERE d.doc_id NOT IN (SELECT doc_id FROM r_contam)
+UNION ALL
+SELECT 'curate_line' AS tag, d.doc_id,
+       CASE WHEN d.doc_id * 2 <= (SELECT mx FROM r_mx)
+            THEN 1 ELSE 2 END::INT AS arrival_batch,
+       d.lang, d.source, d.n_chars, s.fp
+FROM documents d JOIN ln_scrub s USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM ln_contam)
 """
 
 
@@ -5396,7 +5563,14 @@ r_contam AS (
         "sequentially in SQL. r10: + 'curate_ss' rows — the same funnel "
         "with the ExactSubstr census stage ON (streaming/substring.py "
         "under the funnel's state_dir) on a range split, fp = md5 of the "
-        "scrubbed shard text, every span boundary replayed in SQL)"
+        "scrubbed shard text, every span boundary replayed in SQL. "
+        "r15: + 'curate_line' rows — the same funnel with the duplicate-"
+        "LINE census stage ON (streaming/line_dedup.py under the "
+        "funnel's state_dir) over the _line_deco corpus on the same "
+        "range split (keep-first-in-time == one-shot keep_first), fp = "
+        "md5 of the line-scrubbed shard text, every line decision and "
+        "the rebuilt text replayed in SQL through census state "
+        "maintenance, fragment write, and compaction)"
     ),
     oracle=_incremental_dedup_oracle_sql(),
 )
@@ -5561,9 +5735,66 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+        # r15 'curate_line' rows: the same funnel with the duplicate-
+        # LINE census stage ON (streaming/line_dedup.py under the
+        # funnel's state_dir), driven on the SAME range split so the
+        # keep-first-in-time census coincides with the one-shot
+        # keep_first argmin the oracle replays; the corpus is
+        # decorated via _line_deco_col (the funnel2 decoration — the
+        # testdata docs carry no newlines); fp = md5 of the scrubbed
+        # text read back from the compacted shard tree — one hash
+        # value-verifies every line decision and the rebuilt text
+        # through census state maintenance, fragment write, and
+        # compaction.
+        p = _FUNNEL2
+        deco_docs = docs.withColumn("text", _line_deco_col())
+        ln_corpus = deco_docs.filter(F.col("doc_id") % 7 != 0)
+        ln_bench = deco_docs.filter(F.col("doc_id") % 7 == 0)
+        state_ln = os.path.join(tmp, "curate_line_state")
+        for batch_id, pred in (
+            (1, F.col("doc_id") * 2 <= mx),
+            (2, F.col("doc_id") * 2 > mx),
+        ):
+            curate_corpus_append(
+                spark,
+                ln_corpus.filter(pred),
+                ln_bench,
+                state_ln,
+                batch_id=batch_id,
+                min_quality=0.25,
+                jaccard_threshold=0.7,
+                num_hashes=32,
+                bands=16,
+                decontam_ngram_n=3,
+                decontam_min_overlap=2,
+                token_budget=2048,
+                salt="curate",
+                line_sep=p["line_sep"],
+                line_min_chars=p["line_min_chars"],
+            )
+            compacted_ln = compact_curated_shards(spark, state_ln)
+        curate_line_rows = (
+            compacted_ln.select("doc_id", F.md5(F.col("text")).alias("fp"))
+            .join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+            .select(
+                F.lit("curate_line").alias("tag"),
+                "doc_id",
+                arrival_ss,
+                "lang",
+                "source",
+                "n_chars",
+                "fp",
+            )
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return dedup_rows.unionByName(curate_rows).unionByName(curate_ss_rows)
+    return (
+        dedup_rows.unionByName(curate_rows)
+        .unionByName(curate_ss_rows)
+        .unionByName(curate_line_rows)
+    )
 
 
 def _decontaminate_oracle_sql(mod: int, ngram_n: int, min_overlap: int) -> str:

@@ -441,6 +441,83 @@ def trigram_lm_fit(
     )
 
 
+def ngram_lm_fit(
+    docs: DataFrame,
+    n: int,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(w1..wn, cnt) — adjacent-token n-gram counts for any order
+    n ≥ 1: the bigram/trigram fits generalized (one explode + one
+    shuffle on the tuple; the Zipf head collapses map-side). Merge
+    incrementally by summing cnt. ``n=1`` yields (w1, cnt) — the
+    unigram model under the generic column convention (the KN family
+    accepts either ``token`` or ``w1`` for order 1)."""
+    n = int(n)
+    if n < 1:
+        raise ValueError("ngram_lm_fit: n must be >= 1")
+    tk = _tokens(text_col, lowercase)
+    src = docs.select(tk.alias("_tk"))
+    # the n-gram ENDING at 0-based position i: words at 1-based
+    # indices i-n+2 .. i+1, defined only when i >= n-1 (no padding —
+    # the bigram/trigram convention); w1 is the strictest guard, so
+    # filtering on it drops every short-prefix position
+    fields = ", ".join(
+        f"if(i > {n - 2 - j}, element_at(_tk, i - {n - 2 - j}), null)"
+        f" as w{j + 1}"
+        for j in range(n)
+    )
+    grams = F.expr(
+        f"filter(transform(_tk, (w, i) -> struct({fields})),"
+        " g -> g.w1 is not null)"
+    )
+    return (
+        src.select(F.explode(grams).alias("g"))
+        .select(*[f"g.w{j + 1}" for j in range(n)])
+        .groupBy(*[f"w{j + 1}" for j in range(n)])
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _uni_as_w1(uni_model: DataFrame) -> DataFrame:
+    """Normalize the order-1 table's word column to ``w1``
+    (:func:`unigram_lm_fit` emits ``token``; :func:`ngram_lm_fit`
+    emits ``w1``) so the generic KN code paths see one convention."""
+    if "token" in uni_model.columns and "w1" not in uni_model.columns:
+        return uni_model.withColumnRenamed("token", "w1")
+    return uni_model
+
+
+def _validate_kn_models(models, caller: str) -> list[DataFrame]:
+    """Entry checks shared by the generic KN family: orders 1..K with
+    2 <= K <= :data:`_ARPA_MAX_ORDER`, each table carrying its w1..wk
+    key columns plus cnt. Returns the models with order 1 normalized
+    to the ``w1`` convention."""
+    models = list(models)
+    K = len(models)
+    if K < 2:
+        raise ValueError(
+            f"{caller}: need count tables for orders 1..K with K >= 2 "
+            f"(got {K})"
+        )
+    if K > _ARPA_MAX_ORDER:
+        raise ValueError(
+            f"{caller}: order {K} exceeds the supported order "
+            f"{_ARPA_MAX_ORDER} — fit and pass at most "
+            f"{_ARPA_MAX_ORDER} tables"
+        )
+    models[0] = _uni_as_w1(models[0])
+    for k, df in enumerate(models, start=1):
+        want = {f"w{i}" for i in range(1, k + 1)} | {"cnt"}
+        have = set(df.columns)
+        if not want <= have:
+            raise ValueError(
+                f"{caller}: order-{k} table is missing columns "
+                f"{sorted(want - have)} (has {sorted(have)})"
+            )
+    return models
+
+
 def kn_lm_score(
     docs: DataFrame,
     uni_model: DataFrame,
@@ -693,18 +770,249 @@ def kn_lm_score(
     )
 
 
+def kn_ngram_score(
+    docs: DataFrame,
+    models,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    discount: float = 0.75,
+    alpha: float = 1.0,
+    lowercase: bool = True,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document mean NLL under an interpolated Kneser-Ney model of
+    ANY order 2..5 — :func:`kn_lm_score` with the hardwired trigram
+    recursion generalized (Chen & Goodman 1999 §3: the layer recursion
+    is uniform), so the engine FITS the same 5-gram model family
+    :func:`arpa_lm_score` consumes (the CCNet/KenLM posture — Wenzek
+    et al. 2020 filter on 5-gram KenLM scores): (id..., kn_tokens,
+    kn_nll).
+
+    ``models`` is the list of raw count tables for orders 1..K
+    (:func:`ngram_lm_fit`; order 1 may use the ``token`` column from
+    :func:`unigram_lm_fit`). Layers, each backing off into the next
+    on an unseen context — exactly the kn_lm_score formulas at every
+    order, and bit-identical to it at K=3 (parity-tested):
+
+    - P₁(w)       = (N₁₊(·w) + α) / (N₁₊(··) + α·V) — continuation
+      unigram with the add-α OOV floor.
+    - P_k(w|ctx)  for 1 < k < K: continuation statistics from the
+      order-(k+1) table — max(N₁₊(·ctx w) − D, 0)/N₁₊(·ctx ·)
+      + D·N₁₊(ctx·)/N₁₊(·ctx ·) · P_{k-1}(w|ctx′), where N₁₊(ctx·)
+      counts the CONTINUATION support (distinct w with
+      N₁₊(·ctx w) > 0 — the r13 document-initial fix, applied at
+      every middle layer).
+    - P_K(w|ctx)  = max(c(ctx·w) − D, 0)/c(ctx)
+      + D·N₁₊(ctx·)/c(ctx) · P_{K-1}(w|ctx′) — raw counts at the
+      top, denominators from the order-(K−1) table.
+
+    Position i (0-based) scores layer min(K, i+1) — the no-padding
+    convention. Zero-token documents score (0, 0.0). All
+    probabilities are exact integer ratios in double arithmetic
+    (:func:`kn_ngram_oracle_sql` replays everything; gates round the
+    mean to 6 dp for the ln ulp).
+
+    Plan shape: pos explode + (2K−1) model-relation left joins —
+    broadcast by default with the :data:`_KN_BROADCAST_ROW_CAP` guard
+    counted on the top-order table (the largest relation);
+    ``broadcast_model=False`` leaves them shuffled + AQE (the 100 TB
+    posture). The top table and each middle layer's continuation
+    table persist for the returned plan's lifetime (each feeds 3
+    derived relations — the kn_lm_score cont-persist contract); the
+    guard count doubles as the top table's cache-populating action."""
+    if not (0.0 < float(discount) < 1.0):
+        raise ValueError("kn_ngram_score: discount must be in (0, 1)")
+    if alpha <= 0:
+        raise ValueError("kn_ngram_score: alpha must be > 0")
+    models = _validate_kn_models(models, "kn_ngram_score")
+    K = len(models)
+    id_cols = id_cols or ["doc_id"]
+    hint = F.broadcast if broadcast_model else (lambda df: df)
+    d = float(discount)
+
+    from pyspark.storagelevel import StorageLevel
+
+    top = models[K - 1].persist(StorageLevel.MEMORY_AND_DISK)
+    if broadcast_model:
+        n_top = top.count()
+        if n_top > _KN_BROADCAST_ROW_CAP:
+            top.unpersist()
+            raise ValueError(
+                f"kn_ngram_score: order-{K} model has {n_top:,} rows — "
+                f"past the broadcast cap ({_KN_BROADCAST_ROW_CAP:,}); "
+                "pass broadcast_model=False (shuffled joins, identical "
+                "output) for models this size"
+            )
+
+    v_size = float(models[0].agg(F.count(F.lit(1))).first()[0] or 0)
+    cont = models[1].groupBy("w2").agg(
+        F.count(F.lit(1)).alias("_n1w")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_cc = float(cont.agg(F.sum("_n1w")).first()[0] or 0)
+    denom1 = n_cc + alpha * v_size
+    if denom1 <= 0:
+        raise ValueError("kn_ngram_score: empty model")
+    floor1 = alpha / denom1
+    rel_p1 = hint(
+        cont.select(
+            F.col("w2").alias("_p1w"),
+            ((F.col("_n1w") + F.lit(alpha)) / F.lit(denom1)).alias("_p1"),
+        )
+    )
+
+    # middle layers k = 2..K-1: continuation statistics from the
+    # order-(k+1) table — nv keyed (v1..v_{k-1}, w) with v1 the
+    # FURTHEST context word (matching the w2..w_{k+1} suffix of the
+    # source table); each nv persists (it feeds the per-context sum,
+    # the continuation-support fanout, and the main-term relation)
+    rel_mid, rel_midlam, nv_cache = {}, {}, []
+    for k in range(2, K):
+        src_t = models[k]  # order k+1
+        nv = src_t.groupBy(
+            *[f"w{i}" for i in range(2, k + 2)]
+        ).agg(F.count(F.lit(1)).alias("_nvw"))
+        for i in range(2, k + 1):
+            nv = nv.withColumnRenamed(f"w{i}", f"v{i - 1}")
+        nv = nv.withColumnRenamed(f"w{k + 1}", "w").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        nv_cache.append(nv)
+        ctx = [f"v{i}" for i in range(1, k)]
+        nvd = nv.groupBy(*ctx).agg(F.sum("_nvw").alias("_nvd"))
+        fv = nv.groupBy(*ctx).agg(F.count(F.lit(1)).alias("_fv"))
+        rel_mid[k] = hint(
+            nv.join(nvd, ctx).select(
+                *[F.col(f"v{i}").alias(f"_m{k}v{i}") for i in range(1, k)],
+                F.col("w").alias(f"_m{k}w"),
+                (
+                    F.greatest(F.col("_nvw") - F.lit(d), F.lit(0.0))
+                    / F.col("_nvd")
+                ).alias(f"_mmain{k}"),
+            )
+        )
+        rel_midlam[k] = hint(
+            nvd.join(fv, ctx).select(
+                *[F.col(f"v{i}").alias(f"_l{k}v{i}") for i in range(1, k)],
+                (F.lit(d) * F.col("_fv") / F.col("_nvd")).alias(f"_mlam{k}"),
+            )
+        )
+
+    # top layer: raw counts, denominators from the order-(K-1) table
+    topctx = [f"w{i}" for i in range(1, K)]
+    c_low = models[K - 2].select(
+        *topctx, F.col("cnt").alias("_clow")
+    )
+    rel_top = hint(
+        top.join(c_low, topctx).select(
+            *[F.col(f"w{i}").alias(f"_t{K}v{i}") for i in range(1, K)],
+            F.col(f"w{K}").alias(f"_t{K}w"),
+            (
+                F.greatest(F.col("cnt") - F.lit(d), F.lit(0.0))
+                / F.col("_clow")
+            ).alias("_tmain"),
+        )
+    )
+    fuv = top.groupBy(*topctx).agg(F.count(F.lit(1)).alias("_fuv"))
+    rel_toplam = hint(
+        fuv.join(c_low, topctx).select(
+            *[F.col(f"w{i}").alias(f"_g{K}v{i}") for i in range(1, K)],
+            (F.lit(d) * F.col("_fuv") / F.col("_clow")).alias("_tlam"),
+        )
+    )
+
+    # position frame: target _w + contexts _c1.._c{K-1} (_cj = j back)
+    tk = _tokens(text_col, lowercase)
+    fields = ["w as w"] + [
+        f"if(i > {j - 1}, element_at(_tk, i - {j - 1}), null) as c{j}"
+        for j in range(1, K)
+    ]
+    ent = F.expr("transform(_tk, (w, i) -> struct(" + ", ".join(fields) + "))")
+    joined = (
+        docs.select(*id_cols, tk.alias("_tk"))
+        .select(*id_cols, F.explode(ent).alias("_e"))
+        .select(
+            *id_cols,
+            F.col("_e.w").alias("_w"),
+            *[F.col(f"_e.c{j}").alias(f"_c{j}") for j in range(1, K)],
+        )
+    )
+    joined = joined.join(rel_p1, joined["_w"] == F.col("_p1w"), "left").drop(
+        "_p1w"
+    )
+    # layer-k context word v_i is the (k-i)-back position column
+    for k in range(2, K):
+        cond = F.col("_w") == F.col(f"_m{k}w")
+        for i in range(1, k):
+            cond = cond & (F.col(f"_c{k - i}") == F.col(f"_m{k}v{i}"))
+        joined = joined.join(rel_mid[k], cond, "left").drop(
+            f"_m{k}w", *[f"_m{k}v{i}" for i in range(1, k)]
+        )
+        lcond = F.col(f"_c{k - 1}") == F.col(f"_l{k}v1")
+        for i in range(2, k):
+            lcond = lcond & (F.col(f"_c{k - i}") == F.col(f"_l{k}v{i}"))
+        joined = joined.join(rel_midlam[k], lcond, "left").drop(
+            *[f"_l{k}v{i}" for i in range(1, k)]
+        )
+    tcond = F.col("_w") == F.col(f"_t{K}w")
+    for i in range(1, K):
+        tcond = tcond & (F.col(f"_c{K - i}") == F.col(f"_t{K}v{i}"))
+    joined = joined.join(rel_top, tcond, "left").drop(
+        f"_t{K}w", *[f"_t{K}v{i}" for i in range(1, K)]
+    )
+    gcond = F.col(f"_c{K - 1}") == F.col(f"_g{K}v1")
+    for i in range(2, K):
+        gcond = gcond & (F.col(f"_c{K - i}") == F.col(f"_g{K}v{i}"))
+    joined = joined.join(rel_toplam, gcond, "left").drop(
+        *[f"_g{K}v{i}" for i in range(1, K)]
+    )
+
+    ps = [F.coalesce(F.col("_p1"), F.lit(floor1))]
+    for k in range(2, K):
+        ps.append(
+            F.when(
+                F.col(f"_mlam{k}").isNotNull(),
+                F.coalesce(F.col(f"_mmain{k}"), F.lit(0.0))
+                + F.col(f"_mlam{k}") * ps[-1],
+            ).otherwise(ps[-1])
+        )
+    ps.append(
+        F.when(
+            F.col("_tlam").isNotNull(),
+            F.coalesce(F.col("_tmain"), F.lit(0.0))
+            + F.col("_tlam") * ps[-1],
+        ).otherwise(ps[-1])
+    )
+    prob = F.when(F.col("_c1").isNull(), ps[0])
+    for j in range(2, K):
+        prob = prob.when(F.col(f"_c{j}").isNull(), ps[j - 1])
+    prob = prob.otherwise(ps[K - 1])
+    per_doc = joined.groupBy(*id_cols).agg(
+        F.count(F.lit(1)).alias("kn_tokens"),
+        (-F.sum(F.log(prob)) / F.count(F.lit(1))).alias("kn_nll"),
+    )
+    return (
+        docs.select(*id_cols)
+        .join(per_doc, id_cols, "left")
+        .select(
+            *id_cols,
+            F.coalesce(F.col("kn_tokens"), F.lit(0)).alias("kn_tokens"),
+            F.coalesce(F.col("kn_nll"), F.lit(0.0)).alias("kn_nll"),
+        )
+    )
+
+
 def kn_to_arpa(
-    uni_model: DataFrame,
-    bi_model: DataFrame,
-    tri_model: DataFrame,
+    *models: DataFrame,
     discount: float = 0.75,
     alpha: float = 1.0,
 ) -> "ArpaModel":
-    """Convert the interpolated-KN trigram model (the
-    :func:`kn_lm_score` statistics) into a standard BACKOFF
-    :class:`ArpaModel` — the SRILM ``ngram -write-lm`` workflow: fit
-    the filter LM on the cluster, :func:`write_arpa` the artifact, and
-    any external KenLM/SRILM consumer loads it.
+    """Convert an interpolated-KN model of ANY order 2..5 (the
+    :func:`kn_ngram_score` statistics; orders 1..K count tables as
+    positional args — ``kn_to_arpa(uni, bi, tri)`` is the historical
+    trigram call) into a standard BACKOFF :class:`ArpaModel` — the
+    SRILM ``ngram -write-lm`` workflow: fit the filter LM on the
+    cluster, :func:`write_arpa` the artifact, and any external
+    KenLM/SRILM consumer loads it.
 
     The conversion is EXACT, not approximate: an interpolated model
     P(w|ctx) = main(ctx,w) + λ(ctx)·P(w|ctx′) is a backoff model
@@ -712,37 +1020,45 @@ def kn_to_arpa(
     whose backoff weights are b(ctx) = log₁₀ λ(ctx) — an unlisted
     (ctx,w) then scores 10^b·P(w|ctx′) = λ·P(w|ctx′), exactly the
     interpolated value (Chen & Goodman 1999 §2: interpolated models
-    are expressible in backoff form). Listings:
+    are expressible in backoff form). Listings, per order k:
 
     - 1-grams: the WHOLE vocabulary (continuation-floored P₁ — words
       never seen as a continuation get the α floor), backoff
-      b(v) = log₁₀ λ₂(v) for contexts with trigram statistics (absent
-      = 0: such contexts back off wholesale, the kn_lm_score branch);
-      plus ``<unk>`` at the α floor, so the export carries KN's OOV
-      convention in the format's own mechanism.
-    - 2-grams: the continuation support N₁₊(·vw) > 0 UNION every
-      trigram context (u,v) (the format requires a context's own
-      entry to host its backoff weight), each with the interpolated
-      P₂; backoff b(u,v) = log₁₀ λ₃(u,v) on trigram contexts.
-    - 3-grams: the seen-trigram support with interpolated P₃.
+      b(v) = log₁₀ λ₂(v) where layer 2 has statistics through v
+      (absent = 0: such contexts back off wholesale); plus ``<unk>``
+      at the α floor, so the export carries KN's OOV convention in
+      the format's own mechanism.
+    - k-grams (1 < k < K): the continuation support N₁₊(·ctx w) > 0
+      UNION every layer-(k+1) backoff context (the format requires a
+      context's own entry to host its backoff weight), each with the
+      interpolated P_k; backoff b = log₁₀ λ_{k+1} where present.
+    - K-grams: the seen top-order support with interpolated P_K.
 
-    ``arpa_lm_score(docs, kn_to_arpa(u, b, t))`` equals
-    ``kn_lm_score(docs, u, b, t)`` on EVERY document — seen and
+    ``arpa_lm_score(docs, kn_to_arpa(*models))`` equals
+    ``kn_ngram_score(docs, models)`` on EVERY document — seen and
     unseen n-grams, OOV words and contexts, early positions — up to
-    the log₁₀·ln 10 ulp (parity-tested; the formulas are re-derived
-    here over the model SUPPORT instead of document positions, and
-    that test is the no-divergence pin). All derivations are bounded
-    model-support aggregations; driver state is the three totals plus
-    the per-order counts. The models must come from the same corpus
-    fit (a trigram context must be an observed bigram — the
-    kn_lm_score join contract)."""
+    the log₁₀·ln 10 ulp (parity-tested at orders 3 AND 5; the
+    formulas are re-derived here over the model SUPPORT instead of
+    document positions, and those tests are the no-divergence pin).
+    All derivations are bounded model-support aggregations; driver
+    state is the totals plus the per-order counts.
+
+    The models must come from the same corpus fit — and that contract
+    is now PROBED at entry instead of trusted (r15 advice: the old
+    inner joins silently dropped orphan trigram contexts): every
+    k-gram's prefix and suffix (k−1)-gram must be an observed
+    (k−1)-gram, checked with bounded anti-join probes that raise
+    loudly on the first orphan. The probes double as the
+    cache-populating pass over the persisted inputs."""
     if not (0.0 < float(discount) < 1.0):
         raise ValueError("kn_to_arpa: discount must be in (0, 1)")
     if alpha <= 0:
         raise ValueError("kn_to_arpa: alpha must be > 0")
+    models = _validate_kn_models(models, "kn_to_arpa")
+    K = len(models)
     d = float(discount)
-    spark = uni_model.sparkSession
-    if uni_model.filter(F.col("token") == "<unk>").limit(1).collect():
+    spark = models[0].sparkSession
+    if models[0].filter(F.col("w1") == "<unk>").limit(1).collect():
         raise ValueError(
             "kn_to_arpa: the corpus vocabulary contains the literal "
             "'<unk>' — it would collide with the export's OOV entry"
@@ -750,42 +1066,93 @@ def kn_to_arpa(
 
     from pyspark.storagelevel import StorageLevel
 
-    # layer statistics — the kn_lm_score formulas over the model
-    # support (parity with the scorer is pinned by test, see
-    # docstring). The shared intermediates are persisted: cont feeds
-    # the n_cc total plus every gram table, n1_vw feeds four derived
-    # relations, and p2_tbl sits in BOTH the bigram and trigram
-    # lineages — unpersisted, the per-order counts below would re-run
-    # each chain 2–4× (r15 second review; the kn_lm_score cont-persist
-    # convention). Released after the gram tables materialize.
-    cont = bi_model.groupBy("w2").agg(
+    # every input feeds 2+ lineages below (stats, entry unions, raw
+    # denominators) — persist them all; the contract probes and the
+    # vocab count are the cache-populating actions
+    for m in models:
+        m.persist(StorageLevel.MEMORY_AND_DISK)
+    # same-fit contract (r15 advice): for every order k, each k-gram's
+    # prefix AND suffix (k-1)-gram must be an observed (k-1)-gram —
+    # the raw-count denominators join on prefixes and the lower-order
+    # probability lookups join on suffixes, and an orphan would be
+    # silently dropped by those inner joins (counts are taken
+    # post-join, so nothing else would raise)
+    for k in range(2, K + 1):
+        lower = models[k - 2].select(*[f"w{i}" for i in range(1, k)])
+        for which, cols in (
+            ("prefix", [f"w{i}" for i in range(1, k)]),
+            ("suffix", [f"w{i}" for i in range(2, k + 1)]),
+        ):
+            orphan = (
+                models[k - 1]
+                .select(
+                    *[
+                        F.col(c).alias(f"w{i + 1}")
+                        for i, c in enumerate(cols)
+                    ]
+                )
+                .join(lower, [f"w{i}" for i in range(1, k)], "left_anti")
+                .limit(1)
+                .collect()
+            )
+            if orphan:
+                raise ValueError(
+                    f"kn_to_arpa: the order-{k} model carries the "
+                    f"{which} (k-1)-gram {tuple(orphan[0])!r} absent "
+                    f"from the order-{k - 1} model — the tables must "
+                    "come from the same corpus fit"
+                )
+
+    # ---- layer statistics (the kn_ngram_score formulas over the
+    # model support; parity with the scorer is pinned by test) ----
+    cont = models[1].groupBy("w2").agg(
         F.count(F.lit(1)).alias("_n1w")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_cc = float(cont.agg(F.sum("_n1w")).first()[0] or 0)
-    v_size = float(uni_model.count())
+    v_size = float(models[0].count())
     denom1 = n_cc + alpha * v_size
     if denom1 <= 0:
         raise ValueError("kn_to_arpa: empty model")
     floor1 = alpha / denom1
 
-    n1_vw = tri_model.groupBy("w2", "w3").agg(
-        F.count(F.lit(1)).alias("_nvw")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    n1_vdot = n1_vw.groupBy("w2").agg(F.sum("_nvw").alias("_nvd"))
-    fanout_v = n1_vw.groupBy("w2").agg(F.count(F.lit(1)).alias("_fv"))
-    lam2 = n1_vdot.join(fanout_v, "w2").select(
-        F.col("w2").alias("_lv"),
-        (F.lit(d) * F.col("_fv") / F.col("_nvd")).alias("_lam2"),
+    # middle layers k = 2..K-1: continuation statistics from the
+    # order-(k+1) table, keyed (v1..v_{k-1}, w), v1 the furthest
+    nv, nvd, lam = {}, {}, {}
+    for k in range(2, K):
+        nvk = models[k].groupBy(
+            *[f"w{i}" for i in range(2, k + 2)]
+        ).agg(F.count(F.lit(1)).alias("_nvw"))
+        for i in range(2, k + 1):
+            nvk = nvk.withColumnRenamed(f"w{i}", f"v{i - 1}")
+        nv[k] = nvk.withColumnRenamed(f"w{k + 1}", "w").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        ctx = [f"v{i}" for i in range(1, k)]
+        nvd[k] = nv[k].groupBy(*ctx).agg(F.sum("_nvw").alias("_nvd"))
+        fvk = nv[k].groupBy(*ctx).agg(F.count(F.lit(1)).alias("_fv"))
+        lam[k] = nvd[k].join(fvk, ctx).select(
+            *ctx, (F.lit(d) * F.col("_fv") / F.col("_nvd")).alias(f"_lam{k}")
+        )
+
+    # top layer: raw counts with order-(K-1) denominators
+    topctx = [f"w{i}" for i in range(1, K)]
+    c_low = models[K - 2].select(*topctx, F.col("cnt").alias("_clow"))
+    fuv = models[K - 1].groupBy(*topctx).agg(
+        F.count(F.lit(1)).alias("_fuv")
+    )
+    lam[K] = fuv.join(c_low, topctx).select(
+        *[F.col(f"w{i}").alias(f"v{i}") for i in range(1, K)],
+        (F.lit(d) * F.col("_fuv") / F.col("_clow")).alias(f"_lam{K}"),
     )
 
-    # 1-grams: whole vocabulary + <unk>
+    # ---- 1-grams: whole vocabulary + <unk> ----
     p1_expr = (F.coalesce(F.col("_n1w"), F.lit(0.0)) + F.lit(alpha)) / F.lit(
         denom1
     )
     uni_grams = (
-        uni_model.select(F.col("token").alias("w1"))
+        models[0].select("w1")
         .join(cont.withColumnRenamed("w2", "w1"), "w1", "left")
-        .join(lam2.withColumnRenamed("_lv", "w1"), "w1", "left")
+        .join(lam[2].withColumnRenamed("v1", "w1"), "w1", "left")
         .select(
             "w1",
             F.log10(p1_expr).alias("log10p"),
@@ -799,116 +1166,122 @@ def kn_to_arpa(
         )
     )
 
-    # 2-grams: continuation support ∪ trigram contexts, interpolated P2
-    pairs = (
-        n1_vw.select(F.col("w2").alias("_v"), F.col("w3").alias("_w"))
-        .unionByName(
-            tri_model.select(
-                F.col("w1").alias("_v"), F.col("w2").alias("_w")
-            )
-        )
-        .distinct()
-    )
+    # ---- middle-order entry tables, bottom-up: support ∪ hosted
+    # backoff contexts, with interpolated P_k; each persists (it
+    # feeds BOTH its own gram output and the next layer's suffix
+    # lookup — the r15 p2_tbl convention) ----
     p1_of_w = cont.select(
-        F.col("w2").alias("_w"),
-        ((F.col("_n1w") + F.lit(alpha)) / F.lit(denom1)).alias("_p1w"),
+        F.col("w2").alias("w"),
+        ((F.col("_n1w") + F.lit(alpha)) / F.lit(denom1)).alias("_plow"),
     )
-    lam3 = (
-        tri_model.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("_fuv"))
-        .join(
-            bi_model.select(
-                F.col("w1"), F.col("w2"), F.col("cnt").alias("_cuv")
-            ),
-            ["w1", "w2"],
+    p_tbl = {}
+    for k in range(2, K):
+        ctx = [f"v{i}" for i in range(1, k)]
+        if k < K - 1:
+            hosts = nv[k + 1].select(
+                *[F.col(f"v{i}") for i in range(1, k)],
+                F.col(f"v{k}").alias("w"),
+            )
+        else:
+            hosts = models[K - 1].select(
+                *[F.col(f"w{i}").alias(f"v{i}") for i in range(1, k)],
+                F.col(f"w{k}").alias("w"),
+            )
+        entries = nv[k].select(*ctx, "w").unionByName(hosts).distinct()
+        e = (
+            entries.join(nv[k], ctx + ["w"], "left")
+            .join(nvd[k], ctx, "left")
+            .join(lam[k].select(*ctx, f"_lam{k}"), ctx, "left")
         )
-        .select(
-            F.col("w1").alias("_v"), F.col("w2").alias("_w"),
-            (F.lit(d) * F.col("_fuv") / F.col("_cuv")).alias("_lam3"),
-        )
-    )
-    p2_tbl = (
-        pairs.join(
-            n1_vw.select(
-                F.col("w2").alias("_v"), F.col("w3").alias("_w"), "_nvw"
-            ),
-            ["_v", "_w"],
-            "left",
-        )
-        .join(n1_vdot.select(F.col("w2").alias("_v"), "_nvd"), "_v", "left")
-        .join(lam2.select(F.col("_lv").alias("_v"), "_lam2"), "_v", "left")
-        .join(p1_of_w, "_w", "left")
-        .select(
-            "_v",
-            "_w",
+        if k == 2:
+            e = e.join(p1_of_w, "w", "left")
+            pk_low = F.coalesce(F.col("_plow"), F.lit(floor1))
+        else:
+            e = e.join(
+                p_tbl[k - 1].select(
+                    *[
+                        F.col(f"v{i}").alias(f"v{i + 1}")
+                        for i in range(1, k - 1)
+                    ],
+                    "w",
+                    F.col("_p").alias("_plow"),
+                ),
+                [f"v{i}" for i in range(2, k)] + ["w"],
+            )  # inner — every entry's suffix is listed (contract-probed)
+            pk_low = F.col("_plow")
+        p_tbl[k] = e.select(
+            *ctx,
+            "w",
             F.when(
-                F.col("_lam2").isNotNull(),
+                F.col(f"_lam{k}").isNotNull(),
                 F.coalesce(
                     F.greatest(F.col("_nvw") - F.lit(d), F.lit(0.0))
                     / F.col("_nvd"),
                     F.lit(0.0),
                 )
-                + F.col("_lam2")
-                * F.coalesce(F.col("_p1w"), F.lit(floor1)),
+                + F.col(f"_lam{k}") * pk_low,
             )
-            .otherwise(F.coalesce(F.col("_p1w"), F.lit(floor1)))
-            .alias("_p2"),
+            .otherwise(pk_low)
+            .alias("_p"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    mid_grams = {}
+    for k in range(2, K):
+        ctx = [f"v{i}" for i in range(1, k)]
+        bo2 = lam[k + 1].select(
+            *[F.col(f"v{i}") for i in range(1, k)],
+            F.col(f"v{k}").alias("w"),
+            F.col(f"_lam{k + 1}").alias("_bo"),
         )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    bi_grams = p2_tbl.join(lam3, ["_v", "_w"], "left").select(
-        F.col("_v").alias("w1"),
-        F.col("_w").alias("w2"),
-        F.log10(F.col("_p2")).alias("log10p"),
-        F.log10(F.col("_lam3")).alias("backoff"),
+        mid_grams[k] = p_tbl[k].join(bo2, ctx + ["w"], "left").select(
+            *[F.col(f"v{i}").alias(f"w{i}") for i in range(1, k)],
+            F.col("w").alias(f"w{k}"),
+            F.log10(F.col("_p")).alias("log10p"),
+            F.log10(F.col("_bo")).alias("backoff"),
+        )
+
+    # ---- K-grams: seen top-order support with interpolated P_K ----
+    lamK_w = lam[K].select(
+        *[F.col(f"v{i}").alias(f"w{i}") for i in range(1, K)], f"_lam{K}"
+    )
+    e = models[K - 1].join(c_low, topctx).join(lamK_w, topctx)
+    if K == 2:
+        e = e.join(p1_of_w.withColumnRenamed("w", "w2"), "w2", "left")
+        plow = F.coalesce(F.col("_plow"), F.lit(floor1))
+    else:
+        e = e.join(
+            p_tbl[K - 1].select(
+                *[
+                    F.col(f"v{i}").alias(f"w{i + 1}")
+                    for i in range(1, K - 1)
+                ],
+                F.col("w").alias(f"w{K}"),
+                F.col("_p").alias("_plow"),
+            ),
+            [f"w{i}" for i in range(2, K + 1)],
+        )  # inner — contract-probed
+        plow = F.col("_plow")
+    top_grams = e.select(
+        *[f"w{i}" for i in range(1, K + 1)],
+        F.log10(
+            F.greatest(F.col("cnt") - F.lit(d), F.lit(0.0))
+            / F.col("_clow")
+            + F.col(f"_lam{K}") * plow
+        ).alias("log10p"),
+        F.lit(None).cast("double").alias("backoff"),
     )
 
-    # 3-grams: seen support with interpolated P3
-    c_uv = bi_model.select(
-        F.col("w1").alias("_tu"), F.col("w2").alias("_tv"),
-        F.col("cnt").alias("_cuv"),
-    )
-    tri_grams = (
-        tri_model.join(
-            c_uv,
-            (tri_model["w1"] == F.col("_tu"))
-            & (tri_model["w2"] == F.col("_tv")),
-        )
-        .join(
-            lam3.select(
-                F.col("_v").alias("_tu2"), F.col("_w").alias("_tv2"),
-                "_lam3",
-            ),
-            (tri_model["w1"] == F.col("_tu2"))
-            & (tri_model["w2"] == F.col("_tv2")),
-        )
-        .join(
-            p2_tbl.select(
-                F.col("_v").alias("_pv"), F.col("_w").alias("_pw"), "_p2"
-            ),
-            (tri_model["w2"] == F.col("_pv"))
-            & (tri_model["w3"] == F.col("_pw")),
-        )
-        .select(
-            "w1",
-            "w2",
-            "w3",
-            F.log10(
-                F.greatest(F.col("cnt") - F.lit(d), F.lit(0.0))
-                / F.col("_cuv")
-                + F.col("_lam3") * F.col("_p2")
-            ).alias("log10p"),
-            F.lit(None).cast("double").alias("backoff"),
-        )
-    )
     grams = {}
     counts = {}
-    for k, df in ((1, uni_grams), (2, bi_grams), (3, tri_grams)):
+    ordered = [(1, uni_grams)] + [(k, mid_grams[k]) for k in range(2, K)]
+    ordered.append((K, top_grams))
+    for k, df in ordered:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         counts[k] = df.count()  # the cache-populating action
         grams[k] = df
     # the gram tables are materialized above; the shared intermediates
     # only re-run if a gram cache is evicted, so release them now
-    for mid in (cont, n1_vw, p2_tbl):
+    for mid in [cont, *nv.values(), *p_tbl.values(), *models]:
         mid.unpersist()
     return ArpaModel(grams, counts)
 
@@ -1003,6 +1376,164 @@ LEFT JOIN (
   )
   SELECT doc_id, count(*) AS lm3_tokens,
          -sum(ln(prob)) / count(*) AS lm3_nll
+  FROM terms GROUP BY doc_id
+) s ON s.doc_id = d.{id_sql}
+"""
+
+
+def kn_ngram_oracle_sql(
+    src: str,
+    text_sql: str = "text",
+    id_sql: str = "doc_id",
+    order: int = 5,
+    discount: float = 0.75,
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB replica of order-K KN fit∘score over the same corpus —
+    :func:`kn_lm_oracle_sql` generalized to any order 2..5, mirroring
+    :func:`kn_ngram_score` layer by layer: identical tokens, counts,
+    continuation statistics at every middle layer, discounting, and
+    backoff — (doc_id, kn_tokens, kn_nll) unrounded. Training ==
+    scoring corpus, so every position's top-layer context is an
+    observed (K−1)-gram and its own n-gram statistics exist (the
+    order-3 oracle's argument at every order); the middle layers keep
+    their NULL-context wholesale-backoff guards (the document-initial
+    case occurs at ANY order). The Spark path's OOV branches stay
+    unit-test territory (the lm2/lm3 convention)."""
+    K = int(order)
+    if not 2 <= K <= _ARPA_MAX_ORDER:
+        raise ValueError(
+            f"kn_ngram_oracle_sql: order must be 2..{_ARPA_MAX_ORDER}"
+        )
+    dd = float(discount)
+    al = float(alpha)
+    toks = (
+        f"list_filter(string_split_regex(trim(lower({text_sql})), '\\s+'),"
+        " t -> t <> '')"
+    )
+    ctx_cols = "".join(
+        f",\n           CASE WHEN i > {j - 1} THEN tk[i + 1 - {j}] END AS c{j}"
+        for j in range(1, K)
+    )
+    # raw n-gram counts gk keyed (v1..v_{k-1}, w), v1 the furthest
+    g_ctes = []
+    for k in range(2, K + 1):
+        cols = ", ".join(
+            f"c{k - i} AS v{i}" for i in range(1, k)
+        )
+        g_ctes.append(
+            f"g{k} AS (\n    SELECT {cols}, w, count(*) AS c\n"
+            f"    FROM pr WHERE c{k - 1} IS NOT NULL GROUP BY ALL\n  )"
+        )
+    # middle-layer continuation statistics from g_{k+1}
+    mid_ctes = []
+    for k in range(2, K):
+        keep = ", ".join(f"v{i + 1} AS v{i}" for i in range(1, k))
+        ctx = ", ".join(f"v{i}" for i in range(1, k))
+        mid_ctes.append(
+            f"nv{k} AS (\n    SELECT {keep}, w, count(*) AS c\n"
+            f"    FROM g{k + 1} GROUP BY ALL\n  )"
+        )
+        mid_ctes.append(
+            f"nvd{k} AS (SELECT {ctx}, sum(c)::DOUBLE AS c"
+            f" FROM nv{k} GROUP BY ALL)"
+        )
+        mid_ctes.append(
+            f"fv{k} AS (SELECT {ctx}, count(*) AS c FROM nv{k} GROUP BY ALL)"
+        )
+    top_fuv = (
+        "fuv AS (SELECT "
+        + ", ".join(f"v{i}" for i in range(1, K))
+        + f", count(*) AS c FROM g{K} GROUP BY ALL)"
+    )
+    # per-position joins
+    joins = ["LEFT JOIN cont ON cont.w = p.w"]
+    for k in range(2, K):
+        on_full = " AND ".join(
+            [f"nv{k}.v{i} = p.c{k - i}" for i in range(1, k)]
+            + [f"nv{k}.w = p.w"]
+        )
+        joins.append(f"LEFT JOIN nv{k} ON {on_full}")
+        joins.append(
+            f"LEFT JOIN nvd{k} ON "
+            + " AND ".join(f"nvd{k}.v{i} = p.c{k - i}" for i in range(1, k))
+        )
+        joins.append(
+            f"LEFT JOIN fv{k} ON "
+            + " AND ".join(f"fv{k}.v{i} = p.c{k - i}" for i in range(1, k))
+        )
+    joins.append(
+        f"LEFT JOIN g{K} tt ON "
+        + " AND ".join(
+            [f"tt.v{i} = p.c{K - i}" for i in range(1, K)] + ["tt.w = p.w"]
+        )
+    )
+    if K == 2:
+        joins.append("LEFT JOIN uni dd ON dd.t = p.c1")
+    else:
+        joins.append(
+            f"LEFT JOIN g{K - 1} dd ON "
+            + " AND ".join(
+                [f"dd.v{i} = p.c{K - i}" for i in range(1, K - 1)]
+                + ["dd.w = p.c1"]
+            )
+        )
+    joins.append(
+        "LEFT JOIN fuv ON "
+        + " AND ".join(f"fuv.v{i} = p.c{K - i}" for i in range(1, K))
+    )
+    # nested probability chain
+    p_expr = [
+        f"(coalesce(cont.n1w, 0) + {al!r}) / (tot.ncc + {al!r} * tot.v)"
+    ]
+    for k in range(2, K):
+        prev = p_expr[-1]
+        p_expr.append(
+            f"CASE WHEN nvd{k}.c IS NOT NULL THEN"
+            f" coalesce(greatest(nv{k}.c - {dd!r}, 0.0) / nvd{k}.c, 0.0)"
+            f" + {dd!r} * fv{k}.c / nvd{k}.c * ({prev})"
+            f" ELSE ({prev}) END"
+        )
+    p_expr.append(
+        f"coalesce(greatest(tt.c - {dd!r}, 0.0) / dd.c, 0.0)"
+        f" + {dd!r} * fuv.c / dd.c * ({p_expr[-1]})"
+    )
+    branches = "".join(
+        f"\n             WHEN p.c{j} IS NULL THEN ({p_expr[j - 1]})"
+        for j in range(1, K)
+    )
+    prob = f"CASE{branches}\n             ELSE ({p_expr[K - 1]}) END"
+    all_ctes = ",\n  ".join(g_ctes + mid_ctes + [top_fuv])
+    join_sql = "\n    ".join(joins)
+    return f"""
+SELECT d.{id_sql} AS doc_id,
+       coalesce(s.kn_tokens, 0) AS kn_tokens,
+       coalesce(s.kn_nll, 0.0) AS kn_nll
+FROM {src} d
+LEFT JOIN (
+  WITH tok AS (
+    SELECT {id_sql} AS doc_id, {toks} AS tk FROM {src}
+  ), pr AS (
+    SELECT doc_id, i, tk[i + 1] AS w{ctx_cols}
+    FROM tok, UNNEST(CASE WHEN len(tk) = 0 THEN []
+                     ELSE generate_series(0, len(tk) - 1) END) AS u(i)
+  ), uni AS (
+    SELECT t, count(*) AS c
+    FROM (SELECT unnest(tk) AS t FROM tok) GROUP BY t
+  ), {all_ctes},
+  cont AS (SELECT w, count(*) AS n1w FROM g2 GROUP BY w),
+  tot AS (
+    SELECT (SELECT sum(n1w)::DOUBLE FROM cont) AS ncc,
+           (SELECT count(*)::DOUBLE FROM uni) AS v
+  ), terms AS (
+    SELECT p.doc_id,
+           {prob} AS prob
+    FROM pr p
+    CROSS JOIN tot
+    {join_sql}
+  )
+  SELECT doc_id, count(*) AS kn_tokens,
+         -sum(ln(prob)) / count(*) AS kn_nll
   FROM terms GROUP BY doc_id
 ) s ON s.doc_id = d.{id_sql}
 """
@@ -1317,11 +1848,18 @@ _ARPA_MAX_ORDER = 5
 
 def _arpa_unk_row(model: ArpaModel):
     """(has_unk, log10p, backoff-or-0.0) of the model's ``<unk>``
-    unigram — one bounded collect shared by scorer and validation."""
+    unigram — one bounded collect shared by scorer and validation.
+    Tolerates a backoff-less order-1 table (legal for a pure unigram
+    model, where the validator exempts the top order)."""
+    g1 = model.grams[1]
+    bo = (
+        F.col("backoff")
+        if "backoff" in g1.columns
+        else F.lit(None).cast("double").alias("backoff")
+    )
     unk = (
-        model.grams[1]
-        .filter(F.col("w1") == "<unk>")
-        .select("log10p", "backoff")
+        g1.filter(F.col("w1") == "<unk>")
+        .select(F.col("log10p"), bo)
         .collect()
     )
     if not unk:
@@ -1334,7 +1872,11 @@ def _validate_arpa_scoring_model(model: ArpaModel) -> int:
     """Loud entry-time checks shared by the scorer: order cap,
     contiguous populated orders 1..K (the backoff recursion consults
     every lower table), and each relation carrying its w1..wk key
-    columns. Returns K."""
+    columns — plus ``backoff`` on orders 1..K−1, whose weights the
+    recursion unconditionally selects (r15 advice: a hand-assembled
+    model lacking the column failed with a raw AnalysisException
+    instead of this diagnostic; the TOP order's backoff is never
+    consulted, so it stays exempt). Returns K."""
     K = model.order
     if K > _ARPA_MAX_ORDER:
         raise ValueError(
@@ -1352,6 +1894,8 @@ def _validate_arpa_scoring_model(model: ArpaModel) -> int:
         )
     for k in range(1, K + 1):
         want = {f"w{i}" for i in range(1, k + 1)} | {"log10p"}
+        if k < K:
+            want |= {"backoff"}
         have = set(model.grams[k].columns)
         if not want <= have:
             raise ValueError(
@@ -1607,48 +2151,196 @@ def write_arpa(model: ArpaModel, path: str) -> None:
             f"write_arpa: model carries {total} n-gram rows, past the "
             f"driver-stream cap {_ARPA_EXPORT_ROW_CAP} — export the "
             "per-order tables as parquet relations instead "
-            "(model.grams[k].write.parquet(...))"
+            "(save_arpa_relations(model, dir); load_arpa_relations "
+            "reads them back, scores identical)"
         )
+    # collect + validate EVERY order before any file I/O (r15 advice:
+    # a per-order validation failure mid-write left a truncated
+    # .arpa(.gz) on disk that an external KenLM/SRILM consumer could
+    # pick up; the export targets exactly those toolchains)
+    all_rows: dict[int, list] = {}
+    for k in orders:
+        keys = [f"w{i}" for i in range(1, k + 1)]
+        rows = [
+            (tuple(r[c] for c in keys), r["log10p"], r["backoff"])
+            for r in model.grams[k]
+            .select(*keys, "log10p", "backoff")
+            .collect()
+        ]
+        # validate BEFORE sorting: a NULL word would crash the
+        # sort comparator with a bare TypeError instead of this
+        # diagnostic (r15 second review)
+        for ws, _p, _b in rows:
+            if any(
+                w is None or w == "" or any(c.isspace() for c in w)
+                for w in ws
+            ):
+                raise ValueError(
+                    f"write_arpa: {k}-gram {ws!r} carries a NULL, "
+                    "empty, or whitespace-bearing word — "
+                    "unrepresentable in the space/tab-delimited "
+                    "ARPA line grammar (an empty word would change "
+                    "the n-gram's order on reload)"
+                )
+        # None-safe key: a duplicate (words, logp) pair with one
+        # absent backoff must not TypeError mid-write
+        rows.sort(
+            key=lambda r: (r[0], r[1], r[2] is not None, r[2] or 0.0)
+        )
+        all_rows[k] = rows
+    # write to a sibling temp path and rename on success, so the
+    # final path only ever holds a COMPLETE artifact — even an OS
+    # error mid-write cannot leave a truncated file under the real
+    # name (os.replace is atomic within a directory)
+    import os
+
     opener = gzip.open if str(path).endswith(".gz") else open
-    with opener(path, "wt", encoding="utf-8") as f:
-        f.write("\\data\\\n")
-        for k in orders:
-            f.write(f"ngram {k}={actual[k]}\n")
-        for k in orders:
-            f.write(f"\n\\{k}-grams:\n")
-            keys = [f"w{i}" for i in range(1, k + 1)]
-            rows = [
-                (tuple(r[c] for c in keys), r["log10p"], r["backoff"])
-                for r in model.grams[k]
-                .select(*keys, "log10p", "backoff")
-                .collect()
-            ]
-            # validate BEFORE sorting: a NULL word would crash the
-            # sort comparator with a bare TypeError instead of this
-            # diagnostic (r15 second review)
-            for ws, _p, _b in rows:
-                if any(
-                    w is None or w == "" or any(c.isspace() for c in w)
-                    for w in ws
-                ):
-                    raise ValueError(
-                        f"write_arpa: {k}-gram {ws!r} carries a NULL, "
-                        "empty, or whitespace-bearing word — "
-                        "unrepresentable in the space/tab-delimited "
-                        "ARPA line grammar (an empty word would change "
-                        "the n-gram's order on reload)"
-                    )
-            # None-safe key: a duplicate (words, logp) pair with one
-            # absent backoff must not TypeError mid-write
-            rows.sort(
-                key=lambda r: (r[0], r[1], r[2] is not None, r[2] or 0.0)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with opener(tmp, "wt", encoding="utf-8") as f:
+            f.write("\\data\\\n")
+            for k in orders:
+                f.write(f"ngram {k}={actual[k]}\n")
+            for k in orders:
+                f.write(f"\n\\{k}-grams:\n")
+                for ws, p, b in all_rows[k]:
+                    line = f"{float(p)!r}\t{' '.join(ws)}"
+                    if b is not None:
+                        line += f"\t{float(b)!r}"
+                    f.write(line + "\n")
+            f.write("\n\\end\\\n")
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def save_arpa_relations(model: ArpaModel, path: str) -> None:
+    """Persist an :class:`ArpaModel` as parquet RELATIONS — the
+    GB-scale sibling of :func:`write_arpa` (which streams the text
+    artifact through the driver under a 10⁷-row cap): each order's
+    table writes distributed to ``{path}/grams_k={k}/`` and the
+    declared counts land LAST as a one-row-per-order sidecar at
+    ``{path}/counts/``, making the sidecar the commit record —
+    :func:`load_arpa_relations` refuses a directory without it, so a
+    write that died mid-flight is detectably incomplete rather than a
+    silently short model. Everything goes through Spark writers, so
+    the path can be any Hadoop filesystem (the 100 TB posture: a
+    5-gram model over a web corpus is parquet-sized, not text-sized).
+
+    The same pre-write validation as ``write_arpa``: ``model.counts``
+    must agree with the live tables' actual row counts (the
+    hand-assembled-model guard; the counts are what the loader
+    validates against). Orders must be contiguous 1..K with the
+    scorer's column contract (``backoff`` required below the top
+    order) so the reload is scoreable by construction."""
+    grams = dict(model.grams)
+    K = max(grams)
+    if sorted(grams) != list(range(1, K + 1)):
+        raise ValueError(
+            f"save_arpa_relations: orders must be contiguous 1..{K}, "
+            f"got {sorted(grams)}"
+        )
+    for k in range(1, K + 1):
+        want = {f"w{i}" for i in range(1, k + 1)} | {"log10p"}
+        if k < K:
+            want |= {"backoff"}
+        have = set(grams[k].columns)
+        if not want <= have:
+            raise ValueError(
+                f"save_arpa_relations: order-{k} table is missing "
+                f"columns {sorted(want - have)} (has {sorted(have)})"
             )
-            for ws, p, b in rows:
-                line = f"{float(p)!r}\t{' '.join(ws)}"
-                if b is not None:
-                    line += f"\t{float(b)!r}"
-                f.write(line + "\n")
-        f.write("\n\\end\\\n")
+    actual = {k: int(grams[k].count()) for k in sorted(grams)}
+    declared = {k: int(model.counts.get(k, 0)) for k in sorted(grams)}
+    if actual != declared:
+        raise ValueError(
+            f"save_arpa_relations: model.counts {declared} disagree "
+            f"with the tables' actual row counts {actual} — the "
+            "sidecar would not validate on reload"
+        )
+    spark = grams[1].sparkSession
+    for k in sorted(grams):
+        cols = [f"w{i}" for i in range(1, k + 1)] + ["log10p"]
+        bo = (
+            F.col("backoff")
+            if "backoff" in grams[k].columns
+            else F.lit(None).cast("double").alias("backoff")
+        )
+        grams[k].select(*cols, bo).write.mode("overwrite").parquet(
+            f"{path}/grams_k={k}"
+        )
+    # the commit record, written last
+    spark.createDataFrame(
+        [(k, actual[k]) for k in sorted(grams)], "k int, n long"
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/counts")
+
+
+def load_arpa_relations(spark, path: str) -> ArpaModel:
+    """Read a :func:`save_arpa_relations` directory back into an
+    :class:`ArpaModel` — the loader half of the parquet round trip,
+    with ``load_arpa``'s loud posture: the counts sidecar is REQUIRED
+    (its absence means an incomplete or foreign directory), each
+    declared order's table must exist with the scorer's columns, the
+    actual row counts must match the declared ones (one bounded
+    column-free count per order — cheap on parquet), and duplicate
+    n-gram keys are probed on every load (fanned-out scorer joins
+    would silently inflate every token count otherwise). Scores are
+    IDENTICAL to the in-memory model — parquet doubles round-trip
+    bit-exactly, no text rendering involved."""
+    try:
+        counts_df = spark.read.json(f"{path}/counts")
+        crows = counts_df.select("k", "n").collect()
+    except Exception as exc:  # noqa: BLE001 — loud remedy either way
+        raise ValueError(
+            f"load_arpa_relations: {path!r} has no readable counts "
+            "sidecar — not a save_arpa_relations directory, or a "
+            "write that died before its commit record"
+        ) from exc
+    declared = {int(r["k"]): int(r["n"]) for r in crows}
+    if not declared:
+        raise ValueError(
+            f"load_arpa_relations: {path!r} declares no orders"
+        )
+    K = max(declared)
+    if sorted(declared) != list(range(1, K + 1)):
+        raise ValueError(
+            f"load_arpa_relations: sidecar declares orders "
+            f"{sorted(declared)} — must be contiguous 1..{K}"
+        )
+    grams = {}
+    for k in sorted(declared):
+        df = spark.read.parquet(f"{path}/grams_k={k}")
+        want = {f"w{i}" for i in range(1, k + 1)} | {"log10p", "backoff"}
+        have = set(df.columns)
+        if not want <= have:
+            raise ValueError(
+                f"load_arpa_relations: order-{k} table is missing "
+                f"columns {sorted(want - have)} (has {sorted(have)})"
+            )
+        n = df.count()
+        if n != declared[k]:
+            raise ValueError(
+                f"load_arpa_relations: sidecar declares "
+                f"{declared[k]} {k}-grams but the table carries {n}"
+            )
+        keys = [f"w{i}" for i in range(1, k + 1)]
+        dup = (
+            df.groupBy(*keys).count()
+            .filter(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            merged = tuple(dup[0][c] for c in keys)
+            raise ValueError(
+                f"load_arpa_relations: the order-{k} table lists the "
+                f"{k}-gram {merged!r} more than once — the model "
+                "joins would fan out and inflate every score"
+            )
+        grams[k] = df.select(*keys, "log10p", "backoff")
+    return ArpaModel(grams, declared)
 
 
 def _sql_double(v) -> str:

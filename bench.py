@@ -90,6 +90,16 @@ HEADLINE = [
     # aggregate; the published KenLM/CCNet artifact posture; new
     # entry, new scope; BENCH_NOTES.md "New entries (round 15)")
     "arpa_lm_score",
+    # round-16 addition: order-5 Kneser-Ney FIT + score, whole job
+    # (subsample ngram fits 1..5 -> nine-relation broadcast forward
+    # pass; the CCNet 5-gram posture fit natively; new entry, new
+    # scope; BENCH_NOTES.md "New entries (round 16)")
+    "kn5_score",
+    # round-16 addition: media perceptual-hash near-dup, whole job
+    # (PGM synthesis -> Arrow-batched decode+aHash/dHash ->
+    # Hamming-LSH pair verification; new entry, new scope;
+    # BENCH_NOTES.md "New entries (round 16)")
+    "media_phash",
     # round-8 addition: trained-BPE tokenization, whole job (word
     # counts -> driver merge training -> memoized mapInPandas encode;
     # new entry, new scope; BENCH_NOTES.md "New entries")

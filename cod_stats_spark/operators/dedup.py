@@ -436,6 +436,40 @@ def simhash_near_pairs(
     the schemes differ only in candidate recall/cost, not precision.
     """
     sims = simhash(df, text_col, id_col, base_hash=base_hash)
+    return hash64_near_pairs(
+        sims,
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+        combo=combo,
+    )
+
+
+def hash64_near_pairs(
+    hashed: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = 1000,
+    combo: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Near-dup pairs over PRECOMPUTED 64-bit fingerprints — the
+    banding/bucketing half of :func:`simhash_near_pairs` split out so
+    any 64-bit hash family rides the same machinery (the perceptual
+    aHash/dHash media fingerprints of
+    ``operators.multimodal.phash_media`` are the motivating caller;
+    SimHash's contiguous-band and Manku block-combination layouts
+    apply verbatim to any 64-bit key). Same pigeonhole recall
+    guarantee, same Hamming verification on every emitted pair, same
+    two-hub oversized-bucket expansion."""
+    if list(hashed.columns) != ["id", "simhash"]:
+        # normalize lazily: the simhash caller already matches, and an
+        # extra Project node there would move its frozen plan signature
+        hashed = hashed.select(
+            F.col(id_col).alias("id"), F.col(hash_col).alias("simhash")
+        )
+    sims = hashed
     if combo is not None:
         chunks_sql = ", ".join(_simhash_combo_keys_sql(*combo))
     else:

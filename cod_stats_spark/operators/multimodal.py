@@ -160,7 +160,55 @@ def _decode_wav(raw: bytes) -> dict | None:
     return {"format": "wav", "sample_rate": int(sample_rate), "n_frames": n_frames}
 
 
-CODECS: list = [_decode_fake, _decode_png, _decode_jpeg, _decode_wav]
+def _decode_pgm(raw: bytes) -> dict | None:
+    """Binary PGM (P5) metadata decode, pure Python: magic + ASCII
+    width/height/maxval header, then one whitespace byte, then raw
+    grayscale pixel bytes. The RASTER codec of the suite — the only
+    built-in whose PIXELS are decodable without a media library, which
+    is what the perceptual-hash near-dup path consumes."""
+    import re
+
+    if not raw.startswith(b"P5"):
+        return None
+    m = re.match(rb"P5\s+(\d+)\s+(\d+)\s+(\d+)\s", raw)
+    if m is None:
+        return None
+    return {
+        "format": "pgm",
+        "width": int(m.group(1)),
+        "height": int(m.group(2)),
+        "n_frames": 1,
+    }
+
+
+def _decode_pgm_pixels(raw: bytes):
+    """(width, height, H×W int64 pixel array) of a P5 payload — the
+    pixel-level sibling of :func:`_decode_pgm`, shared by
+    :func:`phash_media`. Raises on a malformed or short payload (a
+    truncated raster would silently hash garbage otherwise)."""
+    import re
+
+    import numpy as np
+
+    m = re.match(rb"P5\s+(\d+)\s+(\d+)\s+(\d+)\s", raw or b"")
+    if m is None:
+        raise ValueError("phash_media: payload is not binary PGM (P5)")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval > 255:
+        raise ValueError(
+            f"phash_media: 16-bit PGM (maxval {maxval}) unsupported"
+        )
+    data = raw[m.end():]
+    if len(data) < w * h:
+        raise ValueError(
+            f"phash_media: PGM declares {w}x{h} but carries only "
+            f"{len(data)} pixel bytes"
+        )
+    px = np.frombuffer(data[: w * h], dtype=np.uint8).astype(np.int64)
+    return w, h, px.reshape(h, w)
+
+
+CODECS: list = [_decode_fake, _decode_png, _decode_jpeg, _decode_wav, _decode_pgm]
 
 
 def register_codec(sniff_decode) -> None:
@@ -378,3 +426,157 @@ def resize_plan(df: DataFrame, max_side: int = 512) -> DataFrame:
     return df.withColumn("target_width", F.ceil(F.col("width") * scale).cast("int")).withColumn(
         "target_height", F.ceil(F.col("height") * scale).cast("int")
     )
+
+
+# ------------------------------------------------- perceptual hashing
+#
+# Media-CONTENT near-dup (the LAION-pipeline posture): a 64-bit
+# aHash/dHash over decoded grayscale pixels, integer-exact so the SQL
+# oracle can re-derive every bit, feeding the existing Hamming-LSH
+# banding in operators/dedup.py (SimHash's table layouts apply
+# verbatim to any 64-bit fingerprint).
+
+
+def phash_block_bounds(n: int, blocks: int) -> list[int]:
+    """Downsample-block boundaries b[0..blocks] over an n-pixel axis:
+    block j covers [b[j], b[j+1]) with b[j] = floor(j·n/blocks) — the
+    single source of truth for the grid, shared by the numpy hash
+    path AND the DuckDB oracle generator (the simhash_combo_layout
+    convention, so the two engines cannot drift on block edges)."""
+    return [(j * n) // blocks for j in range(blocks + 1)]
+
+
+def make_pgm_media(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    noise_col: str | None = None,
+    height: int = 16,
+) -> DataFrame:
+    """Synthesize REAL binary-PGM (P5) grayscale rasters per row — the
+    pixel-bearing input for the perceptual-hash path. Deterministic
+    and engine-reproducible: row y's 16 pixels are the md5 bytes of
+    ``key || ':' || y`` (md5 is identical in Spark and DuckDB, the
+    make_fake_media convention), so rows sharing ``key_col`` get
+    byte-identical images. ``noise_col`` (nullable int) perturbs ONE
+    pixel — index ``noise % (16·height)`` gets ``+1 + noise % 9``
+    mod 256 — producing true NEAR-duplicates of the same key's base
+    image (a single pixel moves at most a couple of hash bits). Width
+    is fixed at 16 (one md5 digest per row); all JVM-side
+    string/hex ops, zero Python."""
+    rows = F.concat_ws(
+        "",
+        F.expr(
+            f"transform(sequence(0, {int(height) - 1}), y ->"
+            f" md5(concat(cast({key_col} as string), ':',"
+            " cast(y as string))))"
+        ),
+    )
+    if noise_col is not None:
+        pos = F.pmod(F.col(noise_col), F.lit(16 * int(height)))
+        delta = F.pmod(F.col(noise_col), F.lit(9)) + F.lit(1)
+        old_px = F.conv(F.substring(rows, pos * 2 + 1, 2), 16, 10).cast(
+            "int"
+        )
+        new_hex = F.lpad(F.lower(F.hex(F.pmod(old_px + delta, 256))), 2, "0")
+        rows = F.when(F.col(noise_col).isNull(), rows).otherwise(
+            F.overlay(rows, new_hex, pos * 2 + 1, F.lit(2))
+        )
+    header = F.lit(f"P5\n16 {int(height)}\n255\n").cast("binary")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.concat(header, F.unhex(rows)).alias("media_bytes"),
+        F.lit("image").alias("media_type"),
+    )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("ahash", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def _phash_one(raw: bytes, hash_size: int) -> tuple:
+    import numpy as np
+
+    w, h, px = _decode_pgm_pixels(raw)
+    # 2D prefix sums -> any block sum in O(1), all int64-exact
+    pre = np.zeros((h + 1, w + 1), dtype=np.int64)
+    pre[1:, 1:] = px.cumsum(axis=0).cumsum(axis=1)
+
+    def block(r0, r1, c0, c1):
+        return pre[r1, c1] - pre[r0, c1] - pre[r1, c0] + pre[r0, c0]
+
+    rb = phash_block_bounds(h, hash_size)
+    ca = phash_block_bounds(w, hash_size)
+    cd = phash_block_bounds(w, hash_size + 1)
+    total = int(pre[h, w])
+    npx = w * h
+    ah = 0
+    for i in range(hash_size):
+        for j in range(hash_size):
+            s = int(block(rb[i], rb[i + 1], ca[j], ca[j + 1]))
+            n = (rb[i + 1] - rb[i]) * (ca[j + 1] - ca[j])
+            # mean_block > mean_image, cross-multiplied: exact ints
+            if s * npx > total * n:
+                ah |= 1 << (i * hash_size + j)
+    dh = 0
+    for i in range(hash_size):
+        for j in range(hash_size):
+            s1 = int(block(rb[i], rb[i + 1], cd[j], cd[j + 1]))
+            n1 = (rb[i + 1] - rb[i]) * (cd[j + 1] - cd[j])
+            s2 = int(block(rb[i], rb[i + 1], cd[j + 1], cd[j + 2]))
+            n2 = (rb[i + 1] - rb[i]) * (cd[j + 2] - cd[j + 1])
+            if s1 * n2 > s2 * n1:
+                dh |= 1 << (i * hash_size + j)
+
+    def signed64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return w, h, signed64(ah), signed64(dh)
+
+
+def phash_media(df: DataFrame, hash_size: int = 8) -> DataFrame:
+    """64-bit perceptual hashes over a binary-PGM media column —
+    (media_id, width, height, ahash, dhash), Arrow-batched via
+    mapInPandas (the decode_media_meta shape: per-partition batch
+    iterators, no shuffle, no driver collect).
+
+    - ``ahash``: block-mean downsample to hash_size×hash_size; bit =
+      block mean > image mean.
+    - ``dhash``: hash_size×(hash_size+1) grid; bit = left block mean
+      > right block mean (horizontal gradient sign).
+
+    Every comparison is CROSS-MULTIPLIED integer arithmetic (no
+    float division anywhere), so the bits are exactly reproducible
+    from the pixel definition — the media_phash gate re-derives all
+    128 bits per image in DuckDB. Bit order: bit i·hash_size+j =
+    (row-block i, col-block j), LSB first; the packed value is the
+    two's-complement int64 (hex renderings agree with DuckDB's
+    UBIGINT view of the same bits). Uneven block grids (width/height
+    not divisible) are handled by the floor boundaries of
+    :func:`phash_block_bounds`; degenerate empty blocks (width <
+    hash_size+1) compare 0 > 0 = unset bits. Hamming-LSH pairing over
+    the result lives in ``operators.dedup.hash64_near_pairs``."""
+    if not 1 <= int(hash_size) <= 8:
+        raise ValueError("phash_media: hash_size must be 1..8 (64 bits)")
+    hs = int(hash_size)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {n: [] for n in ("media_id", "width", "height", "ahash", "dhash")}
+            for mid, raw in zip(pdf["media_id"], pdf["media_bytes"]):
+                w, h, ah, dh = _phash_one(raw, hs)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash"].append(ah)
+                out["dhash"].append(dh)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(hash_batches, PHASH_SCHEMA)

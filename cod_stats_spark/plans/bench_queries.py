@@ -34,6 +34,7 @@ from cod_stats_spark.operators.lm_score import (
     arpa_lm_oracle_sql,
     bigram_lm_oracle_sql,
     kn_lm_oracle_sql,
+    kn_ngram_oracle_sql,
     perplexity_partition_oracle_sql,
     unigram_lm_oracle_sql,
 )
@@ -1064,6 +1065,106 @@ def _lined_docs_sql(width: int = 5) -> str:
 )"""
 
 
+#: phash arms: base-image key (doc_id % mod) — groups of ~8 docs at
+#: the 500-doc gate scale share a raster; the %3==0 members get a
+#: single-pixel perturbation (near-dups), the rest are byte-identical
+_PHASH_KEY_MOD = 61
+
+
+def _phash_oracle_sql() -> str:
+    """DuckDB re-derivation of the media perceptual hashes + near-dup
+    pairs, from FIRST PRINCIPLES: pixels recomputed from the generator
+    definition (md5 rows + noise overlay — the byte identity of that
+    definition with the actual payload is pinned in
+    tests/test_phash.py), block sums over the shared
+    phash_block_bounds grid, every aHash/dHash bit as a
+    cross-multiplied integer comparison, hex packing, and brute-force
+    Hamming pairs at <= 3 (which the Spark side's 4-band pigeonhole
+    banding is GUARANTEED to equal — distance <= bands-1 always shares
+    a band, and every emitted pair is Hamming-verified)."""
+    from cod_stats_spark.operators.multimodal import phash_block_bounds
+
+    W = H = 16
+    HS = 8
+
+    def inv(bounds, n):
+        m, j = [], 0
+        for x in range(n):
+            while x >= bounds[j + 1]:
+                j += 1
+            m.append(j)
+        return "[" + ", ".join(map(str, m)) + "]"
+
+    rmap = inv(phash_block_bounds(H, HS), H)
+    amap = inv(phash_block_bounds(W, HS), W)
+    dmap = inv(phash_block_bounds(W, HS + 1), W)
+    km = _PHASH_KEY_MOD
+    npx = W * H
+    pxf = "('0x' || substr(md5(key || ':' || y.y::VARCHAR), x.x * 2 + 1, 2))::INT"
+    return f"""
+WITH pbase AS (
+  SELECT doc_id AS media_id, (doc_id % {km})::VARCHAR AS key,
+         CASE WHEN doc_id % 3 = 0 THEN doc_id END AS noise
+  FROM documents
+), px AS (
+  SELECT media_id, y.y AS y, x.x AS x,
+         CASE WHEN noise IS NOT NULL AND y.y * {W} + x.x = (noise % {npx})
+              THEN ({pxf} + 1 + (noise % 9)::INT) % 256
+              ELSE {pxf}
+         END AS p
+  FROM pbase, range({H}) y(y), range({W}) x(x)
+), ptot AS (
+  SELECT media_id, sum(p)::BIGINT AS t FROM px GROUP BY media_id
+), ab AS (
+  SELECT media_id, {rmap}[y + 1] * {HS} + {amap}[x + 1] AS b,
+         sum(p)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM px GROUP BY ALL
+), abit AS (
+  SELECT ab.media_id, ab.b,
+         CASE WHEN ab.s * {npx} > ptot.t * ab.n THEN 1 ELSE 0 END AS bit
+  FROM ab JOIN ptot USING (media_id)
+), db AS (
+  SELECT media_id, {rmap}[y + 1] AS by, {dmap}[x + 1] AS j,
+         sum(p)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM px GROUP BY ALL
+), dbit AS (
+  SELECT l.media_id, l.by * {HS} + l.j AS b,
+         CASE WHEN l.s * r.n > r.s * l.n THEN 1 ELSE 0 END AS bit
+  FROM db l JOIN db r ON r.media_id = l.media_id AND r.by = l.by
+                     AND r.j = l.j + 1
+  WHERE l.j < {HS}
+), ahex AS (
+  SELECT media_id, string_agg(printf('%x', nv), '' ORDER BY ni DESC) AS h
+  FROM (SELECT media_id, b // 4 AS ni,
+               sum(bit * (1 << (b % 4)))::INT AS nv
+        FROM abit GROUP BY ALL)
+  GROUP BY media_id
+), dhex AS (
+  SELECT media_id, string_agg(printf('%x', nv), '' ORDER BY ni DESC) AS h
+  FROM (SELECT media_id, b // 4 AS ni,
+               sum(bit * (1 << (b % 4)))::INT AS nv
+        FROM dbit GROUP BY ALL)
+  GROUP BY media_id
+), hu AS (
+  SELECT media_id, ('0x' || h)::UBIGINT AS u FROM ahex
+)
+SELECT 'phash_a' AS tag, h AS fp, media_id AS keep_id,
+       0::BIGINT AS n_copies
+FROM ahex
+UNION ALL
+SELECT 'phash_d' AS tag, h AS fp, media_id AS keep_id,
+       0::BIGINT AS n_copies
+FROM dhex
+UNION ALL
+SELECT 'phash_pair' AS tag,
+       a.media_id::VARCHAR || ':' || b.media_id::VARCHAR AS fp,
+       bit_count(xor(a.u, b.u))::BIGINT AS keep_id,
+       0::BIGINT AS n_copies
+FROM hu a JOIN hu b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.u, b.u)) <= 3
+"""
+
+
 def _dedup_exact_oracle() -> str:
     from cod_stats_spark.operators.chunking import chunk_oracle_sql
     from cod_stats_spark.operators.line_dedup import line_dedup_oracle_sql
@@ -1128,6 +1229,15 @@ GROUP BY fp
         )
         + ")"
     )
+    # r16 phash arms: media-content near-dup over synthesized PGM
+    # rasters — hashes AND the pair set re-derived from the pixel
+    # definition (see _phash_oracle_sql; wrapped as a derived table —
+    # a bare WITH cannot follow UNION ALL)
+    parts.append(
+        "\nUNION ALL\nSELECT tag, fp, keep_id, n_copies FROM ("
+        + _phash_oracle_sql()
+        + ")"
+    )
     return "".join(parts)
 
 
@@ -1157,7 +1267,17 @@ GROUP BY fp
         "base hashes reduced mod m, so no overflow semantics cross "
         "engines), probe = broadcast word join; every 64-bit word "
         "(bits + popcount) and every membership answer incl. the "
-        "designed-rate false positives replayed exactly in SQL)"
+        "designed-rate false positives replayed exactly in SQL. "
+        "r16 'phash_a'/'phash_d'/'phash_pair': media-CONTENT near-dup "
+        "(the LAION posture) — operators/multimodal.py binary-PGM "
+        "rasters synthesized per doc (base image per doc_id % 61 key, "
+        "single-pixel perturbation on %3==0 rows), 64-bit aHash/dHash "
+        "computed by DECODING the actual payload bytes in the "
+        "Arrow-batched path with cross-multiplied integer block-mean "
+        "comparisons, then Hamming-LSH banded pairs via "
+        "dedup.hash64_near_pairs; the oracle recomputes every hash "
+        "bit from the pixel definition and brute-forces the pair set, "
+        "equal by the 4-band pigeonhole guarantee at max_hamming 3)"
     ),
     oracle=_dedup_exact_oracle(),
 )
@@ -1253,6 +1373,59 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("bloom_probe").alias("tag"),
             F.col("doc_id").cast("string").alias("fp"),
             F.col("maybe_member").cast("long").alias("keep_id"),
+            F.lit(0).cast("long").alias("n_copies"),
+        )
+    )
+    # r16 phash arms (operators/multimodal.py make_pgm_media /
+    # phash_media + operators/dedup.hash64_near_pairs): media-CONTENT
+    # near-dup, the LAION posture — real binary-PGM rasters synthesized
+    # per doc (base image keyed doc_id % _PHASH_KEY_MOD; %3==0 rows
+    # get a single-pixel perturbation), hashed by DECODING THE ACTUAL
+    # BYTES in the Arrow-batched path, then banded Hamming-LSH pairs.
+    # The oracle recomputes every bit from the pixel definition and
+    # brute-forces the pair set — equal by the 4-band pigeonhole
+    # guarantee at max_hamming 3 (every emitted pair Hamming-verified,
+    # bucket cap far above the key-group size)
+    from cod_stats_spark.operators.dedup import hash64_near_pairs
+    from cod_stats_spark.operators.multimodal import (
+        make_pgm_media,
+        phash_media,
+    )
+
+    media = make_pgm_media(
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % _PHASH_KEY_MOD).cast("string").alias("_key"),
+            F.when(F.col("doc_id") % 3 == 0, F.col("doc_id")).alias(
+                "_noise"
+            ),
+        ),
+        "doc_id",
+        "_key",
+        noise_col="_noise",
+    )
+    hashes = phash_media(media)
+    for tag, col in (("phash_a", "ahash"), ("phash_d", "dhash")):
+        arms.append(
+            hashes.select(
+                F.lit(tag).alias("tag"),
+                F.lower(F.lpad(F.hex(col), 16, "0")).alias("fp"),
+                F.col("media_id").alias("keep_id"),
+                F.lit(0).cast("long").alias("n_copies"),
+            )
+        )
+    arms.append(
+        hash64_near_pairs(
+            hashes,
+            id_col="media_id",
+            hash_col="ahash",
+            max_hamming=3,
+            bands=4,
+            max_bucket_size=100_000,
+        ).select(
+            F.lit("phash_pair").alias("tag"),
+            F.concat_ws(":", F.col("id_a"), F.col("id_b")).alias("fp"),
+            F.col("hamming").cast("long").alias("keep_id"),
             F.lit(0).cast("long").alias("n_copies"),
         )
     )
@@ -1897,6 +2070,7 @@ SELECT m.doc_id, n_chars_calc, n_tokens_ws,
        lm.lm_tokens, round(lm.lm_nll, 6) AS lm_nll,
        lm2.lm2_tokens, round(lm2.lm2_nll, 6) AS lm2_nll,
        lm3.lm3_tokens, round(lm3.lm3_nll, 6) AS lm3_nll,
+       kn5.kn_tokens AS kn5_tokens, round(kn5.kn_nll, 6) AS kn5_nll,
        arpa.arpa_tokens, round(arpa.arpa_nll, 6) AS arpa_nll,
        qc.qc_score,
        ppl.ppl_bucket,
@@ -1905,6 +2079,8 @@ FROM m JOIN documents d ON m.doc_id = d.doc_id
 JOIN ({unigram_lm_oracle_sql("documents")}) lm ON lm.doc_id = m.doc_id
 JOIN ({bigram_lm_oracle_sql("documents")}) lm2 ON lm2.doc_id = m.doc_id
 JOIN ({kn_lm_oracle_sql("documents")}) lm3 ON lm3.doc_id = m.doc_id
+JOIN ({kn_ngram_oracle_sql("documents", order=5)}) kn5
+  ON kn5.doc_id = m.doc_id
 JOIN ({arpa_lm_oracle_sql(_ARPA_GATE_ROWS, "documents")}) arpa
   ON arpa.doc_id = m.doc_id
 JOIN ({_qc_oracle_join()}) qc ON qc.doc_id = m.doc_id
@@ -1946,7 +2122,14 @@ JOIN ({_lang_oracle_join()}) lc ON lc.doc_id = m.doc_id
         "dyadic values): OOV→<unk> substitution in target AND context "
         "positions, logp lookup per order, every backoff hop's weight "
         "incl. b(<unk>) and omitted→0, the position-order selection, "
-        "and the mean-NLL arithmetic all replayed in SQL)"
+        "and the mean-NLL arithmetic all replayed in SQL; "
+        "r16: order-5 interpolated Kneser-Ney mean NLL [kn5_*] — the "
+        "generalized FIT (operators/lm_score.kn_ngram_score over "
+        "ngram_lm_fit orders 1..5, the CCNet 5-gram posture the engine "
+        "previously only scored as imported artifacts): continuation "
+        "statistics at every middle layer, raw-count top layer, and "
+        "all four backoff hops re-derived from scratch in SQL by "
+        "kn_ngram_oracle_sql(order=5))"
     ),
     oracle=QUALITY_ORACLE,
 )
@@ -1997,6 +2180,23 @@ def quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm3 = kn_lm_score(docs, uni, bi_fit, trigram_lm_fit(docs)).select(
         "doc_id", "lm3_tokens", F.round("lm3_nll", 6).alias("lm3_nll")
     )
+    # r16: order-5 interpolated KN [kn5_*] — the generalized fit
+    # (kn_ngram_score over ngram_lm_fit orders 1..5, the CCNet 5-gram
+    # posture the engine previously only SCORED as imported artifacts);
+    # all four backoff layers' continuation statistics re-derived in
+    # SQL by kn_ngram_oracle_sql(order=5)
+    from cod_stats_spark.operators.lm_score import (
+        kn_ngram_score,
+        ngram_lm_fit,
+    )
+
+    kn5 = kn_ngram_score(
+        docs, [uni, bi_fit] + [ngram_lm_fit(docs, k) for k in (3, 4, 5)]
+    ).select(
+        "doc_id",
+        F.col("kn_tokens").alias("kn5_tokens"),
+        F.round("kn_nll", 6).alias("kn5_nll"),
+    )
     # r15: imported-ARPA backoff scoring under the fixed order-5 gate
     # model — the published-artifact posture (KenLM/CCNet), every
     # backoff hop and the <unk> substitution value-verified in SQL
@@ -2042,6 +2242,7 @@ def quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.join(lm, "doc_id")
         .join(lm2, "doc_id")
         .join(lm3, "doc_id")
+        .join(kn5, "doc_id")
         .join(arpa, "doc_id")
         .join(qc, "doc_id")
         .join(ppl, "doc_id")
@@ -7888,6 +8089,76 @@ def arpa_lm_score_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("arpa_tokens").alias("token_checksum"),
         F.round(F.sum("arpa_nll"), 4).alias("nll_checksum"),
     ).where(F.col("nll_checksum").isNotNull())
+
+
+@_bench_only("kn5_score")
+def kn5_score_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed order-5 Kneser-Ney scoring, whole job (r16, new entry —
+    BENCH_NOTES.md "New entries"): ngram fits for orders 1..5 on a
+    20% subsample (the kn_lm_score_v2 convention — the reference
+    model comes from a curated slice, and it keeps the timed fit
+    proportionate), then the full corpus scored through the
+    nine-relation broadcast forward pass of kn_ngram_score — the
+    CCNet 5-gram posture fit natively instead of imported. Ends in a
+    checksum aggregate referencing the NLLs so count() cannot prune
+    the scoring joins (the lm_score count-pruning hazard)."""
+    from cod_stats_spark.operators.lm_score import (
+        kn_ngram_score,
+        ngram_lm_fit,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    ref = docs.where(F.col("doc_id") % 5 == 0)
+    scored = kn_ngram_score(
+        docs, [ngram_lm_fit(ref, k) for k in range(1, 6)]
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kn_nll").alias("nll_checksum"),
+    ).where(F.col("nll_checksum") > F.lit(-1))
+
+
+@_bench_only("media_phash")
+def media_phash_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed media perceptual-hash near-dup, whole job (r16, new
+    entry — BENCH_NOTES.md "New entries"): synthesize the binary-PGM
+    rasters from the corpus (the dedup_exact phash arms'
+    construction), decode + hash every payload through the
+    Arrow-batched phash_media pass, band the aHashes
+    (hash64_near_pairs, the SimHash machinery), and end in a checksum
+    aggregate over the verified pair set so count() cannot prune the
+    hashing (the lm_score count-pruning hazard)."""
+    from cod_stats_spark.operators.dedup import hash64_near_pairs
+    from cod_stats_spark.operators.multimodal import (
+        make_pgm_media,
+        phash_media,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = make_pgm_media(
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % _PHASH_KEY_MOD).cast("string").alias("_key"),
+            F.when(F.col("doc_id") % 3 == 0, F.col("doc_id")).alias(
+                "_noise"
+            ),
+        ),
+        "doc_id",
+        "_key",
+        noise_col="_noise",
+    )
+    pairs = hash64_near_pairs(
+        phash_media(media),
+        id_col="media_id",
+        hash_col="ahash",
+        max_hamming=3,
+        bands=4,
+        max_bucket_size=100_000,
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("hamming").alias("hamming_checksum"),
+    ).where(F.col("n_pairs") >= 0)
 
 
 @_bench_only("quality_classifier")

@@ -93,7 +93,7 @@ class TestRealTableFormatMerge:
             "delta",
             reason="delta-spark not installed: io.delta:delta-spark_2.13 jar "
             "+ python package absent from image. Resolution re-attempted "
-            "2026-08-16 (r6–r14, and again in r15: import delta fails, "
+            "2026-08-16 (r6–r15, and again in r16: import delta fails, "
             "curl rc=6 / http_code 000 to repo1.maven.org, no "
             "delta-spark*.jar anywhere on disk) — the "
             "container is verifiably offline, "

@@ -463,9 +463,15 @@ def hash64_near_pairs(
     apply verbatim to any 64-bit key). Same pigeonhole recall
     guarantee, same Hamming verification on every emitted pair, same
     two-hub oversized-bucket expansion."""
-    if list(hashed.columns) != ["id", "simhash"]:
-        # normalize lazily: the simhash caller already matches, and an
-        # extra Project node there would move its frozen plan signature
+    if (id_col, hash_col) != ("id", "simhash") or list(hashed.columns) != [
+        "id",
+        "simhash",
+    ]:
+        # normalize lazily: the simhash caller already matches with the
+        # DEFAULT names, and an extra Project node there would move its
+        # frozen plan signature. Non-default names always project (r16
+        # review: a canonically-named frame with swapped id_col/hash_col
+        # arguments must not silently pair on the wrong columns).
         hashed = hashed.select(
             F.col(id_col).alias("id"), F.col(hash_col).alias("simhash")
         )

@@ -1067,16 +1067,26 @@ def kn_to_arpa(
     from pyspark.storagelevel import StorageLevel
 
     # every input feeds 2+ lineages below (stats, entry unions, raw
-    # denominators) — persist them all; the contract probes and the
-    # vocab count are the cache-populating actions
-    for m in models:
+    # denominators) — persist the ones the CALLER has not already
+    # persisted; the contract probes and the vocab count are the
+    # cache-populating actions. Tracking ownership matters on exit:
+    # unpersisting a caller-persisted frame would evict a cache a
+    # live kn_ngram_score plan (or the caller) still relies on (r16
+    # review — the fit-score-export workflow passes the same tables
+    # to both functions)
+    own_persists = [
+        m for m in models if m.storageLevel == StorageLevel.NONE
+    ]
+    for m in own_persists:
         m.persist(StorageLevel.MEMORY_AND_DISK)
     # same-fit contract (r15 advice): for every order k, each k-gram's
     # prefix AND suffix (k-1)-gram must be an observed (k-1)-gram —
     # the raw-count denominators join on prefixes and the lower-order
     # probability lookups join on suffixes, and an orphan would be
     # silently dropped by those inner joins (counts are taken
-    # post-join, so nothing else would raise)
+    # post-join, so nothing else would raise). The probes are the
+    # function's designed raise: release our just-materialized caches
+    # before raising (the kn_lm_score broadcast-cap convention).
     for k in range(2, K + 1):
         lower = models[k - 2].select(*[f"w{i}" for i in range(1, k)])
         for which, cols in (
@@ -1096,6 +1106,8 @@ def kn_to_arpa(
                 .collect()
             )
             if orphan:
+                for m in own_persists:
+                    m.unpersist()
                 raise ValueError(
                     f"kn_to_arpa: the order-{k} model carries the "
                     f"{which} (k-1)-gram {tuple(orphan[0])!r} absent "
@@ -1280,8 +1292,10 @@ def kn_to_arpa(
         counts[k] = df.count()  # the cache-populating action
         grams[k] = df
     # the gram tables are materialized above; the shared intermediates
-    # only re-run if a gram cache is evicted, so release them now
-    for mid in [cont, *nv.values(), *p_tbl.values(), *models]:
+    # only re-run if a gram cache is evicted, so release them now —
+    # but ONLY the frames this function persisted: caller-persisted
+    # model tables keep their caches (r16 review)
+    for mid in [cont, *nv.values(), *p_tbl.values(), *own_persists]:
         mid.unpersist()
     return ArpaModel(grams, counts)
 
@@ -2161,11 +2175,18 @@ def write_arpa(model: ArpaModel, path: str) -> None:
     all_rows: dict[int, list] = {}
     for k in orders:
         keys = [f"w{i}" for i in range(1, k + 1)]
+        # a backoff-less table (legal on the TOP order — the scoring
+        # validator's own exemption, and save_arpa_relations already
+        # tolerates it) exports as all-omitted backoffs rather than
+        # crashing with a raw unresolved-column error (r16 review)
+        bo = (
+            F.col("backoff")
+            if "backoff" in model.grams[k].columns
+            else F.lit(None).cast("double").alias("backoff")
+        )
         rows = [
             (tuple(r[c] for c in keys), r["log10p"], r["backoff"])
-            for r in model.grams[k]
-            .select(*keys, "log10p", "backoff")
-            .collect()
+            for r in model.grams[k].select(*keys, "log10p", bo).collect()
         ]
         # validate BEFORE sorting: a NULL word would crash the
         # sort comparator with a bare TypeError instead of this
@@ -2263,6 +2284,17 @@ def save_arpa_relations(model: ArpaModel, path: str) -> None:
             "sidecar would not validate on reload"
         )
     spark = grams[1].sparkSession
+    # invalidate any EXISTING commit record before touching the gram
+    # tables (r16 review: an in-place re-save of a same-support refit
+    # that died mid-flight would otherwise leave the OLD sidecar
+    # validating a mixed-generation model — identical supports mean
+    # identical per-order counts, so every load-time check would
+    # pass); with the sidecar deleted first, a torn rewrite is
+    # detectably incomplete exactly like a torn first write
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/counts")
+    jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(
+        jpath, True
+    )
     for k in sorted(grams):
         cols = [f"w{i}" for i in range(1, k + 1)] + ["log10p"]
         bo = (
@@ -2313,7 +2345,14 @@ def load_arpa_relations(spark, path: str) -> ArpaModel:
         )
     grams = {}
     for k in sorted(declared):
-        df = spark.read.parquet(f"{path}/grams_k={k}")
+        try:
+            df = spark.read.parquet(f"{path}/grams_k={k}")
+        except Exception as exc:  # noqa: BLE001 — loud remedy either way
+            raise ValueError(
+                f"load_arpa_relations: the sidecar declares order {k} "
+                f"but {path}/grams_k={k} is missing or unreadable — a "
+                "lost or partially copied table"
+            ) from exc
         want = {f"w{i}" for i in range(1, k + 1)} | {"log10p", "backoff"}
         have = set(df.columns)
         if not want <= have:

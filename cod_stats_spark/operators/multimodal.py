@@ -15,6 +15,7 @@ signatures — is real and tested.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -160,17 +161,21 @@ def _decode_wav(raw: bytes) -> dict | None:
     return {"format": "wav", "sample_rate": int(sample_rate), "n_frames": n_frames}
 
 
+# One definition of the P5 header grammar for BOTH the metadata
+# sniffer and the pixel decoder — two drifting copies would let
+# decode_media_meta accept a payload phash_media then rejects.
+_PGM_HEADER_RE = re.compile(rb"P5\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+
 def _decode_pgm(raw: bytes) -> dict | None:
     """Binary PGM (P5) metadata decode, pure Python: magic + ASCII
     width/height/maxval header, then one whitespace byte, then raw
     grayscale pixel bytes. The RASTER codec of the suite — the only
     built-in whose PIXELS are decodable without a media library, which
     is what the perceptual-hash near-dup path consumes."""
-    import re
-
     if not raw.startswith(b"P5"):
         return None
-    m = re.match(rb"P5\s+(\d+)\s+(\d+)\s+(\d+)\s", raw)
+    m = _PGM_HEADER_RE.match(raw)
     if m is None:
         return None
     return {
@@ -186,11 +191,9 @@ def _decode_pgm_pixels(raw: bytes):
     pixel-level sibling of :func:`_decode_pgm`, shared by
     :func:`phash_media`. Raises on a malformed or short payload (a
     truncated raster would silently hash garbage otherwise)."""
-    import re
-
     import numpy as np
 
-    m = re.match(rb"P5\s+(\d+)\s+(\d+)\s+(\d+)\s", raw or b"")
+    m = _PGM_HEADER_RE.match(raw or b"")
     if m is None:
         raise ValueError("phash_media: payload is not binary PGM (P5)")
     w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))

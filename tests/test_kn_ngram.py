@@ -341,6 +341,50 @@ class TestKnToArpaGeneric:
         with pytest.raises(ValueError, match="exceeds the supported"):
             kn_to_arpa(*(models + [models[0]]))
 
+    def test_probe_failure_releases_caches(self, spark):
+        """The contract probes are the function's designed raise —
+        the just-persisted input caches must be released on the way
+        out (r16 review: they stayed pinned for the session)."""
+        from pyspark.storagelevel import StorageLevel
+
+        from cod_stats_spark.operators.lm_score import kn_to_arpa
+
+        _, models = _fit_models(spark, 3)
+        bad_tri = models[2].unionByName(
+            spark.createDataFrame(
+                [("a", "zz", "qq", 1)],
+                "w1 string, w2 string, w3 string, cnt long",
+            )
+        )
+        inputs = [models[0], models[1], bad_tri]
+        with pytest.raises(ValueError, match="same corpus fit"):
+            kn_to_arpa(*inputs)
+        assert all(
+            m.storageLevel == StorageLevel.NONE for m in inputs
+        )
+
+    def test_caller_persisted_models_survive(self, spark):
+        """kn_to_arpa must not evict caches it does not own: the
+        fit-score-export workflow passes the same tables to
+        kn_ngram_score (which persists the top order for the returned
+        plan's lifetime) and then here (r16 review)."""
+        from pyspark.storagelevel import StorageLevel
+
+        from cod_stats_spark.operators.lm_score import kn_to_arpa
+
+        _, models = _fit_models(spark, 3)
+        for m in models:
+            m.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            model = kn_to_arpa(*models)
+            assert sorted(model.grams) == [1, 2, 3]
+            assert all(
+                m.storageLevel != StorageLevel.NONE for m in models
+            )
+        finally:
+            for m in models:
+                m.unpersist()
+
 
 class TestArpaRelations:
     """save_arpa_relations / load_arpa_relations — the parquet
@@ -455,6 +499,74 @@ class TestArpaRelations:
         with pytest.raises(ValueError, match="save_arpa_relations"):
             L.write_arpa(model5, str(tmp_path / "big.arpa"))
 
+    def test_torn_resave_is_detectable(
+        self, spark, tmp_path, model5, monkeypatch
+    ):
+        """An in-place re-save that dies mid-flight must NOT leave a
+        loadable mixed-generation directory: the old sidecar is
+        deleted before any gram table is touched, so the torn rewrite
+        fails the commit-record check exactly like a torn first write
+        (r16 review — a same-support refit keeps every per-order
+        count identical, so the old sidecar would otherwise validate
+        a model mixing generations)."""
+        import pyspark.sql.readwriter as rw
+
+        from cod_stats_spark.operators.lm_score import (
+            load_arpa_relations,
+            save_arpa_relations,
+        )
+
+        d = str(tmp_path / "m5")
+        save_arpa_relations(model5, d)
+        assert load_arpa_relations(spark, d).counts == model5.counts
+        with monkeypatch.context() as m:
+
+            def boom(self, path, **kw):
+                raise RuntimeError("injected mid-flight death")
+
+            m.setattr(rw.DataFrameWriter, "parquet", boom)
+            with pytest.raises(RuntimeError, match="mid-flight"):
+                save_arpa_relations(model5, d)
+        with pytest.raises(ValueError, match="counts sidecar"):
+            load_arpa_relations(spark, d)
+
+    def test_resave_over_existing_loads_the_new_model(
+        self, spark, tmp_path, model5
+    ):
+        """A successful re-save over an existing directory loads as
+        the NEW model even when stale higher-order gram directories
+        linger — the sidecar (rewritten last) is the authority on
+        which orders exist."""
+        from cod_stats_spark.operators.lm_score import (
+            load_arpa_relations,
+            save_arpa_relations,
+        )
+
+        d = str(tmp_path / "m")
+        save_arpa_relations(model5, d)
+        small = model5.truncate(2)
+        save_arpa_relations(small, d)
+        re = load_arpa_relations(spark, d)
+        assert re.counts == small.counts
+        assert sorted(re.grams) == [1, 2]
+
+    def test_missing_gram_table_loud(self, spark, tmp_path, model5):
+        """A sidecar-declared order whose table directory was lost
+        gets the loader's loud ValueError, not a raw path-not-found
+        AnalysisException (r16 review)."""
+        import shutil
+
+        from cod_stats_spark.operators.lm_score import (
+            load_arpa_relations,
+            save_arpa_relations,
+        )
+
+        d = tmp_path / "m5"
+        save_arpa_relations(model5, str(d))
+        shutil.rmtree(d / "grams_k=3")
+        with pytest.raises(ValueError, match="missing or unreadable"):
+            load_arpa_relations(spark, str(d))
+
 
 class TestWriteArpaAtomicity:
     """r15 advice: a validation failure on a LATER order used to
@@ -507,6 +619,28 @@ class TestWriteArpaAtomicity:
         write_arpa(self._two_order_model(spark), str(p))
         assert [f.name for f in tmp_path.iterdir()] == ["out.arpa.gz"]
         assert load_arpa(spark, str(p)).counts == {1: 2, 2: 1}
+
+    def test_backoffless_top_order_exports(self, spark, tmp_path):
+        """A model legal under the scoring validator's top-order
+        exemption (pure-unigram, no backoff column at all) exports as
+        all-omitted backoffs instead of crashing on an unresolved
+        column (r16 review — save_arpa_relations already tolerated
+        exactly this model; the two exporters must agree on what is
+        exportable)."""
+        from cod_stats_spark.operators.lm_score import (
+            ArpaModel,
+            load_arpa,
+            write_arpa,
+        )
+
+        g1 = spark.createDataFrame(
+            [("a", -0.3), ("b", -0.5)], "w1 string, log10p double"
+        )
+        p = tmp_path / "uni.arpa"
+        write_arpa(ArpaModel({1: g1}, {1: 2}), str(p))
+        re = load_arpa(spark, str(p))
+        assert re.counts == {1: 2}
+        assert re.grams[1].filter("backoff is not null").count() == 0
 
 
 class TestArpaValidatorBackoff:

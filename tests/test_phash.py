@@ -251,6 +251,26 @@ class TestHash64NearPairs:
         }
         assert got == {(10, 20, 0)}
 
+    def test_explicit_columns_on_canonically_named_frame(self, spark):
+        """Non-default id_col/hash_col must be honored even when the
+        frame's columns happen to be named id/simhash already (r16
+        review: the lazy-normalization guard compared only the column
+        list, so swapped arguments silently paired on the wrong
+        columns)."""
+        from cod_stats_spark.operators.dedup import hash64_near_pairs
+
+        # semantics swapped: the HASH lives in 'id', the key in 'simhash'
+        df = spark.createDataFrame(
+            [(7, 100), (7, 200), (-1, 300)], "id long, simhash long"
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hash64_near_pairs(
+                df, id_col="simhash", hash_col="id", max_hamming=3
+            ).collect()
+        }
+        assert got == {(100, 200, 0)}
+
     def test_simhash_near_pairs_delegates_unchanged(self, spark):
         """The refactor keeps simhash_near_pairs' behavior: identical
         docs still pair at hamming 0."""

@@ -8135,10 +8135,21 @@ def media_phash_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
+    # scale the base-image count WITH the corpus so the expected
+    # duplicate-group size stays ~82 (= 5000/61, the sf0.1 shape) at
+    # every stratum — the realistic crawl posture: DISTINCT images
+    # grow with the data, per-image multiplicity doesn't. A fixed
+    # modulus made group size linear in corpus size and the verified
+    # pair set QUADRATIC, which OOM'd the sf10eq scaling audit (r16);
+    # with this the pair set is linear in n. max(..) keeps the plan
+    # literal at every driver SF (≤ sf0.1 resolves to 61) identical
+    # to the recorded signature; the extra count() inside the timed
+    # window is a metadata job (parquet footers, not rows).
+    km = max(_PHASH_KEY_MOD, docs.count() * _PHASH_KEY_MOD // 5000)
     media = make_pgm_media(
         docs.select(
             "doc_id",
-            (F.col("doc_id") % _PHASH_KEY_MOD).cast("string").alias("_key"),
+            (F.col("doc_id") % F.lit(km)).cast("string").alias("_key"),
             F.when(F.col("doc_id") % 3 == 0, F.col("doc_id")).alias(
                 "_noise"
             ),

@@ -539,9 +539,25 @@ def winnow_sql(
     hashes = (
         f"transform(sequence(1, greatest(length(s) - {k} + 1, 1)), i -> {h})"
     )
+    # window minimum as a least() chain over element_at probes: same
+    # value as array_min(slice(hs, j, w)) — both ignore the nothing-
+    # is-null case and longs have a total order — but slice() ALLOCATES
+    # a fresh w-element array per position inside an interpreted HOF
+    # lambda, which the r16 profile showed dominating this projection
+    # (guide §1.2 per-task work; element_at probes past the end return
+    # null, which least() skips, so the j > size-w+1 guard stays the
+    # sequence bound exactly as before)
+    if w == 1:
+        win_min = "element_at(hs, j)"
+    else:
+        win_min = (
+            "least("
+            + ", ".join(f"element_at(hs, j + {d})" for d in range(w))
+            + ")"
+        )
     select = (
         f"array_distinct(transform(sequence(1, greatest(size(hs) - {w} + 1, 1)),"
-        f" j -> array_min(slice(hs, j, {w}))))"
+        f" j -> {win_min}))"
     )
     return (
         f"transform(array({norm}), s -> if(length(s) = 0,"

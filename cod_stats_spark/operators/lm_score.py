@@ -479,6 +479,81 @@ def ngram_lm_fit(
     )
 
 
+def ngram_lm_fit_multi(
+    docs: DataFrame,
+    K: int,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> list[DataFrame]:
+    """Count tables for ALL orders 1..K from ONE corpus pass — each
+    row-identical to ``ngram_lm_fit(docs, k)`` (exact integer counts;
+    parity-pinned in tests), but the corpus is tokenized, exploded and
+    shuffled ONCE instead of K times (r16 optimization: the kn5_score
+    fit phase ran five separate explode+shuffle passes over the
+    reference slice — guide §2.4, remove shuffles outright).
+
+    Mechanics: every position emits the K-gram ENDING there (nulls
+    where the document starts too late); a GROUPING SETS aggregation
+    over the K suffix sets {(g_{K-k+1}..g_K)} counts every order in
+    one Expand + one shuffle (partial map-side aggregation collapses
+    the Zipf head per set before the exchange). Positions whose
+    furthest context word is null fall into null-keyed groups, which
+    the per-order extraction drops — exactly the per-order fits'
+    ``w1 is not null`` guard, applied post-aggregation where it is
+    equivalent (null never collides with a real token: tokens come
+    from split and are never null).
+
+    The grouped table is persisted (MEMORY_AND_DISK, materialized by
+    the caller's first action) so every returned order — and every
+    statistic the KN scorers derive from them — reads one cache."""
+    from pyspark.storagelevel import StorageLevel
+
+    K = int(K)
+    if K < 1:
+        raise ValueError("ngram_lm_fit_multi: K must be >= 1")
+    if K == 1:
+        return [ngram_lm_fit(docs, 1, text_col, lowercase)]
+    tk = _tokens(text_col, lowercase)
+    src = docs.select(tk.alias("_tk"))
+    # g_K = the position's token; g_{K-j} = j tokens back (null early)
+    fields = ", ".join(
+        f"if(i > {K - 2 - j}, element_at(_tk, i - {K - 2 - j}), null)"
+        f" as g{j + 1}"
+        for j in range(K - 1)
+    ) + f", w as g{K}"
+    ent = F.expr(f"transform(_tk, (w, i) -> struct({fields}))")
+    cols = [f"g{j}" for j in range(1, K + 1)]
+    pos = (
+        src.select(F.explode(ent).alias("_e"))
+        .select(*[F.col(f"_e.g{j}").alias(f"g{j}") for j in range(1, K + 1)])
+    )
+    sets = [[f"g{j}" for j in range(K - k + 1, K + 1)] for k in range(1, K + 1)]
+    grouped = (
+        pos.groupingSets(sets, *[F.col(c) for c in cols])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.grouping_id().alias("_gid"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    models = []
+    for k in range(1, K + 1):
+        gid = (1 << K) - (1 << k)  # columns g1..g_{K-k} aggregated
+        models.append(
+            grouped.filter(
+                (F.col("_gid") == gid)
+                & F.col(f"g{K - k + 1}").isNotNull()
+            ).select(
+                *[
+                    F.col(f"g{K - k + j}").alias(f"w{j}")
+                    for j in range(1, k + 1)
+                ],
+                "cnt",
+            )
+        )
+    return models
+
+
 def _uni_as_w1(uni_model: DataFrame) -> DataFrame:
     """Normalize the order-1 table's word column to ``w1``
     (:func:`unigram_lm_fit` emits ``token``; :func:`ngram_lm_fit`
@@ -598,6 +673,11 @@ def kn_lm_score(
     # count re-ran the whole trigram fit once per call). Lives as
     # long as the returned plan, the cont-persist contract.
     tri_model = tri_model.persist(StorageLevel.MEMORY_AND_DISK)
+    # the bigram relation ALSO feeds three consumers (cont below plus
+    # the two c_uv top-layer relations): unpersisted, each broadcast
+    # build re-ran the full bigram fit (r16 optimization — guide §2.4;
+    # the n_cc action materializes this cache on the way to cont)
+    bi_model = bi_model.persist(StorageLevel.MEMORY_AND_DISK)
     if broadcast_model:
         n_tri = tri_model.count()
         if n_tri > _KN_BROADCAST_ROW_CAP:
@@ -833,6 +913,12 @@ def kn_ngram_score(
     from pyspark.storagelevel import StorageLevel
 
     top = models[K - 1].persist(StorageLevel.MEMORY_AND_DISK)
+    # the order-(K-1) table feeds the two top-layer denominator
+    # relations (rel_top, rel_toplam) — unpersisted, each broadcast
+    # build re-ran that order's full fit (r16 optimization, the
+    # kn_lm_score bi_model persist generalized; materialized lazily
+    # by the scoring action — no extra driver action)
+    models[K - 2] = models[K - 2].persist(StorageLevel.MEMORY_AND_DISK)
     if broadcast_model:
         n_top = top.count()
         if n_top > _KN_BROADCAST_ROW_CAP:
@@ -1679,11 +1765,21 @@ class ArpaModel:
     (double), backoff (double, NULL where the file omits it — ARPA
     semantics: absent backoff weight = 0.0, applied at score time).
     Bounded driver state: the declared counts only; the tables stay
-    distributed relations end to end."""
+    distributed relations end to end.
 
-    def __init__(self, grams: dict, counts: dict):
+    ``local_rows`` (optional): the SAME rows as plain Python tuples
+    ``(w1..wk, log10p[, backoff])`` per order, for models whose rows
+    already live on the driver (hand-built fixtures, tests). Purely
+    an execution shortcut: the literal-map scoring path and the
+    ``<unk>`` probe read them instead of paying per-call collect job
+    constants (~1.4 s measured on a 31-row model — r16); semantics
+    are identical, and None (the load_arpa default) keeps every
+    consumer on the relation path."""
+
+    def __init__(self, grams: dict, counts: dict, local_rows: dict | None = None):
         self.grams = dict(grams)
         self.counts = dict(counts)
+        self.local_rows = dict(local_rows) if local_rows is not None else None
 
     @property
     def order(self) -> int:
@@ -1708,7 +1804,12 @@ class ArpaModel:
                 f"ArpaModel.truncate({k}): no populated order survives "
                 f"(model carries orders {sorted(self.grams)})"
             )
-        return ArpaModel(grams, counts)
+        lr = (
+            {o: rows for o, rows in self.local_rows.items() if o <= k}
+            if self.local_rows is not None
+            else None
+        )
+        return ArpaModel(grams, counts, lr)
 
 
 def load_arpa(spark, path: str, lowercase: bool = False) -> ArpaModel:
@@ -1866,6 +1967,14 @@ def _arpa_unk_row(model: ArpaModel):
     Tolerates a backoff-less order-1 table (legal for a pure unigram
     model, where the validator exempts the top order)."""
     g1 = model.grams[1]
+    if model.local_rows is not None and 1 in model.local_rows:
+        # driver-side rows: same answer, no job (the local_rows
+        # contract — rows identical to grams[1])
+        for r in model.local_rows[1]:
+            if r[0] == "<unk>":
+                b = r[2] if len(r) > 2 else None
+                return True, float(r[1]), (0.0 if b is None else float(b))
+        return False, None, 0.0
     bo = (
         F.col("backoff")
         if "backoff" in g1.columns
@@ -1919,6 +2028,128 @@ def _validate_arpa_scoring_model(model: ArpaModel) -> int:
     return K
 
 
+#: row budget for the literal-map scoring path: a model at most this
+#: many TOTAL rows (all orders) ships as create_map literals inside
+#: one codegen projection — zero joins, zero broadcast stages. The
+#: r16 profile measured ~0.3 s of per-join stage overhead × 12 joins
+#: on a 31-row gate model (the joins' probe work is trivial; the
+#: broadcast-stage machinery is not). Sized like the quality
+#: classifier's _EXPR_DIM_LIMIT: well under codegen method limits.
+_ARPA_EXPR_ROW_CAP = 2048
+
+
+def _arpa_expr_maps(model: ArpaModel, K: int):
+    """Collect a small model's tables into Python dicts for the
+    literal-map scoring path: (m1, mb1, mp, mbo) where m1/mb1 key on
+    the unigram word and mp[k]/mbo[k] key on the space-joined n-gram
+    (tokens come from a whitespace split, so ' ' cannot occur inside
+    a token — the key is collision-free). Backoffs are coalesced to
+    0.0 at build time (the format's absent-weight semantics, exactly
+    what the join path's coalesce applies). Returns None when the
+    ACTUAL rows exceed :data:`_ARPA_EXPR_ROW_CAP` (callers fall back
+    to the join path); raises on duplicate n-gram keys (an invalid
+    model — load_arpa rejects them at load, so only hand-assembled
+    models can get here, and the join path would silently duplicate
+    scored positions for them)."""
+    # tables[k]: list of (words_tuple, log10p, backoff_or_None)
+    tables: dict[int, list] = {k: [] for k in range(1, K + 1)}
+    if model.local_rows is not None and all(
+        k in model.local_rows for k in range(1, K + 1)
+    ):
+        # driver-side rows (the local_rows contract): no job at all
+        total = sum(len(model.local_rows[k]) for k in range(1, K + 1))
+        if total > _ARPA_EXPR_ROW_CAP:
+            return None
+        for k in range(1, K + 1):
+            for r in model.local_rows[k]:
+                words = tuple(r[:k])
+                bo = r[k + 1] if len(r) > k + 1 else None
+                tables[k].append((words, float(r[k]), bo))
+    else:
+        # ONE padded union + limit + collect for every order:
+        # per-table collects each pay a fixed local-execution
+        # constant (~0.3-1 s measured), which at K=5 would eat most
+        # of the path's win
+        from functools import reduce
+
+        parts = []
+        for k in range(1, K + 1):
+            g = model.grams[k]
+            sel = [F.lit(k).alias("_k")]
+            for i in range(1, K + 1):
+                sel.append(
+                    (
+                        F.col(f"w{i}")
+                        if i <= k
+                        else F.lit(None).cast("string")
+                    ).alias(f"w{i}")
+                )
+            sel.append(F.col("log10p").cast("double").alias("log10p"))
+            sel.append(
+                (
+                    F.col("backoff")
+                    if "backoff" in g.columns
+                    else F.lit(None)
+                )
+                .cast("double")
+                .alias("backoff")
+            )
+            parts.append(g.select(*sel))
+        combined = reduce(lambda a, b: a.unionByName(b), parts)
+        rows = combined.limit(_ARPA_EXPR_ROW_CAP + 1).collect()
+        if len(rows) > _ARPA_EXPR_ROW_CAP:
+            return None
+        for r in rows:
+            k = int(r["_k"])
+            tables[k].append(
+                (
+                    tuple(r[f"w{i}"] for i in range(1, k + 1)),
+                    float(r["log10p"]),
+                    r["backoff"],
+                )
+            )
+    m1: dict[str, float] = {}
+    mb1: dict[str, float] = {}
+    for words, lp, b in tables[1]:
+        w = words[0]
+        if w in m1:
+            raise ValueError(
+                f"arpa_lm_score: duplicate unigram {w!r} in the model"
+            )
+        m1[w] = lp
+        mb1[w] = 0.0 if b is None else float(b)
+    mp: dict[int, dict[str, float]] = {}
+    mbo: dict[int, dict[str, float]] = {}
+    for k in range(2, K + 1):
+        mpk: dict[str, float] = {}
+        mbok: dict[str, float] = {}
+        for words, lp, b in tables[k]:
+            key = " ".join(words)
+            if key in mpk:
+                raise ValueError(
+                    f"arpa_lm_score: duplicate {k}-gram {key!r} in the "
+                    "model"
+                )
+            mpk[key] = lp
+            if k < K:
+                mbok[key] = 0.0 if b is None else float(b)
+        mp[k] = mpk
+        mbo[k] = mbok
+    return m1, mb1, mp, mbo
+
+
+def _lit_map(d: dict[str, float]):
+    """A map<string,double> literal Column (null literal when empty,
+    so element_at stays well-typed and returns null for every key)."""
+    if not d:
+        return F.lit(None).cast("map<string,double>")
+    args = []
+    for k, v in d.items():
+        args.append(F.lit(k))
+        args.append(F.lit(float(v)))
+    return F.create_map(*args)
+
+
 def arpa_lm_score(
     docs: DataFrame,
     model: ArpaModel,
@@ -1927,6 +2158,7 @@ def arpa_lm_score(
     oov_log10p: float | None = None,
     lowercase: bool = True,
     broadcast_model: bool = True,
+    as_expression: bool | None = None,
 ) -> DataFrame:
     """Per-document mean NLL (nats) under an imported ARPA backoff
     model — (id..., arpa_tokens, arpa_nll): the standard recursive
@@ -1989,108 +2221,204 @@ def arpa_lm_score(
             *[F.col(f"_e.c{j}").alias(f"_c{j}") for j in range(1, K)],
         )
     )
-    # target word's unigram row, then one slim vocabulary probe per
-    # context position the plan actually consumes: position 1's probe
-    # doubles as b(v); positions ≥2 are only needed for the <unk>
-    # mapping, so a <unk>-less model skips them (r15 review — the
-    # has_unk=False branch never reads their columns, but Spark can't
-    # prune a left join whose right side isn't provably unique)
-    joined = joined.join(
-        hint(
-            uni.select(
-                F.col("w1").alias("_uw"), F.col("log10p").alias("_up")
+    # small models score through ONE codegen projection over literal
+    # lookup maps — zero joins, zero broadcast stages (r16
+    # optimization: the profile measured ~0.3 s of per-broadcast-stage
+    # overhead × 12 joins on the 31-row gate model; guide §1.2 —
+    # per-task work after the job shape. as_expression=None picks the
+    # path from the declared header counts, verified against the
+    # ACTUAL rows at collect time with a join-path fallback; the
+    # probability chain below is the SAME arithmetic either way, so
+    # the scores are bit-identical (parity-pinned in tests).
+    maps = None
+    if as_expression is None:
+        declared = sum(int(model.counts.get(k, 0)) for k in range(1, K + 1))
+        if declared <= _ARPA_EXPR_ROW_CAP:
+            maps = _arpa_expr_maps(model, K)
+    elif as_expression:
+        maps = _arpa_expr_maps(model, K)
+        if maps is None:
+            raise ValueError(
+                f"arpa_lm_score: model exceeds {_ARPA_EXPR_ROW_CAP:,} "
+                "rows — the literal-map path would inline it into the "
+                "plan; pass as_expression=False (join path, identical "
+                "scores) for models this size"
             )
-        ),
-        joined["_w"] == F.col("_uw"),
-        "left",
-    ).drop("_uw")
-    probe_js = range(1, K) if has_unk else range(1, min(K, 2))
-    for j in probe_js:
-        # only position 1's probe carries the backoff column (it
-        # doubles as b(v)); j >= 2 exists solely for the <unk>
-        # membership mapping, so shipping backoff there would inflate
-        # each broadcast relation by a dead double per vocab row
-        cols = [
-            F.col("w1").alias(f"_v{j}w"),
-            F.lit(True).alias(f"_v{j}m"),
-        ]
-        if j == 1:
-            cols.append(F.col("backoff").alias("_v1b"))
-        joined = joined.join(
-            hint(uni.select(*cols)),
-            joined[f"_c{j}"] == F.col(f"_v{j}w"),
-            "left",
-        ).drop(f"_v{j}w")
-    # effective words: OOV → '<unk>' when the model ships it (KenLM's
-    # substitution), else the raw word (matches nothing; backoff-0 hops)
-    if has_unk:
-        joined = joined.withColumn(
-            "_we",
-            F.when(F.col("_up").isNotNull(), F.col("_w")).otherwise(
-                F.lit("<unk>")
-            ),
-        )
-        for j in range(1, K):
-            joined = joined.withColumn(
-                f"_e{j}",
-                F.when(F.col(f"_c{j}").isNull(), F.lit(None).cast("string"))
-                .when(F.col(f"_v{j}m"), F.col(f"_c{j}"))
-                .otherwise(F.lit("<unk>")),
-            )
-    else:
-        joined = joined.withColumn("_we", F.col("_w"))
-        for j in range(1, K):
-            joined = joined.withColumn(f"_e{j}", F.col(f"_c{j}"))
 
-    # p_k chain: p1 = unigram (OOV floor = p(<unk>) when shipped);
-    # p_k = p(ctx·w) if listed else b(ctx) + p_{k-1}
-    ps = [F.coalesce(F.col("_up"), F.lit(floor10))]
-    if K >= 2:
-        # unigram backoff of the effective context word: the file's
-        # b(<unk>) when the raw word is OOV and the model ships <unk>
-        b1 = F.when(
-            F.col("_v1m"), F.coalesce(F.col("_v1b"), F.lit(0.0))
-        ).otherwise(F.lit(b_unk if has_unk else 0.0))
-    for k in range(2, K + 1):
-        gk = model.grams[k]
-        relk = hint(
-            gk.select(
-                *[
-                    F.col(f"w{i}").alias(f"_g{k}w{i}")
-                    for i in range(1, k + 1)
-                ],
-                F.col("log10p").alias(f"_p{k}"),
+    if maps is not None:
+        m1, mb1, mp, mbo = maps
+        m1c = _lit_map(m1)
+        joined = joined.withColumn("_up", F.element_at(m1c, F.col("_w")))
+        # effective words: OOV → '<unk>' when the model ships it
+        # (KenLM's substitution), else the raw word (matches nothing)
+        if has_unk:
+            joined = joined.withColumn(
+                "_we",
+                F.when(F.col("_up").isNotNull(), F.col("_w")).otherwise(
+                    F.lit("<unk>")
+                ),
             )
-        )
-        # context words furthest-first: w1 = c_{k-1}, …, w_{k-1} = c1
-        cond = F.col(f"_e{k - 1}") == F.col(f"_g{k}w1")
-        for i in range(2, k):
-            cond = cond & (F.col(f"_e{k - i}") == F.col(f"_g{k}w{i}"))
-        cond = cond & (F.col("_we") == F.col(f"_g{k}w{k}"))
-        joined = joined.join(relk, cond, "left").drop(
-            *[f"_g{k}w{i}" for i in range(1, k + 1)]
-        )
-        if k == 2:
-            bk = b1
+            for j in range(1, K):
+                joined = joined.withColumn(
+                    f"_e{j}",
+                    F.when(
+                        F.col(f"_c{j}").isNull(),
+                        F.lit(None).cast("string"),
+                    )
+                    .when(
+                        F.element_at(m1c, F.col(f"_c{j}")).isNotNull(),
+                        F.col(f"_c{j}"),
+                    )
+                    .otherwise(F.lit("<unk>")),
+                )
         else:
-            bg = model.grams[k - 1]
-            relb = hint(
-                bg.select(
+            joined = joined.withColumn("_we", F.col("_w"))
+            for j in range(1, K):
+                joined = joined.withColumn(f"_e{j}", F.col(f"_c{j}"))
+        ps = [F.coalesce(F.col("_up"), F.lit(floor10))]
+        if K >= 2:
+            b1 = F.when(
+                F.element_at(m1c, F.col("_c1")).isNotNull(),
+                F.coalesce(
+                    F.element_at(_lit_map(mb1), F.col("_c1")), F.lit(0.0)
+                ),
+            ).otherwise(F.lit(b_unk if has_unk else 0.0))
+
+        def _gram_key(parts):
+            # tokens come from a whitespace split, so ' ' cannot occur
+            # inside one — the joined key is collision-free; F.concat
+            # (NOT concat_ws) propagates nulls, so a missing context
+            # word nulls the key and the lookup, exactly the join
+            # path's no-match
+            args = []
+            for c in parts[:-1]:
+                args.extend([c, F.lit(" ")])
+            args.append(parts[-1])
+            return F.concat(*args)
+
+        for k in range(2, K + 1):
+            ctx = [F.col(f"_e{k - i}") for i in range(1, k)]
+            pk = F.element_at(_lit_map(mp[k]), _gram_key(ctx + [F.col("_we")]))
+            if k == 2:
+                bk = b1
+            else:
+                bk = F.coalesce(
+                    F.element_at(_lit_map(mbo[k - 1]), _gram_key(ctx)),
+                    F.lit(0.0),
+                )
+            ps.append(F.coalesce(pk, bk + ps[-1]))
+    else:
+        # target word's unigram row, then one slim vocabulary probe per
+        # context position the plan actually consumes: position 1's
+        # probe doubles as b(v); positions ≥2 are only needed for the
+        # <unk> mapping, so a <unk>-less model skips them (r15 review —
+        # the has_unk=False branch never reads their columns, but Spark
+        # can't prune a left join whose right side isn't provably
+        # unique)
+        joined = joined.join(
+            hint(
+                uni.select(
+                    F.col("w1").alias("_uw"), F.col("log10p").alias("_up")
+                )
+            ),
+            joined["_w"] == F.col("_uw"),
+            "left",
+        ).drop("_uw")
+        probe_js = range(1, K) if has_unk else range(1, min(K, 2))
+        for j in probe_js:
+            # only position 1's probe carries the backoff column (it
+            # doubles as b(v)); j >= 2 exists solely for the <unk>
+            # membership mapping, so shipping backoff there would
+            # inflate each broadcast relation by a dead double per
+            # vocab row
+            cols = [
+                F.col("w1").alias(f"_v{j}w"),
+                F.lit(True).alias(f"_v{j}m"),
+            ]
+            if j == 1:
+                cols.append(F.col("backoff").alias("_v1b"))
+            joined = joined.join(
+                hint(uni.select(*cols)),
+                joined[f"_c{j}"] == F.col(f"_v{j}w"),
+                "left",
+            ).drop(f"_v{j}w")
+        # effective words: OOV → '<unk>' when the model ships it
+        # (KenLM's substitution), else the raw word (matches nothing;
+        # backoff-0 hops)
+        if has_unk:
+            joined = joined.withColumn(
+                "_we",
+                F.when(F.col("_up").isNotNull(), F.col("_w")).otherwise(
+                    F.lit("<unk>")
+                ),
+            )
+            for j in range(1, K):
+                joined = joined.withColumn(
+                    f"_e{j}",
+                    F.when(
+                        F.col(f"_c{j}").isNull(),
+                        F.lit(None).cast("string"),
+                    )
+                    .when(F.col(f"_v{j}m"), F.col(f"_c{j}"))
+                    .otherwise(F.lit("<unk>")),
+                )
+        else:
+            joined = joined.withColumn("_we", F.col("_w"))
+            for j in range(1, K):
+                joined = joined.withColumn(f"_e{j}", F.col(f"_c{j}"))
+
+        # p_k chain: p1 = unigram (OOV floor = p(<unk>) when shipped);
+        # p_k = p(ctx·w) if listed else b(ctx) + p_{k-1}
+        ps = [F.coalesce(F.col("_up"), F.lit(floor10))]
+        if K >= 2:
+            # unigram backoff of the effective context word: the
+            # file's b(<unk>) when the raw word is OOV and the model
+            # ships <unk>
+            b1 = F.when(
+                F.col("_v1m"), F.coalesce(F.col("_v1b"), F.lit(0.0))
+            ).otherwise(F.lit(b_unk if has_unk else 0.0))
+        for k in range(2, K + 1):
+            gk = model.grams[k]
+            relk = hint(
+                gk.select(
                     *[
-                        F.col(f"w{i}").alias(f"_b{k}w{i}")
-                        for i in range(1, k)
+                        F.col(f"w{i}").alias(f"_g{k}w{i}")
+                        for i in range(1, k + 1)
                     ],
-                    F.col("backoff").alias(f"_bo{k}"),
+                    F.col("log10p").alias(f"_p{k}"),
                 )
             )
-            bcond = F.col(f"_e{k - 1}") == F.col(f"_b{k}w1")
+            # context words furthest-first: w1 = c_{k-1}, …, w_{k-1} = c1
+            cond = F.col(f"_e{k - 1}") == F.col(f"_g{k}w1")
             for i in range(2, k):
-                bcond = bcond & (F.col(f"_e{k - i}") == F.col(f"_b{k}w{i}"))
-            joined = joined.join(relb, bcond, "left").drop(
-                *[f"_b{k}w{i}" for i in range(1, k)]
+                cond = cond & (F.col(f"_e{k - i}") == F.col(f"_g{k}w{i}"))
+            cond = cond & (F.col("_we") == F.col(f"_g{k}w{k}"))
+            joined = joined.join(relk, cond, "left").drop(
+                *[f"_g{k}w{i}" for i in range(1, k + 1)]
             )
-            bk = F.coalesce(F.col(f"_bo{k}"), F.lit(0.0))
-        ps.append(F.coalesce(F.col(f"_p{k}"), bk + ps[-1]))
+            if k == 2:
+                bk = b1
+            else:
+                bg = model.grams[k - 1]
+                relb = hint(
+                    bg.select(
+                        *[
+                            F.col(f"w{i}").alias(f"_b{k}w{i}")
+                            for i in range(1, k)
+                        ],
+                        F.col("backoff").alias(f"_bo{k}"),
+                    )
+                )
+                bcond = F.col(f"_e{k - 1}") == F.col(f"_b{k}w1")
+                for i in range(2, k):
+                    bcond = bcond & (
+                        F.col(f"_e{k - i}") == F.col(f"_b{k}w{i}")
+                    )
+                joined = joined.join(relb, bcond, "left").drop(
+                    *[f"_b{k}w{i}" for i in range(1, k)]
+                )
+                bk = F.coalesce(F.col(f"_bo{k}"), F.lit(0.0))
+            ps.append(F.coalesce(F.col(f"_p{k}"), bk + ps[-1]))
 
     # position i uses order min(K, i+1): pick p_j where _cj is the
     # first missing context

@@ -504,6 +504,59 @@ PHASH_SCHEMA = StructType(
 )
 
 
+#: past this pixel count the vectorized hasher's int64 cross-products
+#: (s · npx) could overflow, so those rows take the arbitrary-
+#: precision per-row Python path instead (same bits by construction)
+_PHASH_VECTOR_NPX_CAP = 100_000_000
+
+
+def _phash_group(pxs, hash_size: int):
+    """Vectorized aHash/dHash over a (N, h, w) int64 pixel stack —
+    the batch form of :func:`_phash_one`'s per-image arithmetic
+    (identical bits: same prefix sums, same floor block bounds, same
+    cross-multiplied integer comparisons, evaluated per-image along
+    axis 0; parity-pinned in tests/test_phash.py). Returns (ahash,
+    dhash) int64 arrays of length N."""
+    import numpy as np
+
+    N, h, w = pxs.shape
+    pre = np.zeros((N, h + 1, w + 1), dtype=np.int64)
+    pre[:, 1:, 1:] = pxs.cumsum(axis=1).cumsum(axis=2)
+
+    def block(r0, r1, c0, c1):
+        return (
+            pre[:, r1, c1]
+            - pre[:, r0, c1]
+            - pre[:, r1, c0]
+            + pre[:, r0, c0]
+        )
+
+    rb = phash_block_bounds(h, hash_size)
+    ca = phash_block_bounds(w, hash_size)
+    cd = phash_block_bounds(w, hash_size + 1)
+    total = pre[:, h, w]
+    npx = w * h
+    ah = np.zeros(N, dtype=np.uint64)
+    dh = np.zeros(N, dtype=np.uint64)
+    for i in range(hash_size):
+        r0, r1 = rb[i], rb[i + 1]
+        for j in range(hash_size):
+            s = block(r0, r1, ca[j], ca[j + 1])
+            n = (r1 - r0) * (ca[j + 1] - ca[j])
+            ah |= (s * npx > total * n).astype(np.uint64) << np.uint64(
+                i * hash_size + j
+            )
+        for j in range(hash_size):
+            s1 = block(r0, r1, cd[j], cd[j + 1])
+            n1 = (r1 - r0) * (cd[j + 1] - cd[j])
+            s2 = block(r0, r1, cd[j + 1], cd[j + 2])
+            n2 = (r1 - r0) * (cd[j + 2] - cd[j + 1])
+            dh |= (s1 * n2 > s2 * n1).astype(np.uint64) << np.uint64(
+                i * hash_size + j
+            )
+    return ah.view(np.int64), dh.view(np.int64)
+
+
 def _phash_one(raw: bytes, hash_size: int) -> tuple:
     import numpy as np
 
@@ -571,15 +624,49 @@ def phash_media(df: DataFrame, hash_size: int = 8) -> DataFrame:
     hs = int(hash_size)
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r16 optimization (guide §4.2 — hand whole batches to
+        # vectorized native code): decode per row (header parse +
+        # frombuffer, cheap), then hash each same-shape group as ONE
+        # numpy pass over the (N, h, w) stack instead of per-image
+        # Python loops with per-image prefix-sum allocations. Bits
+        # are identical (_phash_group mirrors _phash_one's integer
+        # arithmetic; parity-pinned); oversized images fall back to
+        # the arbitrary-precision per-row path.
+        import numpy as np
+
         for pdf in batches:
-            out = {n: [] for n in ("media_id", "width", "height", "ahash", "dhash")}
-            for mid, raw in zip(pdf["media_id"], pdf["media_bytes"]):
-                w, h, ah, dh = _phash_one(raw, hs)
-                out["media_id"].append(mid)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["ahash"].append(ah)
-                out["dhash"].append(dh)
-            yield pd.DataFrame(out)
+            n = len(pdf)
+            mids = pdf["media_id"].to_numpy()
+            widths = np.zeros(n, dtype=np.int32)
+            heights = np.zeros(n, dtype=np.int32)
+            ah = np.zeros(n, dtype=np.int64)
+            dh = np.zeros(n, dtype=np.int64)
+            pxs: list = [None] * n
+            groups: dict = {}
+            for idx, raw in enumerate(pdf["media_bytes"]):
+                w, h, px = _decode_pgm_pixels(raw)
+                widths[idx], heights[idx] = w, h
+                pxs[idx] = px
+                groups.setdefault((w, h), []).append(idx)
+            for (w, h), idxs in groups.items():
+                if w * h > _PHASH_VECTOR_NPX_CAP:
+                    for i in idxs:
+                        _, _, a, d = _phash_one(
+                            pdf["media_bytes"].iloc[i], hs
+                        )
+                        ah[i], dh[i] = a, d
+                    continue
+                stack = np.stack([pxs[i] for i in idxs])
+                ga, gd = _phash_group(stack, hs)
+                ah[idxs], dh[idxs] = ga, gd
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "width": widths,
+                    "height": heights,
+                    "ahash": ah,
+                    "dhash": dh,
+                }
+            )
 
     return df.mapInPandas(hash_batches, PHASH_SCHEMA)

@@ -232,20 +232,32 @@ def quality_classifier_fit(
                 )
             ).alias("_l"),
         ).localCheckpoint(eager=True)
-        grad_rows = (
+        # ONE collect for the gradient AND the loss/bias totals (r16:
+        # the separate totals action paid a full scheduler round trip
+        # per iteration — both branches read the checkpointed derr, so
+        # a union evaluates them in one job; fids are pmod ≥ 0, so -1
+        # cannot collide). Sums stay DECIMAL — bit-identical updates.
+        gb = (
             x.join(derr, "_id")
             .groupBy("_fid")
             .agg(dec(F.col("_e") * F.col("_v")).alias("_g"))
-            .collect()
+            .withColumn("_l", F.lit(None).cast("double"))
         )
-        tot = derr.agg(
-            dec(F.col("_e")).alias("se"), dec(F.col("_l")).alias("sl")
-        ).first()
-        history.append(float(tot["sl"]) / n_docs)
+        tot_df = derr.agg(
+            dec(F.col("_e")).alias("_g"), dec(F.col("_l")).alias("_l")
+        ).select(F.lit(-1).alias("_fid"), "_g", "_l")
+        se = sl = 0.0
+        grad_rows = []
+        for r in gb.unionByName(tot_df).collect():
+            if int(r["_fid"]) == -1:
+                se, sl = float(r["_g"]), float(r["_l"])
+            else:
+                grad_rows.append(r)
+        history.append(sl / n_docs)
         for r in grad_rows:
             i = int(r["_fid"])
             w[i] -= lr * (float(r["_g"]) / n_docs + l2 * w[i])
-        bias -= lr * float(tot["se"]) / n_docs
+        bias -= lr * se / n_docs
         if math.isnan(bias):
             raise ArithmeticError("quality_classifier_fit diverged")
     x.unpersist()

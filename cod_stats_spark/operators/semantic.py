@@ -113,10 +113,20 @@ def semantic_dedup(
     if not centroids:
         raise ValueError("semantic_dedup: centroids must be non-empty")
     spark = df.sparkSession
+    from pyspark.storagelevel import StorageLevel
+
     v = F.col(vec_col).cast("array<double>")
+    # persisted + barrier: the assignment projection (k dot products
+    # per row, interpreted HOF lambdas) feeds FOUR consumers below
+    # (the null pass-through, both sides of the pairing self-join,
+    # and the survivor rank) — unpersisted, every consumer re-ran the
+    # full argmin over the corpus (r16 optimization, guide §2.4; the
+    # count is the dtf-barrier idiom — consumers race inside one
+    # action otherwise). Lives as long as the returned plan.
     assigned = kmeans_assign(
         df.select(F.col(id_col).alias("_id"), v.alias("_v")), "_v", centroids
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
     # null embeddings can't participate in a cosine decision — they
     # PASS THROUGH (null cluster/score); silently deleting them (the
     # inner joins below would) is data loss, not a dedup decision

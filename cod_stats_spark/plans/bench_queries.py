@@ -2032,7 +2032,14 @@ def _arpa_gate_model(spark):
             + ["log10p double", "backoff double"]
         )
         grams[k] = spark.createDataFrame(rows, cols)
-    return ArpaModel(grams, {k: len(v) for k, v in _ARPA_GATE_ROWS.items()})
+    # local_rows: the literal rows ARE driver-side — the literal-map
+    # scoring path reads them directly instead of collecting the
+    # just-created relations back (r16; semantics unchanged)
+    return ArpaModel(
+        grams,
+        {k: len(v) for k, v in _ARPA_GATE_ROWS.items()},
+        local_rows=_ARPA_GATE_ROWS,
+    )
 
 
 _SQL_TOKS = _sql_tokens("text")
@@ -7620,17 +7627,18 @@ def kn_lm_score_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate referencing the NLLs so count() cannot prune the
     scoring joins (the lm_score count-pruning hazard)."""
     from cod_stats_spark.operators.lm_score import (
-        bigram_lm_fit,
         kn_lm_score,
-        trigram_lm_fit,
-        unigram_lm_fit,
+        ngram_lm_fit_multi,
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
     ref = docs.where(F.col("doc_id") % 5 == 0)
-    scored = kn_lm_score(
-        docs, unigram_lm_fit(ref), bigram_lm_fit(ref), trigram_lm_fit(ref)
-    )
+    # r16 optimization (guide §2.4): uni/bi/tri count tables from ONE
+    # tokenize+explode+GROUPING SETS pass (row-identical to the
+    # separate fits, parity-pinned) instead of three passes; the
+    # shared grouped table is persisted so the scorer's derived
+    # statistics read one cache.
+    scored = kn_lm_score(docs, *ngram_lm_fit_multi(ref, 3))
     return scored.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("lm3_nll").alias("nll_checksum"),
@@ -8104,14 +8112,18 @@ def kn5_score_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scoring joins (the lm_score count-pruning hazard)."""
     from cod_stats_spark.operators.lm_score import (
         kn_ngram_score,
-        ngram_lm_fit,
+        ngram_lm_fit_multi,
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
     ref = docs.where(F.col("doc_id") % 5 == 0)
-    scored = kn_ngram_score(
-        docs, [ngram_lm_fit(ref, k) for k in range(1, 6)]
-    )
+    # r16 optimization (guide §2.4): all five count tables from ONE
+    # tokenize+explode+GROUPING SETS pass (ngram_lm_fit_multi — row-
+    # identical to the per-order fits, parity-pinned) instead of five
+    # separate explode+shuffle passes over the reference slice; the
+    # shared grouped table is persisted so every model-support
+    # aggregate inside kn_ngram_score reads one cache.
+    scored = kn_ngram_score(docs, ngram_lm_fit_multi(ref, 5))
     return scored.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("kn_nll").alias("nll_checksum"),

@@ -58,6 +58,16 @@ def get_spark(app_name: str = "cod_stats_spark", cpus: int | None = None) -> Spa
         # same flag via spark.executor.extraJavaOptions.
         .config("spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # bound plan-string rendering (default ~2 GB): AQE re-renders
+        # an explain string on EVERY stage update
+        # (AdaptiveSparkPlanExec.onUpdatePlan), and the funnel
+        # composition's plans are large enough that unbounded
+        # rendering both burns driver CPU per stage and can OOM the
+        # driver heap outright (r16: java.lang.OutOfMemoryError inside
+        # QueryExecution.explainString during a funnel shard write —
+        # guide §5, the driver should do almost no data work; 1 MB
+        # keeps real diagnostics readable)
+        .config("spark.sql.maxPlanStringLength", str(1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
@@ -111,6 +121,11 @@ def prep_session(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.session.timeZone", "UTC")
     conf.set("spark.sql.ansi.enabled", "false")
     conf.set("spark.sql.adaptive.enabled", "true")
+    # bound AQE's per-stage-update plan rendering (see get_spark)
+    try:
+        conf.set("spark.sql.maxPlanStringLength", str(1024 * 1024))
+    except Exception:
+        pass
     try:
         ncores = spark.sparkContext.defaultParallelism
         conf.set("spark.sql.shuffle.partitions", str(max(ncores, 8)))

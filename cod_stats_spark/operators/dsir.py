@@ -191,6 +191,62 @@ def dsir_fit(
     )
 
 
+def dsir_fit_tagged(
+    docs: DataFrame,
+    target_cond,
+    text_col: str = "text",
+    dim: int = 1 << 14,
+    ngrams: int = 2,
+    base_hash: str = "xxhash64",
+    lowercase: bool = True,
+    smoothing: float = 1.0,
+) -> DsirModel:
+    """:func:`dsir_fit` for the common case where TARGET is a
+    predicate over the raw corpus itself (the paper's domain-match
+    shape — e.g. ``target_cond = col('lang') == 'en'`` with the whole
+    corpus as RAW): both bucket distributions from ONE explode →
+    fid shuffle (a conditional sum rides the same aggregate) instead
+    of two full corpus passes (r16 optimization, guide §2.4).
+    Bit-identical to ``dsir_fit(docs.where(target_cond), docs, …)``:
+    the counts are exact integers either way and the λ6 arithmetic is
+    the same shared formula (parity-pinned in tests)."""
+    if dim > (1 << 22):
+        raise ValueError(
+            "dim > 2^22: the driver log-ratio vector is the documented "
+            "bounded state — raise deliberately, not by default"
+        )
+    a = float(smoothing)
+    feats = _feats_col(text_col, ngrams, lowercase)
+    rows = (
+        docs.select(
+            target_cond.alias("_t"), F.explode(feats).alias("_f")
+        )
+        .withColumn("_fid", F.expr(_fid_sql("_f", dim, base_hash)))
+        .groupBy("_fid")
+        .agg(
+            F.count(F.lit(1)).alias("_cr"),
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_ct"),
+        )
+        .collect()
+    )
+    cr = {int(r["_fid"]): int(r["_cr"]) for r in rows}
+    ct = {int(r["_fid"]): int(r["_ct"]) for r in rows if int(r["_ct"])}
+    tt, tr = sum(ct.values()), sum(cr.values())
+    if tt == 0 or tr == 0:
+        raise ValueError(
+            "dsir_fit_tagged: empty feature stream "
+            f"(target={tt}, raw={tr} occurrences)"
+        )
+    return DsirModel(
+        dim=dim,
+        ngrams=ngrams,
+        base_hash=base_hash,
+        lowercase=lowercase,
+        smoothing=a,
+        log_ratio6=_lam6_from_counts(ct, cr, dim, a),
+    )
+
+
 def _lam6_from_counts(
     target: dict[int, int], raw: dict[int, int], dim: int, smoothing: float
 ) -> list[int]:

@@ -8024,12 +8024,16 @@ def dsir_select_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     referencing the micro-unit weights so bench.py's count() cannot
     prune the scoring join (the lm_score count-pruning hazard,
     tests/test_plan_audit.py)."""
-    from cod_stats_spark.operators.dsir import dsir_fit, dsir_select
+    from cod_stats_spark.operators.dsir import dsir_fit_tagged, dsir_select
 
     docs = load_tables(spark, sf_dir)["documents"]
     n = max(1, int(docs.count() * 0.2))
-    model = dsir_fit(
-        docs.where(F.col("lang") == "en"), docs, dim=1 << 14, ngrams=2
+    # r16 optimization (guide §2.4): the target is a predicate over
+    # the raw corpus, so BOTH bucket distributions come from one
+    # explode+shuffle pass (dsir_fit_tagged — bit-identical λ6 to the
+    # two-pass dsir_fit, parity-pinned) instead of two corpus passes
+    model = dsir_fit_tagged(
+        docs, F.col("lang") == "en", dim=1 << 14, ngrams=2
     )
     picked = dsir_select(docs, model, n=n, micro_col="_m")
     return picked.agg(

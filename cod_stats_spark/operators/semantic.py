@@ -16,11 +16,14 @@ Spark shape, by stage:
 2. keeper rank — cosine to the OWN centroid via one broadcast join on
    the cluster id (k rows), rounded to 6 decimals so the rank compares
    identically in any engine;
-3. pairing — a self-join ON THE CLUSTER ID (a.id < b.id) with the
-   rounded pair cosine filter: pairs only form within a cluster, so
-   the cost is Σ|cluster|² ≈ n²/k — **k is the scale knob** (SemDeDup
-   runs k ≈ 50k at web scale precisely to bound cluster sizes; there
-   is no silent cap here, choose k ∝ n);
+3. pairing — pairs only form within a cluster, so the cost is
+   Σ|cluster|² ≈ n²/k — **k is the scale knob** (SemDeDup runs
+   k ≈ 50k at web scale precisely to bound cluster sizes; there is no
+   silent cap here, choose k ∝ n). Two physical strategies, same
+   answer (``pair_method``): one vectorized numpy scan per cluster
+   group (default — the candidate superset resolves through the same
+   Spark expressions), or a pure-Column self-join ON THE CLUSTER ID
+   (a.id < b.id) with the rounded pair cosine filter;
 4. survivors — a row is dropped iff it is the WORSE side of any
    ≥threshold pair (worse = closer to the centroid; ties → larger
    id). Every survivor is therefore the best-ranked member of its
@@ -44,6 +47,117 @@ from pyspark.sql import functions as F
 
 from cod_stats_spark.operators.clustering import kmeans_assign
 from cod_stats_spark.operators.similarity import dot, norm
+
+#: Below this threshold the Arrow pairing path falls back to the
+#: expression self-join: its Python prefilter keeps a pair only when
+#: the exact cosine clears ``threshold - 1e-6``, and the guarded
+#: zero-cosine pairs (null/NaN norms) that the expression path maps to
+#: 0.0 are only droppable when the threshold itself is ≤ 0 — a regime
+#: the prefilter cannot cover without emitting every pair.
+_ARROW_PAIR_MIN_T = 1e-5
+
+#: Pair-slice bound for the per-cluster fold loop — caps the scanner's
+#: working set at a few 32 MB float64 arrays regardless of cluster size.
+_PAIR_CHUNK = 1 << 22
+
+
+def _pair_scan_fn(threshold: float):
+    """Per-cluster candidate-pair scanner for the Arrow pairing path
+    of :func:`semantic_dedup`.
+
+    Emits a SUPERSET of the droppable pairs: every same-length pair
+    whose exact (unrounded) cosine reaches ``threshold - 1e-6`` —
+    round-half-up to 6 decimals moves a value by at most 5e-7, so no
+    pair the expression path would drop can sit below the margin. The
+    dot product is the bit pattern ``aggregate(zip_with(a, b,
+    (x, y) -> x*y), 0.0, (acc, x) -> acc + x)`` produces: per-element
+    products in index order, folded left-to-right into a 0.0 seed
+    (``acc += M[ia, j] * M[ib, j]`` one dimension at a time — numpy
+    elementwise ops round each partial sum exactly like the
+    interpreted fold; pinned in tests/test_r16_optimizations.py).
+    The FINAL decision — round(·, 6), the ≥-threshold compare, the
+    NaN guard, and the worse-side choice — happens in Spark on the
+    emitted (dot, n, centroid_cosine) columns, so every boundary case
+    resolves through the identical expressions the self-join used.
+
+    Pairs this scanner may skip, and why the expression path never
+    drops them either: cross-length pairs (zip_with pads with null →
+    null dot → null pair_cos → WHERE never passes), pairs with a
+    null/NaN/zero norm on either side (denominator guard maps them to
+    cosine 0.0 < threshold, which is why the Arrow path requires
+    threshold > _ARROW_PAIR_MIN_T), and pairs touching a null-id row
+    (the self-join's ``a._id < b._id`` condition evaluates null, so
+    such rows never pair there either)."""
+    margin = float(threshold) - 1e-6
+
+    def scan(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["_id"].to_numpy()
+        ns = pdf["_n"].to_numpy(dtype=np.float64, na_value=np.nan)
+        cc = pdf["centroid_cosine"].to_numpy(
+            dtype=np.float64, na_value=np.nan
+        )
+        vs = pdf["_v"].tolist()
+        id_na = pd.isna(ids)
+        by_len: dict[int, list[int]] = {}
+        for i, v in enumerate(vs):
+            if v is not None and not id_na[i]:
+                by_len.setdefault(len(v), []).append(i)
+        cols: list[list] = [[] for _ in range(7)]
+        for idxs in by_len.values():
+            m = len(idxs)
+            if m < 2:
+                continue
+            sel = np.asarray(idxs)
+            M = np.asarray(
+                [np.asarray(vs[i], dtype=np.float64) for i in idxs]
+            )
+            ids_g, ns_g, cc_g = ids[sel], ns[sel], cc[sel]
+            ii, jj = np.triu_indices(m, 1)
+            for lo in range(0, ii.size, _PAIR_CHUNK):
+                ia = ii[lo : lo + _PAIR_CHUNK]
+                ib = jj[lo : lo + _PAIR_CHUNK]
+                # inf/NaN products must PROPAGATE (the expression fold
+                # propagates them too; the guards downstream resolve
+                # them) — errstate only silences the warnings
+                with np.errstate(
+                    invalid="ignore", divide="ignore", over="ignore"
+                ):
+                    acc = np.zeros(ia.size, dtype=np.float64)
+                    for j in range(M.shape[1]):
+                        acc += M[ia, j] * M[ib, j]
+                    den = ns_g[ia] * ns_g[ib]
+                    cos = np.where(
+                        den > 0, acc / np.where(den > 0, den, 1.0), 0.0
+                    )
+                    keep = cos >= margin  # NaN compares False
+                if not keep.any():
+                    continue
+                ka, kb = ia[keep], ib[keep]
+                for dst, arr in zip(
+                    cols,
+                    (
+                        ids_g[ka], ids_g[kb], acc[keep],
+                        ns_g[ka], ns_g[kb], cc_g[ka], cc_g[kb],
+                    ),
+                ):
+                    dst.append(arr)
+        names = ("a_id", "b_id", "_dot", "_na", "_nb", "_cca", "_ccb")
+        if not cols[0]:
+            f64 = np.float64
+            return pd.DataFrame(
+                {
+                    n: pd.Series([], dtype=(ids.dtype if n.endswith("id") else f64))
+                    for n in names
+                }
+            )
+        return pd.DataFrame(
+            {n: np.concatenate(c) for n, c in zip(names, cols)}
+        )
+
+    return scan
 
 
 def centroid_ranked(
@@ -102,6 +216,7 @@ def semantic_dedup(
     id_col: str,
     centroids: list[list[float]],
     threshold: float = 0.95,
+    pair_method: str = "arrow",
 ) -> DataFrame:
     """Survivor rows of ``df`` + (cluster, centroid_cosine).
 
@@ -109,9 +224,25 @@ def semantic_dedup(
     the kmeans_fit output; fixed centroids keep the whole operator
     exactly replayable). ``threshold`` compares against the pair
     cosine ROUNDED to 6 decimals, the gate discipline that makes the
-    boundary engine-independent."""
+    boundary engine-independent.
+
+    ``pair_method``: how stage 3's within-cluster pair cosines are
+    computed — ``'arrow'`` (default) scans each cluster's pairs in one
+    vectorized numpy pass per Arrow group (:func:`_pair_scan_fn`; the
+    ``knn_join_gemm`` lesson, r16 — the self-join evaluated every
+    Σ|cluster|²/2 dot products as interpreted HOF lambdas), ``'expr'``
+    keeps the pure-Column self-join. SAME answer either way: the
+    scanner only prefilters with an exact-cosine margin and replicates
+    the fold's bit pattern; round/threshold/worse-side all evaluate in
+    Spark expressions identical to the 'expr' path (parity pinned in
+    tests/test_r16_optimizations.py). Thresholds ≤ 1e-5 force 'expr'
+    (see _ARROW_PAIR_MIN_T)."""
     if not centroids:
         raise ValueError("semantic_dedup: centroids must be non-empty")
+    if pair_method not in ("arrow", "expr"):
+        raise ValueError(
+            f"semantic_dedup: unknown pair_method {pair_method!r}"
+        )
     spark = df.sparkSession
     from pyspark.storagelevel import StorageLevel
 
@@ -137,36 +268,72 @@ def semantic_dedup(
     )
     assigned = assigned.where(F.col("cluster").isNotNull())
     ranked = centroid_ranked(spark, assigned, centroids)
-    a, b = ranked.alias("a"), ranked.alias("b")
-    pair_cos = F.round(
-        F.when(
-            F.col("a._n") * F.col("b._n") > 0,
-            dot(F.col("a._v"), F.col("b._v"))
-            / (F.col("a._n") * F.col("b._n")),
-        ).otherwise(F.lit(0.0)),
-        6,
-    )
-    # worse side = CLOSER to the centroid (higher cc); ties → larger id
-    worse = F.when(
-        (F.col("a.centroid_cosine") > F.col("b.centroid_cosine"))
-        | (
-            (F.col("a.centroid_cosine") == F.col("b.centroid_cosine"))
-            & (F.col("a._id") > F.col("b._id"))
-        ),
-        F.col("a._id"),
-    ).otherwise(F.col("b._id"))
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a._id") < F.col("b._id")),
+    if pair_method == "arrow" and float(threshold) > _ARROW_PAIR_MIN_T:
+        # one shuffle by cluster, one vectorized scan per group; the
+        # emitted candidate superset then resolves through the SAME
+        # round/threshold/NaN/worse expressions as the 'expr' branch
+        # (the worse formula is orientation-symmetric, so the
+        # scanner's position-ordered pairs need no id ordering)
+        id_t = ranked.schema["_id"].dataType.simpleString()
+        pairs = ranked.groupBy("cluster").applyInPandas(
+            _pair_scan_fn(float(threshold)),
+            f"a_id {id_t}, b_id {id_t}, _dot double, _na double, "
+            "_nb double, _cca double, _ccb double",
         )
-        .where(
-            (pair_cos >= F.lit(float(threshold))) & ~F.isnan(pair_cos)
+        pair_cos = F.round(
+            F.when(
+                F.col("_na") * F.col("_nb") > 0,
+                F.col("_dot") / (F.col("_na") * F.col("_nb")),
+            ).otherwise(F.lit(0.0)),
+            6,
         )
-        .select(worse.alias("_id"))
-        .distinct()
-    )
+        worse = F.when(
+            (F.col("_cca") > F.col("_ccb"))
+            | (
+                (F.col("_cca") == F.col("_ccb"))
+                & (F.col("a_id") > F.col("b_id"))
+            ),
+            F.col("a_id"),
+        ).otherwise(F.col("b_id"))
+        dropped = (
+            pairs.where(
+                (pair_cos >= F.lit(float(threshold))) & ~F.isnan(pair_cos)
+            )
+            .select(worse.alias("_id"))
+            .distinct()
+        )
+    else:
+        a, b = ranked.alias("a"), ranked.alias("b")
+        pair_cos = F.round(
+            F.when(
+                F.col("a._n") * F.col("b._n") > 0,
+                dot(F.col("a._v"), F.col("b._v"))
+                / (F.col("a._n") * F.col("b._n")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+        # worse side = CLOSER to the centroid (higher cc); ties →
+        # larger id
+        worse = F.when(
+            (F.col("a.centroid_cosine") > F.col("b.centroid_cosine"))
+            | (
+                (F.col("a.centroid_cosine") == F.col("b.centroid_cosine"))
+                & (F.col("a._id") > F.col("b._id"))
+            ),
+            F.col("a._id"),
+        ).otherwise(F.col("b._id"))
+        dropped = (
+            a.join(
+                b,
+                (F.col("a.cluster") == F.col("b.cluster"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .where(
+                (pair_cos >= F.lit(float(threshold))) & ~F.isnan(pair_cos)
+            )
+            .select(worse.alias("_id"))
+            .distinct()
+        )
     survivors = (
         ranked.join(dropped, "_id", "left_anti")
         .select("_id", "cluster", "centroid_cosine")

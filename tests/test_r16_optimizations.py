@@ -7,6 +7,10 @@ internal must produce BIT-IDENTICAL results to the shape it replaced
   <unk>, plus the explicit-flag error contract)
 - dsir_fit_tagged (one fused pass) vs the two-pass dsir_fit
 - _phash_group (vectorized) vs _phash_one (per-row, arbitrary precision)
+- semantic_dedup pair_method='arrow' (vectorized per-cluster pair scan)
+  vs pair_method='expr' (the pure-Column self-join), incl. the
+  left-fold bit pattern, the rounding-boundary margin, and the
+  low-threshold fallback
 """
 
 from __future__ import annotations
@@ -152,6 +156,135 @@ def test_dsir_fit_tagged_matches_two_pass(spark):
     m1 = dsir_fit(docs.where(cond), docs, dim=256, ngrams=2)
     m2 = dsir_fit_tagged(docs, cond, dim=256, ngrams=2)
     assert m1.log_ratio6 == m2.log_ratio6
+
+
+# ---------------------------------------------------------------
+# semantic_dedup pair_method='arrow' vs 'expr' (the r16 pair scan)
+# ---------------------------------------------------------------
+
+_SEM_SCHEMA = "vec_id long, embedding array<double>"
+
+
+def _sem_parity(spark, rows, centroids, threshold):
+    from cod_stats_spark.operators.semantic import semantic_dedup
+
+    df = spark.createDataFrame(rows, _SEM_SCHEMA)
+    e = semantic_dedup(
+        df, "embedding", "vec_id", centroids,
+        threshold=threshold, pair_method="expr",
+    )
+    a = semantic_dedup(
+        df, "embedding", "vec_id", centroids,
+        threshold=threshold, pair_method="arrow",
+    )
+    assert e.exceptAll(a).count() + a.exceptAll(e).count() == 0
+    return {r["vec_id"] for r in e.collect()}
+
+
+def test_semantic_pair_arrow_rounding_boundary(spark):
+    """The margin contract at the round-half-up cliff: an exact pair
+    cosine of ~0.9499996 ROUNDS to the 0.95 threshold (must drop a
+    side in BOTH paths), ~0.9499992 rounds below it (both survive) —
+    each pair isolated in its own cluster so no third vector pollutes
+    the boundary."""
+    import math
+
+    up, down = 0.9499996, 0.9499992
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [up, math.sqrt(1.0 - up * up)]),
+        (3, [0.0, 1.0]),
+        (4, [math.sqrt(1.0 - down * down), down]),
+    ]
+    survivors = _sem_parity(
+        spark, rows, [[1.0, 0.0], [0.0, 1.0]], 0.95
+    )
+    assert len(survivors & {1, 2}) == 1, "rounds-up pair must drop a side"
+    assert {3, 4} <= survivors, "rounds-down pair must keep both"
+
+
+def test_semantic_pair_arrow_degenerate_rows(spark):
+    """Null ids, zero vectors, null elements, cross-length vectors,
+    and an exact-tie twin pair — every row class the scanner prunes
+    must resolve exactly as the self-join resolves it."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (None, [1.0, 1e-07]),      # near-dup of 1 but unpairable (the
+                                   # a._id < b._id condition is null) —
+                                   # must NOT drop 1; itself excluded
+                                   # from output by the final id join
+        (2, [0.0, 0.0]),           # zero norm → cosine guard → 0.0
+        (3, [1.0, None]),          # null element → null dot → no pair
+        (4, [1.0, 0.0, 0.0]),      # cross-length vs every 2-d row
+        (6, [0.8, 0.6]),           # exact twins: tie on centroid
+        (7, [0.8, 0.6]),           # cosine → worse = larger id
+    ]
+    survivors = _sem_parity(
+        spark, rows, [[1.0, 0.0], [0.0, 1.0]], 0.95
+    )
+    assert 1 in survivors and None not in survivors
+    assert 6 in survivors and 7 not in survivors
+
+
+def test_semantic_pair_scan_dot_is_the_left_fold(spark):
+    """The scanner's emitted _dot must be the LEFT-FOLD bit pattern
+    (order-sensitive: [1e16, 1, -1e16, 1]·[1,1,1,1] folds to exactly
+    1.0 — the +1 absorbed at 1e16, recovered after cancellation),
+    identical to what the interpreted aggregate/zip_with expression
+    produces."""
+    import pandas as pd
+
+    from cod_stats_spark.operators.semantic import _pair_scan_fn
+    from cod_stats_spark.operators.similarity import dot
+
+    va, vb = [1e16, 1.0, -1e16, 1.0], [1.0, 1.0, 1.0, 1.0]
+    spark_dot = (
+        spark.range(1)
+        .select(
+            dot(
+                F.array(*[F.lit(x) for x in va]),
+                F.array(*[F.lit(x) for x in vb]),
+            ).alias("d")
+        )
+        .collect()[0]["d"]
+    )
+    assert spark_dot == 1.0
+    pdf = pd.DataFrame(
+        {
+            "_id": [10, 11],
+            "_n": [1.0, 1.0],
+            "centroid_cosine": [0.5, 0.25],
+            "_v": [va, vb],
+        }
+    )
+    out = _pair_scan_fn(0.5)(pdf)
+    assert len(out) == 1 and out["_dot"].iloc[0] == spark_dot
+
+
+def test_semantic_pair_arrow_threshold_floor_falls_back(spark):
+    """Thresholds at/below _ARROW_PAIR_MIN_T cannot use the Python
+    prefilter (guarded zero-cosine pairs become droppable) — the
+    arrow request must silently take the expression self-join."""
+    from cod_stats_spark.operators.semantic import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], _SEM_SCHEMA
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    lo = semantic_dedup(
+        df, "embedding", "vec_id", cents,
+        threshold=1e-6, pair_method="arrow",
+    )
+    plan = lo._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    hi = semantic_dedup(
+        df, "embedding", "vec_id", cents,
+        threshold=0.95, pair_method="arrow",
+    )
+    plan = hi._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    with pytest.raises(ValueError, match="pair_method"):
+        semantic_dedup(df, "embedding", "vec_id", cents, pair_method="gemm")
 
 
 def test_phash_group_matches_per_row():

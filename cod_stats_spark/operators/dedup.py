@@ -544,15 +544,19 @@ def winnow_sql(
     # is-null case and longs have a total order — but slice() ALLOCATES
     # a fresh w-element array per position inside an interpreted HOF
     # lambda, which the r16 profile showed dominating this projection
-    # (guide §1.2 per-task work; element_at probes past the end return
-    # null, which least() skips, so the j > size-w+1 guard stays the
-    # sequence bound exactly as before)
+    # (guide §1.2 per-task work; try_element_at probes past the end
+    # return null, which least() skips, so the j > size-w+1 guard stays
+    # the sequence bound exactly as before). try_element_at, not
+    # element_at: the generated SQL must stay valid under ANSI mode
+    # (Spark 4 default), where a plain element_at past the array end
+    # throws INVALID_ARRAY_INDEX — identical NULL semantics in the
+    # non-ANSI sessions this engine pins (r17, ADVICE).
     if w == 1:
-        win_min = "element_at(hs, j)"
+        win_min = "try_element_at(hs, j)"
     else:
         win_min = (
             "least("
-            + ", ".join(f"element_at(hs, j + {d})" for d in range(w))
+            + ", ".join(f"try_element_at(hs, j + {d})" for d in range(w))
             + ")"
         )
     select = (

@@ -503,11 +503,24 @@ def ngram_lm_fit_multi(
     equivalent (null never collides with a real token: tokens come
     from split and are never null).
 
-    The grouped table is persisted (MEMORY_AND_DISK, materialized by
-    the caller's first action) so every returned order — and every
-    statistic the KN scorers derive from them — reads one cache."""
-    from pyspark.storagelevel import StorageLevel
-
+    The grouped table is localCheckpoint'ed (lazily — the caller's
+    first action materializes it) so every returned order — and every
+    statistic the KN scorers derive from them — reads one physical
+    table. A plain ``persist`` is NOT enough here (r17 fix): the KN
+    scorers consume these tables through self-joins, and the
+    analyzer's self-join deduplication re-instantiates one side's
+    plan with fresh expression ids; a GROUPING SETS (Expand) subtree
+    does not canonicalize back to the cache key after that rewrite,
+    so CacheManager substitution silently missed and every derived
+    statistic re-ran the full tokenize+explode+aggregate fit from
+    parquet (r16 after-plans: 18 distinct fit re-derivations in
+    kn5_score). Checkpointing truncates the lineage to a LogicalRDD,
+    whose re-instantiated copies still point at the SAME computed
+    RDD — the reuse is physical, not a cache lookup that can miss.
+    Scale note: localCheckpoint trades re-computability for that
+    guarantee (lost executors fail the job instead of recomputing);
+    the grouped table is model-sized (the Zipf-collapsed count table,
+    not the corpus), which is the posture broadcast already assumes."""
     K = int(K)
     if K < 1:
         raise ValueError("ngram_lm_fit_multi: K must be >= 1")
@@ -534,7 +547,7 @@ def ngram_lm_fit_multi(
             F.count(F.lit(1)).alias("cnt"),
             F.grouping_id().alias("_gid"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     models = []
     for k in range(1, K + 1):

@@ -186,13 +186,14 @@ def _decode_pgm(raw: bytes) -> dict | None:
     }
 
 
-def _decode_pgm_pixels(raw: bytes):
-    """(width, height, H×W int64 pixel array) of a P5 payload — the
-    pixel-level sibling of :func:`_decode_pgm`, shared by
-    :func:`phash_media`. Raises on a malformed or short payload (a
-    truncated raster would silently hash garbage otherwise)."""
-    import numpy as np
-
+def _pgm_shape(raw: bytes):
+    """(width, height, raster bytes) of a P5 payload — the validated
+    header parse of :func:`_decode_pgm_pixels` WITHOUT materializing
+    the 8×-inflated int64 pixel array, so callers can group/slice by
+    shape first and decode only what they are about to hash (r17,
+    ADVICE — batch-memory bounding). Raises on a malformed or short
+    payload (a truncated raster would silently hash garbage
+    otherwise)."""
     m = _PGM_HEADER_RE.match(raw or b"")
     if m is None:
         raise ValueError("phash_media: payload is not binary PGM (P5)")
@@ -207,6 +208,17 @@ def _decode_pgm_pixels(raw: bytes):
             f"phash_media: PGM declares {w}x{h} but carries only "
             f"{len(data)} pixel bytes"
         )
+    return w, h, data
+
+
+def _decode_pgm_pixels(raw: bytes):
+    """(width, height, H×W int64 pixel array) of a P5 payload — the
+    pixel-level sibling of :func:`_decode_pgm`, shared by
+    :func:`phash_media`. Raises on a malformed or short payload (a
+    truncated raster would silently hash garbage otherwise)."""
+    import numpy as np
+
+    w, h, data = _pgm_shape(raw)
     px = np.frombuffer(data[: w * h], dtype=np.uint8).astype(np.int64)
     return w, h, px.reshape(h, w)
 
@@ -509,6 +521,14 @@ PHASH_SCHEMA = StructType(
 #: precision per-row Python path instead (same bits by construction)
 _PHASH_VECTOR_NPX_CAP = 100_000_000
 
+#: total-pixel budget per vectorized slice: the (N, h, w) int64 stack
+#: plus its (N, h+1, w+1) prefix-sum stack cost ~16 bytes/pixel, so
+#: 32M px bounds the hasher's working set at ~0.5 GB per task
+#: regardless of Arrow batch size (r17, ADVICE — the previous code
+#: decoded EVERY image in the batch to int64 up front, tens of GB for
+#: a default 10k-row batch of megapixel images)
+_PHASH_GROUP_PX_BUDGET = 32_000_000
+
 
 def _phash_group(pxs, hash_size: int):
     """Vectorized aHash/dHash over a (N, h, w) int64 pixel stack —
@@ -641,12 +661,15 @@ def phash_media(df: DataFrame, hash_size: int = 8) -> DataFrame:
             heights = np.zeros(n, dtype=np.int32)
             ah = np.zeros(n, dtype=np.int64)
             dh = np.zeros(n, dtype=np.int64)
-            pxs: list = [None] * n
             groups: dict = {}
+            # pass 1: headers only (validation order preserved) —
+            # pixels decode per SLICE below, so the 8×-inflated int64
+            # stacks never exceed _PHASH_GROUP_PX_BUDGET at once
+            # (r17, ADVICE — the old code held every decoded image of
+            # the Arrow batch simultaneously)
             for idx, raw in enumerate(pdf["media_bytes"]):
-                w, h, px = _decode_pgm_pixels(raw)
+                w, h, _ = _pgm_shape(raw)
                 widths[idx], heights[idx] = w, h
-                pxs[idx] = px
                 groups.setdefault((w, h), []).append(idx)
             for (w, h), idxs in groups.items():
                 if w * h > _PHASH_VECTOR_NPX_CAP:
@@ -656,9 +679,18 @@ def phash_media(df: DataFrame, hash_size: int = 8) -> DataFrame:
                         )
                         ah[i], dh[i] = a, d
                     continue
-                stack = np.stack([pxs[i] for i in idxs])
-                ga, gd = _phash_group(stack, hs)
-                ah[idxs], dh[idxs] = ga, gd
+                step = max(1, _PHASH_GROUP_PX_BUDGET // (w * h))
+                for lo in range(0, len(idxs), step):
+                    part = idxs[lo : lo + step]
+                    stack = np.stack(
+                        [
+                            _decode_pgm_pixels(pdf["media_bytes"].iloc[i])[2]
+                            for i in part
+                        ]
+                    )
+                    ga, gd = _phash_group(stack, hs)
+                    ah[part], dh[part] = ga, gd
+                    del stack
             yield pd.DataFrame(
                 {
                     "media_id": mids,

@@ -246,18 +246,26 @@ def semantic_dedup(
     spark = df.sparkSession
     from pyspark.storagelevel import StorageLevel
 
+    use_arrow = pair_method == "arrow" and float(threshold) > _ARROW_PAIR_MIN_T
     v = F.col(vec_col).cast("array<double>")
-    # persisted + barrier: the assignment projection (k dot products
-    # per row, interpreted HOF lambdas) feeds FOUR consumers below
-    # (the null pass-through, both sides of the pairing self-join,
-    # and the survivor rank) — unpersisted, every consumer re-ran the
-    # full argmin over the corpus (r16 optimization, guide §2.4; the
-    # count is the dtf-barrier idiom — consumers race inside one
-    # action otherwise). Lives as long as the returned plan.
+    # persisted: the assignment projection (k dot products per row,
+    # interpreted HOF lambdas) feeds FOUR consumers below (the null
+    # pass-through, both sides of the pairing self-join, and the
+    # survivor rank) — unpersisted, every consumer re-ran the full
+    # argmin over the corpus (r16 optimization, guide §2.4). The cache
+    # lives as long as the returned plan; callers that materialized
+    # their result may release it via spark.catalog.clearCache() or by
+    # dropping the plan. The count barrier (the dtf-barrier idiom —
+    # consumers race inside one action otherwise) runs EAGERLY only on
+    # the arrow branch, where the groupBy-applyInPandas consumers
+    # otherwise recompute the argmin per group partition; the expr
+    # branch stays a lazy plan builder (r17, ADVICE — plan-only
+    # callers should not pay a corpus job at construction time).
     assigned = kmeans_assign(
         df.select(F.col(id_col).alias("_id"), v.alias("_v")), "_v", centroids
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    assigned.count()
+    if use_arrow:
+        assigned.count()
     # null embeddings can't participate in a cosine decision — they
     # PASS THROUGH (null cluster/score); silently deleting them (the
     # inner joins below would) is data loss, not a dedup decision
@@ -268,14 +276,24 @@ def semantic_dedup(
     )
     assigned = assigned.where(F.col("cluster").isNotNull())
     ranked = centroid_ranked(spark, assigned, centroids)
-    if pair_method == "arrow" and float(threshold) > _ARROW_PAIR_MIN_T:
+    if use_arrow:
         # one shuffle by cluster, one vectorized scan per group; the
         # emitted candidate superset then resolves through the SAME
         # round/threshold/NaN/worse expressions as the 'expr' branch
         # (the worse formula is orientation-symmetric, so the
-        # scanner's position-ordered pairs need no id ordering)
+        # scanner's position-ordered pairs need no id ordering).
+        # Null-id rows are dropped from the SCAN INPUT, not just
+        # inside the scanner: a null in the Arrow batch makes pandas
+        # deliver the whole id column as float64, corrupting non-null
+        # ids above 2^53 on the round-trip (r17, ADVICE). Equivalent
+        # by the same argument as the in-scanner skip — the expr
+        # branch's a._id < b._id evaluates NULL for such rows, so
+        # they never pair there either (and a pair decision only ever
+        # emits one of its member ids).
         id_t = ranked.schema["_id"].dataType.simpleString()
-        pairs = ranked.groupBy("cluster").applyInPandas(
+        pairs = ranked.where(
+            F.col("_id").isNotNull()
+        ).groupBy("cluster").applyInPandas(
             _pair_scan_fn(float(threshold)),
             f"a_id {id_t}, b_id {id_t}, _dot double, _na double, "
             "_nb double, _cca double, _ccb double",

@@ -1,6 +1,7 @@
 """Dump .explain('formatted') for named bench entries into
-plans/r16/<entry>_<tag>.txt — the optimization round's plan evidence
-(guide §1: capture the plan shape before and after each change).
+plans/<round>/<entry>_<tag>.txt — the optimization round's plan
+evidence (guide §1: capture the plan shape before and after each
+change). Round dir from $SPARK_GRAFT_PLAN_ROUND (default r17).
 
 Usage: python tools/explain_entries.py <tag> [entry ...]
 With no entries listed, dumps the default top-cost set.
@@ -41,7 +42,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r16",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r17"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:

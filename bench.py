@@ -279,13 +279,19 @@ def main() -> None:
     # carries the headline. The WHOLE payload is also written to
     # BENCH_LOCAL.json next to this script (committed per round), so
     # the full per-entry record never depends on the capture at all.
+    # r17 (r16 verdict, what's-wrong #4): the recorder keeps only a
+    # bounded ~2000-char TAIL of stdout, and the r15 line — queries +
+    # runs + loadavg ≈ 5 KB — was cut mid-dict, losing the whole
+    # round-over-round comparison. The PRINTED line now carries
+    # exactly the contract fields (queries + the compact scalars,
+    # ≈1.8 KB — it survives the tail whole); the drift-forensics
+    # diagnostics (raw run pairs, per-entry loadavg — BENCH_NOTES.md
+    # "Classifying cross-round deltas") move to BENCH_LOCAL.json,
+    # which is committed every round and carries the full payload.
+    # Timed region, methodology and every existing `queries` key are
+    # unchanged.
     payload = {
-        # drift forensics: raw (both) run times + 1-min loadavg
-        # at each entry's start and at suite start/end — see
-        # BENCH_NOTES.md "Classifying cross-round deltas"
         "queries": per_query,
-        "runs": raw_runs,
-        "loadavg": load_at,
         "metric": "headline_suite_wall_seconds",
         "value": round(t_total, 3) if n_err == 0 else None,
         "unit": "sec",
@@ -294,15 +300,15 @@ def main() -> None:
         "loadavg_start": load_start,
         "loadavg_end": round(os.getloadavg()[0], 2),
     }
-    line = json.dumps(payload)
+    full = {**payload, "runs": raw_runs, "loadavg": load_at}
     try:
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json")
         with open(out, "w") as fh:
-            fh.write(line + "\n")
+            fh.write(json.dumps(full) + "\n")
     except OSError as exc:  # the printed line remains the contract
         print(f"# BENCH_LOCAL.json write failed: {exc}", file=sys.stderr)
-    print(line)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -204,30 +204,52 @@ class Engine:
         (``out_dir`` must be driver+executor-visible storage — true in
         local mode and for shared filesystems/object stores).
         """
+        from concurrent.futures import ThreadPoolExecutor
+
+        # Materialize the shared silver/stats persists ONCE, before
+        # the pool: the lazy builders are not thread-safe, and two
+        # concurrent first-actions would compute the same persisted
+        # partitions twice (the semantic_dedup argmin-race lesson).
+        # One count barrier here is one pass over a table ~20
+        # downstream collects then read from cache.
+        self.stats_wz().count()
+
+        # Every document below reads the SAME materialized stats and
+        # is independent of the others, so their Spark actions overlap
+        # from a small driver pool (guide §2.6 — actions are only
+        # sequential because driver code calls them sequentially).
+        # Serially this method paid ~20 back-to-back scheduler round
+        # trips of tiny top-k jobs. Results are byte-identical: each
+        # payload is built from its own deterministic collect, and the
+        # files are written in the same fixed order as before.
+        docs: list[tuple[str, object]] = [
+            ("leaderboard_bygame.json",
+             lambda: rep.leaderboard_bygame_doc(self.leaderboards())),
+            ("leaderboard_lifetime.json",
+             lambda: rep.leaderboard_lifetime_doc(
+                 self.gulag_streaks(True),
+                 self.gulag_streaks(False),
+                 self.most_wins(),
+                 self.most_last_places(),
+             )),
+            ("team_leaderboards.json",
+             lambda: rep.team_leaderboards_doc(self.team_breakdowns())),
+            ("recent_matches.json",
+             lambda: rep.recent_matches_doc(self.recent_matches())),
+            ("recent_sessions.json",
+             lambda: rep.sessions_doc(self.recent_sessions())),
+            ("seasons.json", lambda: rep.seasons_doc()),
+            ("meta.json", lambda: rep.meta_doc(now)),
+        ]
         written = []
-
-        def emit(rel: str, payload) -> None:
-            path = os.path.join(out_dir, rel)
-            rep.write_json(path, payload)
-            written.append(path)
-
-        emit("leaderboard_bygame.json", rep.leaderboard_bygame_doc(self.leaderboards()))
-        emit(
-            "leaderboard_lifetime.json",
-            rep.leaderboard_lifetime_doc(
-                self.gulag_streaks(True),
-                self.gulag_streaks(False),
-                self.most_wins(),
-                self.most_last_places(),
-            ),
-        )
-        emit("team_leaderboards.json", rep.team_leaderboards_doc(self.team_breakdowns()))
-        emit("recent_matches.json", rep.recent_matches_doc(self.recent_matches()))
-        emit("recent_sessions.json", rep.sessions_doc(self.recent_sessions()))
-        emit("seasons.json", rep.seasons_doc())
-        emit("meta.json", rep.meta_doc(now))
-
-        written += self._write_player_docs(out_dir)
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            player_docs = pool.submit(self._write_player_docs, out_dir)
+            futures = [(rel, pool.submit(fn)) for rel, fn in docs]
+            for rel, fut in futures:
+                path = os.path.join(out_dir, rel)
+                rep.write_json(path, fut.result())
+                written.append(path)
+            written += player_docs.result()
         return written
 
     # per-player document fan-out ------------------------------------

@@ -517,7 +517,11 @@ def hash64_near_pairs(
 
 
 def winnow_sql(
-    x: str, k: int = 8, w: int = 4, base_hash: str = "xxhash64"
+    x: str,
+    k: int = 8,
+    w: int = 4,
+    base_hash: str = "xxhash64",
+    ansi: bool | None = None,
 ) -> str:
     """SQL expression: the winnowed fingerprint set of a text column
     (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for
@@ -544,19 +548,42 @@ def winnow_sql(
     # is-null case and longs have a total order — but slice() ALLOCATES
     # a fresh w-element array per position inside an interpreted HOF
     # lambda, which the r16 profile showed dominating this projection
-    # (guide §1.2 per-task work; try_element_at probes past the end
-    # return null, which least() skips, so the j > size-w+1 guard stays
-    # the sequence bound exactly as before). try_element_at, not
-    # element_at: the generated SQL must stay valid under ANSI mode
-    # (Spark 4 default), where a plain element_at past the array end
-    # throws INVALID_ARRAY_INDEX — identical NULL semantics in the
-    # non-ANSI sessions this engine pins (r17, ADVICE).
+    # (guide §1.2 per-task work; probes past the end return null,
+    # which least() skips, so the j > size-w+1 guard stays the
+    # sequence bound exactly as before).
+    #
+    # Probe choice (r17): element_at in non-ANSI sessions — the mode
+    # this engine pins in get_spark/prep_session — and try_element_at
+    # only when the active session actually runs ANSI (where a plain
+    # element_at past the array end throws INVALID_ARRAY_INDEX).
+    # In a non-ANSI session the two forms compile to byte-identical
+    # physical plans (both resolve to element_at(..., failOnError =
+    # false) — plans/r17/dedup_winnow_{before,after}.txt differ only
+    # in expression ids), so this is NOT a performance change; it
+    # restores the entry's r15/r16 ANALYZED-plan signature (the
+    # unresolved TryElementAt node hashes differently), reconnecting
+    # the bench entry's cross-round timing history, while keeping the
+    # generated SQL valid under ANSI. ``ansi=None`` resolves from the
+    # active session; no session (or an unreadable conf) defaults to
+    # the SAFE form.
+    if ansi is None:
+        from pyspark.sql import SparkSession
+
+        sess = SparkSession.getActiveSession()
+        try:
+            ansi = sess is None or (
+                sess.conf.get("spark.sql.ansi.enabled", "true").lower()
+                == "true"
+            )
+        except Exception:
+            ansi = True
+    probe = "try_element_at" if ansi else "element_at"
     if w == 1:
-        win_min = "try_element_at(hs, j)"
+        win_min = f"{probe}(hs, j)"
     else:
         win_min = (
             "least("
-            + ", ".join(f"try_element_at(hs, j + {d})" for d in range(w))
+            + ", ".join(f"{probe}(hs, j + {d})" for d in range(w))
             + ")"
         )
     select = (

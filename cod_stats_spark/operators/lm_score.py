@@ -85,7 +85,18 @@ def unigram_lm_score(
     The model plan executes exactly ONCE. ``broadcast_model=True``
     (the default) collects it driver-side — the same driver-sized
     contract broadcasting already implies — computes N/V locally, and
-    ships a literal (token, logp) relation to the scoring join.
+    ships the (token, logp) model to the scoring pass: as
+    ``create_map`` literals inside the token projection when the
+    vocabulary fits :data:`_ARPA_EXPR_ROW_CAP` (r17 — the
+    arpa_lm_score literal-map discipline applied to the unigram path,
+    VERDICT #6: zero joins, zero broadcast stages; ``element_at`` on
+    a map returns null for a missing token exactly like the left
+    join's no-match, and the logp literals are the SAME
+    driver-computed doubles the relation carried, so scores are
+    bit-identical), else as a literal broadcast relation to the
+    scoring join (the Heaps-law posture: real-corpus vocabularies
+    outgrow any expression budget, and the cap gates on the MODEL,
+    which does not grow with the scored corpus).
     ``broadcast_model=False`` persists the model instead (the N/V
     totals action materializes the cache the scoring join then reads);
     the cache lives as long as the returned frame — callers doing a
@@ -94,6 +105,7 @@ def unigram_lm_score(
     the full fit (explode + token shuffle) — twice per call."""
     id_cols = id_cols or ["doc_id"]
     spark = docs.sparkSession
+    logp_expr = None
     if broadcast_model:
         import pandas as pd
 
@@ -103,19 +115,19 @@ def unigram_lm_score(
         denom = n_total + alpha * vocab
         if denom <= 0:
             raise ValueError("unigram_lm_score: empty model")
-        scored_model = F.broadcast(
-            spark.createDataFrame(
-                pd.DataFrame(
-                    {
-                        "token": mrows["token"],
-                        "_logp": [
-                            math.log((c + alpha) / denom)
-                            for c in mrows["cnt"]
-                        ],
-                    }
+        logp = [math.log((c + alpha) / denom) for c in mrows["cnt"]]
+        if len(mrows) <= _ARPA_EXPR_ROW_CAP:
+            # sorted: the collected row order depends on the session's
+            # shuffle partitioning, and an order-dependent literal
+            # would move the plan signature between sessions (map
+            # lookup itself is order-independent)
+            logp_expr = _lit_map(dict(sorted(zip(mrows["token"], logp))))
+        else:
+            scored_model = F.broadcast(
+                spark.createDataFrame(
+                    pd.DataFrame({"token": mrows["token"], "_logp": logp})
                 )
             )
-        )
     else:
         from pyspark.storagelevel import StorageLevel
 
@@ -136,8 +148,14 @@ def unigram_lm_score(
         )
     unseen = math.log(alpha / denom)
     tk = docs.select(*id_cols, F.explode(_tokens(text_col, lowercase)).alias("token"))
+    if logp_expr is not None:
+        scored_tk = tk.withColumn(
+            "_logp", F.element_at(logp_expr, F.col("token"))
+        )
+    else:
+        scored_tk = tk.join(scored_model, "token", "left")
     per_doc = (
-        tk.join(scored_model, "token", "left")
+        scored_tk
         .groupBy(*id_cols)
         .agg(
             F.count(F.lit(1)).alias("lm_tokens"),
@@ -691,34 +709,54 @@ def kn_lm_score(
     # build re-ran the full bigram fit (r16 optimization — guide §2.4;
     # the n_cc action materializes this cache on the way to cont)
     bi_model = bi_model.persist(StorageLevel.MEMORY_AND_DISK)
-    if broadcast_model:
-        n_tri = tri_model.count()
-        if n_tri > _KN_BROADCAST_ROW_CAP:
-            # release the just-materialized cache before raising: the
-            # caller will rebuild/re-pass the model for the
-            # broadcast_model=False retry, and an orphaned >10⁷-row
-            # cache would stay pinned for the session (r14 review)
-            tri_model.unpersist()
-            raise ValueError(
-                f"kn_lm_score: trigram model has {n_tri:,} rows — past "
-                f"the broadcast cap ({_KN_BROADCAST_ROW_CAP:,}); pass "
-                "broadcast_model=False (shuffled joins, identical "
-                "output) for models this size"
-            )
-
-    totals = uni_model.agg(F.count(F.lit(1)).alias("v")).first()
-    v_size = float(totals["v"] or 0)
-    # persisted: the N1+(··) totals action below materializes the
-    # cache, which rel_p1 then reads inside the scoring plan — without
-    # it the bigram groupBy would run twice per call (and with
+    # persisted: the probe action below materializes the cache, which
+    # rel_p1 then reads inside the scoring plan — without it the
+    # bigram groupBy would run twice per call (and with
     # broadcast_model=False that is a full model-table pass; r13
     # second review). Bounded ≤ vocabulary rows; lives as long as the
     # returned plan, the unigram_lm_score persist contract.
     cont = bi_model.groupBy("w2").agg(
         F.count(F.lit(1)).alias("_n1w")  # N1+(·w): distinct v per w
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    cont_tot = cont.agg(F.sum("_n1w").alias("t")).first()
-    n_cc = float(cont_tot["t"] or 0)  # N1+(··): distinct bigram types
+    # ONE build-time action for the guard count, V and N1+(··) (r17 —
+    # guide §5, the quality-classifier union-collect discipline):
+    # previously three driver round trips per call; the tagged union
+    # evaluates them in one job, which still materializes the
+    # tri/bi/cont persists exactly as the separate counts did.
+    probes = [
+        uni_model.agg(
+            F.count(F.lit(1)).cast("double").alias("_v")
+        ).select(F.lit("v").alias("_k"), "_v"),
+        cont.agg(F.sum("_n1w").cast("double").alias("_v")).select(
+            F.lit("cc").alias("_k"), "_v"
+        ),
+    ]
+    if broadcast_model:
+        probes.append(
+            tri_model.agg(
+                F.count(F.lit(1)).cast("double").alias("_v")
+            ).select(F.lit("top").alias("_k"), "_v")
+        )
+    u = probes[0]
+    for p in probes[1:]:
+        u = u.unionByName(p)
+    vals = {r["_k"]: float(r["_v"] or 0) for r in u.collect()}
+    if broadcast_model and vals["top"] > _KN_BROADCAST_ROW_CAP:
+        n_tri = int(vals["top"])
+        # release the just-materialized caches before raising: the
+        # caller will rebuild/re-pass the model for the
+        # broadcast_model=False retry, and an orphaned >10⁷-row
+        # cache would stay pinned for the session (r14 review)
+        tri_model.unpersist()
+        cont.unpersist()
+        raise ValueError(
+            f"kn_lm_score: trigram model has {n_tri:,} rows — past "
+            f"the broadcast cap ({_KN_BROADCAST_ROW_CAP:,}); pass "
+            "broadcast_model=False (shuffled joins, identical "
+            "output) for models this size"
+        )
+    v_size = vals["v"]
+    n_cc = vals["cc"]  # N1+(··): distinct bigram types
     denom1 = n_cc + alpha * v_size
     if denom1 <= 0:
         raise ValueError("kn_lm_score: empty model")
@@ -932,22 +970,46 @@ def kn_ngram_score(
     # kn_lm_score bi_model persist generalized; materialized lazily
     # by the scoring action — no extra driver action)
     models[K - 2] = models[K - 2].persist(StorageLevel.MEMORY_AND_DISK)
-    if broadcast_model:
-        n_top = top.count()
-        if n_top > _KN_BROADCAST_ROW_CAP:
-            top.unpersist()
-            raise ValueError(
-                f"kn_ngram_score: order-{K} model has {n_top:,} rows — "
-                f"past the broadcast cap ({_KN_BROADCAST_ROW_CAP:,}); "
-                "pass broadcast_model=False (shuffled joins, identical "
-                "output) for models this size"
-            )
-
-    v_size = float(models[0].agg(F.count(F.lit(1))).first()[0] or 0)
     cont = models[1].groupBy("w2").agg(
         F.count(F.lit(1)).alias("_n1w")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    n_cc = float(cont.agg(F.sum("_n1w")).first()[0] or 0)
+    # ONE build-time action for all three scalars (r17 — guide §5,
+    # the quality-classifier union-collect discipline): the guard
+    # count, V and N1+(··) previously ran as THREE driver round
+    # trips per call; a tagged union evaluates them in one job, and
+    # that job is still the action that materializes the top/cont
+    # persists (exactly what the separate counts did). Values are
+    # exact integer counts either way.
+    probes = [
+        models[0].agg(
+            F.count(F.lit(1)).cast("double").alias("_v")
+        ).select(F.lit("v").alias("_k"), "_v"),
+        cont.agg(F.sum("_n1w").cast("double").alias("_v")).select(
+            F.lit("cc").alias("_k"), "_v"
+        ),
+    ]
+    if broadcast_model:
+        probes.append(
+            top.agg(F.count(F.lit(1)).cast("double").alias("_v")).select(
+                F.lit("top").alias("_k"), "_v"
+            )
+        )
+    u = probes[0]
+    for p in probes[1:]:
+        u = u.unionByName(p)
+    vals = {r["_k"]: float(r["_v"] or 0) for r in u.collect()}
+    if broadcast_model and vals["top"] > _KN_BROADCAST_ROW_CAP:
+        n_top = int(vals["top"])
+        top.unpersist()
+        cont.unpersist()  # materialized by the same probe job
+        raise ValueError(
+            f"kn_ngram_score: order-{K} model has {n_top:,} rows — "
+            f"past the broadcast cap ({_KN_BROADCAST_ROW_CAP:,}); "
+            "pass broadcast_model=False (shuffled joins, identical "
+            "output) for models this size"
+        )
+    v_size = vals["v"]
+    n_cc = vals["cc"]
     denom1 = n_cc + alpha * v_size
     if denom1 <= 0:
         raise ValueError("kn_ngram_score: empty model")

@@ -380,7 +380,21 @@ def curate_corpus(
     """
     _validate_lm_gate_args(lm_model, max_lm_nll)
     _validate_dsir_gate_args(dsir_model, min_dsir_logw)
-    stats: dict[str, int] = {"input": docs.count()}
+    # the input count is REPORTING only (nothing downstream reads it)
+    # but costs a full corpus pass at scale — run it from a driver
+    # thread so it overlaps the first content stage's scan instead of
+    # serializing in front of it (guide §2.6; the two jobs read the
+    # same unpersisted scan, so there is no cache race to lose).
+    # r17, VERDICT #4 — the one overlap in this funnel whose sides
+    # are truly independent; every later stage consumes its
+    # predecessor's persisted survivors, where overlapping the
+    # materializing count with the consumer would just compute the
+    # cache twice.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    input_count = pool.submit(docs.count)
+    stats: dict[str, int] = {"input": 0}
 
     if html_input:
         from cod_stats_spark.functions.html import extract_text
@@ -407,7 +421,10 @@ def curate_corpus(
     gated = docs.filter(
         T.quality_score(F.col(text_col)) >= min_quality
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    stats["after_quality"] = gated.count()
+    after_quality = gated.count()
+    stats["input"] = input_count.result()
+    pool.shutdown()
+    stats["after_quality"] = after_quality
 
     if qc_model is not None:
         gated = _model_gate(gated, qc_model, min_qc_score, text_col,
@@ -735,7 +752,13 @@ def curate_corpus_append(
 
     _validate_lm_gate_args(lm_model, max_lm_nll)
     _validate_dsir_gate_args(dsir_model, min_dsir_logw)
-    stats: dict[str, int] = {"input": new_docs.count()}
+    # reporting-only input count overlapped with the first content
+    # stage, exactly as in curate_corpus (guide §2.6; r17)
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    input_count = pool.submit(new_docs.count)
+    stats: dict[str, int] = {"input": 0}
     if html_input:
         from cod_stats_spark.functions.html import extract_text
 
@@ -759,7 +782,10 @@ def curate_corpus_append(
     gated = new_docs.filter(
         T.quality_score(F.col(text_col)) >= min_quality
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    stats["after_quality"] = gated.count()
+    after_quality = gated.count()
+    stats["input"] = input_count.result()
+    pool.shutdown()
+    stats["after_quality"] = after_quality
 
     if qc_model is not None:
         gated = _model_gate(gated, qc_model, min_qc_score, text_col,

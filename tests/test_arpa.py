@@ -45,11 +45,15 @@ def _write(tmp_path, body, name="mini.arpa"):
     return str(p)
 
 
-@pytest.fixture()
-def mini_model(spark, tmp_path):
+@pytest.fixture(scope="module")
+def mini_model(spark, tmp_path_factory):
+    # module-scoped (r17): ~15 tests consume this model read-only, and
+    # each load_arpa is several Spark jobs — one shared load suffices
     from cod_stats_spark.operators.lm_score import load_arpa
 
-    return load_arpa(spark, _write(tmp_path, _MINI))
+    return load_arpa(
+        spark, _write(tmp_path_factory.mktemp("arpa_mini"), _MINI)
+    )
 
 
 class TestRoundTrip:
@@ -352,11 +356,14 @@ class TestFiveGram:
     are 5-gram). Hand-computed scores through the DEEP backoff chain —
     every hop's weight (present, omitted, and <unk>) applied."""
 
-    @pytest.fixture()
-    def five(self, spark, tmp_path):
+    @pytest.fixture(scope="class")
+    def five(self, spark, tmp_path_factory):
         from cod_stats_spark.operators.lm_score import load_arpa
 
-        return load_arpa(spark, _write(tmp_path, _FIVE, "five.arpa"))
+        return load_arpa(
+            spark,
+            _write(tmp_path_factory.mktemp("arpa_five"), _FIVE, "five.arpa"),
+        )
 
     def _score(self, spark, model, text, **kw):
         from cod_stats_spark.operators.lm_score import arpa_lm_score
@@ -434,11 +441,14 @@ class TestUnkSubstitution:
     n-grams and b(<unk>) that published models ship are consulted —
     KenLM's substitution, hand-computed."""
 
-    @pytest.fixture()
-    def munk(self, spark, tmp_path):
+    @pytest.fixture(scope="class")
+    def munk(self, spark, tmp_path_factory):
         from cod_stats_spark.operators.lm_score import load_arpa
 
-        return load_arpa(spark, _write(tmp_path, _MINI_UNK, "unk.arpa"))
+        return load_arpa(
+            spark,
+            _write(tmp_path_factory.mktemp("arpa_unk"), _MINI_UNK, "unk.arpa"),
+        )
 
     def _score(self, spark, model, text, **kw):
         from cod_stats_spark.operators.lm_score import arpa_lm_score
@@ -652,7 +662,7 @@ class TestKnToArpa:
         (18, "   "),
     ]
 
-    @pytest.fixture()
+    @pytest.fixture(scope="class")
     def fits(self, spark):
         from cod_stats_spark.operators.lm_score import (
             bigram_lm_fit,

@@ -609,9 +609,24 @@ def winnow_fingerprints(
     """id → winnowed fingerprint set (array<long>, see
     :func:`winnow_sql`). The per-doc building block: persist it next
     to the corpus and containment queries become fingerprint joins."""
+    # resolve the probe form from the OWNING session, not the
+    # thread-local active session: getActiveSession() is None on
+    # driver pool threads (py4j maps each Python thread to its own
+    # JVM thread), which silently flipped the generated SQL to the
+    # try-form and moved the plan signature depending on which thread
+    # built the plan (r17)
+    try:
+        ansi = (
+            df.sparkSession.conf.get(
+                "spark.sql.ansi.enabled", "true"
+            ).lower()
+            == "true"
+        )
+    except Exception:
+        ansi = True
     return spread(df).select(
         F.col(id_col).alias("id"),
-        F.expr(winnow_sql(text_col, k, w, base_hash)).alias(out_col),
+        F.expr(winnow_sql(text_col, k, w, base_hash, ansi=ansi)).alias(out_col),
     )
 
 

@@ -89,9 +89,9 @@ def unigram_lm_score(
     ``create_map`` literals inside the token projection when the
     vocabulary fits :data:`_ARPA_EXPR_ROW_CAP` (r17 — the
     arpa_lm_score literal-map discipline applied to the unigram path,
-    VERDICT #6: zero joins, zero broadcast stages; ``element_at`` on
-    a map returns null for a missing token exactly like the left
-    join's no-match, and the logp literals are the SAME
+    VERDICT #6: zero joins, zero broadcast stages; ``try_element_at``
+    on the map returns null for a missing token exactly like the left
+    join's no-match in ANY session mode, and the logp literals are the SAME
     driver-computed doubles the relation carried, so scores are
     bit-identical), else as a literal broadcast relation to the
     scoring join (the Heaps-law posture: real-corpus vocabularies
@@ -149,8 +149,14 @@ def unigram_lm_score(
     unseen = math.log(alpha / denom)
     tk = docs.select(*id_cols, F.explode(_tokens(text_col, lowercase)).alias("token"))
     if logp_expr is not None:
+        # try_element_at, not element_at: under ANSI a plain map probe
+        # THROWS for an unseen token where the left join produced the
+        # null this path coalesces to the OOV floor; under non-ANSI
+        # (every engine/driver session) the two forms compile to the
+        # identical physical expression, so the safe form is free
+        # (r17 review — the winnow_sql finding, map flavor)
         scored_tk = tk.withColumn(
-            "_logp", F.element_at(logp_expr, F.col("token"))
+            "_logp", F.try_element_at(logp_expr, F.col("token"))
         )
     else:
         scored_tk = tk.join(scored_model, "token", "left")
@@ -624,6 +630,24 @@ def _validate_kn_models(models, caller: str) -> list[DataFrame]:
     return models
 
 
+def _kn_scalar_probes(pairs) -> dict[str, float]:
+    """Evaluate several (tag, one-row single-column aggregate) scalar
+    probes in ONE tagged-union job (r17 — guide §5, the
+    quality-classifier union-collect discipline): each scalar was
+    previously its own driver round trip, ~0.3–0.6 s of pure
+    scheduling apiece on small data. The union job is also the action
+    that materializes any persisted frame a probe reads, exactly as
+    the separate counts were. Returns {tag: float} with SQL nulls
+    (empty-input sums) mapped to 0.0."""
+    u = None
+    for tag, agg in pairs:
+        p = agg.select(
+            F.lit(tag).alias("_k"), F.col(agg.columns[0]).alias("_v")
+        )
+        u = p if u is None else u.unionByName(p)
+    return {r["_k"]: float(r["_v"] or 0) for r in u.collect()}
+
+
 def kn_lm_score(
     docs: DataFrame,
     uni_model: DataFrame,
@@ -718,36 +742,29 @@ def kn_lm_score(
     cont = bi_model.groupBy("w2").agg(
         F.count(F.lit(1)).alias("_n1w")  # N1+(·w): distinct v per w
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # ONE build-time action for the guard count, V and N1+(··) (r17 —
-    # guide §5, the quality-classifier union-collect discipline):
-    # previously three driver round trips per call; the tagged union
-    # evaluates them in one job, which still materializes the
-    # tri/bi/cont persists exactly as the separate counts did.
+    # ONE build-time action for the guard count, V and N1+(··) —
+    # see _kn_scalar_probes; it still materializes the tri/bi/cont
+    # persists exactly as the separate counts did.
     probes = [
-        uni_model.agg(
-            F.count(F.lit(1)).cast("double").alias("_v")
-        ).select(F.lit("v").alias("_k"), "_v"),
-        cont.agg(F.sum("_n1w").cast("double").alias("_v")).select(
-            F.lit("cc").alias("_k"), "_v"
-        ),
+        ("v", uni_model.agg(F.count(F.lit(1)).cast("double"))),
+        ("cc", cont.agg(F.sum("_n1w").cast("double"))),
     ]
     if broadcast_model:
         probes.append(
-            tri_model.agg(
-                F.count(F.lit(1)).cast("double").alias("_v")
-            ).select(F.lit("top").alias("_k"), "_v")
+            ("top", tri_model.agg(F.count(F.lit(1)).cast("double")))
         )
-    u = probes[0]
-    for p in probes[1:]:
-        u = u.unionByName(p)
-    vals = {r["_k"]: float(r["_v"] or 0) for r in u.collect()}
+    vals = _kn_scalar_probes(probes)
     if broadcast_model and vals["top"] > _KN_BROADCAST_ROW_CAP:
         n_tri = int(vals["top"])
         # release the just-materialized caches before raising: the
         # caller will rebuild/re-pass the model for the
         # broadcast_model=False retry, and an orphaned >10⁷-row
-        # cache would stay pinned for the session (r14 review)
+        # cache would stay pinned for the session (r14 review).
+        # bi_model too (r17 review): the cont probe scanned — and
+        # therefore cached — the comparably large persisted bigram
+        # table before the guard could fire.
         tri_model.unpersist()
+        bi_model.unpersist()
         cont.unpersist()
         raise ValueError(
             f"kn_lm_score: trigram model has {n_tri:,} rows — past "
@@ -973,35 +990,25 @@ def kn_ngram_score(
     cont = models[1].groupBy("w2").agg(
         F.count(F.lit(1)).alias("_n1w")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # ONE build-time action for all three scalars (r17 — guide §5,
-    # the quality-classifier union-collect discipline): the guard
-    # count, V and N1+(··) previously ran as THREE driver round
-    # trips per call; a tagged union evaluates them in one job, and
-    # that job is still the action that materializes the top/cont
-    # persists (exactly what the separate counts did). Values are
-    # exact integer counts either way.
+    # ONE build-time action for the guard count, V and N1+(··) —
+    # see _kn_scalar_probes; it still materializes the top/cont
+    # persists exactly as the separate counts did.
     probes = [
-        models[0].agg(
-            F.count(F.lit(1)).cast("double").alias("_v")
-        ).select(F.lit("v").alias("_k"), "_v"),
-        cont.agg(F.sum("_n1w").cast("double").alias("_v")).select(
-            F.lit("cc").alias("_k"), "_v"
-        ),
+        ("v", models[0].agg(F.count(F.lit(1)).cast("double"))),
+        ("cc", cont.agg(F.sum("_n1w").cast("double"))),
     ]
     if broadcast_model:
-        probes.append(
-            top.agg(F.count(F.lit(1)).cast("double").alias("_v")).select(
-                F.lit("top").alias("_k"), "_v"
-            )
-        )
-    u = probes[0]
-    for p in probes[1:]:
-        u = u.unionByName(p)
-    vals = {r["_k"]: float(r["_v"] or 0) for r in u.collect()}
+        probes.append(("top", top.agg(F.count(F.lit(1)).cast("double"))))
+    vals = _kn_scalar_probes(probes)
     if broadcast_model and vals["top"] > _KN_BROADCAST_ROW_CAP:
         n_top = int(vals["top"])
+        # release everything the probe job materialized (r17 review):
+        # at K=3 the cont probe scans — and caches — the persisted
+        # models[K-2] (== the bigram table); unpersist is a no-op on
+        # frames the probe never touched
         top.unpersist()
-        cont.unpersist()  # materialized by the same probe job
+        models[K - 2].unpersist()
+        cont.unpersist()
         raise ValueError(
             f"kn_ngram_score: order-{K} model has {n_top:,} rows — "
             f"past the broadcast cap ({_KN_BROADCAST_ROW_CAP:,}); "

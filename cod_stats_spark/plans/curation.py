@@ -396,34 +396,41 @@ def curate_corpus(
     input_count = pool.submit(docs.count)
     stats: dict[str, int] = {"input": 0}
 
-    if html_input:
-        from cod_stats_spark.functions.html import extract_text
+    # the try spans exactly the stages that run before the future is
+    # consumed: an early-stage failure must not strand the background
+    # count (the in-flight job cannot be cancelled, but the exception
+    # propagates immediately instead of blocking on a full corpus
+    # pass — r17 review)
+    try:
+        if html_input:
+            from cod_stats_spark.functions.html import extract_text
 
-        docs = docs.withColumn(
-            text_col,
-            extract_text(
-                F.col(text_col),
-                min_words=html_min_words,
-                blocklist=html_boilerplate,
-            ),
-        ).where(F.length(F.col(text_col)) > 0)
-        stats["after_html"] = docs.count()
+            docs = docs.withColumn(
+                text_col,
+                extract_text(
+                    F.col(text_col),
+                    min_words=html_min_words,
+                    blocklist=html_boilerplate,
+                ),
+            ).where(F.length(F.col(text_col)) > 0)
+            stats["after_html"] = docs.count()
 
-    if url_col is not None and (domain_blocklist or domain_allowlist):
-        from cod_stats_spark.functions.url import domain_gate
+        if url_col is not None and (domain_blocklist or domain_allowlist):
+            from cod_stats_spark.functions.url import domain_gate
 
-        docs = domain_gate(
-            docs, url_col,
-            blocklist=domain_blocklist, allowlist=domain_allowlist,
-        )
-        stats["after_domain_gate"] = docs.count()
+            docs = domain_gate(
+                docs, url_col,
+                blocklist=domain_blocklist, allowlist=domain_allowlist,
+            )
+            stats["after_domain_gate"] = docs.count()
 
-    gated = docs.filter(
-        T.quality_score(F.col(text_col)) >= min_quality
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    after_quality = gated.count()
-    stats["input"] = input_count.result()
-    pool.shutdown()
+        gated = docs.filter(
+            T.quality_score(F.col(text_col)) >= min_quality
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        after_quality = gated.count()
+        stats["input"] = input_count.result()
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
     stats["after_quality"] = after_quality
 
     if qc_model is not None:
@@ -759,32 +766,36 @@ def curate_corpus_append(
     pool = ThreadPoolExecutor(max_workers=1)
     input_count = pool.submit(new_docs.count)
     stats: dict[str, int] = {"input": 0}
-    if html_input:
-        from cod_stats_spark.functions.html import extract_text
+    # try spans the stages before the future is consumed (see
+    # curate_corpus — an early failure must not strand the thread)
+    try:
+        if html_input:
+            from cod_stats_spark.functions.html import extract_text
 
-        new_docs = new_docs.withColumn(
-            text_col,
-            extract_text(
-                F.col(text_col),
-                min_words=html_min_words,
-                blocklist=html_boilerplate,
-            ),
-        ).where(F.length(F.col(text_col)) > 0)
-        stats["after_html"] = new_docs.count()
-    if url_col is not None and (domain_blocklist or domain_allowlist):
-        from cod_stats_spark.functions.url import domain_gate
+            new_docs = new_docs.withColumn(
+                text_col,
+                extract_text(
+                    F.col(text_col),
+                    min_words=html_min_words,
+                    blocklist=html_boilerplate,
+                ),
+            ).where(F.length(F.col(text_col)) > 0)
+            stats["after_html"] = new_docs.count()
+        if url_col is not None and (domain_blocklist or domain_allowlist):
+            from cod_stats_spark.functions.url import domain_gate
 
-        new_docs = domain_gate(
-            new_docs, url_col,
-            blocklist=domain_blocklist, allowlist=domain_allowlist,
-        )
-        stats["after_domain_gate"] = new_docs.count()
-    gated = new_docs.filter(
-        T.quality_score(F.col(text_col)) >= min_quality
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    after_quality = gated.count()
-    stats["input"] = input_count.result()
-    pool.shutdown()
+            new_docs = domain_gate(
+                new_docs, url_col,
+                blocklist=domain_blocklist, allowlist=domain_allowlist,
+            )
+            stats["after_domain_gate"] = new_docs.count()
+        gated = new_docs.filter(
+            T.quality_score(F.col(text_col)) >= min_quality
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        after_quality = gated.count()
+        stats["input"] = input_count.result()
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
     stats["after_quality"] = after_quality
 
     if qc_model is not None:

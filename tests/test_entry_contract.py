@@ -54,10 +54,9 @@ class TestEntryContract:
         from cod_stats_spark.plans.bench_queries import load_tables
 
         # warm the lazy table catalog serially before fanning out
-        # (concurrent first-reads of the same reader have flaked)
-        tables = load_tables(spark, SF)
-        for t in list(tables.keys()):
-            tables[t]
+        # (concurrent first-reads of the same reader have flaked);
+        # items() resolves every reader
+        load_tables(spark, SF).items()
 
         def one(item):
             name, fn = item

@@ -85,9 +85,7 @@ def compute_signatures(spark) -> dict[str, str]:
     # planner error — warm the catalog once, then fan out
     from cod_stats_spark.plans.bench_queries import load_tables
 
-    tables = load_tables(spark, SIG_SF_DIR)
-    for t in list(tables.keys()):
-        tables[t]
+    load_tables(spark, SIG_SF_DIR).items()  # resolves every reader
 
     def one(name: str) -> tuple[str, str]:
         return name, signature(queries[name](spark, SIG_SF_DIR))
